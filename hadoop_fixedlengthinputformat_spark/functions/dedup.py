@@ -1,0 +1,170 @@
+"""Deduplication operators (SURVEY.md §2.3-J).
+
+Exact, MinHash+LSH, SimHash and n-gram-Jaccard dedup — each expressed as
+shuffle-bounded DataFrame plans:
+
+  * exact:      groupBy(hash) — one shuffle on the content hash.
+  * minhash:    explode shingles -> per-doc min of k hashes (map-side
+                partial agg) -> band -> explode bands -> self-join on
+                band value.  Never O(n^2): candidate pairs only within
+                LSH buckets.
+  * simhash:    explode tokens -> 64 bit-vote sums per doc -> assemble.
+  * ngram jaccard: inverted-index join (token -> docs) within blocking
+                keys, so the pair space is bounded by the block size.
+
+At 100 TB the shuffles are keyed on hashes (uniform — no skew); the only
+hotspot risk is a pathological shingle shared by most documents, which
+the inverted-index join caps with a document-frequency filter.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+MINHASH_K = 8  # hash functions
+LSH_BANDS = 4  # bands of MINHASH_K / LSH_BANDS rows each
+
+
+def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> Column:
+    """Array of word n-gram shingles as strings."""
+    toks = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    return F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i, n), " ")
+    )
+
+
+def minhash_signature(
+    df: DataFrame, id_col: str, text_col: str = "text", k: int = MINHASH_K
+) -> DataFrame:
+    """(id, minhash_0..k-1): min over shingles of md5(i || shingle).
+
+    md5-based (not xxhash) so the DuckDB oracle can recompute signatures
+    bit-for-bit; lexicographic min over hex digests is a valid minhash.
+    The explode->groupBy collapses map-side: each scan partition emits one
+    row per (doc, i) before the shuffle.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(F.array_distinct(word_shingles(df, text_col))).alias("shingle")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(i)), F.col("shingle")).cast("binary"))).alias(
+            f"mh_{i}"
+        )
+        for i in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str, k: int = MINHASH_K, bands: int = LSH_BANDS
+) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing at least one LSH band."""
+    rows = k // bands
+    band_cols = [
+        F.concat_ws("|", *[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias(
+            f"band_{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_cols)
+    stacked = banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("band_val"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bd"),
+    ).select(id_col, "bd.band_idx", "bd.band_val")
+    a = stacked.select(
+        F.col(id_col).alias("doc_a"), "band_idx", "band_val"
+    )
+    b = stacked.select(
+        F.col(id_col).alias("doc_b"), "band_idx", "band_val"
+    )
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """62-bit SimHash per document (bits 0..61 to stay in a positive
+    BIGINT): per-token xxhash64 bit votes, majority per bit position."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v_{b}")
+        for b in range(62)
+    ]
+    voted = toks.groupBy(id_col).agg(*votes)
+    sim = None
+    for b in range(62):
+        bit = F.when(F.col(f"v_{b}") > 0, F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        term = F.shiftleft(bit, b)
+        sim = term if sim is None else sim + term
+    return voted.select(F.col(id_col), sim.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    block_cols: tuple[str, ...] = ("lang", "source"),
+    threshold: float = 0.6,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact word-set Jaccard over candidate pairs via inverted-index join
+    within blocking keys.  ``max_doc_freq`` drops ubiquitous tokens (the
+    skew cap for the join)."""
+    toks = df.select(
+        F.col(id_col), *[F.col(c) for c in block_cols],
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
+    )
+    if max_doc_freq is not None:
+        freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+        toks = toks.join(
+            F.broadcast(freq.filter(F.col("df") <= max_doc_freq)), "tok"
+        ).drop("df")
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tok"))
+    a = toks.select(
+        F.col(id_col).alias("doc_a"), *[F.col(c) for c in block_cols], "tok"
+    )
+    b = toks.select(
+        F.col(id_col).alias("doc_b"), *[F.col(c) for c in block_cols], "tok"
+    )
+    shared = (
+        a.join(b, [*block_cols, "tok"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_tok").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_tok").alias("nb"))
+    jac = (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
+    )

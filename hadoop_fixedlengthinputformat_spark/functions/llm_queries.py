@@ -1,0 +1,348 @@
+"""J family — LLM-data-pipeline operator queries (SURVEY.md §2.3-J).
+
+Declared queries over ``documents`` / ``embeddings``; implementations
+live in dedup.py / similarity.py / text.py / multimodal.py.  Hash
+functions are md5-based wherever an oracle exists (DuckDB's md5 is
+bit-identical to Spark's), xxhash64 for the rows-only scale paths.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hadoop_fixedlengthinputformat_spark.functions import (
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)
+from hadoop_fixedlengthinputformat_spark.registry import query
+from hadoop_fixedlengthinputformat_spark.tables import load_table
+
+
+@query(
+    "llm_exact_dedup",
+    oracle="""
+    SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+)
+def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one shuffle keyed on the content hash; keeps the min
+    doc_id per text (deterministic survivor policy)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    ).select(
+        F.md5(F.col("text").cast("binary")).alias("text_md5"), "keep_id", "n_copies"
+    )
+
+
+@query(
+    "llm_minhash_near_dedup",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    shingles AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+        FROM (
+            SELECT doc_id, t,
+                   unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+            FROM toks
+        )
+    ),
+    sig AS (
+        SELECT doc_id,
+               min(md5('0' || shingle)) AS mh_0, min(md5('1' || shingle)) AS mh_1,
+               min(md5('2' || shingle)) AS mh_2, min(md5('3' || shingle)) AS mh_3,
+               min(md5('4' || shingle)) AS mh_4, min(md5('5' || shingle)) AS mh_5,
+               min(md5('6' || shingle)) AS mh_6, min(md5('7' || shingle)) AS mh_7
+        FROM shingles GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS band_idx, mh_0 || '|' || mh_1 AS band_val FROM sig
+        UNION ALL SELECT doc_id, 1, mh_2 || '|' || mh_3 FROM sig
+        UNION ALL SELECT doc_id, 2, mh_4 || '|' || mh_5 FROM sig
+        UNION ALL SELECT doc_id, 3, mh_6 || '|' || mh_7 FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+    WHERE a.doc_id < b.doc_id
+    """,
+)
+def llm_minhash_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8)+LSH(4 bands x 2): candidate near-duplicate pairs sharing
+    >=1 band — never O(n^2); see dedup.py for the shuffle plan."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = dedup.minhash_signature(d, "doc_id")
+    return dedup.lsh_candidate_pairs(sig, "doc_id")
+
+
+@query(
+    "llm_ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, lang, source, tok FROM (
+            SELECT doc_id, lang, source, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        )
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        FROM toks a JOIN toks b
+          ON a.lang = b.lang AND a.source = b.source AND a.tok = b.tok
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(shared / (sa.n_tok + sb.n_tok - shared), 4) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE shared / (sa.n_tok + sb.n_tok - shared) >= 0.6
+    """,
+)
+def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard >= 0.6 within (lang, source) blocks via the
+    inverted-index join."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, "doc_id", threshold=0.6)
+
+
+@query("llm_simhash")  # xxhash64-based — rows-only (no DuckDB equivalent hash)
+def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """62-bit SimHash per document; tests assert identical texts collide
+    and near-identical texts land within small Hamming distance."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.simhash64(d, "doc_id")
+
+
+@query(
+    "llm_knn_cosine",
+    oracle="""
+    WITH pairs AS (
+        SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+               p.embedding AS pe, e.embedding AS ne
+        FROM embeddings p, embeddings e
+        WHERE p.vec_id BETWEEN 1 AND 5 AND e.vec_id <> p.vec_id
+    ),
+    dots AS (
+        SELECT probe_id, neighbor_id,
+               sum(CAST(pe[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE)) AS dot,
+               sum(CAST(pe[i] AS DOUBLE) * CAST(pe[i] AS DOUBLE)) AS np,
+               sum(CAST(ne[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE)) AS nn
+        FROM pairs, generate_series(1, 64) t(i)
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT probe_id, neighbor_id,
+               round(dot / (sqrt(np) * sqrt(nn)), 4) AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY dot / (sqrt(np) * sqrt(nn)) DESC,
+                                           neighbor_id) AS rnk
+        FROM dots
+    )
+    SELECT probe_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= 10
+    """,
+)
+def llm_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for probes vec_id 1..5 (the exact
+    baseline; llm_knn_ivf / llm_cosine_lsh are the approximate scale
+    paths)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id").between(1, 5))
+    return similarity.knn_cosine_bruteforce(emb, probes, k=10)
+
+
+@query("llm_knn_ivf")  # approximate (cluster shortlist) — rows-only
+def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id").between(1, 5))
+    return similarity.knn_cosine_ivf(emb, probes, k=10, nprobe=3)
+
+
+@query("llm_cosine_lsh")  # approximate (sign-LSH buckets) — rows-only
+def llm_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id").between(1, 5))
+    return similarity.knn_cosine_lsh(emb, probes, k=10)
+
+
+@query(
+    "llm_embedding_cosine_dup",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               a.embedding AS va, b.embedding AS vb
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label
+         AND b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 50
+    ),
+    dots AS (
+        SELECT id_a, id_b,
+               sum(CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE)) AS dot,
+               sum(CAST(va[i] AS DOUBLE) * CAST(va[i] AS DOUBLE)) AS na,
+               sum(CAST(vb[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE)) AS nb
+        FROM pairs, generate_series(1, 64) t(i)
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cosine
+    FROM dots WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.8
+    """,
+)
+def llm_embedding_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= 0.8) over a bounded pair space
+    (same label, id within +50) — exact, oracle-checkable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_dup_pairs(emb, threshold=0.8, window=50)
+
+
+@query(
+    "llm_text_stats",
+    oracle="""
+    SELECT lang, count(*) AS n_docs,
+           round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+           round(avg(n_chars), 4) AS avg_chars,
+           max(n_chars) AS max_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(text.n_ws_tokens("text")), 4).alias("avg_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@query(
+    "llm_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+               AS bpe_ish_tokens
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        text.n_ws_tokens("text").alias("ws_tokens"),
+        text.n_bpe_ish_tokens("text").alias("bpe_ish_tokens"),
+    )
+
+
+@query(
+    "llm_lang_id",
+    oracle="""
+    SELECT doc_id, lang AS actual_lang,
+           CASE WHEN vr < 0.20 THEN 'zh'
+                WHEN vr < 0.24 THEN 'de'
+                WHEN vr < 0.28 THEN 'en'
+                WHEN vr < 0.32 THEN 'es'
+                ELSE 'fr' END AS predicted_lang
+    FROM (
+        SELECT doc_id, lang,
+               len(regexp_replace(lower(text), '[^aeiou]', '', 'g')) / len(text) AS vr
+        FROM documents
+    )
+    """,
+)
+def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        text.lang_id_heuristic("text").alias("predicted_lang"),
+    )
+
+
+@query(
+    "llm_quality_score",
+    oracle="""
+    SELECT doc_id,
+           round(0.4 * least(1.0, len(string_split(text, ' ')) / 100.0)
+                 + 0.3 * (len(list_distinct(string_split(text, ' ')))
+                          / len(string_split(text, ' ')))
+                 + 0.3 * (1.0 - len(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+                                / len(text)), 4) AS quality
+    FROM documents
+    """,
+)
+def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.round(text.quality_score("text"), 4).alias("quality"))
+
+
+@query(
+    "llm_fingerprint",
+    oracle="""
+    WITH grams AS (
+        SELECT doc_id, substr(text, i, 8) AS gram
+        FROM (
+            SELECT doc_id, text,
+                   unnest(generate_series(1, greatest(len(text) - 7, 1))) AS i
+            FROM documents
+        )
+    )
+    SELECT doc_id, min(md5(gram)) AS fingerprint FROM grams GROUP BY doc_id
+    """,
+)
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash fingerprint: min-md5 over char 8-grams (winnowing
+    1-of-k); md5 so the oracle recomputes it exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", text.rolling_fingerprint("text", 8).alias("fingerprint")
+    )
+
+
+@query(
+    "llm_multimodal_cols",
+    oracle="""
+    SELECT d.doc_id, d.lang, e.label,
+           len(e.embedding) AS dim,
+           len(string_split(d.text, ' ')) AS n_tokens
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+def llm_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal row bundle: text + embedding + metadata in one struct
+    column (the struct is built then flattened so the oracle can check
+    the field values)."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    bundled = d.join(e, d.doc_id == e.vec_id).select(
+        F.struct(
+            d.doc_id, "lang", "label", "embedding", F.split("text", " ").alias("toks")
+        ).alias("mm")
+    )
+    return bundled.select(
+        F.col("mm.doc_id").alias("doc_id"),
+        F.col("mm.lang").alias("lang"),
+        F.col("mm.label").alias("label"),
+        F.size("mm.embedding").alias("dim"),
+        F.size("mm.toks").alias("n_tokens"),
+    )
+
+
+@query("mm_image_features")  # codec stubbed (multimodal.py) — rows-only
+def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = multimodal.attach_fake_media(d)
+    return multimodal.decode_image_features(media)
+
+
+@query("mm_audio_frames")  # codec stubbed (multimodal.py) — rows-only
+def mm_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    media = multimodal.attach_fake_media(d)
+    return multimodal.sample_audio_frames(media, n_frames=4)

@@ -1,0 +1,252 @@
+"""G family — scalar function families (SURVEY.md §2.3-G).
+
+One query per family, several functions each; everything is a built-in
+JVM expression (whole-stage codegen, no Python).  trim+substring+cast is
+the heart of fixed-width field decoding (the reference's only projection
+is the byte-slice key, FixedLengthRecordReader.java:252-254) — ``fn_cast``
+exercises exactly that decode path.
+
+DuckDB dialect notes baked into the oracles: regexp_replace needs the
+'g' flag (Spark replaces all matches by default); datediff arg order is
+reversed (DuckDB date_diff('day', start, end) == Spark datediff(end,
+start)); Spark size(split(..)) == DuckDB len(string_split(..)).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hadoop_fixedlengthinputformat_spark.registry import query
+from hadoop_fixedlengthinputformat_spark.tables import load_table
+
+
+@query(
+    "fn_string",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS name_up,
+           lower(c_mktsegment) AS seg_lo,
+           length(c_name) AS name_len,
+           substr(c_name, 1, 8) AS name_pre,
+           concat(c_name, '-', c_mktsegment) AS name_seg,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_pad,
+           replace(c_mktsegment, 'E', '_') AS seg_repl,
+           trim(concat('  ', c_name, '  ')) AS name_trim
+    FROM customer
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_up"),
+        F.lower("c_mktsegment").alias("seg_lo"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_pre"),
+        F.concat("c_name", F.lit("-"), "c_mktsegment").alias("name_seg"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_pad"),
+        F.replace("c_mktsegment", F.lit("E"), F.lit("_")).alias("seg_repl"),
+        F.trim(F.concat(F.lit("  "), "c_name", F.lit("  "))).alias("name_trim"),
+    )
+
+
+@query(
+    "fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS yr,
+           month(o_orderdate) AS mo,
+           day(o_orderdate) AS dom,
+           CAST(o_orderdate AS DATE) + 30 AS due_date,
+           date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month
+    FROM orders
+    """,
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.date_add(od, 30).alias("due_date"),
+        F.datediff(od, F.lit("1995-01-01").cast("date")).alias("days_since"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+    SELECT c_custkey,
+           round(abs(c_acctbal - 500), 4) AS dist_500,
+           ceil(c_acctbal) AS bal_ceil,
+           floor(c_acctbal) AS bal_floor,
+           round(pow(2, c_nationkey % 5), 4) AS pow2,
+           round(ln(c_acctbal + 1000), 4) AS log_bal,
+           round(greatest(c_acctbal, 0.0), 4) AS bal_pos,
+           round(least(c_acctbal, 0.0), 4) AS bal_neg,
+           (c_nationkey % 7 + 7) % 7 AS key_mod
+    FROM customer
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.round(F.abs(bal - 500), 4).alias("dist_500"),
+        F.ceil(bal).alias("bal_ceil"),
+        F.floor(bal).alias("bal_floor"),
+        F.round(F.pow(F.lit(2), F.col("c_nationkey") % 5), 4).alias("pow2"),
+        F.round(F.log(bal + 1000), 4).alias("log_bal"),
+        F.round(F.greatest(bal, F.lit(0.0)), 4).alias("bal_pos"),
+        F.round(F.least(bal, F.lit(0.0)), 4).alias("bal_neg"),
+        F.pmod(F.col("c_nationkey"), F.lit(7)).alias("key_mod"),
+    )
+
+
+@query(
+    "fn_conditional",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'rich' END AS bal_bucket,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+           CASE WHEN c_nationkey % 2 = 0 THEN c_custkey ELSE NULL END AS even_key
+    FROM customer
+    """,
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.when(bal < 0, "debt").when(bal < 5000, "mid").otherwise("rich").alias(
+            "bal_bucket"
+        ),
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")
+        ).alias("seg_or_other"),
+        F.when(F.col("c_nationkey") % 2 == 0, F.col("c_custkey"))
+        .otherwise(F.lit(None))
+        .alias("even_key"),
+    )
+
+
+@query(
+    "fn_cast",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey AS VARCHAR) AS key_str,
+           CAST(lpad(CAST(o_custkey AS VARCHAR), 8, '0') AS BIGINT) AS cust_roundtrip,
+           CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str
+    FROM orders
+    """,
+)
+def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fixed-width decode path: zero-padded string -> int, timestamp ->
+    date -> ISO string (cf. sources/layout.py which does this per field)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.lpad(F.col("o_custkey").cast("string"), 8, "0")
+        .cast("bigint")
+        .alias("cust_roundtrip"),
+        F.floor("o_totalprice").alias("price_floor"),
+        F.col("o_orderdate").cast("date").cast("string").alias("date_str"),
+    )
+
+
+@query(
+    "fn_array",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct,
+           array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3], ',')
+               AS first3_sorted,
+           list_contains(string_split(text, ' '), 'spark') AS has_spark
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    toks = F.split("text", " ")
+    dtoks = F.array_distinct(toks)
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(dtoks).alias("n_distinct"),
+        F.array_join(F.slice(F.sort_array(dtoks), 1, 3), ",").alias("first3_sorted"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+    )
+
+
+@query(
+    "fn_explode",
+    oracle="""
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents WHERE doc_id < 20
+    """,
+)
+def fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+
+
+@query(
+    "fn_map",
+    oracle="""
+    SELECT c_custkey,
+           c_mktsegment AS seg_val,
+           CAST(c_nationkey AS VARCHAR) AS nat_val,
+           2 AS n_keys
+    FROM customer
+    """,
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType construction + element_at/map_keys; the oracle states the
+    expected scalar values directly (DuckDB MAP literals aren't needed to
+    verify the lookup semantics)."""
+    c = load_table(spark, sf_dir, "customer")
+    m = F.create_map(
+        F.lit("seg"),
+        F.col("c_mktsegment"),
+        F.lit("nat"),
+        F.col("c_nationkey").cast("string"),
+    )
+    return c.select(
+        "c_custkey",
+        F.element_at(m, "seg").alias("seg_val"),
+        F.element_at(m, "nat").alias("nat_val"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )
+
+
+@query(
+    "fn_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+           CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod
+    FROM events
+    """,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k_str = F.get_json_object("props", "$.k")
+    k_int = F.from_json("props", "k INT").getField("k")
+    return ev.select(
+        "event_id",
+        k_str.alias("k_str"),
+        k_int.alias("k_int"),
+        (k_int % 10).alias("k_mod"),
+    )

@@ -1,0 +1,225 @@
+"""Similarity search over embedding columns (SURVEY.md §2.3-J:
+llm_knn_cosine + scale-path variants).
+
+Baseline: brute-force cosine top-k — broadcast the probe set, one pass
+over the corpus, per-probe top-k via window rank.  At 100 TB the corpus
+side stays partitioned (never collected); the probe side is the small
+broadcast.  Scale paths:
+
+  * sign-LSH (random hyperplanes): b-bit signature buckets the corpus;
+    probes only scan matching/nearby buckets — candidate set shrinks by
+    ~2^b at the cost of recall.
+  * IVF (coarse quantizer): corpus pre-partitioned by nearest centroid
+    (here: the label column as a stand-in trained codebook); probes scan
+    the nprobe nearest inverted lists only.
+
+All dot products computed with higher-order array functions
+(zip_with/aggregate) in DOUBLE — JVM-side, deterministic fold order, no
+Python serialization.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Deterministic left-to-right double-precision dot product."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def knn_cosine_bruteforce(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k cosine neighbors per probe; deterministic tiebreak on id.
+
+    probes is broadcast (small); the corpus is scanned once, cos computed
+    in codegen, then a per-probe window rank — shuffle is |corpus| rows
+    keyed by probe_id, bounded by WindowGroupLimit pushdown.
+    """
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cand_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(p))
+        .filter(F.col("neighbor_id") != F.col("probe_id"))
+        .withColumn("cos", cosine(F.col("probe_vec"), F.col("cand_vec")))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("probe_id", "neighbor_id", F.round("cos", 4).alias("cosine"), "rnk")
+    )
+
+
+def _hyperplanes(bits: int, dim: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((bits, dim)).tolist()
+
+
+def sign_lsh_signature(
+    vec: Column, bits: int = 8, dim: int = 64, seed: int = 42
+) -> Column:
+    """b-bit random-hyperplane signature as an int (deterministic planes
+    from the seed, embedded as literal arrays — no model state)."""
+    planes = _hyperplanes(bits, dim, seed)
+    sig = F.lit(0).cast("long")
+    for b, plane in enumerate(planes):
+        pl = F.array(*[F.lit(float(w)) for w in plane])
+        bit = F.when(dot(vec, pl) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = sig + F.shiftleft(bit, b)
+    return sig
+
+
+def knn_cosine_lsh(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    bits: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates limited to corpus vectors whose sign-LSH
+    signature is within Hamming distance 1 of the probe's (bucket join on
+    signature; probes explode their (bits+1)-signature neighborhood)."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cand_vec"),
+        sign_lsh_signature(F.col(vec_col), bits, dim).alias("sig"),
+    )
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("probe_vec"),
+        sign_lsh_signature(F.col(vec_col), bits, dim).alias("psig"),
+    )
+    # probe-side signature neighborhood: exact sig + each 1-bit flip
+    flips = F.array(
+        F.col("psig"),
+        *[F.col("psig").bitwiseXOR(F.lit(1 << b)) for b in range(bits)],
+    )
+    p_exp = p.select(
+        "probe_id", "probe_vec", F.explode(flips).alias("sig")
+    )
+    scored = (
+        c.join(F.broadcast(p_exp), "sig")
+        .filter(F.col("neighbor_id") != F.col("probe_id"))
+        .withColumn("cos", cosine(F.col("probe_vec"), F.col("cand_vec")))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("probe_id", "neighbor_id", F.round("cos", 4).alias("cosine"), "rnk")
+    )
+
+
+def knn_cosine_ivf(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+    k: int = 10,
+    nprobe: int = 3,
+) -> DataFrame:
+    """IVF-style search: corpus is pre-bucketed by ``cluster_col`` (stand-in
+    for a trained coarse quantizer); each probe searches only the nprobe
+    clusters whose centroid is nearest.
+
+    Centroids are computed with one groupBy over per-dimension avgs (at
+    scale this is the k-means assignment step's cost, done once offline).
+    """
+    dim_aggs = F.array(
+        *[
+            F.avg(F.col(vec_col).getItem(i).cast("double")).alias(f"d{i}")
+            for i in range(64)
+        ]
+    )
+    centroids = corpus.groupBy(cluster_col).agg(dim_aggs.alias("centroid"))
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+    )
+    # rank clusters per probe by centroid cosine, keep nprobe
+    pc = p.crossJoin(F.broadcast(centroids)).withColumn(
+        "ccos", cosine(F.col("probe_vec"), F.col("centroid"))
+    )
+    wc = Window.partitionBy("probe_id").orderBy(F.col("ccos").desc())
+    shortlist = (
+        pc.withColumn("crnk", F.row_number().over(wc))
+        .filter(F.col("crnk") <= nprobe)
+        .select("probe_id", "probe_vec", cluster_col)
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cand_vec"),
+        F.col(cluster_col),
+    )
+    scored = (
+        c.join(F.broadcast(shortlist), cluster_col)
+        .filter(F.col("neighbor_id") != F.col("probe_id"))
+        .withColumn("cos", cosine(F.col("probe_vec"), F.col("cand_vec")))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("probe_id", "neighbor_id", F.round("cos", 4).alias("cosine"), "rnk")
+    )
+
+
+def cosine_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    threshold: float = 0.8,
+    window: int = 50,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: exact cosine over a bounded pair
+    space (same block, id within +-window) — the oracle-checkable exact
+    variant; the LSH path above is the open-world one."""
+    a = emb.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col(block_col)
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col(block_col)
+    )
+    pairs = a.join(b, block_col).filter(
+        (F.col("id_b") > F.col("id_a")) & (F.col("id_b") <= F.col("id_a") + window)
+    )
+    return (
+        pairs.withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 4).alias("cosine"))
+    )

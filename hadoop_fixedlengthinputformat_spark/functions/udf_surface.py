@@ -1,0 +1,121 @@
+"""I family — UDF / UDAF / UDTF surface (SURVEY.md §2.3-I).
+
+The reference's extension point is "write your own Mapper" (outside the
+repo); the engine's is the Arrow-vectorized Python surface.  Policy: UDFs
+are the slow path — each query here reimplements something expressible in
+SQL precisely so the oracle can check it; real pipelines should prefer
+the built-in expression first (see scalar_queries.py).
+
+``udtf_fixed_decode`` is the reference's soul as a UDTF: a fixed-width
+record string -> typed fields splitter (FixedLengthRecordReader.java's
+key-slice projection generalized to a full field layout).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import pandas_udf, udtf
+
+from hadoop_fixedlengthinputformat_spark.registry import query
+from hadoop_fixedlengthinputformat_spark.tables import load_table
+
+
+@query(
+    "udf_scalar_pandas",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 4) AS revenue
+    FROM lineitem
+    """,
+)
+def udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched scalar pandas UDF (vs proj_compute's codegen version —
+    bench.py compares the two)."""
+
+    @pandas_udf("double")
+    def revenue(price: pd.Series, disc: pd.Series) -> pd.Series:
+        return price * (1.0 - disc)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(revenue("l_extendedprice", "l_discount"), 4).alias("revenue"),
+    )
+
+
+@query(
+    "udaf_grouped_agg",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS weighted_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def udaf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF: quantity-weighted mean price."""
+
+    @pandas_udf("double")
+    def wavg(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(wavg("l_extendedprice", "l_quantity"), 4).alias("weighted_price")
+    )
+
+
+@query(
+    "udtf_fixed_decode",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def udtf_fixed_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip: encode nation rows to 40-byte fixed-width records with
+    built-in expressions (FIXTURES.md §C1 layout), then decode them back
+    through a Python UDTF — the fixed-width decoder as a table function."""
+
+    @udtf(returnType="n_nationkey int, n_name string, n_regionkey int")
+    class DecodeNation:
+        def eval(self, rec: str):
+            if rec is None or len(rec) != 40:
+                return
+            yield int(rec[0:5]), rec[5:35].rstrip(), int(rec[35:40])
+
+    spark.udtf.register("flif_decode_nation", DecodeNation)
+    n = load_table(spark, sf_dir, "nation")
+    rec = F.concat(
+        F.lpad(F.col("n_nationkey").cast("string"), 5, "0"),
+        F.rpad(F.col("n_name"), 30, " "),
+        F.lpad(F.col("n_regionkey").cast("string"), 5, "0"),
+    )
+    n.select(rec.alias("rec")).createOrReplaceTempView("flif_nation_recs")
+    return spark.sql(
+        "SELECT d.* FROM flif_nation_recs, LATERAL flif_decode_nation(rec) d"
+    )
+
+
+@query(
+    "udf_grouped_map",
+    oracle="""
+    SELECT c_custkey,
+           round((c_acctbal - avg(c_acctbal) OVER seg)
+                 / stddev_samp(c_acctbal) OVER seg, 4) AS bal_z
+    FROM customer
+    WINDOW seg AS (PARTITION BY c_mktsegment)
+    """,
+)
+def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas per-group z-score normalization (the grouped-map
+    pattern for per-entity feature scaling in a training pipeline)."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        bal = pdf["c_acctbal"]
+        z = (bal - bal.mean()) / bal.std(ddof=1)
+        return pd.DataFrame({"c_custkey": pdf["c_custkey"], "bal_z": z.round(4)})
+
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").applyInPandas(
+        zscore, schema="c_custkey bigint, bal_z double"
+    )

@@ -1,0 +1,229 @@
+"""C family — joins (SURVEY.md §2.3-C).
+
+The reference is a single-input format (no second input is ever opened —
+FixedLengthRecordReader.java opens exactly one FSDataInputStream); joins
+are engine extensions.
+
+Scale notes (100 TB):
+  * dimension tables (region/nation/customer at TPC-H ratios) are
+    broadcast explicitly — no shuffle of the fact side;
+  * fact-fact joins (orders x lineitem) shuffle on the join key; AQE
+    converts to broadcast at runtime when a filtered side shrinks and
+    splits skewed partitions (spark.sql.adaptive.skewJoin);
+  * the as-of join is the union-window formulation: ONE shuffle on
+    (key), no per-row range probe, no driver collect — this is the
+    formulation that survives 1000 executors.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from hadoop_fixedlengthinputformat_spark.registry import query
+from hadoop_fixedlengthinputformat_spark.tables import load_table
+
+
+@query(
+    "join_inner_hash",
+    oracle="""
+    SELECT c_custkey, c_name, n_name, r_name
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way star join; both dims broadcast -> zero fact shuffles."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "c_name", "n_name", "r_name")
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, l_linenumber, l_quantity
+    FROM orders
+    LEFT JOIN (SELECT * FROM lineitem WHERE l_quantity > 45) big
+      ON o_orderkey = big.l_orderkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left").select(
+        "o_orderkey", "o_orderstatus", "l_linenumber", "l_quantity"
+    )
+
+
+@query(
+    "join_right_outer",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, l_linenumber, l_quantity
+    FROM (SELECT * FROM lineitem WHERE l_quantity > 45) big
+    RIGHT JOIN orders ON big.l_orderkey = o_orderkey
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return li.join(o, li.l_orderkey == o.o_orderkey, "right").select(
+        "o_orderkey", "o_orderstatus", "l_linenumber", "l_quantity"
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT a.n_nationkey AS a_key, a.n_name AS a_name,
+           b.n_nationkey AS b_key, b.n_name AS b_name
+    FROM (SELECT * FROM nation WHERE n_nationkey < 15) a
+    FULL OUTER JOIN (SELECT * FROM nation WHERE n_nationkey >= 10) b
+      ON a.n_nationkey = b.n_nationkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    a = n.filter(F.col("n_nationkey") < 15).select(
+        F.col("n_nationkey").alias("a_key"), F.col("n_name").alias("a_name")
+    )
+    b = n.filter(F.col("n_nationkey") >= 10).select(
+        F.col("n_nationkey").alias("b_key"), F.col("n_name").alias("b_name")
+    )
+    return a.join(b, a.a_key == b.b_key, "full")
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_cross",
+    oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    n = load_table(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(F.broadcast(n))
+
+
+@query(
+    "join_theta_range",
+    oracle="""
+    SELECT s_suppkey, s_name, n_nationkey, n_name
+    FROM supplier JOIN nation ON s_nationkey < n_nationkey
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi join -> broadcast nested loop (nation is tiny, so the
+    broadcast side is the right physical strategy)."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return s.join(F.broadcast(n), s.s_nationkey < n.n_nationkey).select(
+        "s_suppkey", "s_name", "n_nationkey", "n_name"
+    )
+
+
+@query(
+    "join_sort_merge",
+    oracle="""
+    SELECT o_orderkey, c_name, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def join_sort_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan-level variant: force sort-merge via the merge hint (the
+    broadcast-free strategy a fact-fact join at 100 TB would pick)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").hint("merge")
+    return o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "c_name", "o_totalprice"
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    WITH od AS (
+        SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, od.o_orderkey AS asof_orderkey
+    FROM events e
+    ASOF LEFT JOIN od
+      ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event matched to the latest prior order of the same
+    user.  Spark has no batch ASOF; formulation = tag both sides, union on
+    (key, time), then last(ignorenulls) over a (key)-partitioned window —
+    one shuffle, linear scan, no range probe.  Orders are pre-deduped to
+    one row per (custkey, orderdate) (max orderkey) so ties are
+    deterministic in both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    od = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    left = ev.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("side"),  # events sort after orders at equal t
+        F.col("event_id"),
+        F.lit(None).cast("long").alias("ord_key"),
+    )
+    right = od.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").cast("timestamp_ntz").alias("t"),
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderkey").alias("ord_key"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = left.unionByName(right).withColumn(
+        "asof_orderkey", F.last("ord_key", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("side") == 1).select(
+        "event_id", F.col("k").alias("user_id"), "asof_orderkey"
+    )

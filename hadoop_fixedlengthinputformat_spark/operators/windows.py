@@ -1,0 +1,193 @@
+"""E family — window functions (SURVEY.md §2.3-E).
+
+Engine extensions (reference has none, SURVEY §2.2).  Every ORDER BY
+carries a unique tiebreak key (o_orderkey / c_custkey / event_id) so
+row_number/lag/running sums are deterministic across engines.
+
+Scale note: a window partitioned by a high-cardinality key (custkey,
+user_id) is one hash shuffle then a per-partition sort — the same cost
+envelope as a groupBy; no driver involvement.  Skewed partition keys are
+handled by AQE only for joins, so at 100 TB a hot user_id would need a
+two-level (salted prefix-agg) variant — noted in plans/NOTES.md.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from hadoop_fixedlengthinputformat_spark.registry import query
+from hadoop_fixedlengthinputformat_spark.tables import load_table
+
+
+@query(
+    "win_row_number",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS rn
+    FROM orders
+    """,
+)
+def win_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select("o_orderkey", "o_custkey", F.row_number().over(w).alias("rn"))
+
+
+@query(
+    "win_rank_dense",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           RANK() OVER (PARTITION BY o_custkey ORDER BY floor(o_totalprice / 100000)) AS rnk,
+           DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY floor(o_totalprice / 100000)) AS drnk
+    FROM orders
+    """,
+)
+def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed order value forces real ties; rank values are well-defined
+    under ties even though intra-tie row order isn't (floor() in both
+    engines — double->int casts round differently between Spark/DuckDB)."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 100000)
+    w = Window.partitionBy("o_custkey").orderBy(bucket)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@query(
+    "win_lag_lead",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           lag(o_orderkey) OVER w AS prev_order,
+           lead(o_orderkey) OVER w AS next_order,
+           CAST(lag(o_orderdate, 1) OVER w AS DATE) AS prev_date
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.lag("o_orderdate", 1).over(w).cast("date").alias("prev_date"),
+    )
+
+
+@query(
+    "win_running_sum",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total
+    FROM orders
+    """,
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 4).alias("running_total"),
+    )
+
+
+@query(
+    "win_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id
+                 ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                 RANGE BETWEEN 600 PRECEDING AND CURRENT ROW), 4) AS sliding_sum
+    FROM events
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute sliding value sum per user.  Order key = epoch seconds
+    (Spark long cast floors; DuckDB floor(epoch) matches).  RANGE frames
+    depend only on the key value, so sub-second tie order is irrelevant."""
+    # NTZ can't cast to long directly; go via LTZ (session tz pinned to UTC,
+    # so the epoch value is preserved).
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_sec", F.col("ts").cast("timestamp").cast("long")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec")
+        .rangeBetween(-600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 4).alias("sliding_sum"),
+    )
+
+
+@query(
+    "win_ntile_first_last",
+    oracle="""
+    SELECT c_custkey,
+           ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile,
+           first_value(c_custkey) OVER w AS seg_poorest,
+           last_value(c_custkey) OVER w AS seg_richest
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w_global = Window.orderBy("c_acctbal", "c_custkey")
+    w_seg = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("c_acctbal", "c_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w_global).alias("quartile"),
+        F.first("c_custkey").over(w_seg).alias("seg_poorest"),
+        F.last("c_custkey").over(w_seg).alias("seg_richest"),
+    )
+
+
+@query(
+    "topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) ranked WHERE rn <= 2
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 orders per customer.  At scale this is the rank-filter pattern:
+    shuffle once on the group key; Spark pushes a per-partition rank limit
+    (WindowGroupLimit) below the shuffle so only k rows per key per mapper
+    survive — check .explain for WindowGroupLimit."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )

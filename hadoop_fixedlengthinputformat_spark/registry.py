@@ -1,0 +1,60 @@
+"""Query/oracle registry backing ``__spark_entry__.py``.
+
+Every operator declared in SURVEY.md §2.3 registers here as a named
+callable ``(spark, sf_dir) -> DataFrame`` plus (when SQL-expressible) a
+DuckDB oracle SQL string.  The driver hash-compares the two at sf0.01;
+``tests/test_oracle_parity.py`` runs the same comparison locally first.
+"""
+
+from __future__ import annotations
+
+import textwrap
+from collections.abc import Callable
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn]:
+    """Register ``fn`` under ``name``; ``oracle`` is DuckDB-runnable ANSI SQL
+    over the pre-registered views (region nation customer supplier part
+    orders lineitem events documents embeddings).  Omit ``oracle`` for
+    non-SQL-expressible ops (driver records a rows-only check).
+    """
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = textwrap.dedent(oracle).strip()
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every module that registers queries (idempotent)."""
+    from hadoop_fixedlengthinputformat_spark.operators import (  # noqa: F401
+        projection_filter,
+        joins,
+        aggregates,
+        windows,
+        sort_setops,
+    )
+    from hadoop_fixedlengthinputformat_spark.functions import (  # noqa: F401
+        scalar_queries,
+        udf_surface,
+        llm_queries,
+    )
+    from hadoop_fixedlengthinputformat_spark.sources import (  # noqa: F401
+        scan_queries,
+    )
+    from hadoop_fixedlengthinputformat_spark.streaming import (  # noqa: F401
+        stream_queries,
+    )

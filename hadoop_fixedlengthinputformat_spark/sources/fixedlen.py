@@ -1,0 +1,390 @@
+"""``fixedlen`` — fixed-length binary record data source (batch + stream).
+
+PySpark-native re-expression of the reference InputFormat/RecordReader
+pair (MAPREDUCE-1176):
+
+  * split planning aligned to record multiples so no record ever spans a
+    partition — ``computeSplitSize``'s formula
+    ``(size / recordLength) * recordLength`` with a min-one-record bump
+    (FixedLengthInputFormat.java:276-298) reappears in ``_plan_file``;
+  * the per-split read loop that tolerates short reads
+    (FixedLengthRecordReader.java:221-243) reappears in ``_read_aligned``;
+  * the offset key (FixedLengthRecordReader.java:256-278, 8-byte
+    big-endian long) becomes a plain LongType ``record_offset`` column;
+  * the slice key (FixedLengthRecordReader.java:252-254) becomes a
+    BinaryType ``record_key`` column;
+  * option validation mirrors FixedLengthInputFormat.java:344-361 but is
+    EAGER (load time, not submit time) and fixes the reference's
+    endAt==recordLength off-by-one (FLIF:351-352 accepts it; we reject).
+
+Differences from the reference (documented improvements, SURVEY.md §2.1):
+  * a file whose size is not a record multiple fails at PLANNING time
+    (the reference throws mid-read, FLRR:231-235); ``malformedTail=drop``
+    silently drops the tail instead;
+  * decode is vectorized to Arrow RecordBatches (layout.py) instead of
+    per-record reused buffers;
+  * an optional typed field ``layout`` turns records into real columns.
+
+Usage::
+
+    spark.dataSource.register(FixedLengthDataSource)
+    df = (spark.read.format("fixedlen")
+          .option("recordLength", 40)
+          .option("layout", "n_nationkey:0:5:int,n_name:5:30:string,...")
+          .load("/data/nation.fixed"))
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+from dataclasses import dataclass
+from typing import Iterator
+
+import pyarrow as pa
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from hadoop_fixedlengthinputformat_spark.sources.layout import (
+    FieldSpec,
+    decode_chunk,
+    encode_rows,
+    layout_schema,
+    parse_layout,
+)
+
+DEFAULT_MAX_PARTITION_BYTES = 128 * 1024 * 1024
+READ_CHUNK_TARGET = 4 * 1024 * 1024  # bytes per emitted Arrow batch (aligned)
+
+
+@dataclass
+class _Options:
+    record_length: int
+    key_bounds: tuple[int, int] | None  # zero-based inclusive (start, end)
+    fields: list[FieldSpec] | None
+    with_offset: bool
+    malformed_tail: str  # "fail" | "drop"
+    max_partition_bytes: int
+
+    @classmethod
+    def parse(cls, options) -> "_Options":
+        raw_len = options.get("recordlength")
+        if raw_len is None:
+            # mirrors the required-config error of FLIF:326-336 / FLIF:249-261
+            raise ValueError(
+                "fixedlen: option 'recordLength' is required and must be > 0"
+            )
+        record_length = int(raw_len)
+        if record_length <= 0:
+            raise ValueError(
+                f"fixedlen: recordLength must be > 0, got {record_length}"
+            )
+
+        start_raw = options.get("keystartat")
+        end_raw = options.get("keyendat")
+        key_bounds: tuple[int, int] | None = None
+        if (start_raw is None) != (end_raw is None):
+            # both-or-neither rule of FLIF:348-349
+            raise ValueError(
+                "fixedlen: keyStartAt and keyEndAt must be set together"
+            )
+        if start_raw is not None:
+            start, end = int(start_raw), int(end_raw)
+            if start < 0 or end < 0 or start > end:
+                # 0 <= start <= end rule of FLIF:350-361
+                raise ValueError(
+                    f"fixedlen: need 0 <= keyStartAt <= keyEndAt, got "
+                    f"({start}, {end})"
+                )
+            if end >= record_length:
+                # reference accepts end == recordLength (FLIF:351-352) which
+                # would read one byte past the record — rejected here.
+                raise ValueError(
+                    f"fixedlen: keyEndAt={end} out of range for "
+                    f"recordLength={record_length} (zero-based inclusive)"
+                )
+            key_bounds = (start, end)
+
+        layout_raw = options.get("layout")
+        fields = parse_layout(layout_raw, record_length) if layout_raw else None
+
+        with_offset = options.get("includeoffset", "true").lower() == "true"
+        malformed = options.get("malformedtail", "fail").lower()
+        if malformed not in ("fail", "drop"):
+            raise ValueError("fixedlen: malformedTail must be 'fail' or 'drop'")
+        mpb = int(options.get("maxpartitionbytes", DEFAULT_MAX_PARTITION_BYTES))
+        return cls(record_length, key_bounds, fields, with_offset, malformed, mpb)
+
+    def spark_schema(self) -> StructType:
+        out: list[StructField] = []
+        if self.with_offset:
+            out.append(StructField("record_offset", LongType(), False))
+        if self.key_bounds is not None:
+            out.append(StructField("record_key", BinaryType(), False))
+        if self.fields is None:
+            out.append(StructField("value", BinaryType(), False))
+        else:
+            out.extend(layout_schema(self.fields).fields)
+        return StructType(out)
+
+    def arrow_schema(self) -> pa.Schema:
+        cols: list[pa.Field] = []
+        if self.with_offset:
+            cols.append(pa.field("record_offset", pa.int64()))
+        if self.key_bounds is not None:
+            cols.append(pa.field("record_key", pa.binary()))
+        if self.fields is None:
+            cols.append(pa.field("value", pa.binary()))
+        else:
+            cols.extend(pa.field(f.name, f.arrow_type()) for f in self.fields)
+        return pa.schema(cols)
+
+
+def _list_files(path: str) -> list[str]:
+    if os.path.isdir(path):
+        names = sorted(
+            p
+            for p in _glob.glob(os.path.join(path, "*"))
+            if os.path.isfile(p) and not os.path.basename(p).startswith(("_", "."))
+        )
+    elif os.path.isfile(path):
+        names = [path]
+    else:
+        names = sorted(p for p in _glob.glob(path) if os.path.isfile(p))
+    if not names:
+        raise FileNotFoundError(f"fixedlen: no input files at {path!r}")
+    return names
+
+
+class FixedLenPartition(InputPartition):
+    def __init__(self, path: str, start: int, end: int):
+        self.path = path
+        self.start = start
+        self.end = end
+
+
+def _plan_file(
+    path: str, opts: _Options
+) -> list[FixedLenPartition]:
+    """Record-aligned split plan for one file — the engine's
+    ``computeSplitSize`` (FixedLengthInputFormat.java:276-298)."""
+    size = os.path.getsize(path)
+    rl = opts.record_length
+    usable = size - (size % rl)
+    if size % rl != 0 and opts.malformed_tail == "fail":
+        # planning-time version of the reference's mid-record EOF error
+        # (FixedLengthRecordReader.java:231-235)
+        raise ValueError(
+            f"fixedlen: file {path!r} size {size} is not a multiple of "
+            f"recordLength={rl} (trailing {size % rl} bytes); "
+            "set malformedTail=drop to ignore the tail"
+        )
+    if usable == 0:
+        return []
+    # (target // rl) * rl, bumped to at least one record (FLIF:283-292)
+    split = max(rl, (opts.max_partition_bytes // rl) * rl)
+    return [
+        FixedLenPartition(path, s, min(s + split, usable))
+        for s in range(0, usable, split)
+    ]
+
+
+def _read_aligned(f, start: int, end: int, chunk_records: int, rl: int) -> Iterator[bytes]:
+    """Yield record-aligned byte chunks in [start, end); short-read-safe
+    (port of the read loop FixedLengthRecordReader.java:221-243 — kept for
+    object-store streams where read(n) may return fewer bytes)."""
+    f.seek(start)
+    pos = start
+    while pos < end:
+        want = min(chunk_records * rl, end - pos)
+        buf = bytearray()
+        while len(buf) < want:
+            got = f.read(want - len(buf))
+            if not got:
+                raise IOError(
+                    f"fixedlen: unexpected EOF at {pos + len(buf)} "
+                    f"(mid-record; cf. FixedLengthRecordReader.java:231-235)"
+                )
+            buf += got
+        pos += want
+        yield bytes(buf)
+
+
+class FixedLengthReader(DataSourceReader):
+    def __init__(self, opts: _Options, path: str):
+        self.opts = opts
+        self.path = path
+
+    def partitions(self):
+        parts: list[FixedLenPartition] = []
+        for p in _list_files(self.path):
+            parts.extend(_plan_file(p, self.opts))
+        # zero-record dataset still needs one (empty) partition for Spark
+        return parts or [FixedLenPartition("", 0, 0)]
+
+    def read(self, partition: FixedLenPartition):
+        o = self.opts
+        if partition.end <= partition.start:
+            return iter(())
+        chunk_records = max(1, READ_CHUNK_TARGET // o.record_length)
+        schema = o.arrow_schema()
+
+        def gen():
+            with open(partition.path, "rb") as f:
+                offset = partition.start
+                for chunk in _read_aligned(
+                    f, partition.start, partition.end, chunk_records, o.record_length
+                ):
+                    yield decode_chunk(
+                        chunk,
+                        o.record_length,
+                        o.fields,
+                        offset,
+                        o.with_offset,
+                        o.key_bounds,
+                        schema,
+                    )
+                    offset += len(chunk)
+
+        return gen()
+
+
+class _CommitMessage(WriterCommitMessage):
+    def __init__(self, path: str, n_records: int):
+        self.path = path
+        self.n_records = n_records
+
+
+class FixedLengthWriter(DataSourceWriter):
+    """Engine extension: the reference has no OutputFormat at all
+    (SURVEY.md §2.2) — this sink closes the round-trip.  One file per
+    input partition, records encoded via the layout."""
+
+    def __init__(self, opts: _Options, path: str, overwrite: bool):
+        if opts.fields is None:
+            raise ValueError("fixedlen write requires a 'layout' option")
+        self.opts = opts
+        self.path = path
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _CommitMessage:
+        from pyspark import TaskContext
+
+        os.makedirs(self.path, exist_ok=True)
+        pid = TaskContext.get().partitionId()
+        rows = [row.asDict() for row in iterator]
+        payload = encode_rows(rows, self.opts.fields, self.opts.record_length)
+        out = os.path.join(self.path, f"part-{pid:05d}.fixed")
+        with open(out, "wb") as f:
+            f.write(payload)
+        return _CommitMessage(out, len(rows))
+
+    def commit(self, messages):
+        pass
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class FixedLenStreamReader(SimpleDataSourceStreamReader):
+    """Streaming variant: tails ONE growing fixed-length file; an offset is
+    the byte position of the next unread record.  Only whole records are
+    consumed (the split-alignment invariant carried into streaming).
+
+    Scale path: for production rates implement DataSourceStreamReader with
+    per-range partitions (same _plan_file math between start/end offsets);
+    the Simple reader is driver-side by design.
+    """
+
+    def __init__(self, opts: _Options, path: str):
+        self.opts = opts
+        self.path = path
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def read(self, start: dict):
+        pos = start["pos"]
+        rl = self.opts.record_length
+        size = os.path.getsize(self.path) if os.path.exists(self.path) else 0
+        usable = size - (size % rl)
+        if usable <= pos:
+            return iter(()), {"pos": pos}
+        with open(self.path, "rb") as f:
+            chunks = list(
+                _read_aligned(f, pos, usable, max(1, READ_CHUNK_TARGET // rl), rl)
+            )
+        schema = self.opts.arrow_schema()
+        rows: list[tuple] = []
+        offset = pos
+        for chunk in chunks:
+            batch = decode_chunk(
+                chunk, rl, self.opts.fields, offset,
+                self.opts.with_offset, self.opts.key_bounds, schema,
+            )
+            rows.extend(tuple(r.values()) for r in batch.to_pylist())
+            offset += len(chunk)
+        return iter(rows), {"pos": usable}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        it, _ = self.read(start)
+        return it
+
+    def commit(self, end: dict):
+        pass
+
+
+class FixedLengthDataSource(DataSource):
+    """spark.read.format("fixedlen") — see module docstring for options."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "fixedlen"
+
+    def __init__(self, options):
+        super().__init__(options)
+        self.opts = _Options.parse(options)
+        self.path = options.get("path")
+
+    def schema(self) -> StructType:
+        return self.opts.spark_schema()
+
+    def reader(self, schema: StructType) -> FixedLengthReader:
+        if not self.path:
+            raise ValueError("fixedlen: load(path) is required")
+        return FixedLengthReader(self.opts, self.path)
+
+    def writer(self, schema: StructType, overwrite: bool) -> FixedLengthWriter:
+        if not self.path:
+            raise ValueError("fixedlen: save(path) is required")
+        return FixedLengthWriter(self.opts, self.path, overwrite)
+
+    def simpleStreamReader(self, schema: StructType) -> FixedLenStreamReader:
+        if not self.path:
+            raise ValueError("fixedlen: load(path) is required")
+        return FixedLenStreamReader(self.opts, self.path)
+
+
+def register(spark) -> None:
+    """Idempotent registration of the fixedlen format.  Also ships the
+    package zip to Spark's Python workers — the data source class is
+    cloudpickled by reference, so workers must be able to import it even
+    when the driver's cwd isn't the repo root."""
+    from hadoop_fixedlengthinputformat_spark.tables import _ship_package
+
+    _ship_package(spark)
+    spark.dataSource.register(FixedLengthDataSource)

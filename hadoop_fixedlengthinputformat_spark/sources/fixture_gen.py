@@ -1,0 +1,78 @@
+"""Fixed-width serializations of the driver parquet tables (FIXTURES.md §C).
+
+Generated on demand into a shared temp dir (never committed); used by the
+A-family scan queries and the round-trip tests.  Rows are encoded in
+primary-key order so ``record_offset`` is deterministic
+(= rank * recordLength).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+import pyarrow.parquet as pq
+
+from hadoop_fixedlengthinputformat_spark.sources.layout import (
+    FieldSpec,
+    encode_rows,
+    parse_layout,
+)
+
+# FIXTURES.md §C1-C3 layouts (zero-based starts)
+LAYOUTS: dict[str, tuple[int, str, str]] = {
+    # table -> (record_length, layout spec, order-by column)
+    "nation": (
+        40,
+        "n_nationkey:0:5:int,n_name:5:30:string,n_regionkey:35:5:int",
+        "n_nationkey",
+    ),
+    "customer": (
+        70,
+        "c_custkey:0:10:long,c_name:10:30:string,c_nationkey:40:5:int,"
+        "c_acctbal:45:12:double(2),c_mktsegment:57:13:string",
+        "c_custkey",
+    ),
+    "lineitem": (
+        110,
+        "l_orderkey:0:12:long,l_partkey:12:10:long,l_suppkey:22:8:long,"
+        "l_linenumber:30:2:int,l_quantity:32:12:double(2),"
+        "l_extendedprice:44:12:double(2),l_discount:56:12:double(4),"
+        "l_tax:68:12:double(4),l_returnflag:80:1:string,l_linestatus:81:1:string,"
+        "l_shipdate:82:10:date",
+        "l_orderkey",
+    ),
+}
+
+
+def fixture_dir() -> str:
+    d = os.path.join(tempfile.gettempdir(), "flif_fixtures")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def layout_for(table: str) -> tuple[int, list[FieldSpec]]:
+    record_length, spec, _ = LAYOUTS[table]
+    return record_length, parse_layout(spec, record_length)
+
+
+def fixed_file_for(sf_dir: str, table: str) -> str:
+    """Path of the fixed-width serialization of ``sf_dir/table.parquet``,
+    generating it (atomically) on first use."""
+    record_length, spec, order_col = LAYOUTS[table]
+    tag = hashlib.md5(f"{os.path.abspath(sf_dir)}|{table}|{spec}".encode()).hexdigest()[
+        :12
+    ]
+    out = os.path.join(fixture_dir(), f"{table}-{tag}.fixed")
+    if os.path.exists(out):
+        return out
+    tbl = pq.read_table(os.path.join(sf_dir, f"{table}.parquet"))
+    fields = parse_layout(spec, record_length)
+    rows = tbl.sort_by(order_col).to_pylist()
+    payload = encode_rows(rows, fields, record_length)
+    tmp = out + f".tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(payload)
+    os.replace(tmp, out)  # atomic under concurrent callers
+    return out

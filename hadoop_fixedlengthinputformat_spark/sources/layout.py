@@ -1,0 +1,204 @@
+"""Fixed-width field layout: parse / decode / encode.
+
+The reference has no field decoding at all — its one "type" is
+byte[recordLength] and the only projection is the key byte-slice
+(FixedLengthRecordReader.java:252-254); field interpretation is the
+consumer's job (FixedLengthInputFormat.java:38-43).  The engine makes
+that consumer job declarative: a layout string
+
+    "name:start:length:type[,name:start:length:type...]"
+
+(zero-based byte starts, FIXTURES.md §C) maps the record to typed
+columns.  Decode is vectorized: numpy byte-matrix slicing + Arrow casts —
+the moral equivalent of the reference's zero-alloc buffer reuse
+(FixedLengthRecordReader.java:199-206) for a columnar engine.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from pyspark.sql.types import (
+    DataType,
+    DateType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_TYPES = ("int", "long", "double", "string", "date")
+
+
+@dataclass(frozen=True)
+class FieldSpec:
+    name: str
+    start: int  # zero-based byte offset in the record
+    length: int
+    ftype: str  # one of _TYPES, or "double(scale)" for encode formatting
+
+    @property
+    def base_type(self) -> str:
+        return self.ftype.split("(")[0]
+
+    @property
+    def scale(self) -> int:
+        if "(" in self.ftype:
+            return int(self.ftype.split("(")[1].rstrip(")"))
+        return 2
+
+    def spark_type(self) -> DataType:
+        return {
+            "int": IntegerType(),
+            "long": LongType(),
+            "double": DoubleType(),
+            "string": StringType(),
+            "date": DateType(),
+        }[self.base_type]
+
+    def arrow_type(self) -> pa.DataType:
+        return {
+            "int": pa.int32(),
+            "long": pa.int64(),
+            "double": pa.float64(),
+            "string": pa.string(),
+            "date": pa.date32(),
+        }[self.base_type]
+
+
+def parse_layout(spec: str, record_length: int) -> list[FieldSpec]:
+    """Parse and validate a layout string against the record bounds
+    (engine-side analog of FixedLengthInputFormat.java:344-361's eager
+    key-boundary validation, applied per field)."""
+    fields: list[FieldSpec] = []
+    for part in spec.split(","):
+        bits = part.strip().split(":")
+        if len(bits) != 4:
+            raise ValueError(f"layout field must be name:start:len:type, got {part!r}")
+        name, start, length, ftype = bits
+        start_i, length_i = int(start), int(length)
+        if ftype.split("(")[0] not in _TYPES:
+            raise ValueError(f"unsupported layout type {ftype!r} in {part!r}")
+        if start_i < 0 or length_i <= 0:
+            raise ValueError(f"bad bounds in layout field {part!r}")
+        if start_i + length_i > record_length:
+            raise ValueError(
+                f"layout field {name!r} [{start_i}, {start_i + length_i}) exceeds "
+                f"recordLength={record_length}"
+            )
+        fields.append(FieldSpec(name, start_i, length_i, ftype))
+    if len({f.name for f in fields}) != len(fields):
+        raise ValueError("duplicate field names in layout")
+    return fields
+
+
+def layout_schema(fields: list[FieldSpec]) -> StructType:
+    return StructType([StructField(f.name, f.spark_type(), True) for f in fields])
+
+
+def _slice_bytes(mat: np.ndarray, start: int, length: int) -> np.ndarray:
+    """(n, record_length) uint8 matrix -> n fixed-width byte strings."""
+    sl = np.ascontiguousarray(mat[:, start : start + length])
+    return sl.view(f"S{length}").ravel()
+
+
+def decode_field(mat: np.ndarray, f: FieldSpec) -> pa.Array:
+    """Vectorized decode of one field column from the record matrix."""
+    raw = pa.array(_slice_bytes(mat, f.start, f.length))
+    s = pc.cast(raw, pa.string())
+    base = f.base_type
+    if base == "string":
+        # values are right-padded with spaces (FixedLengthInputFormat.java:42-43)
+        return pc.utf8_rtrim(s, characters=" ")
+    trimmed = pc.utf8_trim(s, characters=" ")
+    if base in ("int", "long"):
+        # zero-padded ints; arrow parses leading zeros / sign directly
+        return pc.cast(trimmed, f.arrow_type())
+    if base == "double":
+        return pc.cast(trimmed, pa.float64())
+    if base == "date":
+        ts = pc.strptime(trimmed, format="%Y-%m-%d", unit="s")
+        return pc.cast(ts, pa.date32())
+    raise AssertionError(f"unreachable type {f.ftype}")
+
+
+def decode_chunk(
+    chunk: bytes,
+    record_length: int,
+    fields: list[FieldSpec] | None,
+    base_offset: int,
+    with_offset: bool,
+    key_bounds: tuple[int, int] | None,
+    arrow_schema: pa.Schema,
+) -> pa.RecordBatch:
+    """Decode one record-aligned byte chunk into an Arrow RecordBatch.
+
+    Column order must match ``arrow_schema`` (= the Spark schema):
+    [record_offset?] [record_key?] then layout fields (or raw ``value``).
+    """
+    n = len(chunk) // record_length
+    mat = np.frombuffer(chunk, dtype=np.uint8).reshape(n, record_length)
+    cols: list[pa.Array] = []
+    if with_offset:
+        # file-global byte offset — the reference's default key
+        # (FixedLengthRecordReader.java:256-260), decoded from its 8-byte
+        # big-endian convention to a plain long column.
+        offs = base_offset + np.arange(n, dtype=np.int64) * record_length
+        cols.append(pa.array(offs, type=pa.int64()))
+    if key_bounds is not None:
+        start, end = key_bounds  # zero-based inclusive (FLIF:100-149)
+        cols.append(pa.array(_slice_bytes(mat, start, end - start + 1)))
+    if fields is None:
+        cols.append(pa.array(_slice_bytes(mat, 0, record_length)))
+    else:
+        for f in fields:
+            cols.append(decode_field(mat, f))
+    return pa.RecordBatch.from_arrays(cols, schema=arrow_schema)
+
+
+# ---------------------------------------------------------------------------
+# Encode (fixture generation + the fixedlen sink)
+
+
+def format_value(v, f: FieldSpec) -> str:
+    if v is None:
+        raise ValueError(f"fixed-width field {f.name} cannot encode NULL")
+    base = f.base_type
+    if base in ("int", "long"):
+        s = f"{int(v):0{f.length}d}"
+    elif base == "double":
+        s = f"{float(v):0{f.length}.{f.scale}f}"
+    elif base == "date":
+        s = v.strftime("%Y-%m-%d") if hasattr(v, "strftime") else str(v)[:10]
+        s = s.ljust(f.length)
+    else:
+        s = str(v).ljust(f.length)
+    if len(s) > f.length:
+        raise ValueError(
+            f"value {v!r} does not fit field {f.name} (width {f.length})"
+        )
+    return s
+
+
+def encode_rows(rows, fields: list[FieldSpec], record_length: int) -> bytes:
+    """Encode an iterable of dict-like rows to back-to-back fixed-width
+    records — no delimiters, no newlines (FixedLengthInputFormat.java:38-43)."""
+    out = bytearray()
+    for row in rows:
+        rec = [" "] * record_length
+        for f in fields:
+            s = format_value(row[f.name], f)
+            rec[f.start : f.start + f.length] = s
+        encoded = "".join(rec).encode("utf-8")
+        if len(encoded) != record_length:
+            raise ValueError(
+                f"encoded record is {len(encoded)} bytes, expected {record_length} "
+                "(non-ASCII content in a string field?)"
+            )
+        out += encoded
+    return bytes(out)

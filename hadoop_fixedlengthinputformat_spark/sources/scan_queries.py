@@ -1,0 +1,152 @@
+"""A family — scan / source / sink queries (SURVEY.md §2.3-A).
+
+The fixed-width scans round-trip driver parquet tables through the
+``fixedlen`` source: parquet -> fixed-width bytes (fixture_gen.py) ->
+``spark.read.format("fixedlen")`` -> typed columns, oracle-checked
+against the original table.  Records are encoded in key order, so even
+``record_offset`` (the reference's default key,
+FixedLengthRecordReader.java:256-260) is SQL-predictable:
+rank * recordLength.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hadoop_fixedlengthinputformat_spark.registry import query
+from hadoop_fixedlengthinputformat_spark.sources import fixedlen, fixture_gen
+from hadoop_fixedlengthinputformat_spark.tables import configure, load_table
+
+
+def read_fixed(
+    spark: SparkSession, sf_dir: str, table: str, **extra: str
+) -> DataFrame:
+    configure(spark)
+    fixedlen.register(spark)
+    path = fixture_gen.fixed_file_for(sf_dir, table)
+    record_length, spec, _ = fixture_gen.LAYOUTS[table]
+    reader = (
+        spark.read.format("fixedlen")
+        .option("recordLength", str(record_length))
+        .option("layout", spec)
+    )
+    for k, v in extra.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+@query(
+    "scan_fixedlen",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_fixedlen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width file -> typed columns (R1-R4 + layout decode)."""
+    return read_fixed(spark, sf_dir, "nation", includeOffset="false")
+
+
+@query(
+    "scan_fixedlen_wide",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+           CAST(l_shipdate AS DATE) AS ship_date
+    FROM lineitem
+    """,
+)
+def scan_fixedlen_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """11-field lineitem layout incl. double(4) and date decode."""
+    df = read_fixed(spark, sf_dir, "lineitem", includeOffset="false")
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_returnflag",
+        F.col("l_shipdate").alias("ship_date"),
+    )
+
+
+@query(
+    "scan_fixedlen_key_offset",
+    oracle="""
+    SELECT (ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1) * 40 AS record_offset,
+           n_nationkey
+    FROM nation
+    """,
+)
+def scan_fixedlen_key_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Default key = file-global byte offset (R5).  Fixture rows are
+    written in n_nationkey order, so offset == rank * recordLength."""
+    df = read_fixed(spark, sf_dir, "nation")
+    return df.select("record_offset", "n_nationkey")
+
+
+@query(
+    "scan_fixedlen_key_slice",
+    oracle="""
+    SELECT lpad(CAST(n_nationkey AS VARCHAR), 5, '0') AS record_key_str, n_name
+    FROM nation
+    """,
+)
+def scan_fixedlen_key_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slice key [0,4] = the zero-padded nationkey digits (R6)."""
+    df = read_fixed(
+        spark, sf_dir, "nation", includeOffset="false", keyStartAt="0", keyEndAt="4"
+    )
+    return df.select(
+        F.col("record_key").cast("string").alias("record_key_str"), "n_name"
+    )
+
+
+@query("scan_parquet", oracle="SELECT count(*) AS n_rows FROM lineitem")
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+@query(
+    "sink_parquet",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write + re-read round trip through a parquet sink."""
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    out = os.path.join(tempfile.gettempdir(), "flif_sink_parquet")
+    n.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
+@query(
+    "sink_fixedlen",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def sink_fixedlen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round trip through OUR sink: parquet -> fixedlen write -> fixedlen
+    read (the reference has no OutputFormat; SURVEY §2.2)."""
+    configure(spark)
+    fixedlen.register(spark)
+    record_length, spec, _ = fixture_gen.LAYOUTS["nation"]
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    out = os.path.join(tempfile.gettempdir(), "flif_sink_fixedlen")
+    (
+        n.coalesce(1)
+        .write.format("fixedlen")
+        .option("recordLength", str(record_length))
+        .option("layout", spec)
+        .mode("overwrite")
+        .save(out)
+    )
+    return (
+        spark.read.format("fixedlen")
+        .option("recordLength", str(record_length))
+        .option("layout", spec)
+        .option("includeOffset", "false")
+        .load(out)
+    )

@@ -1,0 +1,241 @@
+"""H family — Structured Streaming operators (SURVEY.md §2.3-H).
+
+The reference is batch MapReduce only (§2.2); these replay ``events`` as
+a file stream (5 parquet chunks in ts order, maxFilesPerTrigger=1,
+trigger availableNow) so watermarks actually advance between
+micro-batches.  Checks are batch-equivalence: the final streaming state
+must equal the batch SQL over the same rows — that's what the oracles
+state where SQL-expressible; session windows / watermark drops are
+rows-only.
+
+Scale notes: these plans are the real Structured Streaming operators
+(stateful agg with state store, watermark GC, session merge); at
+production scale the same code runs against Kafka with executor-side
+state stores — nothing here collects to the driver.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hadoop_fixedlengthinputformat_spark.registry import query
+from hadoop_fixedlengthinputformat_spark.tables import load_table
+
+N_CHUNKS = 5
+
+
+def _events_stream_dir(spark: SparkSession, sf_dir: str, with_late: bool) -> str:
+    """Materialize events as N_CHUNKS parquet files in ts order (one file
+    per micro-batch).  with_late appends a final chunk whose rows are
+    clones shifted 30 minutes earlier (FIXTURES.md §D late-data fixture).
+    """
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|late={with_late}|v2".encode()
+    ).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"flif_stream_{tag}")
+    done = os.path.join(out, "_DONE")
+    if os.path.exists(done):
+        return out
+    ev = load_table(spark, sf_dir, "events").orderBy("ts", "event_id")
+    rows = ev.collect()
+    os.makedirs(out, exist_ok=True)
+    schema = ev.schema
+    chunk_size = (len(rows) + N_CHUNKS - 1) // N_CHUNKS
+    for i in range(N_CHUNKS):
+        chunk = rows[i * chunk_size : (i + 1) * chunk_size]
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, f"chunk-{i}"))
+    if with_late:
+        late = (
+            load_table(spark, sf_dir, "events")
+            .orderBy("event_id")
+            .limit(20)
+            .withColumn("ts", F.col("ts") - F.expr("INTERVAL 30 MINUTES"))
+            .withColumn("event_id", F.col("event_id") + 1_000_000)
+        )
+        late.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out, f"chunk-{N_CHUNKS}")
+        )
+    open(done, "w").close()
+    return out
+
+
+def _read_stream(spark: SparkSession, data_dir: str) -> DataFrame:
+    schema = (
+        "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(data_dir)
+    )
+
+
+def _run_to_table(stream_df: DataFrame, mode: str) -> DataFrame:
+    """Run with availableNow into a memory sink; return the final table."""
+    spark = stream_df.sparkSession
+    name = f"flif_mem_{uuid.uuid4().hex[:10]}"
+    ckpt = os.path.join(tempfile.gettempdir(), f"flif_ckpt_{uuid.uuid4().hex[:10]}")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query(
+    "stream_tumbling_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           count(*) AS cnt, round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _read_stream(spark, _events_stream_dir(spark, sf_dir, False))
+    agg = src.groupBy(F.window("ts", "1 hour")).agg(
+        F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value")
+    )
+    out = _run_to_table(agg, "complete")
+    return out.select(
+        F.col("window.start").alias("window_start"), "cnt", "sum_value"
+    )
+
+
+@query(
+    "stream_sliding_window",
+    oracle="""
+    SELECT ws AS window_start, count(*) AS cnt, round(sum(value), 4) AS sum_value
+    FROM (
+        SELECT time_bucket(INTERVAL '15 minutes', ts)
+               - k.k * INTERVAL '15 minutes' AS ws,
+               value
+        FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) k
+    ) expanded
+    GROUP BY ws
+    """,
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 15 min; oracle expands each event into
+    its 4 covering windows."""
+    src = _read_stream(spark, _events_stream_dir(spark, sf_dir, False))
+    agg = src.groupBy(F.window("ts", "1 hour", "15 minutes")).agg(
+        F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value")
+    )
+    out = _run_to_table(agg, "complete")
+    return out.select(
+        F.col("window.start").alias("window_start"), "cnt", "sum_value"
+    )
+
+
+@query("stream_session_window")  # session boundaries are engine-defined — rows-only
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap session windows per user (count + span per session)."""
+    src = _read_stream(spark, _events_stream_dir(spark, sf_dir, False))
+    agg = src.groupBy(
+        F.session_window("ts", "30 minutes"), F.col("user_id")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    out = _run_to_table(agg, "complete")
+    return out.select(
+        "user_id",
+        F.col("session_window.start").cast("date").alias("session_day"),
+        "cnt",
+    )
+
+
+@query("stream_watermark_late_drop")  # drop set depends on batch boundaries — rows-only
+def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute watermark over tumbling hourly counts; the input's final
+    chunk replays 20 events shifted 30 minutes earlier, which the
+    watermark must drop (append mode emits only finalized windows)."""
+    src = _read_stream(spark, _events_stream_dir(spark, sf_dir, True))
+    # watermarks require TIMESTAMP (LTZ); session tz is UTC so the cast is
+    # value-preserving.
+    src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    out = _run_to_table(agg, "append")
+    return out.select(F.col("window.start").alias("window_start"), "cnt")
+
+
+@query(
+    "stream_dedup",
+    oracle="SELECT event_id, user_id, event_type FROM events",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates on event_id; the input replays chunk 0
+    twice, so the deduped stream must equal the batch distinct."""
+    data_dir = _events_stream_dir(spark, sf_dir, False)
+    dup_dir = data_dir + "_dup"
+    done = os.path.join(dup_dir, "_DONE")
+    if not os.path.exists(done):
+        import shutil
+
+        os.makedirs(dup_dir, exist_ok=True)
+        for i in range(N_CHUNKS):
+            dst = os.path.join(dup_dir, f"chunk-{i}")
+            if not os.path.exists(dst):
+                shutil.copytree(os.path.join(data_dir, f"chunk-{i}"), dst)
+        replay = os.path.join(dup_dir, "chunk-replay")
+        if not os.path.exists(replay):
+            shutil.copytree(os.path.join(data_dir, "chunk-0"), replay)
+        open(done, "w").close()
+    src = _read_stream(spark, dup_dir)
+    dedup = src.select("event_id", "user_id", "event_type").dropDuplicates(
+        ["event_id"]
+    )
+    return _run_to_table(dedup, "append")
+
+
+@query(
+    "stream_stateful_count",
+    oracle="""
+    SELECT user_id, count(*) AS cnt, round(sum(value), 4) AS sum_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unwindowed stateful aggregation per user across all micro-batches;
+    final state == batch GROUP BY."""
+    src = _read_stream(spark, _events_stream_dir(spark, sf_dir, False))
+    agg = src.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value")
+    )
+    return _run_to_table(agg, "complete")
+
+
+@query("stream_fixedlen_tail")  # our fixedlen streaming source — rows-only
+def stream_fixedlen_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail a fixed-width file with the fixedlen SimpleDataSourceStreamReader
+    (whole-record alignment carried into streaming)."""
+    from hadoop_fixedlengthinputformat_spark.sources import fixedlen, fixture_gen
+
+    fixedlen.register(spark)
+    path = fixture_gen.fixed_file_for(sf_dir, "nation")
+    record_length, spec, _ = fixture_gen.LAYOUTS["nation"]
+    src = (
+        spark.readStream.format("fixedlen")
+        .option("recordLength", str(record_length))
+        .option("layout", spec)
+        .load(path)
+    )
+    return _run_to_table(
+        src.select("record_offset", "n_nationkey", "n_name"), "append"
+    )

@@ -1,0 +1,95 @@
+"""Table loading + session configuration shared by every query.
+
+Handles the two environment quirks (FIXTURES.md §B caveats):
+  * ``events.ts`` is parquet TIMESTAMP(NANOS) which Spark's reader
+    rejects — read it as long via ``spark.sql.legacy.parquet.nanosAsLong``
+    and floor-convert to a µs TIMESTAMP_NTZ.
+  * session timezone pinned to UTC so LTZ<->NTZ casts are value-preserving.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable in Spark's Python workers regardless of
+    the driver's cwd: the Python Data Source / UDF classes are cloudpickled
+    BY REFERENCE, so the worker must be able to import the module.  A zip
+    of the package is addPyFile'd once per SparkContext."""
+    sc = spark.sparkContext
+    if getattr(sc, "_flif_pkg_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    zpath = os.path.join(tempfile.gettempdir(), f"{pkg_name}-pyfiles.zip")
+    tmp = zpath + f".tmp{os.getpid()}"
+    with zipfile.ZipFile(tmp, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    arc = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
+                    zf.write(full, arc)
+    os.replace(tmp, zpath)
+    sc.addPyFile(zpath)
+    sc._flif_pkg_shipped = True
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Runtime confs every query relies on (safe to set repeatedly)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # events.parquet stores TIMESTAMP(NANOS); without this the scan throws
+    # PARQUET_TYPE_ILLEGAL.  With it, ts arrives as epoch-nanos bigint.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _ship_package(spark)
+    return spark
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    configure(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # floor-divide to µs (integer div — no double rounding), NTZ to match
+        # the naive timestamps DuckDB sees.
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+        )
+    return df
+
+
+def get_session(app: str = "flif-spark", cpus: int | None = None) -> SparkSession:
+    """Local session for tests/bench; the driver supplies its own session
+    for ``__spark_entry__`` calls."""
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    spark = (
+        SparkSession.builder.appName(app)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(max(8, cpus)))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .getOrCreate()
+    )
+    return configure(spark)

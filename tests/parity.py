@@ -1,0 +1,157 @@
+"""Local mirror of the driver's Spark-vs-DuckDB oracle comparison.
+
+Used by tests/test_oracle_parity.py and runnable standalone:
+
+    python tests/parity.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import math
+import os
+import sys
+
+import duckdb
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from hadoop_fixedlengthinputformat_spark.tables import TABLES  # noqa: E402
+
+FLOAT_TOL = 1e-6
+
+
+def duck_con(sf_dir: str) -> "duckdb.DuckDBPyConnection":
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm(v):
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def _sort_key(row):
+    out = []
+    for v in row:
+        if v is None:
+            out.append((0, ""))
+        elif isinstance(v, float):
+            out.append((1, f"{v:.6f}"))
+        elif isinstance(v, bool):
+            out.append((2, str(v)))
+        elif isinstance(v, int):
+            out.append((1, f"{float(v):.6f}"))
+        else:
+            out.append((3, str(v)))
+    return out
+
+
+def _values_equal(a, b) -> bool:
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            return False
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        return abs(fa - fb) <= FLOAT_TOL * max(1.0, abs(fa), abs(fb))
+    return a == b
+
+
+def compare(name: str, spark_df, oracle_sql: str, con) -> list[str]:
+    """Returns a list of problems (empty == pass)."""
+    problems: list[str] = []
+    s_cols = list(spark_df.columns)
+    s_rows = [tuple(_norm(v) for v in row) for row in spark_df.collect()]
+
+    res = con.execute(oracle_sql)
+    o_cols = [d[0] for d in res.description]
+    o_rows = [tuple(_norm(v) for v in row) for row in res.fetchall()]
+
+    if sorted(s_cols) != sorted(o_cols):
+        problems.append(f"columns differ: spark={sorted(s_cols)} oracle={sorted(o_cols)}")
+        return problems
+    if len(s_rows) != len(o_rows):
+        problems.append(f"row count: spark={len(s_rows)} oracle={len(o_rows)}")
+
+    # align column order by sorted name (the driver sorts columns by name)
+    s_idx = [s_cols.index(c) for c in sorted(s_cols)]
+    o_idx = [o_cols.index(c) for c in sorted(o_cols)]
+    s_sorted = sorted(
+        ([r[i] for i in s_idx] for r in s_rows), key=_sort_key
+    )
+    o_sorted = sorted(
+        ([r[i] for i in o_idx] for r in o_rows), key=_sort_key
+    )
+    n_bad = 0
+    for i, (sr, orow) in enumerate(zip(s_sorted, o_sorted)):
+        for c, (sv, ov) in zip(sorted(s_cols), zip(sr, orow)):
+            if not _values_equal(sv, ov):
+                n_bad += 1
+                if n_bad <= 3:
+                    problems.append(f"row {i} col {c}: spark={sv!r} oracle={ov!r}")
+                break
+    if n_bad > 3:
+        problems.append(f"... {n_bad} mismatched rows total")
+    return problems
+
+
+def run(sf_dir: str, only: list[str] | None = None) -> dict[str, list[str]]:
+    import __spark_entry__ as entry_mod
+    from hadoop_fixedlengthinputformat_spark.tables import get_session
+
+    spark = get_session("parity")
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    con = duck_con(sf_dir)
+    results: dict[str, list[str]] = {}
+    names = only or sorted(qs)
+    for name in names:
+        try:
+            df = qs[name](spark, sf_dir)
+            if name in oracles:
+                results[name] = compare(name, df, oracles[name], con)
+            else:
+                n = df.count()
+                results[name] = [] if n >= 0 else ["negative count?"]
+                results[name].append(f"rows-only: {n} rows") if False else None
+        except Exception as exc:  # noqa: BLE001
+            results[name] = [f"EXCEPTION: {type(exc).__name__}: {exc}"]
+    return results
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.001"
+    only = args[1:] if args and os.path.isdir(args[0]) else args
+    results = run(sf_dir, only or None)
+    n_fail = 0
+    for name in sorted(results):
+        probs = results[name]
+        status = "PASS" if not probs else "FAIL"
+        if probs:
+            n_fail += 1
+        print(f"{status} {name}")
+        for p in probs:
+            print(f"     {p}")
+    print(f"\n{len(results) - n_fail}/{len(results)} passed")
+    sys.exit(1 if n_fail else 0)

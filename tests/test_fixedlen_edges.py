@@ -1,0 +1,104 @@
+"""Edge-case fixtures from FIXTURES.md §A3 / SURVEY.md §2.1 quirks."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from hadoop_fixedlengthinputformat_spark.sources import fixedlen
+from hadoop_fixedlengthinputformat_spark.sources.layout import parse_layout
+
+
+def _write(tmp_path, name: str, payload: bytes) -> str:
+    path = os.path.join(str(tmp_path), name)
+    with open(path, "wb") as f:
+        f.write(payload)
+    return path
+
+
+def _read(spark, path, rec_len, **opts):
+    fixedlen.register(spark)
+    r = spark.read.format("fixedlen").option("recordLength", str(rec_len))
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load(path)
+
+
+def test_tail_partial_fails_by_default(spark, tmp_path):
+    """File size = 10*len + 3 -> hard error (mirrors FLRR:231-235, raised
+    eagerly at planning)."""
+    path = _write(tmp_path, "tail.bin", b"x" * (10 * 8 + 3))
+    with pytest.raises(Exception, match="not a multiple"):
+        _read(spark, path, 8).collect()
+
+
+def test_tail_partial_drop(spark, tmp_path):
+    path = _write(tmp_path, "tail2.bin", b"x" * (10 * 8 + 3))
+    df = _read(spark, path, 8, malformedTail="drop")
+    assert df.count() == 10
+
+
+def test_record_length_one(spark, tmp_path):
+    path = _write(tmp_path, "one.bin", b"a" * 500)
+    assert _read(spark, path, 1).count() == 500
+
+
+def test_empty_file(spark, tmp_path):
+    path = _write(tmp_path, "empty.bin", b"")
+    df = _read(spark, path, 8)
+    assert df.count() == 0
+
+
+def test_key_end_eq_record_length_rejected(spark, tmp_path):
+    """The reference accepts endAt == recordLength (FLIF:351-352 off-by-one,
+    would read past the record); the engine rejects it."""
+    path = _write(tmp_path, "k.bin", b"x" * 80)
+    with pytest.raises(Exception, match="keyEndAt"):
+        _read(spark, path, 8, keyStartAt="0", keyEndAt="8").collect()
+
+
+def test_key_only_start_rejected(spark, tmp_path):
+    """Both-or-neither rule (FLIF:348-349)."""
+    path = _write(tmp_path, "k2.bin", b"x" * 80)
+    with pytest.raises(Exception, match="together"):
+        _read(spark, path, 8, keyStartAt="2").collect()
+
+
+def test_key_start_gt_end_rejected(spark, tmp_path):
+    path = _write(tmp_path, "k3.bin", b"x" * 80)
+    with pytest.raises(Exception, match="keyStartAt"):
+        _read(spark, path, 8, keyStartAt="5", keyEndAt="2").collect()
+
+
+def test_missing_record_length_rejected(spark, tmp_path):
+    path = _write(tmp_path, "k4.bin", b"x" * 80)
+    fixedlen.register(spark)
+    with pytest.raises(Exception, match="recordLength"):
+        spark.read.format("fixedlen").load(path).collect()
+
+
+def test_zero_record_length_rejected(spark, tmp_path):
+    path = _write(tmp_path, "k5.bin", b"x" * 80)
+    with pytest.raises(Exception, match="recordLength"):
+        _read(spark, path, 0).collect()
+
+
+def test_layout_field_out_of_bounds_rejected():
+    with pytest.raises(ValueError, match="exceeds"):
+        parse_layout("a:0:5:int,b:5:10:string", 12)
+
+
+def test_layout_bad_type_rejected():
+    with pytest.raises(ValueError, match="unsupported"):
+        parse_layout("a:0:5:uuid", 12)
+
+
+def test_multi_file_directory(spark, tmp_path):
+    """Directory input: every file planned separately, offsets per file."""
+    _write(tmp_path, "a.bin", b"!12345!!" * 4)
+    _write(tmp_path, "b.bin", b"!abcde!!" * 3)
+    df = _read(spark, str(tmp_path), 8)
+    assert df.count() == 7
+    offsets = sorted(r.record_offset for r in df.collect())
+    assert offsets == [0, 0, 8, 8, 16, 16, 24]

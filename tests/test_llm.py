@@ -1,0 +1,120 @@
+"""LLM-pipeline operator semantics on planted fixtures (FIXTURES.md §E):
+exact/near-dup detection must find planted duplicates; kNN must rank a
+planted near-copy first; multimodal plumbing must keep schema + batch
+shape."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from hadoop_fixedlengthinputformat_spark.functions import dedup, multimodal, similarity
+
+
+def _docs_with_dups(spark):
+    base = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank", "en", "s0"),
+        (2, "spark shuffles data between executors during wide transformations", "en", "s0"),
+        (3, "the quick brown fox jumps over the lazy dog near the river bank", "en", "s0"),  # exact dup of 1
+        (4, "the quick brown fox leaps over the lazy dog near the river bank", "en", "s0"),  # near dup of 1
+        (5, "completely different content about database query optimization", "en", "s0"),
+    ]
+    return spark.createDataFrame(base, "doc_id long, text string, lang string, source string")
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    d = _docs_with_dups(spark)
+    kept = d.groupBy("text").agg(F.min("doc_id").alias("keep_id"))
+    ids = {r.keep_id for r in kept.collect()}
+    assert ids == {1, 2, 4, 5}
+
+
+def test_minhash_lsh_finds_planted_near_dup(spark):
+    d = _docs_with_dups(spark)
+    sig = dedup.minhash_signature(d, "doc_id")
+    pairs = {(r.doc_a, r.doc_b) for r in dedup.lsh_candidate_pairs(sig, "doc_id").collect()}
+    assert (1, 3) in pairs  # exact dup always collides on every band
+    # near-dup (1,4)/(3,4) should collide on at least one band with high prob;
+    # unrelated (2,5) must not
+    assert (2, 5) not in pairs
+
+
+def test_simhash_identical_and_near(spark):
+    d = _docs_with_dups(spark)
+    sims = {r.doc_id: r.simhash for r in dedup.simhash64(d, "doc_id").collect()}
+    assert sims[1] == sims[3]  # identical text -> identical simhash
+    ham_near = bin(sims[1] ^ sims[4]).count("1")
+    ham_far = bin(sims[1] ^ sims[5]).count("1")
+    assert ham_near < ham_far
+
+
+def test_ngram_jaccard_threshold(spark):
+    d = _docs_with_dups(spark)
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(d, "doc_id", threshold=0.6).collect()
+    }
+    assert pairs[(1, 3)] == 1.0
+    assert (1, 4) in pairs  # one-token edit -> jaccard ~0.85
+    assert (2, 5) not in pairs
+
+
+def _embeddings(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    rows = []
+    for i in range(40):
+        v = rng.standard_normal(64)
+        rows.append((i, (v / np.linalg.norm(v)).astype(float).tolist(), i % 2))
+    # vec 100: near-copy of vec 1 (tiny perturbation, same label parity)
+    v1 = np.array(rows[1][1])
+    v = v1 + 0.01 * rng.standard_normal(64)
+    rows.append((100, (v / np.linalg.norm(v)).tolist(), 1))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+
+
+def test_knn_bruteforce_ranks_planted_copy_first(spark):
+    emb = _embeddings(spark)
+    probes = emb.filter(F.col("vec_id") == 1)
+    top = similarity.knn_cosine_bruteforce(emb, probes, k=3).collect()
+    assert top[0].neighbor_id == 100 and top[0].rnk == 1
+    assert top[0].cosine > 0.99
+
+
+def test_knn_ivf_matches_bruteforce_on_planted(spark):
+    emb = _embeddings(spark)
+    probes = emb.filter(F.col("vec_id") == 1)
+    ivf = similarity.knn_cosine_ivf(emb, probes, k=3, nprobe=2).collect()
+    assert ivf[0].neighbor_id == 100  # planted copy shares the probe's bucket
+
+
+def test_cosine_dup_pairs_finds_planted(spark):
+    emb = _embeddings(spark)
+    pairs = similarity.cosine_dup_pairs(emb, threshold=0.9, window=200).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} == {(1, 100)}
+
+
+def test_multimodal_image_stub_schema_and_rows(spark):
+    d = spark.createDataFrame(
+        [(1, "abc", "en", "s0"), (2, "defg", "en", "s0")],
+        "doc_id long, text string, lang string, source string",
+    )
+    feats = multimodal.decode_image_features(multimodal.attach_fake_media(d))
+    rows = feats.collect()
+    assert feats.columns == ["doc_id", "media", "width", "height", "channels", "mean_luma"]
+    assert len(rows) == 2
+    assert all(64 <= r.width < 256 and r.channels == 3 for r in rows)
+    # deterministic: same payload -> same features
+    again = multimodal.decode_image_features(multimodal.attach_fake_media(d)).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_multimodal_audio_frames_expansion(spark):
+    d = spark.createDataFrame(
+        [(1, "abc", "en", "s0")], "doc_id long, text string, lang string, source string"
+    )
+    frames = multimodal.sample_audio_frames(
+        multimodal.attach_fake_media(d), n_frames=4
+    ).collect()
+    assert len(frames) == 4
+    assert [f.frame_idx for f in frames] == [0, 1, 2, 3]

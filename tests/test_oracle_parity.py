@@ -1,0 +1,53 @@
+"""Runs the driver's Spark-vs-DuckDB comparison locally for every declared
+query (sf0.001 for speed; tests/parity.py standalone covers sf0.01)."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests import parity
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+SLOW = {  # streaming queries spin up real micro-batch runs — keep a subset here
+    "stream_sliding_window",
+    "stream_session_window",
+    "stream_watermark_late_drop",
+    "stream_fixedlen_tail",
+}
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    return parity.duck_con(sf_dir)
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert "sum_qty" in df.columns
+
+
+@pytest.mark.parametrize("name", sorted(n for n in QUERIES if n not in SLOW))
+def test_query_parity(spark, sf_dir, con, name):
+    df = QUERIES[name](spark, sf_dir)
+    if name in ORACLES:
+        problems = parity.compare(name, df, ORACLES[name], con)
+        assert not problems, "; ".join(problems)
+    else:
+        assert df.count() >= 0  # rows-only: runs and has a stable schema
+
+
+def test_approx_distinct_tolerance(spark, sf_dir):
+    """agg_approx_distinct has no oracle; assert within 5% of exact."""
+    row = QUERIES["agg_approx_distinct"](spark, sf_dir).collect()[0]
+    import duckdb
+
+    con = parity.duck_con(sf_dir)
+    exact_parts, exact_orders = con.execute(
+        "SELECT count(DISTINCT l_partkey), count(DISTINCT l_orderkey) FROM lineitem"
+    ).fetchone()
+    assert abs(row.approx_parts - exact_parts) <= 0.05 * exact_parts
+    assert abs(row.approx_orders - exact_orders) <= 0.05 * exact_orders
