@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Benchmark harness (SURVEY.md §6 protocol).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]; per query 1 warm-up +
+3 timed runs, median, execution forced with a noop-style write (count on
+a cached-free plan would let Spark skip column decode, so we use
+df.write.format("noop")).
+
+Prints ONE JSON line:
+  {"metric": "total_median_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+RUNS = int(os.environ.get("BENCH_RUNS", "3"))
+
+# Headline set: one per cost family — scan-bound, agg-bound, shuffle-join,
+# window, as-of merge, Python-UDF path, and the LLM-pipeline heavies.
+HEADLINE = [
+    "scan_fixedlen_wide",      # fixed-width decode throughput (the reference's job)
+    "agg_groupby_hash",        # TPC-H Q1 shape
+    "join_inner_hash",         # broadcast star join
+    "join_sort_merge",         # shuffle join
+    "join_asof",               # union+window as-of
+    "win_running_sum",         # partitioned running window
+    "topk_per_group",          # rank-filter pattern
+    "udf_scalar_pandas",       # Arrow UDF path
+    "llm_exact_dedup",
+    "llm_minhash_near_dedup",  # shingle explode + LSH self-join
+    "llm_knn_cosine",          # brute-force cosine top-k
+    "llm_text_stats",
+    "llm_quality_score",
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    from hadoop_fixedlengthinputformat_spark.tables import get_session
+    import __spark_entry__ as entry_mod
+
+    spark = get_session("flif-bench", cpus=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry_mod.queries()
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        force(fn(spark, SF_DIR))  # warm-up (also materializes fixtures)
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            force(fn(spark, SF_DIR))
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 3)
+        print(f"# {name}: {timings[name]}s {samples}", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_median_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "cpus": CPUS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -29,10 +29,16 @@ def read_fixed(
     fixedlen.register(spark)
     path = fixture_gen.fixed_file_for(sf_dir, table)
     record_length, spec, _ = fixture_gen.LAYOUTS[table]
+    # Local-bench split sizing: the 128 MB cluster default would put these
+    # small fixtures in one partition; target ~32 splits so the decode
+    # parallelizes (record alignment is handled by the source either way).
+    size = os.path.getsize(path)
+    mpb = max(record_length, size // 32)
     reader = (
         spark.read.format("fixedlen")
         .option("recordLength", str(record_length))
         .option("layout", spec)
+        .option("maxPartitionBytes", str(mpb))
     )
     for k, v in extra.items():
         reader = reader.option(k, v)
