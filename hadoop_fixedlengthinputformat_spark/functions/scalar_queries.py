@@ -250,3 +250,76 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         k_int.alias("k_int"),
         (k_int % 10).alias("k_mod"),
     )
+
+
+@query(
+    "fn_regex",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_type, '([A-Z]+)', 1) AS first_word,
+           regexp_replace(p_type, '[AEIOU]', '_', 'g') AS devowel,
+           regexp_matches(p_name, 'ro') AS has_ro,
+           regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num
+    FROM part
+    """,
+)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex family — JVM-side codegen regexps (never a Python UDF).
+    Dialect note: Spark regexp_replace replaces all matches; DuckDB needs
+    the explicit 'g' flag to agree."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_type", r"([A-Z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_type", r"[AEIOU]", "_").alias("devowel"),
+        F.col("p_name").rlike("ro").alias("has_ro"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+    )
+
+
+@query(
+    "fn_struct",
+    oracle="""
+    SELECT o_orderkey,
+           o_custkey AS cust_from_struct,
+           round(o_totalprice, 4) AS price_from_struct,
+           o_orderstatus AS status_from_struct
+    FROM orders
+    """,
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StructType round-trip: bundle columns into a struct, project fields
+    back out.  Catalyst collapses the create/extract pair (CreateNamedStruct
+    + GetStructField fold to the raw column), so the nested hop is free —
+    verify: the plan reads the three source columns only."""
+    o = load_table(spark, sf_dir, "orders")
+    s = F.struct(
+        F.col("o_custkey").alias("cust"),
+        F.round("o_totalprice", 4).alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    return o.select(
+        "o_orderkey",
+        s.getField("cust").alias("cust_from_struct"),
+        s.getField("price").alias("price_from_struct"),
+        s.getField("status").alias("status_from_struct"),
+    )
+
+
+@query(
+    "fn_sequence",
+    oracle="""
+    SELECT n_nationkey, unnest(generate_series(1, n_nationkey % 3 + 1)) AS i
+    FROM nation
+    """,
+)
+def fn_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row generation: sequence + explode (Spark) vs generate_series+unnest
+    (DuckDB) — the generator expansion runs inside codegen, no shuffle."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.explode(
+            F.sequence(F.lit(1), F.col("n_nationkey") % 3 + 1)
+        ).alias("i"),
+    )

@@ -1,0 +1,181 @@
+"""D+/F+ families — pivot/unpivot reshaping and statistical aggregates.
+
+None of these exist in the reference (SURVEY.md §2.2: the only
+arithmetic is offset math); they complete the aggregation surface a
+consumer of the ingested data expects.
+
+Scale notes:
+  * ``pivot`` is given its value list explicitly — without it Spark runs
+    an extra distinct pass over the data to discover pivot columns, which
+    at 100 TB is a full scan you didn't ask for.  With the list, pivot is
+    a single hash aggregate (one shuffle, map-side partial).
+  * ``unpivot`` is a generate-style expansion (rows x measures) — no
+    shuffle at all; it stays inside whole-stage codegen.
+  * corr/covar/stddev are single-pass streaming moments (Welford-style
+    partial aggregation), so they shuffle one partial-state row per
+    partition — same O(groups) exchange as sum/count.
+  * exact ``percentile`` requires a global sort-ish state per group; at
+    100 TB prefer ``approx_percentile`` (t-digest sketch, mergeable,
+    bounded memory) — both are declared, the exact one oracle-checked,
+    the sketch rows-only with a tolerance test in tests/.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hadoop_fixedlengthinputformat_spark.registry import query
+from hadoop_fixedlengthinputformat_spark.tables import load_table
+
+SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+@query(
+    "pivot_segment",
+    oracle="""
+    SELECT c_nationkey,
+           count(*) FILTER (c_mktsegment = 'AUTOMOBILE') AS automobile,
+           count(*) FILTER (c_mktsegment = 'BUILDING')   AS building,
+           count(*) FILTER (c_mktsegment = 'FURNITURE')  AS furniture,
+           count(*) FILTER (c_mktsegment = 'HOUSEHOLD')  AS household,
+           count(*) FILTER (c_mktsegment = 'MACHINERY')  AS machinery
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def pivot_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer count per (nation x market segment), segments as columns.
+
+    Explicit value list ⇒ no discovery pass; lower-cased aliases keep the
+    column names identical to the oracle's.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    piv = (
+        c.groupBy("c_nationkey")
+        .pivot("c_mktsegment", SEGMENTS)
+        .agg(F.count(F.lit(1)))
+    )
+    cols = [F.col("c_nationkey")] + [
+        F.coalesce(F.col(s), F.lit(0)).alias(s.lower()) for s in SEGMENTS
+    ]
+    return piv.select(*cols)
+
+
+@query(
+    "unpivot_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, round(val, 4) AS val
+    FROM (
+        SELECT l_orderkey, l_linenumber, 'qty' AS measure, l_quantity AS val
+        FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+    )
+    """,
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt of three lineitem measures (Spark ``unpivot``)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_quantity",
+                  "l_extendedprice", "l_discount")
+        .withColumnsRenamed(
+            {"l_quantity": "qty", "l_extendedprice": "price",
+             "l_discount": "discount"}
+        )
+        .unpivot(
+            ids=["l_orderkey", "l_linenumber"],
+            values=["qty", "price", "discount"],
+            variableColumnName="measure",
+            valueColumnName="raw_val",
+        )
+        .select(
+            "l_orderkey", "l_linenumber", "measure",
+            F.round("raw_val", 4).alias("val"),
+        )
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(var_samp(l_extendedprice), 2) AS var_price,
+           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           round(covar_samp(l_discount, l_tax), 6) AS cov_disc_tax
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics — single-pass mergeable partials."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_extendedprice"), 2).alias("var_price"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_discount", "l_tax"), 6).alias("cov_disc_tax"),
+    )
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+           round(quantile_cont(l_quantity, 0.50), 4) AS p50,
+           round(quantile_cont(l_quantity, 0.75), 4) AS p75,
+           round(median(l_extendedprice), 4) AS med_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` == DuckDB
+    ``quantile_cont``).  Exact percentile buffers the group's values —
+    fine per-group; the 100 TB path is ``agg_approx_percentile``."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", 0.25), 4).alias("p25"),
+        F.round(F.percentile("l_quantity", 0.50), 4).alias("p50"),
+        F.round(F.percentile("l_quantity", 0.75), 4).alias("p75"),
+        F.round(F.median("l_extendedprice"), 4).alias("med_price"),
+    )
+
+
+@query("agg_approx_percentile")  # sketch — rows-only; tolerance test in tests/
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest-style sketch percentile: mergeable, bounded memory — the
+    percentile you actually run at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_quantity", F.lit(0.5), F.lit(10000)).alias("ap50"),
+        F.approx_percentile("l_extendedprice", F.lit(0.9), F.lit(10000)).alias("ap90"),
+    )
+
+
+@query(
+    "agg_string_agg",
+    oracle="""
+    SELECT r_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM region JOIN nation ON n_regionkey = r_regionkey
+    GROUP BY r_regionkey
+    """,
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered list aggregation rendered to a string so both engines hash
+    identically (collect_list order is nondeterministic → sort first)."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        r.join(n, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_regionkey")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations")
+        )
+    )

@@ -191,3 +191,32 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 2)
         .select("o_custkey", "o_orderkey", "o_totalprice")
     )
+
+
+@query(
+    "win_cume_dist",
+    oracle="""
+    SELECT c_custkey,
+           round(cume_dist() OVER w, 6) AS cd,
+           round(percent_rank() OVER w, 6) AS pr,
+           nth_value(c_custkey, 2) OVER (
+               PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS second_poorest
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution ranks per segment — cume_dist/percent_rank/nth_value.
+    One shuffle on the partition key; ties broken by c_custkey so both
+    engines rank identically."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.nth_value("c_custkey", 2).over(w_full).alias("second_poorest"),
+    )

@@ -46,6 +46,8 @@ def load_all() -> None:
         aggregates,
         windows,
         sort_setops,
+        subqueries,
+        pivot_stats,
     )
     from hadoop_fixedlengthinputformat_spark.functions import (  # noqa: F401
         scalar_queries,

@@ -51,3 +51,19 @@ def test_approx_distinct_tolerance(spark, sf_dir):
     ).fetchone()
     assert abs(row.approx_parts - exact_parts) <= 0.05 * exact_parts
     assert abs(row.approx_orders - exact_orders) <= 0.05 * exact_orders
+
+
+def test_approx_percentile_tolerance(spark, sf_dir):
+    """agg_approx_percentile has no oracle; assert within 2% of exact."""
+    rows = {
+        r.l_returnflag: r
+        for r in QUERIES["agg_approx_percentile"](spark, sf_dir).collect()
+    }
+    con = parity.duck_con(sf_dir)
+    for flag, p50, p90 in con.execute(
+        """SELECT l_returnflag, quantile_cont(l_quantity, 0.5),
+                  quantile_cont(l_extendedprice, 0.9)
+           FROM lineitem GROUP BY l_returnflag"""
+    ).fetchall():
+        assert abs(rows[flag].ap50 - p50) <= 0.02 * p50 + 1
+        assert abs(rows[flag].ap90 - p90) <= 0.02 * p90 + 1
