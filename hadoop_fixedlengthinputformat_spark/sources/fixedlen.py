@@ -168,6 +168,9 @@ def _list_files(path: str) -> list[str]:
     return names
 
 
+_WHOLE_FILE = -1  # partition.end sentinel: gzip stream, read to EOF
+
+
 class FixedLenPartition(InputPartition):
     def __init__(self, path: str, start: int, end: int):
         self.path = path
@@ -179,7 +182,18 @@ def _plan_file(
     path: str, opts: _Options
 ) -> list[FixedLenPartition]:
     """Record-aligned split plan for one file — the engine's
-    ``computeSplitSize`` (FixedLengthInputFormat.java:276-298)."""
+    ``computeSplitSize`` (FixedLengthInputFormat.java:276-298).
+
+    Gzip: the reference marks compressed files non-splittable and then
+    REJECTS them outright in the reader (FixedLengthInputFormat.java:371-380,
+    FixedLengthRecordReader.java:148-152).  The engine keeps the
+    non-splittable half (one whole-file partition — a gzip stream has no
+    seekable record boundaries) but actually reads it, decompressing on
+    the fly; alignment is validated at stream end since the uncompressed
+    size isn't known at planning time.
+    """
+    if path.endswith(".gz"):
+        return [FixedLenPartition(path, 0, _WHOLE_FILE)]
     size = os.path.getsize(path)
     rl = opts.record_length
     usable = size - (size % rl)
@@ -222,6 +236,33 @@ def _read_aligned(f, start: int, end: int, chunk_records: int, rl: int) -> Itera
         yield bytes(buf)
 
 
+def _read_gzip_stream(path: str, chunk_records: int, rl: int, malformed_tail: str) -> Iterator[bytes]:
+    """Yield record-aligned chunks from a gzip stream (no seeking; single
+    whole-file partition).  A trailing partial record follows the same
+    malformedTail policy as the planning-time size check."""
+    import gzip
+
+    carry = b""
+    with gzip.open(path, "rb") as f:
+        while True:
+            got = f.read(chunk_records * rl)
+            if not got:
+                break
+            carry += got
+            usable = len(carry) - (len(carry) % rl)
+            if usable:
+                yield carry[:usable]
+                carry = carry[usable:]
+    if carry:
+        if malformed_tail == "fail":
+            raise IOError(
+                f"fixedlen: gzip stream {path!r} ends mid-record "
+                f"({len(carry)} trailing bytes; cf. "
+                "FixedLengthRecordReader.java:231-235); "
+                "set malformedTail=drop to ignore the tail"
+            )
+
+
 class FixedLengthReader(DataSourceReader):
     def __init__(self, opts: _Options, path: str):
         self.opts = opts
@@ -236,27 +277,43 @@ class FixedLengthReader(DataSourceReader):
 
     def read(self, partition: FixedLenPartition):
         o = self.opts
-        if partition.end <= partition.start:
+        if partition.end != _WHOLE_FILE and partition.end <= partition.start:
             return iter(())
         chunk_records = max(1, READ_CHUNK_TARGET // o.record_length)
         schema = o.arrow_schema()
 
+        def decode(chunks: Iterator[bytes]):
+            # record_offset is the position in the UNCOMPRESSED stream for
+            # gzip, matching the reference's file-global-offset key on the
+            # logical record stream.
+            offset = partition.start
+            for chunk in chunks:
+                yield decode_chunk(
+                    chunk,
+                    o.record_length,
+                    o.fields,
+                    offset,
+                    o.with_offset,
+                    o.key_bounds,
+                    schema,
+                )
+                offset += len(chunk)
+
+        if partition.end == _WHOLE_FILE:
+            return decode(
+                _read_gzip_stream(
+                    partition.path, chunk_records, o.record_length, o.malformed_tail
+                )
+            )
+
         def gen():
             with open(partition.path, "rb") as f:
-                offset = partition.start
-                for chunk in _read_aligned(
-                    f, partition.start, partition.end, chunk_records, o.record_length
-                ):
-                    yield decode_chunk(
-                        chunk,
+                yield from decode(
+                    _read_aligned(
+                        f, partition.start, partition.end, chunk_records,
                         o.record_length,
-                        o.fields,
-                        offset,
-                        o.with_offset,
-                        o.key_bounds,
-                        schema,
                     )
-                    offset += len(chunk)
+                )
 
         return gen()
 
@@ -376,6 +433,9 @@ class FixedLengthDataSource(DataSource):
     def simpleStreamReader(self, schema: StructType) -> FixedLenStreamReader:
         if not self.path:
             raise ValueError("fixedlen: load(path) is required")
+        if self.path.endswith(".gz"):
+            # a growing gzip file can't be tailed incrementally (no seek)
+            raise ValueError("fixedlen: streaming does not support gzip input")
         return FixedLenStreamReader(self.opts, self.path)
 
 

@@ -76,3 +76,20 @@ def fixed_file_for(sf_dir: str, table: str) -> str:
         f.write(payload)
     os.replace(tmp, out)  # atomic under concurrent callers
     return out
+
+
+def fixed_gzip_for(sf_dir: str, table: str) -> str:
+    """Gzip-compressed variant of ``fixed_file_for`` (whole-file-partition
+    read path; the reference rejects compressed input outright,
+    FixedLengthRecordReader.java:148-152)."""
+    import gzip
+
+    src = fixed_file_for(sf_dir, table)
+    out = src + ".gz"
+    if os.path.exists(out):
+        return out
+    tmp = out + f".tmp{os.getpid()}"
+    with open(src, "rb") as fin, gzip.open(tmp, "wb") as fout:
+        fout.write(fin.read())
+    os.replace(tmp, out)
+    return out

@@ -156,3 +156,33 @@ def sink_fixedlen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("includeOffset", "false")
         .load(out)
     )
+
+
+@query(
+    "scan_fixedlen_gzip",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey,
+           round(c_acctbal, 4) AS acctbal, c_mktsegment
+    FROM customer
+    """,
+)
+def scan_fixedlen_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzip fixed-width file -> typed columns.  One whole-file partition
+    (gzip is unsplittable); the reference instead rejects compressed input
+    (FixedLengthRecordReader.java:148-152) — documented improvement,
+    SURVEY.md §4 P4."""
+    configure(spark)
+    fixedlen.register(spark)
+    path = fixture_gen.fixed_gzip_for(sf_dir, "customer")
+    record_length, spec, _ = fixture_gen.LAYOUTS["customer"]
+    df = (
+        spark.read.format("fixedlen")
+        .option("recordLength", str(record_length))
+        .option("layout", spec)
+        .option("includeOffset", "false")
+        .load(path)
+    )
+    return df.select(
+        "c_custkey", "c_name", "c_nationkey",
+        F.round("c_acctbal", 4).alias("acctbal"), "c_mktsegment",
+    )

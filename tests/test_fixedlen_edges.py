@@ -102,3 +102,43 @@ def test_multi_file_directory(spark, tmp_path):
     assert df.count() == 7
     offsets = sorted(r.record_offset for r in df.collect())
     assert offsets == [0, 0, 8, 8, 16, 16, 24]
+
+
+def _write_gz(tmp_path, name: str, payload: bytes) -> str:
+    import gzip
+
+    path = os.path.join(str(tmp_path), name)
+    with gzip.open(path, "wb") as f:
+        f.write(payload)
+    return path
+
+
+def test_gzip_whole_file_read(spark, tmp_path):
+    """Gzip input: one whole-file partition, offsets over the uncompressed
+    stream (the reference rejects compressed input, FLRR:148-152)."""
+    path = _write_gz(tmp_path, "g.bin.gz", b"!12345!!" * 100)
+    df = _read(spark, path, 8)
+    rows = df.collect()
+    assert len(rows) == 100
+    assert sorted(r.record_offset for r in rows) == [i * 8 for i in range(100)]
+    assert df.rdd.getNumPartitions() == 1
+
+
+def test_gzip_tail_partial_fails_by_default(spark, tmp_path):
+    path = _write_gz(tmp_path, "gt.bin.gz", b"x" * (5 * 8 + 3))
+    with pytest.raises(Exception, match="mid-record"):
+        _read(spark, path, 8).collect()
+
+
+def test_gzip_tail_partial_drop(spark, tmp_path):
+    path = _write_gz(tmp_path, "gt2.bin.gz", b"x" * (5 * 8 + 3))
+    assert _read(spark, path, 8, malformedTail="drop").count() == 5
+
+
+def test_gzip_streaming_rejected(spark, tmp_path):
+    path = _write_gz(tmp_path, "gs.bin.gz", b"x" * 80)
+    fixedlen.register(spark)
+    with pytest.raises(Exception, match="streaming does not support gzip"):
+        (spark.readStream.format("fixedlen").option("recordLength", "8")
+         .load(path).writeStream.format("noop")
+         .trigger(availableNow=True).start().awaitTermination())
