@@ -26,6 +26,23 @@ MINHASH_K = 8  # hash functions
 LSH_BANDS = 4  # bands of MINHASH_K / LSH_BANDS rows each
 
 
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Small-input parallelism guard.  If the scan produced fewer
+    partitions than cores (one small file read locally), hash-repartition
+    on the doc key so the shingle/hash pipeline uses every core — the
+    downstream groupBy(key) then reuses this partitioning, so no second
+    exchange appears (verified: 1 Exchange total in the signature plan).
+
+    At 100 TB the scan already has >> cores partitions and this is a
+    no-op: never shuffle raw text just to re-bucket it — the partial-agg
+    formulation keeps the big-data exchange at O(docs) partial rows.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, key)
+    return df
+
+
 def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> Column:
     """Array of word n-gram shingles as strings."""
     toks = F.split(F.col(text_col), " ")
@@ -51,6 +68,7 @@ def minhash_signature(
     (doc, 8 mins) partial, so at 100 TB the exchange is O(docs), not
     O(shingles).
     """
+    df = _spread(df, id_col)
     sh = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(word_shingles(df, text_col))).alias("shingle"),
@@ -104,7 +122,7 @@ def lsh_candidate_pairs(
 def simhash64(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """62-bit SimHash per document (bits 0..61 to stay in a positive
     BIGINT): per-token xxhash64 bit votes, majority per bit position."""
-    toks = df.select(
+    toks = _spread(df, id_col).select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))
@@ -140,7 +158,7 @@ def ngram_jaccard_pairs(
     """Exact word-set Jaccard over candidate pairs via inverted-index join
     within blocking keys.  ``max_doc_freq`` drops ubiquitous tokens (the
     skew cap for the join)."""
-    toks = df.select(
+    toks = _spread(df, id_col).select(
         F.col(id_col), *[F.col(c) for c in block_cols],
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
     )

@@ -186,3 +186,47 @@ def scan_fixedlen_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_name", "c_nationkey",
         F.round("c_acctbal", 4).alias("acctbal"), "c_mktsegment",
     )
+
+
+@query(
+    "sink_csv",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey,
+           round(c_acctbal, 4) AS acctbal, c_mktsegment
+    FROM customer
+    """,
+)
+def sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV write + schema-full re-read round trip (header, explicit schema
+    on read — schema inference is a full extra pass you never want at
+    100 TB)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey",
+        F.round("c_acctbal", 4).alias("acctbal"), "c_mktsegment",
+    )
+    out = os.path.join(tempfile.gettempdir(), "flif_sink_csv")
+    c.write.mode("overwrite").option("header", "true").csv(out)
+    return spark.read.schema(
+        "c_custkey bigint, c_name string, c_nationkey int, "
+        "acctbal double, c_mktsegment string"
+    ).option("header", "true").csv(out)
+
+
+@query(
+    "sink_json",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, round(o_totalprice, 4) AS total
+    FROM orders
+    """,
+)
+def sink_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines write + explicit-schema re-read round trip."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.round("o_totalprice", 4).alias("total"),
+    )
+    out = os.path.join(tempfile.gettempdir(), "flif_sink_json")
+    o.write.mode("overwrite").json(out)
+    return spark.read.schema(
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, total double"
+    ).json(out)
