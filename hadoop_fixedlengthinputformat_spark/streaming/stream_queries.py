@@ -239,3 +239,63 @@ def stream_fixedlen_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_table(
         src.select("record_offset", "n_nationkey", "n_name"), "append"
     )
+
+
+@query(
+    "stream_custom_stateful",
+    oracle="""
+    SELECT user_id, count(*) AS cnt,
+           round(sum(value), 4) AS sum_value,
+           round(max(value), 4) AS max_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_custom_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (count, sum, max) carried in an explicit GroupState across
+    micro-batches — the escape hatch for stateful logic the built-in
+    streaming aggregates can't express.
+
+    Update mode emits one row per updated group per trigger; the final
+    state per user is the emission with the highest (monotonic) count.
+    State lives in the executor-side state store (RocksDB at production
+    scale), keyed by user_id — nothing on the driver.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def running(key, pdfs, state: GroupState):
+        (user_id,) = key
+        cnt, sval, mval = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in pdfs:
+            cnt += len(pdf)
+            sval += float(pdf["value"].sum())
+            mval = max(mval, float(pdf["value"].max()))
+        state.update((cnt, sval, mval))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "cnt": [cnt],
+             "sum_value": [sval], "max_value": [mval]}
+        )
+
+    src = _read_stream(spark, _events_stream_dir(spark, sf_dir, False))
+    updates = src.groupBy("user_id").applyInPandasWithState(
+        running,
+        outputStructType="user_id bigint, cnt bigint, "
+                         "sum_value double, max_value double",
+        stateStructType="cnt bigint, sum_value double, max_value double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = _run_to_table(updates, "update")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("cnt").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", "cnt",
+            F.round("sum_value", 4).alias("sum_value"),
+            F.round("max_value", 4).alias("max_value"),
+        )
+    )
