@@ -227,3 +227,101 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.filter(F.col("side") == 1).select(
         "event_id", F.col("k").alias("user_id"), "asof_orderkey"
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-mitigated equi-join: salt the big side's key with a random
+    bucket, replicate the small side across all buckets, join on
+    (key, salt).  A pathological hot key is thereby spread over
+    ``n_salts`` reducers instead of melting one.
+
+    Use when AQE's skew-join split isn't enough (a single key larger than
+    any split) and the small side is too big to broadcast outright.
+    ``rand(seed)``'s per-row draw is what spreads the hot key; the
+    replicated small side costs n_salts x |small| shuffle volume — pick
+    n_salts ~ (hot-key rows / target partition rows).
+    """
+    salted_big = big.withColumn(
+        "_salt", (F.rand(42) * n_salts).cast("int")
+    )
+    replicated_small = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return salted_big.join(
+        replicated_small,
+        (F.col(big_key) == F.col(small_key)) & (salted_big._salt == replicated_small._salt),
+    ).drop("_salt")
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, round(l_quantity, 4) AS qty,
+           o_orderstatus
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salting demo on lineitem x orders: result must equal the plain
+    inner join (salting changes the shuffle layout, never the result)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    return salted_join(li, o, "l_orderkey", "o_orderkey").select(
+        "l_orderkey", "l_linenumber",
+        F.round("l_quantity", 4).alias("qty"), "o_orderstatus",
+    )
+
+
+@query(
+    "join_bucketed",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, count(*) AS n_items,
+           round(sum(l_quantity), 4) AS sum_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderkey, o_orderstatus
+    """,
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via bucketing: both sides written bucketBy(8, key)
+    as tables, so the sort-merge join reads pre-bucketed files with NO
+    Exchange on either side — the 100 TB pattern for repeated fact-fact
+    joins on the same key (pay the bucketed write once, join shuffle-free
+    forever).  The follow-on groupBy(o_orderkey, ...) also reuses the
+    bucketing.  tests assert the plan is Exchange-free."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    names = {t: f"flif_bkt_{t}_{tag}" for t in ("orders", "lineitem")}
+    base = os.path.join(tempfile.gettempdir(), "flif_bucketed")
+    # external tables (explicit path) — no dependence on the session's
+    # static warehouse dir, which the driver owns
+    if not spark.catalog.tableExists(names["orders"]):
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus"
+        ).write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").option(
+            "path", os.path.join(base, names["orders"])
+        ).mode("overwrite").saveAsTable(names["orders"])
+    if not spark.catalog.tableExists(names["lineitem"]):
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        ).write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").option(
+            "path", os.path.join(base, names["lineitem"])
+        ).mode("overwrite").saveAsTable(names["lineitem"])
+    o = spark.table(names["orders"])
+    li = spark.table(names["lineitem"])
+    return (
+        o.hint("merge").join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+    )

@@ -67,3 +67,15 @@ def test_approx_percentile_tolerance(spark, sf_dir):
     ).fetchall():
         assert abs(rows[flag].ap50 - p50) <= 0.02 * p50 + 1
         assert abs(rows[flag].ap90 - p90) <= 0.02 * p90 + 1
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir):
+    """join_bucketed must read pre-bucketed tables and join with ZERO
+    Exchange nodes (no shuffle, no broadcast) — the co-located join is
+    the point of the operator."""
+    plan = (
+        QUERIES["join_bucketed"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
