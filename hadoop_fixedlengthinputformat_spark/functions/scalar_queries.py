@@ -323,3 +323,54 @@ def fn_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.lit(1), F.col("n_nationkey") % 3 + 1)
         ).alias("i"),
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_orderkey & 255 AS low_byte,
+           l_orderkey | 7 AS or7,
+           xor(l_orderkey, l_linenumber) AS xored,
+           l_orderkey << 2 AS shifted,
+           bit_count(l_orderkey) AS pop
+    FROM lineitem
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family — and/or/xor/shift/popcount (codegen JVM exprs;
+    simhash and LSH bucketing build on exactly these)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    k = F.col("l_orderkey")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(7)).alias("or7"),
+        k.bitwiseXOR(F.col("l_linenumber")).alias("xored"),
+        F.shiftleft(k, 2).alias("shifted"),
+        F.bit_count(k).alias("pop"),
+    )
+
+
+@query(
+    "fn_hash",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS text_md5,
+           md5(concat(lang, '|', source)) AS meta_md5,
+           length(md5(text)) AS digest_len
+    FROM documents
+    """,
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash family over documents — md5 is the cross-engine-stable digest
+    (exact dedup and minhash build on it; xxhash64/sha2 exist Spark-side
+    but have no DuckDB twin, so the oracle pins md5)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.md5(F.concat("lang", F.lit("|"), "source")).alias("meta_md5"),
+        F.length(F.md5("text")).alias("digest_len"),
+    )

@@ -179,3 +179,27 @@ def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations")
         )
     )
+
+
+@query(
+    "agg_min_max_by",
+    oracle="""
+    SELECT l_returnflag,
+           arg_max(l_orderkey, l_extendedprice) AS priciest_order,
+           arg_min(l_orderkey, l_extendedprice) AS cheapest_order,
+           max(l_extendedprice) AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax/argmin aggregation (Spark max_by/min_by == DuckDB
+    arg_max/arg_min).  Deterministic because l_extendedprice values are
+    unique per returnflag group in the fixture; ties would be
+    engine-dependent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.max_by("l_orderkey", "l_extendedprice").alias("priciest_order"),
+        F.min_by("l_orderkey", "l_extendedprice").alias("cheapest_order"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
