@@ -346,3 +346,28 @@ def mm_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     media = multimodal.attach_fake_media(d)
     return multimodal.sample_audio_frames(media, n_frames=4)
+
+
+@query(
+    "llm_centroid_per_label",
+    oracle="""
+    WITH ex AS (
+        SELECT label,
+               unnest(generate_series(1, len(embedding))) AS ord,
+               unnest(embedding) AS v
+        FROM embeddings
+    )
+    SELECT label, ord - 1 AS pos, round(avg(v), 4) AS centroid_v
+    FROM ex GROUP BY label, ord
+    """,
+)
+def llm_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid via posexplode + groupBy(label, pos)
+    — the distributed mean-vector (the IVF codebook-training step,
+    expressed relationally: the shuffle carries |labels| x dim partial
+    sums, never the vectors)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+    return ex.groupBy("label", "pos").agg(
+        F.round(F.avg("v"), 4).alias("centroid_v")
+    )

@@ -1,0 +1,77 @@
+"""Time-series operators over ``events`` — resample + gap-fill.
+
+The reference emits records in file order with no time semantics
+(SURVEY.md §2.2); these are engine extensions for the telemetry-shaped
+data the streaming family (§2.3-H) also consumes.
+
+Scale notes: the grid expansion is `sequence()` + `explode` per user —
+generated rows never shuffle (the explode sits on the already
+user-partitioned span aggregate), and the forward-fill window reuses the
+same user partitioning, so the whole plan is ONE shuffle on user_id.
+A hot user with a years-long span generates its grid on one task —
+bound the span or split the window by (user, month) if that bites.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from hadoop_fixedlengthinputformat_spark.registry import query
+from hadoop_fixedlengthinputformat_spark.tables import load_table
+
+
+@query(
+    "ts_gap_fill",
+    oracle="""
+    WITH b AS (
+        SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket,
+               round(sum(value), 4) AS hr_sum
+        FROM events GROUP BY 1, 2
+    ),
+    spans AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM b GROUP BY 1),
+    grid AS (
+        SELECT user_id,
+               unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS bucket
+        FROM spans
+    )
+    SELECT g.user_id, g.bucket,
+           last_value(b.hr_sum IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum
+    FROM grid g
+    LEFT JOIN b ON g.user_id = b.user_id AND g.bucket = b.bucket
+    """,
+)
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample events to an hourly grid per user and forward-fill gaps
+    with the last observed hourly sum (`last(..., ignorenulls=True)` over
+    an unbounded-preceding window)."""
+    ev = load_table(spark, sf_dir, "events")
+    b = (
+        ev.groupBy(
+            "user_id", F.date_trunc("hour", "ts").alias("bucket")
+        ).agg(F.round(F.sum("value"), 4).alias("hr_sum"))
+    )
+    spans = b.groupBy("user_id").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(b, ["user_id", "bucket"], "left")
+        .select(
+            "user_id",
+            "bucket",
+            F.last("hr_sum", ignorenulls=True).over(w).alias("filled_sum"),
+        )
+    )

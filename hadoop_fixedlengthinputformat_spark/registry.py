@@ -48,6 +48,7 @@ def load_all() -> None:
         sort_setops,
         subqueries,
         pivot_stats,
+        timeseries,
     )
     from hadoop_fixedlengthinputformat_spark.functions import (  # noqa: F401
         scalar_queries,
