@@ -49,6 +49,7 @@ def load_all() -> None:
         subqueries,
         pivot_stats,
         timeseries,
+        tpch_composites,
     )
     from hadoop_fixedlengthinputformat_spark.functions import (  # noqa: F401
         scalar_queries,
