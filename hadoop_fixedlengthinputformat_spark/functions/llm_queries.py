@@ -357,7 +357,7 @@ def mm_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                unnest(embedding) AS v
         FROM embeddings
     )
-    SELECT label, ord - 1 AS pos, round(avg(v), 4) AS centroid_v
+    SELECT label, ord - 1 AS pos, round(avg(v), 4) + 0 AS centroid_v
     FROM ex GROUP BY label, ord
     """,
 )
@@ -368,6 +368,8 @@ def llm_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums, never the vectors)."""
     e = load_table(spark, sf_dir, "embeddings")
     ex = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+    # + 0.0 normalizes IEEE -0.0 to 0.0 (centroids of near-zero dims land
+    # on it); -0.0 == 0.0 but hash/sort layers may stringify differently
     return ex.groupBy("label", "pos").agg(
-        F.round(F.avg("v"), 4).alias("centroid_v")
+        (F.round(F.avg("v"), 4) + F.lit(0.0)).alias("centroid_v")
     )

@@ -18,7 +18,10 @@ from pyspark.sql import DataFrame, SparkSession
 from hadoop_fixedlengthinputformat_spark.registry import query
 from hadoop_fixedlengthinputformat_spark.tables import load_table
 
-_REVENUE = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+def _revenue():
+    # built lazily — Column construction needs an active SparkContext,
+    # and this module is imported at registry load (before any session)
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
 def _ts(s: str):
@@ -54,7 +57,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(_REVENUE), 4).alias("revenue"))
+        .agg(F.round(F.sum(_revenue()), 4).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
     )
 
@@ -97,7 +100,7 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(_REVENUE), 4).alias("revenue"))
+        .agg(F.round(F.sum(_revenue()), 4).alias("revenue"))
     )
 
 
@@ -135,7 +138,7 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.round(F.sum(_REVENUE), 4).alias("revenue"))
+        .agg(F.round(F.sum(_revenue()), 4).alias("revenue"))
         .select(
             "c_custkey", "c_name", "revenue",
             F.round("c_acctbal", 4).alias("acctbal"), "n_name",

@@ -53,7 +53,7 @@ def _sort_key(row):
         if v is None:
             out.append((0, ""))
         elif isinstance(v, float):
-            out.append((1, f"{v:.6f}"))
+            out.append((1, f"{v + 0.0:.6f}" if v == 0.0 else f"{v:.6f}"))
         elif isinstance(v, bool):
             out.append((2, str(v)))
         elif isinstance(v, int):
