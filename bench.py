@@ -42,6 +42,10 @@ HEADLINE = [
     "llm_knn_cosine",          # brute-force cosine top-k
     "llm_text_stats",
     "llm_quality_score",
+    "tpch_q5_local_supplier",  # 6-way join composite
+    "subq_scalar_select",      # decorrelated correlated subquery
+    "ts_gap_fill",             # grid expansion + forward-fill window
+    "llm_centroid_per_label",  # posexplode vector mean
 ]
 
 
