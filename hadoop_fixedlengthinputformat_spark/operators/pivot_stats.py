@@ -203,3 +203,30 @@ def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("l_orderkey", "l_extendedprice").alias("cheapest_order"),
         F.max("l_extendedprice").alias("max_price"),
     )
+
+
+@query(
+    "agg_bool_bit",
+    oracle="""
+    SELECT l_returnflag,
+           bool_and(l_quantity > 0) AS all_positive,
+           bool_or(l_discount > 0.09) AS any_big_discount,
+           bit_and(l_linenumber) AS lines_and,
+           bit_or(l_linenumber) AS lines_or,
+           bit_xor(l_orderkey) AS keys_xor
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_bool_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean and bitwise aggregates — single-pass mergeable partials
+    (bit_xor over keys doubles as a cheap order-insensitive checksum,
+    handy for 100 TB partition-level integrity checks)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_big_discount"),
+        F.bit_and("l_linenumber").alias("lines_and"),
+        F.bit_or("l_linenumber").alias("lines_or"),
+        F.bit_xor("l_orderkey").alias("keys_xor"),
+    )

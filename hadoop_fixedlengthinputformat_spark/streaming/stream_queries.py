@@ -299,3 +299,22 @@ def stream_custom_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("max_value", 4).alias("max_value"),
         )
     )
+
+
+@query(
+    "stream_static_join",
+    oracle="""
+    SELECT event_id, event_type, n_name AS region_name
+    FROM events JOIN nation ON n_nationkey = user_id % 25
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against a static
+    dimension (broadcast per micro-batch — the static side never enters
+    the state store, so this is stateless and append-safe)."""
+    src = _read_stream(spark, _events_stream_dir(spark, sf_dir, False))
+    dim = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = src.join(
+        F.broadcast(dim), dim.n_nationkey == src.user_id % 25
+    ).select("event_id", "event_type", F.col("n_name").alias("region_name"))
+    return _run_to_table(joined, "append")
