@@ -230,3 +230,29 @@ def sink_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(
         "o_orderkey bigint, o_custkey bigint, o_orderstatus string, total double"
     ).json(out)
+
+
+@query(
+    "scan_binary_records_rdd",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_binary_records_rdd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 1:1 RDD form (SURVEY §1.3): ``sc.binaryRecords`` — Spark's
+    built-in FixedLengthBinaryInputFormat, itself descended from the
+    reference patch via MAPREDUCE-1176 — bridged to a DataFrame of one
+    BinaryType column, then decoded with JVM-side substring+trim+cast
+    (no Python in the decode path).  Kept as the fallback for
+    environments without the Python Data Source API; the ``fixedlen``
+    source is the primary path (typed, Arrow-vectorized, offset/slice
+    keys, split policy under our control)."""
+    configure(spark)
+    path = fixture_gen.fixed_file_for(sf_dir, "nation")
+    record_length, spec, _ = fixture_gen.LAYOUTS["nation"]
+    rdd = spark.sparkContext.binaryRecords(path, record_length)
+    df = spark.createDataFrame(rdd.map(lambda b: (b,)), "value binary")
+    rec = F.col("value").cast("string")
+    return df.select(
+        F.trim(F.substring(rec, 1, 5)).cast("int").alias("n_nationkey"),
+        F.trim(F.substring(rec, 6, 30)).alias("n_name"),
+        F.trim(F.substring(rec, 36, 5)).cast("int").alias("n_regionkey"),
+    )
