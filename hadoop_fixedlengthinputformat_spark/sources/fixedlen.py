@@ -66,7 +66,11 @@ from hadoop_fixedlengthinputformat_spark.sources.layout import (
 )
 
 DEFAULT_MAX_PARTITION_BYTES = 128 * 1024 * 1024
-READ_CHUNK_TARGET = 4 * 1024 * 1024  # bytes per emitted Arrow batch (aligned)
+# bytes per emitted Arrow batch (record-aligned).  Measured at sf0.1:
+# 16 MB beats 4 MB by ~13% (fewer per-batch python/Arrow round trips);
+# peak per-task memory stays ~3x chunk (raw + decoded columns), fine for
+# 32 concurrent tasks per typical executor.
+READ_CHUNK_TARGET = 16 * 1024 * 1024
 
 
 @dataclass
