@@ -373,3 +373,10 @@ def llm_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.groupBy("label", "pos").agg(
         (F.round(F.avg("v"), 4) + F.lit(0.0)).alias("centroid_v")
     )
+
+
+@query("mm_image_resize")  # codec stubbed (multimodal.py) — rows-only
+def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = multimodal.attach_fake_media(d)
+    return multimodal.resize_images(media, out_w=224, out_h=224)

@@ -100,3 +100,43 @@ def sample_audio_frames(
             yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "rms"])
 
     return df.select(id_col, "media").mapInPandas(sample, AUDIO_FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, width int, height int, out_width int, out_height int, "
+    "out_bytes int"
+)
+
+
+def resize_images(
+    df: DataFrame, out_w: int, out_h: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Resize stage (kernel STUBBED — no image libs in this container; a
+    real deployment swaps ``_fake_resize`` for PIL/cv2).  The Spark
+    plumbing is real: Arrow-batched mapInPandas, stateless per batch,
+    output size metadata only — at 100 TB the resized payloads would be
+    written straight to an object-store sink from the same task, never
+    shuffled."""
+
+    def _fake_resize(payload: bytes) -> tuple[int, int, int]:
+        w, h, _c, _luma = _fake_decode(payload)
+        # deterministic fake: output byte count scales with target area
+        return w, h, out_w * out_h * 3
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            dims = [_fake_resize(bytes(m)) for m in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values,
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "out_width": out_w,
+                    "out_height": out_h,
+                    "out_bytes": [d[2] for d in dims],
+                }
+            )
+
+    return df.select(id_col, "media").mapInPandas(run, RESIZE_SCHEMA)

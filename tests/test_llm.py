@@ -118,3 +118,21 @@ def test_multimodal_audio_frames_expansion(spark):
     ).collect()
     assert len(frames) == 4
     assert [f.frame_idx for f in frames] == [0, 1, 2, 3]
+
+
+def test_multimodal_resize_schema_and_values(spark):
+    from hadoop_fixedlengthinputformat_spark.functions import multimodal
+    from hadoop_fixedlengthinputformat_spark.tables import load_table
+    import pyspark.sql.functions as F
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").filter(
+        F.col("doc_id") < 20
+    )
+    out = multimodal.resize_images(
+        multimodal.attach_fake_media(d), out_w=224, out_h=224
+    )
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(r.out_width == 224 and r.out_height == 224 for r in rows)
+    assert all(r.out_bytes == 224 * 224 * 3 for r in rows)
+    assert all(r.width > 0 and r.height > 0 for r in rows)
