@@ -256,3 +256,19 @@ def scan_binary_records_rdd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.trim(F.substring(rec, 6, 30)).alias("n_name"),
         F.trim(F.substring(rec, 36, 5)).cast("int").alias("n_regionkey"),
     )
+
+
+@query(
+    "sink_orc",
+    oracle="SELECT s_suppkey, s_name, s_nationkey FROM supplier",
+)
+def sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write + re-read round trip (the third columnar format beside
+    parquet; schema travels with the file, no explicit read schema
+    needed)."""
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    out = os.path.join(tempfile.gettempdir(), "flif_sink_orc")
+    s.write.mode("overwrite").orc(out)
+    return spark.read.orc(out)
