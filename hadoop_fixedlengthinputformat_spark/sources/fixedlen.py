@@ -45,6 +45,7 @@ import pyarrow as pa
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -409,6 +410,54 @@ class FixedLenStreamReader(SimpleDataSourceStreamReader):
         pass
 
 
+class FixedLenPartitionedStreamReader(DataSourceStreamReader):
+    """Partitioned streaming variant (option ``partitionedStream=true``):
+    executors read the new byte ranges in parallel, unlike the Simple
+    reader whose reads run on the driver.
+
+    An offset is ``{"pos": byte position of the next unread record}``
+    over the uncompressed logical stream of ONE growing file; each
+    micro-batch covers ``[start.pos, end.pos)`` split into record-aligned
+    ranges by the same ``_plan_file`` arithmetic as the batch reader
+    (FixedLengthInputFormat.java:276-298).  Only whole records are ever
+    exposed — the split-alignment invariant carried into streaming."""
+
+    def __init__(self, opts: _Options, path: str):
+        if path.endswith(".gz"):
+            raise ValueError("fixedlen: streaming does not support gzip input")
+        self.opts = opts
+        self.path = path
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def latestOffset(self) -> dict:
+        rl = self.opts.record_length
+        size = os.path.getsize(self.path) if os.path.exists(self.path) else 0
+        return {"pos": size - (size % rl)}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["pos"], end["pos"]
+        if hi <= lo:
+            return [FixedLenPartition("", 0, 0)]
+        rl = self.opts.record_length
+        split = max(rl, (self.opts.max_partition_bytes // rl) * rl)
+        return [
+            FixedLenPartition(self.path, s, min(s + split, hi))
+            for s in range(lo, hi, split)
+        ]
+
+    def read(self, partition: FixedLenPartition):
+        # executor-side: identical decode path to the batch reader
+        return FixedLengthReader(self.opts, self.path).read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    def stop(self) -> None:
+        pass
+
+
 class FixedLengthDataSource(DataSource):
     """spark.read.format("fixedlen") — see module docstring for options."""
 
@@ -433,6 +482,21 @@ class FixedLengthDataSource(DataSource):
         if not self.path:
             raise ValueError("fixedlen: save(path) is required")
         return FixedLengthWriter(self.opts, self.path, overwrite)
+
+    def streamReader(self, schema: StructType) -> FixedLenPartitionedStreamReader:
+        # opt-in executor-parallel streaming; Spark's _streamReader falls
+        # back to simpleStreamReader only on PySparkNotImplementedError
+        # (the builtin NotImplementedError crashes the source runner)
+        if self.options.get("partitionedstream", "false").lower() != "true":
+            from pyspark.errors import PySparkNotImplementedError
+
+            raise PySparkNotImplementedError(
+                errorClass="NOT_IMPLEMENTED",
+                messageParameters={"feature": "partitionedStream not requested"},
+            )
+        if not self.path:
+            raise ValueError("fixedlen: load(path) is required")
+        return FixedLenPartitionedStreamReader(self.opts, self.path)
 
     def simpleStreamReader(self, schema: StructType) -> FixedLenStreamReader:
         if not self.path:

@@ -318,3 +318,28 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(dim), dim.n_nationkey == src.user_id % 25
     ).select("event_id", "event_type", F.col("n_name").alias("region_name"))
     return _run_to_table(joined, "append")
+
+
+@query(
+    "stream_fixedlen_partitioned",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def stream_fixedlen_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executor-parallel fixedlen streaming (partitionedStream=true): each
+    micro-batch's byte range is split into record-aligned partitions read
+    on executors (DataSourceStreamReader), vs the driver-side Simple
+    reader of stream_fixedlen_tail.  Content must equal the batch table."""
+    from hadoop_fixedlengthinputformat_spark.sources import fixedlen, fixture_gen
+
+    fixedlen.register(spark)
+    path = fixture_gen.fixed_file_for(sf_dir, "nation")
+    record_length, spec, _ = fixture_gen.LAYOUTS["nation"]
+    src = (
+        spark.readStream.format("fixedlen")
+        .option("recordLength", str(record_length))
+        .option("layout", spec)
+        .option("partitionedStream", "true")
+        .option("includeOffset", "false")
+        .load(path)
+    )
+    return _run_to_table(src, "append")

@@ -142,3 +142,33 @@ def test_gzip_streaming_rejected(spark, tmp_path):
         (spark.readStream.format("fixedlen").option("recordLength", "8")
          .load(path).writeStream.format("noop")
          .trigger(availableNow=True).start().awaitTermination())
+
+
+def test_partitioned_stream_matches_batch(spark, tmp_path):
+    """partitionedStream=true: executor-parallel micro-batch reads must
+    deliver exactly the batch content (whole records, correct offsets)."""
+    payload = b"".join(f"{i:08d}".encode() for i in range(500))
+    path = _write(tmp_path, "ps.bin", payload)
+    fixedlen.register(spark)
+    src = (
+        spark.readStream.format("fixedlen")
+        .option("recordLength", "8")
+        .option("layout", "v:0:8:long")
+        .option("partitionedStream", "true")
+        .option("maxPartitionBytes", "256")  # force many range partitions
+        .load(path)
+    )
+    import os as _os
+    import uuid as _uuid
+
+    name = f"ps_mem_{_uuid.uuid4().hex[:8]}"
+    q = (
+        src.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", _os.path.join(str(tmp_path), "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = spark.table(name).collect()
+    assert len(rows) == 500
+    assert sorted(r.v for r in rows) == list(range(500))
+    assert sorted(r.record_offset for r in rows) == [i * 8 for i in range(500)]
