@@ -4,12 +4,16 @@ The reference emits records in file order with no time semantics
 (SURVEY.md §2.2); these are engine extensions for the telemetry-shaped
 data the streaming family (§2.3-H) also consumes.
 
-Scale notes: the grid expansion is `sequence()` + `explode` per user —
-generated rows never shuffle (the explode sits on the already
-user-partitioned span aggregate), and the forward-fill window reuses the
-same user partitioning, so the whole plan is ONE shuffle on user_id.
-A hot user with a years-long span generates its grid on one task —
-bound the span or split the window by (user, month) if that bites.
+Scale notes (verified plan at sf0.01): two exchanges, both over
+PRE-AGGREGATED data — the hourly sums (|users x hours| rows) and the
+per-user spans (|users| rows); raw events shuffle zero times.  The grid
+explode sits on the user-partitioned span aggregate and the forward-fill
+window reuses that same partitioning (no extra exchange).  Locally the
+hourly aggregate broadcasts into the grid join; at 100 TB it exceeds the
+broadcast threshold and AQE picks a sort-merge join on (user, bucket) —
+still aggregate-sized.  A hot user with a years-long span generates its
+grid on one task — bound the span or split the fill by (user, month) if
+that bites.
 """
 
 from __future__ import annotations
