@@ -380,3 +380,33 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     media = multimodal.attach_fake_media(d)
     return multimodal.resize_images(media, out_w=224, out_h=224)
+
+
+@query(
+    "llm_incremental_dedup",
+    oracle="""
+    SELECT doc_id, md5(text) AS text_md5
+    FROM documents new_docs
+    WHERE doc_id > 150
+      AND NOT EXISTS (
+          SELECT 1 FROM documents corpus
+          WHERE corpus.doc_id <= 150 AND md5(corpus.text) = md5(new_docs.text)
+      )
+    """,
+)
+def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: new documents anti-joined on content
+    hash against the already-ingested corpus — the continuous
+    training-data pattern (at 100 TB the corpus side is a hash-bucketed
+    table of digests only, so the anti-join shuffles 16-byte keys, never
+    text)."""
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") <= 150).select(
+        F.md5(F.col("text").cast("binary")).alias("corpus_md5")
+    )
+    new_docs = d.filter(F.col("doc_id") > 150).select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("text_md5")
+    )
+    return new_docs.join(
+        corpus, new_docs.text_md5 == corpus.corpus_md5, "left_anti"
+    )

@@ -272,3 +272,28 @@ def sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(tempfile.gettempdir(), "flif_sink_orc")
     s.write.mode("overwrite").orc(out)
     return spark.read.orc(out)
+
+
+@query(
+    "sink_parquet_partitioned",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 4) AS total, o_orderstatus
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned write (partitionBy o_orderstatus) + re-read
+    with a partition-column filter.  At 100 TB this is THE layout lever:
+    the filter prunes directories at planning time (PartitionFilters in
+    the scan, asserted in tests) so non-matching partitions are never
+    listed, opened, or read."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round("o_totalprice", 4).alias("total"), "o_orderstatus"
+    )
+    out = os.path.join(tempfile.gettempdir(), "flif_sink_part_parquet")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "total", F.col("o_orderstatus").cast("string").alias("o_orderstatus"))
+    )

@@ -79,3 +79,17 @@ def test_bucketed_join_no_shuffle(spark, sf_dir):
     )
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan
+
+
+def test_partitioned_sink_prunes_partitions(spark, sf_dir):
+    """The o_orderstatus='F' filter must appear as a PartitionFilter on
+    the partitioned-parquet scan (directory pruning, not data filtering)."""
+    plan = (
+        QUERIES["sink_parquet_partitioned"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "o_orderstatus" in m.group(1), plan[:2000]
