@@ -82,6 +82,7 @@ class _Options:
     with_offset: bool
     malformed_tail: str  # "fail" | "drop"
     max_partition_bytes: int
+    decode_mode: str = "failfast"  # or "permissive": null malformed fields
 
     @classmethod
     def parse(cls, options) -> "_Options":
@@ -129,8 +130,13 @@ class _Options:
         malformed = options.get("malformedtail", "fail").lower()
         if malformed not in ("fail", "drop"):
             raise ValueError("fixedlen: malformedTail must be 'fail' or 'drop'")
+        mode = options.get("mode", "failfast").lower()
+        if mode not in ("failfast", "permissive"):
+            raise ValueError("fixedlen: mode must be 'failfast' or 'permissive'")
         mpb = int(options.get("maxpartitionbytes", DEFAULT_MAX_PARTITION_BYTES))
-        return cls(record_length, key_bounds, fields, with_offset, malformed, mpb)
+        return cls(
+            record_length, key_bounds, fields, with_offset, malformed, mpb, mode
+        )
 
     def spark_schema(self) -> StructType:
         out: list[StructField] = []
@@ -301,6 +307,7 @@ class FixedLengthReader(DataSourceReader):
                     o.with_offset,
                     o.key_bounds,
                     schema,
+                    permissive=o.decode_mode == "permissive",
                 )
                 offset += len(chunk)
 
@@ -397,6 +404,7 @@ class FixedLenStreamReader(SimpleDataSourceStreamReader):
             batch = decode_chunk(
                 chunk, rl, self.opts.fields, offset,
                 self.opts.with_offset, self.opts.key_bounds, schema,
+                permissive=self.opts.decode_mode == "permissive",
             )
             rows.extend(tuple(r.values()) for r in batch.to_pylist())
             offset += len(chunk)

@@ -107,8 +107,22 @@ def _slice_bytes(mat: np.ndarray, start: int, length: int) -> np.ndarray:
     return sl.view(f"S{length}").ravel()
 
 
-def decode_field(mat: np.ndarray, f: FieldSpec) -> pa.Array:
-    """Vectorized decode of one field column from the record matrix."""
+_VALID_RE = {
+    "int": r"^[+-]?[0-9]+$",
+    "long": r"^[+-]?[0-9]+$",
+    "double": r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?$",
+    "date": r"^[0-9]{4}-(0[1-9]|1[0-2])-(0[1-9]|[12][0-9]|3[01])$",
+}
+
+
+def decode_field(mat: np.ndarray, f: FieldSpec, permissive: bool = False) -> pa.Array:
+    """Vectorized decode of one field column from the record matrix.
+
+    permissive=True nulls malformed values (pattern-masked before the
+    cast, so one garbage record can't fail a 128 MB task) instead of the
+    default failfast error — the reference has no notion of malformed
+    fields because it never decodes any (FixedLengthInputFormat.java:38-43).
+    """
     raw = pa.array(_slice_bytes(mat, f.start, f.length))
     s = pc.cast(raw, pa.string())
     base = f.base_type
@@ -116,6 +130,9 @@ def decode_field(mat: np.ndarray, f: FieldSpec) -> pa.Array:
         # values are right-padded with spaces (FixedLengthInputFormat.java:42-43)
         return pc.utf8_rtrim(s, characters=" ")
     trimmed = pc.utf8_trim(s, characters=" ")
+    if permissive:
+        mask = pc.match_substring_regex(trimmed, _VALID_RE[base])
+        trimmed = pc.if_else(mask, trimmed, pa.scalar(None, pa.string()))
     if base in ("int", "long"):
         # zero-padded ints; arrow parses leading zeros / sign directly
         return pc.cast(trimmed, f.arrow_type())
@@ -135,6 +152,7 @@ def decode_chunk(
     with_offset: bool,
     key_bounds: tuple[int, int] | None,
     arrow_schema: pa.Schema,
+    permissive: bool = False,
 ) -> pa.RecordBatch:
     """Decode one record-aligned byte chunk into an Arrow RecordBatch.
 
@@ -157,7 +175,7 @@ def decode_chunk(
         cols.append(pa.array(_slice_bytes(mat, 0, record_length)))
     else:
         for f in fields:
-            cols.append(decode_field(mat, f))
+            cols.append(decode_field(mat, f, permissive=permissive))
     return pa.RecordBatch.from_arrays(cols, schema=arrow_schema)
 
 

@@ -172,3 +172,31 @@ def test_partitioned_stream_matches_batch(spark, tmp_path):
     assert len(rows) == 500
     assert sorted(r.v for r in rows) == list(range(500))
     assert sorted(r.record_offset for r in rows) == [i * 8 for i in range(500)]
+
+
+def test_permissive_mode_nulls_malformed_fields(spark, tmp_path):
+    """mode=permissive: garbage int/double/date values decode to NULL
+    instead of failing the task; failfast (default) raises."""
+    recs = (
+        b"00042" + b"3.14      " + b"2024-01-15" +  # clean
+        b"00x13" + b"oops      " + b"2024-13-99" +  # all three malformed
+        b"     " + b"          " + b"2024-02-29"    # empty int/double
+    )
+    path = _write(tmp_path, "perm.bin", recs)
+    layout = "k:0:5:int,v:5:10:double,d:15:10:date"
+    with pytest.raises(Exception):
+        _read(spark, path, 25, layout=layout).collect()
+    rows = sorted(
+        _read(spark, path, 25, layout=layout, mode="permissive").collect(),
+        key=lambda r: r.record_offset,
+    )
+    assert rows[0].k == 42 and abs(rows[0].v - 3.14) < 1e-9
+    assert rows[1].k is None and rows[1].v is None and rows[1].d is None
+    assert rows[2].k is None and rows[2].v is None
+    assert str(rows[2].d) == "2024-02-29"
+
+
+def test_permissive_mode_rejects_bad_value(spark, tmp_path):
+    path = _write(tmp_path, "perm2.bin", b"x" * 80)
+    with pytest.raises(Exception, match="mode"):
+        _read(spark, path, 8, mode="lenient").collect()
