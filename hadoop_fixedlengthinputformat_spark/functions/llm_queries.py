@@ -410,3 +410,49 @@ def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return new_docs.join(
         corpus, new_docs.text_md5 == corpus.corpus_md5, "left_anti"
     )
+
+
+@query(
+    "llm_pipeline_clean",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, text, lang, n_chars,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    gated AS (
+        SELECT * FROM scored
+        WHERE lang IN ('en', 'es') AND n_chars >= 60
+          AND n_tokens BETWEEN 8 AND 10000
+    ),
+    survivors AS (
+        SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)
+    )
+    SELECT g.doc_id, g.lang, g.n_tokens, g.n_chars
+    FROM gated g JOIN survivors USING (doc_id)
+    """,
+)
+def llm_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning composed from the J-family primitives:
+    language gate -> length/token quality gates -> exact dedup (keep min
+    doc_id per content hash).  The shape a training-data prep job
+    actually runs; every stage is a narrow filter except the one
+    dedup shuffle on the content hash, so at 100 TB the pipeline cost is
+    ~one pass over the corpus plus a digest-keyed exchange."""
+    d = load_table(spark, sf_dir, "documents")
+    gated = (
+        d.withColumn("n_tokens", F.size(F.split("text", " ")))
+        .filter(
+            F.col("lang").isin("en", "es")
+            & (F.col("n_chars") >= 60)
+            & F.col("n_tokens").between(8, 10000)
+        )
+    )
+    survivors = (
+        gated.groupBy(F.md5(F.col("text").cast("binary")).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return gated.join(survivors, "doc_id", "left_semi").select(
+        "doc_id", "lang", "n_tokens", "n_chars"
+    )
