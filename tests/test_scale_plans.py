@@ -1,0 +1,51 @@
+"""Scale-behavior plan assertions: proves the mitigations the scale
+notes claim (plans/NOTES.md) actually engage on this Spark build."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+
+SKEW_CONFS = {
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+@pytest.fixture
+def skew_confs(spark):
+    saved = {k: spark.conf.get(k, None) for k in SKEW_CONFS}
+    for k, v in SKEW_CONFS.items():
+        spark.conf.set(k, v)
+    yield
+    for k, v in saved.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_partition(spark, skew_confs):
+    """A hot key holding half the rows must trigger AQE's skew-join split
+    (SortMergeJoin(skew=true) + AQEShuffleRead skewed) — the runtime
+    mitigation NOTES.md relies on for fact-fact joins at 100 TB.
+    Thresholds are shrunk so the 400 K-row fixture crosses them."""
+    big = spark.range(400_000).select(
+        F.when(F.col("id") < 200_000, 0)
+        .otherwise((F.col("id") % 999) + 1)
+        .alias("k"),
+        F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("payload"),
+    )
+    small = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    j = big.join(small.hint("merge"), "k")
+    rows = j.collect()  # execute THIS queryExecution so AQE finalizes it
+    assert len(rows) == 400_000
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "SortMergeJoin(skew=true)" in plan
+    assert "skewed" in plan  # AQEShuffleRead coalesced and skewed
