@@ -244,7 +244,14 @@ def stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_table(agg, "complete")
 
 
-@query("stream_fixedlen_tail")  # our fixedlen streaming source — rows-only
+@query(
+    "stream_fixedlen_tail",
+    oracle="""
+    SELECT (ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1) * 40 AS record_offset,
+           n_nationkey, n_name
+    FROM nation
+    """,
+)
 def stream_fixedlen_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tail a fixed-width file with the fixedlen SimpleDataSourceStreamReader
     (whole-record alignment carried into streaming)."""
