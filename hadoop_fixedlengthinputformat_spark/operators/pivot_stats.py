@@ -106,7 +106,7 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(stddev_samp(l_quantity), 4) AS sd_qty,
            round(var_samp(l_extendedprice), 2) AS var_price,
            round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-           round(covar_samp(l_discount, l_tax), 6) AS cov_disc_tax
+           round(covar_samp(l_discount, l_tax), 6) + 0 AS cov_disc_tax
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -118,7 +118,10 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
         F.round(F.var_samp("l_extendedprice"), 2).alias("var_price"),
         F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
-        F.round(F.covar_samp("l_discount", "l_tax"), 6).alias("cov_disc_tax"),
+        # + 0.0 normalizes a possible IEEE -0.0 (near-independent columns)
+        (F.round(F.covar_samp("l_discount", "l_tax"), 6) + F.lit(0.0)).alias(
+            "cov_disc_tax"
+        ),
     )
 
 
