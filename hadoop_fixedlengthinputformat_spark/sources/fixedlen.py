@@ -163,17 +163,19 @@ class _Options:
         return pa.schema(cols)
 
 
+def _visible(p: str) -> bool:
+    # skip _SUCCESS / .part-*.crc and other marker files regardless of
+    # whether the input was given as a directory or a glob
+    return os.path.isfile(p) and not os.path.basename(p).startswith(("_", "."))
+
+
 def _list_files(path: str) -> list[str]:
     if os.path.isdir(path):
-        names = sorted(
-            p
-            for p in _glob.glob(os.path.join(path, "*"))
-            if os.path.isfile(p) and not os.path.basename(p).startswith(("_", "."))
-        )
+        names = sorted(filter(_visible, _glob.glob(os.path.join(path, "*"))))
     elif os.path.isfile(path):
         names = [path]
     else:
-        names = sorted(p for p in _glob.glob(path) if os.path.isfile(p))
+        names = sorted(filter(_visible, _glob.glob(path)))
     if not names:
         raise FileNotFoundError(f"fixedlen: no input files at {path!r}")
     return names
@@ -341,24 +343,46 @@ class FixedLengthWriter(DataSourceWriter):
     (SURVEY.md §2.2) — this sink closes the round-trip.  One file per
     input partition, records encoded via the layout."""
 
+    # rows encoded + flushed per slice of this size so the worker never
+    # holds a whole partition's rows AND its encoded bytes at once
+    WRITE_BATCH_ROWS = 10_000
+
     def __init__(self, opts: _Options, path: str, overwrite: bool):
         if opts.fields is None:
             raise ValueError("fixedlen write requires a 'layout' option")
         self.opts = opts
         self.path = path
-        self.overwrite = overwrite
+        # driver-side: clear stale part files now, BEFORE tasks run —
+        # a narrower overwrite (fewer partitions) must not leave old
+        # part-NNNNN.fixed files mixed into the new dataset
+        if overwrite and os.path.isdir(path):
+            for fn in os.listdir(path):
+                if fn.startswith("part-") and fn.endswith(".fixed"):
+                    os.remove(os.path.join(path, fn))
 
     def write(self, iterator) -> _CommitMessage:
         from pyspark import TaskContext
 
         os.makedirs(self.path, exist_ok=True)
         pid = TaskContext.get().partitionId()
-        rows = [row.asDict() for row in iterator]
-        payload = encode_rows(rows, self.opts.fields, self.opts.record_length)
         out = os.path.join(self.path, f"part-{pid:05d}.fixed")
+        n = 0
         with open(out, "wb") as f:
-            f.write(payload)
-        return _CommitMessage(out, len(rows))
+            batch: list[dict] = []
+            for row in iterator:
+                batch.append(row.asDict())
+                if len(batch) >= self.WRITE_BATCH_ROWS:
+                    f.write(
+                        encode_rows(batch, self.opts.fields, self.opts.record_length)
+                    )
+                    n += len(batch)
+                    batch = []
+            if batch:
+                f.write(
+                    encode_rows(batch, self.opts.fields, self.opts.record_length)
+                )
+                n += len(batch)
+        return _CommitMessage(out, n)
 
     def commit(self, messages):
         pass
@@ -386,20 +410,15 @@ class FixedLenStreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self):
         return {"pos": 0}
 
-    def read(self, start: dict):
-        pos = start["pos"]
+    def _rows(self, lo: int, hi: int):
         rl = self.opts.record_length
-        size = os.path.getsize(self.path) if os.path.exists(self.path) else 0
-        usable = size - (size % rl)
-        if usable <= pos:
-            return iter(()), {"pos": pos}
         with open(self.path, "rb") as f:
             chunks = list(
-                _read_aligned(f, pos, usable, max(1, READ_CHUNK_TARGET // rl), rl)
+                _read_aligned(f, lo, hi, max(1, READ_CHUNK_TARGET // rl), rl)
             )
         schema = self.opts.arrow_schema()
         rows: list[tuple] = []
-        offset = pos
+        offset = lo
         for chunk in chunks:
             batch = decode_chunk(
                 chunk, rl, self.opts.fields, offset,
@@ -408,11 +427,26 @@ class FixedLenStreamReader(SimpleDataSourceStreamReader):
             )
             rows.extend(tuple(r.values()) for r in batch.to_pylist())
             offset += len(chunk)
-        return iter(rows), {"pos": usable}
+        return iter(rows)
+
+    def read(self, start: dict):
+        pos = start["pos"]
+        rl = self.opts.record_length
+        size = os.path.getsize(self.path) if os.path.exists(self.path) else 0
+        usable = size - (size % rl)
+        if usable <= pos:
+            return iter(()), {"pos": pos}
+        return self._rows(pos, usable), {"pos": usable}
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        it, _ = self.read(start)
-        return it
+        # replay path after a restart: must honor END, not the file's
+        # current size — the file may have grown since the batch was
+        # planned, and re-emitting the growth here would duplicate it in
+        # the next batch
+        lo, hi = start["pos"], end["pos"]
+        if hi <= lo:
+            return iter(())
+        return self._rows(lo, hi)
 
     def commit(self, end: dict):
         pass

@@ -140,6 +140,20 @@ def decode_field(mat: np.ndarray, f: FieldSpec, permissive: bool = False) -> pa.
         return pc.cast(trimmed, pa.float64())
     if base == "date":
         ts = pc.strptime(trimmed, format="%Y-%m-%d", unit="s")
+        # Arrow strptime silently ROLLS OVER calendar-invalid dates
+        # (2021-04-31 -> 2021-05-01); round-trip to catch them
+        back = pc.strftime(ts, format="%Y-%m-%d")
+        bad = pc.and_kleene(
+            pc.invert(pc.equal(back, trimmed)), pc.is_valid(trimmed)
+        )
+        if pc.any(bad).as_py():
+            if not permissive:
+                raise ValueError(
+                    f"fixedlen: calendar-invalid date in field {f.name!r} "
+                    f"(e.g. {trimmed.filter(bad)[0].as_py()!r}); "
+                    "use mode=permissive to null malformed values"
+                )
+            ts = pc.if_else(bad, pa.scalar(None, ts.type), ts)
         return pc.cast(ts, pa.date32())
     raise AssertionError(f"unreachable type {f.ftype}")
 

@@ -200,3 +200,70 @@ def test_permissive_mode_rejects_bad_value(spark, tmp_path):
     path = _write(tmp_path, "perm2.bin", b"x" * 80)
     with pytest.raises(Exception, match="mode"):
         _read(spark, path, 8, mode="lenient").collect()
+
+
+def test_overwrite_removes_stale_part_files(spark, tmp_path):
+    """A narrower overwrite (fewer partitions) must not leave old part
+    files mixed into the new dataset."""
+    fixedlen.register(spark)
+    out = os.path.join(str(tmp_path), "ow")
+
+    def write(df):
+        (df.write.format("fixedlen").option("recordLength", "16")
+         .option("layout", "k:0:8:long,v:8:8:long").mode("overwrite").save(out))
+
+    wide = spark.range(40).selectExpr("id AS k", "id * 2 AS v").repartition(4)
+    write(wide)
+    narrow = spark.range(10).selectExpr("id AS k", "id * 3 AS v").coalesce(1)
+    write(narrow)
+    df = (spark.read.format("fixedlen").option("recordLength", "16")
+          .option("layout", "k:0:8:long,v:8:8:long")
+          .option("includeOffset", "false").load(out))
+    rows = df.collect()
+    assert len(rows) == 10
+    assert all(r.v == r.k * 3 for r in rows)
+
+
+def test_permissive_calendar_invalid_date_nulled(spark, tmp_path):
+    """Regex-passing but calendar-invalid dates (2021-04-31) must null in
+    permissive mode, not fail the chunk."""
+    recs = b"2024-01-15" + b"2021-04-31" + b"2021-02-30" + b"2024-02-29"
+    path = _write(tmp_path, "cal.bin", recs)
+    rows = sorted(
+        _read(spark, path, 10, layout="d:0:10:date", mode="permissive").collect(),
+        key=lambda r: r.record_offset,
+    )
+    assert str(rows[0].d) == "2024-01-15"
+    assert rows[1].d is None and rows[2].d is None
+    assert str(rows[3].d) == "2024-02-29"
+
+
+def test_glob_skips_marker_files(spark, tmp_path):
+    """Glob input must skip _SUCCESS / .crc marker files like the
+    directory branch does."""
+    _write(tmp_path, "a.bin", b"!1234567" * 4)
+    _write(tmp_path, "_SUCCESS", b"")
+    _write(tmp_path, ".a.bin.crc", b"xyz")  # size not a record multiple
+    df = _read(spark, os.path.join(str(tmp_path), "*"), 8)
+    assert df.count() == 4
+
+
+def test_stream_read_between_offsets_honors_end(spark, tmp_path):
+    """Replay of a planned batch must stop at END even if the file grew."""
+    from hadoop_fixedlengthinputformat_spark.sources.fixedlen import (
+        FixedLenStreamReader,
+        _Options,
+    )
+
+    path = _write(tmp_path, "replay.bin", b"x" * 80)  # 10 records of 8
+    opts = _Options(8, None, None, True, "fail", 1 << 20)
+    r = FixedLenStreamReader(opts, path)
+    replay = list(r.readBetweenOffsets({"pos": 0}, {"pos": 40}))
+    assert len(replay) == 5  # not 10: the growth beyond END is excluded
+    assert [t[0] for t in replay] == [0, 8, 16, 24, 32]
+
+
+def test_failfast_rejects_calendar_invalid_date(spark, tmp_path):
+    path = _write(tmp_path, "cal2.bin", b"2021-04-31")
+    with pytest.raises(Exception, match="calendar-invalid"):
+        _read(spark, path, 10, layout="d:0:10:date").collect()
