@@ -107,3 +107,36 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = _nation_slice(spark, sf_dir, [0, 1])
     b = _nation_slice(spark, sf_dir, [1, 2])
     return a.exceptAll(b)
+
+
+@query(
+    "set_except_all",
+    oracle="""
+    SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity >= 10
+    EXCEPT ALL
+    SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity >= 30
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics difference (exceptAll keeps multiplicities:
+    count(a) - count(b) copies survive, vs except's set semantics)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") >= 10).select("l_returnflag", "l_linestatus")
+    b = li.filter(F.col("l_quantity") >= 30).select("l_returnflag", "l_linestatus")
+    return a.exceptAll(b)
+
+
+@query(
+    "set_intersect_all",
+    oracle="""
+    SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity >= 10
+    INTERSECT ALL
+    SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity >= 30
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics intersection (min(count(a), count(b)) copies)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") >= 10).select("l_returnflag", "l_linestatus")
+    b = li.filter(F.col("l_quantity") >= 30).select("l_returnflag", "l_linestatus")
+    return a.intersectAll(b)
