@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import statistics
 import sys
 import time
@@ -61,7 +62,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry_mod.queries()
 
-    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    m = re.search(r"sf([0-9.]+)/?$", SF_DIR)
+    sf = float(m.group(1)) if m else 0.0
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
@@ -82,7 +84,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf),
+                "sf": sf,
                 "cpus": CPUS,
             }
         )

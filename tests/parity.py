@@ -133,7 +133,6 @@ def run(sf_dir: str, only: list[str] | None = None) -> dict[str, list[str]]:
             else:
                 n = df.count()
                 results[name] = [] if n >= 0 else ["negative count?"]
-                results[name].append(f"rows-only: {n} rows") if False else None
         except Exception as exc:  # noqa: BLE001
             results[name] = [f"EXCEPTION: {type(exc).__name__}: {exc}"]
     return results

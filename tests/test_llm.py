@@ -120,14 +120,10 @@ def test_multimodal_audio_frames_expansion(spark):
     assert [f.frame_idx for f in frames] == [0, 1, 2, 3]
 
 
-def test_multimodal_resize_schema_and_values(spark):
-    from hadoop_fixedlengthinputformat_spark.functions import multimodal
+def test_multimodal_resize_schema_and_values(spark, sf_dir):
     from hadoop_fixedlengthinputformat_spark.tables import load_table
-    import pyspark.sql.functions as F
 
-    d = load_table(spark, "/root/testdata/sf0.001", "documents").filter(
-        F.col("doc_id") < 20
-    )
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
     out = multimodal.resize_images(
         multimodal.attach_fake_media(d), out_w=224, out_h=224
     )

@@ -40,12 +40,9 @@ def test_query_parity(spark, sf_dir, con, name):
         assert df.count() >= 0  # rows-only: runs and has a stable schema
 
 
-def test_approx_distinct_tolerance(spark, sf_dir):
+def test_approx_distinct_tolerance(spark, sf_dir, con):
     """agg_approx_distinct has no oracle; assert within 5% of exact."""
     row = QUERIES["agg_approx_distinct"](spark, sf_dir).collect()[0]
-    import duckdb
-
-    con = parity.duck_con(sf_dir)
     exact_parts, exact_orders = con.execute(
         "SELECT count(DISTINCT l_partkey), count(DISTINCT l_orderkey) FROM lineitem"
     ).fetchone()
@@ -53,13 +50,12 @@ def test_approx_distinct_tolerance(spark, sf_dir):
     assert abs(row.approx_orders - exact_orders) <= 0.05 * exact_orders
 
 
-def test_approx_percentile_tolerance(spark, sf_dir):
+def test_approx_percentile_tolerance(spark, sf_dir, con):
     """agg_approx_percentile has no oracle; assert within 2% of exact."""
     rows = {
         r.l_returnflag: r
         for r in QUERIES["agg_approx_percentile"](spark, sf_dir).collect()
     }
-    con = parity.duck_con(sf_dir)
     for flag, p50, p90 in con.execute(
         """SELECT l_returnflag, quantile_cont(l_quantity, 0.5),
                   quantile_cont(l_extendedprice, 0.9)
