@@ -277,9 +277,84 @@ def _read_gzip_stream(path: str, chunk_records: int, rl: int, malformed_tail: st
 
 
 class FixedLengthReader(DataSourceReader):
+    """Batch reader with filter pushdown (Spark 4.1 Python Data Source
+    ``pushFilters``): supported predicates on decoded layout fields (and
+    ``record_offset``) are applied to each Arrow batch BEFORE it crosses
+    the Python->JVM boundary, so a selective scan ships only matching
+    rows.  The reference emits every record unconditionally
+    (FixedLengthRecordReader.java:215-262) — pushdown is pure engine
+    extension."""
+
     def __init__(self, opts: _Options, path: str):
         self.opts = opts
         self.path = path
+        self.pushed = []  # Filters fully handled here (not re-checked by Spark)
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import (
+            EqualTo, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull,
+            LessThan, LessThanOrEqual, StringContains, StringEndsWith,
+            StringStartsWith,
+        )
+
+        supported = (
+            EqualTo, GreaterThan, GreaterThanOrEqual, LessThan,
+            LessThanOrEqual, In, IsNull, IsNotNull, StringStartsWith,
+            StringEndsWith, StringContains,
+        )
+        decodable = {f.name for f in (self.opts.fields or [])}
+        if self.opts.with_offset:
+            decodable.add("record_offset")
+        for flt in filters:
+            attr = getattr(flt, "attribute", None)
+            if (
+                isinstance(flt, supported)
+                and attr is not None
+                and len(attr) == 1
+                and attr[0] in decodable
+            ):
+                self.pushed.append(flt)
+            else:
+                yield flt  # unsupported -> Spark evaluates post-scan
+
+    def _apply_pushed(self, batch: pa.RecordBatch) -> pa.RecordBatch:
+        if not self.pushed:
+            return batch
+        import pyarrow.compute as pc
+        from pyspark.sql.datasource import (
+            EqualTo, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull,
+            LessThan, LessThanOrEqual, StringContains, StringEndsWith,
+            StringStartsWith,
+        )
+
+        mask = None
+        for flt in self.pushed:
+            col = batch.column(flt.attribute[0])
+            if isinstance(flt, EqualTo):
+                m = pc.equal(col, flt.value)
+            elif isinstance(flt, GreaterThan):
+                m = pc.greater(col, flt.value)
+            elif isinstance(flt, GreaterThanOrEqual):
+                m = pc.greater_equal(col, flt.value)
+            elif isinstance(flt, LessThan):
+                m = pc.less(col, flt.value)
+            elif isinstance(flt, LessThanOrEqual):
+                m = pc.less_equal(col, flt.value)
+            elif isinstance(flt, In):
+                m = pc.is_in(col, value_set=pa.array(list(flt.value), col.type))
+            elif isinstance(flt, IsNull):
+                m = pc.is_null(col)
+            elif isinstance(flt, IsNotNull):
+                m = pc.is_valid(col)
+            elif isinstance(flt, StringStartsWith):
+                m = pc.starts_with(col, flt.value)
+            elif isinstance(flt, StringEndsWith):
+                m = pc.ends_with(col, flt.value)
+            else:  # StringContains
+                m = pc.match_substring(col, flt.value)
+            mask = m if mask is None else pc.and_kleene(mask, m)
+        # null mask entries drop the row — SQL WHERE semantics
+        return batch.filter(mask)
 
     def partitions(self):
         parts: list[FixedLenPartition] = []
@@ -301,7 +376,7 @@ class FixedLengthReader(DataSourceReader):
             # logical record stream.
             offset = partition.start
             for chunk in chunks:
-                yield decode_chunk(
+                batch = decode_chunk(
                     chunk,
                     o.record_length,
                     o.fields,
@@ -312,6 +387,7 @@ class FixedLengthReader(DataSourceReader):
                     permissive=o.decode_mode == "permissive",
                 )
                 offset += len(chunk)
+                yield self._apply_pushed(batch)
 
         if partition.end == _WHOLE_FILE:
             return decode(
@@ -553,8 +629,14 @@ def register(spark) -> None:
     """Idempotent registration of the fixedlen format.  Also ships the
     package zip to Spark's Python workers — the data source class is
     cloudpickled by reference, so workers must be able to import it even
-    when the driver's cwd isn't the repo root."""
+    when the driver's cwd isn't the repo root.
+
+    Enables ``spark.sql.python.filterPushdown.enabled``: the reader
+    implements ``pushFilters`` and Spark 4.1 refuses to plan a
+    pushFilters-implementing reader while that conf is false.  If you
+    register ``FixedLengthDataSource`` directly, set the conf yourself."""
     from hadoop_fixedlengthinputformat_spark.tables import _ship_package
 
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     _ship_package(spark)
     spark.dataSource.register(FixedLengthDataSource)

@@ -297,3 +297,26 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderstatus") == "F")
         .select("o_orderkey", "total", F.col("o_orderstatus").cast("string").alias("o_orderstatus"))
     )
+
+
+@query(
+    "scan_fixedlen_pushdown",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, round(l_quantity, 4) AS qty, l_returnflag
+    FROM lineitem
+    WHERE l_quantity < 10 AND l_returnflag IN ('A', 'R')
+    """,
+)
+def scan_fixedlen_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate pushdown through the fixedlen source: the comparison and
+    IN filters are handled INSIDE the reader (pushFilters -> Arrow-batch
+    mask), so only matching rows cross the Python->JVM boundary and Spark
+    plans no residual Filter.  The reference emits every record
+    unconditionally (FixedLengthRecordReader.java:215-262)."""
+    df = read_fixed(spark, sf_dir, "lineitem", includeOffset="false")
+    return df.filter(
+        (F.col("l_quantity") < 10) & F.col("l_returnflag").isin("A", "R")
+    ).select(
+        "l_orderkey", "l_linenumber",
+        F.round("l_quantity", 4).alias("qty"), "l_returnflag",
+    )

@@ -60,6 +60,9 @@ def configure(spark: SparkSession) -> SparkSession:
     # events.parquet stores TIMESTAMP(NANOS); without this the scan throws
     # PARQUET_TYPE_ILLEGAL.  With it, ts arrives as epoch-nanos bigint.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # let the fixedlen reader's pushFilters run (off by default in 4.1);
+    # with it disabled Spark refuses any reader that implements the hook
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     _ship_package(spark)
     return spark
 

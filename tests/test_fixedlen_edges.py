@@ -5,6 +5,7 @@ from __future__ import annotations
 import os
 
 import pytest
+import pyspark.sql.functions as F
 
 from hadoop_fixedlengthinputformat_spark.sources import fixedlen
 from hadoop_fixedlengthinputformat_spark.sources.layout import parse_layout
@@ -267,3 +268,19 @@ def test_failfast_rejects_calendar_invalid_date(spark, tmp_path):
     path = _write(tmp_path, "cal2.bin", b"2021-04-31")
     with pytest.raises(Exception, match="calendar-invalid"):
         _read(spark, path, 10, layout="d:0:10:date").collect()
+
+
+def test_filter_pushdown_into_reader(spark, tmp_path):
+    """Pushed predicates filter inside the reader: results match, and the
+    executed plan has no residual Filter above the fixedlen BatchScan."""
+    payload = b"".join(f"{i:05d}".encode() + ("ab" if i % 3 else "zz").encode()
+                       for i in range(300))
+    path = _write(tmp_path, "push.bin", payload)
+    df = _read(spark, path, 7, layout="k:0:5:int,tag:5:2:string",
+               includeOffset="false")
+    flt = df.filter((F.col("k") >= 100) & (F.col("tag") == "zz"))
+    rows = flt.collect()
+    assert sorted(r.k for r in rows) == [i for i in range(100, 300) if i % 3 == 0]
+    plan = flt._jdf.queryExecution().executedPlan().toString()
+    assert "BatchScan fixedlen" in plan
+    assert "Filter " not in plan  # fully delegated to the reader
