@@ -356,10 +356,39 @@ class FixedLengthReader(DataSourceReader):
         # null mask entries drop the row — SQL WHERE semantics
         return batch.filter(mask)
 
+    def _offset_bounds(self) -> tuple[int, float]:
+        """[lo, hi) interval the pushed record_offset predicates allow —
+        offsets ARE file positions, so this prunes BYTE RANGES (real IO
+        skipping, the one index a fixed-width file inherently has)."""
+        from pyspark.sql.datasource import (
+            EqualTo, GreaterThan, GreaterThanOrEqual, LessThan,
+            LessThanOrEqual,
+        )
+
+        lo, hi = 0, float("inf")
+        for flt in self.pushed:
+            if flt.attribute != ("record_offset",):
+                continue
+            v = flt.value
+            if isinstance(flt, EqualTo):
+                lo, hi = max(lo, v), min(hi, v + 1)
+            elif isinstance(flt, GreaterThanOrEqual):
+                lo = max(lo, v)
+            elif isinstance(flt, GreaterThan):
+                lo = max(lo, v + 1)
+            elif isinstance(flt, LessThan):
+                hi = min(hi, v)
+            elif isinstance(flt, LessThanOrEqual):
+                hi = min(hi, v + 1)
+        return lo, hi
+
     def partitions(self):
+        lo, hi = self._offset_bounds()
         parts: list[FixedLenPartition] = []
         for p in _list_files(self.path):
-            parts.extend(_plan_file(p, self.opts))
+            for part in _plan_file(p, self.opts):
+                if part.end == _WHOLE_FILE or (part.end > lo and part.start < hi):
+                    parts.append(part)
         # zero-record dataset still needs one (empty) partition for Spark
         return parts or [FixedLenPartition("", 0, 0)]
 

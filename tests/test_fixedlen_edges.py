@@ -284,3 +284,39 @@ def test_filter_pushdown_into_reader(spark, tmp_path):
     plan = flt._jdf.queryExecution().executedPlan().toString()
     assert "BatchScan fixedlen" in plan
     assert "Filter " not in plan  # fully delegated to the reader
+
+
+def test_offset_pushdown_prunes_partitions(spark, tmp_path):
+    """record_offset range predicates must drop whole byte-range
+    partitions at planning time AND produce exact results."""
+    from hadoop_fixedlengthinputformat_spark.sources.fixedlen import (
+        FixedLengthReader,
+        _Options,
+    )
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+    payload = b"".join(f"{i:08d}".encode() for i in range(1000))  # 8000 B
+    path = _write(tmp_path, "op.bin", payload)
+    opts = _Options(8, None, None, True, "fail", 800)  # 10 partitions
+
+    full = FixedLengthReader(opts, path)
+    assert len(full.partitions()) == 10
+
+    pruned = FixedLengthReader(opts, path)
+    rest = list(pruned.pushFilters(
+        [GreaterThanOrEqual(("record_offset",), 1600),
+         LessThan(("record_offset",), 4000)]
+    ))
+    assert rest == []  # both handled by the source
+    kept = pruned.partitions()
+    assert len(kept) == 3  # [1600,2400) [2400,3200) [3200,4000)
+
+    # end-to-end correctness through Spark
+    fixedlen.register(spark)
+    df = (spark.read.format("fixedlen").option("recordLength", "8")
+          .option("layout", "v:0:8:long").option("maxPartitionBytes", "800")
+          .load(path))
+    rows = df.filter(
+        (df.record_offset >= 1600) & (df.record_offset < 4000)
+    ).collect()
+    assert sorted(r.v for r in rows) == list(range(200, 500))
