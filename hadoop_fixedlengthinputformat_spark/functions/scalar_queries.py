@@ -374,3 +374,33 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat("lang", F.lit("|"), "source")).alias("meta_md5"),
         F.length(F.md5("text")).alias("digest_len"),
     )
+
+
+@query(
+    "fn_string_extras",
+    oracle="""
+    SELECT p_partkey,
+           levenshtein(p_brand, 'Brand#33') AS brand_dist,
+           reverse(p_brand) AS brand_rev,
+           repeat(substr(p_type, 1, 2), 3) AS type_rep,
+           translate(p_type, 'AEIOU', 'aeiou') AS type_tr,
+           base64(CAST(p_brand AS BLOB)) AS brand_b64,
+           hex(CAST(p_partkey AS VARCHAR)) AS key_hex
+    FROM part
+    """,
+)
+def fn_string_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit distance + encoding family.  levenshtein is the exact-verify
+    step behind fuzzy dedup candidates (minhash/simhash propose, edit
+    distance confirms); base64/hex are the binary-column bridges the
+    multimodal path uses."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_brand", F.lit("Brand#33")).alias("brand_dist"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.repeat(F.substring("p_type", 1, 2), 3).alias("type_rep"),
+        F.translate("p_type", "AEIOU", "aeiou").alias("type_tr"),
+        F.base64(F.col("p_brand").cast("binary")).alias("brand_b64"),
+        F.hex(F.col("p_partkey").cast("string")).alias("key_hex"),
+    )
