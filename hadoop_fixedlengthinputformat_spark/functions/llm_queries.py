@@ -456,3 +456,68 @@ def llm_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gated.join(survivors, "doc_id", "left_semi").select(
         "doc_id", "lang", "n_tokens", "n_chars"
     )
+
+
+_MINHASH_CANDIDATES_SQL = """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    shingles AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+        FROM (
+            SELECT doc_id, t,
+                   unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+            FROM toks
+        )
+    ),
+    sig AS (
+        SELECT doc_id,
+               min(md5('0' || shingle)) AS mh_0, min(md5('1' || shingle)) AS mh_1,
+               min(md5('2' || shingle)) AS mh_2, min(md5('3' || shingle)) AS mh_3,
+               min(md5('4' || shingle)) AS mh_4, min(md5('5' || shingle)) AS mh_5,
+               min(md5('6' || shingle)) AS mh_6, min(md5('7' || shingle)) AS mh_7
+        FROM shingles GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS band_idx, mh_0 || '|' || mh_1 AS band_val FROM sig
+        UNION ALL SELECT doc_id, 1, mh_2 || '|' || mh_3 FROM sig
+        UNION ALL SELECT doc_id, 2, mh_4 || '|' || mh_5 FROM sig
+        UNION ALL SELECT doc_id, 3, mh_6 || '|' || mh_7 FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+        WHERE a.doc_id < b.doc_id
+    )
+"""
+
+
+@query(
+    "llm_near_dup_verified",
+    oracle=_MINHASH_CANDIDATES_SQL
+    + """
+    SELECT doc_a, doc_b, levenshtein(da.text, db.text) AS edit_dist
+    FROM cand
+    JOIN documents da ON da.doc_id = doc_a
+    JOIN documents db ON db.doc_id = doc_b
+    WHERE levenshtein(da.text, db.text) <= CAST(0.2 * greatest(length(da.text), length(db.text)) AS INT)
+    """,
+)
+def llm_near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Propose-then-verify near-dup: MinHash+LSH proposes candidate pairs
+    (never O(n^2)), exact edit distance confirms (<= 20% of the longer
+    text).  At 100 TB the verify join touches only |candidates| pairs —
+    the LSH bucket width bounds the expensive exact metric."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = dedup.minhash_signature(d, "doc_id")
+    cand = dedup.lsh_candidate_pairs(sig, "doc_id")
+    da = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    db = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    dist = F.levenshtein("text_a", "text_b")
+    limit = (0.2 * F.greatest(F.length("text_a"), F.length("text_b"))).cast("int")
+    return (
+        cand.join(da, "doc_a").join(db, "doc_b")
+        .filter(dist <= limit)
+        .select("doc_a", "doc_b", dist.alias("edit_dist"))
+    )
