@@ -404,3 +404,27 @@ def fn_string_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.base64(F.col("p_brand").cast("binary")).alias("brand_b64"),
         F.hex(F.col("p_partkey").cast("string")).alias("key_hex"),
     )
+
+
+@query(
+    "fn_epoch",
+    oracle="""
+    SELECT event_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+           to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)) AS ts_roundtrip,
+           CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_epoch
+    FROM events
+    """,
+)
+def fn_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch seconds round trip (UTC session pins the conversion)."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch_s = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    return ev.select(
+        "event_id",
+        epoch_s.alias("epoch_s"),
+        F.from_unixtime(epoch_s).cast("timestamp").alias("ts_roundtrip"),
+        F.unix_timestamp(F.date_trunc("day", "ts").cast("timestamp")).alias(
+            "day_epoch"
+        ),
+    )

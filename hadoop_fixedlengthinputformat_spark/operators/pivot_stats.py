@@ -233,3 +233,25 @@ def agg_bool_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_or("l_linenumber").alias("lines_or"),
         F.bit_xor("l_orderkey").alias("keys_xor"),
     )
+
+
+@query(
+    "agg_count_if",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) FILTER (o_totalprice > 200000) AS n_big,
+           count(*) FILTER (o_orderpriority = '1-URGENT') AS n_urgent,
+           count(*) AS n_total
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_count_if(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional counts (count_if == FILTER clause) — one pass, no
+    self-joins for multi-condition tallies."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        F.count_if(F.col("o_orderpriority") == "1-URGENT").alias("n_urgent"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
