@@ -373,3 +373,52 @@ def stream_fixedlen_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(path)
     )
     return _run_to_table(src, "append")
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 10 MINUTES
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermarks: views joined to the
+    purchases that follow within 10 minutes for the same user.  Both
+    sides carry watermarks so the join state is GC'd once the interval
+    can no longer match — the unbounded-state hazard of stream-stream
+    joins, bounded.  availableNow replay => final rows == the batch
+    time-interval join."""
+    data_dir = _events_stream_dir(spark, sf_dir, False)
+    views = (
+        _read_stream(spark, data_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id"),
+            F.col("ts").cast("timestamp").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "30 minutes")
+    )
+    purchases = (
+        _read_stream(spark, data_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").cast("timestamp").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "30 minutes")
+    )
+    joined = views.join(
+        purchases,
+        (views.user_id == purchases.p_user)
+        & (purchases.p_ts >= views.v_ts)
+        & (purchases.p_ts <= views.v_ts + F.expr("INTERVAL 10 MINUTES")),
+        "inner",
+    )
+    out = _run_to_table(joined, "append")
+    return out.select("view_id", "purchase_id", "user_id")
