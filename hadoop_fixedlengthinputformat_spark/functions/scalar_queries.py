@@ -428,3 +428,39 @@ def fn_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day_epoch"
         ),
     )
+
+
+@query(
+    "fn_array_lambda",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents WHERE doc_id < 50)
+    SELECT doc_id,
+           array_to_string(list_transform(toks, x -> upper(x)), ' ') AS upper_text,
+           len(list_filter(toks, x -> length(x) > 5)) AS n_long,
+           list_reduce(list_transform(toks, x -> length(x)), (a, b) -> a + b)
+               AS total_chars,
+           len(list_filter(toks, x -> x = 'the')) > 0 AS has_the
+    FROM t
+    """,
+)
+def fn_array_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (lambda expressions): transform /
+    filter / aggregate / exists — JVM-interpreted per element, so fine
+    for short arrays; for hot million-element arrays prefer explode +
+    codegen aggregation (measured 8x for minhash, plans/NOTES.md)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.array_join(F.transform(toks, lambda x: F.upper(x)), " ").alias(
+            "upper_text"
+        ),
+        F.size(F.filter(toks, lambda x: F.length(x) > 5)).alias("n_long"),
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("total_chars"),
+        F.exists(toks, lambda x: x == F.lit("the")).alias("has_the"),
+    )

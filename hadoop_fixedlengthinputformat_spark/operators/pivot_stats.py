@@ -255,3 +255,26 @@ def agg_count_if(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("o_orderpriority") == "1-URGENT").alias("n_urgent"),
         F.count(F.lit(1)).alias("n_total"),
     )
+
+
+@query(
+    "agg_collect_set",
+    oracle="""
+    SELECT c_nationkey,
+           string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment)
+               AS segments,
+           count(DISTINCT c_mktsegment) AS n_segments
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set aggregation rendered as a sorted string (collect_set
+    order is nondeterministic -> sort_array before join)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.array_join(F.sort_array(F.collect_set("c_mktsegment")), ",").alias(
+            "segments"
+        ),
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+    )
