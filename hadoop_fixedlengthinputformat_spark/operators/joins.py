@@ -325,3 +325,28 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
         )
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b
+    FROM (SELECT c_custkey, NULLIF(c_nationkey % 5, 0) AS grp
+          FROM customer WHERE c_custkey <= 200) a
+    JOIN (SELECT c_custkey, NULLIF(c_nationkey % 5, 0) AS grp
+          FROM customer WHERE c_custkey <= 200) b
+      ON a.grp IS NOT DISTINCT FROM b.grp AND a.c_custkey < b.c_custkey
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys match
+    each other, unlike plain = which drops them — still a hash join
+    (null-safe equality is a valid shuffle key)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    grp = F.nullif(F.col("c_nationkey") % 5, F.lit(0))
+    a = c.select(F.col("c_custkey").alias("cust_a"), grp.alias("grp_a"))
+    b = c.select(F.col("c_custkey").alias("cust_b"), grp.alias("grp_b"))
+    return (
+        a.join(b, a.grp_a.eqNullSafe(b.grp_b) & (a.cust_a < b.cust_b))
+        .select("cust_a", "cust_b")
+    )

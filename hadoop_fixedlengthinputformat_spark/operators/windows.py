@@ -220,3 +220,34 @@ def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.nth_value("c_custkey", 2).over(w_full).alias("second_poorest"),
     )
+
+
+@query(
+    "win_range_interval",
+    oracle="""
+    SELECT event_id, user_id,
+           count(*) OVER w AS cnt_1h,
+           round(sum(value) OVER w, 4) AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval range frame: per-user trailing-1-hour count/sum at
+    each event.  A RANGE frame over the ORDER BY timestamp — the sliding
+    aggregation primitive for telemetry without bucketing; one shuffle on
+    the partition key like any window."""
+    from hadoop_fixedlengthinputformat_spark.tables import load_table as _lt
+
+    _lt(spark, sf_dir, "events").createOrReplaceTempView("flif_wri_events")
+    return spark.sql(
+        """
+        SELECT event_id, user_id,
+               count(*) OVER w AS cnt_1h,
+               round(sum(value) OVER w, 4) AS sum_1h
+        FROM flif_wri_events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        """
+    )
