@@ -464,3 +464,36 @@ def fn_array_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("total_chars"),
         F.exists(toks, lambda x: x == F.lit("the")).alias("has_the"),
     )
+
+
+@query(
+    "fn_struct_withfield",
+    oracle="""
+    SELECT o_orderkey,
+           o_custkey AS cust,
+           round(o_totalprice * 1.1, 4) AS adjusted,
+           o_orderstatus AS status
+    FROM orders
+    """,
+)
+def fn_struct_withfield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-struct surgery: withField adds/replaces a field inside a
+    struct, dropFields removes one — in-place nested updates without
+    rebuilding the struct (Catalyst folds the chain; the plan reads the
+    source columns only)."""
+    o = load_table(spark, sf_dir, "orders")
+    s = F.struct(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    upd = (
+        s.withField("adjusted", F.round(F.col("o_totalprice") * 1.1, 4))
+        .dropFields("price")
+    )
+    return o.select(
+        "o_orderkey",
+        upd.getField("cust").alias("cust"),
+        upd.getField("adjusted").alias("adjusted"),
+        upd.getField("status").alias("status"),
+    )
