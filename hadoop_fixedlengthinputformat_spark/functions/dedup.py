@@ -38,6 +38,8 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
     formulation keeps the big-data exchange at O(docs) partial rows.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
+    # df.rdd is driver-side plan conversion only (no job runs); the cost
+    # is per-query-build, paid once, and only the partition COUNT is read
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target, key)
     return df

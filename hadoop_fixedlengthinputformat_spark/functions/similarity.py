@@ -158,13 +158,24 @@ def knn_cosine_ivf(
     Centroids are computed with one groupBy over per-dimension avgs (at
     scale this is the k-means assignment step's cost, done once offline).
     """
-    dim_aggs = F.array(
-        *[
-            F.avg(F.col(vec_col).getItem(i).cast("double")).alias(f"d{i}")
-            for i in range(64)
-        ]
+    # dimension-agnostic centroids: posexplode -> per-(cluster, pos) avg
+    # -> reassemble ordered by pos (struct array_sort sorts on the first
+    # field).  A getItem(i) loop with a hardcoded dim silently built
+    # wrong centroids for any other embedding width.
+    ex = corpus.select(
+        F.col(cluster_col), F.posexplode(vec_col).alias("pos", "v")
     )
-    centroids = corpus.groupBy(cluster_col).agg(dim_aggs.alias("centroid"))
+    centroids = (
+        ex.groupBy(cluster_col, "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("cv"))
+        .groupBy(cluster_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pcs")
+        )
+        .select(
+            cluster_col, F.transform("pcs", lambda s: s.cv).alias("centroid")
+        )
+    )
     p = probes.select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
     )

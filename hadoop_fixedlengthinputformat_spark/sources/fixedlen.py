@@ -164,9 +164,12 @@ class _Options:
 
 
 def _visible(p: str) -> bool:
-    # skip _SUCCESS / .part-*.crc and other marker files regardless of
-    # whether the input was given as a directory or a glob
-    return os.path.isfile(p) and not os.path.basename(p).startswith(("_", "."))
+    # skip _SUCCESS / .part-*.crc marker files and uncommitted writer
+    # tmps (crashed-job leftovers), for both directory and glob inputs
+    base = os.path.basename(p)
+    if base.startswith(("_", ".")) or ".tmp-" in base:
+        return False
+    return os.path.isfile(p)
 
 
 def _list_files(path: str) -> list[str]:
@@ -341,7 +344,13 @@ class FixedLengthReader(DataSourceReader):
             elif isinstance(flt, LessThanOrEqual):
                 m = pc.less_equal(col, flt.value)
             elif isinstance(flt, In):
-                m = pc.is_in(col, value_set=pa.array(list(flt.value), col.type))
+                # SQL IN: NULL never matches (x IN (... NULL) is NULL ->
+                # dropped by WHERE); pc.is_in would match null-to-null
+                vals = [v for v in flt.value if v is not None]
+                m = pc.and_kleene(
+                    pc.is_in(col, value_set=pa.array(vals, col.type)),
+                    pc.is_valid(col),
+                )
             elif isinstance(flt, IsNull):
                 m = pc.is_null(col)
             elif isinstance(flt, IsNotNull):
@@ -438,8 +447,9 @@ class FixedLengthReader(DataSourceReader):
 
 
 class _CommitMessage(WriterCommitMessage):
-    def __init__(self, path: str, n_records: int):
-        self.path = path
+    def __init__(self, tmp_path: str, final_path: str, n_records: int):
+        self.tmp_path = tmp_path
+        self.final_path = final_path
         self.n_records = n_records
 
 
@@ -457,22 +467,27 @@ class FixedLengthWriter(DataSourceWriter):
             raise ValueError("fixedlen write requires a 'layout' option")
         self.opts = opts
         self.path = path
-        # driver-side: clear stale part files now, BEFORE tasks run —
-        # a narrower overwrite (fewer partitions) must not leave old
-        # part-NNNNN.fixed files mixed into the new dataset
-        if overwrite and os.path.isdir(path):
-            for fn in os.listdir(path):
-                if fn.startswith("part-") and fn.endswith(".fixed"):
-                    os.remove(os.path.join(path, fn))
+        self.overwrite = overwrite
+        # one token per WRITE JOB: unique final names make append mode
+        # additive (never truncates an earlier dataset's part files) and
+        # tmp names collision-free across attempts
+        import uuid
+
+        self.token = uuid.uuid4().hex[:10]
 
     def write(self, iterator) -> _CommitMessage:
         from pyspark import TaskContext
 
         os.makedirs(self.path, exist_ok=True)
-        pid = TaskContext.get().partitionId()
-        out = os.path.join(self.path, f"part-{pid:05d}.fixed")
+        ctx = TaskContext.get()
+        final = os.path.join(
+            self.path, f"part-{ctx.partitionId():05d}-{self.token}.fixed"
+        )
+        # task-attempt-unique tmp: a speculative/zombie attempt never
+        # interleaves bytes with the winner; commit() promotes atomically
+        tmp = f"{final}.tmp-{ctx.taskAttemptId()}"
         n = 0
-        with open(out, "wb") as f:
+        with open(tmp, "wb") as f:
             batch: list[dict] = []
             for row in iterator:
                 batch.append(row.asDict())
@@ -487,15 +502,27 @@ class FixedLengthWriter(DataSourceWriter):
                     encode_rows(batch, self.opts.fields, self.opts.record_length)
                 )
                 n += len(batch)
-        return _CommitMessage(out, n)
+        return _CommitMessage(tmp, final, n)
 
     def commit(self, messages):
-        pass
+        # all tasks succeeded — NOW clear the old dataset (an aborted job
+        # must leave it untouched), then promote tmps atomically
+        if self.overwrite and os.path.isdir(self.path):
+            for fn in os.listdir(self.path):
+                if (
+                    fn.startswith("part-")
+                    and fn.endswith(".fixed")
+                    and f"-{self.token}." not in fn
+                ):
+                    os.remove(os.path.join(self.path, fn))
+        for m in messages:
+            if m is not None:
+                os.replace(m.tmp_path, m.final_path)
 
     def abort(self, messages):
         for m in messages:
-            if m is not None and os.path.exists(m.path):
-                os.remove(m.path)
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
 
 
 class FixedLenStreamReader(SimpleDataSourceStreamReader):

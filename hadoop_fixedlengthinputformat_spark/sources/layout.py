@@ -102,39 +102,87 @@ def layout_schema(fields: list[FieldSpec]) -> StructType:
 
 
 def _slice_bytes(mat: np.ndarray, start: int, length: int) -> np.ndarray:
-    """(n, record_length) uint8 matrix -> n fixed-width byte strings."""
+    """(n, record_length) uint8 matrix -> n fixed-width byte strings.
+
+    WARNING: numpy 'S' dtype strips trailing NUL bytes — only safe for
+    TEXT-encoded field decode (space-padded contract).  Binary columns
+    must use ``_slice_binary`` which preserves every byte."""
     sl = np.ascontiguousarray(mat[:, start : start + length])
     return sl.view(f"S{length}").ravel()
 
 
+def _slice_binary(mat: np.ndarray, start: int, length: int) -> pa.Array:
+    """Exact fixed-width byte slices as a variable-binary Arrow array —
+    zero-copy offsets+data buffers, trailing NULs preserved (numpy 'S'
+    would strip them, corrupting record_key/value round-trips)."""
+    n = mat.shape[0]
+    sl = np.ascontiguousarray(mat[:, start : start + length])
+    offsets = np.arange(0, (n + 1) * length, length, dtype=np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(),
+        n,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(sl.tobytes())],
+    )
+
+
+# digit bounds keep the int64 parse overflow-free (18 digits < 2^63);
+# '+' excluded — Arrow's string->int cast rejects it, so it's malformed
 _VALID_RE = {
-    "int": r"^[+-]?[0-9]+$",
-    "long": r"^[+-]?[0-9]+$",
-    "double": r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?$",
+    "int": r"^-?[0-9]{1,18}$",
+    "long": r"^-?[0-9]{1,18}$",
+    "double": r"^-?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?$",
     "date": r"^[0-9]{4}-(0[1-9]|1[0-2])-(0[1-9]|[12][0-9]|3[01])$",
 }
+
+_I32_MIN, _I32_MAX = -(2**31), 2**31 - 1
 
 
 def decode_field(mat: np.ndarray, f: FieldSpec, permissive: bool = False) -> pa.Array:
     """Vectorized decode of one field column from the record matrix.
 
-    permissive=True nulls malformed values (pattern-masked before the
-    cast, so one garbage record can't fail a 128 MB task) instead of the
-    default failfast error — the reference has no notion of malformed
-    fields because it never decodes any (FixedLengthInputFormat.java:38-43).
+    permissive=True nulls malformed values instead of the default
+    failfast error — the reference has no notion of malformed fields
+    because it never decodes any (FixedLengthInputFormat.java:38-43).
+    Robustness order matters: non-printable/non-ASCII bytes are blanked
+    BEFORE the UTF-8 cast (a raw 0xFF would otherwise fail the whole
+    task), then the regex mask nulls non-numeric text, then int32 gets a
+    range check (Arrow's cast raises on overflow).
     """
-    raw = pa.array(_slice_bytes(mat, f.start, f.length))
+    sl = np.ascontiguousarray(mat[:, f.start : f.start + f.length])
+    bad_bytes = None
+    if permissive:
+        ok = ((sl >= 0x20) & (sl <= 0x7E)).all(axis=1)  # printable ASCII only
+        if not bool(ok.all()):
+            bad_bytes = pa.array(~ok)
+            sl = sl.copy()
+            sl[~ok] = 0x20  # spaces -> rtrim/regex turn them into null below
+    raw = pa.array(sl.view(f"S{f.length}").ravel())
     s = pc.cast(raw, pa.string())
     base = f.base_type
     if base == "string":
         # values are right-padded with spaces (FixedLengthInputFormat.java:42-43)
-        return pc.utf8_rtrim(s, characters=" ")
+        out = pc.utf8_rtrim(s, characters=" ")
+        if bad_bytes is not None:
+            out = pc.if_else(bad_bytes, pa.scalar(None, pa.string()), out)
+        return out
     trimmed = pc.utf8_trim(s, characters=" ")
     if permissive:
         mask = pc.match_substring_regex(trimmed, _VALID_RE[base])
         trimmed = pc.if_else(mask, trimmed, pa.scalar(None, pa.string()))
     if base in ("int", "long"):
-        # zero-padded ints; arrow parses leading zeros / sign directly
+        if permissive:
+            # regex bounds digits to 18 => the int64 parse cannot raise
+            v64 = pc.cast(trimmed, pa.int64())
+            if base == "long":
+                return v64
+            in_range = pc.and_kleene(
+                pc.greater_equal(v64, _I32_MIN), pc.less_equal(v64, _I32_MAX)
+            )
+            v64 = pc.if_else(
+                pc.fill_null(in_range, False), v64, pa.scalar(None, pa.int64())
+            )
+            return pc.cast(v64, pa.int32())
+        # failfast: Arrow raises on garbage, '+' signs, and overflow
         return pc.cast(trimmed, f.arrow_type())
     if base == "double":
         return pc.cast(trimmed, pa.float64())
@@ -184,9 +232,9 @@ def decode_chunk(
         cols.append(pa.array(offs, type=pa.int64()))
     if key_bounds is not None:
         start, end = key_bounds  # zero-based inclusive (FLIF:100-149)
-        cols.append(pa.array(_slice_bytes(mat, start, end - start + 1)))
+        cols.append(_slice_binary(mat, start, end - start + 1))
     if fields is None:
-        cols.append(pa.array(_slice_bytes(mat, 0, record_length)))
+        cols.append(_slice_binary(mat, 0, record_length))
     else:
         for f in fields:
             cols.append(decode_field(mat, f, permissive=permissive))

@@ -320,3 +320,95 @@ def test_offset_pushdown_prunes_partitions(spark, tmp_path):
         (df.record_offset >= 1600) & (df.record_offset < 4000)
     ).collect()
     assert sorted(r.v for r in rows) == list(range(200, 500))
+
+
+def test_binary_columns_preserve_nul_bytes(spark, tmp_path):
+    """record_key and value must be the EXACT byte slices — trailing NULs
+    included (numpy 'S' dtype strips them; the reference's data model is
+    raw byte[recordLength])."""
+    rec = b"AB\x00\x00" + b"\x00cd\x00"
+    path = _write(tmp_path, "nul.bin", rec * 3)
+    df = _read(spark, path, 8, keyStartAt="0", keyEndAt="3")
+    rows = df.collect()
+    assert all(bytes(r.record_key) == b"AB\x00\x00" for r in rows)
+    assert all(bytes(r.value) == rec for r in rows)
+
+
+def test_permissive_nulls_non_utf8_bytes(spark, tmp_path):
+    """A raw 0xFF byte in a field must null that value in permissive
+    mode, not kill the task with an Arrow UTF-8 error."""
+    recs = b"00042abc" + b"00\xff43xyz" + b"00044d\xefg"
+    path = _write(tmp_path, "utf.bin", recs)
+    rows = sorted(
+        _read(spark, path, 8, layout="k:0:5:int,s:5:3:string",
+              mode="permissive").collect(),
+        key=lambda r: r.record_offset,
+    )
+    assert rows[0].k == 42 and rows[0].s == "abc"
+    # nulling is per FIELD: the bad byte sits in k for record 2, in s for 3
+    assert rows[1].k is None and rows[1].s == "xyz"
+    assert rows[2].k == 44 and rows[2].s is None
+
+
+def test_permissive_nulls_plus_sign_and_overflow(spark, tmp_path):
+    """'+'-signed, int32-overflow, and >18-digit values are malformed ->
+    NULL in permissive mode (Arrow's cast would raise on each)."""
+    recs = (b"+5".rjust(20) + b"2147483647".rjust(20) + b"2147483648".rjust(20)
+            + b"9" * 20 + b"-3".rjust(20))
+    path = _write(tmp_path, "ovf.bin", recs)
+    rows = sorted(
+        _read(spark, path, 20, layout="k:0:20:int", mode="permissive").collect(),
+        key=lambda r: r.record_offset,
+    )
+    ks = [r.k for r in rows]
+    assert ks[0] is None          # '+' sign rejected
+    assert ks[1] == 2147483647    # int32 max fits
+    assert ks[2] is None          # int32 overflow -> null, not task error
+    assert ks[3] is None          # 20 digits: beyond the 18-digit bound
+    assert ks[4] == -3
+
+
+def test_writer_append_is_additive(spark, tmp_path):
+    fixedlen.register(spark)
+    out = os.path.join(str(tmp_path), "app")
+    layout = "k:0:8:long,v:8:8:long"
+
+    def write(df, mode):
+        (df.write.format("fixedlen").option("recordLength", "16")
+         .option("layout", layout).mode(mode).save(out))
+
+    write(spark.range(5).selectExpr("id AS k", "id AS v").coalesce(1), "overwrite")
+    write(spark.range(5, 9).selectExpr("id AS k", "id AS v").coalesce(1), "append")
+    df = (spark.read.format("fixedlen").option("recordLength", "16")
+          .option("layout", layout).option("includeOffset", "false").load(out))
+    assert sorted(r.k for r in df.collect()) == list(range(9))
+
+
+def test_failed_overwrite_keeps_old_dataset(spark, tmp_path):
+    """Old part files must survive a write job that fails before commit
+    (cleanup is deferred to commit)."""
+    fixedlen.register(spark)
+    out = os.path.join(str(tmp_path), "keep")
+    layout = "k:0:8:long,v:8:8:long"
+    good = spark.range(6).selectExpr("id AS k", "id AS v").coalesce(1)
+    (good.write.format("fixedlen").option("recordLength", "16")
+     .option("layout", layout).mode("overwrite").save(out))
+    bad = spark.range(3).selectExpr("id AS k", "CAST(NULL AS LONG) AS v")
+    with pytest.raises(Exception):
+        (bad.write.format("fixedlen").option("recordLength", "16")
+         .option("layout", layout).mode("overwrite").save(out))
+    df = (spark.read.format("fixedlen").option("recordLength", "16")
+          .option("layout", layout).option("includeOffset", "false").load(out))
+    assert sorted(r.k for r in df.collect()) == list(range(6))
+
+
+def test_pushed_in_filter_drops_nulls(spark, tmp_path):
+    """x IN (...) with a NULL column value must drop the row (SQL
+    three-valued logic), also when the In filter is pushed."""
+    recs = b"00000005" + b"bogus   " + b"00000007"
+    path = _write(tmp_path, "innul.bin", recs)
+    df = _read(spark, path, 8, layout="k:0:8:int", mode="permissive",
+               includeOffset="false")
+    rows = df.filter(df.k.isin(5, 7)).collect()
+    assert sorted(r.k for r in rows) == [5, 7]
+    assert df.filter(df.k.isin(5)).count() == 1

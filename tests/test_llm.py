@@ -132,3 +132,24 @@ def test_multimodal_resize_schema_and_values(spark, sf_dir):
     assert all(r.out_width == 224 and r.out_height == 224 for r in rows)
     assert all(r.out_bytes == 224 * 224 * 3 for r in rows)
     assert all(r.width > 0 and r.height > 0 for r in rows)
+
+
+def test_knn_ivf_dim_agnostic(spark):
+    """IVF centroids must derive the dimension from the data (16-dim
+    here), not assume 64."""
+    import numpy as np
+
+    rng = np.random.RandomState(1)
+    rows = []
+    for i in range(30):
+        v = rng.standard_normal(16)
+        rows.append((i, (v / np.linalg.norm(v)).astype(float).tolist(), i % 2))
+    v1 = np.array(rows[1][1])
+    v = v1 + 0.01 * rng.standard_normal(16)
+    rows.append((100, (v / np.linalg.norm(v)).tolist(), 1))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    probes = emb.filter(F.col("vec_id") == 1)
+    top = similarity.knn_cosine_ivf(emb, probes, k=3, nprobe=2).collect()
+    assert top[0].neighbor_id == 100 and top[0].cosine > 0.99
