@@ -497,3 +497,29 @@ def fn_struct_withfield(spark: SparkSession, sf_dir: str) -> DataFrame:
         upd.getField("adjusted").alias("adjusted"),
         upd.getField("status").alias("status"),
     )
+
+
+@query(
+    "fn_format",
+    oracle="""
+    SELECT o_orderkey,
+           format('{:.2f}', o_totalprice) AS price_fmt,
+           printf('%d/%s', o_orderkey, o_orderstatus) AS key_status,
+           concat(CAST(round(o_totalprice / 1000, 0) AS INT), 'k') AS price_k
+    FROM orders
+    """,
+)
+def fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String formatting family (format_string == printf-style)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.format_string("%.2f", "o_totalprice").alias("price_fmt"),
+        F.format_string("%d/%s", "o_orderkey", "o_orderstatus").alias(
+            "key_status"
+        ),
+        F.concat(
+            F.round(F.col("o_totalprice") / 1000, 0).cast("int").cast("string"),
+            F.lit("k"),
+        ).alias("price_k"),
+    )
