@@ -422,3 +422,13 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_to_table(joined, "append")
     return out.select("view_id", "purchase_id", "user_id")
+
+
+# NOTE: Spark 4's transformWithStateInPandas (the successor stateful API
+# with typed ValueState/ListState handles and timers) was prototyped here
+# but is NOT declarable in this environment: its driver-side schema
+# worker requires google.protobuf, which is absent from the container
+# (ImportError: cannot import name 'descriptor').  The
+# applyInPandasWithState operator above (stream_custom_stateful) covers
+# the custom-stateful surface; swap in transformWithStateInPandas where
+# protobuf is available.
