@@ -320,3 +320,36 @@ def scan_fixedlen_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber",
         F.round("l_quantity", 4).alias("qty"), "l_returnflag",
     )
+
+
+@query(
+    "scan_fixedlen_directory",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_fixedlen_directory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directory input: every file planned independently with per-file
+    offsets — the FileInputFormat multi-file listing the reference
+    inherits (SURVEY §3.2); marker files (_SUCCESS, .crc) are skipped."""
+    configure(spark)
+    fixedlen.register(spark)
+    record_length, spec, _ = fixture_gen.LAYOUTS["nation"]
+    src = fixture_gen.fixed_file_for(sf_dir, "nation")
+    tag = os.path.basename(src).replace(".fixed", "")
+    d = os.path.join(tempfile.gettempdir(), f"flif_dir_{tag}")
+    done = os.path.join(d, "_ok")  # '_' prefix => invisible to the reader
+    if not os.path.exists(done):
+        os.makedirs(d, exist_ok=True)
+        payload = open(src, "rb").read()
+        half = (len(payload) // record_length // 2) * record_length
+        with open(os.path.join(d, "a.fixed"), "wb") as f:
+            f.write(payload[:half])
+        with open(os.path.join(d, "b.fixed"), "wb") as f:
+            f.write(payload[half:])
+        open(done, "w").close()
+    return (
+        spark.read.format("fixedlen")
+        .option("recordLength", str(record_length))
+        .option("layout", spec)
+        .option("includeOffset", "false")
+        .load(d)
+    )
