@@ -278,3 +278,25 @@ def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.countDistinct("c_mktsegment").alias("n_segments"),
     )
+
+
+@query(
+    "agg_product",
+    oracle="""
+    SELECT l_returnflag,
+           round(product(1 + l_tax), 4) AS compound_tax,
+           round(product(1 - l_discount), 4) AS compound_disc
+    FROM lineitem
+    WHERE l_orderkey <= 40
+    GROUP BY l_returnflag
+    """,
+)
+def agg_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product aggregation (compound factors) — multiplicative partials
+    merge like sums, so the shuffle stays O(groups); input bounded so the
+    product stays in double range."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 40)
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.product(1 + F.col("l_tax")), 4).alias("compound_tax"),
+        F.round(F.product(1 - F.col("l_discount")), 4).alias("compound_disc"),
+    )

@@ -149,3 +149,31 @@ def subq_scalar_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM subq_nation
         """
     )
+
+
+@query(
+    "join_lateral",
+    oracle="""
+    SELECT c_custkey, round(t.top_price, 4) AS top_price, t.n_orders
+    FROM customer c, LATERAL (
+        SELECT max(o_totalprice) AS top_price, count(*) AS n_orders
+        FROM orders WHERE o_custkey = c_custkey
+    ) t
+    WHERE t.n_orders > 0
+    """,
+)
+def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (per-customer aggregate as a lateral
+    table) — Catalyst decorrelates to an aggregate + join, same plan
+    family as subq_scalar_select but with a multi-column lateral body."""
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, round(t.top_price, 4) AS top_price, t.n_orders
+        FROM subq_customer c, LATERAL (
+            SELECT max(o_totalprice) AS top_price, count(*) AS n_orders
+            FROM subq_orders WHERE o_custkey = c_custkey
+        ) t
+        WHERE t.n_orders > 0
+        """
+    )
