@@ -26,23 +26,26 @@ from hadoop_fixedlengthinputformat_spark.tables import load_table
     "udf_scalar_pandas",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           round(l_extendedprice * (1 - l_discount), 4) AS revenue
+           floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) / 10000 AS revenue
     FROM lineitem
     """,
 )
 def udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched scalar pandas UDF (vs proj_compute's codegen version —
-    bench.py compares the two)."""
+    bench.py compares the two).  Round-half-up via floor(x*1e4+0.5)/1e4 so
+    the per-row rounding is the same IEEE ops as the DuckDB oracle (see
+    proj_compute docstring)."""
 
     @pandas_udf("double")
     def revenue(price: pd.Series, disc: pd.Series) -> pd.Series:
         return price * (1.0 - disc)
 
     li = load_table(spark, sf_dir, "lineitem")
+    rev = revenue("l_extendedprice", "l_discount")
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(revenue("l_extendedprice", "l_discount"), 4).alias("revenue"),
+        (F.floor(rev * 10000 + 0.5) / 10000).alias("revenue"),
     )
 
 

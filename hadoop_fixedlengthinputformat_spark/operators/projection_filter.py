@@ -31,19 +31,24 @@ def proj_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     "proj_compute",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           round(l_extendedprice * (1 - l_discount), 4) AS revenue,
-           round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 4) AS charge
+           floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) / 10000 AS revenue,
+           floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000 + 0.5) / 10000 AS charge
     FROM lineitem
     """,
 )
 def proj_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row round-half-up via floor(x*1e4 + 0.5)/1e4 — the SAME IEEE ops
+    on both engines, so results are bit-identical.  Spark's round() (BigDecimal
+    HALF_UP on the exact binary double) and DuckDB's round() disagree on
+    boundary values (~350 of 120k rows at sf0.01) — never round(double, n)
+    per-row in an oracle'd query."""
     li = load_table(spark, sf_dir, "lineitem")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(rev, 4).alias("revenue"),
-        F.round(rev * (1 + F.col("l_tax")), 4).alias("charge"),
+        (F.floor(rev * 10000 + 0.5) / 10000).alias("revenue"),
+        (F.floor(rev * (1 + F.col("l_tax")) * 10000 + 0.5) / 10000).alias("charge"),
     )
 
 

@@ -20,7 +20,12 @@ sys.path.insert(0, REPO)
 
 from hadoop_fixedlengthinputformat_spark.tables import TABLES  # noqa: E402
 
-FLOAT_TOL = 1e-6
+# Exact by default: the driver compares an order-insensitive value HASH, so
+# any float that differs in even one bit (including -0.0 vs 0.0) fails there.
+# Round-1 lesson: FLOAT_TOL=1e-6 certified 137/137 locally while the driver
+# failed proj_compute on double-rounding divergence.  Set PARITY_FLOAT_TOL to
+# a positive value only for ad-hoc debugging, never as the gate.
+FLOAT_TOL = float(os.environ.get("PARITY_FLOAT_TOL", "0"))
 
 
 def duck_con(sf_dir: str) -> "duckdb.DuckDBPyConnection":
@@ -53,11 +58,13 @@ def _sort_key(row):
         if v is None:
             out.append((0, ""))
         elif isinstance(v, float):
-            out.append((1, f"{v + 0.0:.6f}" if v == 0.0 else f"{v:.6f}"))
+            # full precision so rows that differ only past 6 decimals still
+            # sort identically on both sides when values are bit-identical
+            out.append((1, f"{v + 0.0:.17g}" if v == 0.0 else f"{v:.17g}"))
         elif isinstance(v, bool):
             out.append((2, str(v)))
         elif isinstance(v, int):
-            out.append((1, f"{float(v):.6f}"))
+            out.append((1, f"{float(v):.17g}"))
         else:
             out.append((3, str(v)))
     return out
@@ -73,7 +80,11 @@ def _values_equal(a, b) -> bool:
             return False
         if math.isnan(fa) and math.isnan(fb):
             return True
-        return abs(fa - fb) <= FLOAT_TOL * max(1.0, abs(fa), abs(fb))
+        if FLOAT_TOL > 0:
+            return abs(fa - fb) <= FLOAT_TOL * max(1.0, abs(fa), abs(fb))
+        # exact mode: bit-equality, and -0.0 != 0.0 (they stringify
+        # differently in the driver's value hash)
+        return fa == fb and math.copysign(1.0, fa) == math.copysign(1.0, fb)
     return a == b
 
 
