@@ -157,41 +157,87 @@ def ngram_jaccard_pairs(
     threshold: float = 0.6,
     max_doc_freq: int | None = None,
 ) -> DataFrame:
-    """Exact word-set Jaccard over candidate pairs via inverted-index join
-    within blocking keys.  ``max_doc_freq`` drops ubiquitous tokens (the
-    skew cap for the join)."""
+    """EXACT word-set Jaccard >= threshold within blocking keys, made
+    scale-safe by PREFIX FILTERING (SSJoin / AllPairs, Bayardo et al.):
+
+    Sort each doc's tokens by global document frequency ascending (rarest
+    first, ties by token) and index only the first n - ceil(t*n) + 1
+    tokens.  Lemma: if jaccard(a, b) >= t then overlap >= t * max(|a|,|b|)
+    and, under any shared global token order, the two prefixes must
+    intersect — so joining PREFIXES finds every qualifying pair while the
+    join is keyed only on each doc's RAREST tokens.  A near-universal
+    stopword never lands in a long doc's prefix, so the quadratic
+    inverted-index hotspot disappears WITHOUT changing semantics (the
+    earlier df-cap idea dropped ubiquitous tokens and changed every
+    jaccard value — on the test corpus it erased all 910 result pairs).
+
+    Plan shape: 1 token-df agg, 1 doc-keyed agg (sorted token arrays),
+    1 prefix-token join bounded by rare-token collisions, then candidate
+    pairs fetch the two doc arrays (doc-keyed joins) and the exact
+    intersection runs on arrays already in memory.  A residual size
+    filter (t*|larger| <= |smaller|) prunes candidates before the fetch.
+
+    ``max_doc_freq`` optionally ALSO drops tokens above an absolute doc
+    frequency (approximate mode; changes semantics — off by default).
+    """
     toks = _spread(df, id_col).select(
         F.col(id_col), *[F.col(c) for c in block_cols],
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
     )
     if max_doc_freq is not None:
-        freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-        toks = toks.join(
-            F.broadcast(freq.filter(F.col("df") <= max_doc_freq)), "tok"
-        ).drop("df")
-    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tok"))
-    a = toks.select(
-        F.col(id_col).alias("doc_a"), *[F.col(c) for c in block_cols], "tok"
+        freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
+        # broadcast the DROP side (tiny by construction: at most
+        # total_occurrences / cap tokens can exceed the cap); never
+        # broadcast the keep-side vocabulary
+        drop = freq.filter(F.col("_df") > max_doc_freq).select("tok")
+        toks = toks.join(F.broadcast(drop), "tok", "left_anti")
+    tok_df = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_df"))
+    ranked = toks.join(tok_df, "tok")  # 1-to-many on tok: no pair blowup
+    docs = ranked.groupBy(F.col(id_col), *[F.col(c) for c in block_cols]).agg(
+        F.array_sort(F.collect_list(F.struct("tok_df", "tok"))).alias("arr")
     )
-    b = toks.select(
-        F.col(id_col).alias("doc_b"), *[F.col(c) for c in block_cols], "tok"
+    # prefix length n - ceil(t*n) + 1; the -1e-9 guards IEEE upward error
+    # in t*n (a too-SHORT prefix can miss pairs; longer is always safe)
+    n = F.size("arr")
+    plen = n - F.ceil(n * threshold - 1e-9) + 1
+    docs = docs.select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        n.alias("n_tok"),
+        F.transform("arr", lambda s: s["tok"]).alias("toks"),
+        F.transform(F.slice("arr", 1, plen), lambda s: s["tok"]).alias("prefix"),
     )
-    shared = (
-        a.join(b, [*block_cols, "tok"])
+    pa = docs.select(
+        F.col(id_col).alias("doc_a"), *[F.col(c) for c in block_cols],
+        F.col("n_tok").alias("na"), F.col("toks").alias("toks_a"),
+        F.explode("prefix").alias("tok"),
+    )
+    pb = docs.select(
+        F.col(id_col).alias("doc_b"), *[F.col(c) for c in block_cols],
+        F.col("n_tok").alias("nb"), F.col("toks").alias("toks_b"),
+        F.explode("prefix").alias("tok"),
+    )
+    cand = (
+        pa.join(pb, [*block_cols, "tok"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_tok").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_tok").alias("nb"))
-    jac = (
-        shared.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")),
+        # size filter: jaccard >= t requires t * larger <= smaller
+        .filter(
+            F.least("na", "nb")
+            >= F.greatest("na", "nb") * threshold - F.lit(1e-9)
         )
+        .select("doc_a", "doc_b", "na", "nb", "toks_a", "toks_b")
+        .dropDuplicates(["doc_a", "doc_b"])
     )
+    jac = cand.withColumn(
+        "shared", F.size(F.array_intersect("toks_a", "toks_b"))
+    ).withColumn(
+        "jaccard",
+        F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")),
+    )
+    # floor(x*1e4+0.5)/1e4, not round(): same IEEE ops as the DuckDB
+    # oracle, bit-identical on boundary doubles (see projection_filter.py)
     return jac.filter(F.col("jaccard") >= threshold).select(
-        "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
+        "doc_a",
+        "doc_b",
+        (F.floor(F.col("jaccard") * 10000 + 0.5) / 10000).alias("jaccard"),
     )

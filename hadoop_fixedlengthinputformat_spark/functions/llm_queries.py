@@ -99,7 +99,8 @@ def llm_minhash_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
-           round(shared / (sa.n_tok + sb.n_tok - shared), 4) AS jaccard
+           floor(shared / (sa.n_tok + sb.n_tok - shared) * 10000 + 0.5) / 10000
+               AS jaccard
     FROM shared
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
@@ -107,8 +108,11 @@ def llm_minhash_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set Jaccard >= 0.6 within (lang, source) blocks via the
-    inverted-index join."""
+    """Exact token-set Jaccard >= 0.6 within (lang, source) blocks.  The
+    Spark plan uses prefix filtering (see ``ngram_jaccard_pairs``): the
+    candidate join is keyed only on each doc's rarest tokens, yet the
+    result set is provably identical to the oracle's naive all-shared-
+    token formulation — scale-safe without a semantics-changing DF cap."""
     d = load_table(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(d, "doc_id", threshold=0.6)
 
