@@ -150,16 +150,68 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def win_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
-    w_global = Window.orderBy("c_acctbal", "c_custkey")
+    """Global ntile(4) WITHOUT a single-partition sort (round 2; the naive
+    ``ntile(4) OVER (ORDER BY ...)`` funnels the whole table through one
+    task — NOTES.md's known non-scalable construct, now fixed):
+
+    1. ``repartitionByRange`` on the sort key — contiguous ordered ranges,
+       partition i's keys all precede partition i+1's.
+    2. ``row_number`` partitioned by ``spark_partition_id()`` — local rank,
+       every partition sorts independently.
+    3. Per-partition counts (one tiny row per partition) cumulate into
+       offsets via a triangular self-join, so global_rn = local_rn +
+       offset.  The offsets table is |partitions| rows — broadcast.
+    4. ntile's exact bucket rule in integer arithmetic (bit-identical to
+       the oracle, no IEEE anywhere): with q = N div 4, r = N mod 4, the
+       first r buckets take q+1 rows:  rn <= r*(q+1)  ->  ceil(rn/(q+1)),
+       else r + ceil((rn - r*(q+1))/q).
+
+    The only data shuffle is the range partitioning (+ the window's
+    pid re-cluster); nothing ever lands on a single task.
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = c.repartitionByRange(nparts, "c_acctbal", "c_custkey").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("pid").orderBy("c_acctbal", "c_custkey")
+    ranked = ranged.withColumn("lrn", F.row_number().over(w_local))
+    counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    a, b = counts.alias("a"), counts.alias("b")
+    offsets = (
+        a.join(b, F.col("b.pid") <= F.col("a.pid"), "left")
+        .groupBy(F.col("a.pid").alias("pid"))
+        .agg(
+            F.sum(F.when(F.col("b.pid") < F.col("a.pid"), F.col("b.cnt")).otherwise(0)
+                  ).alias("offset"),
+        )
+    )
+    total = counts.agg(F.sum("cnt").alias("total"))
+    g = (
+        ranked.join(F.broadcast(offsets), "pid")
+        .crossJoin(F.broadcast(total))
+        .withColumn("rn", F.col("lrn") + F.col("offset"))
+    )
+    tile = F.expr(
+        """
+        CASE WHEN rn <= (total % 4) * (total div 4 + 1)
+             THEN (rn + (total div 4)) div (total div 4 + 1)
+             ELSE (total % 4)
+                  + (rn - (total % 4) * (total div 4 + 1) + (total div 4) - 1)
+                    div (total div 4)
+        END
+        """
+    ).cast("int")
     w_seg = (
         Window.partitionBy("c_mktsegment")
         .orderBy("c_acctbal", "c_custkey")
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
-    return c.select(
+    return g.select(
         "c_custkey",
-        F.ntile(4).over(w_global).alias("quartile"),
+        tile.alias("quartile"),
         F.first("c_custkey").over(w_seg).alias("seg_poorest"),
         F.last("c_custkey").over(w_seg).alias("seg_richest"),
     )

@@ -49,3 +49,28 @@ def test_aqe_splits_skewed_join_partition(spark, skew_confs):
     assert "isFinalPlan=true" in plan
     assert "SortMergeJoin(skew=true)" in plan
     assert "skewed" in plan  # AQEShuffleRead coalesced and skewed
+
+
+def test_ntile_has_no_unpartitioned_window(spark):
+    """win_ntile_first_last (round 2) must compute the global ntile via
+    range-partitioned local ranks + broadcast offsets — NO window operator
+    may run with an empty partition spec (= single-task global sort), and
+    the range repartitioning must appear.  An unpartitioned window spec
+    prints as `windowspecdefinition(<col> ASC ...` (first arg is an ORDER
+    column); partitioned specs lead with a bare partition column."""
+    import re
+
+    from hadoop_fixedlengthinputformat_spark.operators.windows import (
+        win_ntile_first_last,
+    )
+
+    df = win_ntile_first_last(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"Exchange rangepartitioning\(c_acctbal", plan)
+    bad = re.findall(r"windowspecdefinition\(\S+#\d+ (?:ASC|DESC)", plan)
+    assert bad == [], f"unpartitioned window specs found: {bad}"
+    # exchange reuse collapses the three consumers of the ranged scan
+    rows = df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final
+    assert len(rows) > 0
