@@ -83,6 +83,7 @@ class _Options:
     malformed_tail: str  # "fail" | "drop"
     max_partition_bytes: int
     decode_mode: str = "failfast"  # or "permissive": null malformed fields
+    pruned: bool = False  # True when 'columns' narrowed the layout
 
     @classmethod
     def parse(cls, options) -> "_Options":
@@ -126,6 +127,32 @@ class _Options:
         layout_raw = options.get("layout")
         fields = parse_layout(layout_raw, record_length) if layout_raw else None
 
+        # Manual column pruning: Spark 4.1's Python Data Source API has no
+        # pruneColumns hook, so a plain .select() can't reach the reader
+        # and decode-all always runs.  The 'columns' option is the manual
+        # knob: decode ONLY the named layout fields (a fixed-width record
+        # is random-access by byte offset, so skipping a field costs
+        # nothing).  Narrows decode work, the Arrow batch, and the
+        # Python->JVM transfer to the projected fields.
+        columns_raw = options.get("columns")
+        pruned = False
+        if columns_raw is not None:
+            if fields is None:
+                raise ValueError(
+                    "fixedlen: 'columns' requires a 'layout' to prune"
+                )
+            want = [c.strip() for c in columns_raw.split(",") if c.strip()]
+            known = {f.name for f in fields}
+            unknown = [c for c in want if c not in known]
+            if unknown or not want:
+                raise ValueError(
+                    f"fixedlen: 'columns' names unknown layout fields "
+                    f"{unknown or columns_raw!r} (layout has {sorted(known)})"
+                )
+            keep = set(want)
+            fields = [f for f in fields if f.name in keep]
+            pruned = True
+
         with_offset = options.get("includeoffset", "true").lower() == "true"
         malformed = options.get("malformedtail", "fail").lower()
         if malformed not in ("fail", "drop"):
@@ -135,7 +162,8 @@ class _Options:
             raise ValueError("fixedlen: mode must be 'failfast' or 'permissive'")
         mpb = int(options.get("maxpartitionbytes", DEFAULT_MAX_PARTITION_BYTES))
         return cls(
-            record_length, key_bounds, fields, with_offset, malformed, mpb, mode
+            record_length, key_bounds, fields, with_offset, malformed, mpb,
+            mode, pruned,
         )
 
     def spark_schema(self) -> StructType:
@@ -330,27 +358,63 @@ class FixedLengthReader(DataSourceReader):
             StringStartsWith,
         )
 
+        import math
+
+        def _is_nan(v) -> bool:
+            return isinstance(v, float) and math.isnan(v)
+
         mask = None
         for flt in self.pushed:
             col = batch.column(flt.attribute[0])
+            # Spark's float semantics diverge from Arrow's IEEE: NaN is
+            # GREATER than every other value and NaN = NaN is true
+            # (verified on this Spark build).  A fully-handled pushed
+            # filter is never re-checked by Spark, so the mask must
+            # reproduce that total order exactly on float columns.
+            fp = pa.types.is_floating(col.type)
+            col_nan = pc.is_nan(col) if fp else None
             if isinstance(flt, EqualTo):
-                m = pc.equal(col, flt.value)
+                if fp and _is_nan(flt.value):
+                    m = col_nan  # NaN = NaN is true in Spark
+                else:
+                    m = pc.equal(col, flt.value)
             elif isinstance(flt, GreaterThan):
-                m = pc.greater(col, flt.value)
+                if fp and _is_nan(flt.value):
+                    # nothing exceeds NaN; null stays null (-> dropped)
+                    m = pc.less(col, float("-inf"))
+                elif fp:
+                    m = pc.or_kleene(pc.greater(col, flt.value), col_nan)
+                else:
+                    m = pc.greater(col, flt.value)
             elif isinstance(flt, GreaterThanOrEqual):
-                m = pc.greater_equal(col, flt.value)
+                if fp and _is_nan(flt.value):
+                    m = col_nan  # only NaN >= NaN
+                elif fp:
+                    m = pc.or_kleene(pc.greater_equal(col, flt.value), col_nan)
+                else:
+                    m = pc.greater_equal(col, flt.value)
             elif isinstance(flt, LessThan):
-                m = pc.less(col, flt.value)
+                if fp and _is_nan(flt.value):
+                    m = pc.invert(col_nan)  # everything but NaN < NaN
+                else:
+                    m = pc.less(col, flt.value)  # NaN < v false: matches
             elif isinstance(flt, LessThanOrEqual):
-                m = pc.less_equal(col, flt.value)
+                if fp and _is_nan(flt.value):
+                    m = pc.is_valid(col)  # every non-null value <= NaN
+                else:
+                    m = pc.less_equal(col, flt.value)
             elif isinstance(flt, In):
                 # SQL IN: NULL never matches (x IN (... NULL) is NULL ->
                 # dropped by WHERE); pc.is_in would match null-to-null
                 vals = [v for v in flt.value if v is not None]
+                nan_sought = fp and any(_is_nan(v) for v in vals)
+                vals = [v for v in vals if not _is_nan(v)]
                 m = pc.and_kleene(
                     pc.is_in(col, value_set=pa.array(vals, col.type)),
                     pc.is_valid(col),
                 )
+                if nan_sought:
+                    m = pc.or_kleene(m, col_nan)  # NaN IN (... NaN) is true
             elif isinstance(flt, IsNull):
                 m = pc.is_null(col)
             elif isinstance(flt, IsNotNull):
@@ -465,6 +529,11 @@ class FixedLengthWriter(DataSourceWriter):
     def __init__(self, opts: _Options, path: str, overwrite: bool):
         if opts.fields is None:
             raise ValueError("fixedlen write requires a 'layout' option")
+        if opts.pruned:
+            # a pruned layout can't place every byte of a record
+            raise ValueError(
+                "fixedlen write does not accept 'columns' — write the full layout"
+            )
         self.opts = opts
         self.path = path
         self.overwrite = overwrite

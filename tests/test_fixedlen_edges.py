@@ -412,3 +412,99 @@ def test_pushed_in_filter_drops_nulls(spark, tmp_path):
     rows = df.filter(df.k.isin(5, 7)).collect()
     assert sorted(r.k for r in rows) == [5, 7]
     assert df.filter(df.k.isin(5)).count() == 1
+
+
+def test_columns_prunes_schema_and_decode(spark, tmp_path):
+    """'columns' narrows the layout: only named fields are decoded (in
+    layout order, regardless of option order) and garbage bytes in an
+    UNREQUESTED int field must not fail the scan — proof the pruned field
+    is never parsed."""
+    recs = b"".join(
+        f"{i:03d}".encode() + b"XXX" + f"n{i}".ljust(4).encode() for i in range(5)
+    )
+    path = _write(tmp_path, "pruned.bin", recs)
+    layout = "k:0:3:int,bad:3:3:int,name:6:4:string"
+    df = _read(
+        spark, path, 10, layout=layout, includeOffset="false",
+        columns="name,k",
+    )
+    assert [f.name for f in df.schema.fields] == ["k", "name"]
+    rows = {r["k"]: r["name"] for r in df.collect()}
+    assert rows == {i: f"n{i}" for i in range(5)}
+
+
+def test_columns_unknown_field_rejected(spark, tmp_path):
+    path = _write(tmp_path, "pr2.bin", b"x" * 30)
+    with pytest.raises(Exception, match="unknown layout fields"):
+        _read(
+            spark, path, 10, layout="k:0:3:int", columns="nope"
+        ).collect()
+
+
+def test_columns_requires_layout(spark, tmp_path):
+    path = _write(tmp_path, "pr3.bin", b"x" * 30)
+    with pytest.raises(Exception, match="requires a 'layout'"):
+        _read(spark, path, 10, columns="k").collect()
+
+
+def test_columns_rejected_on_write(spark, tmp_path):
+    path = _write(tmp_path, "pr4.bin", b"00100a" * 3)
+    df = _read(spark, path, 6, layout="k:0:3:int,v:3:3:string",
+               includeOffset="false")
+    with pytest.raises(Exception, match="does not accept 'columns'"):
+        (
+            df.write.format("fixedlen")
+            .option("recordLength", "6")
+            .option("layout", "k:0:3:int,v:3:3:string")
+            .option("columns", "k")
+            .mode("overwrite")
+            .save(os.path.join(str(tmp_path), "out"))
+        )
+
+
+def test_pushed_filters_match_spark_nan_semantics(spark, tmp_path):
+    """Pushed comparisons on a double field must reproduce Spark's float
+    total order (NaN greatest, NaN = NaN true), not Arrow's IEEE (all
+    NaN comparisons false).  Compare every pushed predicate against the
+    same predicate evaluated by Spark AFTER a pushdown-free scan."""
+    vals = ["  5.0", "  nan", " -3.5", "  9.9", "  nan"]
+    recs = b"".join(f"{i:02d}".encode() + v.encode() for i, v in enumerate(vals))
+    path = _write(tmp_path, "nan.bin", recs)
+    layout = "k:0:2:int,v:2:5:double"
+
+    import math
+
+    import pyspark.sql.functions as F
+
+    def spark_side(pred):
+        # includeOffset row keeps schema aligned; filter AFTER scan via a
+        # non-pushable disguise (abs() wrapper defeats pushdown)
+        df = _read(spark, path, 7, layout=layout, includeOffset="false")
+        return sorted(
+            r["k"] for r in df.filter(pred(F.col("v") + 0)).collect()
+        )
+
+    def pushed_side(pred):
+        df = _read(spark, path, 7, layout=layout, includeOffset="false")
+        out = df.filter(pred(F.col("v")))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        rows = sorted(r["k"] for r in out.collect())
+        return rows, plan
+
+    nan = float("nan")
+    preds = [
+        lambda c: c > 5.0,
+        lambda c: c >= 5.0,
+        lambda c: c < 6.0,
+        lambda c: c <= 6.0,
+        lambda c: c == nan,
+        lambda c: c > nan,
+        lambda c: c >= nan,
+        lambda c: c < nan,
+        lambda c: c <= nan,
+        lambda c: c.isin(nan, -3.5),
+    ]
+    for i, p in enumerate(preds):
+        want = spark_side(p)
+        got, _plan = pushed_side(p)
+        assert got == want, f"pred #{i}: pushed={got} spark={want}"

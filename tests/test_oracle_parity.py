@@ -10,7 +10,8 @@ from tests import parity
 
 QUERIES = entry_mod.queries()
 ORACLES = entry_mod.oracle_sql()
-SLOW = {  # streaming queries spin up real micro-batch runs — keep a subset here
+SLOW = {  # streaming queries spin up real micro-batch runs — marked slow,
+    # run with `pytest -m slow` (they stay covered by tests/parity.py too)
     "stream_sliding_window",
     "stream_session_window",
     "stream_watermark_late_drop",
@@ -30,14 +31,24 @@ def test_entry_smoke(spark):
     assert "sum_qty" in df.columns
 
 
-@pytest.mark.parametrize("name", sorted(n for n in QUERIES if n not in SLOW))
-def test_query_parity(spark, sf_dir, con, name):
+def _check_parity(spark, sf_dir, con, name):
     df = QUERIES[name](spark, sf_dir)
     if name in ORACLES:
         problems = parity.compare(name, df, ORACLES[name], con)
         assert not problems, "; ".join(problems)
     else:
         assert df.count() >= 0  # rows-only: runs and has a stable schema
+
+
+@pytest.mark.parametrize("name", sorted(n for n in QUERIES if n not in SLOW))
+def test_query_parity(spark, sf_dir, con, name):
+    _check_parity(spark, sf_dir, con, name)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", sorted(SLOW))
+def test_query_parity_slow(spark, sf_dir, con, name):
+    _check_parity(spark, sf_dir, con, name)
 
 
 def test_approx_distinct_tolerance(spark, sf_dir, con):
