@@ -121,6 +121,68 @@ def lsh_candidate_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, cluster_id) — cluster_id = min node id reachable through the
+    pair graph.  This is the step that turns a near-dup PAIR list into
+    droppable duplicate GROUPS (keep min id per cluster, drop the rest).
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest label among itself and its neighbors; converged when no
+    label changes.  Each round is one join + one groupBy(min) — all
+    shuffles keyed on node id (uniform), never materializing anything
+    bigger than the edge list.  ``localCheckpoint`` truncates the plan
+    lineage per round (an unbounded iterative lineage re-executes every
+    prior round and eventually overflows the planner).
+
+    Rounds needed = graph diameter; duplicate clusters are shallow
+    (near-dup graphs are dense blobs, diameter 2-4), so the cap of 20 is
+    generous.  For adversarial long-chain graphs switch to the
+    large-star/small-star algorithm (Kiveris et al., "Connected
+    Components in MapReduce"), which converges in O(log n) rounds with
+    the same join-shaped rounds.
+    """
+    sym = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new = (
+            labels.join(nbr, labels["node"] == nbr["src"], "left")
+            .select(
+                labels["node"],
+                F.least(
+                    labels["lbl"], F.coalesce(nbr["nbr_lbl"], labels["lbl"])
+                ).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("lbl").alias("cluster_id"))
+
+
 def simhash64(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """62-bit SimHash per document (bits 0..61 to stay in a positive
     BIGINT): per-token xxhash64 bit votes, majority per bit position."""

@@ -117,6 +117,249 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(d, "doc_id", threshold=0.6)
 
 
+@query(
+    "llm_dup_clusters",
+    oracle="""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    shingles AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+        FROM (
+            SELECT doc_id, t,
+                   unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+            FROM toks
+        )
+    ),
+    sig AS (
+        SELECT doc_id,
+               min(md5('0' || shingle)) AS mh_0, min(md5('1' || shingle)) AS mh_1,
+               min(md5('2' || shingle)) AS mh_2, min(md5('3' || shingle)) AS mh_3,
+               min(md5('4' || shingle)) AS mh_4, min(md5('5' || shingle)) AS mh_5,
+               min(md5('6' || shingle)) AS mh_6, min(md5('7' || shingle)) AS mh_7
+        FROM shingles GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS band_idx, mh_0 || '|' || mh_1 AS band_val FROM sig
+        UNION ALL SELECT doc_id, 1, mh_2 || '|' || mh_3 FROM sig
+        UNION ALL SELECT doc_id, 2, mh_4 || '|' || mh_5 FROM sig
+        UNION ALL SELECT doc_id, 3, mh_6 || '|' || mh_7 FROM sig
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+        WHERE a.doc_id < b.doc_id
+    ),
+    sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+        SELECT DISTINCT a AS node, a AS lbl FROM sym
+        UNION
+        SELECT s.a, r.lbl FROM sym s JOIN reach r ON r.node = s.b
+    ),
+    cc AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node)
+    SELECT node AS doc_id, lbl AS cluster_id,
+           count(*) OVER (PARTITION BY lbl) AS n_members
+    FROM cc
+    """,
+)
+def llm_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS -> duplicate GROUPS: connected components over the
+    MinHash-LSH candidate graph via iterative min-label propagation
+    (``dedup.connected_components``), the step a real dedup pipeline
+    needs before it can DROP anything (keep cluster_id == doc_id, drop
+    the rest).  Oracle recomputes the identical LSH pairs bit-exactly in
+    SQL, then closes them with a recursive CTE."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = dedup.minhash_signature(d, "doc_id")
+    pairs = dedup.lsh_candidate_pairs(sig, "doc_id")
+    cc = dedup.connected_components(pairs)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id")
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("n_members"),
+    )
+
+
+@query(
+    "llm_repetition_score",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id,
+               (SELECT count(*) FROM unnest(generate_series(
+                    1, greatest(len(string_split(text, ' ')) - 2, 1))))
+                   AS total_3g,
+               (SELECT count(DISTINCT array_to_string(
+                        (string_split(text, ' '))[i:i+2], ' '))
+                FROM unnest(generate_series(
+                    1, greatest(len(string_split(text, ' ')) - 2, 1))) AS u(i))
+                   AS distinct_3g
+        FROM documents
+    )
+    SELECT doc_id,
+           floor((1 - CAST(distinct_3g AS DOUBLE) / total_3g) * 10000 + 0.5)
+               / 10000 AS rep_3gram
+    FROM g
+    """,
+)
+def llm_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-3-gram fraction per document (the Gopher/MassiveText
+    repetition quality filter): 1 - distinct/total 3-grams.  Pure per-row
+    array expressions — zero shuffles, streams at scan speed at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(d, "text", 3)
+    return d.select(
+        "doc_id",
+        (
+            F.floor(
+                (1 - F.size(F.array_distinct(sh)) / F.size(sh)) * 10000 + 0.5
+            )
+            / 10000
+        ).alias("rep_3gram"),
+    )
+
+
+@query(
+    "llm_contamination_check",
+    oracle="""
+    WITH sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string((string_split(text, ' '))[i:i+4], ' ') AS s
+        FROM (
+            SELECT doc_id, text,
+                   unnest(generate_series(
+                       1, greatest(len(string_split(text, ' ')) - 4, 1))) AS i
+            FROM documents
+        )
+    ),
+    eval_sh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0)
+    SELECT sh.doc_id, count(DISTINCT sh.s) AS n_shared
+    FROM sh JOIN eval_sh ON sh.s = eval_sh.s
+    WHERE sh.doc_id % 97 <> 0
+    GROUP BY sh.doc_id
+    """,
+)
+def llm_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: flag training docs sharing any
+    5-gram with the eval set (docs with doc_id % 97 == 0 stand in for a
+    benchmark).  The eval n-gram set is small by construction, so it is
+    BROADCAST — the 100 TB corpus streams past it with no shuffle of
+    corpus data; the only aggregation is per-doc match counting."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(dedup.word_shingles(d, "text", 5))
+        ).alias("s"),
+    )
+    eval_sh = sh.filter(F.col("doc_id") % 97 == 0).select("s").distinct()
+    return (
+        sh.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(eval_sh), "s")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("s").alias("n_shared"))
+    )
+
+
+@query(
+    "llm_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+          < CASE WHEN lang = 'en' THEN '80' ELSE '33' END
+    """,
+)
+def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: keep ~50% of 'en' docs and ~20%
+    of the rest by comparing the md5(doc_id) hex prefix against a
+    per-stratum threshold ('80'/256 = .5, '33'/256 = .199).  Unlike
+    rand()-sampling this is reproducible across runs/retries/engines —
+    a pure filter, no shuffle, and the exact same rows in DuckDB."""
+    d = load_table(spark, sf_dir, "documents")
+    thresh = F.when(F.col("lang") == "en", "80").otherwise("33")
+    return d.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2)
+        < thresh
+    ).select("doc_id", "lang")
+
+
+@query(
+    "llm_seq_packing",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, lang, n_tok,
+               COALESCE(SUM(n_tok) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+        FROM t
+    )
+    SELECT doc_id, lang, n_tok,
+           cum_before // 2048 AS pack_id,
+           cum_before % 2048 AS pack_offset
+    FROM c
+    """,
+)
+def llm_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining: concat-and-chunk each language
+    stream into 2048-token packs (the GPT-style packing semantics) —
+    every doc gets its pack id and offset from a running token count.
+    One shuffle on lang + window; at 100 TB repartition the stream by
+    (lang, doc_id range) and add the range's token grand total to the
+    local cumsum — same two-phase offset trick as the scalable ntile."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "lang", F.size(F.split(F.col("text"), " ")).alias("n_tok")
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    c = t.withColumn("cum_before", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+    return c.select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        F.expr("cum_before div 2048").alias("pack_id"),
+        (F.col("cum_before") % 2048).alias("pack_offset"),
+    )
+
+
+@query(
+    "llm_pii_redact",
+    oracle="""
+    SELECT event_id,
+           regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS props_redacted,
+           len(regexp_extract_all(props, '[0-9]+')) AS n_redactions
+    FROM events
+    """,
+)
+def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex redaction pass (PII-scrub shape): mask numeric runs in the
+    JSON props and count the redactions.  Pure per-row regexp — zero
+    shuffles; swap in email/SSN/phone patterns for real corpora."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.regexp_replace("props", r"[0-9]+", "<NUM>").alias("props_redacted"),
+        F.regexp_count("props", F.lit(r"[0-9]+")).cast("long").alias(
+            "n_redactions"
+        ),
+    )
+
+
 @query("llm_simhash")  # xxhash64-based — rows-only (no DuckDB equivalent hash)
 def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """62-bit SimHash per document; tests assert identical texts collide
