@@ -419,6 +419,18 @@ def llm_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_cosine_lsh(emb, probes, k=10)
 
 
+@query("llm_knn_pq")  # approximate (product quantization + ADC) — rows-only
+def llm_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN: corpus compressed to m=8 sub-codes, ADC scan over the
+    code table, exact cosine re-rank on the rerank*k shortlist — the
+    memory-bound scale path (codes are m ints/vector; raw floats move
+    only for shortlist survivors).  Recall vs brute force asserted in
+    tests/test_llm.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id").between(1, 5))
+    return similarity.knn_l2_pq(emb, probes, k=10)
+
+
 @query(
     "llm_embedding_cosine_dup",
     oracle="""
@@ -738,6 +750,215 @@ _MINHASH_CANDIDATES_SQL = """
         WHERE a.doc_id < b.doc_id
     )
 """
+
+
+_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is")
+
+
+@query(
+    "llm_gopher_filters",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words,
+               length(replace(text, ' ', '')) AS n_letters
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               len(words) AS n_words,
+               CAST(n_letters AS DOUBLE) / len(words) AS mwl,
+               CAST(len(list_filter(words,
+                        w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
+                   / len(words) AS alpha,
+               len(list_filter(words,
+                   w -> w IN ('the','a','of','to','and','in','is')))
+                   AS stop_hits,
+               CAST(len(list_distinct(words)) AS DOUBLE) / len(words)
+                   AS distinct_ratio
+        FROM w
+    )
+    SELECT doc_id, n_words,
+           floor(mwl * 10000 + 0.5) / 10000 AS mean_word_len,
+           floor(alpha * 10000 + 0.5) / 10000 AS alpha_frac,
+           stop_hits,
+           floor(distinct_ratio * 10000 + 0.5) / 10000 AS distinct_ratio,
+           (n_words >= 20) AS rule_words,
+           (mwl BETWEEN 3 AND 8) AS rule_mwl,
+           (stop_hits >= 2) AS rule_stop,
+           (distinct_ratio >= 0.5) AS rule_rep,
+           (n_words >= 20 AND mwl BETWEEN 3 AND 8 AND stop_hits >= 2
+            AND distinct_ratio >= 0.5) AS keep
+    FROM m
+    """,
+)
+def llm_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style rule-based quality gate: per-document
+    word count, mean word length, alphabetic-word fraction, stopword
+    hits and distinct-token ratio, each thresholded into a rule flag
+    plus the combined keep decision.  Pure per-row array expressions in
+    whole-stage codegen — zero shuffles, streams over 100 TB at scan
+    speed (the decision column is what a cleaning job filters on).
+    Rule set per Rae et al. 2021 (Gopher) §A1.1; thresholds tuned to
+    the synthetic corpus so every rule discriminates."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    mwl = F.length(F.translate(F.col("text"), " ", "")) / n_words
+    alpha = (
+        F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]"))) / n_words
+    )
+    stop_hits = F.size(F.filter(words, lambda w: w.isin(*_STOPWORDS)))
+    distinct_ratio = F.size(F.array_distinct(words)) / n_words
+    r4 = lambda c: F.floor(c * 10000 + 0.5) / 10000  # noqa: E731
+    rule_words = n_words >= 20
+    rule_mwl = (mwl >= 3) & (mwl <= 8)
+    rule_stop = stop_hits >= 2
+    rule_rep = distinct_ratio >= 0.5
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        r4(mwl).alias("mean_word_len"),
+        r4(alpha).alias("alpha_frac"),
+        stop_hits.alias("stop_hits"),
+        r4(distinct_ratio).alias("distinct_ratio"),
+        rule_words.alias("rule_words"),
+        rule_mwl.alias("rule_mwl"),
+        rule_stop.alias("rule_stop"),
+        rule_rep.alias("rule_rep"),
+        (rule_words & rule_mwl & rule_stop & rule_rep).alias("keep"),
+    )
+
+
+@query(
+    "llm_domain_stats",
+    oracle="""
+    SELECT source, lang,
+           count(*) AS n_docs,
+           sum(len(string_split(text, ' '))) AS total_tokens,
+           round(avg(n_chars), 4) AS avg_chars,
+           floor((1 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*))
+                 * 10000 + 0.5) / 10000 AS dup_rate
+    FROM documents
+    GROUP BY source, lang
+    """,
+)
+def llm_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) corpus mix report — the FineWeb/Dolma-style
+    dashboard a data curator reads before weighting domains: doc count,
+    token total, average length, exact-dup rate inside the domain.  One
+    hash-partial groupBy; the count(DISTINCT md5) expands to the
+    standard two-phase plan, so the shuffle carries (domain, digest)
+    pairs, never text — scale-safe at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("total_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        (
+            F.floor(
+                (
+                    1
+                    - F.count_distinct(
+                        F.md5(F.col("text").cast("binary"))
+                    ).cast("double")
+                    / F.count(F.lit(1))
+                )
+                * 10000
+                + 0.5
+            )
+            / 10000
+        ).alias("dup_rate"),
+    )
+
+
+@query(
+    "llm_topk_ngrams",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               array_to_string((string_split(text, ' '))[i:i+4], ' ') AS ngram
+        FROM (
+            SELECT doc_id, text,
+                   unnest(generate_series(
+                       1, greatest(len(string_split(text, ' ')) - 4, 1))) AS i
+            FROM documents
+        )
+    )
+    SELECT ngram, count(*) AS n_occurrences,
+           count(DISTINCT doc_id) AS n_docs
+    FROM sh GROUP BY ngram HAVING count(DISTINCT doc_id) >= 3
+    """,
+)
+def llm_topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-passage mining: every word 5-gram occurring in >= 3
+    distinct documents, with corpus-wide occurrence and document
+    frequencies — the signal memorization/boilerplate audits start
+    from.  Explode + one groupBy: partial aggregation absorbs hot
+    n-grams map-side, and the exchange carries (ngram, partial-count,
+    partial-doc-set-digest) partials, not positions.  At 100 TB add a
+    first-stage (ngram, doc) dedup before the count, which is exactly
+    what count(DISTINCT doc_id)'s two-phase expansion already plans."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(dedup.word_shingles(d, "text", 5)).alias("ngram"),
+    )
+    return (
+        sh.groupBy("ngram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= 3)
+    )
+
+
+@query(
+    "llm_semdedup",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               a.embedding AS va, b.embedding AS vb
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label
+         AND b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 50
+    ),
+    dots AS (
+        SELECT id_a, id_b,
+               sum(CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE)) AS dot,
+               sum(CAST(va[i] AS DOUBLE) * CAST(va[i] AS DOUBLE)) AS na,
+               sum(CAST(vb[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE)) AS nb
+        FROM pairs, generate_series(1, 64) t(i)
+        GROUP BY 1, 2
+    ),
+    dups AS (
+        SELECT DISTINCT id_b FROM dots
+        WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.8
+    )
+    SELECT e.vec_id, e.label,
+           (dups.id_b IS NOT NULL) AS is_dup
+    FROM embeddings e LEFT JOIN dups ON e.vec_id = dups.id_b
+    """,
+)
+def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): drop embeddings whose cosine to an
+    earlier vector in the same cluster exceeds 0.8 — semantic dedup the
+    pair-listing ops stop short of.  The cluster column stands in for
+    the trained k-means codebook (same convention as llm_knn_ivf); the
+    pair space is bounded by (cluster, id-window) blocking, so the join
+    is never all-pairs, and the final decision is a semi-join of 8-byte
+    ids against the corpus — at 100 TB the vectors themselves shuffle
+    only within cluster blocks."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.cosine_dup_pairs(emb, threshold=0.8, window=50)
+    dups = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    return emb.join(
+        dups.withColumn("is_dup_", F.lit(True)), "vec_id", "left"
+    ).select(
+        "vec_id",
+        "label",
+        F.coalesce(F.col("is_dup_"), F.lit(False)).alias("is_dup"),
+    )
 
 
 @query(

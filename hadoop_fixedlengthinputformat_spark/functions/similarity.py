@@ -209,6 +209,118 @@ def knn_cosine_ivf(
     )
 
 
+def _pq_parts(df: DataFrame, id_col: str, vec_col: str, m: int, nbits: int):
+    """(id, sub, subvec, code) — split each vector into ``m`` contiguous
+    subvectors and code each by the sign pattern of its first ``nbits``
+    dims (a one-pass deterministic quantizer standing in for trained
+    per-subspace k-means, the same convention as ``knn_cosine_ivf``'s
+    label codebook).  Dimension-agnostic: the subspace width is derived
+    per row from ``size(vec)/m`` — no driver-side job at build time."""
+    sub_dim = (F.size(vec_col) / m).cast("int")
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim),
+    )
+    ex = df.select(
+        F.col(id_col).alias("_id"), F.posexplode(subs).alias("sub", "subvec")
+    )
+    code = F.lit(0)
+    for b in range(nbits):
+        bit = F.when(
+            F.element_at("subvec", b + 1).cast("double") >= 0, F.lit(1)
+        ).otherwise(F.lit(0))
+        code = code + F.shiftleft(bit, b)
+    return ex.withColumn("code", code.cast("int"))
+
+
+def knn_l2_pq(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    nbits: int = 4,
+    k: int = 10,
+    rerank: int = 3,
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011 shape): corpus vectors
+    compress to ``m`` sub-codes; probes scan codes via an ADC distance
+    table and only the ``rerank*k`` best candidates pay the exact cosine.
+
+    Scale plan for 100 TB: the corpus side materializes once as
+    (id, sub, code) — m ints per vector instead of the raw floats — and
+    the per-probe distance table (m * 2^nbits rows) plus the codebook
+    are BROADCAST; the ADC scan is a broadcast join + partial-sum
+    groupBy on the code table, so the exchange carries (probe, id,
+    partial-distance) triples and the raw vectors move only for the
+    rerank*k survivors per probe (a semi-join by id).  No all-pairs
+    stage anywhere."""
+    cparts = _pq_parts(corpus, id_col, vec_col, m, nbits)
+    # codebook: per-(sub, code, pos) mean reassembled into arrays
+    codebook = (
+        cparts.select("sub", "code", F.posexplode("subvec").alias("pos", "v"))
+        .groupBy("sub", "code", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("cv"))
+        .groupBy("sub", "code")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pcs"))
+        .select("sub", "code", F.transform("pcs", lambda s: s.cv).alias("centroid"))
+    )
+    # per-probe ADC table: exact L2^2 from probe subvector to every centroid
+    pparts = _pq_parts(probes, id_col, vec_col, m, nbits).select(
+        F.col("_id").alias("probe_id"), "sub", "subvec"
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            "subvec", "centroid",
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    dtable = (
+        pparts.join(F.broadcast(codebook), "sub")
+        .withColumn("pd2", d2)
+        .select("probe_id", "sub", "code", "pd2")
+    )
+    codes = cparts.select(
+        F.col("_id").alias("neighbor_id"), "sub", "code"
+    )
+    approx = (
+        codes.join(F.broadcast(dtable), ["sub", "code"])
+        .filter(F.col("neighbor_id") != F.col("probe_id"))
+        .groupBy("probe_id", "neighbor_id")
+        .agg(F.sum("pd2").alias("adist"))
+    )
+    wa = Window.partitionBy("probe_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id")
+    )
+    cand = (
+        approx.withColumn("arnk", F.row_number().over(wa))
+        .filter(F.col("arnk") <= rerank * k)
+        .select("probe_id", "neighbor_id")
+    )
+    # exact re-rank on the shortlist only
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cand_vec")
+    )
+    scored = (
+        cand.join(F.broadcast(p), "probe_id")
+        .join(c, "neighbor_id")
+        .withColumn("cos", cosine(F.col("probe_vec"), F.col("cand_vec")))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("probe_id", "neighbor_id", F.round("cos", 4).alias("cosine"), "rnk")
+    )
+
+
 def cosine_dup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",

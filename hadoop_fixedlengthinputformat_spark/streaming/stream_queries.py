@@ -424,6 +424,63 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("view_id", "purchase_id", "user_id")
 
 
+@query(
+    "stream_foreach_batch",
+    oracle="""
+    SELECT user_id, event_type, event_id FROM (
+        SELECT user_id, event_type, event_id,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch upsert sink: each micro-batch keeps the first event
+    per (user_id, event_type) key — first within the batch by (ts,
+    event_id), anti-joined against keys already in the target table —
+    and APPENDS the survivors to a parquet target (the merge-into shape
+    used when the sink has no native upsert).  Because the replay
+    chunks are globally ts-ordered, the final target must equal the
+    batch first-event-per-key query, which is the oracle.  At scale the
+    anti-join reads only the target's key columns (parquet column
+    pruning) and foreachBatch gives exactly-once via the checkpoint's
+    batch-id dedup contract."""
+    from pyspark.sql import Window
+
+    data_dir = _events_stream_dir(spark, sf_dir, with_late=False)
+    target = os.path.join(
+        tempfile.gettempdir(), f"flif_feb_{uuid.uuid4().hex[:10]}"
+    )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy("user_id", "event_type").orderBy(
+            "ts", "event_id"
+        )
+        firsts = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_type", "event_id")
+        )
+        if os.path.exists(os.path.join(target, "_SUCCESS")):
+            seen = batch_df.sparkSession.read.parquet(target).select(
+                "user_id", "event_type"
+            )
+            firsts = firsts.join(seen, ["user_id", "event_type"], "left_anti")
+        firsts.write.mode("append").parquet(target)
+
+    ckpt = os.path.join(tempfile.gettempdir(), f"flif_ckpt_{uuid.uuid4().hex[:10]}")
+    q = (
+        _read_stream(spark, data_dir)
+        .writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(target)
+
+
 # NOTE: Spark 4's transformWithStateInPandas (the successor stateful API
 # with typed ValueState/ListState handles and timers) was prototyped here
 # but is NOT declarable in this environment: its driver-side schema

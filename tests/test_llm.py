@@ -134,6 +134,53 @@ def test_multimodal_resize_schema_and_values(spark, sf_dir):
     assert all(r.width > 0 and r.height > 0 for r in rows)
 
 
+def test_knn_pq_ranks_planted_copy_first(spark):
+    emb = _embeddings(spark)
+    probes = emb.filter(F.col("vec_id") == 1)
+    top = similarity.knn_l2_pq(emb, probes, k=3).collect()
+    assert top[0].neighbor_id == 100 and top[0].rnk == 1
+    assert top[0].cosine > 0.99
+
+
+def test_knn_pq_recall_vs_bruteforce(spark):
+    """ADC + rerank must recover most of the exact top-10 (recall@10
+    >= 0.6 on random Gaussian data — candidates are 3x over-fetched)."""
+    emb = _embeddings(spark)
+    probes = emb.filter(F.col("vec_id").isin(1, 2, 3))
+    exact = similarity.knn_cosine_bruteforce(emb, probes, k=10).collect()
+    approx = similarity.knn_l2_pq(emb, probes, k=10).collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r.probe_id, set()).add(r.neighbor_id)
+    got = {}
+    for r in approx:
+        got.setdefault(r.probe_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(truth[p] & got.get(p, set())) / len(truth[p]) for p in truth
+    ]
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_knn_pq_dim_agnostic(spark):
+    """PQ subspace width must derive from the data (16-dim, m=4)."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(30):
+        v = rng.standard_normal(16)
+        rows.append((i, (v / np.linalg.norm(v)).astype(float).tolist(), i % 2))
+    v1 = np.array(rows[1][1])
+    v = v1 + 0.005 * rng.standard_normal(16)
+    rows.append((100, (v / np.linalg.norm(v)).tolist(), 1))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    probes = emb.filter(F.col("vec_id") == 1)
+    top = similarity.knn_l2_pq(emb, probes, m=4, k=3).collect()
+    assert top[0].neighbor_id == 100 and top[0].cosine > 0.99
+
+
 def test_knn_ivf_dim_agnostic(spark):
     """IVF centroids must derive the dimension from the data (16-dim
     here), not assume 64."""
