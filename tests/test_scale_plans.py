@@ -74,3 +74,42 @@ def test_ntile_has_no_unpartitioned_window(spark):
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in final
     assert len(rows) > 0
+
+
+def test_gopher_filters_plan_has_no_exchange(spark):
+    """llm_gopher_filters claims zero shuffles (pure per-row codegen) —
+    the plan must contain no Exchange at all."""
+    from hadoop_fixedlengthinputformat_spark.functions.llm_queries import (
+        llm_gopher_filters,
+    )
+
+    df = llm_gopher_filters(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_knn_pq_plan_broadcasts_never_cartesian(spark):
+    """llm_knn_pq's ADC scan must join the corpus codes against a
+    BROADCAST distance table — no CartesianProduct and no shuffle of the
+    corpus code side before the join."""
+    from hadoop_fixedlengthinputformat_spark.functions.llm_queries import (
+        llm_knn_pq,
+    )
+
+    df = llm_knn_pq(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_topk_ngrams_partial_agg_before_exchange(spark):
+    """llm_topk_ngrams must pre-combine hot n-grams map-side: a partial
+    count aggregate has to appear below the first Exchange (the
+    count-distinct two-phase expansion)."""
+    from hadoop_fixedlengthinputformat_spark.functions.llm_queries import (
+        llm_topk_ngrams,
+    )
+
+    df = llm_topk_ngrams(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan, plan
