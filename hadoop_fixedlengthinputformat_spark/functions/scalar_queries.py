@@ -523,3 +523,31 @@ def fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("k"),
         ).alias("price_k"),
     )
+
+
+@query(
+    "fn_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+           CAST(json_extract_string(props, '$.missing') AS INT) AS missing,
+           CAST(json(props) AS VARCHAR) AS round_trip
+    FROM events
+    """,
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType: ``parse_json`` into an open semi-structured
+    value, path access via ``try_variant_get`` (missing path -> NULL, no
+    error), normalized re-serialization via ``to_json``.  The modern
+    replacement for schema-up-front ``from_json`` when 100 TB of props
+    don't share one schema — variant keeps the binary-encoded value
+    columnar and pushdown-friendly.  DuckDB's ``json()`` normalization
+    matches ``to_json(parse_json(...))`` byte-for-byte on this corpus."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "int").alias("k_int"),
+        F.try_variant_get(v, "$.missing", "int").alias("missing"),
+        F.to_json(v).alias("round_trip"),
+    )

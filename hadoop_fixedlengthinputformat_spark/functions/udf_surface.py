@@ -50,6 +50,39 @@ def udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "udf_arrow_scalar",
+    oracle="""
+    SELECT p_partkey,
+           lower(trim(regexp_replace(p_name, ' +', ' ', 'g'))) AS name_canon,
+           length(p_name) - length(replace(p_name, ' ', '')) + 1 AS n_words
+    FROM part
+    """,
+)
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Arrow-optimized Python UDF (``useArrow=True``): row-at-a-
+    time Python semantics but Arrow-batch transfer — the migration path
+    between legacy pickle UDFs and pandas UDFs.  String canonicalization
+    (collapse spaces, trim, lower) + word count, oracle-checked against
+    the pure-SQL formulation."""
+    import re
+
+    @F.udf("string", useArrow=True)
+    def canon(name: str) -> str:
+        return re.sub(" +", " ", name).strip().lower()
+
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        canon("p_name").alias("name_canon"),
+        (
+            F.length("p_name")
+            - F.length(F.translate("p_name", " ", ""))
+            + 1
+        ).alias("n_words"),
+    )
+
+
+@query(
     "udaf_grouped_agg",
     oracle="""
     SELECT l_returnflag,
