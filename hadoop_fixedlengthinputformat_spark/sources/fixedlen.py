@@ -84,6 +84,7 @@ class _Options:
     max_partition_bytes: int
     decode_mode: str = "failfast"  # or "permissive": null malformed fields
     pruned: bool = False  # True when 'columns' narrowed the layout
+    compression: str = "none"  # writer-side: "none" | "gzip"
 
     @classmethod
     def parse(cls, options) -> "_Options":
@@ -161,9 +162,12 @@ class _Options:
         if mode not in ("failfast", "permissive"):
             raise ValueError("fixedlen: mode must be 'failfast' or 'permissive'")
         mpb = int(options.get("maxpartitionbytes", DEFAULT_MAX_PARTITION_BYTES))
+        compression = options.get("compression", "none").lower()
+        if compression not in ("none", "gzip"):
+            raise ValueError("fixedlen: compression must be 'none' or 'gzip'")
         return cls(
             record_length, key_bounds, fields, with_offset, malformed, mpb,
-            mode, pruned,
+            mode, pruned, compression,
         )
 
     def spark_schema(self) -> StructType:
@@ -549,14 +553,34 @@ class FixedLengthWriter(DataSourceWriter):
 
         os.makedirs(self.path, exist_ok=True)
         ctx = TaskContext.get()
+        ext = ".fixed.gz" if self.opts.compression == "gzip" else ".fixed"
         final = os.path.join(
-            self.path, f"part-{ctx.partitionId():05d}-{self.token}.fixed"
+            self.path, f"part-{ctx.partitionId():05d}-{self.token}{ext}"
         )
         # task-attempt-unique tmp: a speculative/zombie attempt never
         # interleaves bytes with the winner; commit() promotes atomically
         tmp = f"{final}.tmp-{ctx.taskAttemptId()}"
+        if self.opts.compression == "gzip":
+            import contextlib
+            import gzip
+
+            # mtime=0 + no filename: byte-deterministic output for a given
+            # row order (speculative attempts produce identical files)
+            @contextlib.contextmanager
+            def opener(p):
+                with open(p, "wb") as raw:
+                    g = gzip.GzipFile(
+                        filename="", mode="wb", fileobj=raw, mtime=0
+                    )
+                    try:
+                        yield g
+                    finally:
+                        g.close()
+
+        else:
+            opener = lambda p: open(p, "wb")  # noqa: E731
         n = 0
-        with open(tmp, "wb") as f:
+        with opener(tmp) as f:
             batch: list[dict] = []
             for row in iterator:
                 batch.append(row.asDict())
@@ -580,7 +604,7 @@ class FixedLengthWriter(DataSourceWriter):
             for fn in os.listdir(self.path):
                 if (
                     fn.startswith("part-")
-                    and fn.endswith(".fixed")
+                    and (fn.endswith(".fixed") or fn.endswith(".fixed.gz"))
                     and f"-{self.token}." not in fn
                 ):
                     os.remove(os.path.join(self.path, fn))

@@ -377,3 +377,41 @@ def scan_fixedlen_directory(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("includeOffset", "false")
         .load(d)
     )
+
+
+@query(
+    "sink_fixedlen_gzip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def sink_fixedlen_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed round trip through OUR sink: parquet -> gzip fixed-width
+    write (option compression=gzip; byte-deterministic mtime=0 members) ->
+    gzip fixedlen read.  Closes the loop scan_fixedlen_gzip opened: the
+    reference REJECTS compressed input (FixedLengthRecordReader.java:
+    148-152) and has no writer at all; here compressed fixed-width export
+    is symmetric with ingest.  At 100 TB write many moderate .gz parts
+    (one per partition, as here) so file-level parallelism replaces
+    split-level parallelism on re-read."""
+    configure(spark)
+    fixedlen.register(spark)
+    record_length, spec, _ = fixture_gen.LAYOUTS["nation"]
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    out = os.path.join(tempfile.gettempdir(), "flif_sink_fixedlen_gz")
+    (
+        n.coalesce(1)
+        .write.format("fixedlen")
+        .option("recordLength", str(record_length))
+        .option("layout", spec)
+        .option("compression", "gzip")
+        .mode("overwrite")
+        .save(out)
+    )
+    return (
+        spark.read.format("fixedlen")
+        .option("recordLength", str(record_length))
+        .option("layout", spec)
+        .option("includeOffset", "false")
+        .load(out)
+    )

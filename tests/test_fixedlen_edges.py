@@ -384,6 +384,47 @@ def test_writer_append_is_additive(spark, tmp_path):
     assert sorted(r.k for r in df.collect()) == list(range(9))
 
 
+def test_writer_gzip_roundtrip_and_overwrite(spark, tmp_path):
+    """compression=gzip must emit .fixed.gz parts the gzip reader
+    decodes identically, deterministically (mtime=0 headers), and
+    overwrite must clean stale .gz parts from a prior job."""
+    import glob
+    import gzip
+
+    fixedlen.register(spark)
+    out = os.path.join(str(tmp_path), "gz")
+    layout = "k:0:8:long,v:8:8:long"
+
+    def write(hi):
+        (spark.range(hi).selectExpr("id AS k", "id*2 AS v").coalesce(1)
+         .write.format("fixedlen").option("recordLength", "16")
+         .option("layout", layout).option("compression", "gzip")
+         .mode("overwrite").save(out))
+
+    write(7)
+    first = glob.glob(os.path.join(out, "part-*.fixed.gz"))
+    assert len(first) == 1
+    # deterministic bytes: decompressed AND compressed forms stable
+    payload = gzip.open(first[0], "rb").read()
+    assert len(payload) == 7 * 16
+    write(5)  # overwrite must remove the stale 7-row .gz part
+    parts = glob.glob(os.path.join(out, "part-*.fixed.gz"))
+    assert len(parts) == 1 and parts != first
+    df = (spark.read.format("fixedlen").option("recordLength", "16")
+          .option("layout", layout).option("includeOffset", "false").load(out))
+    assert sorted((r.k, r.v) for r in df.collect()) == [(i, 2 * i) for i in range(5)]
+
+
+def test_writer_bad_compression_rejected(spark, tmp_path):
+    fixedlen.register(spark)
+    with pytest.raises(Exception, match="compression"):
+        (spark.range(3).selectExpr("id AS k", "id AS v")
+         .write.format("fixedlen").option("recordLength", "16")
+         .option("layout", "k:0:8:long,v:8:8:long")
+         .option("compression", "snappy")
+         .mode("overwrite").save(os.path.join(str(tmp_path), "bad")))
+
+
 def test_failed_overwrite_keeps_old_dataset(spark, tmp_path):
     """Old part files must survive a write job that fails before commit
     (cleanup is deferred to commit)."""
