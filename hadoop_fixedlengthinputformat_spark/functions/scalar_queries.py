@@ -551,3 +551,40 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get(v, "$.missing", "int").alias("missing"),
         F.to_json(v).alias("round_trip"),
     )
+
+
+@query(
+    "fn_sql_udf",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice < 50000 THEN 'low'
+                WHEN o_totalprice < 150000 THEN 'mid'
+                ELSE 'high' END AS tier,
+           CASE WHEN o_totalprice < 50000 THEN 'low'
+                WHEN o_totalprice < 150000 THEN 'mid'
+                ELSE 'high' END = 'high' AS is_high
+    FROM orders
+    """,
+)
+def fn_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL UDF (CREATE FUNCTION ... RETURN <expr>): a DECLARATIVE
+    user function — the body is a Catalyst expression, so unlike Python
+    UDFs it inlines into codegen, participates in constant folding and
+    predicate pushdown, and costs nothing at 100 TB.  The right first
+    choice for any UDF expressible as SQL."""
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION price_tier(p DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN p < 50000 THEN 'low'
+                    WHEN p < 150000 THEN 'mid'
+                    ELSE 'high' END
+        """
+    )
+    o = load_table(spark, sf_dir, "orders")
+    tier = F.expr("price_tier(o_totalprice)")
+    return o.select(
+        "o_orderkey",
+        tier.alias("tier"),
+        (tier == "high").alias("is_high"),
+    )

@@ -200,3 +200,37 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
     )
+
+
+@query("agg_hll_mergeable")  # sketch — rows-only check (SURVEY §2.3-D)
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Datasketches HLL: per-nation customer sketches built in
+    one pass, then UNIONED into a global distinct estimate WITHOUT
+    re-reading the data — the two-level pattern that matters at 100 TB
+    (per-partition/per-day sketches persist as bytes; any rollup is a
+    cheap union over sketch blobs, never a re-scan).  Per-nation
+    estimates and the unioned global estimate in one result; tests
+    assert <=2% error vs exact and that union(estimates) == estimate
+    over the full data."""
+    c = load_table(spark, sf_dir, "customer")
+    per_nation = c.groupBy("c_nationkey").agg(
+        F.hll_sketch_agg("c_custkey").alias("sk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return per_nation.select(
+        "c_nationkey",
+        "n_rows",
+        F.hll_sketch_estimate("sk").alias("nation_distinct_est"),
+        F.lit(None).cast("long").alias("global_distinct_est"),
+    ).unionByName(
+        per_nation.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
+                "global_distinct_est"
+            )
+        ).select(
+            F.lit(-1).cast("long").alias("c_nationkey"),
+            F.lit(None).cast("long").alias("n_rows"),
+            F.lit(None).cast("long").alias("nation_distinct_est"),
+            "global_distinct_est",
+        )
+    )

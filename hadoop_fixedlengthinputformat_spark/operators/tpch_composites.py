@@ -146,3 +146,101 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@query(
+    "tpch_q14_promo_effect",
+    oracle="""
+    WITH s AS (
+        SELECT round(sum(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END), 4) AS promo_revenue,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+          AND l_shipdate < TIMESTAMP '1996-10-01'
+    )
+    SELECT promo_revenue, total_revenue,
+           floor(100.0 * promo_revenue / total_revenue * 10000 + 0.5) / 10000
+               AS promo_pct
+    FROM s
+    """,
+)
+def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: promotional revenue share for one month.  Part is the
+    broadcast dim; the fact scan carries the shipdate pushdown; one
+    global agg with map-side partials.  The pct divides the two
+    ALREADY-ROUNDED sums (floor trick), so both engines do identical
+    IEEE ops on identical inputs."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-09-01"))
+        & (F.col("l_shipdate") < _ts("1996-10-01"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = _revenue()
+    s = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0.0)
+                ),
+                4,
+            ).alias("promo_revenue"),
+            F.round(F.sum(rev), 4).alias("total_revenue"),
+        )
+    )
+    return s.select(
+        "promo_revenue",
+        "total_revenue",
+        (
+            F.floor(
+                100.0 * F.col("promo_revenue") / F.col("total_revenue") * 10000
+                + 0.5
+            )
+            / 10000
+        ).alias("promo_pct"),
+    )
+
+
+@query(
+    "tpch_q18_large_orders",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey, round(sum(l_quantity), 4) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+    )
+    SELECT c_custkey, c_name, o_orderkey,
+           round(o_totalprice, 4) AS totalprice, sum_qty
+    FROM big JOIN orders ON o_orderkey = l_orderkey
+             JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape (large-volume orders): the HAVING-filtered aggregate
+    shrinks the fact side FIRST, so the join input is |big orders|, not
+    |lineitem| — at 100 TB the agg output is small enough that AQE
+    flips the orders join to broadcast at runtime."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.sum("l_quantity").alias("_raw_qty"),
+        )
+        .filter(F.col("_raw_qty") > 300)
+        .drop("_raw_qty")
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 4).alias("totalprice"),
+            "sum_qty",
+        )
+    )

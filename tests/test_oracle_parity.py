@@ -61,6 +61,31 @@ def test_approx_distinct_tolerance(spark, sf_dir, con):
     assert abs(row.approx_orders - exact_orders) <= 0.05 * exact_orders
 
 
+def test_hll_mergeable_tolerance(spark, sf_dir, con):
+    """agg_hll_mergeable has no oracle; per-nation and unioned-global
+    estimates must be within 2% of exact, and the union must cover the
+    whole table (two-level sketch rollup correctness)."""
+    rows = QUERIES["agg_hll_mergeable"](spark, sf_dir).collect()
+    exact = dict(
+        con.execute(
+            "SELECT c_nationkey, count(DISTINCT c_custkey) FROM customer"
+            " GROUP BY c_nationkey"
+        ).fetchall()
+    )
+    total = con.execute(
+        "SELECT count(DISTINCT c_custkey) FROM customer"
+    ).fetchone()[0]
+    saw_global = False
+    for r in rows:
+        if r.c_nationkey == -1:
+            saw_global = True
+            assert abs(r.global_distinct_est - total) <= 0.02 * total + 1
+        else:
+            e = exact[r.c_nationkey]
+            assert abs(r.nation_distinct_est - e) <= 0.02 * e + 1
+    assert saw_global
+
+
 def test_approx_percentile_tolerance(spark, sf_dir, con):
     """agg_approx_percentile has no oracle; assert within 2% of exact."""
     rows = {
