@@ -962,6 +962,71 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_curriculum_mix",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ),
+    agg AS (
+        SELECT lang, sum(n_tok) AS lang_toks FROM t GROUP BY lang
+    ),
+    rates AS (
+        SELECT lang,
+               least(1.0, (30000.0 * CASE lang WHEN 'en' THEN 0.5
+                                               WHEN 'es' THEN 0.3
+                                               ELSE 0.1 END)
+                          / lang_toks) AS rate
+        FROM agg
+    )
+    SELECT t.doc_id, t.lang, t.n_tok,
+           floor(r.rate * 10000 + 0.5) / 10000 AS rate,
+           ((t.doc_id * 2654435761) % 65536)
+               < floor(r.rate * 65536) AS kept
+    FROM t JOIN rates r ON t.lang = r.lang
+    """,
+)
+def llm_curriculum_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix (curriculum) sampling: hit a target token budget per
+    language (50% en / 30% es / 10% each other) by computing a per-lang
+    acceptance rate from the ACTUAL token mass, then keeping documents
+    deterministically via a multiplicative integer hash against the
+    rate threshold — reproducible across engines/retries, unlike
+    rand().  The rate table is |langs| rows (broadcast); the corpus
+    takes one groupBy(lang) token count and one broadcast join — the
+    data-mixing step every pretraining pipeline runs before packing."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "lang", F.size(F.split(F.col("text"), " ")).alias("n_tok")
+    )
+    weight = (
+        F.when(F.col("lang") == "en", 0.5)
+        .when(F.col("lang") == "es", 0.3)
+        .otherwise(0.1)
+    )
+    rates = (
+        t.groupBy("lang")
+        .agg(F.sum("n_tok").alias("lang_toks"))
+        .select(
+            "lang",
+            F.least(
+                F.lit(1.0), (30000.0 * weight) / F.col("lang_toks")
+            ).alias("rate"),
+        )
+    )
+    return t.join(F.broadcast(rates), "lang").select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        (F.floor(F.col("rate") * 10000 + 0.5) / 10000).alias("rate"),
+        (
+            (F.col("doc_id") * F.lit(2654435761)) % 65536
+            < F.floor(F.col("rate") * 65536)
+        ).alias("kept"),
+    )
+
+
+@query(
     "llm_near_dup_verified",
     oracle=_MINHASH_CANDIDATES_SQL
     + """

@@ -350,3 +350,62 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, a.grp_a.eqNullSafe(b.grp_b) & (a.cust_a < b.cust_b))
         .select("cust_a", "cust_b")
     )
+
+
+@query(
+    "merge_scd2",
+    oracle="""
+    WITH upd AS (
+        SELECT c_custkey, 'MACHINERY' AS new_segment
+        FROM customer WHERE c_custkey % 10 = 0
+    ),
+    changed AS (
+        SELECT c.c_custkey, c.c_mktsegment AS old_segment, u.new_segment
+        FROM customer c JOIN upd u ON c.c_custkey = u.c_custkey
+        WHERE c.c_mktsegment <> u.new_segment
+    )
+    SELECT c.c_custkey, c.c_mktsegment AS segment,
+           (ch.c_custkey IS NULL) AS is_current, 1 AS version
+    FROM customer c LEFT JOIN changed ch ON c.c_custkey = ch.c_custkey
+    UNION ALL
+    SELECT c_custkey, new_segment AS segment, TRUE AS is_current,
+           2 AS version
+    FROM changed
+    """,
+)
+def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO, SCD-type-2 shape, without a table format: an update
+    batch (custkey % 10 -> MACHINERY) closes out changed dimension rows
+    (version 1 flips is_current=false) and appends the new current
+    version — unchanged rows pass through untouched.  One broadcast of
+    the change set (updates are small by nature); the dimension never
+    shuffles.  On a real lakehouse this is the transactional MERGE; the
+    logical plan — change detection via join, closed-out + new rows via
+    union — is identical."""
+    c = load_table(spark, sf_dir, "customer")
+    upd = c.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey", F.lit("MACHINERY").alias("new_segment")
+    )
+    changed = (
+        c.join(upd, "c_custkey")
+        .filter(F.col("c_mktsegment") != F.col("new_segment"))
+        .select("c_custkey", "new_segment")
+    )
+    marked = c.join(
+        F.broadcast(changed.withColumn("_chg", F.lit(True))),
+        "c_custkey",
+        "left",
+    )
+    v1 = marked.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.col("_chg").isNull().alias("is_current"),
+        F.lit(1).alias("version"),
+    )
+    v2 = changed.select(
+        "c_custkey",
+        F.col("new_segment").alias("segment"),
+        F.lit(True).alias("is_current"),
+        F.lit(2).alias("version"),
+    )
+    return v1.unionByName(v2)

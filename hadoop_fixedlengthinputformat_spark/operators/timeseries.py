@@ -79,3 +79,57 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("hr_sum", ignorenulls=True).over(w).alias("filled_sum"),
         )
     )
+
+
+@query(
+    "ts_sessionize",
+    oracle="""
+    WITH x AS (
+        SELECT event_id, user_id, ts,
+               epoch(ts) - lag(epoch(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+        FROM events
+    ),
+    f AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END
+                   AS is_start
+        FROM x
+    )
+    SELECT event_id, user_id,
+           sum(is_start) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_seq,
+           is_start
+    FROM f
+    """,
+)
+def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a new session starts at
+    every >30 min silence; session_seq numbers a user's sessions via a
+    running sum over the start flags.  The batch twin of
+    stream_session_window.  One exchange on user_id; both windows reuse
+    it (same partitioning + ordering), so raw events shuffle exactly
+    once regardless of scale.  Epoch-seconds arithmetic (not intervals)
+    so both engines compare identical integers."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ: hop through TIMESTAMP (session TZ pinned UTC
+    # by tables.configure) to get epoch seconds, matching DuckDB epoch()
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap_s = epoch - F.lag(epoch).over(w)
+    is_start = F.when(
+        gap_s.isNull() | (gap_s > 1800), F.lit(1)
+    ).otherwise(F.lit(0))
+    flagged = ev.select(
+        "event_id", "user_id", "ts", is_start.alias("is_start")
+    )
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return flagged.select(
+        "event_id",
+        "user_id",
+        F.sum("is_start").over(run).alias("session_seq"),
+        "is_start",
+    )
