@@ -419,6 +419,18 @@ def llm_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_cosine_lsh(emb, probes, k=10)
 
 
+@query("llm_kmeans_train")  # iterative algorithm — rows-only (non-SQL class)
+def llm_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=8, 3 iterations) over the embedding corpus —
+    the real codebook-training step behind llm_knn_ivf / llm_knn_pq.
+    Iterative driver loop over distributed assign/recompute passes;
+    genuinely non-SQL-expressible (the class the driver records as a
+    rows-only check).  Convergence + determinism asserted in
+    tests/test_llm.py on planted clusters."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.kmeans_train(emb, k=8, iters=3)
+
+
 @query("llm_knn_pq")  # approximate (product quantization + ADC) — rows-only
 def llm_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ ANN: corpus compressed to m=8 sub-codes, ADC scan over the
@@ -1023,6 +1035,75 @@ def llm_curriculum_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") * F.lit(2654435761)) % 65536
             < F.floor(F.col("rate") * 65536)
         ).alias("kept"),
+    )
+
+
+@query(
+    "llm_tfidf_topterms",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, tok, count(*) AS tf FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ) GROUP BY doc_id, tok
+    ),
+    df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.tok,
+               tf.tf * (CAST(n.n_docs AS DOUBLE) / df.df) AS score
+        FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, tok,
+               floor(score * 10000 + 0.5) / 10000 AS score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, tok) AS rnk
+        FROM scored
+    )
+    SELECT doc_id, tok, score, rnk FROM ranked WHERE rnk <= 5
+    """,
+)
+def llm_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per document by TF-IDF with a LINEAR
+    idf (N/df instead of log(N/df)) — rational double ops only, so the
+    score is bit-identical across engines (libm log is not correctly
+    rounded and differs between JVM and C).  Two hash aggregations (tf,
+    df) + a df-keyed join + per-doc WindowGroupLimit top-k; the df table
+    is |vocab| rows — broadcast at any corpus scale; ranking identical
+    to log-idf since log is monotone."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_t), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            (
+                F.col("tf")
+                * (F.col("n_docs").cast("double") / F.col("df"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "tok")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "doc_id",
+            "tok",
+            (F.floor(F.col("score") * 10000 + 0.5) / 10000).alias("score"),
+            "rnk",
+        )
     )
 
 

@@ -321,6 +321,80 @@ def knn_l2_pq(
     )
 
 
+def kmeans_train(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+) -> DataFrame:
+    """Lloyd's k-means over a vector column, pure DataFrame ops — the
+    ACTUAL codebook-training step the IVF/PQ operators stand in with the
+    label column (an iterative algorithm Spark expresses as a driver
+    loop over distributed assign/recompute passes).
+
+    Deterministic: init = the k lowest-id vectors; assignment tiebreak
+    on cluster id.  Each iteration: (1) assign — centroids broadcast,
+    distance in codegen, argmin via min(struct) so the corpus NEVER
+    shuffles; (2) recompute — posexplode + groupBy(cluster, pos), the
+    shuffle carries k*dim partial sums, never vectors.  localCheckpoint
+    cuts the lineage per round (same pattern as connected_components).
+    Returns (cluster, n_members, centroid).  At 100 TB: identical plan
+    per iteration, assignment cost is one corpus pass, recompute
+    exchange is k*dim rows — iteration count is the only multiplier."""
+    c = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("v"))
+    w = Window.orderBy("_id")  # k rows only (post-limit), not a global sort
+    centroids = (
+        c.orderBy("_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(w) - 1).alias("cluster"),
+            F.col("v").cast("array<double>").alias("centroid"),
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            "v", "centroid", lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        ),
+        F.lit(0.0),
+        lambda acc, vv: acc + vv,
+    )
+    for _ in range(iters):
+        assigned = (
+            c.crossJoin(F.broadcast(centroids))
+            .withColumn("d2", d2)
+            .groupBy("_id")
+            .agg(
+                F.min(F.struct("d2", "cluster", "v")).alias("best")
+            )
+            .select("_id", F.col("best.cluster").alias("cluster"), F.col("best.v").alias("v"))
+        )
+        centroids = (
+            assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("cx"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "cx"))).alias("pcs"))
+            .select(
+                "cluster", F.transform("pcs", lambda s: s.cx).alias("centroid")
+            )
+            .localCheckpoint(eager=True)
+        )
+    sizes = (
+        c.crossJoin(F.broadcast(centroids))
+        .withColumn("d2", d2)
+        .groupBy("_id")
+        .agg(F.min(F.struct("d2", "cluster")).alias("best"))
+        .groupBy(F.col("best.cluster").alias("cluster"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+    )
+    return centroids.join(sizes, "cluster", "left").select(
+        "cluster",
+        F.coalesce("n_members", F.lit(0)).alias("n_members"),
+        "centroid",
+    )
+
+
 def cosine_dup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",

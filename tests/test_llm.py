@@ -181,6 +181,29 @@ def test_knn_pq_dim_agnostic(spark):
     assert top[0].neighbor_id == 100 and top[0].cosine > 0.99
 
 
+def test_kmeans_recovers_planted_clusters(spark):
+    """3 well-separated planted clusters -> k=3 training must put each
+    planted group in its own cluster with the right sizes, and the run
+    must be deterministic across invocations."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    centers = [np.zeros(16), np.full(16, 10.0), np.full(16, -10.0)]
+    rows = []
+    i = 0
+    for ci, ctr in enumerate(centers):
+        for _ in range(10 + ci):  # sizes 10, 11, 12
+            v = ctr + 0.1 * rng.standard_normal(16)
+            rows.append((i, v.tolist()))
+            i += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.kmeans_train(emb, k=3, iters=3).collect()
+    sizes = sorted(r.n_members for r in out)
+    assert sizes == [10, 11, 12]
+    again = similarity.kmeans_train(emb, k=3, iters=3).collect()
+    assert sorted(map(str, out)) == sorted(map(str, again))
+
+
 def test_knn_ivf_dim_agnostic(spark):
     """IVF centroids must derive the dimension from the data (16-dim
     here), not assume 64."""
