@@ -133,3 +133,46 @@ def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_start").over(run).alias("session_seq"),
         "is_start",
     )
+
+
+@query(
+    "ts_rollup_chain",
+    oracle="""
+    WITH hourly AS (
+        SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS h,
+               sum(value) AS v, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    daily AS (
+        SELECT user_id, time_bucket(INTERVAL '1 day', h) AS d,
+               sum(v) AS v, sum(n) AS n
+        FROM hourly GROUP BY 1, 2
+    )
+    SELECT user_id, time_bucket(INTERVAL '1 month', d) AS month,
+           round(sum(v), 4) AS month_value, sum(n) AS month_events,
+           count(*) AS days_active
+    FROM daily GROUP BY 1, 2
+    """,
+)
+def ts_rollup_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate rollup chain (the hypertable pattern):
+    monthly derives from daily derives from hourly — raw events are
+    read ONCE and every higher level aggregates the level below, so at
+    100 TB each rollup's input is the (tiny) previous aggregate, and in
+    a materialized deployment each level persists and refreshes
+    incrementally.  All three groupBys hash-partition on user_id+bucket;
+    partial aggregation collapses map-side at every level."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.sum("value").alias("v"), F.count(F.lit(1)).alias("n"))
+    daily = hourly.groupBy(
+        "user_id", F.date_trunc("day", "h").alias("d")
+    ).agg(F.sum("v").alias("v"), F.sum("n").alias("n"))
+    return daily.groupBy(
+        "user_id", F.date_trunc("month", "d").alias("month")
+    ).agg(
+        F.round(F.sum("v"), 4).alias("month_value"),
+        F.sum("n").alias("month_events"),
+        F.count(F.lit(1)).alias("days_active"),
+    )
