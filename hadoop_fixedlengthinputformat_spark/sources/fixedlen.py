@@ -46,6 +46,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -618,6 +619,75 @@ class FixedLengthWriter(DataSourceWriter):
                 os.remove(m.tmp_path)
 
 
+class _StreamCommitMessage(WriterCommitMessage):
+    def __init__(self, tmp_path: str, partition_id: int, n_records: int):
+        self.tmp_path = tmp_path
+        self.partition_id = partition_id
+        self.n_records = n_records
+
+
+class FixedLengthStreamWriter(DataSourceStreamWriter):
+    """Streaming fixed-width SINK — completes the source matrix (batch
+    read/write + stream read already exist).  Tasks write to hidden
+    attempt-unique tmps; ``commit(messages, batchId)`` promotes them to
+    BATCH-ID-KEYED final names (``batch-{id}-part-{p}.fixed``), so a
+    replayed micro-batch after a crash overwrites its own files instead
+    of duplicating records — idempotent exactly-once on top of the
+    checkpoint's batch-id replay contract.  Local-FS rename here; on a
+    cluster the same protocol runs against a shared store (same
+    assumption as the batch writer)."""
+
+    def __init__(self, opts: _Options, path: str):
+        if opts.fields is None:
+            raise ValueError("fixedlen write requires a 'layout' option")
+        if opts.pruned:
+            raise ValueError(
+                "fixedlen write does not accept 'columns' — write the full layout"
+            )
+        self.opts = opts
+        self.path = path
+
+    def write(self, iterator) -> _StreamCommitMessage:
+        import uuid
+
+        from pyspark import TaskContext
+
+        os.makedirs(self.path, exist_ok=True)
+        ctx = TaskContext.get()
+        tmp = os.path.join(self.path, f".tmp-stream-{uuid.uuid4().hex}")
+        n = 0
+        with open(tmp, "wb") as f:
+            batch: list[dict] = []
+            for row in iterator:
+                batch.append(row.asDict())
+                if len(batch) >= FixedLengthWriter.WRITE_BATCH_ROWS:
+                    f.write(
+                        encode_rows(batch, self.opts.fields, self.opts.record_length)
+                    )
+                    n += len(batch)
+                    batch = []
+            if batch:
+                f.write(
+                    encode_rows(batch, self.opts.fields, self.opts.record_length)
+                )
+                n += len(batch)
+        return _StreamCommitMessage(tmp, ctx.partitionId(), n)
+
+    def commit(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None:
+                final = os.path.join(
+                    self.path,
+                    f"batch-{batchId:08d}-part-{m.partition_id:05d}.fixed",
+                )
+                os.replace(m.tmp_path, final)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
 class FixedLenStreamReader(SimpleDataSourceStreamReader):
     """Streaming variant: tails ONE growing fixed-length file; an offset is
     the byte position of the next unread record.  Only whole records are
@@ -749,6 +819,11 @@ class FixedLengthDataSource(DataSource):
         if not self.path:
             raise ValueError("fixedlen: save(path) is required")
         return FixedLengthWriter(self.opts, self.path, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> FixedLengthStreamWriter:
+        if not self.path:
+            raise ValueError("fixedlen: streaming write requires a path")
+        return FixedLengthStreamWriter(self.opts, self.path)
 
     def streamReader(self, schema: StructType) -> FixedLenPartitionedStreamReader:
         # opt-in executor-parallel streaming; Spark's _streamReader falls

@@ -481,6 +481,46 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(target)
 
 
+@query(
+    "stream_fixedlen_sink",
+    oracle="SELECT event_id, user_id, event_type FROM events",
+)
+def stream_fixedlen_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming write through OUR fixed-width sink
+    (``DataSourceStreamWriter``): the events replay stream lands as
+    batch-id-keyed fixed-width files (replayed batches overwrite their
+    own files — idempotent exactly-once), then the batch fixedlen reader
+    ingests the directory back.  Completes the custom-source matrix:
+    batch read/write + stream read/write."""
+    from hadoop_fixedlengthinputformat_spark.sources import fixedlen
+
+    fixedlen.register(spark)
+    data_dir = _events_stream_dir(spark, sf_dir, with_late=False)
+    out = os.path.join(
+        tempfile.gettempdir(), f"flif_ssink_{uuid.uuid4().hex[:10]}"
+    )
+    ckpt = os.path.join(tempfile.gettempdir(), f"flif_ckpt_{uuid.uuid4().hex[:10]}")
+    layout = "event_id:0:12:long,user_id:12:10:long,event_type:22:10:string"
+    q = (
+        _read_stream(spark, data_dir)
+        .select("event_id", "user_id", "event_type")
+        .writeStream.format("fixedlen")
+        .option("recordLength", "32")
+        .option("layout", layout)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start(out)
+    )
+    q.awaitTermination()
+    return (
+        spark.read.format("fixedlen")
+        .option("recordLength", "32")
+        .option("layout", layout)
+        .option("includeOffset", "false")
+        .load(out)
+    )
+
+
 # NOTE: Spark 4's transformWithStateInPandas (the successor stateful API
 # with typed ValueState/ListState handles and timers) was prototyped here
 # but is NOT declarable in this environment: its driver-side schema

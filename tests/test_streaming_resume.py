@@ -20,6 +20,54 @@ def _write_chunk(spark, d, lo, hi):
     )
 
 
+def test_stream_fixedlen_sink_restart_is_idempotent(spark, tmp_path):
+    """Re-running the fixedlen streaming sink with the same checkpoint
+    must not duplicate records: batch-id-keyed file names make a replay
+    overwrite its own output, and a no-new-data restart adds nothing."""
+    from hadoop_fixedlengthinputformat_spark.sources import fixedlen
+
+    fixedlen.register(spark)
+    src = str(tmp_path / "src")
+    _write_chunk(spark, src, 0, 120)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    layout = "event_id:0:12:long,user_id:12:10:long"
+
+    def run():
+        q = (
+            spark.readStream.schema("event_id long, user_id long")
+            .option("recursiveFileLookup", "true")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.format("fixedlen")
+            .option("recordLength", "22")
+            .option("layout", layout)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start(out)
+        )
+        q.awaitTermination()
+
+    def read_back():
+        return (
+            spark.read.format("fixedlen")
+            .option("recordLength", "22")
+            .option("layout", layout)
+            .option("includeOffset", "false")
+            .load(out)
+        )
+
+    run()
+    assert read_back().count() == 120
+    run()  # restart, no new data
+    assert read_back().count() == 120
+    _write_chunk(spark, src, 120, 200)
+    run()
+    df = read_back()
+    assert df.count() == 200
+    assert df.select("event_id").distinct().count() == 200
+
+
 def test_available_now_resumes_from_checkpoint(spark, tmp_path):
     src = str(tmp_path / "src")
     ckpt = str(tmp_path / "ckpt")
