@@ -588,3 +588,35 @@ def fn_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         tier.alias("tier"),
         (tier == "high").alias("is_high"),
     )
+
+
+@query(
+    "fn_xml",
+    oracle="""
+    SELECT o_orderkey, o_orderkey AS parsed_key,
+           o_orderstatus AS parsed_status,
+           o_orderkey AS xpath_key
+    FROM orders
+    """,
+)
+def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML surface: rows serialized to XML strings, then recovered BOTH
+    ways — schema-full ``from_xml`` (struct out) and Hive-style
+    ``xpath_int`` path extraction.  The oracle states the round-trip
+    law (parse(serialize(row)) == row), the same invariant style as the
+    fixedlen round-trip tests.  Pure per-row JVM exprs, zero shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    xml = F.concat(
+        F.lit("<r><k>"),
+        F.col("o_orderkey"),
+        F.lit("</k><s>"),
+        F.col("o_orderstatus"),
+        F.lit("</s></r>"),
+    )
+    parsed = F.from_xml(xml, "k BIGINT, s STRING")
+    return o.select(
+        "o_orderkey",
+        parsed.getField("k").alias("parsed_key"),
+        parsed.getField("s").alias("parsed_status"),
+        F.xpath_long(xml, F.lit("/r/k")).alias("xpath_key"),
+    )
