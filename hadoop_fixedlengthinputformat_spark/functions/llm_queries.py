@@ -974,6 +974,47 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_dedup_apply",
+    oracle=_MINHASH_CANDIDATES_SQL.replace("WITH toks", "WITH RECURSIVE toks")
+    + """
+    ,
+    sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM cand
+        UNION ALL SELECT doc_b, doc_a FROM cand
+    ),
+    reach AS (
+        SELECT DISTINCT a AS node, a AS lbl FROM sym
+        UNION
+        SELECT s.a, r.lbl FROM sym s JOIN reach r ON r.node = s.b
+    ),
+    cc AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node),
+    dropped AS (SELECT node FROM cc WHERE node <> lbl)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d LEFT JOIN dropped ON d.doc_id = dropped.node
+    WHERE dropped.node IS NULL
+    """,
+)
+def llm_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step the near-dup family builds toward: survivors
+    after dropping every non-representative member of each MinHash-LSH
+    duplicate cluster (representative = min doc_id, via connected
+    components).  The drop set is ids only — an 8-byte anti-join
+    against the corpus; text never moves beyond the LSH pipeline
+    itself.  Chains propose (llm_minhash_near_dedup) -> group
+    (llm_dup_clusters) -> drop, each stage scale-bounded."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = dedup.minhash_signature(d, "doc_id")
+    pairs = dedup.lsh_candidate_pairs(sig, "doc_id")
+    cc = dedup.connected_components(pairs)
+    dropped = cc.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("doc_id")
+    )
+    return d.join(dropped, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source"
+    )
+
+
+@query(
     "llm_curriculum_mix",
     oracle="""
     WITH t AS (
