@@ -1015,6 +1015,50 @@ def llm_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_minhash_jaccard_est",
+    oracle=_MINHASH_CANDIDATES_SQL
+    + """
+    SELECT c.doc_a, c.doc_b,
+           (CAST((sa.mh_0 = sb.mh_0)::INT + (sa.mh_1 = sb.mh_1)::INT
+               + (sa.mh_2 = sb.mh_2)::INT + (sa.mh_3 = sb.mh_3)::INT
+               + (sa.mh_4 = sb.mh_4)::INT + (sa.mh_5 = sb.mh_5)::INT
+               + (sa.mh_6 = sb.mh_6)::INT + (sa.mh_7 = sb.mh_7)::INT
+             AS DOUBLE)) / 8 AS est_jaccard
+    FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
+                JOIN sig sb ON sb.doc_id = c.doc_b
+    """,
+)
+def llm_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-as-ESTIMATOR: for every LSH candidate pair, the estimated
+    Jaccard is the fraction of matching signature components — the
+    number a dedup pipeline thresholds on when exact verification
+    (llm_near_dup_verified) is too expensive to run on every pair.
+    Signature join on candidate ids only; k/8 rational arithmetic, so
+    the estimate is bit-identical in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = dedup.minhash_signature(d, "doc_id")
+    cand = dedup.lsh_candidate_pairs(sig, "doc_id")
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"mh_{i}").alias(f"a{i}") for i in range(8)]
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"mh_{i}").alias(f"b{i}") for i in range(8)]
+    )
+    matches = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(8)
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (matches.cast("double") / 8).alias("est_jaccard"),
+        )
+    )
+
+
+@query(
     "llm_curriculum_mix",
     oracle="""
     WITH t AS (
