@@ -72,4 +72,5 @@ def load_all() -> None:
         windows,
         sort_setops,
         subqueries,
+        tpch_suite,
     )
