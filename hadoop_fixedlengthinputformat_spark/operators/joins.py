@@ -409,3 +409,55 @@ def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(2).alias("version"),
     )
     return v1.unionByName(v2)
+
+
+@query(
+    "join_interval_bucketed",
+    oracle="""
+    SELECT i.event_id AS iv_id, count(*) AS n_events,
+           round(sum(e.value), 4) + 0 AS val_sum
+    FROM (SELECT event_id, ts AS start
+          FROM events WHERE event_type = 'purchase') i
+    JOIN events e ON e.ts >= i.start
+                 AND e.ts < i.start + INTERVAL 30 MINUTE
+    GROUP BY i.event_id
+    """,
+)
+def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join WITHOUT an equi key — the naive form is an
+    O(|intervals| x |points|) theta join (a BroadcastNestedLoop at best).
+    Scale formulation: truncate points to 30-minute buckets, explode each
+    interval into the <=2 buckets it can overlap, equi-join on the bucket,
+    then apply the exact range as a residual filter.  A point lives in
+    exactly one bucket, so no pair dedup is needed.  The shuffle carries
+    (bucket)-keyed rows; at 100 TB a hot bucket (flash-crowd minute) is
+    one reduce key — salt the bucket with a point-side hash suffix and
+    replicate the interval side if a bucket exceeds a task.  The DuckDB
+    oracle runs the naive theta join — same result, quadratic plan —
+    which is exactly the point."""
+    ev = load_table(spark, sf_dir, "events")
+    w = 1800  # bucket width == interval width, seconds
+    pts = ev.select(
+        "event_id",
+        "ts",
+        "value",
+        F.floor(F.unix_timestamp("ts") / w).alias("bucket"),
+    )
+    iv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("iv_id"), F.col("ts").alias("start"))
+        .withColumn("b0", F.floor(F.unix_timestamp("start") / w))
+        .withColumn("bucket", F.explode(F.array(F.col("b0"), F.col("b0") + 1)))
+    )
+    return (
+        pts.join(iv, "bucket")
+        .filter(
+            (F.col("ts") >= F.col("start"))
+            & (F.col("ts") < F.col("start") + F.expr("INTERVAL 30 MINUTES"))
+        )
+        .groupBy("iv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.round(F.sum("value"), 4) + F.lit(0)).alias("val_sum"),
+        )
+    )

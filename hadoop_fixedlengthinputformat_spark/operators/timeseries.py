@@ -176,3 +176,148 @@ def ts_rollup_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("month_events"),
         F.count(F.lit(1)).alias("days_active"),
     )
+
+
+@query(
+    "ts_interpolate",
+    oracle="""
+    WITH b AS (
+        SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket,
+               round(sum(value), 4) AS hr_sum
+        FROM events GROUP BY 1, 2
+    ),
+    spans AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM b GROUP BY 1),
+    grid AS (
+        SELECT user_id,
+               unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS bucket
+        FROM spans
+    ),
+    anchored AS (
+        SELECT g.user_id, g.bucket,
+               last_value(b.bucket IGNORE NULLS) OVER w_prev AS pt,
+               last_value(b.hr_sum IGNORE NULLS) OVER w_prev AS pv,
+               first_value(b.bucket IGNORE NULLS) OVER w_next AS nt,
+               first_value(b.hr_sum IGNORE NULLS) OVER w_next AS nv
+        FROM grid g LEFT JOIN b ON g.user_id = b.user_id AND g.bucket = b.bucket
+        WINDOW w_prev AS (PARTITION BY g.user_id ORDER BY g.bucket
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               w_next AS (PARTITION BY g.user_id ORDER BY g.bucket
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, bucket,
+           (CASE WHEN pt = nt THEN pv
+                 ELSE pv + (nv - pv)
+                      * ((CAST(epoch(bucket) AS BIGINT) - CAST(epoch(pt) AS BIGINT))
+                         / (CAST(epoch(nt) AS BIGINT) - CAST(epoch(pt) AS BIGINT)))
+            END) + 0 AS interp_sum
+    FROM anchored
+    """,
+)
+def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of missing hourly buckets between each user's
+    prev/next observed values (gap_fill's forward-fill upgraded to a
+    two-sided anchor).  Same scale shape as ts_gap_fill: both exchanges
+    ride pre-aggregated data, and the two anchor windows share the
+    (user_id, bucket) sort — one window exchange, two passes.  The
+    interpolation arithmetic runs the SAME IEEE ops on both engines
+    (anchors are already-rounded sums, the time fraction is a
+    bigint/bigint divide), so values are bit-identical without a final
+    rounding; `+ 0` normalizes a possible -0.0 anchor."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.round(F.sum("value"), 4).alias("hr_sum"))
+    spans = b.groupBy("user_id").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket"),
+    )
+    g = grid.join(b, ["user_id", "bucket"], "left")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_bucket = F.when(F.col("hr_sum").isNotNull(), F.col("bucket"))
+    anchored = g.select(
+        "user_id",
+        "bucket",
+        F.last(obs_bucket, ignorenulls=True).over(w_prev).alias("pt"),
+        F.last("hr_sum", ignorenulls=True).over(w_prev).alias("pv"),
+        F.first(obs_bucket, ignorenulls=True).over(w_next).alias("nt"),
+        F.first("hr_sum", ignorenulls=True).over(w_next).alias("nv"),
+    )
+    frac = (F.unix_timestamp("bucket") - F.unix_timestamp("pt")) / (
+        F.unix_timestamp("nt") - F.unix_timestamp("pt")
+    )
+    interp = F.when(F.col("pt") == F.col("nt"), F.col("pv")).otherwise(
+        F.col("pv") + (F.col("nv") - F.col("pv")) * frac
+    )
+    return anchored.select(
+        "user_id", "bucket", (interp + F.lit(0)).alias("interp_sum")
+    )
+
+
+@query(
+    "ts_ewma",
+    oracle="""
+    WITH RECURSIVE seq AS (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    ew AS (
+        SELECT user_id, rn, value AS y FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.user_id, s.rn, 0.5 * s.value + 0.5 * e.y
+        FROM seq s JOIN ew e ON s.user_id = e.user_id AND s.rn = e.rn + 1
+    )
+    SELECT user_id, rn, floor(y * 10000 + 0.5) / 10000 AS ewma
+    FROM ew
+    """,
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average (alpha = 0.5) —
+    the inherently sequential recurrence y_i = 0.5*x_i + 0.5*y_{i-1}
+    expressed as applyInPandas per user (Arrow batch per group, numpy
+    loop inside; the DuckDB oracle is a recursive CTE running the SAME
+    two multiplies + add per step, so doubles are bit-identical).
+    Scale: one shuffle on user_id; per-group work is O(user history),
+    the natural parallel grain — a training pipeline's per-source or
+    per-domain smoothing runs the same shape.  The alpha=0.5 choice
+    keeps every coefficient a power of two (exact halving)."""
+    import pandas as pd  # noqa: F401 — applyInPandas contract
+
+    def ewma(pdf):
+        import numpy as np
+        import pandas as pd
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        x = pdf["value"].to_numpy()
+        y = np.empty_like(x)
+        if len(x):
+            y[0] = x[0]
+            for i in range(1, len(x)):
+                y[i] = 0.5 * x[i] + 0.5 * y[i - 1]
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "rn": np.arange(1, len(x) + 1, dtype="int64"),
+                "ewma": np.floor(y * 10000 + 0.5) / 10000,
+            }
+        )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return ev.groupBy("user_id").applyInPandas(
+        ewma, schema="user_id bigint, rn bigint, ewma double"
+    )

@@ -74,3 +74,6 @@ def load_all() -> None:
         subqueries,
         tpch_suite,
     )
+    from hadoop_fixedlengthinputformat_spark.functions import (  # noqa: F401
+        retrieval_queries,
+    )
