@@ -113,3 +113,61 @@ def test_topk_ngrams_partial_agg_before_exchange(spark):
     df = llm_topk_ngrams(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "partial_count" in plan, plan
+
+
+def test_interval_join_is_equi_not_nested_loop(spark):
+    """join_interval_bucketed's entire point is replacing the key-less
+    theta join (BroadcastNestedLoop / Cartesian) with a bucket equi-join
+    — the plan must contain a hash or sort-merge join and neither
+    nested-loop operator."""
+    from hadoop_fixedlengthinputformat_spark.operators.joins import (
+        join_interval_bucketed,
+    )
+
+    df = join_interval_bucketed(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_tpch_q6_has_no_exchange(spark):
+    """tpch_q6 is a scan-side global aggregate: the only allowed exchange
+    is the single-partition gather of the final agg partials — no hash
+    exchange (i.e. no shuffle keyed on data) may appear."""
+    from hadoop_fixedlengthinputformat_spark.operators.tpch_suite import (
+        tpch_q6_forecast_revenue,
+    )
+
+    df = tpch_q6_forecast_revenue(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan, plan
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+
+
+def test_ts_interpolate_windows_share_one_sort(spark):
+    """Both anchor windows (prev via last, next via first) order by the
+    same (user_id, bucket) — the plan must contain at most one
+    (user_id)-keyed exchange feeding the window stack, not one per
+    window direction."""
+    from hadoop_fixedlengthinputformat_spark.operators.timeseries import (
+        ts_interpolate,
+    )
+
+    df = ts_interpolate(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_user_exchanges = plan.count("hashpartitioning(user_id")
+    assert n_user_exchanges <= 2, plan  # span agg + window; never 3
+    assert "Window" in plan
+
+
+def test_bm25_topk_is_take_ordered(spark):
+    """llm_bm25's top-20 must be TakeOrderedAndProject (per-partition
+    heaps), never a global Sort + Limit."""
+    from hadoop_fixedlengthinputformat_spark.functions.retrieval_queries import (
+        llm_bm25,
+    )
+
+    df = llm_bm25(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
