@@ -1,0 +1,112 @@
+"""Quality-signal extensions: character entropy + embedding outliers.
+
+Two more training-pipeline filters (SURVEY.md §2.3-J):
+
+* ``llm_char_entropy`` — character-level Shannon entropy per document.
+  Low entropy flags repetitive/degenerate text (keyboard mashing, boiler-
+  plate, encoding failures) that length/stopword heuristics miss.
+* ``llm_centroid_outliers`` — squared distance of each embedding from its
+  own label centroid; far points are mislabeled-example / noise
+  candidates (the embedding-space analogue of a quality filter).
+
+Hash-exactness notes: log2's last ulp can differ between the JVM and
+libm, so each per-character log2 term is snapped to 8 decimals before
+the weighted sum (the bm25 idf trick); the final entropy/distance is
+snapped to 4.  The remaining hazard is float-add order across the
+group-by — snapped away at 4 decimals with ~1e-15 relative noise.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hadoop_fixedlengthinputformat_spark.registry import query
+from hadoop_fixedlengthinputformat_spark.tables import load_table
+
+
+@query(
+    "llm_char_entropy",
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS ch,
+               length(text) AS tot
+        FROM documents
+    ),
+    freq AS (
+        SELECT doc_id, ch, tot, count(*) AS cnt
+        FROM chars GROUP BY doc_id, ch, tot
+    )
+    SELECT doc_id,
+           floor(-sum((cnt / tot)
+                      * (floor(log2(cnt / tot) * 100000000 + 0.5) / 100000000))
+                 * 10000 + 0.5) / 10000 + 0 AS entropy
+    FROM freq GROUP BY doc_id
+    """,
+)
+def llm_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character entropy H = -sum p*log2(p).
+
+    Scale shape: the char explode feeds a map-side partial count keyed
+    (doc_id, ch) — the exchange carries at most |alphabet| rows per doc
+    per mapper, never raw characters; the per-doc sum reuses the doc
+    partitioning.  A degenerate one-char document is a single group row.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    chars = d.select(
+        "doc_id",
+        F.length("text").alias("tot"),
+        F.explode(F.split("text", "")).alias("ch"),
+    )
+    freq = chars.groupBy("doc_id", "ch", "tot").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    p = F.col("cnt") / F.col("tot")
+    term = p * (F.floor(F.log2(p) * 100000000 + 0.5) / 100000000)
+    return freq.groupBy("doc_id").agg(
+        (F.floor(-F.sum(term) * 10000 + 0.5) / 10000 + F.lit(0)).alias("entropy")
+    )
+
+
+@query(
+    "llm_centroid_outliers",
+    oracle="""
+    WITH ex AS (
+        SELECT vec_id, label,
+               unnest(generate_series(1, len(embedding))) AS ord,
+               unnest(embedding) AS v
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label, ord, round(avg(v), 4) + 0 AS cv
+        FROM ex GROUP BY label, ord
+    )
+    SELECT vec_id, ex.label,
+           floor(sum((v - cv) * (v - cv)) * 10000 + 0.5) / 10000 AS dist2
+    FROM ex JOIN cent ON ex.label = cent.label AND ex.ord = cent.ord
+    GROUP BY vec_id, ex.label
+    HAVING floor(sum((v - cv) * (v - cv)) * 10000 + 0.5) / 10000 > 1.0
+    """,
+)
+def llm_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings farther than dist² > 1.0 from their label centroid —
+    mislabeled / noisy example mining.
+
+    Scale shape: centroids are a (label, pos) aggregate whose exchange
+    carries |labels|·dim partial sums (never vectors) and the result is
+    BROADCAST back; the per-vector distance reduces (vec_id)-keyed
+    per-dimension terms with map-side partial sums.  The centroid values
+    are snapped to 4 decimals on both engines BEFORE the distance, so
+    every downstream operand is identical."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select("vec_id", "label", F.posexplode("embedding").alias("pos", "v"))
+    cent = ex.groupBy("label", "pos").agg(
+        (F.round(F.avg("v"), 4) + F.lit(0.0)).alias("cv")
+    )
+    d2 = F.floor(F.sum((F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv"))) * 10000 + 0.5) / 10000
+    return (
+        ex.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(d2.alias("dist2"))
+        .filter(F.col("dist2") > 1.0)
+    )

@@ -76,4 +76,5 @@ def load_all() -> None:
     )
     from hadoop_fixedlengthinputformat_spark.functions import (  # noqa: F401
         retrieval_queries,
+        quality_extras,
     )
