@@ -78,3 +78,6 @@ def load_all() -> None:
         retrieval_queries,
         quality_extras,
     )
+    from hadoop_fixedlengthinputformat_spark.sources import (  # noqa: F401
+        observe_queries,
+    )

@@ -171,3 +171,59 @@ def test_bm25_topk_is_take_ordered(spark):
     df = llm_bm25(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_aqe_flips_smj_to_broadcast_when_side_shrinks(spark):
+    """NOTES.md repeatedly relies on "AQE flips to broadcast at runtime"
+    when a filtered side lands under the threshold — prove it: a join
+    whose small side is only small AFTER a selective filter must end as
+    a BroadcastHashJoin in the final adaptive plan."""
+    big = spark.range(200_000).select(
+        (F.col("id") % 5000).alias("k"), F.col("id").alias("payload")
+    )
+    small = spark.range(100_000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    # statistics-invisible selective filter: planner can't know the size
+    j = big.join(small.filter(F.hash("k") % 1000 == 0), "k")
+    j.collect()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Runtime row-group pruning for selective joins: with the bloom
+    filter optimizer enabled and thresholds shrunk, a selective build
+    side must inject a BloomFilter aggregate against the probe scan —
+    the 100 TB lever that turns a 5% join into a 5% SCAN."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as tmp:
+            spark.range(300_000).select(
+                F.col("id").alias("k"), F.col("id").alias("payload")
+            ).write.mode("overwrite").parquet(f"{tmp}/big")
+            spark.range(300_000).select(
+                F.col("id").alias("k"), (F.col("id") % 7).alias("tag")
+            ).write.mode("overwrite").parquet(f"{tmp}/dim")
+            big = spark.read.parquet(f"{tmp}/big")
+            dim = spark.read.parquet(f"{tmp}/dim").filter(F.col("tag") == 3)
+            j = big.join(dim, "k")
+            plan = j._jdf.queryExecution().optimizedPlan().toString()
+            assert "bloom_filter" in plan.lower() or "BloomFilter" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
