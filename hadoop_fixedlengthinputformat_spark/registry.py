@@ -80,4 +80,5 @@ def load_all() -> None:
     )
     from hadoop_fixedlengthinputformat_spark.sources import (  # noqa: F401
         observe_queries,
+        encoding_queries,
     )

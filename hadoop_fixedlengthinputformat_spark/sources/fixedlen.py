@@ -36,6 +36,7 @@ Usage::
 
 from __future__ import annotations
 
+import codecs
 import glob as _glob
 import os
 from dataclasses import dataclass
@@ -86,6 +87,7 @@ class _Options:
     decode_mode: str = "failfast"  # or "permissive": null malformed fields
     pruned: bool = False  # True when 'columns' narrowed the layout
     compression: str = "none"  # writer-side: "none" | "gzip"
+    encoding: str = "utf-8"  # single-byte charset transcode (e.g. cp037)
 
     @classmethod
     def parse(cls, options) -> "_Options":
@@ -166,9 +168,20 @@ class _Options:
         compression = options.get("compression", "none").lower()
         if compression not in ("none", "gzip"):
             raise ValueError("fixedlen: compression must be 'none' or 'gzip'")
+        enc_raw = options.get("encoding", "utf-8")
+        try:
+            info = codecs.lookup(enc_raw)
+            # single-byte charsets only: the record matrix is byte-indexed
+            probe = "0A ".encode(info.name)
+        except LookupError:
+            raise ValueError(f"fixedlen: unknown encoding {enc_raw!r}")
+        if len(probe) != 3:
+            raise ValueError(
+                f"fixedlen: encoding {enc_raw!r} is not a single-byte charset"
+            )
         return cls(
             record_length, key_bounds, fields, with_offset, malformed, mpb,
-            mode, pruned, compression,
+            mode, pruned, compression, info.name,
         )
 
     def spark_schema(self) -> StructType:
@@ -492,6 +505,7 @@ class FixedLengthReader(DataSourceReader):
                     o.key_bounds,
                     schema,
                     permissive=o.decode_mode == "permissive",
+                    encoding=o.encoding,
                 )
                 offset += len(chunk)
                 yield self._apply_pushed(batch)
@@ -587,13 +601,19 @@ class FixedLengthWriter(DataSourceWriter):
                 batch.append(row.asDict())
                 if len(batch) >= self.WRITE_BATCH_ROWS:
                     f.write(
-                        encode_rows(batch, self.opts.fields, self.opts.record_length)
+                        encode_rows(
+                            batch, self.opts.fields, self.opts.record_length,
+                            encoding=self.opts.encoding,
+                        )
                     )
                     n += len(batch)
                     batch = []
             if batch:
                 f.write(
-                    encode_rows(batch, self.opts.fields, self.opts.record_length)
+                    encode_rows(
+                            batch, self.opts.fields, self.opts.record_length,
+                            encoding=self.opts.encoding,
+                        )
                 )
                 n += len(batch)
         return _CommitMessage(tmp, final, n)
@@ -662,13 +682,19 @@ class FixedLengthStreamWriter(DataSourceStreamWriter):
                 batch.append(row.asDict())
                 if len(batch) >= FixedLengthWriter.WRITE_BATCH_ROWS:
                     f.write(
-                        encode_rows(batch, self.opts.fields, self.opts.record_length)
+                        encode_rows(
+                            batch, self.opts.fields, self.opts.record_length,
+                            encoding=self.opts.encoding,
+                        )
                     )
                     n += len(batch)
                     batch = []
             if batch:
                 f.write(
-                    encode_rows(batch, self.opts.fields, self.opts.record_length)
+                    encode_rows(
+                            batch, self.opts.fields, self.opts.record_length,
+                            encoding=self.opts.encoding,
+                        )
                 )
                 n += len(batch)
         return _StreamCommitMessage(tmp, ctx.partitionId(), n)
@@ -719,6 +745,7 @@ class FixedLenStreamReader(SimpleDataSourceStreamReader):
                 chunk, rl, self.opts.fields, offset,
                 self.opts.with_offset, self.opts.key_bounds, schema,
                 permissive=self.opts.decode_mode == "permissive",
+                encoding=self.opts.encoding,
             )
             rows.extend(tuple(r.values()) for r in batch.to_pylist())
             offset += len(chunk)

@@ -57,20 +57,21 @@ def layout_for(table: str) -> tuple[int, list[FieldSpec]]:
     return record_length, parse_layout(spec, record_length)
 
 
-def fixed_file_for(sf_dir: str, table: str) -> str:
+def fixed_file_for(sf_dir: str, table: str, encoding: str = "utf-8") -> str:
     """Path of the fixed-width serialization of ``sf_dir/table.parquet``,
-    generating it (atomically) on first use."""
+    generating it (atomically) on first use.  ``encoding`` produces a
+    single-byte-charset variant (e.g. EBCDIC cp037)."""
     record_length, spec, order_col = LAYOUTS[table]
-    tag = hashlib.md5(f"{os.path.abspath(sf_dir)}|{table}|{spec}".encode()).hexdigest()[
-        :12
-    ]
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{table}|{spec}|{encoding}".encode()
+    ).hexdigest()[:12]
     out = os.path.join(fixture_dir(), f"{table}-{tag}.fixed")
     if os.path.exists(out):
         return out
     tbl = pq.read_table(os.path.join(sf_dir, f"{table}.parquet"))
     fields = parse_layout(spec, record_length)
     rows = tbl.sort_by(order_col).to_pylist()
-    payload = encode_rows(rows, fields, record_length)
+    payload = encode_rows(rows, fields, record_length, encoding=encoding)
     tmp = out + f".tmp{os.getpid()}"
     with open(tmp, "wb") as f:
         f.write(payload)

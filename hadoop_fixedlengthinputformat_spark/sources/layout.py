@@ -16,7 +16,9 @@ the moral equivalent of the reference's zero-alloc buffer reuse
 
 from __future__ import annotations
 
+import codecs
 from dataclasses import dataclass
+from functools import lru_cache
 
 import numpy as np
 import pyarrow as pa
@@ -99,6 +101,29 @@ def parse_layout(spec: str, record_length: int) -> list[FieldSpec]:
 
 def layout_schema(fields: list[FieldSpec]) -> StructType:
     return StructType([StructField(f.name, f.spark_type(), True) for f in fields])
+
+
+@lru_cache(maxsize=8)
+def transcode_table(encoding: str) -> np.ndarray | None:
+    """256-entry byte translation table mapping single bytes of
+    ``encoding`` to their latin-1 code points (unmappable → ``?``), or
+    None when the encoding is already ASCII-compatible.  Lets the
+    vectorized decode path handle single-byte charsets — notably EBCDIC
+    code pages (cp037/cp500/cp1140...), the native encoding of the
+    mainframe fixed-width files the reference's world revolves around —
+    as one numpy table lookup over the whole record matrix."""
+    name = codecs.lookup(encoding).name
+    if name in ("utf-8", "ascii"):
+        return None
+    tbl = np.empty(256, dtype=np.uint8)
+    for b in range(256):
+        try:
+            ch = bytes([b]).decode(encoding)
+            cp = ord(ch) if len(ch) == 1 else 0x3F
+        except UnicodeDecodeError:
+            cp = 0x3F
+        tbl[b] = cp if cp < 0x100 else 0x3F
+    return tbl
 
 
 def _slice_bytes(mat: np.ndarray, start: int, length: int) -> np.ndarray:
@@ -215,14 +240,22 @@ def decode_chunk(
     key_bounds: tuple[int, int] | None,
     arrow_schema: pa.Schema,
     permissive: bool = False,
+    encoding: str = "utf-8",
 ) -> pa.RecordBatch:
     """Decode one record-aligned byte chunk into an Arrow RecordBatch.
 
     Column order must match ``arrow_schema`` (= the Spark schema):
     [record_offset?] [record_key?] then layout fields (or raw ``value``).
+
+    ``encoding`` transcodes FIELD decode only (one table lookup over the
+    byte matrix); the raw ``value``/``record_key`` binary slices always
+    carry the original bytes — key fidelity is the reference's contract
+    (FixedLengthRecordReader.java:252-254), independent of charset.
     """
     n = len(chunk) // record_length
     mat = np.frombuffer(chunk, dtype=np.uint8).reshape(n, record_length)
+    tbl = transcode_table(encoding)
+    fmat = mat if tbl is None else tbl[mat]
     cols: list[pa.Array] = []
     if with_offset:
         # file-global byte offset — the reference's default key
@@ -237,7 +270,7 @@ def decode_chunk(
         cols.append(_slice_binary(mat, 0, record_length))
     else:
         for f in fields:
-            cols.append(decode_field(mat, f, permissive=permissive))
+            cols.append(decode_field(fmat, f, permissive=permissive))
     return pa.RecordBatch.from_arrays(cols, schema=arrow_schema)
 
 
@@ -265,16 +298,23 @@ def format_value(v, f: FieldSpec) -> str:
     return s
 
 
-def encode_rows(rows, fields: list[FieldSpec], record_length: int) -> bytes:
+def encode_rows(
+    rows,
+    fields: list[FieldSpec],
+    record_length: int,
+    encoding: str = "utf-8",
+) -> bytes:
     """Encode an iterable of dict-like rows to back-to-back fixed-width
-    records — no delimiters, no newlines (FixedLengthInputFormat.java:38-43)."""
+    records — no delimiters, no newlines (FixedLengthInputFormat.java:38-43).
+    ``encoding`` produces single-byte charset output (e.g. EBCDIC cp037)
+    symmetric with the reader's decode transcoding."""
     out = bytearray()
     for row in rows:
         rec = [" "] * record_length
         for f in fields:
             s = format_value(row[f.name], f)
             rec[f.start : f.start + f.length] = s
-        encoded = "".join(rec).encode("utf-8")
+        encoded = "".join(rec).encode(encoding)
         if len(encoded) != record_length:
             raise ValueError(
                 f"encoded record is {len(encoded)} bytes, expected {record_length} "
