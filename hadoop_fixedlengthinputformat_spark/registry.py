@@ -81,4 +81,5 @@ def load_all() -> None:
     from hadoop_fixedlengthinputformat_spark.sources import (  # noqa: F401
         observe_queries,
         encoding_queries,
+        multitype_queries,
     )

@@ -56,6 +56,7 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import (
     BinaryType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -63,9 +64,11 @@ from pyspark.sql.types import (
 from hadoop_fixedlengthinputformat_spark.sources.layout import (
     FieldSpec,
     decode_chunk,
+    decode_chunk_multitype,
     encode_rows,
     layout_schema,
     parse_layout,
+    parse_multitype,
 )
 
 DEFAULT_MAX_PARTITION_BYTES = 128 * 1024 * 1024
@@ -88,6 +91,11 @@ class _Options:
     pruned: bool = False  # True when 'columns' narrowed the layout
     compression: str = "none"  # writer-side: "none" | "gzip"
     encoding: str = "utf-8"  # single-byte charset transcode (e.g. cp037)
+    # multi-record-type dispatch (COBOL header/detail files): tag -> layout,
+    # the union schema, and the discriminator byte slice
+    multitype: dict[str, list[FieldSpec]] | None = None
+    union_fields: list[FieldSpec] | None = None
+    type_bounds: tuple[int, int] | None = None  # (start, len)
 
     @classmethod
     def parse(cls, options) -> "_Options":
@@ -130,6 +138,24 @@ class _Options:
 
         layout_raw = options.get("layout")
         fields = parse_layout(layout_raw, record_length) if layout_raw else None
+
+        layouts_raw = options.get("layouts")
+        multitype = union_fields = type_bounds = None
+        if layouts_raw is not None:
+            if layout_raw is not None:
+                raise ValueError(
+                    "fixedlen: 'layout' and 'layouts' are mutually exclusive"
+                )
+            if options.get("columns") is not None:
+                raise ValueError(
+                    "fixedlen: 'columns' pruning is not supported with 'layouts'"
+                )
+            t_start = int(options.get("typestart", "0"))
+            t_len = int(options.get("typelen", "1"))
+            multitype, union_fields = parse_multitype(
+                layouts_raw, record_length, t_start, t_len
+            )
+            type_bounds = (t_start, t_len)
 
         # Manual column pruning: Spark 4.1's Python Data Source API has no
         # pruneColumns hook, so a plain .select() can't reach the reader
@@ -182,6 +208,7 @@ class _Options:
         return cls(
             record_length, key_bounds, fields, with_offset, malformed, mpb,
             mode, pruned, compression, info.name,
+            multitype, union_fields, type_bounds,
         )
 
     def spark_schema(self) -> StructType:
@@ -190,7 +217,10 @@ class _Options:
             out.append(StructField("record_offset", LongType(), False))
         if self.key_bounds is not None:
             out.append(StructField("record_key", BinaryType(), False))
-        if self.fields is None:
+        if self.multitype is not None:
+            out.append(StructField("record_type", StringType(), False))
+            out.extend(layout_schema(self.union_fields).fields)
+        elif self.fields is None:
             out.append(StructField("value", BinaryType(), False))
         else:
             out.extend(layout_schema(self.fields).fields)
@@ -202,7 +232,12 @@ class _Options:
             cols.append(pa.field("record_offset", pa.int64()))
         if self.key_bounds is not None:
             cols.append(pa.field("record_key", pa.binary()))
-        if self.fields is None:
+        if self.multitype is not None:
+            cols.append(pa.field("record_type", pa.string()))
+            cols.extend(
+                pa.field(f.name, f.arrow_type()) for f in self.union_fields
+            )
+        elif self.fields is None:
             cols.append(pa.field("value", pa.binary()))
         else:
             cols.extend(pa.field(f.name, f.arrow_type()) for f in self.fields)
@@ -496,17 +531,32 @@ class FixedLengthReader(DataSourceReader):
             # logical record stream.
             offset = partition.start
             for chunk in chunks:
-                batch = decode_chunk(
-                    chunk,
-                    o.record_length,
-                    o.fields,
-                    offset,
-                    o.with_offset,
-                    o.key_bounds,
-                    schema,
-                    permissive=o.decode_mode == "permissive",
-                    encoding=o.encoding,
-                )
+                if o.multitype is not None:
+                    batch = decode_chunk_multitype(
+                        chunk,
+                        o.record_length,
+                        o.multitype,
+                        o.union_fields,
+                        o.type_bounds,
+                        offset,
+                        o.with_offset,
+                        o.key_bounds,
+                        schema,
+                        permissive=o.decode_mode == "permissive",
+                        encoding=o.encoding,
+                    )
+                else:
+                    batch = decode_chunk(
+                        chunk,
+                        o.record_length,
+                        o.fields,
+                        offset,
+                        o.with_offset,
+                        o.key_bounds,
+                        schema,
+                        permissive=o.decode_mode == "permissive",
+                        encoding=o.encoding,
+                    )
                 offset += len(chunk)
                 yield self._apply_pushed(batch)
 
@@ -865,6 +915,8 @@ class FixedLengthDataSource(DataSource):
             )
         if not self.path:
             raise ValueError("fixedlen: load(path) is required")
+        if self.opts.multitype is not None:
+            raise ValueError("fixedlen: 'layouts' is batch-only (streaming unsupported)")
         return FixedLenPartitionedStreamReader(self.opts, self.path)
 
     def simpleStreamReader(self, schema: StructType) -> FixedLenStreamReader:
@@ -873,6 +925,8 @@ class FixedLengthDataSource(DataSource):
         if self.path.endswith(".gz"):
             # a growing gzip file can't be tailed incrementally (no seek)
             raise ValueError("fixedlen: streaming does not support gzip input")
+        if self.opts.multitype is not None:
+            raise ValueError("fixedlen: 'layouts' is batch-only (streaming unsupported)")
         return FixedLenStreamReader(self.opts, self.path)
 
 

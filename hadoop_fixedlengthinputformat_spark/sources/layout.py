@@ -322,3 +322,133 @@ def encode_rows(
             )
         out += encoded
     return bytes(out)
+
+
+def parse_multitype(
+    spec: str, record_length: int, type_start: int, type_len: int
+) -> tuple[dict[str, list[FieldSpec]], list[FieldSpec]]:
+    """Parse a multi-record-type layout spec
+
+        "TAG=name:start:len:type,...;TAG2=..."
+
+    (the COBOL header/detail file shape: a discriminator byte slice at
+    [type_start, type_start+type_len) selects which layout a record
+    follows).  Returns (tag -> fields, union fields).  Union columns
+    sharing a name across tags must agree on type; every record still
+    has the fixed record_length — only interpretation varies."""
+    if type_start < 0 or type_len <= 0 or type_start + type_len > record_length:
+        raise ValueError(
+            f"multitype: type slice [{type_start}, {type_start + type_len}) "
+            f"out of record bounds (recordLength={record_length})"
+        )
+    layouts: dict[str, list[FieldSpec]] = {}
+    union: list[FieldSpec] = []
+    seen: dict[str, str] = {}
+    for part in spec.split(";"):
+        part = part.strip()
+        if not part or "=" not in part:
+            raise ValueError(f"multitype: segment must be TAG=layout, got {part!r}")
+        tag, sub = part.split("=", 1)
+        tag = tag.strip()
+        if len(tag) != type_len:
+            raise ValueError(
+                f"multitype: tag {tag!r} length != typeLen={type_len}"
+            )
+        if tag in layouts:
+            raise ValueError(f"multitype: duplicate tag {tag!r}")
+        fields = parse_layout(sub, record_length)
+        layouts[tag] = fields
+        for f in fields:
+            if f.name in seen:
+                if seen[f.name] != f.base_type:
+                    raise ValueError(
+                        f"multitype: field {f.name!r} has conflicting types "
+                        f"{seen[f.name]!r} vs {f.base_type!r} across tags"
+                    )
+            else:
+                seen[f.name] = f.base_type
+                union.append(f)
+    if not layouts:
+        raise ValueError("multitype: no layouts given")
+    return layouts, union
+
+
+def decode_chunk_multitype(
+    chunk: bytes,
+    record_length: int,
+    layouts: dict[str, list[FieldSpec]],
+    union_fields: list[FieldSpec],
+    type_bounds: tuple[int, int],  # (start, len)
+    base_offset: int,
+    with_offset: bool,
+    key_bounds: tuple[int, int] | None,
+    arrow_schema: pa.Schema,
+    permissive: bool = False,
+    encoding: str = "utf-8",
+) -> pa.RecordBatch:
+    """Decode a record-aligned chunk whose records carry a type
+    discriminator: group rows by tag (one vectorized pass), decode each
+    group with its own layout, null-fill union columns the tag lacks,
+    and scatter groups back to file order (stable inverse permutation) —
+    no per-record Python.  Unknown tags fail (failfast) or surface as
+    record_type with all-null fields (permissive)."""
+    n = len(chunk) // record_length
+    mat = np.frombuffer(chunk, dtype=np.uint8).reshape(n, record_length)
+    tbl = transcode_table(encoding)
+    fmat = mat if tbl is None else tbl[mat]
+    t_start, t_len = type_bounds
+    tags = _slice_bytes(fmat, t_start, t_len).astype(f"U{t_len}")
+
+    known = np.isin(tags, list(layouts.keys()))
+    if not bool(known.all()) and not permissive:
+        bad = tags[~known][0]
+        raise ValueError(
+            f"fixedlen: unknown record type {bad!r} (declared: "
+            f"{sorted(layouts)}); use mode=permissive to null these rows"
+        )
+
+    groups: list[tuple[np.ndarray, list[FieldSpec] | None]] = []
+    for tag, fields in layouts.items():
+        idx = np.nonzero(tags == tag)[0]
+        if len(idx):
+            groups.append((idx, fields))
+    unk = np.nonzero(~known)[0]
+    if len(unk):
+        groups.append((unk, None))
+
+    cat = (
+        np.concatenate([g[0] for g in groups])
+        if groups
+        else np.empty(0, dtype=np.int64)
+    )
+    inv = np.empty(n, dtype=np.int64)
+    inv[cat] = np.arange(n, dtype=np.int64)
+    perm = pa.array(inv)
+
+    cols: list[pa.Array] = []
+    if with_offset:
+        offs = base_offset + np.arange(n, dtype=np.int64) * record_length
+        cols.append(pa.array(offs, type=pa.int64()))
+    if key_bounds is not None:
+        start, end = key_bounds
+        cols.append(_slice_binary(mat, start, end - start + 1))
+    cols.append(pa.array(tags))  # record_type (post-transcode text)
+
+    for f in union_fields:
+        chunks: list[pa.Array] = []
+        for idx, fields in groups:
+            present = fields is not None and any(
+                g.name == f.name for g in fields
+            )
+            if present:
+                sub = np.ascontiguousarray(fmat[idx])
+                chunks.append(decode_field(sub, f, permissive=permissive))
+            else:
+                chunks.append(pa.nulls(len(idx), f.arrow_type()))
+        col = (
+            pa.concat_arrays(chunks).take(perm)
+            if chunks
+            else pa.nulls(0, f.arrow_type())
+        )
+        cols.append(col)
+    return pa.RecordBatch.from_arrays(cols, schema=arrow_schema)

@@ -1,0 +1,86 @@
+"""Multi-record-type dispatch: union decode, file-order scatter, unknown
+tags, and spec validation."""
+
+from __future__ import annotations
+
+import pytest
+
+from hadoop_fixedlengthinputformat_spark.sources import fixedlen
+from hadoop_fixedlengthinputformat_spark.sources.multitype_queries import (
+    LAYOUTS_OPT,
+    RECORD_LENGTH,
+    multitype_file_for,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _reader(spark, path):
+    fixedlen.register(spark)
+    return (
+        spark.read.format("fixedlen")
+        .option("recordLength", str(RECORD_LENGTH))
+        .option("layouts", LAYOUTS_OPT)
+        .option("typeStart", "0")
+        .option("typeLen", "1")
+        .load(path)
+    )
+
+
+def test_multitype_union_decode_and_order(spark):
+    path = multitype_file_for(SF)
+    rows = _reader(spark, path).orderBy("record_offset").collect()
+    # fixture alternates N/R while both lists last
+    assert rows[0].record_type == "N" and rows[1].record_type == "R"
+    n = [r for r in rows if r.record_type == "N"]
+    r = [r for r in rows if r.record_type == "R"]
+    assert len(n) == 25 and len(r) == 5
+    # union columns: own fields set, other type's fields null
+    assert n[0].n_name.startswith("NATION") and n[0].r_name is None
+    assert r[0].r_name in ("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")
+    assert r[0].n_nationkey is None and r[0].r_regionkey is not None
+
+
+def test_multitype_unknown_tag_failfast_and_permissive(spark, tmp_path):
+    src = open(multitype_file_for(SF), "rb").read()
+    # corrupt the second record's tag
+    bad = bytearray(src)
+    bad[RECORD_LENGTH] = ord("X")
+    p = tmp_path / "bad.fixed"
+    p.write_bytes(bytes(bad))
+    with pytest.raises(Exception, match="unknown record type"):
+        _reader(spark, str(p)).collect()
+    perm = (
+        spark.read.format("fixedlen")
+        .option("recordLength", str(RECORD_LENGTH))
+        .option("layouts", LAYOUTS_OPT)
+        .option("typeStart", "0")
+        .option("typeLen", "1")
+        .option("mode", "permissive")
+        .load(str(p))
+        .orderBy("record_offset")
+        .collect()
+    )
+    assert perm[1].record_type == "X"
+    assert perm[1].n_nationkey is None and perm[1].r_name is None
+
+
+def test_multitype_spec_validation(spark):
+    fixedlen.register(spark)
+    path = multitype_file_for(SF)
+    def base():
+        # fresh reader per probe: DataFrameReader accumulates options
+        return spark.read.format("fixedlen").option(
+            "recordLength", str(RECORD_LENGTH)
+        )
+
+    with pytest.raises(Exception, match="mutually exclusive"):
+        base().option("layouts", LAYOUTS_OPT).option(
+            "layout", "a:0:5:int"
+        ).load(path).count()
+    with pytest.raises(Exception, match="conflicting types"):
+        base().option(
+            "layouts", "N=k:1:5:int;R=k:1:5:string"
+        ).load(path).count()
+    with pytest.raises(Exception, match="length != typeLen"):
+        base().option("layouts", "NX=k:1:5:int").load(path).count()
