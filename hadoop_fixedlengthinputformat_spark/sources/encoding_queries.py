@@ -74,3 +74,68 @@ def sink_fixedlen_ebcdic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("includeOffset", "false")
         .load(out)
     )
+
+
+# full mainframe shape: EBCDIC text fields + COMP-3 packed decimal
+_PACKED_RL = 65
+_PACKED_SPEC = (
+    "c_custkey:0:10:long,c_name:10:30:string,c_nationkey:40:5:int,"
+    "c_acctbal:45:7:packed(2),c_mktsegment:52:13:string"
+)
+
+
+def packed_file_for(sf_dir: str) -> str:
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from hadoop_fixedlengthinputformat_spark.sources.layout import (
+        encode_rows,
+        parse_layout,
+    )
+
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|packed|{_PACKED_SPEC}".encode()
+    ).hexdigest()[:12]
+    out = os.path.join(fixture_gen.fixture_dir(), f"packed-{tag}.fixed")
+    if os.path.exists(out):
+        return out
+    rows = (
+        pq.read_table(os.path.join(sf_dir, "customer.parquet"))
+        .sort_by("c_custkey")
+        .to_pylist()
+    )
+    fields = parse_layout(_PACKED_SPEC, _PACKED_RL)
+    payload = encode_rows(rows, fields, _PACKED_RL, encoding="cp037")
+    tmp = out + f".tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(payload)
+    os.replace(tmp, out)
+    return out
+
+
+@query(
+    "scan_fixedlen_packed",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer
+    """,
+)
+def scan_fixedlen_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete mainframe record: EBCDIC (cp037) text fields plus a
+    COMP-3 packed-decimal amount (`packed(2)`: BCD nibbles + sign
+    nibble, binary — untouched by the charset transcode).  Nibble math
+    is vectorized (numpy shift/mask + power-of-ten dot product); the
+    decoded int/10^scale double is bit-identical to the parquet source
+    for 2-decimal provenance values."""
+    configure(spark)
+    fixedlen.register(spark)
+    path = packed_file_for(sf_dir)
+    return (
+        spark.read.format("fixedlen")
+        .option("recordLength", str(_PACKED_RL))
+        .option("layout", _PACKED_SPEC)
+        .option("encoding", "cp037")
+        .option("includeOffset", "false")
+        .load(path)
+    )

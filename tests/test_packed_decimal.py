@@ -1,0 +1,54 @@
+"""COMP-3 packed decimal: round trips, sign handling, malformed nibbles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from hadoop_fixedlengthinputformat_spark.sources.layout import (
+    FieldSpec,
+    decode_packed_field,
+    encode_packed,
+)
+
+
+def _mat(payload: bytes, width: int) -> np.ndarray:
+    return np.frombuffer(payload, dtype=np.uint8).reshape(-1, width)
+
+
+F7 = FieldSpec("amt", 0, 7, "packed(2)")
+
+
+@pytest.mark.parametrize(
+    "value", [0.0, 0.01, -0.01, 123.45, -9999999.99, 42.0, -0.5]
+)
+def test_packed_round_trip(value):
+    raw = encode_packed(value, F7)
+    assert len(raw) == 7
+    out = decode_packed_field(_mat(raw, 7), F7).to_pylist()
+    assert out == [value]
+
+
+def test_packed_sign_nibbles():
+    # 0xF (unsigned) must read as positive too
+    raw = bytearray(encode_packed(123.45, F7))
+    raw[-1] = (raw[-1] & 0xF0) | 0x0F
+    assert decode_packed_field(_mat(bytes(raw), 7), F7).to_pylist() == [123.45]
+
+
+def test_packed_invalid_nibble_failfast_and_permissive():
+    raw = bytearray(encode_packed(1.0, F7))
+    raw[0] = 0xAB  # digit nibbles > 9
+    with pytest.raises(ValueError, match="invalid packed-decimal"):
+        decode_packed_field(_mat(bytes(raw), 7), F7)
+    out = decode_packed_field(_mat(bytes(raw), 7), F7, permissive=True)
+    assert out.to_pylist() == [None]
+
+
+def test_packed_overflow_rejected():
+    with pytest.raises(ValueError, match="does not fit"):
+        encode_packed(10**12, F7)  # 14 digits > 13 available
+    with pytest.raises(ValueError, match="exceeds int64"):
+        decode_packed_field(
+            _mat(b"\x00" * 10, 10), FieldSpec("x", 0, 10, "packed(2)")
+        )
