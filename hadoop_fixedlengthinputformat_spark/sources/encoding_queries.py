@@ -139,3 +139,53 @@ def scan_fixedlen_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("includeOffset", "false")
         .load(path)
     )
+
+
+@query(
+    "pipeline_fixedlen_composite",
+    oracle="""
+    SELECT n_name,
+           count(*) AS n_customers,
+           round(sum(c_acctbal), 4) AS total_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > 0
+    GROUP BY n_name
+    """,
+)
+def pipeline_fixedlen_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end mainframe ingestion composite: an EBCDIC+packed-decimal
+    customer file joins an EBCDIC nation file — both through the
+    fixedlen source — then filters and aggregates relationally.  Proves
+    the ingested DataFrames are first-class Catalyst citizens: the
+    nation side broadcasts, the acctbal predicate runs against the
+    decoded Arrow batches, and the agg is one 25-group exchange."""
+    import pyspark.sql.functions as F
+
+    configure(spark)
+    fixedlen.register(spark)
+    c = (
+        spark.read.format("fixedlen")
+        .option("recordLength", str(_PACKED_RL))
+        .option("layout", _PACKED_SPEC)
+        .option("encoding", "cp037")
+        .option("includeOffset", "false")
+        .load(packed_file_for(sf_dir))
+    )
+    record_length, spec, _ = fixture_gen.LAYOUTS["nation"]
+    n = (
+        spark.read.format("fixedlen")
+        .option("recordLength", str(record_length))
+        .option("layout", spec)
+        .option("encoding", "cp037")
+        .option("includeOffset", "false")
+        .load(fixture_gen.fixed_file_for(sf_dir, "nation", encoding="cp037"))
+    )
+    return (
+        c.filter(F.col("c_acctbal") > 0)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 4).alias("total_bal"),
+        )
+    )
