@@ -148,3 +148,38 @@ def llm_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("sum_chars"),
         )
     )
+
+
+@query(
+    "llm_chunk_split",
+    oracle="""
+    SELECT doc_id,
+           CAST((s - 1) / 150 AS INTEGER) AS chunk_idx,
+           substring(text, s, 200) AS chunk,
+           length(substring(text, s, 200)) AS chunk_len
+    FROM (
+        SELECT doc_id, text,
+               unnest(generate_series(1, greatest(length(text), 1), 150)) AS s
+        FROM documents
+    )
+    """,
+)
+def llm_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (200-char windows, 50-char
+    overlap, stride 150) — the RAG / embedding-pipeline preprocessing
+    step.  Pure codegen: sequence + posexplode + substring, zero
+    shuffles, zero UDFs; chunk provenance is (doc_id, chunk_idx).  At
+    100 TB the explode multiplies rows by len/stride but each output row
+    is bounded by the window, so downstream batching stays uniform."""
+    d = load_table(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(150)
+    )
+    ex = d.select("doc_id", "text", F.explode(starts).alias("s"))
+    chunk = F.substring(F.col("text"), F.col("s"), 200)
+    return ex.select(
+        "doc_id",
+        (((F.col("s") - 1) / 150).cast("int")).alias("chunk_idx"),
+        chunk.alias("chunk"),
+        F.length(chunk).alias("chunk_len"),
+    )
