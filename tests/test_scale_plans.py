@@ -227,3 +227,15 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_chunk_split_has_no_exchange(spark):
+    """llm_chunk_split claims pure codegen (sequence+explode+substring,
+    zero shuffles) — no Exchange may appear."""
+    from hadoop_fixedlengthinputformat_spark.functions.quality_extras import (
+        llm_chunk_split,
+    )
+
+    df = llm_chunk_split(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
