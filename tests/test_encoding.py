@@ -53,3 +53,32 @@ def test_encoding_option_validation(spark):
         reader.option("encoding", "no-such-charset").load(path).count()
     with pytest.raises(Exception, match="single-byte"):
         reader.option("encoding", "utf-16").load(path).count()
+
+
+def test_ebcdic_streaming_tail(spark, tmp_path):
+    """Charset symmetry extends to streaming: tailing a growing cp037
+    file decodes identically (the partitioned stream reader delegates to
+    the batch decode path, encoding included)."""
+    src = fixture_gen.fixed_file_for(SF, "nation", encoding="cp037")
+    p = tmp_path / "grow.fixed"
+    p.write_bytes(open(src, "rb").read())
+    fixedlen.register(spark)
+    record_length, spec, _ = fixture_gen.LAYOUTS["nation"]
+    q = (
+        spark.readStream.format("fixedlen")
+        .option("recordLength", str(record_length))
+        .option("layout", spec)
+        .option("encoding", "cp037")
+        .option("partitionedStream", "true")
+        .load(str(p))
+        .writeStream.format("memory")
+        .queryName("ebcdic_tail")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql(
+        "SELECT n_nationkey, n_name FROM ebcdic_tail ORDER BY n_nationkey"
+    ).collect()
+    assert len(rows) == 25
+    assert rows[0].n_name.startswith("NATION")
