@@ -189,3 +189,63 @@ def pipeline_fixedlen_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 4).alias("total_bal"),
         )
     )
+
+
+# zoned-decimal sibling fixture: supplier with an overpunch-signed amount
+_ZONED_RL = 48
+_ZONED_SPEC = (
+    "s_suppkey:0:8:long,s_name:8:25:string,s_nationkey:33:5:int,"
+    "s_acctbal:38:10:zoned(2)"
+)
+
+
+def zoned_file_for(sf_dir: str) -> str:
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from hadoop_fixedlengthinputformat_spark.sources.layout import (
+        encode_rows,
+        parse_layout,
+    )
+
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|zoned|{_ZONED_SPEC}".encode()
+    ).hexdigest()[:12]
+    out = os.path.join(fixture_gen.fixture_dir(), f"zoned-{tag}.fixed")
+    if os.path.exists(out):
+        return out
+    rows = (
+        pq.read_table(os.path.join(sf_dir, "supplier.parquet"))
+        .sort_by("s_suppkey")
+        .to_pylist()
+    )
+    fields = parse_layout(_ZONED_SPEC, _ZONED_RL)
+    payload = encode_rows(rows, fields, _ZONED_RL, encoding="cp037")
+    tmp = out + f".tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(payload)
+    os.replace(tmp, out)
+    return out
+
+
+@query(
+    "scan_fixedlen_zoned",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+)
+def scan_fixedlen_zoned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EBCDIC zoned decimal (COBOL PIC S9 DISPLAY): one digit per byte,
+    sign overpunched in the last byte's zone nibble — packed's sibling
+    and the other COBOL numeric DISPLAY format.  Decode is the same
+    shift/mask + power-of-ten dot on the raw matrix."""
+    configure(spark)
+    fixedlen.register(spark)
+    path = zoned_file_for(sf_dir)
+    return (
+        spark.read.format("fixedlen")
+        .option("recordLength", str(_ZONED_RL))
+        .option("layout", _ZONED_SPEC)
+        .option("encoding", "cp037")
+        .option("includeOffset", "false")
+        .load(path)
+    )

@@ -34,7 +34,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-_TYPES = ("int", "long", "double", "string", "date", "packed")
+_TYPES = ("int", "long", "double", "string", "date", "packed", "zoned")
 
 
 @dataclass(frozen=True)
@@ -62,6 +62,7 @@ class FieldSpec:
             "string": StringType(),
             "date": DateType(),
             "packed": DoubleType(),  # COMP-3 BCD, scaled by 10^-scale
+            "zoned": DoubleType(),  # PIC S9 DISPLAY, sign overpunch
         }[self.base_type]
 
     def arrow_type(self) -> pa.DataType:
@@ -72,6 +73,7 @@ class FieldSpec:
             "string": pa.string(),
             "date": pa.date32(),
             "packed": pa.float64(),
+            "zoned": pa.float64(),
         }[self.base_type]
 
 
@@ -338,6 +340,8 @@ def decode_chunk(
             if f.base_type == "packed":
                 # BCD is binary: always decode from the RAW matrix
                 cols.append(decode_packed_field(mat, f, permissive=permissive))
+            elif f.base_type == "zoned":
+                cols.append(decode_zoned_field(mat, f, permissive=permissive))
             else:
                 cols.append(decode_field(fmat, f, permissive=permissive))
     return pa.RecordBatch.from_arrays(cols, schema=arrow_schema)
@@ -385,6 +389,8 @@ def encode_rows(
         for f in fields:
             if f.base_type == "packed":
                 b = encode_packed(row[f.name], f)
+            elif f.base_type == "zoned":
+                b = encode_zoned(row[f.name], f)
             else:
                 b = format_value(row[f.name], f).encode(encoding)
             if len(b) != f.length:
@@ -514,11 +520,14 @@ def decode_chunk_multitype(
                 g.name == f.name for g in fields
             )
             if present:
-                if f.base_type == "packed":
+                if f.base_type in ("packed", "zoned"):
                     sub = np.ascontiguousarray(mat[idx])
-                    chunks.append(
-                        decode_packed_field(sub, f, permissive=permissive)
+                    dec = (
+                        decode_packed_field
+                        if f.base_type == "packed"
+                        else decode_zoned_field
                     )
+                    chunks.append(dec(sub, f, permissive=permissive))
                 else:
                     sub = np.ascontiguousarray(fmat[idx])
                     chunks.append(decode_field(sub, f, permissive=permissive))
@@ -531,3 +540,57 @@ def decode_chunk_multitype(
         )
         cols.append(col)
     return pa.RecordBatch.from_arrays(cols, schema=arrow_schema)
+
+
+def decode_zoned_field(
+    mat: np.ndarray, f: FieldSpec, permissive: bool = False
+) -> pa.Array:
+    """EBCDIC zoned decimal (COBOL PIC S9(n) DISPLAY): one digit per
+    byte, low nibble the digit, zone nibble 0xF — except the LAST byte,
+    whose zone overpunches the sign (0xC/0xF positive, 0xD negative).
+    Binary-level like packed: decodes the RAW matrix, vectorized."""
+    sl = np.ascontiguousarray(mat[:, f.start : f.start + f.length])
+    n_digits = f.length
+    if n_digits > 18:
+        raise ValueError(
+            f"zoned field {f.name!r}: {n_digits} digits exceeds int64-exact 18"
+        )
+    zones = (sl >> 4).astype(np.int64)
+    digits = (sl & 0x0F).astype(np.int64)
+    sign_zone = zones[:, -1]
+    bad = (
+        (digits > 9).any(axis=1)
+        | (zones[:, :-1] != 0xF).any(axis=1)
+        | ~np.isin(sign_zone, (0xC, 0xD, 0xF))
+    )
+    if bool(bad.any()) and not permissive:
+        raise ValueError(
+            f"fixedlen: invalid zoned-decimal byte in field {f.name!r}; "
+            "use mode=permissive to null malformed values"
+        )
+    np.clip(digits, 0, 9, out=digits)
+    powers = 10 ** np.arange(n_digits - 1, -1, -1, dtype=np.int64)
+    ints = digits @ powers
+    ints = np.where(sign_zone == 0xD, -ints, ints)
+    vals = ints / np.float64(10**f.scale)
+    arr = pa.array(vals, type=pa.float64())
+    if bool(bad.any()):
+        arr = pc.if_else(pa.array(bad), pa.scalar(None, pa.float64()), arr)
+    return arr
+
+
+def encode_zoned(value, f: FieldSpec) -> bytes:
+    """Encode a number as EBCDIC zoned decimal (inverse of
+    decode_zoned_field; sign overpunched in the last byte's zone)."""
+    if value is None:
+        raise ValueError(f"fixed-width field {f.name} cannot encode NULL")
+    scaled = round(float(value) * (10**f.scale))
+    digits = f"{abs(scaled):0{f.length}d}"
+    if len(digits) > f.length:
+        raise ValueError(
+            f"value {value!r} does not fit zoned field {f.name} "
+            f"({f.length} digits)"
+        )
+    out = bytearray(0xF0 | int(c) for c in digits)
+    out[-1] = (0xD0 if scaled < 0 else 0xC0) | int(digits[-1])
+    return bytes(out)

@@ -52,3 +52,41 @@ def test_packed_overflow_rejected():
         decode_packed_field(
             _mat(b"\x00" * 10, 10), FieldSpec("x", 0, 10, "packed(2)")
         )
+
+
+# ---------------------------------------------------------------------------
+# zoned decimal
+
+from hadoop_fixedlengthinputformat_spark.sources.layout import (  # noqa: E402
+    decode_zoned_field,
+    encode_zoned,
+)
+
+Z9 = FieldSpec("amt", 0, 9, "zoned(2)")
+
+
+@pytest.mark.parametrize(
+    "value", [0.0, 0.01, -0.01, 123.45, -9999999.99, 42.0]
+)
+def test_zoned_round_trip(value):
+    raw = encode_zoned(value, Z9)
+    assert len(raw) == 9
+    # every byte is EBCDIC-zone digit except the sign overpunch
+    assert all(b >> 4 == 0xF for b in raw[:-1])
+    out = decode_zoned_field(_mat(raw, 9), Z9).to_pylist()
+    assert out == [value]
+
+
+def test_zoned_unsigned_zone_reads_positive():
+    raw = bytearray(encode_zoned(123.45, Z9))
+    raw[-1] = 0xF0 | (raw[-1] & 0x0F)
+    assert decode_zoned_field(_mat(bytes(raw), 9), Z9).to_pylist() == [123.45]
+
+
+def test_zoned_invalid_zone_failfast_and_permissive():
+    raw = bytearray(encode_zoned(1.0, Z9))
+    raw[0] = 0x31  # ASCII '1': zone 0x3, not EBCDIC 0xF
+    with pytest.raises(ValueError, match="invalid zoned-decimal"):
+        decode_zoned_field(_mat(bytes(raw), 9), Z9)
+    out = decode_zoned_field(_mat(bytes(raw), 9), Z9, permissive=True)
+    assert out.to_pylist() == [None]
