@@ -249,3 +249,66 @@ def scan_fixedlen_zoned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("includeOffset", "false")
         .load(path)
     )
+
+
+# implied-decimal (PIC 9(n)V99) fixture: plain ASCII, no decimal points
+_IMPLIED_RL = 61
+_IMPLIED_SPEC = (
+    "p_partkey:0:10:long,p_name:10:20:string,p_brand:30:8:string,"
+    "p_type:38:8:string,p_size:46:5:int,p_retailprice:51:10:implied(2)"
+)
+
+
+def implied_file_for(sf_dir: str) -> str:
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from hadoop_fixedlengthinputformat_spark.sources.layout import (
+        encode_rows,
+        parse_layout,
+    )
+
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|implied|{_IMPLIED_SPEC}".encode()
+    ).hexdigest()[:12]
+    out = os.path.join(fixture_gen.fixture_dir(), f"implied-{tag}.fixed")
+    if os.path.exists(out):
+        return out
+    rows = (
+        pq.read_table(os.path.join(sf_dir, "part.parquet"))
+        .sort_by("p_partkey")
+        .to_pylist()
+    )
+    fields = parse_layout(_IMPLIED_SPEC, _IMPLIED_RL)
+    payload = encode_rows(rows, fields, _IMPLIED_RL)
+    tmp = out + f".tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(payload)
+    os.replace(tmp, out)
+    return out
+
+
+@query(
+    "scan_fixedlen_implied",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+    FROM part
+    """,
+)
+def scan_fixedlen_implied(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Implied-decimal display numbers (COBOL PIC 9(n)V99): digit runs
+    with NO decimal point, the scale implied by the layout — the most
+    common fixed-width money encoding outside EBCDIC shops.  Parse is
+    the int64 Arrow cast + one scale divide; charset-agnostic (text
+    path, works under any `encoding`)."""
+    configure(spark)
+    fixedlen.register(spark)
+    path = implied_file_for(sf_dir)
+    return (
+        spark.read.format("fixedlen")
+        .option("recordLength", str(_IMPLIED_RL))
+        .option("layout", _IMPLIED_SPEC)
+        .option("includeOffset", "false")
+        .load(path)
+    )

@@ -34,7 +34,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-_TYPES = ("int", "long", "double", "string", "date", "packed", "zoned")
+_TYPES = ("int", "long", "double", "string", "date", "packed", "zoned", "implied")
 
 
 @dataclass(frozen=True)
@@ -63,6 +63,7 @@ class FieldSpec:
             "date": DateType(),
             "packed": DoubleType(),  # COMP-3 BCD, scaled by 10^-scale
             "zoned": DoubleType(),  # PIC S9 DISPLAY, sign overpunch
+            "implied": DoubleType(),  # PIC 9(n)V9(s): no point, implied scale
         }[self.base_type]
 
     def arrow_type(self) -> pa.DataType:
@@ -74,6 +75,7 @@ class FieldSpec:
             "date": pa.date32(),
             "packed": pa.float64(),
             "zoned": pa.float64(),
+            "implied": pa.float64(),
         }[self.base_type]
 
 
@@ -161,6 +163,7 @@ _VALID_RE = {
     "long": r"^-?[0-9]{1,18}$",
     "double": r"^-?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?$",
     "date": r"^[0-9]{4}-(0[1-9]|1[0-2])-(0[1-9]|[12][0-9]|3[01])$",
+    "implied": r"^-?[0-9]{1,18}$",
 }
 
 _I32_MIN, _I32_MAX = -(2**31), 2**31 - 1
@@ -276,6 +279,13 @@ def decode_field(mat: np.ndarray, f: FieldSpec, permissive: bool = False) -> pa.
             return pc.cast(v64, pa.int32())
         # failfast: Arrow raises on garbage, '+' signs, and overflow
         return pc.cast(trimmed, f.arrow_type())
+    if base == "implied":
+        # COBOL PIC 9(n)V9(s): digits only, decimal point implied at
+        # ``scale`` places — parse int64-exact, scale once
+        ints = pc.cast(trimmed, pa.int64())
+        return pc.divide(
+            pc.cast(ints, pa.float64()), pa.scalar(float(10**f.scale))
+        )
     if base == "double":
         return pc.cast(trimmed, pa.float64())
     if base == "date":
@@ -357,6 +367,8 @@ def format_value(v, f: FieldSpec) -> str:
     base = f.base_type
     if base in ("int", "long"):
         s = f"{int(v):0{f.length}d}"
+    elif base == "implied":
+        s = f"{round(float(v) * (10 ** f.scale)):0{f.length}d}"
     elif base == "double":
         s = f"{float(v):0{f.length}.{f.scale}f}"
     elif base == "date":

@@ -90,3 +90,30 @@ def test_zoned_invalid_zone_failfast_and_permissive():
         decode_zoned_field(_mat(bytes(raw), 9), Z9)
     out = decode_zoned_field(_mat(bytes(raw), 9), Z9, permissive=True)
     assert out.to_pylist() == [None]
+
+
+# ---------------------------------------------------------------------------
+# implied decimal (text path)
+
+from hadoop_fixedlengthinputformat_spark.sources.layout import (  # noqa: E402
+    decode_field,
+    format_value,
+)
+
+I8 = FieldSpec("amt", 0, 8, "implied(2)")
+
+
+@pytest.mark.parametrize("value", [0.0, 0.01, -0.01, 123.45, 999999.99])
+def test_implied_round_trip(value):
+    s = format_value(value, I8)
+    assert len(s) == 8 and "." not in s
+    out = decode_field(_mat(s.encode(), 8), I8).to_pylist()
+    assert out == [value]
+
+
+def test_implied_garbage_failfast_and_permissive():
+    raw = b"12x45678"
+    with pytest.raises(Exception):
+        decode_field(_mat(raw, 8), I8)
+    out = decode_field(_mat(raw, 8), I8, permissive=True)
+    assert out.to_pylist() == [None]
