@@ -312,3 +312,67 @@ def scan_fixedlen_implied(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("includeOffset", "false")
         .load(path)
     )
+
+
+# COMP-4 big-endian binary fixture: orders keys as raw binary integers
+_BIN_RL = 25
+_BIN_SPEC = (
+    "o_orderkey:0:8:bin,o_custkey:8:4:bin,o_orderstatus:12:1:string,"
+    "o_totalprice:13:12:implied(2)"
+)
+
+
+def bin_file_for(sf_dir: str) -> str:
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from hadoop_fixedlengthinputformat_spark.sources.layout import (
+        encode_rows,
+        parse_layout,
+    )
+
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|bin|{_BIN_SPEC}".encode()
+    ).hexdigest()[:12]
+    out = os.path.join(fixture_gen.fixture_dir(), f"bin-{tag}.fixed")
+    if os.path.exists(out):
+        return out
+    rows = (
+        pq.read_table(os.path.join(sf_dir, "orders.parquet"))
+        .sort_by("o_orderkey")
+        .to_pylist()
+    )
+    fields = parse_layout(_BIN_SPEC, _BIN_RL)
+    payload = encode_rows(rows, fields, _BIN_RL)
+    tmp = out + f".tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(payload)
+    os.replace(tmp, out)
+    return out
+
+
+@query(
+    "scan_fixedlen_binint",
+    oracle="""
+    SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS o_custkey,
+           o_orderstatus, o_totalprice
+    FROM orders
+    """,
+)
+def scan_fixedlen_binint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-endian binary integers (COBOL COMP-4 / BINARY, widths
+    1/2/4/8) — the exact byte convention the reference uses for its
+    8-byte offset key (FixedLengthRecordReader.java:270-278; test
+    helper toLong, TestFixedLengthInputFormat.java:490-505).  Decode is
+    a zero-copy numpy big-endian view on the raw matrix."""
+    configure(spark)
+    fixedlen.register(spark)
+    path = bin_file_for(sf_dir)
+    return (
+        spark.read.format("fixedlen")
+        .option("recordLength", str(_BIN_RL))
+        .option("layout", _BIN_SPEC)
+        .option("includeOffset", "false")
+        .load(path)
+    )

@@ -34,7 +34,10 @@ from pyspark.sql.types import (
     StructType,
 )
 
-_TYPES = ("int", "long", "double", "string", "date", "packed", "zoned", "implied")
+_TYPES = (
+    "int", "long", "double", "string", "date",
+    "packed", "zoned", "implied", "bin",
+)
 
 
 @dataclass(frozen=True)
@@ -64,6 +67,7 @@ class FieldSpec:
             "packed": DoubleType(),  # COMP-3 BCD, scaled by 10^-scale
             "zoned": DoubleType(),  # PIC S9 DISPLAY, sign overpunch
             "implied": DoubleType(),  # PIC 9(n)V9(s): no point, implied scale
+            "bin": LongType(),  # COMP-4: big-endian two's-complement binary
         }[self.base_type]
 
     def arrow_type(self) -> pa.DataType:
@@ -76,6 +80,7 @@ class FieldSpec:
             "packed": pa.float64(),
             "zoned": pa.float64(),
             "implied": pa.float64(),
+            "bin": pa.int64(),
         }[self.base_type]
 
 
@@ -352,6 +357,8 @@ def decode_chunk(
                 cols.append(decode_packed_field(mat, f, permissive=permissive))
             elif f.base_type == "zoned":
                 cols.append(decode_zoned_field(mat, f, permissive=permissive))
+            elif f.base_type == "bin":
+                cols.append(decode_bin_field(mat, f))
             else:
                 cols.append(decode_field(fmat, f, permissive=permissive))
     return pa.RecordBatch.from_arrays(cols, schema=arrow_schema)
@@ -403,6 +410,8 @@ def encode_rows(
                 b = encode_packed(row[f.name], f)
             elif f.base_type == "zoned":
                 b = encode_zoned(row[f.name], f)
+            elif f.base_type == "bin":
+                b = encode_bin(row[f.name], f)
             else:
                 b = format_value(row[f.name], f).encode(encoding)
             if len(b) != f.length:
@@ -532,14 +541,18 @@ def decode_chunk_multitype(
                 g.name == f.name for g in fields
             )
             if present:
-                if f.base_type in ("packed", "zoned"):
+                if f.base_type in ("packed", "zoned", "bin"):
                     sub = np.ascontiguousarray(mat[idx])
-                    dec = (
-                        decode_packed_field
-                        if f.base_type == "packed"
-                        else decode_zoned_field
-                    )
-                    chunks.append(dec(sub, f, permissive=permissive))
+                    if f.base_type == "packed":
+                        chunks.append(
+                            decode_packed_field(sub, f, permissive=permissive)
+                        )
+                    elif f.base_type == "zoned":
+                        chunks.append(
+                            decode_zoned_field(sub, f, permissive=permissive)
+                        )
+                    else:
+                        chunks.append(decode_bin_field(sub, f))
                 else:
                     sub = np.ascontiguousarray(fmat[idx])
                     chunks.append(decode_field(sub, f, permissive=permissive))
@@ -606,3 +619,33 @@ def encode_zoned(value, f: FieldSpec) -> bytes:
     out = bytearray(0xF0 | int(c) for c in digits)
     out[-1] = (0xD0 if scaled < 0 else 0xC0) | int(digits[-1])
     return bytes(out)
+
+
+def decode_bin_field(mat: np.ndarray, f: FieldSpec) -> pa.Array:
+    """Big-endian two's-complement binary integer (COBOL COMP-4 /
+    BINARY; widths 1/2/4/8) — the exact convention the reference uses
+    for its offset key (FixedLengthRecordReader.java:270-278, mirrored
+    by the test helper toLong, TestFixedLengthInputFormat.java:490-505).
+    Decode is a zero-copy numpy big-endian view; binary, so it reads the
+    RAW matrix.  No malformed state exists: every bit pattern is a
+    value, so mode has no effect."""
+    if f.length not in (1, 2, 4, 8):
+        raise ValueError(
+            f"bin field {f.name!r}: width must be 1/2/4/8, got {f.length}"
+        )
+    sl = np.ascontiguousarray(mat[:, f.start : f.start + f.length])
+    vals = sl.view(f">i{f.length}").ravel().astype(np.int64)
+    return pa.array(vals, type=pa.int64())
+
+
+def encode_bin(value, f: FieldSpec) -> bytes:
+    """Encode an integer as big-endian two's-complement (COMP-4)."""
+    if value is None:
+        raise ValueError(f"fixed-width field {f.name} cannot encode NULL")
+    try:
+        return int(value).to_bytes(f.length, "big", signed=True)
+    except OverflowError:
+        raise ValueError(
+            f"value {value!r} does not fit bin field {f.name} "
+            f"({f.length} bytes signed)"
+        )

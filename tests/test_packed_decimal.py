@@ -117,3 +117,29 @@ def test_implied_garbage_failfast_and_permissive():
         decode_field(_mat(raw, 8), I8)
     out = decode_field(_mat(raw, 8), I8, permissive=True)
     assert out.to_pylist() == [None]
+
+
+# ---------------------------------------------------------------------------
+# big-endian binary (COMP-4)
+
+from hadoop_fixedlengthinputformat_spark.sources.layout import (  # noqa: E402
+    decode_bin_field,
+    encode_bin,
+)
+
+
+@pytest.mark.parametrize("width", [1, 2, 4, 8])
+@pytest.mark.parametrize("sign", [1, -1])
+def test_bin_round_trip(width, sign):
+    f = FieldSpec("k", 0, width, "bin")
+    value = sign * (2 ** (8 * width - 1) - 1)  # extreme magnitudes
+    raw = encode_bin(value, f)
+    assert len(raw) == width
+    assert decode_bin_field(_mat(raw, width), f).to_pylist() == [value]
+
+
+def test_bin_rejects_bad_width_and_overflow():
+    with pytest.raises(ValueError, match="width must be"):
+        decode_bin_field(_mat(b"\x00" * 3, 3), FieldSpec("k", 0, 3, "bin"))
+    with pytest.raises(ValueError, match="does not fit"):
+        encode_bin(2**31, FieldSpec("k", 0, 4, "bin"))
