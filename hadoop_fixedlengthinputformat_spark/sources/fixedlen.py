@@ -915,8 +915,7 @@ class FixedLengthDataSource(DataSource):
             )
         if not self.path:
             raise ValueError("fixedlen: load(path) is required")
-        if self.opts.multitype is not None:
-            raise ValueError("fixedlen: 'layouts' is batch-only (streaming unsupported)")
+        # multitype works here: partitions delegate to the batch decode
         return FixedLenPartitionedStreamReader(self.opts, self.path)
 
     def simpleStreamReader(self, schema: StructType) -> FixedLenStreamReader:
@@ -926,7 +925,10 @@ class FixedLengthDataSource(DataSource):
             # a growing gzip file can't be tailed incrementally (no seek)
             raise ValueError("fixedlen: streaming does not support gzip input")
         if self.opts.multitype is not None:
-            raise ValueError("fixedlen: 'layouts' is batch-only (streaming unsupported)")
+            raise ValueError(
+                "fixedlen: 'layouts' needs partitionedStream=true when "
+                "streaming (the simple driver-side reader is single-layout)"
+            )
         return FixedLenStreamReader(self.opts, self.path)
 
 

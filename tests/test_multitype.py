@@ -84,3 +84,43 @@ def test_multitype_spec_validation(spark):
         ).load(path).count()
     with pytest.raises(Exception, match="length != typeLen"):
         base().option("layouts", "NX=k:1:5:int").load(path).count()
+
+
+def test_multitype_partitioned_stream(spark, tmp_path):
+    """layouts + partitionedStream: the executor-parallel stream path
+    delegates to the batch decode, so header/detail files can be tailed
+    too; the driver-side simple reader rejects layouts with a pointer."""
+    import pytest as _pytest
+
+    path = multitype_file_for(SF)
+    fixedlen.register(spark)
+    q = (
+        spark.readStream.format("fixedlen")
+        .option("recordLength", str(RECORD_LENGTH))
+        .option("layouts", LAYOUTS_OPT)
+        .option("typeStart", "0")
+        .option("typeLen", "1")
+        .option("partitionedStream", "true")
+        .load(path)
+        .writeStream.format("memory")
+        .queryName("mt_tail")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT record_type, count(*) c FROM mt_tail GROUP BY 1").collect()
+    got = {r.record_type: r.c for r in rows}
+    assert got == {"N": 25, "R": 5}
+
+    with _pytest.raises(Exception, match="partitionedStream"):
+        (
+            spark.readStream.format("fixedlen")
+            .option("recordLength", str(RECORD_LENGTH))
+            .option("layouts", LAYOUTS_OPT)
+            .load(path)
+            .writeStream.format("memory")
+            .queryName("mt_tail2")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
