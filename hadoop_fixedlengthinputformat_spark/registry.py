@@ -88,3 +88,6 @@ def load_all() -> None:
         encoding_queries,
         multitype_queries,
     )
+    from hadoop_fixedlengthinputformat_spark.functions import (  # noqa: F401
+        url_queries,
+    )
