@@ -321,3 +321,42 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         ewma, schema="user_id bigint, rn bigint, ewma double"
     )
+
+
+@query(
+    "ts_ohlc",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS bucket,
+           arg_min(value, printf('%020d%012d', epoch_us(ts), event_id)) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, printf('%020d%012d', epoch_us(ts), event_id)) AS close,
+           count(*) AS n_events
+    FROM events
+    GROUP BY 1
+    """,
+)
+def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar resampling — open/high/low/close of ``value`` per hourly
+    bucket, the canonical downsample for metric/market feeds.  One
+    hash-partial groupBy: each mapper reduces its rows to one candidate
+    per bucket before the exchange, so the shuffle carries O(buckets)
+    rows regardless of input size — scale-safe at 100 TB.  open/close
+    use ``min_by``/``max_by`` on a zero-padded ``(epoch_us, event_id)``
+    string key: a total order identical in both engines (DuckDB's
+    ``arg_min`` rejects struct keys, and a bare ``ts`` key would be
+    tie-fragile), so values are hash-exact with no rounding snap —
+    the aggregate only selects existing doubles, never does arithmetic."""
+    e = load_table(spark, sf_dir, "events")
+    key = F.format_string(
+        "%020d%012d",
+        F.unix_micros(F.col("ts").cast("timestamp")),
+        F.col("event_id"),
+    )
+    return e.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket")).agg(
+        F.min_by("value", key).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", key).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
