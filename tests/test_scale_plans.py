@@ -239,3 +239,19 @@ def test_chunk_split_has_no_exchange(spark):
     df = llm_chunk_split(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_ts_ohlc_partials_before_exchange(spark):
+    """ts_ohlc claims the shuffle carries O(buckets) partials, not rows:
+    the plan must run partial_min_by/partial_max_by map-side below the
+    single hash exchange, and the scan must read only the 3 used
+    columns."""
+    from hadoop_fixedlengthinputformat_spark.operators.timeseries import ts_ohlc
+
+    df = ts_ohlc(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pre_exchange = plan.split("Exchange hashpartitioning")[-1]
+    assert "partial_min_by" in pre_exchange, plan
+    assert "partial_max_by" in pre_exchange, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "ReadSchema: struct<event_id:bigint,ts:bigint,value:double>" in plan
