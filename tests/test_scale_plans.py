@@ -3,6 +3,8 @@ notes claim (plans/NOTES.md) actually engage on this Spark build."""
 
 from __future__ import annotations
 
+import re
+
 import pyspark.sql.functions as F
 import pytest
 
@@ -254,4 +256,10 @@ def test_ts_ohlc_partials_before_exchange(spark):
     assert "partial_min_by" in pre_exchange, plan
     assert "partial_max_by" in pre_exchange, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
-    assert "ReadSchema: struct<event_id:bigint,ts:bigint,value:double>" in plan
+    # column pruning: only the 3 used columns reach the scan (ts's read
+    # type depends on the parquet timestamp unit — nanos arrive as bigint
+    # under nanosAsLong, micros as timestamp_ntz — so don't pin it)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert read_cols == {"event_id", "ts", "value"}, plan
