@@ -1,4 +1,7 @@
-"""TPC-H composite suite (Q4/Q6/Q7/Q8/Q9/Q12/Q13/Q15/Q16/Q17/Q19/Q21/Q22 shapes).
+"""TPC-H composite suite (Q2/Q4/Q6-Q9/Q11-Q13/Q15-Q17/Q19-Q22 shapes).
+
+With ``tpch_composites.py`` (Q3/Q5/Q10/Q14/Q18) and the Q1-shaped
+``agg_groupby_hash``, every TPC-H query shape is covered.
 
 Extends ``tpch_composites.py`` (Q3/Q5/Q10/Q14/Q18) to near-full TPC-H
 coverage, adapted to the driver's reduced star schema: no ``partsupp``
@@ -554,6 +557,173 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(10)
+    )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+        SELECT l_partkey, l_suppkey,
+               min(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), eur AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ), best AS (
+        SELECT c.l_partkey, min(c.unit_cost) AS min_cost
+        FROM cost c JOIN eur ON c.l_suppkey = eur.s_suppkey
+        GROUP BY c.l_partkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, unit_cost
+    FROM cost c
+    JOIN eur ON c.l_suppkey = eur.s_suppkey
+    JOIN best b ON c.l_partkey = b.l_partkey AND c.unit_cost = b.min_cost
+    JOIN part ON c.l_partkey = p_partkey
+    WHERE p_type = 'LARGE' AND p_size <= 10
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: for each small LARGE-type part, the European supplier(s)
+    achieving the minimum observed unit price (min(l_extendedprice /
+    l_quantity) over lineitem stands in for the missing
+    partsupp.ps_supplycost).  The per-(part, supp) cost agg is the one
+    fact shuffle; the per-part min rides pre-aggregated rows; supplier⋈
+    nation⋈region and the filtered part slice broadcast.  The min-cost
+    equality join compares doubles produced by IDENTICAL IEEE ops
+    (divide, then min — pure selection, no re-arithmetic) so both
+    engines keep exactly the same rows; ties keep every achieving
+    supplier, as in real Q2."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eur = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eur_cost = cost.join(F.broadcast(eur), cost.l_suppkey == eur.s_suppkey)
+    best = eur_cost.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 10)
+    )
+    return (
+        eur_cost.join(
+            best,
+            (eur_cost.l_partkey == best.b_partkey)
+            & (eur_cost.unit_cost == best.min_cost),
+        )
+        .join(F.broadcast(p), eur_cost.l_partkey == p.p_partkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "unit_cost")
+    )
+
+
+@query(
+    "tpch_q11_important_parts",
+    oracle="""
+    WITH val AS (
+        SELECT l_partkey,
+               sum(l_extendedprice * l_quantity) AS raw_value
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_7'
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey, round(raw_value, 4) AS part_value
+    FROM val
+    WHERE round(raw_value, 4) > (SELECT round(sum(raw_value) * 0.001, 4) FROM val)
+    """,
+)
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: parts representing a significant share of one nation's
+    traded value (sum(l_extendedprice * l_quantity) stands in for the
+    missing ps_supplycost * ps_availqty).  The nation's supplier list
+    broadcasts; the one fact shuffle is the per-part partial-agg sum;
+    the grand total re-aggregates the per-part rows (tiny) and comes
+    back as a broadcast scalar.  Both the per-part value and the
+    threshold are snapped to 4 decimals BEFORE the comparison so the
+    engines' different double-summation orders cannot flip a
+    boundary row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    supp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    val = (
+        li.join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("raw_value")
+        )
+    )
+    thr = val.agg(_round4(F.sum("raw_value") * 0.001).alias("thr"))
+    return (
+        val.join(F.broadcast(thr))
+        .filter(_round4(F.col("raw_value")) > F.col("thr"))
+        .select("l_partkey", _round4(F.col("raw_value")).alias("part_value"))
+    )
+
+
+@query(
+    "tpch_q20_excess_share",
+    oracle="""
+    WITH per AS (
+        SELECT l_suppkey, l_partkey, sum(l_quantity) AS supp_qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_suppkey, l_partkey
+    ), tot AS (
+        SELECT l_partkey, sum(supp_qty) AS part_qty FROM per GROUP BY l_partkey
+    )
+    SELECT DISTINCT s_suppkey, s_name
+    FROM per
+    JOIN tot USING (l_partkey)
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%gear%'
+      AND per.supp_qty > 0.3 * tot.part_qty
+      AND n_regionkey = 1
+    """,
+)
+def tpch_q20_excess_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: region-1 suppliers who shipped more than 30% of a
+    gear-part's 1997 volume (the share test stands in for the missing
+    ps_availqty excess-stock test).  Quantities are integer-valued
+    doubles, so both engines' sums are EXACT regardless of order and
+    the share comparison needs no rounding snap.  One (supp, part)
+    partial-agg shuffle; the per-part total rides those pre-aggregated
+    rows; part/supplier/nation broadcast; output is the distinct
+    supplier set."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    per = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum("l_quantity").alias("supp_qty")
+    )
+    tot = per.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("supp_qty").alias("part_qty")
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 1)
+    return (
+        per.join(tot, per.l_partkey == tot.t_partkey)
+        .filter(F.col("supp_qty") > 0.3 * F.col("part_qty"))
+        .join(F.broadcast(p), per.l_partkey == p.p_partkey)
+        .join(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey),
+              per.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name")
+        .distinct()
     )
 
 
