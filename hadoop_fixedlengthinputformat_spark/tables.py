@@ -1,8 +1,10 @@
 """Table loading + session configuration shared by every query.
 
 Handles the two environment quirks (FIXTURES.md §B caveats):
-  * ``events.ts`` is parquet TIMESTAMP(NANOS) which Spark's reader
-    rejects — read it as long via ``spark.sql.legacy.parquet.nanosAsLong``
+  * ``events.ts`` has shipped as parquet TIMESTAMP(NANOS) (which Spark's
+    reader rejects) in some fixture generations and TIMESTAMP(MICROS) in
+    others — handle both: read nanos as long via
+    ``spark.sql.legacy.parquet.nanosAsLong``
     and floor-convert to a µs TIMESTAMP_NTZ.
   * session timezone pinned to UTC so LTZ<->NTZ casts are value-preserving.
 """
@@ -57,8 +59,10 @@ def _ship_package(spark: SparkSession) -> None:
 def configure(spark: SparkSession) -> SparkSession:
     """Runtime confs every query relies on (safe to set repeatedly)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # events.parquet stores TIMESTAMP(NANOS); without this the scan throws
-    # PARQUET_TYPE_ILLEGAL.  With it, ts arrives as epoch-nanos bigint.
+    # some events.parquet generations store TIMESTAMP(NANOS); without this
+    # the scan throws PARQUET_TYPE_ILLEGAL.  With it, a nanos ts arrives as
+    # epoch-nanos bigint (load_table converts); a micros ts is unaffected
+    # and reads as timestamp_ntz directly.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # let the fixedlen reader's pushFilters run (off by default in 4.1);
     # with it disabled Spark refuses any reader that implements the hook
