@@ -25,7 +25,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-RUNS = int(os.environ.get("BENCH_RUNS", "3"))
+RUNS = int(os.environ.get("BENCH_RUNS", "5"))  # median of 5: single-run
+# spikes (GC, microVM CPU steal) moved round-to-round totals by ~20%
+# with median-of-3; the wider window costs ~1 min total and halves the
+# spread between consecutive full-bench runs on the same machine.
 
 # Headline set: one per cost family — scan-bound, agg-bound, shuffle-join,
 # window, as-of merge, Python-UDF path, and the LLM-pipeline heavies.

@@ -91,3 +91,6 @@ def load_all() -> None:
     from hadoop_fixedlengthinputformat_spark.functions import (  # noqa: F401
         url_queries,
     )
+    from hadoop_fixedlengthinputformat_spark.sources import (  # noqa: F401
+        skip_queries,
+    )

@@ -96,6 +96,11 @@ class _Options:
     multitype: dict[str, list[FieldSpec]] | None = None
     union_fields: list[FieldSpec] | None = None
     type_bounds: tuple[int, int] | None = None  # (start, len)
+    # per-FILE record skips (mainframe feeds carry banner/summary records
+    # outside the data layout); planning-time for seekable files, so the
+    # skipped ranges are never read at all
+    skip_header: int = 0
+    skip_trailer: int = 0
 
     @classmethod
     def parse(cls, options) -> "_Options":
@@ -205,10 +210,17 @@ class _Options:
             raise ValueError(
                 f"fixedlen: encoding {enc_raw!r} is not a single-byte charset"
             )
+        skip_header = int(options.get("skipheaderrecords", "0"))
+        skip_trailer = int(options.get("skiptrailerrecords", "0"))
+        if skip_header < 0 or skip_trailer < 0:
+            raise ValueError(
+                "fixedlen: skipHeaderRecords/skipTrailerRecords must be >= 0"
+            )
         return cls(
             record_length, key_bounds, fields, with_offset, malformed, mpb,
             mode, pruned, compression, info.name,
             multitype, union_fields, type_bounds,
+            skip_header, skip_trailer,
         )
 
     def spark_schema(self) -> StructType:
@@ -302,13 +314,18 @@ def _plan_file(
             f"recordLength={rl} (trailing {size % rl} bytes); "
             "set malformedTail=drop to ignore the tail"
         )
-    if usable == 0:
+    # header/trailer records are sliced off the plan, never read: the
+    # file is seekable so the skip costs zero IO.  record_offset keeps
+    # TRUE file positions (the first data record sits at header*rl).
+    lo = min(opts.skip_header * rl, usable)
+    hi = max(usable - opts.skip_trailer * rl, lo)
+    if hi <= lo:
         return []
     # (target // rl) * rl, bumped to at least one record (FLIF:283-292)
     split = max(rl, (opts.max_partition_bytes // rl) * rl)
     return [
-        FixedLenPartition(path, s, min(s + split, usable))
-        for s in range(0, usable, split)
+        FixedLenPartition(path, s, min(s + split, hi))
+        for s in range(lo, hi, split)
     ]
 
 
@@ -333,23 +350,49 @@ def _read_aligned(f, start: int, end: int, chunk_records: int, rl: int) -> Itera
         yield bytes(buf)
 
 
-def _read_gzip_stream(path: str, chunk_records: int, rl: int, malformed_tail: str) -> Iterator[bytes]:
+def _read_gzip_stream(
+    path: str,
+    chunk_records: int,
+    rl: int,
+    malformed_tail: str,
+    skip_header: int = 0,
+    skip_trailer: int = 0,
+) -> Iterator[bytes]:
     """Yield record-aligned chunks from a gzip stream (no seeking; single
     whole-file partition).  A trailing partial record follows the same
-    malformedTail policy as the planning-time size check."""
+    malformedTail policy as the planning-time size check.
+
+    The stream is not seekable, so header records are discarded as they
+    decompress and trailer records are withheld through a rolling
+    holdback buffer (the last ``skip_trailer`` records are only known to
+    be the trailer once EOF arrives)."""
     import gzip
 
     carry = b""
+    to_skip = skip_header * rl
+    holdback = skip_trailer * rl
+    pending = b""  # record-aligned bytes retained until EOF proves
+    # they're data, not trailer
     with gzip.open(path, "rb") as f:
         while True:
             got = f.read(chunk_records * rl)
             if not got:
                 break
+            if to_skip:
+                drop = min(to_skip, len(got))
+                got = got[drop:]
+                to_skip -= drop
+                if not got:
+                    continue
             carry += got
             usable = len(carry) - (len(carry) % rl)
             if usable:
-                yield carry[:usable]
+                pending += carry[:usable]
                 carry = carry[usable:]
+            emit = len(pending) - holdback
+            if emit > 0:
+                yield pending[:emit]
+                pending = pending[emit:]
     if carry:
         if malformed_tail == "fail":
             raise IOError(
@@ -528,8 +571,13 @@ class FixedLengthReader(DataSourceReader):
         def decode(chunks: Iterator[bytes]):
             # record_offset is the position in the UNCOMPRESSED stream for
             # gzip, matching the reference's file-global-offset key on the
-            # logical record stream.
-            offset = partition.start
+            # logical record stream (skipped header records still occupy
+            # their positions, so the first data record is at header*rl).
+            offset = (
+                o.skip_header * o.record_length
+                if partition.end == _WHOLE_FILE
+                else partition.start
+            )
             for chunk in chunks:
                 if o.multitype is not None:
                     batch = decode_chunk_multitype(
@@ -563,7 +611,8 @@ class FixedLengthReader(DataSourceReader):
         if partition.end == _WHOLE_FILE:
             return decode(
                 _read_gzip_stream(
-                    partition.path, chunk_records, o.record_length, o.malformed_tail
+                    partition.path, chunk_records, o.record_length,
+                    o.malformed_tail, o.skip_header, o.skip_trailer,
                 )
             )
 
@@ -775,11 +824,18 @@ class FixedLenStreamReader(SimpleDataSourceStreamReader):
     """
 
     def __init__(self, opts: _Options, path: str):
+        if opts.skip_trailer:
+            # a growing file has no final record yet — "last N records"
+            # is unknowable until the stream ends
+            raise ValueError(
+                "fixedlen: skipTrailerRecords is not supported for streaming"
+            )
         self.opts = opts
         self.path = path
 
     def initialOffset(self):
-        return {"pos": 0}
+        # header records are skipped once, at the start of the stream
+        return {"pos": self.opts.skip_header * self.opts.record_length}
 
     def _rows(self, lo: int, hi: int):
         rl = self.opts.record_length
@@ -839,11 +895,15 @@ class FixedLenPartitionedStreamReader(DataSourceStreamReader):
     def __init__(self, opts: _Options, path: str):
         if path.endswith(".gz"):
             raise ValueError("fixedlen: streaming does not support gzip input")
+        if opts.skip_trailer:
+            raise ValueError(
+                "fixedlen: skipTrailerRecords is not supported for streaming"
+            )
         self.opts = opts
         self.path = path
 
     def initialOffset(self) -> dict:
-        return {"pos": 0}
+        return {"pos": self.opts.skip_header * self.opts.record_length}
 
     def latestOffset(self) -> dict:
         rl = self.opts.record_length

@@ -94,3 +94,33 @@ def fixed_gzip_for(sf_dir: str, table: str) -> str:
         fout.write(fin.read())
     os.replace(tmp, out)
     return out
+
+
+def fixed_file_with_banners(
+    sf_dir: str, table: str, header: int = 2, trailer: int = 1
+) -> str:
+    """Variant of ``fixed_file_for`` wrapped in mainframe-style banner
+    records: ``header`` HDR records before the data and ``trailer`` TRL
+    records after it, all at the table's record length.  The banner text
+    would decode as garbage under the data layout (non-numeric bytes in
+    int fields) — exactly why real feeds need skipHeaderRecords /
+    skipTrailerRecords rather than a post-scan filter."""
+    src = fixed_file_for(sf_dir, table)
+    record_length, _, _ = LAYOUTS[table]
+    out = src.replace(".fixed", f"-hdr{header}trl{trailer}.fixed")
+    if os.path.exists(out):
+        return out
+    banner = lambda kind, i: (  # noqa: E731
+        f"{kind}{i:03d} GENERATED {kind} RECORD -- NOT DATA".ljust(
+            record_length
+        )[:record_length].encode()
+    )
+    tmp = out + f".tmp{os.getpid()}"
+    with open(src, "rb") as fin, open(tmp, "wb") as f:
+        for i in range(header):
+            f.write(banner("HDR", i))
+        f.write(fin.read())
+        for i in range(trailer):
+            f.write(banner("TRL", i))
+    os.replace(tmp, out)
+    return out

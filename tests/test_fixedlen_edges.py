@@ -549,3 +549,80 @@ def test_pushed_filters_match_spark_nan_semantics(spark, tmp_path):
         want = spark_side(p)
         got, _plan = pushed_side(p)
         assert got == want, f"pred #{i}: pushed={got} spark={want}"
+
+
+# --- skipHeaderRecords / skipTrailerRecords -------------------------------
+
+def _banner_file(tmp_path, name, n_data=10, rl=8, header=2, trailer=1,
+                 gzip_out=False):
+    data = b"".join(f"{i:08d}".encode() for i in range(n_data))
+    payload = b"H" * (header * rl) + data + b"T" * (trailer * rl)
+    if gzip_out:
+        import gzip
+        path = os.path.join(str(tmp_path), name + ".gz")
+        with gzip.open(path, "wb") as f:
+            f.write(payload)
+        return path
+    return _write(tmp_path, name, payload)
+
+
+def test_skip_header_trailer_plain(spark, tmp_path):
+    """Banner records are sliced off at planning time; offsets keep true
+    file positions (first data record at header*rl)."""
+    path = _banner_file(tmp_path, "b.bin")
+    df = _read(spark, path, 8, layout="v:0:8:int",
+               skipHeaderRecords="2", skipTrailerRecords="1")
+    rows = df.orderBy("record_offset").collect()
+    assert [r.v for r in rows] == list(range(10))
+    assert rows[0].record_offset == 16
+    assert rows[-1].record_offset == 16 + 9 * 8
+
+
+def test_skip_header_trailer_many_partitions(spark, tmp_path):
+    """The skip arithmetic must survive multi-partition split planning
+    (tiny maxPartitionBytes forces one record per partition)."""
+    path = _banner_file(tmp_path, "b2.bin", n_data=20)
+    df = _read(spark, path, 8, layout="v:0:8:int",
+               skipHeaderRecords="2", skipTrailerRecords="1",
+               maxPartitionBytes="8")
+    assert sorted(r.v for r in df.collect()) == list(range(20))
+
+
+def test_skip_header_trailer_gzip(spark, tmp_path):
+    """Gzip path: header discarded as the stream decompresses, trailer
+    withheld via the holdback buffer (no seeking available)."""
+    path = _banner_file(tmp_path, "b3", gzip_out=True)
+    df = _read(spark, path, 8, layout="v:0:8:int",
+               skipHeaderRecords="2", skipTrailerRecords="1")
+    rows = df.orderBy("record_offset").collect()
+    assert [r.v for r in rows] == list(range(10))
+    assert rows[0].record_offset == 16
+
+
+def test_skip_consumes_whole_file(spark, tmp_path):
+    path = _banner_file(tmp_path, "b4.bin", n_data=1)
+    df = _read(spark, path, 8, layout="v:0:8:int",
+               skipHeaderRecords="3", skipTrailerRecords="1")
+    assert df.count() == 0
+
+
+def test_skip_negative_rejected(spark, tmp_path):
+    path = _banner_file(tmp_path, "b5.bin")
+    with pytest.raises(Exception, match="must be >= 0"):
+        _read(spark, path, 8, skipHeaderRecords="-1").collect()
+
+
+def test_skip_trailer_rejected_for_streaming(spark, tmp_path):
+    path = _banner_file(tmp_path, "b6.bin")
+    fixedlen.register(spark)
+    with pytest.raises(Exception, match="not supported for streaming"):
+        (
+            spark.readStream.format("fixedlen")
+            .option("recordLength", "8")
+            .option("skipTrailerRecords", "1")
+            .load(path)
+            .writeStream.format("noop")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
