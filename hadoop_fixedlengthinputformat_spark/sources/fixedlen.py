@@ -429,7 +429,8 @@ class FixedLengthReader(DataSourceReader):
             LessThanOrEqual, In, IsNull, IsNotNull, StringStartsWith,
             StringEndsWith, StringContains,
         )
-        decodable = {f.name for f in (self.opts.fields or [])}
+        # array (OCCURS) columns never receive scalar predicates
+        decodable = {f.name for f in (self.opts.fields or []) if f.occurs == 1}
         if self.opts.with_offset:
             decodable.add("record_offset")
         for flt in filters:

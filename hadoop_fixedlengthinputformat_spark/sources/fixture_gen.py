@@ -124,3 +124,34 @@ def fixed_file_with_banners(
             f.write(banner("TRL", i))
     os.replace(tmp, out)
     return out
+
+
+def occurs_file_for(sf_dir: str) -> str:
+    """Fixed-width fixture with a COBOL OCCURS group: per nation row,
+    key + 3 derived int elements (key+1, 2*key, regionkey) — derivable
+    in plain SQL so the oracle can recompute every element."""
+    out = os.path.join(
+        fixture_dir(),
+        f"nation-occurs-{hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]}.fixed",
+    )
+    if os.path.exists(out):
+        return out
+    tbl = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    fields = parse_layout("n_nationkey:0:5:int,vals:5:5:int[3]", 20)
+    rows = [
+        {
+            "n_nationkey": r["n_nationkey"],
+            "vals": [
+                r["n_nationkey"] + 1,
+                2 * r["n_nationkey"],
+                r["n_regionkey"],
+            ],
+        }
+        for r in tbl.sort_by("n_nationkey").to_pylist()
+    ]
+    payload = encode_rows(rows, fields, 20)
+    tmp = out + f".tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(payload)
+    os.replace(tmp, out)
+    return out

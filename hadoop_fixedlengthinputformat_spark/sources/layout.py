@@ -17,6 +17,7 @@ the moral equivalent of the reference's zero-alloc buffer reuse
 from __future__ import annotations
 
 import codecs
+import re
 from dataclasses import dataclass
 from functools import lru_cache
 
@@ -24,6 +25,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 from pyspark.sql.types import (
+    ArrayType,
     DataType,
     DateType,
     DoubleType,
@@ -44,8 +46,9 @@ _TYPES = (
 class FieldSpec:
     name: str
     start: int  # zero-based byte offset in the record
-    length: int
+    length: int  # bytes per ELEMENT (= field width when occurs == 1)
     ftype: str  # one of _TYPES, or "double(scale)" for encode formatting
+    occurs: int = 1  # COBOL OCCURS n: n consecutive elements -> array column
 
     @property
     def base_type(self) -> str:
@@ -57,7 +60,16 @@ class FieldSpec:
             return int(self.ftype.split("(")[1].rstrip(")"))
         return 2
 
-    def spark_type(self) -> DataType:
+    @property
+    def span(self) -> int:
+        """Total bytes the field occupies in the record."""
+        return self.length * self.occurs
+
+    def element(self, i: int) -> "FieldSpec":
+        """The i-th OCCURS slot as a scalar field spec."""
+        return FieldSpec(self.name, self.start + i * self.length, self.length, self.ftype)
+
+    def _scalar_spark_type(self) -> DataType:
         return {
             "int": IntegerType(),
             "long": LongType(),
@@ -70,7 +82,12 @@ class FieldSpec:
             "bin": LongType(),  # COMP-4: big-endian two's-complement binary
         }[self.base_type]
 
-    def arrow_type(self) -> pa.DataType:
+    def spark_type(self) -> DataType:
+        if self.occurs > 1:
+            return ArrayType(self._scalar_spark_type(), True)
+        return self._scalar_spark_type()
+
+    def _scalar_arrow_type(self) -> pa.DataType:
         return {
             "int": pa.int32(),
             "long": pa.int64(),
@@ -82,6 +99,11 @@ class FieldSpec:
             "implied": pa.float64(),
             "bin": pa.int64(),
         }[self.base_type]
+
+    def arrow_type(self) -> pa.DataType:
+        if self.occurs > 1:
+            return pa.list_(self._scalar_arrow_type())
+        return self._scalar_arrow_type()
 
 
 def parse_layout(spec: str, record_length: int) -> list[FieldSpec]:
@@ -95,16 +117,24 @@ def parse_layout(spec: str, record_length: int) -> list[FieldSpec]:
             raise ValueError(f"layout field must be name:start:len:type, got {part!r}")
         name, start, length, ftype = bits
         start_i, length_i = int(start), int(length)
+        # COBOL OCCURS: "type[n]" = n consecutive elements of `length`
+        # bytes each -> one array column (e.g. "qty:10:5:int[12]")
+        occurs = 1
+        m = re.fullmatch(r"(.+)\[([0-9]+)\]", ftype)
+        if m:
+            ftype, occurs = m.group(1), int(m.group(2))
+            if occurs < 1:
+                raise ValueError(f"OCCURS count must be >= 1 in {part!r}")
         if ftype.split("(")[0] not in _TYPES:
             raise ValueError(f"unsupported layout type {ftype!r} in {part!r}")
         if start_i < 0 or length_i <= 0:
             raise ValueError(f"bad bounds in layout field {part!r}")
-        if start_i + length_i > record_length:
+        if start_i + length_i * occurs > record_length:
             raise ValueError(
-                f"layout field {name!r} [{start_i}, {start_i + length_i}) exceeds "
-                f"recordLength={record_length}"
+                f"layout field {name!r} [{start_i}, {start_i + length_i * occurs}) "
+                f"exceeds recordLength={record_length}"
             )
-        fields.append(FieldSpec(name, start_i, length_i, ftype))
+        fields.append(FieldSpec(name, start_i, length_i, ftype, occurs))
     if len({f.name for f in fields}) != len(fields):
         raise ValueError("duplicate field names in layout")
     return fields
@@ -313,6 +343,49 @@ def decode_field(mat: np.ndarray, f: FieldSpec, permissive: bool = False) -> pa.
     raise AssertionError(f"unreachable type {f.ftype}")
 
 
+def _decode_scalar(
+    mat: np.ndarray, fmat: np.ndarray, f: FieldSpec, permissive: bool
+) -> pa.Array:
+    """Dispatch one SCALAR field to its decoder (binary types read the
+    raw matrix; text types the charset-transcoded one)."""
+    if f.base_type == "packed":
+        return decode_packed_field(mat, f, permissive=permissive)
+    if f.base_type == "zoned":
+        return decode_zoned_field(mat, f, permissive=permissive)
+    if f.base_type == "bin":
+        return decode_bin_field(mat, f)
+    return decode_field(fmat, f, permissive=permissive)
+
+
+def decode_occurs_field(
+    mat: np.ndarray, fmat: np.ndarray, f: FieldSpec, permissive: bool
+) -> pa.Array:
+    """COBOL OCCURS n decode: each element slot decodes through the
+    normal vectorized scalar path (n cheap column ops, never per-record
+    Python), then the slot columns interleave row-major into one
+    ListArray of fixed length n per row.  The interleave is a single
+    Arrow take() with computed indices — O(rows x n) pointer moves,
+    no value re-parsing."""
+    n_elem = f.occurs
+    slots = [
+        _decode_scalar(mat, fmat, f.element(i), permissive)
+        for i in range(n_elem)
+    ]
+    n_rows = len(slots[0])
+    # slot-major concat -> row-major order via take(): element j of row i
+    # sits at slot-array j position i, i.e. concat index j*n_rows + i
+    values = pa.concat_arrays([s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s for s in slots])
+    idx = (
+        np.arange(n_elem, dtype=np.int64)[None, :] * n_rows
+        + np.arange(n_rows, dtype=np.int64)[:, None]
+    ).ravel()
+    row_major = values.take(pa.array(idx))
+    offsets = pa.array(
+        np.arange(0, (n_rows + 1) * n_elem, n_elem, dtype=np.int32)
+    )
+    return pa.ListArray.from_arrays(offsets, row_major)
+
+
 def decode_chunk(
     chunk: bytes,
     record_length: int,
@@ -352,15 +425,11 @@ def decode_chunk(
         cols.append(_slice_binary(mat, 0, record_length))
     else:
         for f in fields:
-            if f.base_type == "packed":
-                # BCD is binary: always decode from the RAW matrix
-                cols.append(decode_packed_field(mat, f, permissive=permissive))
-            elif f.base_type == "zoned":
-                cols.append(decode_zoned_field(mat, f, permissive=permissive))
-            elif f.base_type == "bin":
-                cols.append(decode_bin_field(mat, f))
+            if f.occurs > 1:
+                cols.append(decode_occurs_field(mat, fmat, f, permissive))
             else:
-                cols.append(decode_field(fmat, f, permissive=permissive))
+                # binary types (packed BCD etc.) read the RAW matrix
+                cols.append(_decode_scalar(mat, fmat, f, permissive))
     return pa.RecordBatch.from_arrays(cols, schema=arrow_schema)
 
 
@@ -403,23 +472,36 @@ def encode_rows(
     emit raw BCD bytes untouched by the charset."""
     pad = " ".encode(encoding)
     out = bytearray()
+    def enc_scalar(v, f: FieldSpec) -> bytes:
+        if f.base_type == "packed":
+            b = encode_packed(v, f)
+        elif f.base_type == "zoned":
+            b = encode_zoned(v, f)
+        elif f.base_type == "bin":
+            b = encode_bin(v, f)
+        else:
+            b = format_value(v, f).encode(encoding)
+        if len(b) != f.length:
+            raise ValueError(
+                f"encoded field {f.name} is {len(b)} bytes, expected "
+                f"{f.length} (non-ASCII content in a string field?)"
+            )
+        return b
+
     for row in rows:
         rec = bytearray(pad * record_length)
         for f in fields:
-            if f.base_type == "packed":
-                b = encode_packed(row[f.name], f)
-            elif f.base_type == "zoned":
-                b = encode_zoned(row[f.name], f)
-            elif f.base_type == "bin":
-                b = encode_bin(row[f.name], f)
+            if f.occurs > 1:
+                vals = row[f.name]
+                if vals is None or len(vals) != f.occurs:
+                    raise ValueError(
+                        f"OCCURS field {f.name} needs exactly {f.occurs} "
+                        f"elements, got {vals!r}"
+                    )
+                b = b"".join(enc_scalar(v, f.element(i)) for i, v in enumerate(vals))
             else:
-                b = format_value(row[f.name], f).encode(encoding)
-            if len(b) != f.length:
-                raise ValueError(
-                    f"encoded field {f.name} is {len(b)} bytes, expected "
-                    f"{f.length} (non-ASCII content in a string field?)"
-                )
-            rec[f.start : f.start + f.length] = b
+                b = enc_scalar(row[f.name], f)
+            rec[f.start : f.start + f.span] = b
         out += rec
     return bytes(out)
 
@@ -443,7 +525,7 @@ def parse_multitype(
         )
     layouts: dict[str, list[FieldSpec]] = {}
     union: list[FieldSpec] = []
-    seen: dict[str, str] = {}
+    seen: dict[str, tuple[str, int]] = {}
     for part in spec.split(";"):
         part = part.strip()
         if not part or "=" not in part:
@@ -460,13 +542,14 @@ def parse_multitype(
         layouts[tag] = fields
         for f in fields:
             if f.name in seen:
-                if seen[f.name] != f.base_type:
+                if seen[f.name] != (f.base_type, f.occurs):
                     raise ValueError(
                         f"multitype: field {f.name!r} has conflicting types "
-                        f"{seen[f.name]!r} vs {f.base_type!r} across tags"
+                        f"{seen[f.name]!r} vs {(f.base_type, f.occurs)!r} "
+                        "across tags"
                     )
             else:
-                seen[f.name] = f.base_type
+                seen[f.name] = (f.base_type, f.occurs)
                 union.append(f)
     if not layouts:
         raise ValueError("multitype: no layouts given")
@@ -541,21 +624,16 @@ def decode_chunk_multitype(
                 g.name == f.name for g in fields
             )
             if present:
-                if f.base_type in ("packed", "zoned", "bin"):
-                    sub = np.ascontiguousarray(mat[idx])
-                    if f.base_type == "packed":
-                        chunks.append(
-                            decode_packed_field(sub, f, permissive=permissive)
-                        )
-                    elif f.base_type == "zoned":
-                        chunks.append(
-                            decode_zoned_field(sub, f, permissive=permissive)
-                        )
-                    else:
-                        chunks.append(decode_bin_field(sub, f))
+                sub_raw = np.ascontiguousarray(mat[idx])
+                sub_txt = np.ascontiguousarray(fmat[idx])
+                if f.occurs > 1:
+                    chunks.append(
+                        decode_occurs_field(sub_raw, sub_txt, f, permissive)
+                    )
                 else:
-                    sub = np.ascontiguousarray(fmat[idx])
-                    chunks.append(decode_field(sub, f, permissive=permissive))
+                    chunks.append(
+                        _decode_scalar(sub_raw, sub_txt, f, permissive)
+                    )
             else:
                 chunks.append(pa.nulls(len(idx), f.arrow_type()))
         col = (

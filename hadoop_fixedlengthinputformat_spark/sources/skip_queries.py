@@ -49,3 +49,40 @@ def scan_fixedlen_skiprecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("includeOffset", "false")
         .load(path)
     )
+
+
+@query(
+    "scan_fixedlen_occurs",
+    oracle="""
+    SELECT n_nationkey,
+           n_nationkey + 1 AS v1,
+           (n_nationkey + 1) + (2 * n_nationkey) + n_regionkey AS vsum,
+           3 AS n_vals
+    FROM nation
+    """,
+)
+def scan_fixedlen_occurs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COBOL OCCURS decode: layout type ``int[3]`` turns 3 consecutive
+    5-byte slots into one array<int> column (vectorized per-slot decode
+    + one Arrow row-major interleave — no per-record Python).  The query
+    reduces the array with JVM-side lambdas (element_at / aggregate /
+    size), and the oracle recomputes every element from the source
+    table, proving positions, not just counts."""
+    from pyspark.sql import functions as F
+
+    configure(spark)
+    fixedlen.register(spark)
+    path = fixture_gen.occurs_file_for(sf_dir)
+    df = (
+        spark.read.format("fixedlen")
+        .option("recordLength", "20")
+        .option("layout", "n_nationkey:0:5:int,vals:5:5:int[3]")
+        .option("includeOffset", "false")
+        .load(path)
+    )
+    return df.select(
+        "n_nationkey",
+        F.element_at("vals", 1).alias("v1"),
+        F.aggregate("vals", F.lit(0), lambda a, x: a + x).alias("vsum"),
+        F.size("vals").alias("n_vals"),
+    )

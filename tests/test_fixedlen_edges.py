@@ -626,3 +626,62 @@ def test_skip_trailer_rejected_for_streaming(spark, tmp_path):
             .start()
             .awaitTermination()
         )
+
+
+# --- OCCURS (repeated groups -> array columns) ----------------------------
+
+def test_occurs_roundtrip_through_writer(spark, tmp_path):
+    """array<int> column encodes back to consecutive slots and re-reads
+    identically (writer + reader symmetry)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    fixedlen.register(spark)
+    data = [(i, [i, i * 2, i * 3]) for i in range(12)]
+    schema = StructType([
+        StructField("k", IntegerType(), False),
+        StructField("vals", ArrayType(IntegerType(), True), False),
+    ])
+    df = spark.createDataFrame(data, schema)
+    out = os.path.join(str(tmp_path), "occ")
+    (df.coalesce(1).write.format("fixedlen")
+       .option("recordLength", "16")
+       .option("layout", "k:0:4:int,vals:4:4:int[3]")
+       .mode("overwrite").save(out))
+    back = (spark.read.format("fixedlen")
+            .option("recordLength", "16")
+            .option("layout", "k:0:4:int,vals:4:4:int[3]")
+            .option("includeOffset", "false").load(out))
+    got = {r.k: list(r.vals) for r in back.collect()}
+    assert got == {i: [i, i * 2, i * 3] for i in range(12)}
+
+
+def test_occurs_mixed_types_and_permissive(spark, tmp_path):
+    """double(scale) elements work; permissive mode nulls only the
+    malformed ELEMENT, not the whole array."""
+    rec = (b"0001" + b" 1.5 2.5 3.5" + b"ab")  # rl=18: int4 + 3x double4 + pad2
+    bad = (b"0002" + b" 1.5 X.Y 9.0" + b"cd")
+    path = _write(tmp_path, "occ2.bin", rec + bad)
+    df = _read(spark, path, 18, layout="k:0:4:int,d:4:4:double[3]",
+               mode="permissive", includeOffset="false")
+    rows = {r.k: list(r.d) for r in df.collect()}
+    assert rows[1] == [1.5, 2.5, 3.5]
+    assert rows[2][0] == 1.5 and rows[2][1] is None and rows[2][2] == 9.0
+
+
+def test_occurs_bounds_validated(spark, tmp_path):
+    path = _write(tmp_path, "occ3.bin", b"x" * 16)
+    with pytest.raises(Exception, match="exceeds"):
+        _read(spark, path, 16, layout="v:0:4:int[5]").collect()
+
+
+def test_occurs_filter_not_pushed_but_correct(spark, tmp_path):
+    """Scalar predicates on sibling columns still push; the array column
+    itself is never claimed by pushFilters."""
+    payload = b"".join(f"{i:04d}".encode() + f"{i:04d}{i+1:04d}".encode() for i in range(10))
+    path = _write(tmp_path, "occ4.bin", payload)
+    df = _read(spark, path, 12, layout="k:0:4:int,v:4:4:int[2]",
+               includeOffset="false")
+    import pyspark.sql.functions as F
+    out = df.filter((F.col("k") >= 5) & (F.element_at("v", 2) % 2 == 0)).collect()
+    assert [r.k for r in out] == [5, 7, 9]
