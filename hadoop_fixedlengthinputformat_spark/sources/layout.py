@@ -12,6 +12,12 @@ that consumer job declarative: a layout string
 columns.  Decode is vectorized: numpy byte-matrix slicing + Arrow casts —
 the moral equivalent of the reference's zero-alloc buffer reuse
 (FixedLengthRecordReader.java:199-206) for a columnar engine.
+
+COBOL-isms supported: OCCURS via ``type[n]`` (n consecutive slots ->
+array column) and REDEFINES implicitly — fields may OVERLAP byte
+ranges (each decodes its own view of the shared bytes; records are
+random-access so overlap costs nothing and is deliberately allowed by
+validation — test_redefines_overlapping_fields asserts it).
 """
 
 from __future__ import annotations

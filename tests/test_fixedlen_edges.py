@@ -685,3 +685,21 @@ def test_occurs_filter_not_pushed_but_correct(spark, tmp_path):
     import pyspark.sql.functions as F
     out = df.filter((F.col("k") >= 5) & (F.element_at("v", 2) % 2 == 0)).collect()
     assert [r.k for r in out] == [5, 7, 9]
+
+
+def test_redefines_overlapping_fields(spark, tmp_path):
+    """COBOL REDEFINES: two fields may view the SAME bytes under
+    different types (fixed-width records are random-access, so overlap
+    costs nothing).  A yyyymmdd-ish slice decodes both as a full string
+    and as its numeric year."""
+    payload = b"".join(f"2024-{m:02d}-15val{m:02d}".encode() for m in (1, 7, 12))
+    path = _write(tmp_path, "redef.bin", payload)
+    df = _read(
+        spark, path, 15,
+        layout="shipdate:0:10:date,ship_year:0:4:int,ship_mon:5:2:int,v:10:5:string",
+        includeOffset="false",
+    )
+    rows = df.orderBy("ship_mon").collect()
+    assert [r.ship_year for r in rows] == [2024, 2024, 2024]
+    assert [r.ship_mon for r in rows] == [1, 7, 12]
+    assert rows[0].shipdate.month == 1 and rows[2].v == "val12"
