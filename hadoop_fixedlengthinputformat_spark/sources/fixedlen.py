@@ -61,6 +61,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from hadoop_fixedlengthinputformat_spark.sources import stats
 from hadoop_fixedlengthinputformat_spark.sources.layout import (
     FieldSpec,
     decode_chunk,
@@ -101,6 +102,10 @@ class _Options:
     # skipped ranges are never read at all
     skip_header: int = 0
     skip_trailer: int = 0
+    # writer-side: emit a <part>.stats.json min/max sidecar (readers use
+    # any sidecar found next to an input file automatically)
+    stats_sidecar: bool = False
+    stats_block_records: int = stats.STATS_BLOCK_RECORDS
 
     @classmethod
     def parse(cls, options) -> "_Options":
@@ -216,11 +221,19 @@ class _Options:
             raise ValueError(
                 "fixedlen: skipHeaderRecords/skipTrailerRecords must be >= 0"
             )
+        stats_sidecar = (
+            options.get("statssidecar", "false").lower() == "true"
+        )
+        stats_block = int(
+            options.get("statsblockrecords", str(stats.STATS_BLOCK_RECORDS))
+        )
+        if stats_block <= 0:
+            raise ValueError("fixedlen: statsBlockRecords must be > 0")
         return cls(
             record_length, key_bounds, fields, with_offset, malformed, mpb,
             mode, pruned, compression, info.name,
             multitype, union_fields, type_bounds,
-            skip_header, skip_trailer,
+            skip_header, skip_trailer, stats_sidecar, stats_block,
         )
 
     def spark_schema(self) -> StructType:
@@ -257,10 +270,13 @@ class _Options:
 
 
 def _visible(p: str) -> bool:
-    # skip _SUCCESS / .part-*.crc marker files and uncommitted writer
-    # tmps (crashed-job leftovers), for both directory and glob inputs
+    # skip _SUCCESS / .part-*.crc marker files, uncommitted writer tmps
+    # (crashed-job leftovers), and stats sidecars, for both directory
+    # and glob inputs
     base = os.path.basename(p)
     if base.startswith(("_", ".")) or ".tmp-" in base:
+        return False
+    if stats.is_sidecar(base):
         return False
     return os.path.isfile(p)
 
@@ -554,10 +570,35 @@ class FixedLengthReader(DataSourceReader):
 
     def partitions(self):
         lo, hi = self._offset_bounds()
+        fields_by_name = {
+            f.name: f for f in (self.opts.fields or []) if f.occurs == 1
+        }
+        stats_filters = [
+            flt
+            for flt in self.pushed
+            if getattr(flt, "attribute", None)
+            and len(flt.attribute) == 1
+            and flt.attribute[0] in fields_by_name
+        ]
         parts: list[FixedLenPartition] = []
         for p in _list_files(self.path):
+            # min/max sidecar pruning (parquet-row-group analog): drop
+            # byte ranges proven to exclude every pushed predicate —
+            # planning-time, so the bytes are never read
+            payload = stats.load_sidecar(p) if stats_filters else None
             for part in _plan_file(p, self.opts):
                 if part.end == _WHOLE_FILE or (part.end > lo and part.start < hi):
+                    if payload is not None and not stats.partition_may_match(
+                        payload,
+                        self.opts.record_length,
+                        part.start,
+                        # gzip: compressed size says nothing about record
+                        # count — test every block (whole-file partition)
+                        2**62 if part.end == _WHOLE_FILE else part.end,
+                        stats_filters,
+                        fields_by_name,
+                    ):
+                        continue
                     parts.append(part)
         # zero-record dataset still needs one (empty) partition for Spark
         return parts or [FixedLenPartition("", 0, 0)]
@@ -630,10 +671,19 @@ class FixedLengthReader(DataSourceReader):
 
 
 class _CommitMessage(WriterCommitMessage):
-    def __init__(self, tmp_path: str, final_path: str, n_records: int):
+    def __init__(
+        self,
+        tmp_path: str,
+        final_path: str,
+        n_records: int,
+        stats_tmp: str | None = None,
+        stats_final: str | None = None,
+    ):
         self.tmp_path = tmp_path
         self.final_path = final_path
         self.n_records = n_records
+        self.stats_tmp = stats_tmp
+        self.stats_final = stats_final
 
 
 class FixedLengthWriter(DataSourceWriter):
@@ -695,10 +745,18 @@ class FixedLengthWriter(DataSourceWriter):
         else:
             opener = lambda p: open(p, "wb")  # noqa: E731
         n = 0
+        collector = (
+            stats.StatsCollector(self.opts.fields, self.opts.stats_block_records)
+            if self.opts.stats_sidecar
+            else None
+        )
         with opener(tmp) as f:
             batch: list[dict] = []
             for row in iterator:
-                batch.append(row.asDict())
+                d = row.asDict()
+                batch.append(d)
+                if collector is not None:
+                    collector.update(d)
                 if len(batch) >= self.WRITE_BATCH_ROWS:
                     f.write(
                         encode_rows(
@@ -716,7 +774,12 @@ class FixedLengthWriter(DataSourceWriter):
                         )
                 )
                 n += len(batch)
-        return _CommitMessage(tmp, final, n)
+        stats_tmp = stats_final = None
+        if collector is not None:
+            stats_final = stats.sidecar_path(final)
+            stats_tmp = f"{stats_final}.tmp-{ctx.taskAttemptId()}"
+            stats.write_sidecar(stats_tmp, collector.payload())
+        return _CommitMessage(tmp, final, n, stats_tmp, stats_final)
 
     def commit(self, messages):
         # all tasks succeeded — NOW clear the old dataset (an aborted job
@@ -725,18 +788,26 @@ class FixedLengthWriter(DataSourceWriter):
             for fn in os.listdir(self.path):
                 if (
                     fn.startswith("part-")
-                    and (fn.endswith(".fixed") or fn.endswith(".fixed.gz"))
+                    and (
+                        fn.endswith(".fixed")
+                        or fn.endswith(".fixed.gz")
+                        or stats.is_sidecar(fn)
+                    )
                     and f"-{self.token}." not in fn
                 ):
                     os.remove(os.path.join(self.path, fn))
         for m in messages:
             if m is not None:
                 os.replace(m.tmp_path, m.final_path)
+                if m.stats_tmp is not None:
+                    os.replace(m.stats_tmp, m.stats_final)
 
     def abort(self, messages):
         for m in messages:
-            if m is not None and os.path.exists(m.tmp_path):
-                os.remove(m.tmp_path)
+            if m is not None:
+                for p in (m.tmp_path, getattr(m, "stats_tmp", None)):
+                    if p and os.path.exists(p):
+                        os.remove(p)
 
 
 class _StreamCommitMessage(WriterCommitMessage):

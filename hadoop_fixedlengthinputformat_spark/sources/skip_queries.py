@@ -86,3 +86,70 @@ def scan_fixedlen_occurs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate("vals", F.lit(0), lambda a, x: a + x).alias("vsum"),
         F.size("vals").alias("n_vals"),
     )
+
+
+@query(
+    "scan_fixedlen_stats_pruned",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+    FROM lineitem WHERE l_shipdate >= TIMESTAMP '2000-06-01'
+    """,
+)
+def scan_fixedlen_stats_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min/max sidecar end to end: lineitem sorted by shipdate goes
+    through the fixedlen WRITER with ``statsSidecar=true``, then the
+    reader plans a shipdate-range scan — partitions whose stats blocks
+    exclude the range are dropped before any byte is read (the
+    parquet-row-group analog for a format with no footer).  The oracle
+    runs the same predicate on the source table, proving pruning is
+    correctness-neutral.  On sorted 100 TB data the skip is
+    proportional to the date selectivity."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from hadoop_fixedlengthinputformat_spark.tables import load_table
+
+    configure(spark)
+    fixedlen.register(spark)
+    rl, spec, _ = fixture_gen.LAYOUTS["lineitem"]
+    sub = "l_orderkey:0:12:long,l_linenumber:30:2:int,l_quantity:32:12:double(2),l_shipdate:82:10:date"
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"flif_stats_pruned_{os.path.basename(os.path.abspath(sf_dir))}",
+    )
+    marker = os.path.join(out, "_done")
+    if not os.path.exists(marker):
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_returnflag", "l_linestatus",
+            F.col("l_shipdate").cast("date").alias("l_shipdate"),
+        )
+        (
+            li.repartition(4)
+            .sortWithinPartitions("l_shipdate")
+            .write.format("fixedlen")
+            .option("recordLength", str(rl))
+            .option("layout", spec)
+            .option("statsSidecar", "true")
+            .option("statsBlockRecords", "2048")
+            .mode("overwrite")
+            .save(out)
+        )
+        open(marker, "w").close()
+    return (
+        spark.read.format("fixedlen")
+        .option("recordLength", str(rl))
+        .option("layout", sub)
+        .option("includeOffset", "false")
+        .load(out)
+        .filter(F.col("l_shipdate") >= F.lit("2000-06-01").cast("date"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            F.col("l_shipdate").cast("timestamp_ntz").alias("l_shipdate"),
+        )
+    )
