@@ -263,3 +263,49 @@ def test_ts_ohlc_partials_before_exchange(spark):
     assert m, plan
     read_cols = {c.split(":")[0] for c in m.group(1).split(",")}
     assert read_cols == {"event_id", "ts", "value"}, plan
+
+
+def test_tpch_q2_broadcasts_dims_and_bounds_exchanges(spark):
+    """q2's only row-proportional shuffles are the (part,supp) cost agg
+    and the per-part min over its pre-aggregated output; suppliers,
+    nations, regions, and the filtered part slice all broadcast."""
+    from hadoop_fixedlengthinputformat_spark.operators.tpch_suite import (
+        tpch_q2_min_cost_supplier,
+    )
+
+    df = tpch_q2_min_cost_supplier(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    # lineitem-scale data shuffles at most for the two aggs + the
+    # cost⋈best equi join — never a broadcast-nested-loop fallback
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_tpch_q11_threshold_is_broadcast_scalar(spark):
+    """The grand-total threshold must come back as a broadcast join of a
+    1-row aggregate, not a per-row recomputation."""
+    from hadoop_fixedlengthinputformat_spark.operators.tpch_suite import (
+        tpch_q11_important_parts,
+    )
+
+    df = tpch_q11_important_parts(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    # exactly one lineitem-keyed hash exchange (the partkey sum); the
+    # threshold re-agg rides its tiny output
+    assert plan.count("Exchange hashpartitioning(l_partkey") <= 2, plan
+
+
+def test_tpch_q20_single_fact_shuffle(spark):
+    """q20: one (supp, part) qty agg over lineitem; the per-part total
+    rides those pre-aggregated rows; part/nation broadcast."""
+    from hadoop_fixedlengthinputformat_spark.operators.tpch_suite import (
+        tpch_q20_excess_share,
+    )
+
+    df = tpch_q20_excess_share(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_sum" in plan, plan  # map-side combine before exchange
+    assert "BroadcastNestedLoopJoin" not in plan, plan
