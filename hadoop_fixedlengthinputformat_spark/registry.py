@@ -94,3 +94,6 @@ def load_all() -> None:
     from hadoop_fixedlengthinputformat_spark.sources import (  # noqa: F401
         skip_queries,
     )
+    from hadoop_fixedlengthinputformat_spark.streaming import (  # noqa: F401
+        stream_extras,
+    )

@@ -1004,6 +1004,69 @@ class FixedLenPartitionedStreamReader(DataSourceStreamReader):
         pass
 
 
+class FixedLenDirectoryStreamReader(DataSourceStreamReader):
+    """Streaming over a DIRECTORY of fixed-width files — Spark's
+    file-source semantics for a format Spark doesn't know: each
+    micro-batch picks up (a) newly appeared files and (b) new
+    record-aligned bytes appended to known files.  An offset is
+    ``{"files": {path: usable_byte_position}}``; gzip members are
+    immutable whole-file units (position 0 -> 1 sentinel) read in one
+    partition when they appear.  Ranges split with the same
+    ``_plan_file`` arithmetic as the batch reader, read on executors."""
+
+    _GZ_DONE = 1  # sentinel offset: the .gz member has been emitted
+
+    def __init__(self, opts: _Options, path: str):
+        if opts.skip_trailer:
+            raise ValueError(
+                "fixedlen: skipTrailerRecords is not supported for streaming"
+            )
+        self.opts = opts
+        self.path = path
+
+    def initialOffset(self) -> dict:
+        return {"files": {}}
+
+    def latestOffset(self) -> dict:
+        rl = self.opts.record_length
+        files: dict[str, int] = {}
+        try:
+            names = _list_files(self.path)
+        except FileNotFoundError:
+            names = []
+        for p in names:
+            if p.endswith(".gz"):
+                files[p] = self._GZ_DONE
+            else:
+                size = os.path.getsize(p)
+                files[p] = size - (size % rl)
+        return {"files": files}
+
+    def partitions(self, start: dict, end: dict):
+        rl = self.opts.record_length
+        split = max(rl, (self.opts.max_partition_bytes // rl) * rl)
+        seen = start.get("files", {})
+        parts: list[FixedLenPartition] = []
+        for p, hi in end.get("files", {}).items():
+            if p.endswith(".gz"):
+                if seen.get(p, 0) < self._GZ_DONE <= hi:
+                    parts.append(FixedLenPartition(p, 0, _WHOLE_FILE))
+                continue
+            lo = seen.get(p, self.opts.skip_header * rl)
+            for s in range(lo, hi, split):
+                parts.append(FixedLenPartition(p, s, min(s + split, hi)))
+        return parts or [FixedLenPartition("", 0, 0)]
+
+    def read(self, partition: FixedLenPartition):
+        return FixedLengthReader(self.opts, self.path).read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    def stop(self) -> None:
+        pass
+
+
 class FixedLengthDataSource(DataSource):
     """spark.read.format("fixedlen") — see module docstring for options."""
 
@@ -1048,6 +1111,8 @@ class FixedLengthDataSource(DataSource):
         if not self.path:
             raise ValueError("fixedlen: load(path) is required")
         # multitype works here: partitions delegate to the batch decode
+        if os.path.isdir(self.path) or _glob.has_magic(self.path):
+            return FixedLenDirectoryStreamReader(self.opts, self.path)
         return FixedLenPartitionedStreamReader(self.opts, self.path)
 
     def simpleStreamReader(self, schema: StructType) -> FixedLenStreamReader:
@@ -1056,6 +1121,10 @@ class FixedLengthDataSource(DataSource):
         if self.path.endswith(".gz"):
             # a growing gzip file can't be tailed incrementally (no seek)
             raise ValueError("fixedlen: streaming does not support gzip input")
+        if os.path.isdir(self.path) or _glob.has_magic(self.path):
+            raise ValueError(
+                "fixedlen: directory streaming requires partitionedStream=true"
+            )
         if self.opts.multitype is not None:
             raise ValueError(
                 "fixedlen: 'layouts' needs partitionedStream=true when "
@@ -1077,5 +1146,10 @@ def register(spark) -> None:
     from hadoop_fixedlengthinputformat_spark.tables import _ship_package
 
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    # _ship_package also puts the zip on the captured PYTHONPATH: the
+    # streaming source runner never receives addPyFile includes on this
+    # Spark build, and register() snapshots sc.environment — so shipping
+    # MUST happen before dataSource.register for streaming to work from
+    # a cwd outside the repo (see tables._ship_package).
     _ship_package(spark)
     spark.dataSource.register(FixedLengthDataSource)

@@ -53,6 +53,19 @@ def _ship_package(spark: SparkSession) -> None:
                     zf.write(full, arc)
     os.replace(tmp, zpath)
     sc.addPyFile(zpath)
+    # addPyFile covers executor-side task workers and the batch planner
+    # runner, but the STREAMING source runner (python_streaming_source_
+    # runner.py) never receives the python includes on this Spark build —
+    # a readStream from a cwd outside the repo dies with
+    # ModuleNotFoundError at read_command.  sc.environment is captured
+    # into the wrapped function's envVars at dataSource.register time
+    # and reaches every spawned Python runner as process env, so putting
+    # the zip on PYTHONPATH there closes the gap (verified: streaming
+    # from /tmp works with this and fails without).
+    prev = sc.environment.get("PYTHONPATH")
+    sc.environment["PYTHONPATH"] = (
+        zpath if not prev else zpath + os.pathsep + prev
+    )
     sc._flif_pkg_shipped = True
 
 

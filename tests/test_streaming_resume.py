@@ -107,3 +107,61 @@ def test_available_now_resumes_from_checkpoint(spark, tmp_path):
     total = spark.read.parquet(target).count()
     assert total == 300  # no duplicates across the three runs
     assert spark.read.parquet(target).select("event_id").distinct().count() == 300
+
+
+def test_directory_stream_picks_up_new_files_and_appends(spark, tmp_path):
+    """Directory streaming (partitionedStream over a dir): run 1 ingests
+    the initial files; run 2 with the same checkpoint processes ONLY the
+    delta — a brand-new file, bytes appended to a known file, and a
+    newly-dropped immutable .gz member."""
+    import gzip
+
+    from hadoop_fixedlengthinputformat_spark.sources import fixedlen
+
+    fixedlen.register(spark)
+    src = str(tmp_path / "dsrc")
+    os.makedirs(src)
+    rec = lambda i: f"{i:08d}".encode()  # noqa: E731
+
+    with open(os.path.join(src, "a.fixed"), "wb") as f:
+        f.write(b"".join(rec(i) for i in range(10)))
+    with open(os.path.join(src, "b.fixed"), "wb") as f:
+        f.write(b"".join(rec(i) for i in range(100, 105)))
+
+    out = str(tmp_path / "dout")
+    ckpt = str(tmp_path / "dckpt")
+
+    def run():
+        q = (
+            spark.readStream.format("fixedlen")
+            .option("recordLength", "8")
+            .option("layout", "v:0:8:int")
+            .option("partitionedStream", "true")
+            .option("includeOffset", "false")
+            .load(src)
+            .writeStream.format("parquet")
+            .option("checkpointLocation", ckpt)
+            .option("path", out)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    got1 = sorted(r.v for r in spark.read.parquet(out).collect())
+    assert got1 == list(range(10)) + list(range(100, 105))
+
+    # delta: append to a known file, add a new file, drop a gzip member
+    with open(os.path.join(src, "a.fixed"), "ab") as f:
+        f.write(b"".join(rec(i) for i in range(10, 13)))
+    with open(os.path.join(src, "c.fixed"), "wb") as f:
+        f.write(b"".join(rec(i) for i in range(200, 203)))
+    with gzip.open(os.path.join(src, "d.fixed.gz"), "wb") as f:
+        f.write(b"".join(rec(i) for i in range(300, 302)))
+
+    run()
+    got2 = sorted(r.v for r in spark.read.parquet(out).collect())
+    assert got2 == sorted(
+        list(range(13)) + list(range(100, 105))
+        + list(range(200, 203)) + list(range(300, 302))
+    )
