@@ -106,6 +106,9 @@ class _Options:
     # any sidecar found next to an input file automatically)
     stats_sidecar: bool = False
     stats_block_records: int = stats.STATS_BLOCK_RECORDS
+    # permissive-mode corrupt capture: name of a binary column holding the
+    # RAW record bytes for rows where any field failed to decode
+    corrupt_col: str | None = None
 
     @classmethod
     def parse(cls, options) -> "_Options":
@@ -229,11 +232,29 @@ class _Options:
         )
         if stats_block <= 0:
             raise ValueError("fixedlen: statsBlockRecords must be > 0")
+        corrupt_col = options.get("corruptrecordcolumn")
+        if corrupt_col is not None:
+            if fields is None:
+                raise ValueError(
+                    "fixedlen: corruptRecordColumn requires a 'layout'"
+                )
+            if mode != "permissive":
+                raise ValueError(
+                    "fixedlen: corruptRecordColumn requires mode=permissive "
+                    "(failfast raises instead of capturing)"
+                )
+            taken = {f.name for f in fields} | {"record_offset", "record_key"}
+            if corrupt_col in taken:
+                raise ValueError(
+                    f"fixedlen: corruptRecordColumn {corrupt_col!r} clashes "
+                    "with an existing column"
+                )
         return cls(
             record_length, key_bounds, fields, with_offset, malformed, mpb,
             mode, pruned, compression, info.name,
             multitype, union_fields, type_bounds,
             skip_header, skip_trailer, stats_sidecar, stats_block,
+            corrupt_col,
         )
 
     def spark_schema(self) -> StructType:
@@ -249,6 +270,8 @@ class _Options:
             out.append(StructField("value", BinaryType(), False))
         else:
             out.extend(layout_schema(self.fields).fields)
+            if self.corrupt_col is not None:
+                out.append(StructField(self.corrupt_col, BinaryType(), True))
         return StructType(out)
 
     def arrow_schema(self) -> pa.Schema:
@@ -266,6 +289,8 @@ class _Options:
             cols.append(pa.field("value", pa.binary()))
         else:
             cols.extend(pa.field(f.name, f.arrow_type()) for f in self.fields)
+            if self.corrupt_col is not None:
+                cols.append(pa.field(self.corrupt_col, pa.binary()))
         return pa.schema(cols)
 
 
@@ -646,6 +671,7 @@ class FixedLengthReader(DataSourceReader):
                         schema,
                         permissive=o.decode_mode == "permissive",
                         encoding=o.encoding,
+                        corrupt_column=o.corrupt_col is not None,
                     )
                 offset += len(chunk)
                 yield self._apply_pushed(batch)
@@ -924,6 +950,7 @@ class FixedLenStreamReader(SimpleDataSourceStreamReader):
                 self.opts.with_offset, self.opts.key_bounds, schema,
                 permissive=self.opts.decode_mode == "permissive",
                 encoding=self.opts.encoding,
+                corrupt_column=self.opts.corrupt_col is not None,
             )
             rows.extend(tuple(r.values()) for r in batch.to_pylist())
             offset += len(chunk)

@@ -402,6 +402,7 @@ def decode_chunk(
     arrow_schema: pa.Schema,
     permissive: bool = False,
     encoding: str = "utf-8",
+    corrupt_column: bool = False,
 ) -> pa.RecordBatch:
     """Decode one record-aligned byte chunk into an Arrow RecordBatch.
 
@@ -436,6 +437,33 @@ def decode_chunk(
             else:
                 # binary types (packed BCD etc.) read the RAW matrix
                 cols.append(_decode_scalar(mat, fmat, f, permissive))
+        if corrupt_column:
+            # fixed-width fields cannot be legitimately null (the writer
+            # rejects None), so under permissive decode a null ANYWHERE
+            # in a row means a malformed field — capture that row's raw
+            # bytes, parquet-reader-style _corrupt_record
+            bad = None
+            for col in cols[len(cols) - len(fields):]:
+                if pa.types.is_list(col.type):
+                    # OCCURS: element-level nulls -> any-per-row (the
+                    # LIST itself is never null, so null_count lives on
+                    # .values; element count is fixed = occurs, so the
+                    # reshape holds)
+                    if col.values.null_count == 0:
+                        continue
+                    el_null = np.asarray(pc.is_null(col.values))
+                    m = pa.array(el_null.reshape(n, -1).any(axis=1))
+                else:
+                    if col.null_count == 0:
+                        continue
+                    m = pc.is_null(col)
+                bad = m if bad is None else pc.or_(bad, m)
+            raw = _slice_binary(mat, 0, record_length)
+            if bad is None:
+                corrupt = pa.nulls(n, pa.binary())
+            else:
+                corrupt = pc.if_else(bad, raw, pa.scalar(None, pa.binary()))
+            cols.append(corrupt)
     return pa.RecordBatch.from_arrays(cols, schema=arrow_schema)
 
 

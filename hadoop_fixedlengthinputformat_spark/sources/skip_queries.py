@@ -153,3 +153,47 @@ def scan_fixedlen_stats_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_shipdate").cast("timestamp_ntz").alias("l_shipdate"),
         )
     )
+
+
+@query(
+    "scan_fixedlen_corrupt_quarantine",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation WHERE n_nationkey NOT IN (3, 7)
+    """,
+)
+def scan_fixedlen_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permissive decode + ``corruptRecordColumn``: two records are
+    byte-poisoned on disk; the scan nulls their fields, captures their
+    RAW bytes in the quarantine column, and the query keeps the clean
+    rows — the standard quarantine pattern (clean rows flow on, corrupt
+    originals are preserved for replay) without a second pass over the
+    file.  The oracle excludes exactly the poisoned keys, proving
+    per-row capture, not just a count."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    configure(spark)
+    fixedlen.register(spark)
+    src = fixture_gen.fixed_file_for(sf_dir, "nation")
+    record_length, spec, _ = fixture_gen.LAYOUTS["nation"]
+    path = src.replace(".fixed", "-poisoned.fixed")
+    if not _os.path.exists(path):
+        data = bytearray(open(src, "rb").read())
+        for ordinal in (3, 7):  # keys 3 and 7 (file is key-sorted)
+            data[ordinal * record_length : ordinal * record_length + 5] = b"XXXXX"
+        tmp = path + f".tmp{_os.getpid()}"
+        open(tmp, "wb").write(bytes(data))
+        _os.replace(tmp, path)
+    return (
+        spark.read.format("fixedlen")
+        .option("recordLength", str(record_length))
+        .option("layout", spec)
+        .option("mode", "permissive")
+        .option("corruptRecordColumn", "_corrupt")
+        .option("includeOffset", "false")
+        .load(path)
+        .filter(F.col("_corrupt").isNull())
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )

@@ -703,3 +703,47 @@ def test_redefines_overlapping_fields(spark, tmp_path):
     assert [r.ship_year for r in rows] == [2024, 2024, 2024]
     assert [r.ship_mon for r in rows] == [1, 7, 12]
     assert rows[0].shipdate.month == 1 and rows[2].v == "val12"
+
+
+# --- corruptRecordColumn --------------------------------------------------
+
+def test_corrupt_record_column_captures_raw_bytes(spark, tmp_path):
+    """Permissive + corruptRecordColumn: malformed rows keep their raw
+    record bytes in the named binary column; clean rows carry null."""
+    good = b"0007good "
+    bad = b"00XXoops "  # int field fails
+    path = _write(tmp_path, "cr.bin", good + bad + good)
+    df = _read(spark, path, 9, layout="k:0:4:int,t:4:5:string",
+               mode="permissive", corruptRecordColumn="_corrupt",
+               includeOffset="false")
+    rows = df.collect()
+    assert [r.k for r in rows] == [7, None, 7]
+    assert rows[0]._corrupt is None and rows[2]._corrupt is None
+    assert bytes(rows[1]._corrupt) == bad
+
+
+def test_corrupt_record_column_with_occurs(spark, tmp_path):
+    """A malformed OCCURS element marks the whole row corrupt."""
+    rec_ok = b"000100020003"
+    rec_bad = b"0001" + bytes([0xE5, 0x85, 0xAC, 0xE7]) + b"0003"  # garbage slot 1
+    path = _write(tmp_path, "cr2.bin", rec_ok + rec_bad)
+    df = _read(spark, path, 12, layout="v:0:4:int[3]",
+               mode="permissive", corruptRecordColumn="_bad",
+               includeOffset="false")
+    rows = df.collect()
+    assert rows[0]._bad is None and list(rows[0].v) == [1, 2, 3]
+    assert bytes(rows[1]._bad) == rec_bad
+
+
+def test_corrupt_record_column_requires_permissive(spark, tmp_path):
+    path = _write(tmp_path, "cr3.bin", b"0007good ")
+    with pytest.raises(Exception, match="requires mode=permissive"):
+        _read(spark, path, 9, layout="k:0:4:int,t:4:5:string",
+              corruptRecordColumn="_corrupt").collect()
+
+
+def test_corrupt_record_column_name_clash_rejected(spark, tmp_path):
+    path = _write(tmp_path, "cr4.bin", b"0007good ")
+    with pytest.raises(Exception, match="clashes"):
+        _read(spark, path, 9, layout="k:0:4:int,t:4:5:string",
+              mode="permissive", corruptRecordColumn="k").collect()
