@@ -722,8 +722,10 @@ class FixedLengthWriter(DataSourceWriter):
     WRITE_BATCH_ROWS = 10_000
 
     def __init__(self, opts: _Options, path: str, overwrite: bool):
-        if opts.fields is None:
-            raise ValueError("fixedlen write requires a 'layout' option")
+        # no layout => RAW mode: rows carry a 'value' binary column of
+        # exactly recordLength bytes (the reader's raw schema) — enables
+        # byte-level rewrites (compaction, re-bucketing) with zero
+        # decode/encode cost
         if opts.pruned:
             # a pruned layout can't place every byte of a record
             raise ValueError(
@@ -773,10 +775,22 @@ class FixedLengthWriter(DataSourceWriter):
         n = 0
         collector = (
             stats.StatsCollector(self.opts.fields, self.opts.stats_block_records)
-            if self.opts.stats_sidecar
+            if self.opts.stats_sidecar and self.opts.fields is not None
             else None
         )
+        rl = self.opts.record_length
         with opener(tmp) as f:
+            if self.opts.fields is None:
+                for row in iterator:
+                    b = bytes(row["value"])
+                    if len(b) != rl:
+                        raise ValueError(
+                            f"fixedlen raw write: 'value' is {len(b)} bytes, "
+                            f"expected recordLength={rl}"
+                        )
+                    f.write(b)
+                    n += 1
+                return _CommitMessage(tmp, final, n)
             batch: list[dict] = []
             for row in iterator:
                 d = row.asDict()

@@ -197,3 +197,92 @@ def scan_fixedlen_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFr
         .filter(F.col("_corrupt").isNull())
         .select("n_nationkey", "n_name", "n_regionkey")
     )
+
+
+def compact_fixedlen(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    record_length: int,
+    target_bytes: int = 128 * 1024 * 1024,
+    compression: str = "none",
+) -> int:
+    """Small-file compaction for fixed-width datasets: read RAW (each
+    record is one opaque ``value`` of recordLength bytes — zero decode),
+    repartition to ceil(total_bytes / target_bytes) writers, write RAW.
+    The record-aligned invariant makes this pure byte movement; at
+    100 TB the shuffle carries exactly the dataset once and the output
+    is ceil(size/target) well-sized files instead of millions of tiny
+    ones (the classic landing-zone → scan-efficiency maintenance job).
+    Record order is not preserved (fixed-width files carry no order
+    contract; `record_offset` keys are positions, not identities).
+    Returns the number of output files."""
+    import glob as _glob
+    import math
+    import os as _os
+
+    fixedlen.register(spark)
+    raw = (
+        spark.read.format("fixedlen")
+        .option("recordLength", str(record_length))
+        .option("includeOffset", "false")
+        .load(src)
+    )
+    paths = (
+        _glob.glob(_os.path.join(src, "*")) if _os.path.isdir(src) else _glob.glob(src)
+    )
+    total = sum(
+        _os.path.getsize(p)
+        for p in paths
+        if _os.path.isfile(p) and not _os.path.basename(p).startswith(("_", "."))
+        and not p.endswith(".stats.json")
+    )
+    nparts = max(1, math.ceil(total / target_bytes))
+    (
+        raw.repartition(nparts)
+        .write.format("fixedlen")
+        .option("recordLength", str(record_length))
+        .option("compression", compression)
+        .mode("overwrite")
+        .save(dst)
+    )
+    return nparts
+
+
+@query("maintain_fixedlen_compact", oracle=_NATION_SQL)
+def maintain_fixedlen_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction round trip: the nation table scattered over 5 tiny
+    part files, compacted byte-level (raw read -> repartition -> raw
+    write, no decode), then read back DECODED — content must equal the
+    source table, proving compaction is a pure byte rearrangement."""
+    import math
+    import os as _os
+    import tempfile
+
+    configure(spark)
+    fixedlen.register(spark)
+    src_file = fixture_gen.fixed_file_for(sf_dir, "nation")
+    record_length, spec, _ = fixture_gen.LAYOUTS["nation"]
+    base = _os.path.join(
+        tempfile.gettempdir(),
+        f"flif_compact_{_os.path.basename(_os.path.abspath(sf_dir))}",
+    )
+    small, out = base + "_small", base + "_out"
+    if not _os.path.isdir(small):
+        payload = open(src_file, "rb").read()
+        n_rec = len(payload) // record_length
+        per = math.ceil(n_rec / 5)
+        _os.makedirs(small, exist_ok=True)
+        for i in range(5):
+            chunk = payload[i * per * record_length : (i + 1) * per * record_length]
+            if chunk:
+                with open(_os.path.join(small, f"part-{i}.fixed"), "wb") as f:
+                    f.write(chunk)
+    compact_fixedlen(spark, small, out, record_length)
+    return (
+        spark.read.format("fixedlen")
+        .option("recordLength", str(record_length))
+        .option("layout", spec)
+        .option("includeOffset", "false")
+        .load(out)
+    )

@@ -747,3 +747,35 @@ def test_corrupt_record_column_name_clash_rejected(spark, tmp_path):
     with pytest.raises(Exception, match="clashes"):
         _read(spark, path, 9, layout="k:0:4:int,t:4:5:string",
               mode="permissive", corruptRecordColumn="k").collect()
+
+
+def test_raw_write_and_compaction(spark, tmp_path):
+    """Raw (no-layout) write accepts recordLength-sized binary values;
+    compaction merges many small files into ceil(size/target) outputs
+    with identical content."""
+    from hadoop_fixedlengthinputformat_spark.sources.skip_queries import (
+        compact_fixedlen,
+    )
+
+    src = os.path.join(str(tmp_path), "small")
+    os.makedirs(src)
+    for i in range(7):
+        with open(os.path.join(src, f"p{i}.fixed"), "wb") as f:
+            f.write(b"".join(f"{i:04d}{j:04d}".encode() for j in range(3)))
+    dst = os.path.join(str(tmp_path), "compacted")
+    n = compact_fixedlen(spark, src, dst, 8, target_bytes=1 << 20)
+    assert n == 1
+    outs = [f for f in os.listdir(dst) if f.endswith(".fixed")]
+    assert len(outs) == 1
+    back = _read(spark, dst, 8, layout="a:0:4:int,b:4:4:int", includeOffset="false")
+    assert sorted((r.a, r.b) for r in back.collect()) == sorted(
+        (i, j) for i in range(7) for j in range(3)
+    )
+
+
+def test_raw_write_rejects_wrong_length(spark, tmp_path):
+    fixedlen.register(spark)
+    df = spark.createDataFrame([(bytearray(b"short"),)], "value binary")
+    with pytest.raises(Exception, match="expected recordLength"):
+        (df.write.format("fixedlen").option("recordLength", "8")
+           .mode("overwrite").save(os.path.join(str(tmp_path), "bad")))
