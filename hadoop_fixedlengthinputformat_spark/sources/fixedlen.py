@@ -109,6 +109,15 @@ class _Options:
     # permissive-mode corrupt capture: name of a binary column holding the
     # RAW record bytes for rows where any field failed to decode
     corrupt_col: str | None = None
+    # line-terminated fixed-width (printed reports, DB2 exports): each
+    # record is recordLength DATA bytes followed by this terminator;
+    # the on-disk stride is recordLength + len(line_sep)
+    line_sep: bytes = b""
+
+    @property
+    def stride(self) -> int:
+        """On-disk bytes per record (data + terminator)."""
+        return self.record_length + len(self.line_sep)
 
     @classmethod
     def parse(cls, options) -> "_Options":
@@ -232,6 +241,12 @@ class _Options:
         )
         if stats_block <= 0:
             raise ValueError("fixedlen: statsBlockRecords must be > 0")
+        sep_raw = options.get("linesep", "")
+        line_sep = sep_raw.encode("utf-8") if sep_raw else b""
+        if len(line_sep) > 2:
+            raise ValueError(
+                "fixedlen: lineSep must be at most 2 bytes (e.g. '\\n' or '\\r\\n')"
+            )
         corrupt_col = options.get("corruptrecordcolumn")
         if corrupt_col is not None:
             if fields is None:
@@ -254,7 +269,7 @@ class _Options:
             mode, pruned, compression, info.name,
             multitype, union_fields, type_bounds,
             skip_header, skip_trailer, stats_sidecar, stats_block,
-            corrupt_col,
+            corrupt_col, line_sep,
         )
 
     def spark_schema(self) -> StructType:
@@ -345,14 +360,14 @@ def _plan_file(
     if path.endswith(".gz"):
         return [FixedLenPartition(path, 0, _WHOLE_FILE)]
     size = os.path.getsize(path)
-    rl = opts.record_length
+    rl = opts.stride  # on-disk record stride (= recordLength + lineSep)
     usable = size - (size % rl)
     if size % rl != 0 and opts.malformed_tail == "fail":
         # planning-time version of the reference's mid-record EOF error
         # (FixedLengthRecordReader.java:231-235)
         raise ValueError(
             f"fixedlen: file {path!r} size {size} is not a multiple of "
-            f"recordLength={rl} (trailing {size % rl} bytes); "
+            f"the record stride {rl} (trailing {size % rl} bytes); "
             "set malformedTail=drop to ignore the tail"
         )
     # header/trailer records are sliced off the plan, never read: the
@@ -615,7 +630,7 @@ class FixedLengthReader(DataSourceReader):
                 if part.end == _WHOLE_FILE or (part.end > lo and part.start < hi):
                     if payload is not None and not stats.partition_may_match(
                         payload,
-                        self.opts.record_length,
+                        self.opts.stride,  # byte->record ordinal mapping
                         part.start,
                         # gzip: compressed size says nothing about record
                         # count — test every block (whole-file partition)
@@ -632,20 +647,46 @@ class FixedLengthReader(DataSourceReader):
         o = self.opts
         if partition.end != _WHOLE_FILE and partition.end <= partition.start:
             return iter(())
-        chunk_records = max(1, READ_CHUNK_TARGET // o.record_length)
+        stride = o.stride
+        chunk_records = max(1, READ_CHUNK_TARGET // stride)
         schema = o.arrow_schema()
+        sep = o.line_sep
+
+        def strip_sep(chunk: bytes) -> bytes:
+            """Drop the per-record terminator from a stride-aligned chunk
+            (one numpy slice — no per-record work).  Failfast validates
+            every terminator; permissive tolerates mangled ones (the
+            DATA bytes still decode; a mangled record usually also fails
+            field decode and lands in the quarantine column)."""
+            import numpy as _np
+
+            m = _np.frombuffer(chunk, dtype=_np.uint8).reshape(-1, stride)
+            if o.decode_mode != "permissive":
+                tail = m[:, o.record_length:]
+                want = _np.frombuffer(sep, dtype=_np.uint8)
+                if not bool((tail == want).all()):
+                    bad = int(_np.nonzero(~(tail == want).all(axis=1))[0][0])
+                    raise ValueError(
+                        f"fixedlen: record terminator mismatch (lineSep="
+                        f"{sep!r}) at record index {bad} of a chunk in "
+                        f"{partition.path!r}"
+                    )
+            return _np.ascontiguousarray(m[:, : o.record_length]).tobytes()
 
         def decode(chunks: Iterator[bytes]):
             # record_offset is the position in the UNCOMPRESSED stream for
             # gzip, matching the reference's file-global-offset key on the
             # logical record stream (skipped header records still occupy
-            # their positions, so the first data record is at header*rl).
+            # their positions, so the first data record is at header*stride).
             offset = (
-                o.skip_header * o.record_length
+                o.skip_header * stride
                 if partition.end == _WHOLE_FILE
                 else partition.start
             )
             for chunk in chunks:
+                raw_len = len(chunk)
+                if sep:
+                    chunk = strip_sep(chunk)
                 if o.multitype is not None:
                     batch = decode_chunk_multitype(
                         chunk,
@@ -659,6 +700,7 @@ class FixedLengthReader(DataSourceReader):
                         schema,
                         permissive=o.decode_mode == "permissive",
                         encoding=o.encoding,
+                        offset_stride=stride,
                     )
                 else:
                     batch = decode_chunk(
@@ -672,14 +714,15 @@ class FixedLengthReader(DataSourceReader):
                         permissive=o.decode_mode == "permissive",
                         encoding=o.encoding,
                         corrupt_column=o.corrupt_col is not None,
+                        offset_stride=stride,
                     )
-                offset += len(chunk)
+                offset += raw_len
                 yield self._apply_pushed(batch)
 
         if partition.end == _WHOLE_FILE:
             return decode(
                 _read_gzip_stream(
-                    partition.path, chunk_records, o.record_length,
+                    partition.path, chunk_records, stride,
                     o.malformed_tail, o.skip_header, o.skip_trailer,
                 )
             )
@@ -689,7 +732,7 @@ class FixedLengthReader(DataSourceReader):
                 yield from decode(
                     _read_aligned(
                         f, partition.start, partition.end, chunk_records,
-                        o.record_length,
+                        stride,
                     )
                 )
 
@@ -779,6 +822,22 @@ class FixedLengthWriter(DataSourceWriter):
             else None
         )
         rl = self.opts.record_length
+        sep = self.opts.line_sep
+
+        def with_sep(data: bytes) -> bytes:
+            """Interleave the line terminator after every record (one
+            numpy scatter, no per-record Python)."""
+            if not sep:
+                return data
+            import numpy as _np
+
+            nrec = len(data) // rl
+            m = _np.frombuffer(data, dtype=_np.uint8).reshape(nrec, rl)
+            out = _np.empty((nrec, rl + len(sep)), dtype=_np.uint8)
+            out[:, :rl] = m
+            out[:, rl:] = _np.frombuffer(sep, dtype=_np.uint8)
+            return out.tobytes()
+
         with opener(tmp) as f:
             if self.opts.fields is None:
                 for row in iterator:
@@ -788,7 +847,7 @@ class FixedLengthWriter(DataSourceWriter):
                             f"fixedlen raw write: 'value' is {len(b)} bytes, "
                             f"expected recordLength={rl}"
                         )
-                    f.write(b)
+                    f.write(b + sep)
                     n += 1
                 return _CommitMessage(tmp, final, n)
             batch: list[dict] = []
@@ -799,19 +858,19 @@ class FixedLengthWriter(DataSourceWriter):
                     collector.update(d)
                 if len(batch) >= self.WRITE_BATCH_ROWS:
                     f.write(
-                        encode_rows(
+                        with_sep(encode_rows(
                             batch, self.opts.fields, self.opts.record_length,
                             encoding=self.opts.encoding,
-                        )
+                        ))
                     )
                     n += len(batch)
                     batch = []
             if batch:
                 f.write(
-                    encode_rows(
+                    with_sep(encode_rows(
                             batch, self.opts.fields, self.opts.record_length,
                             encoding=self.opts.encoding,
-                        )
+                        ))
                 )
                 n += len(batch)
         stats_tmp = stats_final = None
@@ -1019,7 +1078,7 @@ class FixedLenPartitionedStreamReader(DataSourceStreamReader):
         return {"pos": self.opts.skip_header * self.opts.record_length}
 
     def latestOffset(self) -> dict:
-        rl = self.opts.record_length
+        rl = self.opts.stride
         size = os.path.getsize(self.path) if os.path.exists(self.path) else 0
         return {"pos": size - (size % rl)}
 
@@ -1027,7 +1086,7 @@ class FixedLenPartitionedStreamReader(DataSourceStreamReader):
         lo, hi = start["pos"], end["pos"]
         if hi <= lo:
             return [FixedLenPartition("", 0, 0)]
-        rl = self.opts.record_length
+        rl = self.opts.stride
         split = max(rl, (self.opts.max_partition_bytes // rl) * rl)
         return [
             FixedLenPartition(self.path, s, min(s + split, hi))
@@ -1069,7 +1128,7 @@ class FixedLenDirectoryStreamReader(DataSourceStreamReader):
         return {"files": {}}
 
     def latestOffset(self) -> dict:
-        rl = self.opts.record_length
+        rl = self.opts.stride
         files: dict[str, int] = {}
         try:
             names = _list_files(self.path)
@@ -1084,7 +1143,7 @@ class FixedLenDirectoryStreamReader(DataSourceStreamReader):
         return {"files": files}
 
     def partitions(self, start: dict, end: dict):
-        rl = self.opts.record_length
+        rl = self.opts.stride
         split = max(rl, (self.opts.max_partition_bytes // rl) * rl)
         seen = start.get("files", {})
         parts: list[FixedLenPartition] = []
@@ -1165,6 +1224,10 @@ class FixedLengthDataSource(DataSource):
         if os.path.isdir(self.path) or _glob.has_magic(self.path):
             raise ValueError(
                 "fixedlen: directory streaming requires partitionedStream=true"
+            )
+        if self.opts.line_sep:
+            raise ValueError(
+                "fixedlen: lineSep streaming requires partitionedStream=true"
             )
         if self.opts.multitype is not None:
             raise ValueError(

@@ -403,8 +403,14 @@ def decode_chunk(
     permissive: bool = False,
     encoding: str = "utf-8",
     corrupt_column: bool = False,
+    offset_stride: int | None = None,
 ) -> pa.RecordBatch:
     """Decode one record-aligned byte chunk into an Arrow RecordBatch.
+
+    ``offset_stride`` overrides the per-record offset step when the
+    on-disk stride differs from the data length (lineSep-terminated
+    files: the chunk arrives terminator-stripped, but offsets must walk
+    the original file positions).
 
     Column order must match ``arrow_schema`` (= the Spark schema):
     [record_offset?] [record_key?] then layout fields (or raw ``value``).
@@ -423,7 +429,8 @@ def decode_chunk(
         # file-global byte offset — the reference's default key
         # (FixedLengthRecordReader.java:256-260), decoded from its 8-byte
         # big-endian convention to a plain long column.
-        offs = base_offset + np.arange(n, dtype=np.int64) * record_length
+        step = offset_stride if offset_stride is not None else record_length
+        offs = base_offset + np.arange(n, dtype=np.int64) * step
         cols.append(pa.array(offs, type=pa.int64()))
     if key_bounds is not None:
         start, end = key_bounds  # zero-based inclusive (FLIF:100-149)
@@ -602,6 +609,7 @@ def decode_chunk_multitype(
     arrow_schema: pa.Schema,
     permissive: bool = False,
     encoding: str = "utf-8",
+    offset_stride: int | None = None,
 ) -> pa.RecordBatch:
     """Decode a record-aligned chunk whose records carry a type
     discriminator: group rows by tag (one vectorized pass), decode each
@@ -644,7 +652,8 @@ def decode_chunk_multitype(
 
     cols: list[pa.Array] = []
     if with_offset:
-        offs = base_offset + np.arange(n, dtype=np.int64) * record_length
+        step = offset_stride if offset_stride is not None else record_length
+        offs = base_offset + np.arange(n, dtype=np.int64) * step
         cols.append(pa.array(offs, type=pa.int64()))
     if key_bounds is not None:
         start, end = key_bounds

@@ -286,3 +286,46 @@ def maintain_fixedlen_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("includeOffset", "false")
         .load(out)
     )
+
+
+@query("scan_fixedlen_linesep", oracle=_NATION_SQL)
+def scan_fixedlen_linesep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-terminated fixed-width (printed-report / DB2-export style):
+    every record is recordLength data bytes + '\\n'.  The writer emits
+    terminators (one numpy scatter per batch) and the reader strips and
+    validates them before the vectorized decode; all planning math
+    (splits, skips, stats, offsets) walks the on-disk stride."""
+    import os as _os
+    import tempfile
+
+    configure(spark)
+    fixedlen.register(spark)
+    record_length, spec, _ = fixture_gen.LAYOUTS["nation"]
+    from hadoop_fixedlengthinputformat_spark.tables import load_table
+
+    out = _os.path.join(
+        tempfile.gettempdir(),
+        f"flif_linesep_{_os.path.basename(_os.path.abspath(sf_dir))}",
+    )
+    marker = _os.path.join(out, "_done")
+    if not _os.path.exists(marker):
+        n = load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
+        (
+            n.coalesce(1).write.format("fixedlen")
+            .option("recordLength", str(record_length))
+            .option("layout", spec)
+            .option("lineSep", "\n")
+            .mode("overwrite")
+            .save(out)
+        )
+        open(marker, "w").close()
+    return (
+        spark.read.format("fixedlen")
+        .option("recordLength", str(record_length))
+        .option("layout", spec)
+        .option("lineSep", "\n")
+        .option("includeOffset", "false")
+        .load(out)
+    )

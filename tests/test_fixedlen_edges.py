@@ -779,3 +779,61 @@ def test_raw_write_rejects_wrong_length(spark, tmp_path):
     with pytest.raises(Exception, match="expected recordLength"):
         (df.write.format("fixedlen").option("recordLength", "8")
            .mode("overwrite").save(os.path.join(str(tmp_path), "bad")))
+
+
+# --- lineSep (line-terminated fixed-width) --------------------------------
+
+def test_linesep_read_write_roundtrip(spark, tmp_path):
+    """Printed-report style: recordLength DATA bytes + '\n' terminator.
+    Writer emits terminators; reader strips them; offsets walk the
+    on-disk stride (data + sep)."""
+    fixedlen.register(spark)
+    df = spark.createDataFrame(
+        [(i, f"v{i:03d}") for i in range(40)], "k int, t string"
+    ).coalesce(1)
+    out = os.path.join(str(tmp_path), "ls")
+    (df.write.format("fixedlen").option("recordLength", "9")
+       .option("layout", "k:0:4:int,t:4:5:string")
+       .option("lineSep", "\n").mode("overwrite").save(out))
+    (part,) = [os.path.join(out, f) for f in os.listdir(out) if f.endswith(".fixed")]
+    raw = open(part, "rb").read()
+    assert len(raw) == 40 * 10 and raw[9:10] == b"\n"
+    back = _read(spark, out, 9, layout="k:0:4:int,t:4:5:string", lineSep="\n")
+    rows = sorted(back.collect(), key=lambda r: r.record_offset)
+    assert [r.k for r in rows] == list(range(40))
+    assert rows[1].record_offset == 10  # stride, not bare recordLength
+
+
+def test_linesep_crlf_and_multipartition(spark, tmp_path):
+    payload = b"".join(f"{i:08d}".encode() + b"\r\n" for i in range(50))
+    path = _write(tmp_path, "crlf.bin", payload)
+    df = _read(spark, path, 8, layout="v:0:8:int", lineSep="\r\n",
+               maxPartitionBytes="40", includeOffset="false")
+    assert sorted(r.v for r in df.collect()) == list(range(50))
+
+
+def test_linesep_bad_terminator_failfast(spark, tmp_path):
+    payload = b"00000001\n" + b"00000002X" + b"00000003\n"
+    path = _write(tmp_path, "bad.bin", payload)
+    with pytest.raises(Exception, match="terminator mismatch"):
+        _read(spark, path, 8, layout="v:0:8:int", lineSep="\n").collect()
+    # permissive: data bytes still decode
+    rows = _read(spark, path, 8, layout="v:0:8:int", lineSep="\n",
+                 mode="permissive", includeOffset="false").collect()
+    assert sorted(r.v for r in rows) == [1, 2, 3]
+
+
+def test_linesep_gzip_and_skip_records(spark, tmp_path):
+    """Terminated records compose with gzip whole-file reads and banner
+    skips (all stride-based)."""
+    import gzip as _gz
+
+    payload = (b"HDRHDRHD\n" + b"".join(f"{i:08d}".encode() + b"\n" for i in range(6))
+               + b"TRLTRLTR\n")
+    path = os.path.join(str(tmp_path), "lsg.fixed.gz")
+    with _gz.open(path, "wb") as f:
+        f.write(payload)
+    df = _read(spark, path, 8, layout="v:0:8:int", lineSep="\n",
+               skipHeaderRecords="1", skipTrailerRecords="1",
+               includeOffset="false")
+    assert sorted(r.v for r in df.collect()) == list(range(6))
