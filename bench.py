@@ -29,6 +29,10 @@ RUNS = int(os.environ.get("BENCH_RUNS", "5"))  # median of 5: single-run
 # spikes (GC, microVM CPU steal) moved round-to-round totals by ~20%
 # with median-of-3; the wider window costs ~1 min total and halves the
 # spread between consecutive full-bench runs on the same machine.
+WARMUPS = int(os.environ.get("BENCH_WARMUP", "2"))  # Python-data-source
+# queries (fixedlen scans) keep warming past one run (worker reuse +
+# Arrow pipe spin-up): measured 1.56 -> 1.42 -> 1.26 -> 1.14 -> 0.81
+# across 5 timed runs after a single warm-up.
 
 # Headline set: one per cost family — scan-bound, agg-bound, shuffle-join,
 # window, as-of merge, Python-UDF path, and the LLM-pipeline heavies.
@@ -70,7 +74,8 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        force(fn(spark, SF_DIR))  # warm-up (also materializes fixtures)
+        for _ in range(WARMUPS):  # warm-up (also materializes fixtures)
+            force(fn(spark, SF_DIR))
         samples = []
         for _ in range(RUNS):
             t0 = time.perf_counter()
