@@ -87,3 +87,93 @@ def rolling_fingerprint(text: Column | str, n: int = 8) -> Column:
     grams = char_ngrams(text, n)
     hashed = F.transform(grams, lambda g: F.md5(g.cast("binary")))
     return F.array_min(hashed)
+
+
+def bpe_train(df, text_col: str = "text", n_merges: int = 8):
+    """Byte-pair-encoding merge training, the tokenizer-building step of
+    an LLM data pipeline, expressed Spark-first:
+
+    1. Collapse the corpus to a WORD-FREQUENCY table (groupBy word) —
+       classic BPE trains on the vocabulary weighted by counts, so the
+       iterative passes run over |vocab| rows (Heaps-law bounded), never
+       the raw corpus.  This is the step that makes 100 TB feasible:
+       the corpus is touched exactly once.
+    2. Per merge round (driver loop, one tiny collect each):
+       adjacent-pair counts via arrays_zip(slice, slice) + explode +
+       map-side-combined sum; the argmax pair (count desc, then
+       lexicographic — deterministic) becomes the next merge; the merge
+       applies to every word's token array with one JVM-side
+       ``aggregate`` lambda (greedy left-to-right, standard BPE).
+       ``localCheckpoint`` per round caps the lineage, k rounds = k
+       small shuffles over the vocab table.
+
+    Returns (rank, left, right, pair_count) — the ordered merge table a
+    tokenizer consumes.  Genuinely non-SQL-expressible (iterative with
+    a data-dependent argmax per round) => rows-only driver check;
+    correctness pinned on a known corpus in tests/test_llm.py.
+    """
+    spark = df.sparkSession
+    words = (
+        df.select(
+            F.explode(
+                F.split(F.lower(F.col(text_col)), r"\s+")
+            ).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # word -> char tokens with an end-of-word marker on the last char
+    vocab = words.select(
+        "freq",
+        F.expr(
+            "transform(sequence(1, length(word)), "
+            "i -> if(i = length(word), substring(word, i, 1) || '</w>', "
+            "substring(word, i, 1)))"
+        ).alias("toks"),
+    ).localCheckpoint(eager=True)
+
+    merges = []
+    for rank in range(n_merges):
+        pairs = (
+            vocab.filter(F.size("toks") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("toks", 1, F.size("toks") - 1).alias("a"),
+                        F.slice("toks", 2, F.size("toks") - 1).alias("b"),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("pair_count"))
+        )
+        top = pairs.orderBy(
+            F.desc("pair_count"), F.asc("a"), F.asc("b")
+        ).limit(1).collect()
+        if not top:
+            break
+        a, b, cnt = top[0].a, top[0].b, top[0].pair_count
+        merges.append((rank, a, b, cnt))
+        merged = a + b
+        # greedy left-to-right merge of (a, b) in one JVM lambda
+        vocab = vocab.select(
+            "freq",
+            F.expr(
+                f"aggregate(toks, array(cast(null as string)), "
+                f"(acc, x) -> case "
+                f"  when size(acc) = 1 and acc[0] is null then array(x) "
+                f"  when element_at(acc, -1) = {_sq(a)} and x = {_sq(b)} "
+                f"    then concat(slice(acc, 1, size(acc) - 1), array({_sq(merged)})) "
+                f"  else concat(acc, array(x)) end)"
+            ).alias("toks"),
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count bigint"
+    )
+
+
+def _sq(s: str) -> str:
+    """SQL single-quoted string literal."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"

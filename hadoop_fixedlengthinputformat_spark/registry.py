@@ -97,3 +97,6 @@ def load_all() -> None:
     from hadoop_fixedlengthinputformat_spark.streaming import (  # noqa: F401
         stream_extras,
     )
+    from hadoop_fixedlengthinputformat_spark.functions import (  # noqa: F401
+        tokenizer_queries,
+    )

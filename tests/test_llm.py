@@ -223,3 +223,34 @@ def test_knn_ivf_dim_agnostic(spark):
     probes = emb.filter(F.col("vec_id") == 1)
     top = similarity.knn_cosine_ivf(emb, probes, k=3, nprobe=2).collect()
     assert top[0].neighbor_id == 100 and top[0].cosine > 0.99
+
+
+def test_bpe_train_matches_textbook_walkthrough(spark):
+    """The classic low/lower/newest/widest corpus: merge order and
+    weighted pair counts must match the hand-computed BPE walkthrough
+    (deterministic tie-break: count desc, then lexicographic)."""
+    from hadoop_fixedlengthinputformat_spark.functions.text import bpe_train
+
+    corpus = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    df = spark.createDataFrame([(corpus,)], "text string")
+    got = [(r.left, r.right, r.pair_count) for r in bpe_train(df, n_merges=4).collect()]
+    assert got == [
+        ("e", "s", 9),        # newest(6) + widest(3)
+        ("es", "t</w>", 9),
+        ("l", "o", 7),        # low(5) + lower(2)
+        ("e", "w", 6),        # newest only (lower's 'we' is w-e? no: l-o-w-e-r pairs lo,ow,we,er)
+    ]
+
+
+def test_bpe_train_is_deterministic_and_scales_by_vocab(spark):
+    """Same corpus twice -> identical merge table; duplicate documents
+    change counts proportionally but not the merge order."""
+    from hadoop_fixedlengthinputformat_spark.functions.text import bpe_train
+
+    df1 = spark.createDataFrame([("aa ab aa ab aa",)], "text string")
+    df2 = spark.createDataFrame([("aa ab aa ab aa",)] * 3, "text string")
+    m1 = [(r.left, r.right) for r in bpe_train(df1, n_merges=3).collect()]
+    m2 = [(r.left, r.right) for r in bpe_train(df2, n_merges=3).collect()]
+    assert m1 == m2 and m1[0] == ("a", "a</w>")
