@@ -249,16 +249,19 @@ class _Options:
             )
         corrupt_col = options.get("corruptrecordcolumn")
         if corrupt_col is not None:
-            if fields is None:
+            if fields is None and multitype is None:
                 raise ValueError(
-                    "fixedlen: corruptRecordColumn requires a 'layout'"
+                    "fixedlen: corruptRecordColumn requires a 'layout' or 'layouts'"
                 )
             if mode != "permissive":
                 raise ValueError(
                     "fixedlen: corruptRecordColumn requires mode=permissive "
                     "(failfast raises instead of capturing)"
                 )
-            taken = {f.name for f in fields} | {"record_offset", "record_key"}
+            declared = fields if fields is not None else union_fields
+            taken = {f.name for f in declared} | {
+                "record_offset", "record_key", "record_type",
+            }
             if corrupt_col in taken:
                 raise ValueError(
                     f"fixedlen: corruptRecordColumn {corrupt_col!r} clashes "
@@ -281,6 +284,8 @@ class _Options:
         if self.multitype is not None:
             out.append(StructField("record_type", StringType(), False))
             out.extend(layout_schema(self.union_fields).fields)
+            if self.corrupt_col is not None:
+                out.append(StructField(self.corrupt_col, BinaryType(), True))
         elif self.fields is None:
             out.append(StructField("value", BinaryType(), False))
         else:
@@ -300,6 +305,8 @@ class _Options:
             cols.extend(
                 pa.field(f.name, f.arrow_type()) for f in self.union_fields
             )
+            if self.corrupt_col is not None:
+                cols.append(pa.field(self.corrupt_col, pa.binary()))
         elif self.fields is None:
             cols.append(pa.field("value", pa.binary()))
         else:
@@ -701,6 +708,7 @@ class FixedLengthReader(DataSourceReader):
                         permissive=o.decode_mode == "permissive",
                         encoding=o.encoding,
                         offset_stride=stride,
+                        corrupt_column=o.corrupt_col is not None,
                     )
                 else:
                     batch = decode_chunk(

@@ -610,6 +610,7 @@ def decode_chunk_multitype(
     permissive: bool = False,
     encoding: str = "utf-8",
     offset_stride: int | None = None,
+    corrupt_column: bool = False,
 ) -> pa.RecordBatch:
     """Decode a record-aligned chunk whose records carry a type
     discriminator: group rows by tag (one vectorized pass), decode each
@@ -660,9 +661,18 @@ def decode_chunk_multitype(
         cols.append(_slice_binary(mat, start, end - start + 1))
     cols.append(pa.array(tags))  # record_type (post-transcode text)
 
+    # corrupt tracking: unknown-tag rows are corrupt outright; a known
+    # row is corrupt when a field of ITS OWN layout nulled (union
+    # columns the tag lacks are expected-null, never corrupt)
+    bad_per_group = [
+        np.zeros(len(idx), dtype=bool)
+        if fields is not None
+        else np.ones(len(idx), dtype=bool)
+        for idx, fields in groups
+    ]
     for f in union_fields:
         chunks: list[pa.Array] = []
-        for idx, fields in groups:
+        for gi, (idx, fields) in enumerate(groups):
             present = fields is not None and any(
                 g.name == f.name for g in fields
             )
@@ -670,13 +680,17 @@ def decode_chunk_multitype(
                 sub_raw = np.ascontiguousarray(mat[idx])
                 sub_txt = np.ascontiguousarray(fmat[idx])
                 if f.occurs > 1:
-                    chunks.append(
-                        decode_occurs_field(sub_raw, sub_txt, f, permissive)
-                    )
+                    arr = decode_occurs_field(sub_raw, sub_txt, f, permissive)
+                    if corrupt_column and arr.values.null_count:
+                        el = np.asarray(pc.is_null(arr.values))
+                        bad_per_group[gi] |= el.reshape(len(idx), -1).any(axis=1)
                 else:
-                    chunks.append(
-                        _decode_scalar(sub_raw, sub_txt, f, permissive)
-                    )
+                    arr = _decode_scalar(sub_raw, sub_txt, f, permissive)
+                    if corrupt_column and arr.null_count:
+                        bad_per_group[gi] |= np.asarray(
+                            pc.is_null(arr).fill_null(True)
+                        )
+                chunks.append(arr)
             else:
                 chunks.append(pa.nulls(len(idx), f.arrow_type()))
         col = (
@@ -685,6 +699,15 @@ def decode_chunk_multitype(
             else pa.nulls(0, f.arrow_type())
         )
         cols.append(col)
+    if corrupt_column:
+        bad_cat = (
+            np.concatenate(bad_per_group)
+            if bad_per_group
+            else np.empty(0, dtype=bool)
+        )
+        bad = pa.array(bad_cat).take(perm)
+        raw = _slice_binary(mat, 0, record_length)
+        cols.append(pc.if_else(bad, raw, pa.scalar(None, pa.binary())))
     return pa.RecordBatch.from_arrays(cols, schema=arrow_schema)
 
 

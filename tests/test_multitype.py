@@ -124,3 +124,40 @@ def test_multitype_partitioned_stream(spark, tmp_path):
             .start()
             .awaitTermination()
         )
+
+
+def test_multitype_corrupt_column_unknown_tag_and_bad_field(spark, tmp_path):
+    """With layouts: unknown-tag rows and known rows whose OWN fields
+    fail decode are corrupt; union columns a tag lacks stay
+    expected-null and never mark corruption."""
+    import os
+
+    from hadoop_fixedlengthinputformat_spark.sources import fixedlen
+
+    fixedlen.register(spark)
+    recs = (
+        b"N00001alpha    " +  # good N
+        b"N00x02beta     " +  # bad int in N's own field
+        b"X00003gamma    " +  # unknown tag
+        b"R99    delta    "[:15]  # good R (different field set)
+    )
+    path = os.path.join(str(tmp_path), "mt.bin")
+    with open(path, "wb") as f:
+        f.write(recs)
+    df = (
+        spark.read.format("fixedlen")
+        .option("recordLength", "15")
+        .option("layouts", "N=nk:1:5:int,nm:6:9:string;R=rk:1:2:int,rv:7:6:string")
+        .option("typeStart", "0").option("typeLen", "1")
+        .option("mode", "permissive")
+        .option("corruptRecordColumn", "_bad")
+        .option("includeOffset", "true")
+        .load(path)
+    )
+    rows = sorted(df.collect(), key=lambda r: r.record_offset)
+    assert rows[0].record_type == "N" and rows[0]._bad is None and rows[0].nk == 1
+    assert rows[1].record_type == "N" and rows[1].nk is None
+    assert bytes(rows[1]._bad) == b"N00x02beta     "
+    assert rows[2].record_type == "X" and bytes(rows[2]._bad).startswith(b"X")
+    # R row: nk/nm are union-nulls (expected) -> NOT corrupt
+    assert rows[3].record_type == "R" and rows[3]._bad is None and rows[3].rk == 99
