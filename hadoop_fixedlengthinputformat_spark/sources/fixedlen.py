@@ -39,6 +39,7 @@ from __future__ import annotations
 import codecs
 import glob as _glob
 import os
+import re
 from dataclasses import dataclass
 from typing import Iterator
 
@@ -113,6 +114,14 @@ class _Options:
     # record is recordLength DATA bytes followed by this terminator;
     # the on-disk stride is recordLength + len(line_sep)
     line_sep: bytes = b""
+    # hive-style partition columns discovered from the directory layout
+    # (dir/col=value/...) — set post-parse by the DataSource, appended
+    # to the schema as string columns, prunable at planning time
+    partition_cols: tuple[str, ...] = ()
+    # writer-side: route rows into col=value subdirectories (the inverse
+    # of partition_cols discovery); the named DataFrame columns are
+    # consumed by the path, not encoded into the record bytes
+    partition_by: tuple[str, ...] = ()
 
     @property
     def stride(self) -> int:
@@ -267,12 +276,30 @@ class _Options:
                     f"fixedlen: corruptRecordColumn {corrupt_col!r} clashes "
                     "with an existing column"
                 )
+        pby_raw = options.get("partitionby")
+        partition_by: tuple[str, ...] = ()
+        if pby_raw:
+            partition_by = tuple(
+                c.strip() for c in pby_raw.split(",") if c.strip()
+            )
+            if fields is None:
+                raise ValueError(
+                    "fixedlen: partitionBy requires a 'layout' (raw and "
+                    "multitype writes are unpartitioned)"
+                )
+            clash = [c for c in partition_by if c in {f.name for f in fields}]
+            if clash:
+                raise ValueError(
+                    f"fixedlen: partitionBy column(s) {clash} are layout "
+                    "fields — partition values live in the path, not the "
+                    "record bytes"
+                )
         return cls(
             record_length, key_bounds, fields, with_offset, malformed, mpb,
             mode, pruned, compression, info.name,
             multitype, union_fields, type_bounds,
             skip_header, skip_trailer, stats_sidecar, stats_block,
-            corrupt_col, line_sep,
+            corrupt_col, line_sep, (), partition_by,
         )
 
     def spark_schema(self) -> StructType:
@@ -292,6 +319,8 @@ class _Options:
             out.extend(layout_schema(self.fields).fields)
             if self.corrupt_col is not None:
                 out.append(StructField(self.corrupt_col, BinaryType(), True))
+        for c in self.partition_cols:
+            out.append(StructField(c, StringType(), True))
         return StructType(out)
 
     def arrow_schema(self) -> pa.Schema:
@@ -313,6 +342,8 @@ class _Options:
             cols.extend(pa.field(f.name, f.arrow_type()) for f in self.fields)
             if self.corrupt_col is not None:
                 cols.append(pa.field(self.corrupt_col, pa.binary()))
+        for c in self.partition_cols:
+            cols.append(pa.field(c, pa.string()))
         return pa.schema(cols)
 
 
@@ -340,14 +371,96 @@ def _list_files(path: str) -> list[str]:
     return names
 
 
+_PARTDIR_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*)=(.*)$")
+
+
+def _discover(path: str) -> tuple[list[tuple[str, dict]], tuple[str, ...]]:
+    """Hive-style dataset discovery: ``dir/col=value/.../part.fixed``.
+
+    Returns ([(file, {col: value}), ...], partition_column_names).
+    A plain file / flat directory / glob yields empty partition dicts.
+    Partition values are STRINGS (cast downstream), decoded with
+    URL-unquoting as hive writers produce.  Nesting must be consistent:
+    every leaf file sits under the same column sequence."""
+    if not os.path.isdir(path):
+        return [(p, {}) for p in _list_files(path)], ()
+    entries = sorted(os.listdir(path))
+    part_dirs = [
+        e for e in entries
+        if os.path.isdir(os.path.join(path, e)) and _PARTDIR_RE.match(e)
+    ]
+    if not part_dirs:
+        return [(p, {}) for p in _list_files(path)], ()
+    loose = [
+        e for e in entries
+        if _visible(os.path.join(path, e))
+    ]
+    if loose:
+        raise ValueError(
+            f"fixedlen: {path!r} mixes partition directories with loose "
+            f"files ({loose[:3]}); a hive-style dataset must be fully "
+            "partitioned"
+        )
+    from urllib.parse import unquote
+
+    out: list[tuple[str, dict]] = []
+    cols: tuple[str, ...] | None = None
+    stack: list[tuple[str, dict]] = [
+        (os.path.join(path, d), {}) for d in part_dirs
+    ]
+
+    def walk(p: str, vals: dict) -> None:
+        nonlocal cols
+        base = os.path.basename(p)
+        m = _PARTDIR_RE.match(base)
+        if not m:
+            raise ValueError(
+                f"fixedlen: non-partition directory {p!r} inside a "
+                "hive-style dataset"
+            )
+        vals = {**vals, m.group(1): unquote(m.group(2))}
+        subdirs = [
+            e for e in sorted(os.listdir(p))
+            if os.path.isdir(os.path.join(p, e))
+        ]
+        files = [
+            os.path.join(p, e) for e in sorted(os.listdir(p))
+            if _visible(os.path.join(p, e))
+        ]
+        if subdirs and files:
+            raise ValueError(
+                f"fixedlen: {p!r} mixes files and partition subdirectories"
+            )
+        if subdirs:
+            for d in subdirs:
+                walk(os.path.join(p, d), vals)
+            return
+        here = tuple(vals)
+        if cols is None:
+            cols = here
+        elif cols != here:
+            raise ValueError(
+                f"fixedlen: inconsistent partition nesting: {cols} vs {here}"
+            )
+        for f in files:
+            out.append((f, vals))
+
+    for p, vals in stack:
+        walk(p, vals)
+    if not out:
+        raise FileNotFoundError(f"fixedlen: no input files at {path!r}")
+    return out, cols or ()
+
+
 _WHOLE_FILE = -1  # partition.end sentinel: gzip stream, read to EOF
 
 
 class FixedLenPartition(InputPartition):
-    def __init__(self, path: str, start: int, end: int):
+    def __init__(self, path: str, start: int, end: int, partvals: dict | None = None):
         self.path = path
         self.start = start
         self.end = end
+        self.partvals = partvals or {}
 
 
 def _plan_file(
@@ -496,6 +609,10 @@ class FixedLengthReader(DataSourceReader):
         decodable = {f.name for f in (self.opts.fields or []) if f.occurs == 1}
         if self.opts.with_offset:
             decodable.add("record_offset")
+        # partition columns: constant per file — pushed filters on them
+        # prune whole DIRECTORIES at planning time (and the generic row
+        # mask still applies, since they are ordinary batch columns)
+        decodable.update(self.opts.partition_cols)
         for flt in filters:
             attr = getattr(flt, "attribute", None)
             if (
@@ -615,6 +732,43 @@ class FixedLengthReader(DataSourceReader):
                 hi = min(hi, v + 1)
         return lo, hi
 
+    def _partvals_may_match(self, vals: dict) -> bool:
+        """Conservative file-level test of pushed PARTITION-column
+        predicates (string compares on the directory values); anything
+        unprovable keeps the file — the row mask still runs."""
+        from pyspark.sql.datasource import (
+            EqualTo, GreaterThan, GreaterThanOrEqual, In, IsNotNull,
+            IsNull, LessThan, LessThanOrEqual, StringStartsWith,
+        )
+
+        for flt in self.pushed:
+            attr = getattr(flt, "attribute", None)
+            if not attr or len(attr) != 1 or attr[0] not in vals:
+                continue
+            v = vals[attr[0]]
+            try:
+                if isinstance(flt, EqualTo) and not v == flt.value:
+                    return False
+                if isinstance(flt, In) and v not in set(flt.value):
+                    return False
+                if isinstance(flt, IsNull):
+                    return False  # directory values are never null
+                if isinstance(flt, IsNotNull):
+                    continue
+                if isinstance(flt, GreaterThan) and not v > flt.value:
+                    return False
+                if isinstance(flt, GreaterThanOrEqual) and not v >= flt.value:
+                    return False
+                if isinstance(flt, LessThan) and not v < flt.value:
+                    return False
+                if isinstance(flt, LessThanOrEqual) and not v <= flt.value:
+                    return False
+                if isinstance(flt, StringStartsWith) and not v.startswith(flt.value):
+                    return False
+            except TypeError:
+                continue  # incomparable: keep the file
+        return True
+
     def partitions(self):
         lo, hi = self._offset_bounds()
         fields_by_name = {
@@ -627,8 +781,13 @@ class FixedLengthReader(DataSourceReader):
             and len(flt.attribute) == 1
             and flt.attribute[0] in fields_by_name
         ]
+        files, _cols = _discover(self.path)
         parts: list[FixedLenPartition] = []
-        for p in _list_files(self.path):
+        for p, vals in files:
+            # hive partition pruning: a pushed predicate on a partition
+            # column drops the whole file (directory) at planning time
+            if vals and not self._partvals_may_match(vals):
+                continue
             # min/max sidecar pruning (parquet-row-group analog): drop
             # byte ranges proven to exclude every pushed predicate —
             # planning-time, so the bytes are never read
@@ -646,6 +805,7 @@ class FixedLengthReader(DataSourceReader):
                         fields_by_name,
                     ):
                         continue
+                    part.partvals = vals
                     parts.append(part)
         # zero-record dataset still needs one (empty) partition for Spark
         return parts or [FixedLenPartition("", 0, 0)]
@@ -656,8 +816,25 @@ class FixedLengthReader(DataSourceReader):
             return iter(())
         stride = o.stride
         chunk_records = max(1, READ_CHUNK_TARGET // stride)
-        schema = o.arrow_schema()
+        full_schema = o.arrow_schema()
+        n_part_cols = len(o.partition_cols)
+        # the byte decoder fills everything except the trailing
+        # partition-value constants
+        schema = (
+            pa.schema(list(full_schema)[: len(full_schema) - n_part_cols])
+            if n_part_cols
+            else full_schema
+        )
         sep = o.line_sep
+
+        def add_partvals(batch: pa.RecordBatch) -> pa.RecordBatch:
+            if not n_part_cols:
+                return batch
+            arrays = batch.columns + [
+                pa.array([partition.partvals.get(c)] * batch.num_rows, pa.string())
+                for c in o.partition_cols
+            ]
+            return pa.RecordBatch.from_arrays(arrays, schema=full_schema)
 
         def strip_sep(chunk: bytes) -> bytes:
             """Drop the per-record terminator from a stride-aligned chunk
@@ -725,7 +902,7 @@ class FixedLengthReader(DataSourceReader):
                         offset_stride=stride,
                     )
                 offset += raw_len
-                yield self._apply_pushed(batch)
+                yield self._apply_pushed(add_partvals(batch))
 
         if partition.end == _WHOLE_FILE:
             return decode(
@@ -748,19 +925,16 @@ class FixedLengthReader(DataSourceReader):
 
 
 class _CommitMessage(WriterCommitMessage):
+    """One message per task: every (tmp, final) pair the task produced —
+    several when partitionBy routes rows to multiple directories."""
+
     def __init__(
         self,
-        tmp_path: str,
-        final_path: str,
+        outputs: list[tuple[str, str, str | None, str | None]],
         n_records: int,
-        stats_tmp: str | None = None,
-        stats_final: str | None = None,
     ):
-        self.tmp_path = tmp_path
-        self.final_path = final_path
+        self.outputs = outputs  # (tmp, final, stats_tmp, stats_final)
         self.n_records = n_records
-        self.stats_tmp = stats_tmp
-        self.stats_final = stats_final
 
 
 class FixedLengthWriter(DataSourceWriter):
@@ -794,43 +968,25 @@ class FixedLengthWriter(DataSourceWriter):
 
     def write(self, iterator) -> _CommitMessage:
         from pyspark import TaskContext
+        from urllib.parse import quote
 
         os.makedirs(self.path, exist_ok=True)
         ctx = TaskContext.get()
-        ext = ".fixed.gz" if self.opts.compression == "gzip" else ".fixed"
-        final = os.path.join(
-            self.path, f"part-{ctx.partitionId():05d}-{self.token}{ext}"
-        )
-        # task-attempt-unique tmp: a speculative/zombie attempt never
-        # interleaves bytes with the winner; commit() promotes atomically
-        tmp = f"{final}.tmp-{ctx.taskAttemptId()}"
-        if self.opts.compression == "gzip":
-            import contextlib
+        o = self.opts
+        ext = ".fixed.gz" if o.compression == "gzip" else ".fixed"
+        rl, sep = o.record_length, o.line_sep
+
+        def open_sink(tmp: str):
+            """Raw or gzip file handle for a tmp path.  mtime=0 + no
+            filename: byte-deterministic gzip for a given row order
+            (speculative attempts produce identical files)."""
+            raw = open(tmp, "wb")
+            if o.compression != "gzip":
+                return raw, raw
             import gzip
 
-            # mtime=0 + no filename: byte-deterministic output for a given
-            # row order (speculative attempts produce identical files)
-            @contextlib.contextmanager
-            def opener(p):
-                with open(p, "wb") as raw:
-                    g = gzip.GzipFile(
-                        filename="", mode="wb", fileobj=raw, mtime=0
-                    )
-                    try:
-                        yield g
-                    finally:
-                        g.close()
-
-        else:
-            opener = lambda p: open(p, "wb")  # noqa: E731
-        n = 0
-        collector = (
-            stats.StatsCollector(self.opts.fields, self.opts.stats_block_records)
-            if self.opts.stats_sidecar and self.opts.fields is not None
-            else None
-        )
-        rl = self.opts.record_length
-        sep = self.opts.line_sep
+            gz = gzip.GzipFile(filename="", mode="wb", fileobj=raw, mtime=0)
+            return gz, raw
 
         def with_sep(data: bytes) -> bytes:
             """Interleave the line terminator after every record (one
@@ -846,8 +1002,53 @@ class FixedLengthWriter(DataSourceWriter):
             out[:, rl:] = _np.frombuffer(sep, dtype=_np.uint8)
             return out.tobytes()
 
-        with opener(tmp) as f:
-            if self.opts.fields is None:
+        # one sink per partitionBy value combination (a single sink with
+        # key () when unpartitioned); task-attempt-unique tmps mean a
+        # speculative/zombie attempt never interleaves bytes with the
+        # winner; commit() promotes atomically
+        sinks: dict[tuple, dict] = {}
+
+        def sink_for(vals: tuple) -> dict:
+            s = sinks.get(vals)
+            if s is None:
+                d = self.path
+                if vals:
+                    sub = os.path.join(*(
+                        f"{c}={quote(str(v), safe='')}"
+                        for c, v in zip(o.partition_by, vals)
+                    ))
+                    d = os.path.join(self.path, sub)
+                    os.makedirs(d, exist_ok=True)
+                final = os.path.join(
+                    d, f"part-{ctx.partitionId():05d}-{self.token}{ext}"
+                )
+                tmp = f"{final}.tmp-{ctx.taskAttemptId()}"
+                f, raw = open_sink(tmp)
+                s = {
+                    "final": final, "tmp": tmp, "f": f, "raw": raw,
+                    "batch": [], "n": 0,
+                    "coll": (
+                        stats.StatsCollector(o.fields, o.stats_block_records)
+                        if o.stats_sidecar and o.fields is not None
+                        else None
+                    ),
+                }
+                sinks[vals] = s
+            return s
+
+        def flush(s: dict) -> None:
+            if s["batch"]:
+                s["f"].write(
+                    with_sep(encode_rows(
+                        s["batch"], o.fields, rl, encoding=o.encoding,
+                    ))
+                )
+                s["n"] += len(s["batch"])
+                s["batch"] = []
+
+        try:
+            if o.fields is None:
+                s = sink_for(())
                 for row in iterator:
                     b = bytes(row["value"])
                     if len(b) != rl:
@@ -855,66 +1056,77 @@ class FixedLengthWriter(DataSourceWriter):
                             f"fixedlen raw write: 'value' is {len(b)} bytes, "
                             f"expected recordLength={rl}"
                         )
-                    f.write(b + sep)
-                    n += 1
-                return _CommitMessage(tmp, final, n)
-            batch: list[dict] = []
-            for row in iterator:
-                d = row.asDict()
-                batch.append(d)
-                if collector is not None:
-                    collector.update(d)
-                if len(batch) >= self.WRITE_BATCH_ROWS:
-                    f.write(
-                        with_sep(encode_rows(
-                            batch, self.opts.fields, self.opts.record_length,
-                            encoding=self.opts.encoding,
-                        ))
-                    )
-                    n += len(batch)
-                    batch = []
-            if batch:
-                f.write(
-                    with_sep(encode_rows(
-                            batch, self.opts.fields, self.opts.record_length,
-                            encoding=self.opts.encoding,
-                        ))
-                )
-                n += len(batch)
-        stats_tmp = stats_final = None
-        if collector is not None:
-            stats_final = stats.sidecar_path(final)
-            stats_tmp = f"{stats_final}.tmp-{ctx.taskAttemptId()}"
-            stats.write_sidecar(stats_tmp, collector.payload())
-        return _CommitMessage(tmp, final, n, stats_tmp, stats_final)
+                    s["f"].write(b + sep)
+                    s["n"] += 1
+            else:
+                pending = 0
+                for row in iterator:
+                    d = row.asDict()
+                    vals = tuple(d.pop(c) for c in o.partition_by)
+                    if any(v is None for v in vals):
+                        raise ValueError(
+                            "fixedlen: partitionBy column values cannot be NULL"
+                        )
+                    s = sink_for(vals)
+                    s["batch"].append(d)
+                    if s["coll"] is not None:
+                        s["coll"].update(d)
+                    pending += 1
+                    if pending >= self.WRITE_BATCH_ROWS:
+                        for s2 in sinks.values():
+                            flush(s2)
+                        pending = 0
+                for s2 in sinks.values():
+                    flush(s2)
+        finally:
+            for s2 in sinks.values():
+                s2["f"].close()
+                if s2["raw"] is not s2["f"]:
+                    s2["raw"].close()
+
+        outputs: list[tuple[str, str, str | None, str | None]] = []
+        total = 0
+        for s2 in sinks.values():
+            stats_tmp = stats_final = None
+            if s2["coll"] is not None:
+                stats_final = stats.sidecar_path(s2["final"])
+                stats_tmp = f"{stats_final}.tmp-{ctx.taskAttemptId()}"
+                stats.write_sidecar(stats_tmp, s2["coll"].payload())
+            outputs.append((s2["tmp"], s2["final"], stats_tmp, stats_final))
+            total += s2["n"]
+        return _CommitMessage(outputs, total)
 
     def commit(self, messages):
         # all tasks succeeded — NOW clear the old dataset (an aborted job
-        # must leave it untouched), then promote tmps atomically
+        # must leave it untouched), then promote tmps atomically.  The
+        # walk covers partitionBy subdirectories too.
         if self.overwrite and os.path.isdir(self.path):
-            for fn in os.listdir(self.path):
-                if (
-                    fn.startswith("part-")
-                    and (
-                        fn.endswith(".fixed")
-                        or fn.endswith(".fixed.gz")
-                        or stats.is_sidecar(fn)
-                    )
-                    and f"-{self.token}." not in fn
-                ):
-                    os.remove(os.path.join(self.path, fn))
+            for root, _dirs, files in os.walk(self.path):
+                for fn in files:
+                    if (
+                        fn.startswith("part-")
+                        and (
+                            fn.endswith(".fixed")
+                            or fn.endswith(".fixed.gz")
+                            or stats.is_sidecar(fn)
+                        )
+                        and f"-{self.token}." not in fn
+                    ):
+                        os.remove(os.path.join(root, fn))
         for m in messages:
             if m is not None:
-                os.replace(m.tmp_path, m.final_path)
-                if m.stats_tmp is not None:
-                    os.replace(m.stats_tmp, m.stats_final)
+                for tmp, final, stats_tmp, stats_final in m.outputs:
+                    os.replace(tmp, final)
+                    if stats_tmp is not None:
+                        os.replace(stats_tmp, stats_final)
 
     def abort(self, messages):
         for m in messages:
             if m is not None:
-                for p in (m.tmp_path, getattr(m, "stats_tmp", None)):
-                    if p and os.path.exists(p):
-                        os.remove(p)
+                for tmp, _final, stats_tmp, _sf in m.outputs:
+                    for p in (tmp, stats_tmp):
+                        if p and os.path.exists(p):
+                            os.remove(p)
 
 
 class _StreamCommitMessage(WriterCommitMessage):
@@ -1186,13 +1398,41 @@ class FixedLengthDataSource(DataSource):
         super().__init__(options)
         self.opts = _Options.parse(options)
         self.path = options.get("path")
+        self._discovered = False
+
+    def _discover_partitions(self) -> None:
+        """Detect a hive-style col=value directory layout once (driver
+        side); harmless when the path doesn't exist yet (write target)."""
+        if self._discovered or not self.path:
+            return
+        self._discovered = True
+        try:
+            _files, cols = _discover(self.path)
+        except FileNotFoundError:
+            return
+        if not cols:
+            return
+        declared = {
+            f.name
+            for f in (self.opts.fields or self.opts.union_fields or [])
+        } | {"record_offset", "record_key", "record_type", "value",
+             self.opts.corrupt_col or ""}
+        clash = [c for c in cols if c in declared]
+        if clash:
+            raise ValueError(
+                f"fixedlen: partition column(s) {clash} clash with "
+                "declared schema columns"
+            )
+        self.opts.partition_cols = cols
 
     def schema(self) -> StructType:
+        self._discover_partitions()
         return self.opts.spark_schema()
 
     def reader(self, schema: StructType) -> FixedLengthReader:
         if not self.path:
             raise ValueError("fixedlen: load(path) is required")
+        self._discover_partitions()
         return FixedLengthReader(self.opts, self.path)
 
     def writer(self, schema: StructType, overwrite: bool) -> FixedLengthWriter:

@@ -329,3 +329,67 @@ def scan_fixedlen_linesep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("includeOffset", "false")
         .load(out)
     )
+
+
+@query(
+    "scan_fixedlen_hive_partitioned",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, round(c_acctbal, 4) AS c_acctbal,
+           c_mktsegment
+    FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    """,
+)
+def scan_fixedlen_hive_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned fixed-width dataset, both directions:
+    the WRITER routes rows into ``c_mktsegment=<value>/`` subdirectories
+    (``partitionBy`` — the value lives in the path, not the record
+    bytes), and the READER rediscovers the partition column from the
+    directory names and prunes whole directories for the pushed IN
+    predicate before any byte is read.  At 100 TB partition pruning is
+    the first-order IO saver; this query proves it is correctness-
+    neutral against the flat source table."""
+    import os as _os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from hadoop_fixedlengthinputformat_spark.tables import load_table
+
+    configure(spark)
+    fixedlen.register(spark)
+    sub_spec = (
+        "c_custkey:0:10:long,c_name:10:30:string,"
+        "c_nationkey:40:5:int,c_acctbal:45:12:double(2)"
+    )
+    out = _os.path.join(
+        tempfile.gettempdir(),
+        f"flif_hive_{_os.path.basename(_os.path.abspath(sf_dir))}",
+    )
+    marker = _os.path.join(out, "_SUCCESS_LOCAL")
+    if not _os.path.exists(marker):
+        c = load_table(spark, sf_dir, "customer")
+        (
+            c.select(
+                "c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                "c_mktsegment",
+            )
+            .write.format("fixedlen")
+            .option("recordLength", "57")
+            .option("layout", sub_spec)
+            .option("partitionBy", "c_mktsegment")
+            .mode("overwrite")
+            .save(out)
+        )
+        open(marker, "w").close()
+    return (
+        spark.read.format("fixedlen")
+        .option("recordLength", "57")
+        .option("layout", sub_spec)
+        .option("includeOffset", "false")
+        .load(out)
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(
+            "c_custkey", "c_name", "c_nationkey",
+            F.round("c_acctbal", 4).alias("c_acctbal"), "c_mktsegment",
+        )
+    )
