@@ -393,3 +393,61 @@ def scan_fixedlen_hive_partitioned(spark: SparkSession, sf_dir: str) -> DataFram
             F.round("c_acctbal", 4).alias("c_acctbal"), "c_mktsegment",
         )
     )
+
+
+@query("maintain_fixedlen_analyze")  # metadata-only: no SQL-oracle table
+def maintain_fixedlen_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE for fixed-width datasets — per part file: partition
+    values, record count (size arithmetic), and per-field min/max
+    lifted from the stats sidecars.  ZERO data IO: everything comes
+    from directory names, file sizes, and the KB-sized sidecars, so at
+    100 TB this is a driver/metadata operation, the same trick that
+    makes `ANALYZE TABLE` cheap on parquet.  Feeds cost-based decisions
+    (which partitions to compact, what a predicate will prune)."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    configure(spark)
+    fixedlen.register(spark)
+    # reuse the stats-pruned fixture (lineitem sorted by shipdate with
+    # sidecars) by running its builder first
+    from hadoop_fixedlengthinputformat_spark.sources.skip_queries import (
+        scan_fixedlen_stats_pruned,
+    )
+
+    scan_fixedlen_stats_pruned(spark, sf_dir)  # ensures the dataset exists
+    import tempfile
+
+    out = _os.path.join(
+        tempfile.gettempdir(),
+        f"flif_stats_pruned_{_os.path.basename(_os.path.abspath(sf_dir))}",
+    )
+    rl, _spec, _ = fixture_gen.LAYOUTS["lineitem"]
+    rows = []
+    for fn in sorted(_os.listdir(out)):
+        p = _os.path.join(out, fn)
+        if not fn.endswith(".fixed"):
+            continue
+        n_rec = _os.path.getsize(p) // rl
+        side = p + ".stats.json"
+        lo = hi = None
+        n_blocks = 0
+        if _os.path.exists(side):
+            payload = _json.load(open(side))
+            blocks = payload.get("blocks", [])
+            n_blocks = len(blocks)
+            dates = [
+                b["cols"]["l_shipdate"] for b in blocks
+                if "l_shipdate" in b.get("cols", {})
+            ]
+            if dates:
+                lo = min(d["min"] for d in dates)
+                hi = max(d["max"] for d in dates)
+        rows.append((fn, n_rec, n_blocks, lo, hi))
+    return spark.createDataFrame(
+        rows,
+        "file string, n_records long, n_stats_blocks int, "
+        "min_shipdate string, max_shipdate string",
+    ).orderBy(F.col("file"))

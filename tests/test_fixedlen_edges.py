@@ -837,3 +837,31 @@ def test_linesep_gzip_and_skip_records(spark, tmp_path):
                skipHeaderRecords="1", skipTrailerRecords="1",
                includeOffset="false")
     assert sorted(r.v for r in df.collect()) == list(range(6))
+
+
+def test_linesep_composes_with_columns_pruning(spark, tmp_path):
+    payload = b"".join(f"{i:04d}x{i:03d}\n".encode() for i in range(20))
+    path = _write(tmp_path, "lsc.bin", payload)
+    df = _read(spark, path, 8, layout="a:0:4:int,b:4:4:string",
+               lineSep="\n", columns="a", includeOffset="false")
+    assert df.columns == ["a"]
+    assert sorted(r.a for r in df.collect()) == list(range(20))
+
+
+def test_linesep_composes_with_multitype(spark, tmp_path):
+    recs = b"N0001\n" + b"R0002\n" + b"N0003\n"
+    path = _write(tmp_path, "lsm.bin", recs)
+    df = (
+        spark.read.format("fixedlen")
+        .option("recordLength", "5")
+        .option("layouts", "N=nk:1:4:int;R=rk:1:4:int")
+        .option("typeStart", "0").option("typeLen", "1")
+        .option("lineSep", "\n")
+        .option("includeOffset", "true")
+        .load(path)
+    )
+    fixedlen.register(spark)
+    rows = sorted(df.collect(), key=lambda r: r.record_offset)
+    assert [r.record_type for r in rows] == ["N", "R", "N"]
+    assert [r.record_offset for r in rows] == [0, 6, 12]  # stride walk
+    assert rows[0].nk == 1 and rows[1].rk == 2 and rows[2].nk == 3
