@@ -451,3 +451,36 @@ def maintain_fixedlen_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
         "file string, n_records long, n_stats_blocks int, "
         "min_shipdate string, max_shipdate string",
     ).orderBy(F.col("file"))
+
+
+@query(
+    "sql_fixedlen_view",
+    oracle="""
+    SELECT n_regionkey, count(*) AS n_nations,
+           min(n_name) AS first_name
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def sql_fixedlen_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-SQL surface: the fixedlen source is a first-class Spark SQL
+    provider — `CREATE TEMPORARY VIEW ... USING fixedlen OPTIONS (...)`
+    registers a fixed-width file as a queryable relation, and everything
+    downstream (aggregation, pushdown, pruning) is plain `spark.sql`.
+    A reference user's MapReduce job becomes one DDL + one query."""
+    configure(spark)
+    fixedlen.register(spark)
+    path = fixture_gen.fixed_file_for(sf_dir, "nation")
+    record_length, spec, _ = fixture_gen.LAYOUTS["nation"]
+    spark.sql(f"""
+        CREATE OR REPLACE TEMPORARY VIEW nation_fixed_sql
+        USING fixedlen
+        OPTIONS (
+            path '{path}', recordLength '{record_length}',
+            layout '{spec}', includeOffset 'false'
+        )
+    """)
+    return spark.sql("""
+        SELECT n_regionkey, count(*) AS n_nations,
+               min(n_name) AS first_name
+        FROM nation_fixed_sql GROUP BY n_regionkey
+    """)
