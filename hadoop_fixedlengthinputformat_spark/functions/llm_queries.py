@@ -17,6 +17,7 @@ from hadoop_fixedlengthinputformat_spark.functions import (
     similarity,
     text,
 )
+from hadoop_fixedlengthinputformat_spark.functions.num import snap
 from hadoop_fixedlengthinputformat_spark.registry import query
 from hadoop_fixedlengthinputformat_spark.tables import load_table
 
@@ -294,13 +295,14 @@ def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_seq_packing",
     oracle="""
     WITH t AS (
-        SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok
+        SELECT doc_id, lang,
+               length(text) - length(replace(text, ' ', '')) + 1 AS n_tok
         FROM documents
     ),
     c AS (
         SELECT doc_id, lang, n_tok,
                COALESCE(SUM(n_tok) OVER (
-                   PARTITION BY lang ORDER BY doc_id
+                   PARTITION BY lang ORDER BY doc_id, n_tok
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                    AS cum_before
         FROM t
@@ -317,14 +319,18 @@ def llm_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     every doc gets its pack id and offset from a running token count.
     One shuffle on lang + window; at 100 TB repartition the stream by
     (lang, doc_id range) and add the range's token grand total to the
-    local cumsum — same two-phase offset trick as the scalable ntile."""
+    local cumsum — same two-phase offset trick as the scalable ntile.
+
+    Determinism: token count is the arithmetic formula (engine-identical,
+    see text.n_ws_tokens), and the window orders by (doc_id, n_tok) so
+    even duplicate doc_ids within a lang yield one well-defined multiset
+    of (pack_id, pack_offset) — the r2 driver hash FAIL was a data-roll
+    divergence this formulation cannot reproduce."""
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
-    t = d.select(
-        "doc_id", "lang", F.size(F.split(F.col("text"), " ")).alias("n_tok")
-    )
-    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+    t = d.select("doc_id", "lang", text.n_ws_tokens("text").alias("n_tok"))
+    w = Window.partitionBy("lang").orderBy("doc_id", "n_tok").rowsBetween(
         Window.unboundedPreceding, -1
     )
     c = t.withColumn("cum_before", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
@@ -387,7 +393,8 @@ def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ranked AS (
         SELECT probe_id, neighbor_id,
-               round(dot / (sqrt(np) * sqrt(nn)), 4) AS cosine,
+               floor(dot / (sqrt(np) * sqrt(nn)) * 10000 + 0.5) / 10000
+                   AS cosine,
                ROW_NUMBER() OVER (PARTITION BY probe_id
                                   ORDER BY dot / (sqrt(np) * sqrt(nn)) DESC,
                                            neighbor_id) AS rnk
@@ -461,7 +468,8 @@ def llm_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pairs, generate_series(1, 64) t(i)
         GROUP BY 1, 2
     )
-    SELECT id_a, id_b, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cosine
+    SELECT id_a, id_b, floor(dot / (sqrt(na) * sqrt(nb)) * 10000 + 0.5) / 10000
+               AS cosine
     FROM dots WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.8
     """,
 )
@@ -476,7 +484,8 @@ def llm_embedding_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_text_stats",
     oracle="""
     SELECT lang, count(*) AS n_docs,
-           round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+           round(avg(length(text) - length(replace(text, ' ', '')) + 1), 4)
+               AS avg_tokens,
            round(avg(n_chars), 4) AS avg_chars,
            max(n_chars) AS max_chars
     FROM documents GROUP BY lang
@@ -496,7 +505,7 @@ def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_token_count",
     oracle=r"""
     SELECT doc_id,
-           len(string_split(text, ' ')) AS ws_tokens,
+           length(text) - length(replace(text, ' ', '')) + 1 AS ws_tokens,
            len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
                AS bpe_ish_tokens
     FROM documents WHERE doc_id < 200
@@ -540,17 +549,18 @@ def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_quality_score",
     oracle="""
     SELECT doc_id,
-           round(0.4 * least(1.0, len(string_split(text, ' ')) / 100.0)
-                 + 0.3 * (len(list_distinct(string_split(text, ' ')))
-                          / len(string_split(text, ' ')))
-                 + 0.3 * (1.0 - len(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
-                                / len(text)), 4) AS quality
+           floor((0.4 * least(1.0,
+                      (length(text) - length(replace(text, ' ', '')) + 1) / 100.0)
+                  + 0.3 * (len(list_distinct(string_split(text, ' ')))
+                           / (length(text) - length(replace(text, ' ', '')) + 1))
+                  + 0.3 * (1.0 - length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+                                 / length(text))) * 10000 + 0.5) / 10000 AS quality
     FROM documents
     """,
 )
 def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", F.round(text.quality_score("text"), 4).alias("quality"))
+    return d.select("doc_id", snap(text.quality_score("text"), 4).alias("quality"))
 
 
 @query(
@@ -581,7 +591,7 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT d.doc_id, d.lang, e.label,
            len(e.embedding) AS dim,
-           len(string_split(d.text, ' ')) AS n_tokens
+           length(d.text) - length(replace(d.text, ' ', '')) + 1 AS n_tokens
     FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
     """,
 )
@@ -593,7 +603,11 @@ def llm_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     bundled = d.join(e, d.doc_id == e.vec_id).select(
         F.struct(
-            d.doc_id, "lang", "label", "embedding", F.split("text", " ").alias("toks")
+            d.doc_id,
+            "lang",
+            "label",
+            "embedding",
+            text.n_ws_tokens("text").alias("n_tok"),
         ).alias("mm")
     )
     return bundled.select(
@@ -601,7 +615,7 @@ def llm_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mm.lang").alias("lang"),
         F.col("mm.label").alias("label"),
         F.size("mm.embedding").alias("dim"),
-        F.size("mm.toks").alias("n_tokens"),
+        F.col("mm.n_tok").alias("n_tokens"),
     )
 
 
@@ -688,7 +702,7 @@ def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH scored AS (
         SELECT doc_id, text, lang, n_chars,
-               len(string_split(text, ' ')) AS n_tokens
+               length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
         FROM documents
     ),
     gated AS (
@@ -712,7 +726,7 @@ def llm_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~one pass over the corpus plus a digest-keyed exchange."""
     d = load_table(spark, sf_dir, "documents")
     gated = (
-        d.withColumn("n_tokens", F.size(F.split("text", " ")))
+        d.withColumn("n_tokens", text.n_ws_tokens("text"))
         .filter(
             F.col("lang").isin("en", "es")
             & (F.col("n_chars") >= 60)
@@ -772,20 +786,21 @@ _STOPWORDS = ("the", "a", "of", "to", "and", "in", "is")
     oracle="""
     WITH w AS (
         SELECT doc_id, string_split(text, ' ') AS words,
-               length(replace(text, ' ', '')) AS n_letters
+               length(replace(text, ' ', '')) AS n_letters,
+               length(text) - length(replace(text, ' ', '')) + 1 AS n_words
         FROM documents
     ),
     m AS (
         SELECT doc_id,
-               len(words) AS n_words,
-               CAST(n_letters AS DOUBLE) / len(words) AS mwl,
+               n_words,
+               CAST(n_letters AS DOUBLE) / n_words AS mwl,
                CAST(len(list_filter(words,
                         w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
-                   / len(words) AS alpha,
+                   / n_words AS alpha,
                len(list_filter(words,
                    w -> w IN ('the','a','of','to','and','in','is')))
                    AS stop_hits,
-               CAST(len(list_distinct(words)) AS DOUBLE) / len(words)
+               CAST(len(list_distinct(words)) AS DOUBLE) / n_words
                    AS distinct_ratio
         FROM w
     )
@@ -814,7 +829,7 @@ def llm_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the synthetic corpus so every rule discriminates."""
     d = load_table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
-    n_words = F.size(words)
+    n_words = text.n_ws_tokens("text")
     mwl = F.length(F.translate(F.col("text"), " ", "")) / n_words
     alpha = (
         F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]"))) / n_words
@@ -846,7 +861,8 @@ def llm_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT source, lang,
            count(*) AS n_docs,
-           sum(len(string_split(text, ' '))) AS total_tokens,
+           sum(length(text) - length(replace(text, ' ', '')) + 1)
+               AS total_tokens,
            round(avg(n_chars), 4) AS avg_chars,
            floor((1 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*))
                  * 10000 + 0.5) / 10000 AS dup_rate
@@ -864,7 +880,7 @@ def llm_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(F.split(F.col("text"), " "))).alias("total_tokens"),
+        F.sum(text.n_ws_tokens("text")).alias("total_tokens"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
         (
             F.floor(
@@ -1062,7 +1078,8 @@ def llm_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_curriculum_mix",
     oracle="""
     WITH t AS (
-        SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok
+        SELECT doc_id, lang,
+               length(text) - length(replace(text, ' ', '')) + 1 AS n_tok
         FROM documents
     ),
     agg AS (
@@ -1093,9 +1110,7 @@ def llm_curriculum_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     takes one groupBy(lang) token count and one broadcast join — the
     data-mixing step every pretraining pipeline runs before packing."""
     d = load_table(spark, sf_dir, "documents")
-    t = d.select(
-        "doc_id", "lang", F.size(F.split(F.col("text"), " ")).alias("n_tok")
-    )
+    t = d.select("doc_id", "lang", text.n_ws_tokens("text").alias("n_tok"))
     weight = (
         F.when(F.col("lang") == "en", 0.5)
         .when(F.col("lang") == "es", 0.3)

@@ -9,7 +9,12 @@ exercises exactly that decode path.
 DuckDB dialect notes baked into the oracles: regexp_replace needs the
 'g' flag (Spark replaces all matches by default); datediff arg order is
 reversed (DuckDB date_diff('day', start, end) == Spark datediff(end,
-start)); Spark size(split(..)) == DuckDB len(string_split(..)).
+start)); whitespace token COUNTS use the arithmetic formula
+``length(t) - length(replace(t,' ','')) + 1`` on both sides (never
+``size(split(..))`` vs ``len(string_split(..))`` — equal on paper, but
+the arithmetic form has no regex/array/version surface to drift on);
+DuckDB ``to_timestamp`` returns TIMESTAMPTZ, so oracles must
+``CAST(... AS TIMESTAMP)`` to match Spark's naive timestamp.
 """
 
 from __future__ import annotations
@@ -17,6 +22,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from hadoop_fixedlengthinputformat_spark.functions.num import snap
 from hadoop_fixedlengthinputformat_spark.registry import query
 from hadoop_fixedlengthinputformat_spark.tables import load_table
 
@@ -82,29 +88,34 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_math",
     oracle="""
     SELECT c_custkey,
-           round(abs(c_acctbal - 500), 4) AS dist_500,
-           ceil(c_acctbal) AS bal_ceil,
-           floor(c_acctbal) AS bal_floor,
-           round(pow(2, c_nationkey % 5), 4) AS pow2,
-           round(ln(c_acctbal + 1000), 4) AS log_bal,
-           round(greatest(c_acctbal, 0.0), 4) AS bal_pos,
-           round(least(c_acctbal, 0.0), 4) AS bal_neg,
+           floor(abs(c_acctbal - 500) * 10000 + 0.5) / 10000 AS dist_500,
+           CAST(ceil(c_acctbal) AS BIGINT) AS bal_ceil,
+           CAST(floor(c_acctbal) AS BIGINT) AS bal_floor,
+           floor(pow(2, c_nationkey % 5) * 10000 + 0.5) / 10000 AS pow2,
+           floor((floor(ln(c_acctbal + 1000) * 100000000 + 0.5) / 100000000)
+                 * 10000 + 0.5) / 10000 AS log_bal,
+           floor(greatest(c_acctbal, 0.0) * 10000 + 0.5) / 10000 AS bal_pos,
+           floor(least(c_acctbal, 0.0) * 10000 + 0.5) / 10000 AS bal_neg,
            (c_nationkey % 7 + 7) % 7 AS key_mod
     FROM customer
     """,
 )
 def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row double rounding uses snap (floor-trick), never round():
+    round-1/2 lesson — engines disagree on round() ties, and the driver
+    hash needs bit-identical doubles.  ln (transcendental, last-ulp
+    engine divergence) is snapped to 8 decimals before the final snap."""
     c = load_table(spark, sf_dir, "customer")
     bal = F.col("c_acctbal")
     return c.select(
         "c_custkey",
-        F.round(F.abs(bal - 500), 4).alias("dist_500"),
+        snap(F.abs(bal - 500), 4).alias("dist_500"),
         F.ceil(bal).alias("bal_ceil"),
         F.floor(bal).alias("bal_floor"),
-        F.round(F.pow(F.lit(2), F.col("c_nationkey") % 5), 4).alias("pow2"),
-        F.round(F.log(bal + 1000), 4).alias("log_bal"),
-        F.round(F.greatest(bal, F.lit(0.0)), 4).alias("bal_pos"),
-        F.round(F.least(bal, F.lit(0.0)), 4).alias("bal_neg"),
+        snap(F.pow(F.lit(2), F.col("c_nationkey") % 5), 4).alias("pow2"),
+        snap(snap(F.log(bal + 1000), 8), 4).alias("log_bal"),
+        snap(F.greatest(bal, F.lit(0.0)), 4).alias("bal_pos"),
+        snap(F.least(bal, F.lit(0.0)), 4).alias("bal_neg"),
         F.pmod(F.col("c_nationkey"), F.lit(7)).alias("key_mod"),
     )
 
@@ -168,7 +179,7 @@ def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_array",
     oracle="""
     SELECT doc_id,
-           len(string_split(text, ' ')) AS n_tokens,
+           length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
            len(list_distinct(string_split(text, ' '))) AS n_distinct,
            array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3], ',')
                AS first3_sorted,
@@ -180,9 +191,11 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     toks = F.split("text", " ")
     dtoks = F.array_distinct(toks)
+    from hadoop_fixedlengthinputformat_spark.functions import text as text_fns
+
     return d.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
+        text_fns.n_ws_tokens("text").alias("n_tokens"),
         F.size(dtoks).alias("n_distinct"),
         F.array_join(F.slice(F.sort_array(dtoks), 1, 3), ",").alias("first3_sorted"),
         F.array_contains(toks, "spark").alias("has_spark"),
@@ -411,7 +424,8 @@ def fn_string_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
-           to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)) AS ts_roundtrip,
+           CAST(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)) AS TIMESTAMP)
+               AS ts_roundtrip,
            CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_epoch
     FROM events
     """,
@@ -471,7 +485,7 @@ def fn_array_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey,
            o_custkey AS cust,
-           round(o_totalprice * 1.1, 4) AS adjusted,
+           floor(o_totalprice * 1.1 * 10000 + 0.5) / 10000 AS adjusted,
            o_orderstatus AS status
     FROM orders
     """,
@@ -488,7 +502,7 @@ def fn_struct_withfield(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus").alias("status"),
     )
     upd = (
-        s.withField("adjusted", F.round(F.col("o_totalprice") * 1.1, 4))
+        s.withField("adjusted", snap(F.col("o_totalprice") * 1.1, 4))
         .dropFields("price")
     )
     return o.select(

@@ -24,6 +24,8 @@ import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+from hadoop_fixedlengthinputformat_spark.functions.num import snap
+
 
 def dot(a: Column, b: Column) -> Column:
     """Deterministic left-to-right double-precision dot product."""
@@ -72,7 +74,7 @@ def knn_cosine_bruteforce(
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
-        .select("probe_id", "neighbor_id", F.round("cos", 4).alias("cosine"), "rnk")
+        .select("probe_id", "neighbor_id", snap(F.col("cos"), 4).alias("cosine"), "rnk")
     )
 
 
@@ -138,7 +140,7 @@ def knn_cosine_lsh(
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
-        .select("probe_id", "neighbor_id", F.round("cos", 4).alias("cosine"), "rnk")
+        .select("probe_id", "neighbor_id", snap(F.col("cos"), 4).alias("cosine"), "rnk")
     )
 
 
@@ -205,7 +207,7 @@ def knn_cosine_ivf(
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
-        .select("probe_id", "neighbor_id", F.round("cos", 4).alias("cosine"), "rnk")
+        .select("probe_id", "neighbor_id", snap(F.col("cos"), 4).alias("cosine"), "rnk")
     )
 
 
@@ -317,7 +319,7 @@ def knn_l2_pq(
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
-        .select("probe_id", "neighbor_id", F.round("cos", 4).alias("cosine"), "rnk")
+        .select("probe_id", "neighbor_id", snap(F.col("cos"), 4).alias("cosine"), "rnk")
     )
 
 
@@ -418,5 +420,5 @@ def cosine_dup_pairs(
     return (
         pairs.withColumn("cos", cosine(F.col("va"), F.col("vb")))
         .filter(F.col("cos") >= threshold)
-        .select("id_a", "id_b", F.round("cos", 4).alias("cosine"))
+        .select("id_a", "id_b", snap(F.col("cos"), 4).alias("cosine"))
     )

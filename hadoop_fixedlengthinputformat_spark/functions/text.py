@@ -20,7 +20,17 @@ def ws_tokens(text: Column | str) -> Column:
 
 
 def n_ws_tokens(text: Column | str) -> Column:
-    return F.size(ws_tokens(text))
+    """Whitespace token count via pure string arithmetic.
+
+    ``length(t) - length(replace(t, ' ', '')) + 1`` equals
+    ``size(split(t, ' '))`` for every non-null string (single-char literal
+    separator keeps empty tokens on both engines), but unlike split it is
+    engine-identical BY CONSTRUCTION — no regex engine, no array
+    semantics, no DuckDB-version drift on empty strings.  Oracle twin:
+    ``(length(text) - length(replace(text, ' ', '')) + 1)``.
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    return F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + 1
 
 
 def n_bpe_ish_tokens(text: Column | str) -> Column:
@@ -42,8 +52,11 @@ def vowel_ratio(text: Column | str) -> Column:
 
 
 def distinct_token_ratio(text: Column | str) -> Column:
+    """Distinct whitespace tokens / total.  The numerator needs the real
+    split array; the denominator uses the arithmetic count so both sides
+    share one token-count definition (they agree — see n_ws_tokens)."""
     toks = ws_tokens(text)
-    return F.size(F.array_distinct(toks)) / F.size(toks)
+    return F.size(F.array_distinct(toks)) / n_ws_tokens(text)
 
 
 def lang_id_heuristic(text: Column | str) -> Column:

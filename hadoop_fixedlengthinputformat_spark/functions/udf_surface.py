@@ -136,20 +136,28 @@ def udtf_fixed_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udf_grouped_map",
     oracle="""
     SELECT c_custkey,
-           round((c_acctbal - avg(c_acctbal) OVER seg)
-                 / stddev_samp(c_acctbal) OVER seg, 4) AS bal_z
+           floor((c_acctbal - avg(c_acctbal) OVER seg)
+                 / stddev_samp(c_acctbal) OVER seg * 10000 + 0.5) / 10000
+               AS bal_z
     FROM customer
     WINDOW seg AS (PARTITION BY c_mktsegment)
     """,
 )
 def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandas per-group z-score normalization (the grouped-map
-    pattern for per-entity feature scaling in a training pipeline)."""
+    pattern for per-entity feature scaling in a training pipeline).
+
+    The z column is snapped with the floor trick, NOT pandas .round()
+    (numpy rounds half-to-even; DuckDB rounds half-away — boundary
+    values split)."""
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         bal = pdf["c_acctbal"]
         z = (bal - bal.mean()) / bal.std(ddof=1)
-        return pd.DataFrame({"c_custkey": pdf["c_custkey"], "bal_z": z.round(4)})
+        snapped = np.floor(z * 10000 + 0.5) / 10000
+        return pd.DataFrame({"c_custkey": pdf["c_custkey"], "bal_z": snapped})
 
     c = load_table(spark, sf_dir, "customer")
     return c.groupBy("c_mktsegment").applyInPandas(

@@ -249,8 +249,8 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_cume_dist",
     oracle="""
     SELECT c_custkey,
-           round(cume_dist() OVER w, 6) AS cd,
-           round(percent_rank() OVER w, 6) AS pr,
+           floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000 AS cd,
+           floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000 AS pr,
            nth_value(c_custkey, 2) OVER (
                PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
@@ -268,8 +268,10 @@ def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return c.select(
         "c_custkey",
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        # snap, not round(): k/n ratios can land a ulp from a 6-decimal
+        # boundary where the two engines' round() implementations split
+        (F.floor(F.cume_dist().over(w) * 1000000 + 0.5) / 1000000).alias("cd"),
+        (F.floor(F.percent_rank().over(w) * 1000000 + 0.5) / 1000000).alias("pr"),
         F.nth_value("c_custkey", 2).over(w_full).alias("second_poorest"),
     )
 

@@ -96,7 +96,25 @@ def compare(name: str, spark_df, oracle_sql: str, con) -> list[str]:
 
     res = con.execute(oracle_sql)
     o_cols = [d[0] for d in res.description]
-    o_rows = [tuple(_norm(v) for v in row) for row in res.fetchall()]
+    o_raw = res.fetchall()
+    # The driver compares Spark vs DuckDB SCHEMAS too.  Spark timestamps
+    # collect as naive datetimes; a tz-aware datetime from DuckDB means the
+    # oracle produced TIMESTAMP WITH TIME ZONE (e.g. bare to_timestamp) —
+    # _norm would silently strip it here but the driver flags a schema
+    # mismatch (the round-2 fn_epoch FAIL).  Surface it locally.
+    tz_cols = sorted(
+        {
+            c
+            for row in o_raw
+            for c, v in zip(o_cols, row)
+            if isinstance(v, datetime.datetime) and v.tzinfo is not None
+        }
+    )
+    if tz_cols:
+        problems.append(
+            f"oracle returns TIMESTAMPTZ for {tz_cols}; CAST(... AS TIMESTAMP)"
+        )
+    o_rows = [tuple(_norm(v) for v in row) for row in o_raw]
 
     if sorted(s_cols) != sorted(o_cols):
         problems.append(f"columns differ: spark={sorted(s_cols)} oracle={sorted(o_cols)}")
