@@ -803,6 +803,7 @@ class FixedLengthReader(DataSourceReader):
                         2**62 if part.end == _WHOLE_FILE else part.end,
                         stats_filters,
                         fields_by_name,
+                        skip_records=self.opts.skip_header,
                     ):
                         continue
                     part.partvals = vals
@@ -1059,6 +1060,13 @@ class FixedLengthWriter(DataSourceWriter):
                     s["f"].write(b + sep)
                     s["n"] += 1
             else:
+                if not o.partition_by:
+                    # eager default sink: a task with an empty iterator must
+                    # still emit its (empty) part file, like the raw branch —
+                    # otherwise writing an empty DataFrame leaves a fileless
+                    # directory and a later read raises instead of returning
+                    # an empty result
+                    sink_for(())
                 pending = 0
                 for row in iterator:
                     d = row.asDict()
@@ -1295,7 +1303,11 @@ class FixedLenPartitionedStreamReader(DataSourceStreamReader):
         self.path = path
 
     def initialOffset(self) -> dict:
-        return {"pos": self.opts.skip_header * self.opts.record_length}
+        # stride, not record_length: with lineSep the header region spans
+        # skip_header * (record + sep) bytes; latestOffset/partitions are
+        # stride-based, so a record_length start would misalign every
+        # subsequent chunk reshape
+        return {"pos": self.opts.skip_header * self.opts.stride}
 
     def latestOffset(self) -> dict:
         rl = self.opts.stride
@@ -1372,7 +1384,11 @@ class FixedLenDirectoryStreamReader(DataSourceStreamReader):
                 if seen.get(p, 0) < self._GZ_DONE <= hi:
                     parts.append(FixedLenPartition(p, 0, _WHOLE_FILE))
                 continue
-            lo = seen.get(p, self.opts.skip_header * rl)
+            # floor at the header region even for already-seen files: a file
+            # first observed while shorter than the header (e.g. 0 bytes)
+            # checkpoints a truncated offset, and resuming from it would emit
+            # banner records as data once the file grows
+            lo = max(seen.get(p, 0), self.opts.skip_header * rl)
             for s in range(lo, hi, split):
                 parts.append(FixedLenPartition(p, s, min(s + split, hi)))
         return parts or [FixedLenPartition("", 0, 0)]
@@ -1460,6 +1476,17 @@ class FixedLengthDataSource(DataSource):
             raise ValueError("fixedlen: load(path) is required")
         # multitype works here: partitions delegate to the batch decode
         if os.path.isdir(self.path) or _glob.has_magic(self.path):
+            self._discover_partitions()
+            if self.opts.partition_cols:
+                # the directory stream lister only sees files directly under
+                # the path; silently streaming zero rows from a col=value
+                # tree (while schema() advertises the partition columns)
+                # would be a trap — fail loudly instead
+                raise ValueError(
+                    "fixedlen: hive-partitioned (col=value) datasets are "
+                    "not streamable; stream a single partition directory "
+                    "instead"
+                )
             return FixedLenDirectoryStreamReader(self.opts, self.path)
         return FixedLenPartitionedStreamReader(self.opts, self.path)
 

@@ -185,16 +185,25 @@ def partition_may_match(
     end: int,
     filters: list,
     fields_by_name: dict[str, FieldSpec],
+    skip_records: int = 0,
 ) -> bool:
     """May the byte-range partition [start, end) contain a row matching
     ALL pushed filters?  True unless every overlapping stats block is
-    proven to exclude some filter."""
+    proven to exclude some filter.
+
+    ``skip_records``: sidecar blocks count DATA records only, but byte
+    offsets include any skipHeaderRecords banner bytes — shift the file
+    ordinals back by the header count so the right blocks are tested
+    (otherwise a matching partition could be wrongly pruned, breaking
+    the conservative contract)."""
     blocks = payload.get("blocks") or []
     if not blocks:
         return True
     per_block = payload.get("block_records", STATS_BLOCK_RECORDS)
-    rec_lo = start // record_length
-    rec_hi = (end + record_length - 1) // record_length
+    rec_lo = max(0, start // record_length - skip_records)
+    rec_hi = (end + record_length - 1) // record_length - skip_records
+    if rec_hi <= rec_lo:
+        return True  # header-only range: no stats evidence, keep it
     testable = [
         (flt, fields_by_name[flt.attribute[0]])
         for flt in filters

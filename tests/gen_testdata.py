@@ -1,0 +1,198 @@
+"""Alternate-seed synthetic testdata generator.
+
+The driver regenerates /root/testdata each round with its own seed, and
+twice now a query that passed local parity failed on the driver's roll
+(round-1 proj_compute, round-2 fn_math/llm_seq_packing).  This script
+builds a SECOND fixture set with the same schemas/shapes but a different
+seed — plus adversarial rows the driver's generator may or may not emit
+(multi-space / leading / trailing-space / single-word texts, boundary
+balances) — so the full parity suite can run on two independent rolls
+before the driver sees the code.
+
+    python tests/gen_testdata.py /tmp/alt_testdata [seed]
+
+Never writes to /root/testdata (read-only driver property).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SCALE = 10  # ~sf0.01 shape: 10x the sf0.001 row counts
+
+VOCAB = (
+    "the a spark join filter sort merge window batch stream table scan "
+    "query row column value data key hash agg group order part line "
+    "customer small big fast slow vector dup"
+).split()
+
+SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+ETYPES = ["click", "view", "purchase", "login", "error"]
+LANGS = ["en", "es", "de", "fr", "zh"]
+
+
+def _dec2(rng, lo, hi, n):
+    return np.round(rng.uniform(lo, hi, n), 2)
+
+
+def _ts_us(dates):
+    return pa.array(dates.astype("datetime64[us]"))
+
+
+def gen(out: str, seed: int = 20260813) -> None:
+    rng = np.random.RandomState(seed)
+    os.makedirs(out, exist_ok=True)
+
+    def write(name, table):
+        pq.write_table(table, os.path.join(out, f"{name}.parquet"))
+
+    # region / nation
+    write("region", pa.table({
+        "r_regionkey": pa.array(range(5), pa.int32()),
+        "r_name": [f"REGION_{i}" for i in range(5)],
+    }))
+    write("nation", pa.table({
+        "n_nationkey": pa.array(range(25), pa.int32()),
+        "n_name": [f"NATION_{i:02d}" for i in range(25)],
+        "n_regionkey": pa.array([i % 5 for i in range(25)], pa.int32()),
+    }))
+
+    n_supp = 10 * SCALE
+    write("supplier", pa.table({
+        "s_suppkey": pa.array(range(1, n_supp + 1), pa.int64()),
+        "s_name": [f"Supplier#{i:09d}" for i in range(1, n_supp + 1)],
+        "s_nationkey": pa.array(rng.randint(0, 25, n_supp), pa.int32()),
+        "s_acctbal": _dec2(rng, -999.99, 9999.99, n_supp),
+    }))
+
+    n_cust = 150 * SCALE
+    bal = _dec2(rng, -999.99, 9999.99, n_cust)
+    # adversarial: exact boundary balances the rounding sweeps care about
+    bal[: 6] = [0.0, 500.0, -0.01, 499.99, 500.01, 2.5]
+    write("customer", pa.table({
+        "c_custkey": pa.array(range(1, n_cust + 1), pa.int64()),
+        "c_name": [f"Customer#{i:09d}" for i in range(1, n_cust + 1)],
+        "c_nationkey": pa.array(rng.randint(0, 25, n_cust), pa.int32()),
+        "c_acctbal": bal,
+        "c_mktsegment": [SEGMENTS[i] for i in rng.randint(0, 5, n_cust)],
+    }))
+
+    n_part = 200 * SCALE
+    write("part", pa.table({
+        "p_partkey": pa.array(range(1, n_part + 1), pa.int64()),
+        "p_name": [f"part name {i % 37} tone {i % 11}" for i in range(n_part)],
+        "p_brand": [f"Brand#{i % 5 + 1}{i % 5 + 1}" for i in range(n_part)],
+        "p_type": [
+            f"{a} {b} {c}"
+            for a, b, c in zip(
+                np.array(["STANDARD", "SMALL", "MEDIUM", "LARGE", "ECONOMY", "PROMO"])[
+                    rng.randint(0, 6, n_part)
+                ],
+                np.array(["ANODIZED", "BURNISHED", "PLATED", "POLISHED", "BRUSHED"])[
+                    rng.randint(0, 5, n_part)
+                ],
+                np.array(["TIN", "NICKEL", "BRASS", "STEEL", "COPPER"])[
+                    rng.randint(0, 5, n_part)
+                ],
+            )
+        ],
+        "p_size": pa.array(rng.randint(1, 51, n_part), pa.int32()),
+        "p_retailprice": _dec2(rng, 900, 2000, n_part),
+    }))
+
+    n_ord = 1500 * SCALE
+    base = np.datetime64("1995-01-01")
+    odates = base + rng.randint(0, 2500, n_ord).astype("timedelta64[D]")
+    write("orders", pa.table({
+        "o_orderkey": pa.array(range(1, n_ord + 1), pa.int64()),
+        "o_custkey": pa.array(rng.randint(1, n_cust + 1, n_ord), pa.int64()),
+        "o_orderstatus": [["O", "F", "P"][i] for i in rng.randint(0, 3, n_ord)],
+        "o_totalprice": _dec2(rng, 1000, 500000, n_ord),
+        "o_orderdate": _ts_us(odates),
+        "o_orderpriority": [PRIORITIES[i] for i in rng.randint(0, 5, n_ord)],
+    }))
+
+    n_li = 6000 * SCALE
+    lkeys = rng.randint(1, n_ord + 1, n_li)
+    lkeys.sort()
+    linenum = np.ones(n_li, dtype=np.int32)
+    for i in range(1, n_li):
+        linenum[i] = linenum[i - 1] + 1 if lkeys[i] == lkeys[i - 1] else 1
+    sdates = base + rng.randint(0, 2500, n_li).astype("timedelta64[D]")
+    write("lineitem", pa.table({
+        "l_orderkey": pa.array(lkeys, pa.int64()),
+        "l_partkey": pa.array(rng.randint(1, n_part + 1, n_li), pa.int64()),
+        "l_suppkey": pa.array(rng.randint(1, n_supp + 1, n_li), pa.int64()),
+        "l_linenumber": pa.array(linenum, pa.int32()),
+        "l_quantity": _dec2(rng, 1, 50, n_li),
+        "l_extendedprice": _dec2(rng, 900, 100000, n_li),
+        "l_discount": np.round(rng.uniform(0, 0.1, n_li), 4),
+        "l_tax": np.round(rng.uniform(0, 0.08, n_li), 4),
+        "l_returnflag": [["R", "A", "N"][i] for i in rng.randint(0, 3, n_li)],
+        "l_linestatus": [["O", "F"][i] for i in rng.randint(0, 2, n_li)],
+        "l_shipdate": _ts_us(sdates),
+    }))
+
+    n_ev = 1000 * SCALE
+    ev_ts = (
+        np.datetime64("2024-01-01T00:00:00", "us")
+        + rng.randint(0, 30 * 24 * 3600 * 10**6, n_ev).astype("timedelta64[us]")
+    )
+    write("events", pa.table({
+        "event_id": pa.array(range(n_ev), pa.int64()),
+        "ts": pa.array(ev_ts),
+        "user_id": pa.array(rng.randint(0, 15, n_ev), pa.int64()),
+        "event_type": [ETYPES[i] for i in rng.randint(0, 5, n_ev)],
+        "value": _dec2(rng, 0.01, 330, n_ev),
+        "props": [json.dumps({"k": int(k)}) for k in rng.randint(0, 100, n_ev)],
+    }))
+
+    n_doc = 500 * SCALE
+    texts = []
+    for i in range(n_doc):
+        n_words = rng.randint(8, 111)
+        words = [VOCAB[j] for j in rng.randint(0, len(VOCAB), n_words)]
+        t = " ".join(words)
+        texts.append(t)
+    # adversarial text shapes the driver's roll may or may not contain:
+    texts[0] = "word"                      # single token
+    texts[1] = "double  space  inside"     # empty tokens mid-string
+    texts[2] = " leading space"            # empty first token
+    texts[3] = "trailing space "           # empty last token
+    texts[4] = "the the the the the the the the the the the the"  # all dup
+    texts[5] = "a " * 199 + "a"            # long, maximal stopword hits
+    # exact duplicates for the dedup family
+    for j in range(6, 26, 2):
+        texts[j + 1] = texts[j]
+    write("documents", pa.table({
+        "doc_id": pa.array(range(n_doc), pa.int64()),
+        "text": texts,
+        "lang": [LANGS[i] for i in rng.randint(0, 5, n_doc)],
+        "source": [f"src{i}" for i in rng.randint(0, 20, n_doc)],
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }))
+
+    n_vec = 500 * SCALE
+    emb = rng.standard_normal((n_vec, 64)).astype(np.float32)
+    # planted near-duplicates for the cosine-dup family
+    for j in range(0, 40, 4):
+        emb[j + 1] = emb[j] + rng.standard_normal(64).astype(np.float32) * 0.01
+    write("embeddings", pa.table({
+        "vec_id": pa.array(range(n_vec), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in emb], pa.list_(pa.float32())),
+        "label": pa.array(rng.randint(0, 10, n_vec), pa.int32()),
+    }))
+    print(f"wrote alt testdata (seed={seed}) to {out}")
+
+
+if __name__ == "__main__":
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/alt_testdata"
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 20260813
+    gen(out, seed)
