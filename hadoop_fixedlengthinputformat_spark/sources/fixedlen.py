@@ -362,6 +362,10 @@ def _visible(p: str) -> bool:
 def _list_files(path: str) -> list[str]:
     if os.path.isdir(path):
         names = sorted(filter(_visible, _glob.glob(os.path.join(path, "*"))))
+        # an existing directory with no part files is an EMPTY dataset
+        # (e.g. a committed write of an empty partitioned DataFrame), not
+        # a user error — a missing path/glob still raises below
+        return names
     elif os.path.isfile(path):
         names = [path]
     else:

@@ -525,9 +525,9 @@ def stream_fixedlen_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 # with typed ValueState/ListState handles and timers) was prototyped here
 # but is NOT declarable in this environment: its driver-side schema
 # worker requires google.protobuf, which is absent from the container
-# (ImportError: cannot import name 'descriptor').  Re-checked round 2
-# (2026-08-13): `import google.protobuf` still raises ModuleNotFoundError
-# ("No module named 'google'") — blocker stands.  The
+# (ImportError: cannot import name 'descriptor').  Re-checked rounds 2
+# and 3 (2026-08-13): `import google.protobuf` still raises
+# ModuleNotFoundError ("No module named 'google'") — blocker stands.  The
 # applyInPandasWithState operator above (stream_custom_stateful) covers
 # the custom-stateful surface; swap in transformWithStateInPandas where
 # protobuf is available.

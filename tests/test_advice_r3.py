@@ -47,6 +47,30 @@ def test_empty_layout_write_reads_back_empty(spark, tmp_path):
     assert back.count() == 0
 
 
+def test_existing_fileless_directory_reads_as_empty(spark, tmp_path):
+    """Companion to the empty-write fix: an existing directory with zero
+    part files (e.g. a committed empty PARTITIONED write) is an empty
+    dataset, not an error.  A missing path still raises."""
+    _register(spark)
+    d = tmp_path / "bare_dir"
+    d.mkdir()
+    df = (
+        spark.read.format("fixedlen")
+        .option("recordLength", "10")
+        .option("layout", "v:0:10:long")
+        .load(str(d))
+    )
+    assert df.count() == 0
+    with pytest.raises(Exception, match="no input files"):
+        (
+            spark.read.format("fixedlen")
+            .option("recordLength", "10")
+            .option("layout", "v:0:10:long")
+            .load(str(tmp_path / "definitely_missing"))
+            .count()
+        )
+
+
 def test_partitioned_stream_initial_offset_uses_stride(spark, tmp_path):
     """ADVICE 2: lineSep + skipHeaderRecords + partitionedStream on a
     single file must start at skip_header * stride, not
