@@ -30,3 +30,44 @@ def snap_sql(expr: str, digits: int = 4) -> str:
     """The DuckDB-side twin of :func:`snap` (identical bit behavior)."""
     scale = 10 ** digits
     return f"floor(({expr}) * {scale} + 0.5) / {scale}"
+
+
+def money_units(col: Column, digits: int) -> Column:
+    """A fixed-point decimal column as exact integer units.
+
+    The source columns are parquet doubles within 1e-9 of a
+    ``digits``-decimal value, so round-to-integer after scaling is
+    unambiguous and the result is EXACT on both engines.
+    SQL twin: ``CAST(round(x * 10^d, 0) AS BIGINT)``.
+    """
+    return F.round(col * (10 ** digits), 0).cast("long")
+
+
+def exact_revenue_sum(price: Column, one_minus_disc: Column) -> Column:
+    """``sum(price * factor)`` in exact integer space.
+
+    ``price`` carries ≤2 decimals and ``factor`` ≤4, so their exact
+    product has ≤6 decimals — but summed as doubles, the group total can
+    land on a TRUE 4-decimal tie (…X50000) where the engines' float
+    summation error decides the rounding direction (the alt-seed
+    tpch_q3 divergence).  Summing cent×basis-point integer units is
+    exact and bit-identical; the final /1e6 is one exactly-rounded IEEE
+    division on identical integers.
+
+    Overflow budget: units product ≤ 1e11/row, int64 holds ~9.2e18 —
+    fine to ~1e7 rows/group at these magnitudes; for 100 TB-scale groups
+    cast the product to DECIMAL(38,0) before the sum (DuckDB already
+    sums BIGINT into HUGEINT).
+    """
+    return (
+        F.sum(money_units(price, 2) * money_units(one_minus_disc, 4))
+        / F.lit(1_000_000.0)
+    )
+
+
+def exact_revenue_sum_sql(price: str, one_minus_disc: str) -> str:
+    """DuckDB twin of :func:`exact_revenue_sum`."""
+    return (
+        f"sum(CAST(round(({price}) * 100, 0) AS BIGINT) * "
+        f"CAST(round(({one_minus_disc}) * 10000, 0) AS BIGINT)) / 1000000.0"
+    )

@@ -15,13 +15,41 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from hadoop_fixedlengthinputformat_spark.functions.num import money_units, snap
 from hadoop_fixedlengthinputformat_spark.registry import query
 from hadoop_fixedlengthinputformat_spark.tables import load_table
 
-def _revenue():
-    # built lazily — Column construction needs an active SparkContext,
-    # and this module is imported at registry load (before any session)
-    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+def _rev_units():
+    """Revenue line contribution as EXACT integer units of 1e-6.
+
+    price (≤2 decimals) in cents × (1-discount) (≤4 decimals) in
+    basis points: every product and partial sum is an exact int64, so
+    the group total is bit-identical across engines and summation
+    orders.  Summed as doubles instead, a group total can land exactly
+    on a 4-decimal rounding boundary (digits 5-6 == "50") where float
+    error direction decides the rounded value — the alt-seed tpch_q3
+    one-row divergence.  Built lazily (Column needs a SparkContext)."""
+    return money_units(F.col("l_extendedprice"), 2) * money_units(
+        1 - F.col("l_discount"), 4
+    )
+
+
+# DuckDB twin of _rev_units (keep in lockstep)
+_REV_UNITS_SQL = (
+    "(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * "
+    "CAST(round((1 - l_discount) * 10000, 0) AS BIGINT))"
+)
+
+
+def _rev_sum():
+    """snap4(sum(exact units) / 1e6) — the 4-decimal revenue contract."""
+    return snap(F.sum(_rev_units()) / F.lit(1_000_000.0), 4)
+
+
+_REV_SUM_SQL = (
+    f"floor(sum({_REV_UNITS_SQL}) / 1000000.0 * 10000 + 0.5) / 10000"
+)
 
 
 def _ts(s: str):
@@ -30,9 +58,9 @@ def _ts(s: str):
 
 @query(
     "tpch_q3_shipping_priority",
-    oracle="""
+    oracle=f"""
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           {_REV_SUM_SQL} AS revenue,
            o_orderdate
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -57,15 +85,15 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(_revenue()), 4).alias("revenue"))
+        .agg(_rev_sum().alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
     )
 
 
 @query(
     "tpch_q5_local_supplier",
-    oracle="""
-    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    oracle=f"""
+    SELECT n_name, {_REV_SUM_SQL} AS revenue
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
                   JOIN supplier ON l_suppkey = s_suppkey
@@ -100,15 +128,15 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(_revenue()), 4).alias("revenue"))
+        .agg(_rev_sum().alias("revenue"))
     )
 
 
 @query(
     "tpch_q10_returned_items",
-    oracle="""
+    oracle=f"""
     SELECT c_custkey, c_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           {_REV_SUM_SQL} AS revenue,
            round(c_acctbal, 4) AS acctbal, n_name
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -138,7 +166,7 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.round(F.sum(_revenue()), 4).alias("revenue"))
+        .agg(_rev_sum().alias("revenue"))
         .select(
             "c_custkey", "c_name", "revenue",
             F.round("c_acctbal", 4).alias("acctbal"), "n_name",
@@ -150,12 +178,13 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q14_promo_effect",
-    oracle="""
+    oracle=f"""
     WITH s AS (
-        SELECT round(sum(CASE WHEN p_type LIKE 'PROMO%'
-                              THEN l_extendedprice * (1 - l_discount)
-                              ELSE 0 END), 4) AS promo_revenue,
-               round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+        SELECT floor(sum(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN {_REV_UNITS_SQL}
+                              ELSE 0 END) / 1000000.0 * 10000 + 0.5) / 10000
+                   AS promo_revenue,
+               {_REV_SUM_SQL} AS total_revenue
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE l_shipdate >= TIMESTAMP '1996-09-01'
           AND l_shipdate < TIMESTAMP '1996-10-01'
@@ -169,25 +198,27 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q14 shape: promotional revenue share for one month.  Part is the
     broadcast dim; the fact scan carries the shipdate pushdown; one
-    global agg with map-side partials.  The pct divides the two
-    ALREADY-ROUNDED sums (floor trick), so both engines do identical
-    IEEE ops on identical inputs."""
+    global agg with map-side partials.  Revenue sums in exact integer
+    units (see _rev_units); the pct divides the two ALREADY-SNAPPED
+    sums (floor trick), so both engines do identical IEEE ops on
+    identical inputs."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= _ts("1996-09-01"))
         & (F.col("l_shipdate") < _ts("1996-10-01"))
     )
     p = load_table(spark, sf_dir, "part")
-    rev = _revenue()
     s = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
-            F.round(
+            snap(
                 F.sum(
-                    F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0.0)
-                ),
+                    F.when(F.col("p_type").like("PROMO%"), _rev_units())
+                    .otherwise(F.lit(0).cast("long"))
+                )
+                / F.lit(1_000_000.0),
                 4,
             ).alias("promo_revenue"),
-            F.round(F.sum(rev), 4).alias("total_revenue"),
+            _rev_sum().alias("total_revenue"),
         )
     )
     return s.select(
@@ -207,8 +238,11 @@ def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q18_large_orders",
     oracle="""
     WITH big AS (
-        SELECT l_orderkey, round(sum(l_quantity), 4) AS sum_qty
-        FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+        SELECT l_orderkey,
+               sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) / 100.0
+                   AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) > 30000
     )
     SELECT c_custkey, c_name, o_orderkey,
            round(o_totalprice, 4) AS totalprice, sum_qty
@@ -224,14 +258,16 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
+    # exact integer cents: the >300 threshold can tie exactly (sum ==
+    # 300.00), where float summation error direction would decide
     big = (
         li.groupBy("l_orderkey")
-        .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.sum("l_quantity").alias("_raw_qty"),
+        .agg(F.sum(money_units(F.col("l_quantity"), 2)).alias("_qty_units"))
+        .filter(F.col("_qty_units") > 30_000)
+        .select(
+            "l_orderkey",
+            (F.col("_qty_units") / F.lit(100.0)).alias("sum_qty"),
         )
-        .filter(F.col("_raw_qty") > 300)
-        .drop("_raw_qty")
     )
     return (
         big.join(o, big.l_orderkey == o.o_orderkey)

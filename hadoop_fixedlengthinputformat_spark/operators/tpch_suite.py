@@ -31,13 +31,15 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from hadoop_fixedlengthinputformat_spark.functions.num import money_units, snap
+from hadoop_fixedlengthinputformat_spark.operators.tpch_composites import (
+    _REV_SUM_SQL,
+    _REV_UNITS_SQL,
+    _rev_sum,
+    _rev_units,
+)
 from hadoop_fixedlengthinputformat_spark.registry import query
 from hadoop_fixedlengthinputformat_spark.tables import load_table
-
-
-def _revenue():
-    # lazy: Column construction needs an active SparkContext
-    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
 def _ts(s: str):
@@ -45,6 +47,10 @@ def _ts(s: str):
 
 
 def _round4(col):
+    # for values whose EXACT decimal form has <=4 decimals (counts, 2dp
+    # money sums, 4dp qty-value sums): identity-distance rounding, safe.
+    # Revenue-style 6-decimal sums must use _rev_sum/_rev_units instead
+    # (see tpch_composites._rev_units for why).
     return F.round(col, 4)
 
 
@@ -86,7 +92,9 @@ def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tpch_q6_forecast_revenue",
     oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+    SELECT floor(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+                     CAST(round(l_discount * 10000, 0) AS BIGINT))
+                 / 1000000.0 * 10000 + 0.5) / 10000 AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -105,18 +113,28 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_discount").between(0.05, 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(_round4(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"))
+        .agg(
+            snap(
+                F.sum(
+                    money_units(F.col("l_extendedprice"), 2)
+                    * money_units(F.col("l_discount"), 4)
+                )
+                / F.lit(1_000_000.0),
+                4,
+            ).alias("revenue")
+        )
     )
 
 
 @query(
     "tpch_q7_volume_shipping",
-    oracle="""
-    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 4) AS revenue
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           floor(sum(volume) / 1000000.0 * 10000 + 0.5) / 10000 AS revenue
     FROM (
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                year(l_shipdate) AS l_year,
-               l_extendedprice * (1 - l_discount) AS volume
+               {_REV_UNITS_SQL} AS volume
         FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
              JOIN orders ON o_orderkey = l_orderkey
              JOIN customer ON c_custkey = o_custkey
@@ -160,19 +178,19 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation",
             "cust_nation",
             F.year("l_shipdate").alias("l_year"),
-            _revenue().alias("volume"),
+            _rev_units().alias("volume"),
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(_round4(F.sum("volume")).alias("revenue"))
+        .agg(snap(F.sum("volume") / F.lit(1_000_000.0), 4).alias("revenue"))
     )
 
 
 @query(
     "tpch_q8_market_share",
-    oracle="""
+    oracle=f"""
     WITH all_nations AS (
         SELECT year(o_orderdate) AS o_year,
-               l_extendedprice * (1 - l_discount) AS volume,
+               {_REV_UNITS_SQL} AS volume,
                n2.n_name AS nation
         FROM part JOIN lineitem ON p_partkey = l_partkey
              JOIN supplier ON s_suppkey = l_suppkey
@@ -184,9 +202,10 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
     ), sums AS (
         SELECT o_year,
-               round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END), 4)
-                   AS nation_volume,
-               round(sum(volume), 4) AS total_volume
+               floor(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                     / 1000000.0 * 10000 + 0.5) / 10000 AS nation_volume,
+               floor(sum(volume) / 1000000.0 * 10000 + 0.5) / 10000
+                   AS total_volume
         FROM all_nations GROUP BY o_year
     )
     SELECT o_year, nation_volume, total_volume,
@@ -220,15 +239,20 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
         .select(
             F.year("o_orderdate").alias("o_year"),
-            _revenue().alias("volume"),
+            _rev_units().alias("volume"),
             "nation",
         )
         .groupBy("o_year")
         .agg(
-            _round4(
-                F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(0.0))
+            snap(
+                F.sum(
+                    F.when(F.col("nation") == "NATION_3", F.col("volume"))
+                    .otherwise(F.lit(0).cast("long"))
+                )
+                / F.lit(1_000_000.0),
+                4,
             ).alias("nation_volume"),
-            _round4(F.sum("volume")).alias("total_volume"),
+            snap(F.sum("volume") / F.lit(1_000_000.0), 4).alias("total_volume"),
         )
     )
     return sums.select(
@@ -243,12 +267,14 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q9_product_profit",
-    oracle="""
-    SELECT nation, o_year, round(sum(amount), 4) AS sum_profit
+    oracle=f"""
+    SELECT nation, o_year,
+           floor(sum(amount) / 1000000.0 * 10000 + 0.5) / 10000 AS sum_profit
     FROM (
         SELECT n_name AS nation, year(o_orderdate) AS o_year,
-               l_extendedprice * (1 - l_discount)
-                   - 0.6 * p_retailprice * l_quantity AS amount
+               {_REV_UNITS_SQL}
+                   - 60 * CAST(round(p_retailprice * 100, 0) AS BIGINT)
+                        * CAST(round(l_quantity * 100, 0) AS BIGINT) AS amount
         FROM part JOIN lineitem ON p_partkey = l_partkey
              JOIN supplier ON s_suppkey = l_suppkey
              JOIN orders ON o_orderkey = l_orderkey
@@ -267,7 +293,13 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     o = load_table(spark, sf_dir, "orders")
     n = load_table(spark, sf_dir, "nation")
-    amount = _revenue() - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    # profit in exact 1e-6 units: 0.6*retail*qty*1e6 == 60 * (retail
+    # cents) * (qty cents) — every term an exact int64, so group sums
+    # are bit-identical across engines (0.6 itself is binary-inexact;
+    # computed in float it seeds boundary-straddle divergence)
+    amount = _rev_units() - F.lit(60) * money_units(
+        F.col("p_retailprice"), 2
+    ) * money_units(F.col("l_quantity"), 2)
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
@@ -279,7 +311,7 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             amount.alias("amount"),
         )
         .groupBy("nation", "o_year")
-        .agg(_round4(F.sum("amount")).alias("sum_profit"))
+        .agg(snap(F.sum("amount") / F.lit(1_000_000.0), 4).alias("sum_profit"))
     )
 
 
@@ -351,10 +383,10 @@ def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFram
 
 @query(
     "tpch_q15_top_supplier",
-    oracle="""
+    oracle=f"""
     WITH revenue AS (
         SELECT l_suppkey AS supplier_no,
-               round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+               {_REV_SUM_SQL} AS total_revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -377,7 +409,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     revenue = (
         li.groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(_round4(F.sum(_revenue())).alias("total_revenue"))
+        .agg(_rev_sum().alias("total_revenue"))
     )
     best = revenue.agg(F.max("total_revenue").alias("best_rev"))
     return (
@@ -454,8 +486,8 @@ def tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q19_discounted_revenue",
-    oracle="""
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    oracle=f"""
+    SELECT {_REV_SUM_SQL} AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
            AND l_quantity BETWEEN 1 AND 11)
@@ -492,7 +524,7 @@ def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .filter(cond)
-        .agg(_round4(F.sum(_revenue())).alias("revenue"))
+        .agg(_rev_sum().alias("revenue"))
     )
 
 
@@ -631,15 +663,18 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH val AS (
         SELECT l_partkey,
-               sum(l_extendedprice * l_quantity) AS raw_value
+               sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+                   CAST(round(l_quantity * 100, 0) AS BIGINT)) AS raw_units
         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         JOIN nation ON s_nationkey = n_nationkey
         WHERE n_name = 'NATION_7'
         GROUP BY l_partkey
     )
-    SELECT l_partkey, round(raw_value, 4) AS part_value
+    SELECT l_partkey, raw_units / 10000.0 AS part_value
     FROM val
-    WHERE round(raw_value, 4) > (SELECT round(sum(raw_value) * 0.001, 4) FROM val)
+    WHERE raw_units / 10000.0 >
+          (SELECT floor(sum(raw_units) / 10000.0 * 0.001 * 10000 + 0.5) / 10000
+           FROM val)
     """,
 )
 def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -660,14 +695,22 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(
-            F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("raw_value")
+            F.sum(
+                money_units(F.col("l_extendedprice"), 2)
+                * money_units(F.col("l_quantity"), 2)
+            ).alias("raw_units")
         )
     )
-    thr = val.agg(_round4(F.sum("raw_value") * 0.001).alias("thr"))
+    thr = val.agg(
+        snap(F.sum("raw_units") / F.lit(10_000.0) * 0.001, 4).alias("thr")
+    )
     return (
         val.join(F.broadcast(thr))
-        .filter(_round4(F.col("raw_value")) > F.col("thr"))
-        .select("l_partkey", _round4(F.col("raw_value")).alias("part_value"))
+        .filter(F.col("raw_units") / F.lit(10_000.0) > F.col("thr"))
+        .select(
+            "l_partkey",
+            (F.col("raw_units") / F.lit(10_000.0)).alias("part_value"),
+        )
     )
 
 
@@ -675,13 +718,15 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q20_excess_share",
     oracle="""
     WITH per AS (
-        SELECT l_suppkey, l_partkey, sum(l_quantity) AS supp_qty
+        SELECT l_suppkey, l_partkey,
+               sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS supp_units
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
           AND l_shipdate < TIMESTAMP '1998-01-01'
         GROUP BY l_suppkey, l_partkey
     ), tot AS (
-        SELECT l_partkey, sum(supp_qty) AS part_qty FROM per GROUP BY l_partkey
+        SELECT l_partkey, sum(supp_units) AS part_units
+        FROM per GROUP BY l_partkey
     )
     SELECT DISTINCT s_suppkey, s_name
     FROM per
@@ -690,35 +735,35 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN supplier ON l_suppkey = s_suppkey
     JOIN nation ON s_nationkey = n_nationkey
     WHERE p_name LIKE '%gear%'
-      AND per.supp_qty > 0.3 * tot.part_qty
+      AND 10 * per.supp_units > 3 * tot.part_units
       AND n_regionkey = 1
     """,
 )
 def tpch_q20_excess_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q20 shape: region-1 suppliers who shipped more than 30% of a
     gear-part's 1997 volume (the share test stands in for the missing
-    ps_availqty excess-stock test).  Quantities are integer-valued
-    doubles, so both engines' sums are EXACT regardless of order and
-    the share comparison needs no rounding snap.  One (supp, part)
-    partial-agg shuffle; the per-part total rides those pre-aggregated
-    rows; part/supplier/nation broadcast; output is the distinct
-    supplier set."""
+    ps_availqty excess-stock test).  Quantities sum as exact integer
+    cents and the 30% share test is pure integer arithmetic
+    (10*supp > 3*part) — an exact decimal tie can't be decided by float
+    error direction.  One (supp, part) partial-agg shuffle; the per-part
+    total rides those pre-aggregated rows; part/supplier/nation
+    broadcast; output is the distinct supplier set."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= _ts("1997-01-01"))
         & (F.col("l_shipdate") < _ts("1998-01-01"))
     )
     per = li.groupBy("l_suppkey", "l_partkey").agg(
-        F.sum("l_quantity").alias("supp_qty")
+        F.sum(money_units(F.col("l_quantity"), 2)).alias("supp_units")
     )
     tot = per.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
-        F.sum("supp_qty").alias("part_qty")
+        F.sum("supp_units").alias("part_units")
     )
     p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 1)
     return (
         per.join(tot, per.l_partkey == tot.t_partkey)
-        .filter(F.col("supp_qty") > 0.3 * F.col("part_qty"))
+        .filter(10 * F.col("supp_units") > 3 * F.col("part_units"))
         .join(F.broadcast(p), per.l_partkey == p.p_partkey)
         .join(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey),
               per.l_suppkey == s.s_suppkey)
@@ -738,9 +783,10 @@ def tpch_q20_excess_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT cntrycode, count(*) AS numcust, round(sum(c_acctbal), 4) AS totacctbal
     FROM eligible
-    WHERE c_acctbal > (
-            SELECT avg(c_acctbal) FROM eligible WHERE c_acctbal > 0.0
-          )
+    WHERE CAST(round(c_acctbal * 100, 0) AS BIGINT) *
+          (SELECT count(*) FROM eligible WHERE c_acctbal > 0.0)
+          > (SELECT sum(CAST(round(c_acctbal * 100, 0) AS BIGINT))
+             FROM eligible WHERE c_acctbal > 0.0)
       AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     GROUP BY cntrycode
     """,
@@ -748,8 +794,12 @@ def tpch_q20_excess_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q22 shape: well-funded customers with no orders, bucketed by
     country code (c_nationkey % 10 stands in for the phone prefix).
-    The avg is one broadcast scalar; the NOT EXISTS is an anti join on
-    custkey against the orders key column only."""
+    The avg threshold is cross-multiplied in exact integer cents
+    (bal*n > total) — bal > sum/n as floats can tie exactly when the
+    true average lands on a 2-decimal value, and then float summation
+    error direction decides the row.  The (count, sum) pair is one
+    broadcast scalar row; the NOT EXISTS is an anti join on custkey
+    against the orders key column only."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").select("o_custkey")
     eligible = c.filter((F.col("c_nationkey") % 10).isin(1, 2, 4, 5, 7)).select(
@@ -757,12 +807,17 @@ def tpch_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_acctbal",
         "c_custkey",
     )
-    avg_bal = eligible.filter(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+    pos = eligible.filter(F.col("c_acctbal") > 0.0)
+    avg_bal = pos.agg(
+        F.count(F.lit(1)).alias("n_pos"),
+        F.sum(money_units(F.col("c_acctbal"), 2)).alias("sum_units"),
     )
     return (
         eligible.join(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .filter(
+            money_units(F.col("c_acctbal"), 2) * F.col("n_pos")
+            > F.col("sum_units")
+        )
         .join(o, eligible.c_custkey == o.o_custkey, "left_anti")
         .groupBy("cntrycode")
         .agg(

@@ -84,24 +84,25 @@ def gen(out: str, seed: int = 20260813) -> None:
         "c_mktsegment": [SEGMENTS[i] for i in rng.randint(0, 5, n_cust)],
     }))
 
+    # p_type/p_brand/p_name follow the driver's compact domains (p_type is
+    # a single word <=8 chars — the implied-decimal fixture layout packs it
+    # into an 8-byte field; names include 'gear' for the q9/q20 filters)
     n_part = 200 * SCALE
+    adjs = np.array(["old", "small", "cold", "hot", "blue", "red", "big"])
+    nouns = np.array(["ring", "anvil", "plate", "gear", "bolt", "rod"])
     write("part", pa.table({
         "p_partkey": pa.array(range(1, n_part + 1), pa.int64()),
-        "p_name": [f"part name {i % 37} tone {i % 11}" for i in range(n_part)],
-        "p_brand": [f"Brand#{i % 5 + 1}{i % 5 + 1}" for i in range(n_part)],
-        "p_type": [
-            f"{a} {b} {c}"
-            for a, b, c in zip(
-                np.array(["STANDARD", "SMALL", "MEDIUM", "LARGE", "ECONOMY", "PROMO"])[
-                    rng.randint(0, 6, n_part)
-                ],
-                np.array(["ANODIZED", "BURNISHED", "PLATED", "POLISHED", "BRUSHED"])[
-                    rng.randint(0, 5, n_part)
-                ],
-                np.array(["TIN", "NICKEL", "BRASS", "STEEL", "COPPER"])[
-                    rng.randint(0, 5, n_part)
-                ],
+        "p_name": [
+            f"{a} {b}"
+            for a, b in zip(
+                adjs[rng.randint(0, len(adjs), n_part)],
+                nouns[rng.randint(0, len(nouns), n_part)],
             )
+        ],
+        "p_brand": [f"Brand#{i}" for i in rng.randint(1, 26, n_part)],
+        "p_type": [
+            ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STD"][i]
+            for i in rng.randint(0, 6, n_part)
         ],
         "p_size": pa.array(rng.randint(1, 51, n_part), pa.int32()),
         "p_retailprice": _dec2(rng, 900, 2000, n_part),
