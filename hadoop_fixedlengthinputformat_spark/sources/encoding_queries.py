@@ -95,7 +95,8 @@ def packed_file_for(sf_dir: str) -> str:
     )
 
     tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|packed|{_PACKED_SPEC}".encode()
+        f"{os.path.abspath(sf_dir)}|packed|{_PACKED_SPEC}"
+        f"|{fixture_gen.source_stamp(sf_dir)}".encode()
     ).hexdigest()[:12]
     out = os.path.join(fixture_gen.fixture_dir(), f"packed-{tag}.fixed")
     if os.path.exists(out):
@@ -210,7 +211,8 @@ def zoned_file_for(sf_dir: str) -> str:
     )
 
     tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|zoned|{_ZONED_SPEC}".encode()
+        f"{os.path.abspath(sf_dir)}|zoned|{_ZONED_SPEC}"
+        f"|{fixture_gen.source_stamp(sf_dir)}".encode()
     ).hexdigest()[:12]
     out = os.path.join(fixture_gen.fixture_dir(), f"zoned-{tag}.fixed")
     if os.path.exists(out):
@@ -270,7 +272,8 @@ def implied_file_for(sf_dir: str) -> str:
     )
 
     tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|implied|{_IMPLIED_SPEC}".encode()
+        f"{os.path.abspath(sf_dir)}|implied|{_IMPLIED_SPEC}"
+        f"|{fixture_gen.source_stamp(sf_dir)}".encode()
     ).hexdigest()[:12]
     out = os.path.join(fixture_gen.fixture_dir(), f"implied-{tag}.fixed")
     if os.path.exists(out):
@@ -333,7 +336,8 @@ def bin_file_for(sf_dir: str) -> str:
     )
 
     tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|bin|{_BIN_SPEC}".encode()
+        f"{os.path.abspath(sf_dir)}|bin|{_BIN_SPEC}"
+        f"|{fixture_gen.source_stamp(sf_dir)}".encode()
     ).hexdigest()[:12]
     out = os.path.join(fixture_gen.fixture_dir(), f"bin-{tag}.fixed")
     if os.path.exists(out):

@@ -52,6 +52,21 @@ def fixture_dir() -> str:
     return d
 
 
+def source_stamp(sf_dir: str) -> str:
+    """Content fingerprint of a dataset dir ((name, mtime_ns, size) of
+    every parquet).  Every derived-fixture cache key must include it:
+    the driver's testdata never changes in place, but
+    ``tests/gen_testdata.py`` reruns DO regenerate a dir under the same
+    path — a path-only key then serves stale fixed-width bytes against
+    fresh parquet oracles (15 phantom parity FAILs, round 3)."""
+    parts = []
+    for name in sorted(os.listdir(sf_dir)):
+        if name.endswith(".parquet"):
+            st = os.stat(os.path.join(sf_dir, name))
+            parts.append(f"{name}:{st.st_mtime_ns}:{st.st_size}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
+
+
 def layout_for(table: str) -> tuple[int, list[FieldSpec]]:
     record_length, spec, _ = LAYOUTS[table]
     return record_length, parse_layout(spec, record_length)
@@ -63,7 +78,8 @@ def fixed_file_for(sf_dir: str, table: str, encoding: str = "utf-8") -> str:
     single-byte-charset variant (e.g. EBCDIC cp037)."""
     record_length, spec, order_col = LAYOUTS[table]
     tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{table}|{spec}|{encoding}".encode()
+        f"{os.path.abspath(sf_dir)}|{table}|{spec}|{encoding}"
+        f"|{source_stamp(sf_dir)}".encode()
     ).hexdigest()[:12]
     out = os.path.join(fixture_dir(), f"{table}-{tag}.fixed")
     if os.path.exists(out):
@@ -130,10 +146,10 @@ def occurs_file_for(sf_dir: str) -> str:
     """Fixed-width fixture with a COBOL OCCURS group: per nation row,
     key + 3 derived int elements (key+1, 2*key, regionkey) — derivable
     in plain SQL so the oracle can recompute every element."""
-    out = os.path.join(
-        fixture_dir(),
-        f"nation-occurs-{hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]}.fixed",
-    )
+    occ_tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{source_stamp(sf_dir)}".encode()
+    ).hexdigest()[:12]
+    out = os.path.join(fixture_dir(), f"nation-occurs-{occ_tag}.fixed")
     if os.path.exists(out):
         return out
     tbl = pq.read_table(os.path.join(sf_dir, "nation.parquet"))

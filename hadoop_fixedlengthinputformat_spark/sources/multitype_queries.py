@@ -41,7 +41,8 @@ def multitype_file_for(sf_dir: str) -> str:
     """Mixed nation/region fixture: alternating 'N'/'R' records of one
     fixed 41-byte length, discriminator at byte 0."""
     tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|multitype|{LAYOUTS_OPT}".encode()
+        f"{os.path.abspath(sf_dir)}|multitype|{LAYOUTS_OPT}"
+        f"|{fixture_gen.source_stamp(sf_dir)}".encode()
     ).hexdigest()[:12]
     out = os.path.join(fixture_gen.fixture_dir(), f"multitype-{tag}.fixed")
     if os.path.exists(out):

@@ -117,7 +117,8 @@ def scan_fixedlen_stats_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub = "l_orderkey:0:12:long,l_linenumber:30:2:int,l_quantity:32:12:double(2),l_shipdate:82:10:date"
     out = os.path.join(
         tempfile.gettempdir(),
-        f"flif_stats_pruned_{os.path.basename(os.path.abspath(sf_dir))}",
+        f"flif_stats_pruned_{os.path.basename(os.path.abspath(sf_dir))}"
+        f"_{fixture_gen.source_stamp(sf_dir)}",
     )
     marker = os.path.join(out, "_done")
     if not os.path.exists(marker):
@@ -265,7 +266,8 @@ def maintain_fixedlen_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     record_length, spec, _ = fixture_gen.LAYOUTS["nation"]
     base = _os.path.join(
         tempfile.gettempdir(),
-        f"flif_compact_{_os.path.basename(_os.path.abspath(sf_dir))}",
+        f"flif_compact_{_os.path.basename(_os.path.abspath(sf_dir))}"
+        f"_{fixture_gen.source_stamp(sf_dir)}",
     )
     small, out = base + "_small", base + "_out"
     if not _os.path.isdir(small):
@@ -305,7 +307,8 @@ def scan_fixedlen_linesep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = _os.path.join(
         tempfile.gettempdir(),
-        f"flif_linesep_{_os.path.basename(_os.path.abspath(sf_dir))}",
+        f"flif_linesep_{_os.path.basename(_os.path.abspath(sf_dir))}"
+        f"_{fixture_gen.source_stamp(sf_dir)}",
     )
     marker = _os.path.join(out, "_done")
     if not _os.path.exists(marker):

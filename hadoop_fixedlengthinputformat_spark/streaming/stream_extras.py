@@ -34,7 +34,8 @@ def stream_fixedlen_directory(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut = (len(payload) // record_length // 2) * record_length
     d = os.path.join(
         tempfile.gettempdir(),
-        f"flif_stream_dir_{os.path.basename(os.path.abspath(sf_dir))}",
+        f"flif_stream_dir_{os.path.basename(os.path.abspath(sf_dir))}"
+        f"_{fixture_gen.source_stamp(sf_dir)}",
     )
     if not os.path.isdir(d):
         os.makedirs(d, exist_ok=True)

@@ -25,6 +25,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from hadoop_fixedlengthinputformat_spark.registry import query
+from hadoop_fixedlengthinputformat_spark.sources import fixture_gen
 from hadoop_fixedlengthinputformat_spark.tables import load_table
 
 N_CHUNKS = 5
@@ -36,7 +37,8 @@ def _events_stream_dir(spark: SparkSession, sf_dir: str, with_late: bool) -> str
     clones shifted 30 minutes earlier (FIXTURES.md §D late-data fixture).
     """
     tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|late={with_late}|v2".encode()
+        f"{os.path.abspath(sf_dir)}|late={with_late}|v2"
+        f"|{fixture_gen.source_stamp(sf_dir)}".encode()
     ).hexdigest()[:12]
     out = os.path.join(tempfile.gettempdir(), f"flif_stream_{tag}")
     done = os.path.join(out, "_DONE")
