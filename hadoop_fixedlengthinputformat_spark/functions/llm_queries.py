@@ -484,19 +484,24 @@ def llm_embedding_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_text_stats",
     oracle="""
     SELECT lang, count(*) AS n_docs,
-           round(avg(length(text) - length(replace(text, ' ', '')) + 1), 4)
-               AS avg_tokens,
-           round(avg(n_chars), 4) AS avg_chars,
+           floor(sum(length(text) - length(replace(text, ' ', '')) + 1)
+                 / count(*) * 10000 + 0.5) / 10000 AS avg_tokens,
+           floor(sum(n_chars) / count(*) * 10000 + 0.5) / 10000 AS avg_chars,
            max(n_chars) AS max_chars
     FROM documents GROUP BY lang
     """,
 )
 def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer averages snap via sum/count (identical bits both engines)
+    — round(avg(int),4) can genuinely tie at 4 decimals when the group
+    count carries powers of 2 (n=32: half-integer scaled avgs are a
+    coin flip per group), and round() impls then split."""
     d = load_table(spark, sf_dir, "documents")
+    n = F.count(F.lit(1))
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg(text.n_ws_tokens("text")), 4).alias("avg_tokens"),
-        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        snap(F.sum(text.n_ws_tokens("text")) / n, 4).alias("avg_tokens"),
+        snap(F.sum("n_chars") / n, 4).alias("avg_chars"),
         F.max("n_chars").alias("max_chars"),
     )
 
@@ -863,7 +868,7 @@ def llm_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_docs,
            sum(length(text) - length(replace(text, ' ', '')) + 1)
                AS total_tokens,
-           round(avg(n_chars), 4) AS avg_chars,
+           floor(sum(n_chars) / count(*) * 10000 + 0.5) / 10000 AS avg_chars,
            floor((1 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*))
                  * 10000 + 0.5) / 10000 AS dup_rate
     FROM documents
@@ -881,7 +886,7 @@ def llm_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(text.n_ws_tokens("text")).alias("total_tokens"),
-        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        snap(F.sum("n_chars") / F.count(F.lit(1)), 4).alias("avg_chars"),
         (
             F.floor(
                 (

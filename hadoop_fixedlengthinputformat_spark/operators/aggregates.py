@@ -17,6 +17,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from hadoop_fixedlengthinputformat_spark.functions.num import money_units, snap
 from hadoop_fixedlengthinputformat_spark.registry import query
 from hadoop_fixedlengthinputformat_spark.tables import load_table
 
@@ -24,8 +25,9 @@ from hadoop_fixedlengthinputformat_spark.tables import load_table
 @query(
     "agg_global",
     oracle="""
-    SELECT round(sum(l_quantity), 4) AS sum_qty,
-           round(avg(l_extendedprice), 4) AS avg_price,
+    SELECT sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) / 100.0 AS sum_qty,
+           floor(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                 / count(*) / 100.0 * 10000 + 0.5) / 10000 AS avg_price,
            round(min(l_discount), 4) AS min_disc,
            round(max(l_tax), 4) AS max_tax,
            count(*) AS cnt
@@ -33,25 +35,49 @@ from hadoop_fixedlengthinputformat_spark.tables import load_table
     """,
 )
 def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sums/avgs in exact integer cents (order-independent, bit-identical
+    across engines); min/max are pure selection and stay raw."""
     li = load_table(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
     return li.agg(
-        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        (F.sum(money_units(F.col("l_quantity"), 2)) / F.lit(100.0)).alias(
+            "sum_qty"
+        ),
+        snap(
+            F.sum(money_units(F.col("l_extendedprice"), 2)) / n / F.lit(100.0), 4
+        ).alias("avg_price"),
         F.round(F.min("l_discount"), 4).alias("min_disc"),
         F.round(F.max("l_tax"), 4).alias("max_tax"),
         F.count(F.lit(1)).alias("cnt"),
     )
 
 
+# Q1 money/avg columns in exact integer units (2-decimal cents for
+# qty/price, 4-decimal basis points for discount/tax): every group sum is
+# order-independent and bit-identical across engines.  sum_charge's 10-dp
+# unit product (<= ~1.1e15/row) sums in DECIMAL(38)/HUGEINT — int64 would
+# overflow past ~1e4 rows/group — then converts once to double (the same
+# exact integer converts to the same nearest double in both engines).
+# Plain round(sum(double),4) here was a latent boundary-tie risk: a
+# 6/10-dp exact group total CAN land exactly on the 4-decimal boundary.
 Q1_ORACLE = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 4) AS sum_qty,
-       round(sum(l_extendedprice), 4) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
-       round(avg(l_quantity), 4) AS avg_qty,
-       round(avg(l_extendedprice), 4) AS avg_price,
-       round(avg(l_discount), 4) AS avg_disc,
+       sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) / 100.0 AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0
+           AS sum_base_price,
+       floor(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+                 CAST(round((1 - l_discount) * 10000, 0) AS BIGINT))
+             / 1000000.0 * 10000 + 0.5) / 10000 AS sum_disc_price,
+       floor(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+                      CAST(round((1 - l_discount) * 10000, 0) AS BIGINT) *
+                      CAST(round((1 + l_tax) * 10000, 0) AS BIGINT)) AS DOUBLE)
+             / 10000000000.0 * 10000 + 0.5) / 10000 AS sum_charge,
+       floor(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) / count(*)
+             / 100.0 * 10000 + 0.5) / 10000 AS avg_qty,
+       floor(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / count(*)
+             / 100.0 * 10000 + 0.5) / 10000 AS avg_price,
+       floor(sum(CAST(round(l_discount * 10000, 0) AS BIGINT)) / count(*)
+             / 10000.0 * 10000 + 0.5) / 10000 AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -64,21 +90,38 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape at scale: parquet scan with l_shipdate predicate pushed down
     and 7-column pruning -> partial hash agg per scan partition (6 groups)
-    -> single tiny shuffle -> final agg.  No join, no sort.
+    -> single tiny shuffle -> final agg.  No join, no sort.  Money columns
+    aggregate in exact integer units (see Q1_ORACLE comment); the decimal
+    sum for sum_charge keeps partial aggregation map-side like any other
+    hash-agg column.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    qty_u = money_units(F.col("l_quantity"), 2)
+    price_u = money_units(F.col("l_extendedprice"), 2)
+    disc_u = money_units(1 - F.col("l_discount"), 4)
+    tax_u = money_units(1 + F.col("l_tax"), 4)
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            (F.sum(qty_u) / F.lit(100.0)).alias("sum_qty"),
+            (F.sum(price_u) / F.lit(100.0)).alias("sum_base_price"),
+            snap(F.sum(price_u * disc_u) / F.lit(1_000_000.0), 4).alias(
+                "sum_disc_price"
+            ),
+            snap(
+                F.sum((price_u * disc_u * tax_u).cast("decimal(38,0)"))
+                .cast("double")
+                / F.lit(10_000_000_000.0),
+                4,
+            ).alias("sum_charge"),
+            snap(F.sum(qty_u) / n / F.lit(100.0), 4).alias("avg_qty"),
+            snap(F.sum(price_u) / n / F.lit(100.0), 4).alias("avg_price"),
+            snap(
+                F.sum(money_units(F.col("l_discount"), 4)) / n / F.lit(10_000.0),
+                4,
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )

@@ -36,17 +36,26 @@ def _views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
     oracle="""
     SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS total
     FROM orders
-    WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+    WHERE CAST(round(o_totalprice * 100, 0) AS BIGINT)
+          * (SELECT count(*) FROM orders)
+          > 2 * (SELECT sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                 FROM orders)
     """,
 )
 def subq_scalar_where(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Uncorrelated scalar subquery in WHERE: orders above 2x the mean."""
+    """Uncorrelated scalar subquery in WHERE: orders above 2x the mean.
+    The threshold cross-multiplies in exact integer cents (price·n >
+    2·total) — `price > 2·avg` as floats can tie exactly when the true
+    mean lands on a half-cent, where summation-order error decides."""
     _views(spark, sf_dir, "orders")
     return spark.sql(
         """
         SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS total
         FROM subq_orders
-        WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM subq_orders)
+        WHERE CAST(round(o_totalprice * 100, 0) AS BIGINT)
+              * (SELECT count(*) FROM subq_orders)
+              > 2 * (SELECT sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                     FROM subq_orders)
         """
     )
 

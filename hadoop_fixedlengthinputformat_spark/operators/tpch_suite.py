@@ -449,36 +449,54 @@ def tpch_q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q17_small_quantity",
     oracle="""
     WITH part_avg AS (
-        SELECT l_partkey, avg(l_quantity) AS avg_qty
+        SELECT l_partkey,
+               sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS s_units,
+               count(*) AS n_li
         FROM lineitem GROUP BY l_partkey
     )
-    SELECT floor(sum(l_extendedprice) / 7.0 * 10000 + 0.5) / 10000 AS avg_yearly
+    SELECT floor(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0
+                 / 7.0 * 10000 + 0.5) / 10000 AS avg_yearly
     FROM lineitem JOIN part ON p_partkey = l_partkey
          JOIN part_avg ON part_avg.l_partkey = lineitem.l_partkey
-    WHERE p_brand = 'Brand#13' AND l_quantity < 0.2 * avg_qty
+    WHERE p_brand = 'Brand#13'
+      AND 5 * CAST(round(l_quantity * 100, 0) AS BIGINT) * n_li < s_units
     """,
 )
 def tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q17 shape: revenue lost to small-quantity orders of one brand.
-    The per-part avg is computed only over that brand's parts (identical
-    result: avg is per-partkey, and the part filter prunes partkeys, not
-    lineitems of a kept part) — at 100 TB the avg agg runs on the
-    semi-filtered fact, not all of lineitem.  avg(l_quantity) sums
-    integer-valued doubles, which is exact and order-independent, so the
-    0.2·avg boundary is bit-identical in both engines."""
+    The per-part stats are computed only over that brand's parts
+    (identical result: they are per-partkey, and the part filter prunes
+    partkeys, not lineitems of a kept part) — at 100 TB the agg runs on
+    the semi-filtered fact, not all of lineitem.  The qty < 0.2·avg test
+    cross-multiplies in exact integer cents (5·qty·n < total), so a
+    group whose average lands exactly on the boundary can't be decided
+    by float error; the price sum is exact cents too."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
     brand_li = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-    part_avg = (
+    part_stats = (
         brand_li.groupBy(F.col("l_partkey").alias("pa_key"))
-        .agg(F.avg("l_quantity").alias("avg_qty"))
+        .agg(
+            F.sum(money_units(F.col("l_quantity"), 2)).alias("s_units"),
+            F.count(F.lit(1)).alias("n_li"),
+        )
     )
     return (
-        brand_li.join(F.broadcast(part_avg), F.col("l_partkey") == F.col("pa_key"))
-        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        brand_li.join(F.broadcast(part_stats), F.col("l_partkey") == F.col("pa_key"))
+        .filter(
+            5 * money_units(F.col("l_quantity"), 2) * F.col("n_li")
+            < F.col("s_units")
+        )
         .agg(
             (
-                F.floor(F.sum("l_extendedprice") / 7.0 * 10000 + 0.5) / 10000
+                F.floor(
+                    F.sum(money_units(F.col("l_extendedprice"), 2))
+                    / F.lit(100.0)
+                    / 7.0
+                    * 10000
+                    + 0.5
+                )
+                / 10000
             ).alias("avg_yearly")
         )
     )
