@@ -282,24 +282,75 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_regression",
     oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               count(*) AS n,
+               sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS sx,
+               sum(CAST(round(l_quantity * 100, 0) AS BIGINT)
+                   * CAST(round(l_quantity * 100, 0) AS BIGINT)) AS sxx,
+               sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS sy,
+               sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                   * CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS syy,
+               sum(CAST(round(l_quantity * 100, 0) AS BIGINT)
+                   * CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    ), d AS (
+        SELECT l_returnflag, n, sx, sy,
+               CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) AS cxy,
+               CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS vx,
+               CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS vy
+        FROM m
+    )
     SELECT l_returnflag,
-           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
-           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
-           round(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
-           regr_count(l_extendedprice, l_quantity) AS n
-    FROM lineitem GROUP BY l_returnflag
+           floor(cxy / vx * 10000 + 0.5) / 10000 AS slope,
+           floor((CAST(sy AS DOUBLE) - cxy / vx * sx) / n / 100.0
+                 * 10000 + 0.5) / 10000 AS intercept,
+           floor(cxy * cxy / (vx * vy) * 10000 + 0.5) / 10000 AS r2,
+           n
+    FROM d
     """,
 )
 def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Linear-regression aggregate family (slope/intercept/R2/count of
-    price vs quantity per return flag) — single-pass moment aggregates
-    with map-side partials, the same shuffle shape as agg_stats."""
+    """Linear-regression aggregates (slope/intercept/R2/count of price vs
+    quantity per return flag) from EXACT integer moment sums — same
+    rationale and shuffle shape as agg_stats: one pass, map-side
+    partials, and the closed-form identities on exact integers make
+    both engines' doubles bit-identical before the snap.  The unit
+    scale (cents/cents) cancels in slope and r2; intercept rescales by
+    /100 once."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
-        F.round(
-            F.regr_intercept("l_extendedprice", "l_quantity"), 4
+    xu = money_units(F.col("l_quantity"), 2)
+    yu = money_units(F.col("l_extendedprice"), 2)
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xu).alias("sx"),
+        F.sum(dec(xu * xu)).alias("sxx"),
+        F.sum(yu).alias("sy"),
+        F.sum(dec(yu * yu)).alias("syy"),
+        F.sum(dec(xu * yu)).alias("sxy"),
+    )
+    n = F.col("n")
+    cxy = (dec(n) * F.col("sxy") - dec(F.col("sx")) * dec(F.col("sy"))).cast(
+        "double"
+    )
+    vx = (dec(n) * F.col("sxx") - dec(F.col("sx")) * dec(F.col("sx"))).cast(
+        "double"
+    )
+    vy = (dec(n) * F.col("syy") - dec(F.col("sy")) * dec(F.col("sy"))).cast(
+        "double"
+    )
+    slope = cxy / vx
+    return m.select(
+        "l_returnflag",
+        snap(slope, 4).alias("slope"),
+        snap(
+            (F.col("sy").cast("double") - slope * F.col("sx")) / n / F.lit(100.0),
+            4,
         ).alias("intercept"),
-        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 4).alias("r2"),
-        F.regr_count("l_extendedprice", "l_quantity").alias("n"),
+        snap(cxy * cxy / (vx * vy), 4).alias("r2"),
+        n.alias("n"),
     )

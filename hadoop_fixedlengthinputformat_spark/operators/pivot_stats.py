@@ -25,6 +25,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from hadoop_fixedlengthinputformat_spark.functions.num import money_units, snap
 from hadoop_fixedlengthinputformat_spark.registry import query
 from hadoop_fixedlengthinputformat_spark.tables import load_table
 
@@ -102,24 +103,90 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_stats",
     oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               count(*) AS n,
+               sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS sx,
+               sum(CAST(round(l_quantity * 100, 0) AS BIGINT)
+                   * CAST(round(l_quantity * 100, 0) AS BIGINT)) AS sxx,
+               sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS sy,
+               sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                   * CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS syy,
+               sum(CAST(round(l_quantity * 100, 0) AS BIGINT)
+                   * CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS sxy,
+               sum(CAST(round(l_discount * 10000, 0) AS BIGINT)) AS sd,
+               sum(CAST(round(l_tax * 10000, 0) AS BIGINT)) AS st,
+               sum(CAST(round(l_discount * 10000, 0) AS BIGINT)
+                   * CAST(round(l_tax * 10000, 0) AS BIGINT)) AS sdt
+        FROM lineitem GROUP BY l_returnflag
+    )
     SELECT l_returnflag,
-           round(stddev_samp(l_quantity), 4) AS sd_qty,
-           round(var_samp(l_extendedprice), 2) AS var_price,
-           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-           round(covar_samp(l_discount, l_tax), 6) + 0 AS cov_disc_tax
-    FROM lineitem
-    GROUP BY l_returnflag
+           floor(sqrt(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                      / (n * (n - 1)) / 10000.0) * 10000 + 0.5) / 10000
+               AS sd_qty,
+           floor(CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)
+                 / (n * (n - 1)) / 10000.0 * 100 + 0.5) / 100 AS var_price,
+           floor(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)))
+                 * 10000 + 0.5) / 10000 AS corr_qty_price,
+           floor(CAST(n * sdt - CAST(sd AS HUGEINT) * st AS DOUBLE)
+                 / (n * (n - 1)) / 100000000.0 * 1000000 + 0.5) / 1000000 + 0
+               AS cov_disc_tax
+    FROM m
     """,
 )
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Second-moment statistics — single-pass mergeable partials."""
+    """Second-moment statistics from EXACT integer moment sums.
+
+    Native stddev/var/corr/covar accumulate in floats with
+    engine-specific merge orders; rounding those near a boundary is a
+    coin flip.  The two-pass identities (n·Sxx − Sx²) etc. computed on
+    cent/basis-point integer units are exact (no cancellation error at
+    all — the subtraction is integer arithmetic), and the single
+    convert-to-double + divide + sqrt pipeline is IEEE-identical across
+    engines.  Still one pass, still map-side partials (9 sums); the
+    DECIMAL(38) casts mirror DuckDB's automatic HUGEINT sums."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
-        F.round(F.var_samp("l_extendedprice"), 2).alias("var_price"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
-        # + 0.0 normalizes a possible IEEE -0.0 (near-independent columns)
-        (F.round(F.covar_samp("l_discount", "l_tax"), 6) + F.lit(0.0)).alias(
+    xu = money_units(F.col("l_quantity"), 2)
+    yu = money_units(F.col("l_extendedprice"), 2)
+    du = money_units(F.col("l_discount"), 4)
+    tu = money_units(F.col("l_tax"), 4)
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xu).alias("sx"),
+        F.sum(dec(xu * xu)).alias("sxx"),
+        F.sum(yu).alias("sy"),
+        F.sum(dec(yu * yu)).alias("syy"),
+        F.sum(dec(xu * yu)).alias("sxy"),
+        F.sum(du).alias("sd"),
+        F.sum(tu).alias("st"),
+        F.sum(dec(du * tu)).alias("sdt"),
+    )
+    n = F.col("n")
+    vx = (dec(n) * F.col("sxx") - dec(F.col("sx")) * dec(F.col("sx"))).cast(
+        "double"
+    )
+    vy = (dec(n) * F.col("syy") - dec(F.col("sy")) * dec(F.col("sy"))).cast(
+        "double"
+    )
+    cxy = (dec(n) * F.col("sxy") - dec(F.col("sx")) * dec(F.col("sy"))).cast(
+        "double"
+    )
+    cdt = (dec(n) * F.col("sdt") - dec(F.col("sd")) * dec(F.col("st"))).cast(
+        "double"
+    )
+    nn1 = n * (n - 1)
+    return m.select(
+        "l_returnflag",
+        snap(F.sqrt(vx / nn1 / F.lit(10000.0)), 4).alias("sd_qty"),
+        snap(vy / nn1 / F.lit(10000.0), 2).alias("var_price"),
+        snap(cxy / (F.sqrt(vx) * F.sqrt(vy)), 4).alias("corr_qty_price"),
+        (snap(cdt / nn1 / F.lit(100000000.0), 6) + F.lit(0.0)).alias(
             "cov_disc_tax"
         ),
     )
@@ -188,8 +255,10 @@ def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_min_max_by",
     oracle="""
     SELECT l_returnflag,
-           arg_max(l_orderkey, l_extendedprice) AS priciest_order,
-           arg_min(l_orderkey, l_extendedprice) AS cheapest_order,
+           arg_max(l_orderkey, CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                               * 10000000000 + l_orderkey) AS priciest_order,
+           arg_min(l_orderkey, CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                               * 10000000000 + l_orderkey) AS cheapest_order,
            max(l_extendedprice) AS max_price
     FROM lineitem
     GROUP BY l_returnflag
@@ -197,13 +266,19 @@ def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Argmax/argmin aggregation (Spark max_by/min_by == DuckDB
-    arg_max/arg_min).  Deterministic because l_extendedprice values are
-    unique per returnflag group in the fixture; ties would be
-    engine-dependent."""
+    arg_max/arg_min).  The ordering key packs (price cents, orderkey)
+    into one int64 — two rows CAN share a group's max price on a data
+    roll (~20 collisions/group at sf0.01 price cardinality), and an
+    untied arg_max would then be engine-dependent.  Key width holds to
+    orderkey < 1e10; beyond that pack into decimal or use the window
+    formulation (topk_per_group)."""
     li = load_table(spark, sf_dir, "lineitem")
+    key = money_units(F.col("l_extendedprice"), 2) * F.lit(
+        10_000_000_000
+    ) + F.col("l_orderkey")
     return li.groupBy("l_returnflag").agg(
-        F.max_by("l_orderkey", "l_extendedprice").alias("priciest_order"),
-        F.min_by("l_orderkey", "l_extendedprice").alias("cheapest_order"),
+        F.max_by("l_orderkey", key).alias("priciest_order"),
+        F.min_by("l_orderkey", key).alias("cheapest_order"),
         F.max("l_extendedprice").alias("max_price"),
     )
 
