@@ -86,7 +86,8 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH x AS (
         SELECT event_id, user_id, ts,
-               epoch(ts) - lag(epoch(ts)) OVER (
+               CAST(floor(epoch(ts)) AS BIGINT)
+                   - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
         FROM events
     ),
@@ -110,8 +111,11 @@ def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     running sum over the start flags.  The batch twin of
     stream_session_window.  One exchange on user_id; both windows reuse
     it (same partitioning + ordering), so raw events shuffle exactly
-    once regardless of scale.  Epoch-seconds arithmetic (not intervals)
-    so both engines compare identical integers."""
+    once regardless of scale.  WHOLE-second epoch arithmetic on both
+    sides: DuckDB's bare epoch() returns FRACTIONAL seconds while
+    Spark's cast-to-long floors, so a gap inside (1800, 1801) seconds
+    split the engines (~1 expected event per data roll — caught by the
+    third alt-seed run)."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # ts is TIMESTAMP_NTZ: hop through TIMESTAMP (session TZ pinned UTC

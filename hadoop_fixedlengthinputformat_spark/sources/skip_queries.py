@@ -26,6 +26,21 @@ from hadoop_fixedlengthinputformat_spark.registry import query
 from hadoop_fixedlengthinputformat_spark.sources import fixedlen, fixture_gen
 from hadoop_fixedlengthinputformat_spark.tables import configure
 
+
+def _stats_pruned_dir(sf_dir: str) -> str:
+    """ONE path builder for the stats-pruned fixture dataset — both its
+    producer (scan_fixedlen_stats_pruned) and consumer
+    (maintain_fixedlen_analyze) must agree, and the key embeds the
+    source stamp so an in-place dataset regeneration rebuilds it."""
+    import os
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"flif_stats_pruned_{os.path.basename(os.path.abspath(sf_dir))}"
+        f"_{fixture_gen.source_stamp(sf_dir)}",
+    )
+
 _NATION_SQL = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
 
 
@@ -115,11 +130,7 @@ def scan_fixedlen_stats_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixedlen.register(spark)
     rl, spec, _ = fixture_gen.LAYOUTS["lineitem"]
     sub = "l_orderkey:0:12:long,l_linenumber:30:2:int,l_quantity:32:12:double(2),l_shipdate:82:10:date"
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"flif_stats_pruned_{os.path.basename(os.path.abspath(sf_dir))}"
-        f"_{fixture_gen.source_stamp(sf_dir)}",
-    )
+    out = _stats_pruned_dir(sf_dir)
     marker = os.path.join(out, "_done")
     if not os.path.exists(marker):
         li = load_table(spark, sf_dir, "lineitem").select(
@@ -421,12 +432,7 @@ def maintain_fixedlen_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     scan_fixedlen_stats_pruned(spark, sf_dir)  # ensures the dataset exists
-    import tempfile
-
-    out = _os.path.join(
-        tempfile.gettempdir(),
-        f"flif_stats_pruned_{_os.path.basename(_os.path.abspath(sf_dir))}",
-    )
+    out = _stats_pruned_dir(sf_dir)
     rl, _spec, _ = fixture_gen.LAYOUTS["lineitem"]
     rows = []
     for fn in sorted(_os.listdir(out)):
