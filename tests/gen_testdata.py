@@ -46,7 +46,7 @@ def _ts_us(dates):
     return pa.array(dates.astype("datetime64[us]"))
 
 
-def gen(out: str, seed: int = 20260813) -> None:
+def gen(out: str, seed: int = 20260813, ns_events: bool = False) -> None:
     rng = np.random.RandomState(seed)
     os.makedirs(out, exist_ok=True)
 
@@ -146,9 +146,15 @@ def gen(out: str, seed: int = 20260813) -> None:
         np.datetime64("2024-01-01T00:00:00", "us")
         + rng.randint(0, 30 * 24 * 3600 * 10**6, n_ev).astype("timedelta64[us]")
     )
+    if ns_events:
+        # some driver fixture generations write events.ts as
+        # TIMESTAMP(NANOS); exercise tables.load_table's nanos path
+        ev_ts_arr = pa.array(ev_ts.astype("datetime64[ns]"))
+    else:
+        ev_ts_arr = pa.array(ev_ts)
     write("events", pa.table({
         "event_id": pa.array(range(n_ev), pa.int64()),
-        "ts": pa.array(ev_ts),
+        "ts": ev_ts_arr,
         "user_id": pa.array(rng.randint(0, 15, n_ev), pa.int64()),
         "event_type": [ETYPES[i] for i in rng.randint(0, 5, n_ev)],
         "value": _dec2(rng, 0.01, 330, n_ev),
@@ -194,6 +200,7 @@ def gen(out: str, seed: int = 20260813) -> None:
 
 
 if __name__ == "__main__":
-    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/alt_testdata"
-    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 20260813
-    gen(out, seed)
+    args = [a for a in sys.argv[1:] if a != "--ns-events"]
+    out = args[0] if args else "/tmp/alt_testdata"
+    seed = int(args[1]) if len(args) > 1 else 20260813
+    gen(out, seed, ns_events="--ns-events" in sys.argv)
