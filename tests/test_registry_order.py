@@ -23,11 +23,9 @@ def test_round3_window_composition():
     # the reference-soul source family is all inside the window
     source_family = [n for n in window if "fixedlen" in n]
     assert len(source_family) >= 19
-    # every window query except the documented rows-only ops has an oracle
-    rows_only = {"maintain_fixedlen_analyze"}
-    missing = [
-        n for n in window if n not in registry.ORACLES and n not in rows_only
-    ]
+    # every window query has a full SQL oracle (strongest driver signal);
+    # rows-only ops are deliberately kept out of the graded window
+    missing = [n for n in window if n not in registry.ORACLES]
     assert not missing, f"window queries without oracle: {missing}"
 
 
