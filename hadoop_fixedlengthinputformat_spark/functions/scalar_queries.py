@@ -121,6 +121,47 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fn_trig",
+    oracle="""
+    SELECT c_custkey,
+           floor(floor(sin(radians(c_nationkey * 7.0)) * 100000000 + 0.5)
+                 / 100000000 * 10000 + 0.5) / 10000 + 0 AS sin_angle,
+           floor(floor(cos(c_acctbal / 1000.0) * 100000000 + 0.5)
+                 / 100000000 * 10000 + 0.5) / 10000 + 0 AS cos_bal,
+           floor(floor(atan2(c_acctbal, 1000.0) * 100000000 + 0.5)
+                 / 100000000 * 10000 + 0.5) / 10000 + 0 AS atan2_bal,
+           floor(floor(atan(c_nationkey / 7.0) * 100000000 + 0.5)
+                 / 100000000 * 10000 + 0.5) / 10000 AS atan_key
+    FROM customer
+    """,
+)
+def fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigonometric family (sin/cos/atan2/atan/radians) — transcendental
+    outputs differ between libm implementations in the last ulp (and
+    radians/degrees even associate their pi constant differently), so
+    every value snaps to 8 decimals straight out of the function before
+    the 4-decimal output snap — the same rule as ln in fn_math.  The +0
+    normalizes IEEE -0.0 where a snapped negative value rounds to
+    zero."""
+    c = load_table(spark, sf_dir, "customer")
+
+    def t(col):
+        return snap(snap(col, 8), 4)
+
+    return c.select(
+        "c_custkey",
+        (t(F.sin(F.radians(F.col("c_nationkey") * 7.0))) + F.lit(0.0)).alias(
+            "sin_angle"
+        ),
+        (t(F.cos(F.col("c_acctbal") / 1000.0)) + F.lit(0.0)).alias("cos_bal"),
+        (t(F.atan2(F.col("c_acctbal"), F.lit(1000.0))) + F.lit(0.0)).alias(
+            "atan2_bal"
+        ),
+        t(F.atan(F.col("c_nationkey") / 7.0)).alias("atan_key"),
+    )
+
+
+@query(
     "fn_conditional",
     oracle="""
     SELECT c_custkey,

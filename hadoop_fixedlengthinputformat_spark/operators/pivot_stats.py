@@ -23,7 +23,7 @@ Scale notes:
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from hadoop_fixedlengthinputformat_spark.functions.num import money_units, snap
 from hadoop_fixedlengthinputformat_spark.registry import query
@@ -189,6 +189,50 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (snap(cdt / nn1 / F.lit(100000000.0), 6) + F.lit(0.0)).alias(
             "cov_disc_tax"
         ),
+    )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+    WITH counts AS (
+        SELECT c_nationkey, c_mktsegment, count(*) AS cnt
+        FROM customer GROUP BY c_nationkey, c_mktsegment
+    ),
+    r AS (
+        SELECT c_nationkey, c_mktsegment, cnt,
+               row_number() OVER (PARTITION BY c_nationkey
+                                  ORDER BY cnt DESC, c_mktsegment) AS rn
+        FROM counts
+    )
+    SELECT c_nationkey, c_mktsegment AS mode_segment, cnt AS mode_count
+    FROM r WHERE rn = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modal value per group (most frequent segment per nation), with a
+    DETERMINISTIC tie-break (highest count, then lexicographically
+    smallest value).  Built as count + window-rank rather than the
+    native mode() aggregate, whose tie winner is engine- and
+    merge-order-dependent — mode ties WILL occur on some data roll.
+    Scale shape: the first agg collapses to |nations x segments| rows
+    map-side; the window ranks those tiny groups — raw rows shuffle
+    once."""
+    c = load_table(spark, sf_dir, "customer")
+    counts = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("cnt").desc(), "c_mktsegment"
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_nationkey",
+            F.col("c_mktsegment").alias("mode_segment"),
+            F.col("cnt").alias("mode_count"),
+        )
     )
 
 

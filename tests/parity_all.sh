@@ -1,0 +1,23 @@
+#!/usr/bin/env bash
+# End-of-round parity gate: the full query suite against the driver's
+# sf0.01 roll PLUS four independently-seeded synthetic rolls (one with
+# TIMESTAMP(NANOS) events) — every determinism bug found in rounds 1-3
+# was invisible on a single roll.
+#
+#   bash tests/parity_all.sh          # ~70 min total
+set -u
+cd "$(dirname "$0")/.."
+python tests/gen_testdata.py /tmp/alt_testdata   20260813
+python tests/gen_testdata.py /tmp/alt_testdata2  777
+python tests/gen_testdata.py /tmp/alt_testdata3  4242
+python tests/gen_testdata.py /tmp/alt_testdata_ns 31337 --ns-events
+fail=0
+for d in /root/testdata/sf0.01 /tmp/alt_testdata /tmp/alt_testdata2 \
+         /tmp/alt_testdata3 /tmp/alt_testdata_ns; do
+  out=/tmp/parity_$(basename "$d").txt
+  python tests/parity.py "$d" > "$out" 2>&1
+  rc=$?
+  echo "$d: $(tail -1 "$out")"
+  [ $rc -ne 0 ] && { fail=1; grep -A3 "^FAIL" "$out" | head -30; }
+done
+exit $fail
