@@ -122,6 +122,11 @@ class _Options:
     # of partition_cols discovery); the named DataFrame columns are
     # consumed by the path, not encoded into the record bytes
     partition_by: tuple[str, ...] = ()
+    # streaming admission control: cap how many NEW bytes a micro-batch
+    # may admit (Spark file-source maxBytesPerTrigger analog) — bounds
+    # executor memory / latency when a stream starts against a large
+    # backlog or a burst lands.  None = unbounded.
+    max_bytes_per_trigger: int | None = None
 
     @property
     def stride(self) -> int:
@@ -222,6 +227,14 @@ class _Options:
         if mode not in ("failfast", "permissive"):
             raise ValueError("fixedlen: mode must be 'failfast' or 'permissive'")
         mpb = int(options.get("maxpartitionbytes", DEFAULT_MAX_PARTITION_BYTES))
+        mbt_raw = options.get("maxbytespertrigger")
+        mbt = None
+        if mbt_raw is not None:
+            mbt = int(mbt_raw)
+            if mbt <= 0:
+                raise ValueError(
+                    f"fixedlen: maxBytesPerTrigger must be > 0, got {mbt}"
+                )
         compression = options.get("compression", "none").lower()
         if compression not in ("none", "gzip"):
             raise ValueError("fixedlen: compression must be 'none' or 'gzip'")
@@ -300,7 +313,14 @@ class _Options:
             multitype, union_fields, type_bounds,
             skip_header, skip_trailer, stats_sidecar, stats_block,
             corrupt_col, line_sep, (), partition_by,
+            max_bytes_per_trigger=mbt,
         )
+
+    def trigger_budget(self) -> int | None:
+        """maxBytesPerTrigger floored to whole on-disk records (min 1)."""
+        if self.max_bytes_per_trigger is None:
+            return None
+        return max(self.stride, (self.max_bytes_per_trigger // self.stride) * self.stride)
 
     def spark_schema(self) -> StructType:
         out: list[StructField] = []
@@ -1266,6 +1286,11 @@ class FixedLenStreamReader(SimpleDataSourceStreamReader):
         rl = self.opts.record_length
         size = os.path.getsize(self.path) if os.path.exists(self.path) else 0
         usable = size - (size % rl)
+        budget = self.opts.trigger_budget()
+        if budget is not None:
+            # admission control: each micro-batch consumes at most the
+            # budget; the remainder arrives in later triggers
+            usable = min(usable, pos + budget)
         if usable <= pos:
             return iter(()), {"pos": pos}
         return self._rows(pos, usable), {"pos": usable}
@@ -1478,6 +1503,18 @@ class FixedLengthDataSource(DataSource):
             )
         if not self.path:
             raise ValueError("fixedlen: load(path) is required")
+        if self.opts.max_bytes_per_trigger is not None:
+            # per-batch admission control needs the batch's START offset,
+            # which the Python DataSourceStreamReader API does not pass to
+            # latestOffset() (the JVM SupportsAdmissionControl API does).
+            # Emulating it with reader-instance state double-delivers when
+            # the engine spreads calls across runner instances — refuse
+            # instead of silently mis-batching.
+            raise ValueError(
+                "fixedlen: maxBytesPerTrigger requires the default "
+                "(non-partitioned) stream reader; partitionedStream=true "
+                "plans whole-availability batches"
+            )
         # multitype works here: partitions delegate to the batch decode
         if os.path.isdir(self.path) or _glob.has_magic(self.path):
             self._discover_partitions()
