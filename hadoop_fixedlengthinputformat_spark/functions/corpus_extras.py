@@ -1,0 +1,309 @@
+"""Corpus-analysis extras for the LLM data pipeline (round 3 widening).
+
+Four operators a training-data curation run needs beyond the round-1/2
+dedup + quality families: collocation mining (PMI), passage-level exact
+dedup, deterministic holdout splitting, and winnowing fingerprints
+(Schleimer, Wilkerson & Aiken, SIGMOD 2003 — the MOSS local document
+fingerprinting algorithm).
+
+Cross-engine determinism (plans/NOTES.md round-3 rules):
+  * token arrays come from single-space splits (the llm_topk_ngrams
+    convention — Spark ``split`` and DuckDB ``string_split`` agree on
+    every text without regex/array-edge divergence risk),
+  * every ranking/score is either exact integer arithmetic or ONE
+    double division of bit-identical int64s — no transcendentals, so
+    nothing to snap,
+  * content hashes are md5 hex (identical bytes-in → identical hex on
+    both engines; lowercase on both).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from hadoop_fixedlengthinputformat_spark.registry import query
+from hadoop_fixedlengthinputformat_spark.tables import load_table
+
+
+def _tok(col: str = "text"):
+    return F.split(F.col(col), " ")
+
+
+# --------------------------------------------------------------------------
+# PMI collocations
+# --------------------------------------------------------------------------
+
+@query(
+    "llm_pmi_bigrams",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    uc AS (
+        SELECT w, count(*) AS c
+        FROM (SELECT unnest(t) AS w FROM tok) GROUP BY w
+    ),
+    bi AS (
+        SELECT unnest(list_transform(
+                   range(1, len(t)),
+                   i -> t[i] || ' ' || t[i + 1]
+               )) AS bg
+        FROM tok
+    ),
+    bc_all AS (
+        SELECT string_split(bg, ' ')[1] AS w1,
+               string_split(bg, ' ')[2] AS w2,
+               count(*) AS c_xy
+        FROM bi GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT (SELECT sum(c) FROM uc) AS n_uni,
+               (SELECT sum(c_xy) FROM bc_all) AS n_bi
+    )
+    SELECT b.w1, b.w2, b.c_xy,
+           CAST(b.c_xy * t.n_uni * t.n_uni AS DOUBLE)
+               / (t.n_bi * u1.c * u2.c) AS lift
+    FROM bc_all b
+    CROSS JOIN tot t
+    JOIN uc u1 ON u1.w = b.w1
+    JOIN uc u2 ON u2.w = b.w2
+    WHERE b.c_xy >= 5
+    """,
+)
+def llm_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: for every bigram with corpus frequency >= 5,
+    the PMI lift  P(xy) / (P(x)·P(y))  =  c_xy·N² / (B·c_x·c_y).
+
+    The value is ranked in EXACT integer space — the numerator and
+    denominator are int64 products of counts, and the one double
+    division happens on bit-identical integers, so no ln() snap is
+    needed (exp(PMI) is a monotone transform of PMI; consumers
+    thresholding on PMI threshold on lift instead).  Plan: one explode +
+    two groupBys for the count tables; the unigram table is vocabulary-
+    sized, so BOTH count joins broadcast, and the scalar totals ride a
+    broadcast nested loop of one row — the corpus itself is read once
+    and never re-shuffled.  int64 headroom: c_xy·N² < 2^63 up to ~4e18,
+    i.e. N ~ 1.5e6-token corpora per exact unit; beyond that lift the
+    numerator into DECIMAL(38,0) (DuckDB already promotes to HUGEINT)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", _tok().alias("t"))
+    uni = tok.select(F.explode("t").alias("w"))
+    uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    # Guard single-token docs: sequence(1, 0) would DESCEND in Spark.
+    bigrams = tok.select(
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("t", i), F.element_at("t", i + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bg")
+    )
+    bc_all = (
+        bigrams.select(
+            F.split("bg", " ").getItem(0).alias("w1"),
+            F.split("bg", " ").getItem(1).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    n_uni = uc.agg(F.sum("c").alias("n_uni"))
+    n_bi = bc_all.agg(F.sum("c_xy").alias("n_bi"))
+    bc = bc_all.filter(F.col("c_xy") >= 5)
+    u1 = F.broadcast(uc.select(F.col("w").alias("w1"), F.col("c").alias("c1")))
+    u2 = F.broadcast(uc.select(F.col("w").alias("w2"), F.col("c").alias("c2")))
+    return (
+        bc.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            (
+                (F.col("c_xy") * F.col("n_uni") * F.col("n_uni")).cast("double")
+                / (F.col("n_bi") * F.col("c1") * F.col("c2"))
+            ).alias("lift"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Passage-level exact dedup
+# --------------------------------------------------------------------------
+
+@query(
+    "llm_passage_dedup",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    chunks AS (
+        SELECT DISTINCT doc_id,
+               md5(array_to_string(list_slice(t, i * 20 + 1, i * 20 + 20), ' '))
+                   AS h
+        FROM (
+            SELECT doc_id, t,
+                   unnest(range(0, CAST(ceil(len(t) / 20.0) AS BIGINT))) AS i
+            FROM tok
+        )
+    )
+    SELECT h, count(*) AS n_docs
+    FROM chunks GROUP BY h HAVING count(*) >= 2
+    """,
+)
+def llm_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup: split every document into
+    non-overlapping 20-token passages, hash each, and report passages
+    shared by >= 2 distinct documents — the sub-document boilerplate
+    (license headers, navigation chrome) that document-level
+    ``llm_exact_dedup`` can't see.  Per-doc chunking is array
+    arithmetic inside codegen (no explode until the chunk hashes, which
+    are 1/20th the token count); one (h, doc_id)-distinct + one count
+    groupBy — both map-side combined.  At 100 TB the passage-hash
+    exchange is the only data movement, carrying 16-byte digests."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", _tok().alias("t"))
+    n_chunks = F.ceil(F.size("t") / F.lit(20.0)).cast("int")
+    chunks = tok.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.md5(
+                    F.concat_ws(
+                        " ", F.slice("t", i * 20 + 1, 20)
+                    ).cast("binary")
+                ),
+            )
+        ).alias("h"),
+    ).distinct()
+    return (
+        chunks.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic holdout split
+# --------------------------------------------------------------------------
+
+@query(
+    "llm_holdout_split",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                THEN 'valid'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def llm_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test assignment by content-independent
+    key hash: md5(doc_id) hex prefix thresholds 'cc' (~80% train) and
+    'e6' (~10% valid), remainder test.  Unlike rand()-splits this is
+    reproducible across runs, retries, engines, and INCREMENTAL drops —
+    a new batch of documents lands in the same split forever, so eval
+    contamination can't creep in via resampling.  A pure projection:
+    no shuffle, no state, trivially 100 TB-safe (same recipe as
+    llm_stratified_sample, which is driver-green)."""
+    d = load_table(spark, sf_dir, "documents")
+    pre = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2)
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(pre < "cc", "train")
+        .when(pre < "e6", "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS)
+# --------------------------------------------------------------------------
+
+@query(
+    "llm_winnowing",
+    oracle="""
+    WITH grams AS (
+        SELECT doc_id, i,
+               substr(md5(substr(text, CAST(i AS INTEGER), 8)), 1, 8) AS h,
+               length(text) AS len
+        FROM (
+            SELECT doc_id, text,
+                   unnest(range(1, CAST(greatest(length(text) - 6, 2)
+                                        AS BIGINT))) AS i
+            FROM documents
+        )
+    ),
+    wins AS (
+        SELECT doc_id, i, len,
+               min(h) OVER (
+                   PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING
+               ) AS wmin
+        FROM grams
+    )
+    SELECT doc_id,
+           count(DISTINCT wmin) AS n_fp,
+           min(wmin) AS min_fp
+    FROM wins
+    WHERE i <= len - 7 - 3
+    GROUP BY doc_id
+    """,
+)
+def llm_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003): hash every 8-char gram, slide a 4-gram window, keep
+    each window's minimum hash — guaranteeing any shared substring of
+    length >= 8+4-1 produces a shared fingerprint, with ~2/(w+1)
+    selection density.  Gram hashes are md5 hex prefixes (engine-
+    identical for identical bytes; rolling Rabin hashes are faster but
+    llm_fingerprint already covers that family).  The gram explode is
+    the dominant cost — at 100 TB this runs as one narrow
+    explode→window→agg chain partitioned by doc_id, with the window
+    min needing no shuffle beyond the doc_id partitioning; fingerprint
+    postings (doc_id, wmin) then feed the same bucket-join dedup
+    machinery as minhash bands."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.length("text").alias("len"),
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("text") - 7, F.lit(1)))
+        ).alias("i"),
+        "text",
+    ).select(
+        "doc_id",
+        "len",
+        "i",
+        F.substring(
+            F.md5(F.expr("substring(text, i, 8)").cast("binary")), 1, 8
+        ).alias("h"),
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.currentRow, 3)
+    )
+    return (
+        grams.select(
+            "doc_id", "i", "len", F.min("h").over(win).alias("wmin")
+        )
+        .filter(F.col("i") <= F.col("len") - 7 - 3)
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("wmin").alias("n_fp"),
+            F.min("wmin").alias("min_fp"),
+        )
+    )

@@ -1,0 +1,490 @@
+"""Relational surface extras (round 3 widening).
+
+The reference (bitsofinfo/hadoop-fixedlengthinputformat) has no query
+language — it hands fixed-width records to whatever engine sits above
+(SURVEY.md §2.2).  These operators round out the relational surface that
+engine must provide: recursive CTEs, the remaining window functions,
+schema-evolving unions, error-safe arithmetic, constraint auditing,
+rolling anomaly detection, and Z-order maintenance clustering.
+
+Cross-engine determinism follows plans/NOTES.md "Round-3 cross-engine
+determinism rules": money and measure values ride exact integer units,
+divisions happen once on bit-identical integers, `snap` replaces every
+per-row round, and transcendentals are avoided entirely.
+
+Plan shapes at 100 TB (verified via .explain):
+  * ``cte_recursive`` — depth = ceil(log10(max key)) iterations, each a
+    filtered projection of the previous frontier (no join in the
+    recursive leg); the final name lookup is one broadcast-able join.
+  * ``win_percent_rank_nth`` — one hash partitioning on ``c_nationkey``;
+    all four window functions share the single sort.
+  * ``dq_audit`` — each check is a scan + map-side-combined agg; the two
+    referential checks are LeftAnti joins (customer broadcast; orders
+    side shuffles once on the join key).
+  * ``ts_anomaly_zscore`` — one hash partitioning on ``user_id``; count/
+    sum/sum-of-squares share one window frame; z² is computed from
+    exact integer moments (no stddev accumulator, no sqrt).
+  * ``maintain_zorder`` — the interleave is per-row codegen arithmetic;
+    clustering = repartitionByRange(zvalue) + sortWithinPartitions, so
+    one range exchange total; the reported bucket profile aggregates
+    map-side.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from hadoop_fixedlengthinputformat_spark.functions.num import (
+    money_units,
+    snap,
+    snap_sql,
+)
+from hadoop_fixedlengthinputformat_spark.registry import query
+from hadoop_fixedlengthinputformat_spark.tables import load_table
+
+
+# --------------------------------------------------------------------------
+# Recursive CTE
+# --------------------------------------------------------------------------
+
+@query(
+    "cte_recursive",
+    oracle="""
+    WITH RECURSIVE anc AS (
+        SELECT p_partkey AS part, p_partkey AS node, 0 AS depth FROM part
+        UNION ALL
+        SELECT part, node // 10, depth + 1 FROM anc WHERE node >= 10
+    ),
+    walked AS (
+        SELECT part, max(depth) AS depth, min(node) AS root
+        FROM anc GROUP BY part
+    )
+    SELECT w.part, w.depth, w.root, p.p_name AS root_name
+    FROM walked w JOIN part p ON p.p_partkey = w.root
+    """,
+)
+def cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy walk via WITH RECURSIVE (Spark 4 recursive CTE): treat
+    ``p_partkey DIV 10`` as a part's parent and walk every part to its
+    single-digit root, returning depth, root key, and root name.
+
+    Declared through ``spark.sql`` so Catalyst's UnionLoop execution
+    runs the fixpoint: the recursive leg is a pure filtered projection
+    (frontier shrinks 10x per step, terminates in ceil(log10(maxkey))
+    iterations — 6 steps at 100 TB key ranges), and the only join is the
+    final root-name lookup, which AQE turns into a broadcast.  Integer
+    arithmetic only — ``DIV`` on both engines, nothing to snap."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("rx_part")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc AS (
+            SELECT p_partkey AS part, p_partkey AS node, 0 AS depth
+            FROM rx_part
+            UNION ALL
+            SELECT part, node DIV 10, depth + 1 FROM anc WHERE node >= 10
+        ),
+        walked AS (
+            SELECT part, max(depth) AS depth, min(node) AS root
+            FROM anc GROUP BY part
+        )
+        SELECT w.part, w.depth, w.root, p.p_name AS root_name
+        FROM walked w JOIN rx_part p ON p.p_partkey = w.root
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Remaining window functions
+# --------------------------------------------------------------------------
+
+@query(
+    "win_percent_rank_nth",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           percent_rank() OVER w AS pct_rank,
+           nth_value(CAST(round(c_acctbal * 100, 0) AS BIGINT), 2) OVER (
+               PARTITION BY c_nationkey
+               ORDER BY CAST(round(c_acctbal * 100, 0) AS BIGINT), c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS second_bal_cents,
+           first_value(c_custkey) OVER (
+               PARTITION BY c_nationkey
+               ORDER BY CAST(round(c_acctbal * 100, 0) AS BIGINT), c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS poorest_custkey,
+           last_value(c_custkey) OVER (
+               PARTITION BY c_nationkey
+               ORDER BY CAST(round(c_acctbal * 100, 0) AS BIGINT), c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS richest_custkey
+    FROM customer
+    WINDOW w AS (
+        PARTITION BY c_nationkey
+        ORDER BY CAST(round(c_acctbal * 100, 0) AS BIGINT), c_custkey
+    )
+    """,
+)
+def win_percent_rank_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / nth_value / first_value / last_value — the window
+    functions the r1 window family didn't cover.  The order key packs
+    (balance cents, custkey) so it is UNIQUE per partition: percent_rank
+    is then (rank-1)/(n-1) over exact integers (bit-identical division)
+    and nth/first/last are single-valued — no tie nondeterminism on any
+    data roll.  nth/first/last use an explicit unbounded ROWS frame on
+    BOTH engines (their default frames differ).  One exchange on
+    c_nationkey; all four functions share the one sort."""
+    c = load_table(spark, sf_dir, "customer")
+    cents = money_units(F.col("c_acctbal"), 2)
+    w = Window.partitionBy("c_nationkey").orderBy(cents, "c_custkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.nth_value(cents, 2).over(wf).alias("second_bal_cents"),
+        F.first_value(F.col("c_custkey")).over(wf).alias("poorest_custkey"),
+        F.last_value(F.col("c_custkey")).over(wf).alias("richest_custkey"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Union by name (schema evolution)
+# --------------------------------------------------------------------------
+
+@query(
+    "set_union_by_name",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(NULL AS BIGINT) AS total_cents, 'urgent' AS src
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION ALL
+    SELECT o_orderkey, CAST(NULL AS BIGINT) AS o_custkey,
+           CAST(round(o_totalprice * 100, 0) AS BIGINT) AS total_cents,
+           'big' AS src
+    FROM orders
+    WHERE CAST(round(o_totalprice * 100, 0) AS BIGINT) > 30000000
+    """,
+)
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolving union: two branches with different column sets
+    combined by NAME (``unionByName(allowMissingColumns=True)``), the
+    operation behind appending a new-schema batch to an old-schema
+    corpus.  Missing columns null-pad; matching is positional-order
+    independent.  Catalyst plans a plain Union of two scans — each
+    branch keeps its own pushed filter, no shuffle at all."""
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("urgent").alias("src"),
+    )
+    cents = money_units(F.col("o_totalprice"), 2)
+    big = o.select("o_orderkey", cents.alias("total_cents"), "o_orderpriority") \
+        .filter(F.col("total_cents") > 30_000_000) \
+        .select("o_orderkey", "total_cents", F.lit("big").alias("src"))
+    out = urgent.unionByName(big, allowMissingColumns=True)
+    # Stable column order + types for the hash compare.
+    return out.select(
+        "o_orderkey",
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        F.col("total_cents").cast("long").alias("total_cents"),
+        "src",
+    )
+
+
+# --------------------------------------------------------------------------
+# Error-safe (TRY) arithmetic
+# --------------------------------------------------------------------------
+
+@query(
+    "fn_try_arith",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100, 0) AS BIGINT)
+               / NULLIF(o_custkey % 7, 0) AS per_bucket,
+           TRY_CAST(o_orderpriority AS INTEGER) AS prio_full,
+           TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS prio_digit,
+           TRY_CAST(o_orderstatus AS DATE) AS status_date,
+           list_extract(string_split(o_orderpriority, '-'), 5) AS missing_part
+    FROM orders
+    """,
+)
+def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI error-safe arithmetic: Spark 4 runs with ANSI SQL semantics
+    where bad casts and zero division THROW; the try_* family returns
+    NULL instead — the only sane contract for a 100 TB pipeline where
+    one malformed row must not kill a 1000-executor job.  try_divide /
+    try_cast / try_element_at against DuckDB's natively NULL-yielding
+    division and TRY_CAST.  The division operands are exact integer
+    units, so the one double division is bit-identical."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = money_units(F.col("o_totalprice"), 2)
+    return o.select(
+        "o_orderkey",
+        F.try_divide(cents, F.col("o_custkey") % 7).alias("per_bucket"),
+        F.col("o_orderpriority").try_cast("int").alias("prio_full"),
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias("prio_digit"),
+        F.col("o_orderstatus").try_cast("date").alias("status_date"),
+        F.try_element_at(F.split("o_orderpriority", "-"), F.lit(5)).alias(
+            "missing_part"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Data-quality constraint audit
+# --------------------------------------------------------------------------
+
+@query(
+    "dq_audit",
+    oracle="""
+    SELECT 'dup_orderkey' AS check_name,
+           count(*) - count(DISTINCT o_orderkey) AS violations FROM orders
+    UNION ALL
+    SELECT 'null_custkey',
+           sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) FROM orders
+    UNION ALL
+    SELECT 'orphan_order_custkey', count(*) FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'orphan_lineitem_orderkey', count(*) FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'bad_discount', count(*) FROM lineitem
+    WHERE CAST(round(l_discount * 10000, 0) AS BIGINT) NOT BETWEEN 0 AND 10000
+    UNION ALL
+    SELECT 'ship_before_order', count(*) FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate < o.o_orderdate
+    """,
+)
+def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint audit — the pre-flight a training-data pipeline runs
+    before trusting a 100 TB drop: key uniqueness, null keys, two
+    referential-integrity orphan checks, a domain check, and a
+    cross-table temporal sanity check.  Each check is a scan +
+    map-side-combined count; the referential checks plan as LeftAnti
+    hash joins (dimension side broadcast when small, else one shuffle
+    on the key); the temporal check reuses the lineitem->orders equi
+    join.  All outputs are exact integers."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def named(name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("check_name"),
+            F.col("violations").cast("long").alias("violations"),
+        )
+
+    dup = o.agg(
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("violations")
+    )
+    nulls = o.agg(
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias(
+            "violations"
+        )
+    )
+    orphan_o = (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("violations"))
+    )
+    orphan_l = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("violations"))
+    )
+    bad_disc = li.agg(
+        F.sum(
+            F.when(
+                ~money_units(F.col("l_discount"), 4).between(0, 10_000), 1
+            ).otherwise(0)
+        ).alias("violations")
+    )
+    ship = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .agg(
+            F.sum(
+                F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1).otherwise(0)
+            ).alias("violations")
+        )
+    )
+    return (
+        named("dup_orderkey", dup)
+        .unionByName(named("null_custkey", nulls))
+        .unionByName(named("orphan_order_custkey", orphan_o))
+        .unionByName(named("orphan_lineitem_orderkey", orphan_l))
+        .unionByName(named("bad_discount", bad_disc))
+        .unionByName(named("ship_before_order", ship))
+    )
+
+
+# --------------------------------------------------------------------------
+# Rolling z-score anomaly detection (exact integer moments)
+# --------------------------------------------------------------------------
+
+@query(
+    "ts_anomaly_zscore",
+    oracle=f"""
+    WITH w AS (
+        SELECT event_id, user_id,
+               CAST(round(value * 100, 0) AS BIGINT) AS v,
+               count(*) OVER win AS n,
+               sum(CAST(round(value * 100, 0) AS BIGINT)) OVER win AS s,
+               sum(CAST(round(value * 100, 0) AS BIGINT)
+                   * CAST(round(value * 100, 0) AS BIGINT)) OVER win AS q
+        FROM events
+        WINDOW win AS (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 19 PRECEDING AND CURRENT ROW
+        )
+    )
+    SELECT event_id, user_id,
+           CASE WHEN n * q - s * s = 0 THEN NULL
+                ELSE {snap_sql('CAST((n * v - s) * (n * v - s) AS DOUBLE)'
+                               ' / (n * q - s * s)', 4)}
+           END AS z2,
+           (n * v - s) * (n * v - s) > 4 * (n * q - s * s) AS flagged
+    FROM w WHERE n = 20
+    """,
+)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags over the event stream, computed
+    from EXACT integer moments: with cent units v and window moments
+    (n, S=sum v, Q=sum v²), z² = (n·v−S)² / (n·Q−S²) — pure int64
+    arithmetic plus ONE double division on bit-identical integers
+    (plans/NOTES.md second-moment rule; no stddev accumulator, no
+    sqrt, no merge-order sensitivity).  The |z|>2 flag compares
+    integers only.  One exchange on user_id; count/sum/sum-of-squares
+    share a single 20-row frame.  Full windows only (n=20) so warm-up
+    rows don't flap across rolls."""
+    e = load_table(spark, sf_dir, "events")
+    v = money_units(F.col("value"), 2)
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    d = e.select(
+        "event_id",
+        "user_id",
+        v.alias("v"),
+        F.count(F.lit(1)).over(win).alias("n"),
+        F.sum(v).over(win).alias("s"),
+        F.sum(v * v).over(win).alias("q"),
+    ).filter(F.col("n") == 20)
+    num = (F.col("n") * F.col("v") - F.col("s"))
+    den = (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+    return d.select(
+        "event_id",
+        "user_id",
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(snap((num * num).cast("double") / den, 4))
+        .alias("z2"),
+        (num * num > 4 * den).alias("flagged"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Z-order maintenance clustering
+# --------------------------------------------------------------------------
+
+_Z_BITS = 21  # per-dimension resolution; 42-bit z fits int64 comfortably
+_Z_MAX = (1 << _Z_BITS) - 1
+
+
+def _scale_spark(col: str, lo: str, hi: str) -> str:
+    """Min-max scale ``col`` to [0, 2^21-1] in exact integer arithmetic.
+
+    Scaling is what makes Z-order WORK: without it, the wider key's
+    high bits own every interleaved high position and a range split on
+    z degenerates to a single-key sort (measured: partkey span stayed
+    at 0.99 of full range unscaled)."""
+    return f"((({col} - {lo}) * {_Z_MAX}) DIV greatest({hi} - {lo}, 1))"
+
+
+def _scale_duck(col: str, lo: str, hi: str) -> str:
+    return f"((({col} - {lo}) * {_Z_MAX}) // greatest({hi} - {lo}, 1))"
+
+
+def _z_spark(a: str, b: str) -> str:
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"shiftleft(shiftright({a}, {i}) & 1, {2 * i})")
+        terms.append(f"shiftleft(shiftright({b}, {i}) & 1, {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def _z_duck(a: str, b: str) -> str:
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@query(
+    "maintain_zorder",
+    oracle=f"""
+    WITH s AS (
+        SELECT min(l_orderkey) AS lo_ok, max(l_orderkey) AS hi_ok,
+               min(l_partkey) AS lo_pk, max(l_partkey) AS hi_pk
+        FROM lineitem
+    ),
+    scaled AS (
+        SELECT {_scale_duck('l_orderkey', 'lo_ok', 'hi_ok')} AS sa,
+               {_scale_duck('l_partkey', 'lo_pk', 'hi_pk')} AS sb,
+               l_orderkey, l_partkey
+        FROM lineitem CROSS JOIN s
+    ),
+    z AS (
+        SELECT {_z_duck('sa', 'sb')} AS zval, l_orderkey, l_partkey
+        FROM scaled
+    )
+    SELECT zval // 1073741824 AS zbucket, count(*) AS n_rows,
+           min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+           min(l_partkey) AS min_pk, max(l_partkey) AS max_pk
+    FROM z GROUP BY zval // 1073741824
+    """,
+)
+def maintain_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering profile for lineitem on
+    (l_orderkey, l_partkey): min-max scale each key to 21 bits (exact
+    integer arithmetic — unscaled keys of unequal width degenerate to a
+    single-key sort), interleave into a 42-bit z-value, bucket by the
+    top 12 bits (z DIV 2^30), and report per-bucket row counts and
+    min/max key envelopes.  Each bucket's envelope is tight in BOTH
+    dimensions simultaneously — the property that makes post-clustering
+    parquet min/max stats prune multi-column predicates (a linear sort
+    is tight in one dimension only; effect measured in
+    tests/test_zorder.py).  The maintenance path is
+    repartitionByRange(zval) + sortWithinPartitions + write: the
+    min/max scalars broadcast (one tiny agg), then ONE range exchange
+    regardless of table size; scale + interleave are whole-stage-
+    codegen integer arithmetic, no UDF."""
+    li = load_table(spark, sf_dir, "lineitem")
+    stats = li.agg(
+        F.min("l_orderkey").alias("lo_ok"),
+        F.max("l_orderkey").alias("hi_ok"),
+        F.min("l_partkey").alias("lo_pk"),
+        F.max("l_partkey").alias("hi_pk"),
+    )
+    scaled = li.crossJoin(F.broadcast(stats)).select(
+        F.expr(_scale_spark("l_orderkey", "lo_ok", "hi_ok")).alias("sa"),
+        F.expr(_scale_spark("l_partkey", "lo_pk", "hi_pk")).alias("sb"),
+        "l_orderkey",
+        "l_partkey",
+    )
+    z = scaled.select(
+        F.expr(_z_spark("sa", "sb")).alias("zval"), "l_orderkey", "l_partkey"
+    )
+    return (
+        z.groupBy(F.shiftright(F.col("zval"), 30).alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_orderkey").alias("min_ok"),
+            F.max("l_orderkey").alias("max_ok"),
+            F.min("l_partkey").alias("min_pk"),
+            F.max("l_partkey").alias("max_pk"),
+        )
+    )

@@ -229,5 +229,11 @@ def load_all() -> None:
     from hadoop_fixedlengthinputformat_spark.functions import (  # noqa: F401
         tokenizer_queries,
     )
+    from hadoop_fixedlengthinputformat_spark.operators import (  # noqa: F401
+        relational_extras,
+    )
+    from hadoop_fixedlengthinputformat_spark.functions import (  # noqa: F401
+        corpus_extras,
+    )
 
     _reorder()
