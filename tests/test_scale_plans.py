@@ -309,3 +309,96 @@ def test_tpch_q20_single_fact_shuffle(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "partial_sum" in plan, plan  # map-side combine before exchange
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_pmi_bigrams_count_joins_broadcast(spark):
+    """llm_pmi_bigrams joins the bigram count table against two
+    vocabulary-sized unigram tables and two scalar totals — every join
+    must broadcast (BHJ for the counts, BNLJ for the 1-row scalars);
+    a SortMergeJoin would mean the corpus-sized side shuffled."""
+    from hadoop_fixedlengthinputformat_spark.functions.corpus_extras import (
+        llm_pmi_bigrams,
+    )
+
+    plan = (
+        llm_pmi_bigrams(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_winnowing_single_exchange(spark):
+    """llm_winnowing is one narrow explode→window→agg chain: the window
+    partitioning on doc_id must be the ONLY exchange (the groupBy
+    reuses the same hash partitioning)."""
+    from hadoop_fixedlengthinputformat_spark.functions.corpus_extras import (
+        llm_winnowing,
+    )
+
+    plan = (
+        llm_winnowing(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange ") == 1, plan
+
+
+def test_anomaly_zscore_single_exchange(spark):
+    """ts_anomaly_zscore: count/sum/sum-of-squares share one 20-row
+    frame behind a single user_id hash partitioning — exactly one
+    exchange, and no Python evaluation (integer moments in codegen)."""
+    from hadoop_fixedlengthinputformat_spark.operators.relational_extras import (
+        ts_anomaly_zscore,
+    )
+
+    plan = (
+        ts_anomaly_zscore(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange ") == 1, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_holdout_split_no_exchange(spark):
+    """llm_holdout_split is a pure projection — zero shuffles."""
+    from hadoop_fixedlengthinputformat_spark.functions.corpus_extras import (
+        llm_holdout_split,
+    )
+
+    plan = (
+        llm_holdout_split(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_passage_dedup_partials_and_two_exchanges(spark):
+    """llm_passage_dedup: (hash, doc)-distinct then count — at most two
+    digest-only exchanges, with map-side partial aggregation below."""
+    from hadoop_fixedlengthinputformat_spark.functions.corpus_extras import (
+        llm_passage_dedup,
+    )
+
+    plan = (
+        llm_passage_dedup(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange ") <= 2, plan
+    assert "partial_count" in plan, plan
+
+
+def test_dq_audit_joins_broadcast_or_anti(spark):
+    """dq_audit's referential checks must plan as broadcast (or at
+    worst shuffled-hash) LeftAnti/inner joins — never a sort-merge of
+    the fact side for a COUNT."""
+    from hadoop_fixedlengthinputformat_spark.operators.relational_extras import (
+        dq_audit,
+    )
+
+    plan = (
+        dq_audit(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
