@@ -307,3 +307,200 @@ def llm_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("wmin").alias("min_fp"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Bigram language-model quality scoring (CCNet-style perplexity filter)
+# --------------------------------------------------------------------------
+
+@query(
+    "llm_lm_score",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    uc AS (
+        SELECT w, count(*) AS c
+        FROM (SELECT unnest(t) AS w FROM tok) GROUP BY w
+    ),
+    vocab AS (SELECT count(*) AS v FROM uc),
+    bi AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, len(t)),
+                   i -> t[i] || ' ' || t[i + 1]
+               )) AS bg
+        FROM tok
+    ),
+    bc AS (
+        SELECT string_split(bg, ' ')[1] AS w1,
+               string_split(bg, ' ')[2] AS w2,
+               count(*) AS c_xy
+        FROM bi GROUP BY 1, 2
+    ),
+    terms AS (
+        SELECT b.doc_id,
+               CAST(floor(ln(CAST(k.c_xy + 1 AS DOUBLE) / (u.c + v.v))
+                          * 100000000 + 0.5) AS BIGINT) AS t_units
+        FROM (SELECT doc_id,
+                     string_split(bg, ' ')[1] AS w1,
+                     string_split(bg, ' ')[2] AS w2
+              FROM bi) b
+        JOIN bc k ON k.w1 = b.w1 AND k.w2 = b.w2
+        JOIN uc u ON u.w = b.w1
+        CROSS JOIN vocab v
+    )
+    SELECT doc_id, count(*) AS n_bi,
+           floor(CAST(sum(t_units) AS DOUBLE)
+                 / (count(*) * 100000000.0) * 10000 + 0.5) / 10000
+               AS avg_logp
+    FROM terms GROUP BY doc_id
+    """,
+)
+def llm_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring: train an add-one-smoothed bigram
+    LM on the corpus itself, score every document by mean log
+    probability  avg ln((c_xy+1)/(c_x+V))  — the perplexity filter that
+    separates fluent text from boilerplate/garbage, without any
+    external model artifact.
+
+    Determinism: each ln() term is snapped to 8 decimals AND LIFTED TO
+    INT64 UNITS (floor(ln·1e8+0.5)) before summation — double sums are
+    merge-order-dependent across engines, integer sums are not (the
+    agg_stats exact-moment rule applied to transcendental terms); the
+    per-doc mean is then ONE division on bit-identical integers, snapped
+    to 4.  ln is evaluated per DISTINCT (bigram, unigram) count pair,
+    so ulp-straddle exposure is vocabulary-sized, not corpus-sized (the
+    llm_bm25 idf recipe).  Plan: bigram/unigram/vocab tables are
+    vocabulary-sized → all three joins broadcast; the corpus shuffles
+    once, on doc_id, for the final mean."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", _tok().alias("t"))
+    uc = (
+        tok.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = uc.agg(F.count(F.lit(1)).alias("v"))
+    bi = tok.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("t", i), F.element_at("t", i + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bg"),
+    ).select(
+        "doc_id",
+        F.split("bg", " ").getItem(0).alias("w1"),
+        F.split("bg", " ").getItem(1).alias("w2"),
+    )
+    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    terms = (
+        bi.join(F.broadcast(bc), ["w1", "w2"])
+        .join(
+            F.broadcast(uc.select(F.col("w").alias("w1"), "c")), "w1"
+        )
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.floor(
+                F.log((F.col("c_xy") + 1).cast("double") / (F.col("c") + F.col("v")))
+                * 100_000_000
+                + 0.5
+            ).alias("t_units"),
+        )
+    )
+    return terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bi"),
+        (
+            F.floor(
+                F.sum("t_units").cast("double")
+                / (F.count(F.lit(1)) * 100_000_000.0)
+                * 10_000
+                + 0.5
+            )
+            / 10_000
+        ).alias("avg_logp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Dataset card (corpus-level summary)
+# --------------------------------------------------------------------------
+
+@query(
+    "llm_dataset_card",
+    oracle="""
+    WITH doc AS (
+        SELECT count(*) AS n_docs,
+               count(DISTINCT lang) AS n_langs,
+               sum(length(text) - length(replace(text, ' ', '')) + 1)
+                   AS total_tokens,
+               sum(n_chars) AS total_chars,
+               floor((1 - CAST(count(DISTINCT md5(text)) AS DOUBLE)
+                          / count(*)) * 10000 + 0.5) / 10000 AS dup_rate,
+               floor(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                          AS DOUBLE) / count(*) * 10000 + 0.5) / 10000
+                   AS pct_en
+        FROM documents
+    ),
+    voc AS (
+        SELECT count(DISTINCT w) AS vocab_size
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    )
+    SELECT doc.*, voc.vocab_size FROM doc CROSS JOIN voc
+    """,
+)
+def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card — the summary block a corpus release ships
+    with: document/language counts, token and char totals, exact-dup
+    rate, English share, vocabulary size.  Two single-row aggregates
+    (doc-level stats; vocab via explode+count-distinct's two-phase
+    expansion) crossed with a broadcast — at 100 TB this is two
+    map-side-combined passes and a 1-row join, nothing else.  Ratios
+    are int-ratio snaps (floor trick); token counts use the
+    length-difference formula (n_ws_tokens)."""
+    from hadoop_fixedlengthinputformat_spark.functions import text as tx
+
+    d = load_table(spark, sf_dir, "documents")
+    doc = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.sum(tx.n_ws_tokens("text")).alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        (
+            F.floor(
+                (
+                    1
+                    - F.count_distinct(
+                        F.md5(F.col("text").cast("binary"))
+                    ).cast("double")
+                    / F.count(F.lit(1))
+                )
+                * 10_000
+                + 0.5
+            )
+            / 10_000
+        ).alias("dup_rate"),
+        (
+            F.floor(
+                F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+                * 10_000
+                + 0.5
+            )
+            / 10_000
+        ).alias("pct_en"),
+    )
+    voc = d.select(F.explode(_tok()).alias("w")).agg(
+        F.count_distinct("w").alias("vocab_size")
+    )
+    return doc.crossJoin(F.broadcast(voc))

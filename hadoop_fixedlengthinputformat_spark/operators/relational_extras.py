@@ -488,3 +488,152 @@ def maintain_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_partkey").alias("max_pk"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Datetime interval arithmetic
+# --------------------------------------------------------------------------
+
+@query(
+    "fn_datetime_interval",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 90 MINUTE AS plus_90m,
+           CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+           CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start,
+           last_day(o_orderdate) AS month_end,
+           CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus_2mo,
+           date_diff('day', o_orderdate, TIMESTAMP '1996-01-01') AS days_to_ref,
+           date_diff('minute', TIMESTAMP '1995-01-01', o_orderdate)
+               AS mins_since
+    FROM orders
+    """,
+)
+def fn_datetime_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/calendar arithmetic family: +INTERVAL, week/quarter
+    truncation, month-end, calendar month addition (both engines clamp
+    Jan 31 + 1 mo → Feb end), and day/minute differences.  Dialect
+    traps handled: DuckDB ``date_diff`` takes (unit, start, end) vs
+    Spark ``datediff(end, start)``; both count boundary crossings,
+    which equals elapsed units here because o_orderdate is
+    midnight-aligned (verified on the fixture generator); Spark
+    ``date_trunc`` returns TIMESTAMP while DuckDB returns DATE — cast
+    explicitly on both sides.  Pure projection, zero shuffles."""
+    o = load_table(spark, sf_dir, "orders")
+    od = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        (od + F.expr("INTERVAL 90 MINUTE")).alias("plus_90m"),
+        F.date_trunc("week", od).cast("date").alias("week_start"),
+        F.date_trunc("quarter", od).cast("date").alias("quarter_start"),
+        F.last_day(od.cast("date")).alias("month_end"),
+        F.add_months(od.cast("date"), 2).alias("plus_2mo"),
+        F.datediff(F.lit("1996-01-01").cast("date"), od.cast("date")).alias(
+            "days_to_ref"
+        ),
+        F.expr(
+            "timestampdiff(MINUTE, TIMESTAMP '1995-01-01 00:00:00',"
+            " o_orderdate)"
+        ).alias("mins_since"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Nearest as-of join (backward + forward, pick closest)
+# --------------------------------------------------------------------------
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH od AS (
+        SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        FROM orders GROUP BY o_custkey, o_orderdate
+    ),
+    bwd AS (
+        SELECT e.event_id, e.user_id, e.ts,
+               od.o_orderkey AS bkey, od.o_orderdate AS bt
+        FROM events e
+        ASOF LEFT JOIN od
+          ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
+    ),
+    fwd AS (
+        SELECT e.event_id, od.o_orderkey AS fkey, od.o_orderdate AS ft
+        FROM events e
+        ASOF LEFT JOIN od
+          ON e.user_id = od.o_custkey AND e.ts <= od.o_orderdate
+    )
+    SELECT b.event_id, b.user_id,
+           CASE WHEN f.fkey IS NULL THEN b.bkey
+                WHEN b.bkey IS NULL THEN f.fkey
+                WHEN CAST(floor(epoch(b.ts)) AS BIGINT)
+                     - CAST(floor(epoch(b.bt)) AS BIGINT)
+                     <= CAST(floor(epoch(f.ft)) AS BIGINT)
+                     - CAST(floor(epoch(b.ts)) AS BIGINT)
+                THEN b.bkey ELSE f.fkey END AS nearest_orderkey
+    FROM bwd b JOIN fwd f ON f.event_id = b.event_id
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-as-of join: each event matched to the CLOSEST order of
+    the same user in either time direction (ties break backward) — the
+    sensor-alignment variant of plain backward as-of.  Same union+window
+    formulation as ``join_asof`` (no range probe, no join explosion):
+    one shuffle on user_id, a backward pass (last ignorenulls, ROWS
+    UNBOUNDED PRECEDING) and a forward pass (first ignorenulls, ROWS
+    UNBOUNDED FOLLOWING, side ordered DESC so an equal-timestamp order
+    is visible forward) share the one partitioning; distance compares
+    floor-epoch BIGINTs (DuckDB epoch() is fractional — NOTES rule).
+    Orders pre-deduped to one row per (custkey, orderdate) so both
+    directions pick deterministically on any roll."""
+    ev = load_table(spark, sf_dir, "events")
+    od = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    left = ev.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("side"),
+        "event_id",
+        F.lit(None).cast("long").alias("ord_key"),
+        F.lit(None).cast("timestamp_ntz").alias("ord_t"),
+    )
+    right = od.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").cast("timestamp_ntz").alias("t"),
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderkey").alias("ord_key"),
+        F.col("o_orderdate").cast("timestamp_ntz").alias("ord_t"),
+    )
+    w_b = (
+        Window.partitionBy("k")
+        .orderBy("t", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_f = (
+        Window.partitionBy("k")
+        .orderBy("t", F.col("side").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    merged = (
+        left.unionByName(right)
+        .withColumn("bkey", F.last("ord_key", ignorenulls=True).over(w_b))
+        .withColumn("bt", F.last("ord_t", ignorenulls=True).over(w_b))
+        .withColumn("fkey", F.first("ord_key", ignorenulls=True).over(w_f))
+        .withColumn("ft", F.first("ord_t", ignorenulls=True).over(w_f))
+        .filter(F.col("side") == 1)
+    )
+    ep = lambda c: F.unix_timestamp(F.col(c))  # noqa: E731  floor-epoch
+    return merged.select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        F.when(F.col("fkey").isNull(), F.col("bkey"))
+        .when(F.col("bkey").isNull(), F.col("fkey"))
+        .when(
+            ep("t") - ep("bt") <= ep("ft") - ep("t"), F.col("bkey")
+        )
+        .otherwise(F.col("fkey"))
+        .alias("nearest_orderkey"),
+    )

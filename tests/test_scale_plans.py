@@ -402,3 +402,20 @@ def test_dq_audit_joins_broadcast_or_anti(spark):
     )
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_lm_score_count_joins_broadcast(spark):
+    """llm_lm_score joins doc bigrams against the bigram/unigram/vocab
+    count tables — all broadcast; the corpus-sized side must reach its
+    final doc_id aggregation through exactly one data shuffle."""
+    from hadoop_fixedlengthinputformat_spark.functions.corpus_extras import (
+        llm_lm_score,
+    )
+
+    plan = (
+        llm_lm_score(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
