@@ -159,7 +159,26 @@ GRADE_ORDER: tuple[str, ...] = (
     "fn_string",
     "fn_date",
     "fn_conditional",
-    # ---- ROUND 5+: streaming + rows-only + already-green tail follows in
+    # ---- ROUND 5 WINDOW (101-150): the round-3 widening batch (all
+    # oracle-checked, 5-roll-verified locally) ahead of the weaker-signal
+    # tail, then remaining never-graded re-greens.
+    "cte_recursive",
+    "win_percent_rank_nth",
+    "set_union_by_name",
+    "fn_try_arith",
+    "dq_audit",
+    "ts_anomaly_zscore",
+    "maintain_zorder",
+    "llm_pmi_bigrams",
+    "llm_passage_dedup",
+    "llm_holdout_split",
+    "llm_winnowing",
+    "fn_datetime_interval",
+    "join_asof_nearest",
+    "llm_lm_score",
+    "llm_dataset_card",
+    "sink_fixedlen_bz2",
+    # ---- ROUND 6+: streaming + rows-only + already-green tail follows in
     # registration order (streaming last among ungraded: batch-equivalence
     # oracles are the weakest signal per graded slot).
 )

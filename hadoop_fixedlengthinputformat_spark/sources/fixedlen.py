@@ -91,7 +91,7 @@ class _Options:
     max_partition_bytes: int
     decode_mode: str = "failfast"  # or "permissive": null malformed fields
     pruned: bool = False  # True when 'columns' narrowed the layout
-    compression: str = "none"  # writer-side: "none" | "gzip"
+    compression: str = "none"  # writer-side: "none" | "gzip" | "bz2" | "xz"
     encoding: str = "utf-8"  # single-byte charset transcode (e.g. cp037)
     # multi-record-type dispatch (COBOL header/detail files): tag -> layout,
     # the union schema, and the discriminator byte slice
@@ -236,8 +236,10 @@ class _Options:
                     f"fixedlen: maxBytesPerTrigger must be > 0, got {mbt}"
                 )
         compression = options.get("compression", "none").lower()
-        if compression not in ("none", "gzip"):
-            raise ValueError("fixedlen: compression must be 'none' or 'gzip'")
+        if compression not in ("none", "gzip", "bz2", "xz"):
+            raise ValueError(
+                "fixedlen: compression must be 'none', 'gzip', 'bz2', or 'xz'"
+            )
         enc_raw = options.get("encoding", "utf-8")
         try:
             info = codecs.lookup(enc_raw)
@@ -476,7 +478,34 @@ def _discover(path: str) -> tuple[list[tuple[str, dict]], tuple[str, ...]]:
     return out, cols or ()
 
 
-_WHOLE_FILE = -1  # partition.end sentinel: gzip stream, read to EOF
+_WHOLE_FILE = -1  # partition.end sentinel: compressed stream, read to EOF
+
+# Stream codecs (the reference defers to Hadoop's CompressionCodecFactory,
+# so gzip/bzip2/xz files are all inputs its users have; the stdlib covers
+# the same three).  All are unsplittable byte streams here: one
+# whole-file partition, record alignment validated at EOF.
+_CODEC_EXTS = {"gzip": ".gz", "bz2": ".bz2", "xz": ".xz"}
+
+
+def _codec_of(path: str) -> str | None:
+    for name, ext in _CODEC_EXTS.items():
+        if path.endswith(ext):
+            return name
+    return None
+
+
+def _codec_open_read(path: str, codec: str):
+    if codec == "gzip":
+        import gzip
+
+        return gzip.open(path, "rb")
+    if codec == "bz2":
+        import bz2
+
+        return bz2.open(path, "rb")
+    import lzma
+
+    return lzma.open(path, "rb")
 
 
 class FixedLenPartition(InputPartition):
@@ -501,7 +530,7 @@ def _plan_file(
     the fly; alignment is validated at stream end since the uncompressed
     size isn't known at planning time.
     """
-    if path.endswith(".gz"):
+    if _codec_of(path):
         return [FixedLenPartition(path, 0, _WHOLE_FILE)]
     size = os.path.getsize(path)
     rl = opts.stride  # on-disk record stride (= recordLength + lineSep)
@@ -550,30 +579,29 @@ def _read_aligned(f, start: int, end: int, chunk_records: int, rl: int) -> Itera
         yield bytes(buf)
 
 
-def _read_gzip_stream(
+def _read_codec_stream(
     path: str,
+    codec: str,
     chunk_records: int,
     rl: int,
     malformed_tail: str,
     skip_header: int = 0,
     skip_trailer: int = 0,
 ) -> Iterator[bytes]:
-    """Yield record-aligned chunks from a gzip stream (no seeking; single
-    whole-file partition).  A trailing partial record follows the same
-    malformedTail policy as the planning-time size check.
+    """Yield record-aligned chunks from a compressed stream (gzip/bz2/xz;
+    no seeking; single whole-file partition).  A trailing partial record
+    follows the same malformedTail policy as the planning-time size check.
 
     The stream is not seekable, so header records are discarded as they
     decompress and trailer records are withheld through a rolling
     holdback buffer (the last ``skip_trailer`` records are only known to
     be the trailer once EOF arrives)."""
-    import gzip
-
     carry = b""
     to_skip = skip_header * rl
     holdback = skip_trailer * rl
     pending = b""  # record-aligned bytes retained until EOF proves
     # they're data, not trailer
-    with gzip.open(path, "rb") as f:
+    with _codec_open_read(path, codec) as f:
         while True:
             got = f.read(chunk_records * rl)
             if not got:
@@ -596,7 +624,7 @@ def _read_gzip_stream(
     if carry:
         if malformed_tail == "fail":
             raise IOError(
-                f"fixedlen: gzip stream {path!r} ends mid-record "
+                f"fixedlen: {codec} stream {path!r} ends mid-record "
                 f"({len(carry)} trailing bytes; cf. "
                 "FixedLengthRecordReader.java:231-235); "
                 "set malformedTail=drop to ignore the tail"
@@ -931,8 +959,9 @@ class FixedLengthReader(DataSourceReader):
 
         if partition.end == _WHOLE_FILE:
             return decode(
-                _read_gzip_stream(
-                    partition.path, chunk_records, stride,
+                _read_codec_stream(
+                    partition.path, _codec_of(partition.path) or "gzip",
+                    chunk_records, stride,
                     o.malformed_tail, o.skip_header, o.skip_trailer,
                 )
             )
@@ -998,20 +1027,30 @@ class FixedLengthWriter(DataSourceWriter):
         os.makedirs(self.path, exist_ok=True)
         ctx = TaskContext.get()
         o = self.opts
-        ext = ".fixed.gz" if o.compression == "gzip" else ".fixed"
+        ext = ".fixed" + _CODEC_EXTS.get(o.compression, "")
         rl, sep = o.record_length, o.line_sep
 
         def open_sink(tmp: str):
-            """Raw or gzip file handle for a tmp path.  mtime=0 + no
-            filename: byte-deterministic gzip for a given row order
-            (speculative attempts produce identical files)."""
+            """Raw or compressed file handle for a tmp path.  Gzip gets
+            mtime=0 + no filename for byte-deterministic output given a
+            row order (speculative attempts produce identical files);
+            bz2/xz formats carry no timestamps, deterministic as-is."""
             raw = open(tmp, "wb")
-            if o.compression != "gzip":
-                return raw, raw
-            import gzip
+            if o.compression == "gzip":
+                import gzip
 
-            gz = gzip.GzipFile(filename="", mode="wb", fileobj=raw, mtime=0)
-            return gz, raw
+                return gzip.GzipFile(
+                    filename="", mode="wb", fileobj=raw, mtime=0
+                ), raw
+            if o.compression == "bz2":
+                import bz2
+
+                return bz2.BZ2File(raw, "wb"), raw
+            if o.compression == "xz":
+                import lzma
+
+                return lzma.LZMAFile(raw, "wb"), raw
+            return raw, raw
 
         def with_sep(data: bytes) -> bytes:
             """Interleave the line terminator after every record (one
@@ -1139,7 +1178,10 @@ class FixedLengthWriter(DataSourceWriter):
                         fn.startswith("part-")
                         and (
                             fn.endswith(".fixed")
-                            or fn.endswith(".fixed.gz")
+                            or any(
+                                fn.endswith(".fixed" + e)
+                                for e in _CODEC_EXTS.values()
+                            )
                             or stats.is_sidecar(fn)
                         )
                         and f"-{self.token}." not in fn
@@ -1322,8 +1364,10 @@ class FixedLenPartitionedStreamReader(DataSourceStreamReader):
     exposed — the split-alignment invariant carried into streaming."""
 
     def __init__(self, opts: _Options, path: str):
-        if path.endswith(".gz"):
-            raise ValueError("fixedlen: streaming does not support gzip input")
+        if _codec_of(path):
+            raise ValueError(
+                "fixedlen: streaming does not support compressed input"
+            )
         if opts.skip_trailer:
             raise ValueError(
                 "fixedlen: skipTrailerRecords is not supported for streaming"
@@ -1375,7 +1419,7 @@ class FixedLenDirectoryStreamReader(DataSourceStreamReader):
     partition when they appear.  Ranges split with the same
     ``_plan_file`` arithmetic as the batch reader, read on executors."""
 
-    _GZ_DONE = 1  # sentinel offset: the .gz member has been emitted
+    _GZ_DONE = 1  # sentinel offset: the compressed member has been emitted
 
     def __init__(self, opts: _Options, path: str):
         if opts.skip_trailer:
@@ -1396,7 +1440,7 @@ class FixedLenDirectoryStreamReader(DataSourceStreamReader):
         except FileNotFoundError:
             names = []
         for p in names:
-            if p.endswith(".gz"):
+            if _codec_of(p):
                 files[p] = self._GZ_DONE
             else:
                 size = os.path.getsize(p)
@@ -1409,7 +1453,7 @@ class FixedLenDirectoryStreamReader(DataSourceStreamReader):
         seen = start.get("files", {})
         parts: list[FixedLenPartition] = []
         for p, hi in end.get("files", {}).items():
-            if p.endswith(".gz"):
+            if _codec_of(p):
                 if seen.get(p, 0) < self._GZ_DONE <= hi:
                     parts.append(FixedLenPartition(p, 0, _WHOLE_FILE))
                 continue
@@ -1534,9 +1578,11 @@ class FixedLengthDataSource(DataSource):
     def simpleStreamReader(self, schema: StructType) -> FixedLenStreamReader:
         if not self.path:
             raise ValueError("fixedlen: load(path) is required")
-        if self.path.endswith(".gz"):
-            # a growing gzip file can't be tailed incrementally (no seek)
-            raise ValueError("fixedlen: streaming does not support gzip input")
+        if _codec_of(self.path):
+            # a growing compressed file can't be tailed incrementally (no seek)
+            raise ValueError(
+                "fixedlen: streaming does not support compressed input"
+            )
         if os.path.isdir(self.path) or _glob.has_magic(self.path):
             raise ValueError(
                 "fixedlen: directory streaming requires partitionedStream=true"

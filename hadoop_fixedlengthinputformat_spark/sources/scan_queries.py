@@ -415,3 +415,41 @@ def sink_fixedlen_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("includeOffset", "false")
         .load(out)
     )
+
+
+@query(
+    "sink_fixedlen_bz2",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def sink_fixedlen_bz2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bzip2 round trip through the sink+source (option compression=bz2).
+    The reference defers compression to Hadoop's CompressionCodecFactory,
+    so bzip2/xz fixed-width files are inputs its users actually have —
+    the engine's codec layer is generic over gzip/bz2/xz stdlib streams
+    (one whole-file partition each; alignment validated at EOF; bz2/xz
+    carry no timestamps so the members are byte-deterministic without
+    the gzip mtime=0 trick).  Same many-moderate-parts scale guidance
+    as sink_fixedlen_gzip."""
+    configure(spark)
+    fixedlen.register(spark)
+    record_length, spec, _ = fixture_gen.LAYOUTS["nation"]
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    out = os.path.join(tempfile.gettempdir(), "flif_sink_fixedlen_bz2")
+    (
+        n.coalesce(1)
+        .write.format("fixedlen")
+        .option("recordLength", str(record_length))
+        .option("layout", spec)
+        .option("compression", "bz2")
+        .mode("overwrite")
+        .save(out)
+    )
+    return (
+        spark.read.format("fixedlen")
+        .option("recordLength", str(record_length))
+        .option("layout", spec)
+        .option("includeOffset", "false")
+        .load(out)
+    )

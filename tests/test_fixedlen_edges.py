@@ -139,7 +139,7 @@ def test_gzip_tail_partial_drop(spark, tmp_path):
 def test_gzip_streaming_rejected(spark, tmp_path):
     path = _write_gz(tmp_path, "gs.bin.gz", b"x" * 80)
     fixedlen.register(spark)
-    with pytest.raises(Exception, match="streaming does not support gzip"):
+    with pytest.raises(Exception, match="streaming does not support compress"):
         (spark.readStream.format("fixedlen").option("recordLength", "8")
          .load(path).writeStream.format("noop")
          .trigger(availableNow=True).start().awaitTermination())
