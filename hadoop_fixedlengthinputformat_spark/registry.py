@@ -178,6 +178,9 @@ GRADE_ORDER: tuple[str, ...] = (
     "llm_lm_score",
     "llm_dataset_card",
     "sink_fixedlen_bz2",
+    "scan_varlen_rdw",
+    "sink_varlen_rdw",
+    "scan_varlen_rdw_indexed",
     # ---- ROUND 6+: streaming + rows-only + already-green tail follows in
     # registration order (streaming last among ungraded: batch-equivalence
     # oracles are the weakest signal per graded slot).
@@ -253,6 +256,9 @@ def load_all() -> None:
     )
     from hadoop_fixedlengthinputformat_spark.functions import (  # noqa: F401
         corpus_extras,
+    )
+    from hadoop_fixedlengthinputformat_spark.sources import (  # noqa: F401
+        varlen_queries,
     )
 
     _reorder()

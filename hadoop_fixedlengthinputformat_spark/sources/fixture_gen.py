@@ -142,6 +142,65 @@ def fixed_file_with_banners(
     return out
 
 
+# varlen RDW fixture: documents as IBM RECFM=V records — a 22-byte fixed
+# prefix (doc metadata) + the utf-8 text bytes as the variable tail.
+RDW_PREFIX_LEN = 22
+RDW_PREFIX_LAYOUT = (
+    "doc_id:0:8:long,lang:8:2:string,source:10:6:string,n_chars:16:6:int"
+)
+
+
+def rdw_file_for(sf_dir: str, index_every: int = 0) -> str:
+    """Path of the RDW (variable-length) serialization of
+    ``sf_dir/documents.parquet``; ``index_every`` > 0 also writes the
+    ``.rdx.json`` record-index sidecar that makes the file splittable."""
+    import json
+    import struct
+
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|rdw|{index_every}"
+        f"|{source_stamp(sf_dir)}".encode()
+    ).hexdigest()[:12]
+    out = os.path.join(fixture_dir(), f"documents-{tag}.rdw")
+    if os.path.exists(out):
+        return out
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    fields = parse_layout(RDW_PREFIX_LAYOUT, RDW_PREFIX_LEN)
+    offsets: list[int] = []
+    written = 0
+    n = 0
+    payload = bytearray()
+    for r in tbl.sort_by("doc_id").to_pylist():
+        tail = r["text"].encode("utf-8")
+        prefix = encode_rows([r], fields, RDW_PREFIX_LEN)
+        total = 4 + RDW_PREFIX_LEN + len(tail)
+        if index_every and n % index_every == 0:
+            offsets.append(written)
+        rec = struct.pack(">HH", total, 0) + prefix + tail
+        payload += rec
+        written += len(rec)
+        n += 1
+    tmp = out + f".tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(payload)
+    if index_every:
+        with open(tmp + ".idx", "w") as f:
+            json.dump(
+                {
+                    "version": 1,
+                    "every": index_every,
+                    "prefix_length": RDW_PREFIX_LEN,
+                    "offsets": offsets,
+                    "n_records": n,
+                    "data_bytes": written,
+                },
+                f,
+            )
+        os.replace(tmp + ".idx", out + ".rdx.json")
+    os.replace(tmp, out)  # atomic under concurrent callers
+    return out
+
+
 def occurs_file_for(sf_dir: str) -> str:
     """Fixed-width fixture with a COBOL OCCURS group: per nation row,
     key + 3 derived int elements (key+1, 2*key, regionkey) — derivable

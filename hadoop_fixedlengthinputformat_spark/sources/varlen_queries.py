@@ -1,0 +1,124 @@
+"""A-family extras — RDW variable-length (RECFM=V) scans/sinks.
+
+The fixed-length reference (FixedLengthInputFormat.java:38-43) covers
+RECFM=F only; these queries exercise the ``varlen`` source
+(sources/varlen.py) on the same engine contract: typed prefix decode,
+file-global ``record_offset`` keys, write round-trips, and
+sidecar-indexed splittable reads.
+
+``record_offset`` is SQL-predictable because fixture records are
+written in doc_id order: each record occupies
+4 (RDW) + 22 (prefix) + octet_length(text) bytes, so the offset is the
+running sum of the preceding records' sizes — the oracle recomputes the
+whole variable-stride layout, so a single misparsed RDW anywhere in the
+file shifts every later offset and fails the hash.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hadoop_fixedlengthinputformat_spark.registry import query
+from hadoop_fixedlengthinputformat_spark.sources import fixture_gen, varlen
+from hadoop_fixedlengthinputformat_spark.tables import configure, load_table
+
+
+def read_rdw(
+    spark: SparkSession, path: str, **extra: str
+) -> DataFrame:
+    configure(spark)
+    varlen.register(spark)
+    reader = (
+        spark.read.format("varlen")
+        .option("prefixLength", str(fixture_gen.RDW_PREFIX_LEN))
+        .option("layout", fixture_gen.RDW_PREFIX_LAYOUT)
+    )
+    for k, v in extra.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+@query(
+    "scan_varlen_rdw",
+    oracle="""
+    SELECT CAST(COALESCE(SUM(26 + octet_length(encode(text)))
+                    OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0) AS BIGINT) AS record_offset,
+           doc_id, lang, source, n_chars,
+           CAST(octet_length(encode(text)) AS BIGINT) AS tail_bytes
+    FROM documents
+    """,
+)
+def scan_varlen_rdw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDW file -> typed prefix columns + variable binary tail; the
+    oracle reconstructs every record's byte offset from the cumulative
+    variable strides."""
+    path = fixture_gen.rdw_file_for(sf_dir)
+    df = read_rdw(spark, path)
+    return df.select(
+        "record_offset",
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.length("record_tail").cast("long").alias("tail_bytes"),
+    )
+
+
+@query(
+    "sink_varlen_rdw",
+    oracle="SELECT doc_id, lang, n_chars, text FROM documents",
+)
+def sink_varlen_rdw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round trip through OUR sink: parquet -> varlen write (text as the
+    variable tail) -> varlen read -> tail decoded back to the text."""
+    configure(spark)
+    varlen.register(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars", "text"
+    )
+    out = os.path.join(tempfile.gettempdir(), "flif_sink_varlen")
+    (
+        docs.write.format("varlen")
+        .option("prefixLength", str(fixture_gen.RDW_PREFIX_LEN))
+        .option("layout", fixture_gen.RDW_PREFIX_LAYOUT)
+        .option("tailColumn", "text")
+        .mode("overwrite")
+        .save(out)
+    )
+    df = read_rdw(spark, out, tailColumn="text", includeOffset="false")
+    return df.select(
+        "doc_id", "lang", "n_chars", F.col("text").cast("string").alias("text")
+    )
+
+
+@query(
+    "scan_varlen_rdw_indexed",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS tail_bytes,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def scan_varlen_rdw_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Splittable V-format read: the ``.rdx.json`` record-index sidecar
+    (written every 64 records here) plans record-aligned byte-range
+    partitions at maxPartitionBytes granularity — the recovery for
+    V-format's inherent unsplittability (tests assert >1 partition and
+    that the per-partition walks tile the file exactly)."""
+    path = fixture_gen.rdw_file_for(sf_dir, index_every=64)
+    size = os.path.getsize(path)
+    df = read_rdw(
+        spark, path, maxPartitionBytes=str(max(4096, size // 24))
+    )
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("record_tail").cast("long")).alias("tail_bytes"),
+        F.sum(F.col("n_chars").cast("long")).alias("sum_chars"),
+    )

@@ -1,0 +1,261 @@
+"""varlen (RDW / RECFM=V) source: round trips, split-by-sidecar
+correctness, RDW validation, codec streaming, and raw mode."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+import random
+import struct
+
+import pytest
+
+from hadoop_fixedlengthinputformat_spark.sources import varlen
+from hadoop_fixedlengthinputformat_spark.sources.varlen import (
+    VarLenReader,
+    _VOptions,
+)
+
+PFX_LEN = 10
+PFX_LAYOUT = "k:0:6:long,tag:6:4:string"
+
+
+def _rec(k: int, tag: str, tail: bytes) -> bytes:
+    prefix = f"{k:06d}{tag:<4}".encode()
+    total = 4 + len(prefix) + len(tail)
+    return struct.pack(">HH", total, 0) + prefix + tail
+
+
+def _write_file(path: str, recs: list[bytes], index_every: int = 0) -> None:
+    with open(path, "wb") as f:
+        f.write(b"".join(recs))
+    if index_every:
+        offsets, pos = [], 0
+        for i, r in enumerate(recs):
+            if i % index_every == 0:
+                offsets.append(pos)
+            pos += len(r)
+        with open(path + ".rdx.json", "w") as f:
+            json.dump(
+                {
+                    "version": 1,
+                    "every": index_every,
+                    "prefix_length": PFX_LEN,
+                    "offsets": offsets,
+                    "n_records": len(recs),
+                    "data_bytes": pos,
+                },
+                f,
+            )
+
+
+def _read(spark, path, **extra):
+    varlen.register(spark)
+    r = (
+        spark.read.format("varlen")
+        .option("prefixLength", str(PFX_LEN))
+        .option("layout", PFX_LAYOUT)
+    )
+    for k, v in extra.items():
+        r = r.option(k, v)
+    return r.load(path)
+
+
+def _rand_recs(n: int, seed: int = 7) -> list[bytes]:
+    rng = random.Random(seed)
+    recs = []
+    for i in range(n):
+        tail = bytes(rng.randrange(256) for _ in range(rng.choice([0, 1, 3, 50, 400])))
+        recs.append(_rec(i, f"t{i % 5}", tail))
+    return recs
+
+
+def test_round_trip_offsets_and_tails(spark, tmp_path):
+    recs = _rand_recs(200)
+    p = str(tmp_path / "data.rdw")
+    _write_file(p, recs)
+    rows = sorted(_read(spark, p).collect(), key=lambda r: r.k)
+    assert len(rows) == 200
+    pos = 0
+    for i, r in enumerate(rows):
+        assert r.k == i and r.tag == f"t{i % 5}"
+        assert r.record_offset == pos
+        assert bytes(r.record_tail) == recs[i][4 + PFX_LEN:]
+        pos += len(recs[i])
+
+
+def test_indexed_read_splits_and_tiles_exactly(spark, tmp_path):
+    recs = _rand_recs(500, seed=13)
+    p = str(tmp_path / "data.rdw")
+    _write_file(p, recs, index_every=32)
+    opts = _VOptions.parse(
+        {"prefixlength": str(PFX_LEN), "layout": PFX_LAYOUT,
+         "maxpartitionbytes": "4096"}
+    )
+    parts = VarLenReader(opts, p).partitions()
+    assert len(parts) > 4
+    # partitions tile [0, size) exactly, each boundary a record start
+    spans = sorted((q.start, q.end) for q in parts)
+    assert spans[0][0] == 0 and spans[-1][1] == os.path.getsize(p)
+    for (s1, e1), (s2, _e2) in zip(spans, spans[1:]):
+        assert e1 == s2
+    df = _read(spark, p, maxPartitionBytes="4096")
+    assert df.rdd.getNumPartitions() == len(parts)
+    got = sorted((r.k, r.record_offset) for r in df.collect())
+    pos, want = 0, []
+    for i, r in enumerate(recs):
+        want.append((i, pos))
+        pos += len(r)
+    assert got == want
+
+
+def test_stale_sidecar_falls_back_to_unsplit(spark, tmp_path):
+    recs = _rand_recs(100, seed=3)
+    p = str(tmp_path / "data.rdw")
+    _write_file(p, recs, index_every=8)
+    # grow the file behind the sidecar's back
+    with open(p, "ab") as f:
+        f.write(_rec(100, "t0", b"xx"))
+    opts = _VOptions.parse(
+        {"prefixlength": str(PFX_LEN), "layout": PFX_LAYOUT,
+         "maxpartitionbytes": "1024"}
+    )
+    parts = VarLenReader(opts, p).partitions()
+    assert len(parts) == 1  # stale data_bytes -> never misread
+    assert _read(spark, p).count() == 101
+
+
+def test_sink_round_trip_and_overwrite(spark, tmp_path):
+    out = str(tmp_path / "sunk")
+    df = spark.createDataFrame(
+        [(i, f"t{i % 3}", bytes([i % 256]) * (i % 37)) for i in range(300)],
+        "k long, tag string, record_tail binary",
+    )
+    (
+        df.write.format("varlen")
+        .option("prefixLength", str(PFX_LEN))
+        .option("layout", PFX_LAYOUT)
+        .option("indexEvery", "16")
+        .mode("overwrite")
+        .save(out)
+    )
+    # sidecars exist and are excluded from the file listing
+    names = os.listdir(out)
+    assert any(n.endswith(".rdx.json") for n in names)
+    back = _read(spark, out, maxPartitionBytes="2048")
+    got = sorted((r.k, bytes(r.record_tail)) for r in back.collect())
+    assert got == [(i, bytes([i % 256]) * (i % 37)) for i in range(300)]
+    # overwrite replaces, never appends
+    df.limit(10).write.format("varlen").option(
+        "prefixLength", str(PFX_LEN)
+    ).option("layout", PFX_LAYOUT).mode("overwrite").save(out)
+    assert _read(spark, out).count() == 10
+
+
+def test_empty_write_reads_back_empty(spark, tmp_path):
+    out = str(tmp_path / "empty")
+    df = spark.createDataFrame([], "k long, tag string, record_tail binary")
+    (
+        df.write.format("varlen")
+        .option("prefixLength", str(PFX_LEN))
+        .option("layout", PFX_LAYOUT)
+        .mode("overwrite")
+        .save(out)
+    )
+    assert _read(spark, out).count() == 0
+
+
+def test_gzip_stream_read(spark, tmp_path):
+    recs = _rand_recs(150, seed=99)
+    p = str(tmp_path / "data.rdw.gz")
+    with gzip.open(p, "wb") as f:
+        f.write(b"".join(recs))
+    rows = sorted(_read(spark, p).collect(), key=lambda r: r.k)
+    assert [r.k for r in rows] == list(range(150))
+    pos = 0
+    for i, r in enumerate(rows):
+        assert r.record_offset == pos  # uncompressed-stream positions
+        pos += len(recs[i])
+
+
+def test_rejects_spanned_segment_bytes(spark, tmp_path):
+    p = str(tmp_path / "bad.rdw")
+    rec = _rec(1, "t1", b"abc")
+    bad = rec[:2] + b"\x00\x01" + rec[4:]
+    _write_file(p, [bad])
+    with pytest.raises(Exception, match="RECFM=VS|segment"):
+        _read(spark, p).collect()
+
+
+def test_rejects_truncated_record_and_rdw(spark, tmp_path):
+    p1 = str(tmp_path / "t1.rdw")
+    _write_file(p1, [_rec(1, "t1", b"abcdef")[:-3]])
+    with pytest.raises(Exception, match="mid-record"):
+        _read(spark, p1).collect()
+    p2 = str(tmp_path / "t2.rdw")
+    _write_file(p2, [_rec(1, "t1", b""), b"\x00\x13"])
+    with pytest.raises(Exception, match="mid-RDW"):
+        _read(spark, p2).collect()
+
+
+def test_rejects_record_shorter_than_prefix(spark, tmp_path):
+    p = str(tmp_path / "short.rdw")
+    _write_file(p, [struct.pack(">HH", 4 + 5, 0) + b"12345"])
+    with pytest.raises(Exception, match="shorter than RDW\\+prefix"):
+        _read(spark, p).collect()
+
+
+def test_write_rejects_oversized_record(spark, tmp_path):
+    out = str(tmp_path / "big")
+    df = spark.createDataFrame(
+        [(1, "t0", b"x" * 70000)], "k long, tag string, record_tail binary"
+    )
+    with pytest.raises(Exception, match="16-bit"):
+        (
+            df.write.format("varlen")
+            .option("prefixLength", str(PFX_LEN))
+            .option("layout", PFX_LAYOUT)
+            .mode("overwrite")
+            .save(out)
+        )
+
+
+def test_raw_mode_round_trip(spark, tmp_path):
+    out = str(tmp_path / "raw")
+    payloads = [bytes([i]) * (i % 23) for i in range(120)]
+    df = spark.createDataFrame([(p,) for p in payloads], "value binary")
+    df.write.format("varlen").mode("overwrite").save(out)
+    varlen.register(spark)
+    back = spark.read.format("varlen").load(out)
+    got = sorted(bytes(r.value) for r in back.collect())
+    assert got == sorted(payloads)
+
+
+def test_option_validation():
+    with pytest.raises(ValueError, match="prefixLength"):
+        _VOptions.parse({"layout": PFX_LAYOUT})
+    with pytest.raises(ValueError, match="clashes"):
+        _VOptions.parse(
+            {"layout": PFX_LAYOUT, "prefixlength": str(PFX_LEN),
+             "tailcolumn": "k"}
+        )
+    with pytest.raises(ValueError, match="single-byte"):
+        _VOptions.parse(
+            {"layout": PFX_LAYOUT, "prefixlength": str(PFX_LEN),
+             "encoding": "utf-16"}
+        )
+
+
+def test_ebcdic_prefix_decode(spark, tmp_path):
+    # cp037-encoded prefix, binary tail untouched by the charset
+    p = str(tmp_path / "ebc.rdw")
+    prefix = "000042helo".encode("cp037")
+    tail = b"\x01\x02\x03"
+    total = 4 + len(prefix) + len(tail)
+    with open(p, "wb") as f:
+        f.write(struct.pack(">HH", total, 0) + prefix + tail)
+    rows = _read(spark, p, encoding="cp037").collect()
+    assert len(rows) == 1
+    assert rows[0].k == 42 and rows[0].tag == "helo"
+    assert bytes(rows[0].record_tail) == tail
