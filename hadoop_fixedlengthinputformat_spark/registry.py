@@ -181,6 +181,7 @@ GRADE_ORDER: tuple[str, ...] = (
     "scan_varlen_rdw",
     "sink_varlen_rdw",
     "scan_varlen_rdw_indexed",
+    "scan_fixedlen_comp12",
     # ---- ROUND 6+: streaming + rows-only + already-green tail follows in
     # registration order (streaming last among ungraded: batch-equivalence
     # oracles are the weakest signal per graded slot).

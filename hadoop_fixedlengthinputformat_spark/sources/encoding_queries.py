@@ -380,3 +380,31 @@ def scan_fixedlen_binint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("includeOffset", "false")
         .load(path)
     )
+
+
+@query(
+    "scan_fixedlen_comp12",
+    oracle="""
+    SELECT c_custkey, c_acctbal AS bal_d,
+           CAST(CAST(c_acctbal AS REAL) AS DOUBLE) AS bal_f
+    FROM customer
+    """,
+)
+def scan_fixedlen_comp12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COBOL COMP-1/COMP-2 (USAGE COMPUTATIONAL-1/-2): big-endian IEEE
+    float32/float64 fields, completing the COBOL numeric family
+    (DISPLAY, COMP-3 packed, zoned overpunch, implied-point, COMP-4
+    binary).  Decode is a zero-copy numpy big-endian view; COMP-1
+    widens to double EXACTLY, and the fixture's double->float32 encode
+    rounds nearest-even — the same rounding as the oracle's
+    CAST(... AS REAL), so values are bit-identical cross-engine."""
+    configure(spark)
+    fixedlen.register(spark)
+    path = fixture_gen.comp_file_for(sf_dir)
+    return (
+        spark.read.format("fixedlen")
+        .option("recordLength", str(fixture_gen.COMP_RL))
+        .option("layout", fixture_gen.COMP_LAYOUT)
+        .option("includeOffset", "false")
+        .load(path)
+    )

@@ -142,6 +142,34 @@ def fixed_file_with_banners(
     return out
 
 
+COMP_LAYOUT = "c_custkey:0:10:long,bal_d:10:8:comp2,bal_f:18:4:comp1"
+COMP_RL = 22
+
+
+def comp_file_for(sf_dir: str) -> str:
+    """Fixed-width fixture with COBOL COMP-1/COMP-2 (big-endian IEEE
+    float) fields: customer keys + acctbal as float64 and float32."""
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|comp12|{source_stamp(sf_dir)}".encode()
+    ).hexdigest()[:12]
+    out = os.path.join(fixture_dir(), f"customer-comp-{tag}.fixed")
+    if os.path.exists(out):
+        return out
+    tbl = pq.read_table(os.path.join(sf_dir, "customer.parquet"))
+    fields = parse_layout(COMP_LAYOUT, COMP_RL)
+    rows = [
+        {"c_custkey": r["c_custkey"], "bal_d": r["c_acctbal"],
+         "bal_f": r["c_acctbal"]}
+        for r in tbl.sort_by("c_custkey").to_pylist()
+    ]
+    payload = encode_rows(rows, fields, COMP_RL)
+    tmp = out + f".tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(payload)
+    os.replace(tmp, out)
+    return out
+
+
 # varlen RDW fixture: documents as IBM RECFM=V records — a 22-byte fixed
 # prefix (doc metadata) + the utf-8 text bytes as the variable tail.
 RDW_PREFIX_LEN = 22

@@ -44,8 +44,11 @@ from pyspark.sql.types import (
 
 _TYPES = (
     "int", "long", "double", "string", "date",
-    "packed", "zoned", "implied", "bin",
+    "packed", "zoned", "implied", "bin", "comp1", "comp2",
 )
+
+# fixed widths for types whose byte layout implies them
+_FIXED_WIDTHS = {"comp1": 4, "comp2": 8}
 
 
 @dataclass(frozen=True)
@@ -86,6 +89,8 @@ class FieldSpec:
             "zoned": DoubleType(),  # PIC S9 DISPLAY, sign overpunch
             "implied": DoubleType(),  # PIC 9(n)V9(s): no point, implied scale
             "bin": LongType(),  # COMP-4: big-endian two's-complement binary
+            "comp1": DoubleType(),  # COMP-1: BE IEEE float32, widened exactly
+            "comp2": DoubleType(),  # COMP-2: BE IEEE float64
         }[self.base_type]
 
     def spark_type(self) -> DataType:
@@ -104,6 +109,8 @@ class FieldSpec:
             "zoned": pa.float64(),
             "implied": pa.float64(),
             "bin": pa.int64(),
+            "comp1": pa.float64(),
+            "comp2": pa.float64(),
         }[self.base_type]
 
     def arrow_type(self) -> pa.DataType:
@@ -135,6 +142,12 @@ def parse_layout(spec: str, record_length: int) -> list[FieldSpec]:
             raise ValueError(f"unsupported layout type {ftype!r} in {part!r}")
         if start_i < 0 or length_i <= 0:
             raise ValueError(f"bad bounds in layout field {part!r}")
+        want_w = _FIXED_WIDTHS.get(ftype.split("(")[0])
+        if want_w is not None and length_i != want_w:
+            raise ValueError(
+                f"layout field {name!r}: type {ftype!r} is exactly "
+                f"{want_w} bytes, got {length_i}"
+            )
         if start_i + length_i * occurs > record_length:
             raise ValueError(
                 f"layout field {name!r} [{start_i}, {start_i + length_i * occurs}) "
@@ -360,6 +373,8 @@ def _decode_scalar(
         return decode_zoned_field(mat, f, permissive=permissive)
     if f.base_type == "bin":
         return decode_bin_field(mat, f)
+    if f.base_type in ("comp1", "comp2"):
+        return decode_float_field(mat, f)
     return decode_field(fmat, f, permissive=permissive)
 
 
@@ -520,6 +535,8 @@ def encode_rows(
             b = encode_zoned(v, f)
         elif f.base_type == "bin":
             b = encode_bin(v, f)
+        elif f.base_type in ("comp1", "comp2"):
+            b = encode_float(v, f)
         else:
             b = format_value(v, f).encode(encoding)
         if len(b) != f.length:
@@ -780,6 +797,27 @@ def decode_bin_field(mat: np.ndarray, f: FieldSpec) -> pa.Array:
     sl = np.ascontiguousarray(mat[:, f.start : f.start + f.length])
     vals = sl.view(f">i{f.length}").ravel().astype(np.int64)
     return pa.array(vals, type=pa.int64())
+
+
+def decode_float_field(mat: np.ndarray, f: FieldSpec) -> pa.Array:
+    """Big-endian IEEE-754 float (COBOL COMP-1 single / COMP-2 double).
+    COMP-1 widens to float64 exactly (every float32 is representable);
+    like ``bin``, every bit pattern is a value (NaNs/infinities pass
+    through), so mode has no effect and the RAW matrix is read."""
+    sl = np.ascontiguousarray(mat[:, f.start : f.start + f.length])
+    vals = sl.view(f">f{f.length}").ravel().astype(np.float64)
+    return pa.array(vals, type=pa.float64())
+
+
+def encode_float(value, f: FieldSpec) -> bytes:
+    """Encode big-endian IEEE float (COMP-1 rounds to nearest-even
+    float32 — the same rounding every engine's double->float cast
+    performs, so round-trips are cross-engine deterministic)."""
+    import struct as _struct
+
+    if value is None:
+        raise ValueError(f"fixed-width field {f.name} cannot encode NULL")
+    return _struct.pack(">f" if f.base_type == "comp1" else ">d", float(value))
 
 
 def encode_bin(value, f: FieldSpec) -> bytes:
