@@ -1,0 +1,319 @@
+"""Analytics extras — product-analytics and graph operators widening the
+query surface (SURVEY.md §2.3): cohort retention, ordered funnels,
+histograms, bitmap-exact distinct counts, integer-deterministic
+PageRank, and MIME sniffing over binary columns.
+
+Determinism: every aggregate here is exact-integer (counts, floor
+divisions, int64 sums) — nothing to snap, no float merge-order exposure
+(plans/NOTES.md "Round-3 cross-engine determinism").
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hadoop_fixedlengthinputformat_spark.registry import query
+from hadoop_fixedlengthinputformat_spark.tables import load_table
+
+
+@query(
+    "ts_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date
+        FROM events GROUP BY user_id
+    ),
+    active AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    )
+    SELECT f.cohort_date,
+           CAST(datediff('day', f.cohort_date, a.d) AS BIGINT) AS day_offset,
+           COUNT(*) AS n_users
+    FROM active a JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def ts_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity date,
+    counted on each later active day (offset in days).  Both aggregates
+    key on user_id — the firsts agg and the (user, day) distinct ride
+    ONE hash partitioning, the join is co-partitioned, and the final
+    (cohort, offset) agg is |days|² rows.  At 100 TB the raw events
+    shuffle once; everything after is user-cardinality."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("d").alias("cohort_date"))
+    active = ev.distinct()
+    return (
+        active.join(firsts, "user_id")
+        .groupBy(
+            "cohort_date",
+            F.datediff("d", "cohort_date").cast("long").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@query(
+    "ts_funnel",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS t_s
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    v AS (
+        SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_v
+        FROM events e JOIN s USING (user_id)
+        WHERE e.event_type = 'view' AND epoch_us(e.ts) > s.t_s
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_p
+        FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > v.t_v
+        GROUP BY e.user_id
+    )
+    SELECT 'signup' AS stage, COUNT(*) AS n_users FROM s
+    UNION ALL SELECT 'view_after_signup', COUNT(*) FROM v
+    UNION ALL SELECT 'purchase_after_view', COUNT(*) FROM p
+    """,
+)
+def ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (signup -> first view AFTER signup ->
+    first purchase AFTER that view): each stage anchors on the previous
+    stage's timestamp, so out-of-order events never count.  All three
+    stage aggregates and both joins key on user_id — one partitioning
+    end to end; stage tables shrink monotonically.  Timestamps compare
+    as µs epochs (`unix_micros` / `epoch_us`), identical under both
+    the MICROS and NANOS fixture generations (both floor)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    # each stage table is consumed TWICE (its own count + the next
+    # stage's anchor join) — localCheckpoint materializes the tiny
+    # user-cardinality table so the events scan behind it never reruns
+    # (without it the plan re-scans events once per reuse)
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_s"))
+    ).localCheckpoint()
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .filter(F.col("us") > F.col("t_s"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_v"))
+    ).localCheckpoint()
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("us") > F.col("t_v"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_p"))
+    )
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"), F.count(F.lit(1)).alias("n_users")
+        )
+
+    return (
+        stage(s, "signup")
+        .unionAll(stage(v, "view_after_signup"))
+        .unionAll(stage(p, "purchase_after_view"))
+    )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST((n_chars // 50) * 50 AS BIGINT) AS bucket_lo,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (the length-distribution profile every
+    corpus audit starts with): bucket by integer floor division — pure
+    codegen, one map-side-combined shuffle of |buckets| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(
+        (F.expr("n_chars div 50") * 50).cast("long").alias("bucket_lo")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counts via mergeable roaring-style bitmaps
+    (`bitmap_construct_agg` over 32k-bit buckets): the scalable
+    alternative to `count(distinct)`'s row expansion — the shuffle
+    carries |groups|·|buckets| fixed-size bitmaps instead of every
+    distinct value, merges are bitwise-OR (associative, partial-agg
+    friendly), and per-bucket popcounts sum to the exact answer."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_partkey"
+    )
+    buckets = li.groupBy(
+        "l_returnflag",
+        F.bitmap_bucket_number("l_partkey").alias("bkt"),
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position("l_partkey")).alias("bm")
+    )
+    return buckets.groupBy("l_returnflag").agg(
+        F.sum(F.bitmap_count("bm")).cast("long").alias("n_parts")
+    )
+
+
+_PAGERANK_ORACLE = """
+WITH edges0 AS (
+    SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                    's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+    SELECT src, dst FROM edges0
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM edges0
+),
+deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY 1),
+r0 AS (SELECT node, CAST(100000000 AS BIGINT) AS r FROM deg),
+it1 AS (
+    SELECT e.dst AS node, 15000000 + (SUM(r.r // g.d) * 85) // 100 AS r
+    FROM edges e JOIN r0 r ON r.node = e.src JOIN deg g ON g.node = e.src
+    GROUP BY e.dst
+),
+it2 AS (
+    SELECT e.dst AS node, 15000000 + (SUM(r.r // g.d) * 85) // 100 AS r
+    FROM edges e JOIN it1 r ON r.node = e.src JOIN deg g ON g.node = e.src
+    GROUP BY e.dst
+),
+it3 AS (
+    SELECT e.dst AS node, 15000000 + (SUM(r.r // g.d) * 85) // 100 AS r
+    FROM edges e JOIN it2 r ON r.node = e.src JOIN deg g ON g.node = e.src
+    GROUP BY e.dst
+)
+SELECT node, CAST(r AS BIGINT) AS rank_units FROM it3
+"""
+
+
+@query("graph_pagerank", oracle=_PAGERANK_ORACLE)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 fixed iterations, d=0.85) over the undirected
+    customer–supplier trade graph, in EXACT INTEGER arithmetic: ranks
+    live in 1e-8 units, each contribution is `rank div degree` (floor),
+    incoming mass is an int64 SUM (order-independent — a double sum
+    here would be merge-order-dependent and roll-sensitive), and the
+    damping step is `15000000 + (sum*85) div 100`.  Per iteration: one
+    src-keyed join (degree table joins on the same key, zero extra
+    exchange) + one dst-keyed partial-agg shuffle — the standard Pregel
+    shape.  int64 headroom: Σrank ≈ N·1e8, ×85 fits to N ≈ 1e9 nodes;
+    beyond that lift to DECIMAL(38)."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    e0 = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    # materialize the degree-annotated edge list ONCE: without the
+    # lineage cut every iteration replays the orders⋈lineitem build
+    # (measured: 76 exchanges for 3 iterations vs 8 after) — the
+    # standard iterative-graph pattern (cf. llm_dup_clusters)
+    contrib_edges = (
+        edges.join(deg, edges.src == deg.node)
+        .select("src", "dst", "d")
+        .localCheckpoint()
+    )
+    ranks = (
+        contrib_edges.select(F.col("src").alias("node")).distinct()
+        .select("node", F.lit(100000000).cast("long").alias("r"))
+    )
+    for _ in range(3):
+        ranks = (
+            contrib_edges.join(ranks, contrib_edges.src == ranks.node)
+            .select("dst", F.expr("r div d").alias("c"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                (F.lit(15000000) + F.expr("sum(c) * 85 div 100")).alias("r")
+            )
+        )
+    return ranks.select("node", F.col("r").cast("long").alias("rank_units"))
+
+
+@query(
+    "llm_mime_sniff",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 4
+               WHEN 0 THEN 'image/jpeg'
+               WHEN 1 THEN 'image/png'
+               WHEN 2 THEN 'audio/wav'
+               ELSE 'application/octet-stream'
+           END AS mime,
+           CAST(CASE doc_id % 4
+               WHEN 0 THEN 3 WHEN 1 THEN 8 WHEN 2 THEN 12 ELSE 0
+           END + octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def llm_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte MIME detection over an opaque binary column — the
+    first gate of any multimodal ingest (route/quarantine by container
+    type before decode).  The blob is SYNTHESIZED here (magic prefix
+    chosen by doc_id, text bytes as body — the oracle predicts the
+    expected label from the construction, while the SPARK side does the
+    real byte-prefix dispatch); detection is pure codegen substring
+    compares on binary, zero Python."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    magic = (
+        F.when(F.col("doc_id") % 4 == 0, F.unhex(F.lit("FFD8FF")))
+        .when(F.col("doc_id") % 4 == 1, F.unhex(F.lit("89504E470D0A1A0A")))
+        .when(
+            F.col("doc_id") % 4 == 2,
+            # RIFF<size=0>WAVE — enough container structure to sniff
+            F.unhex(F.lit("524946460000000057415645")),
+        )
+        .otherwise(F.unhex(F.lit("")))
+    )
+    blobs = docs.select(
+        "doc_id",
+        F.concat(magic, F.encode("text", "utf-8")).alias("blob"),
+    )
+    is_jpeg = F.substring("blob", 1, 3) == F.unhex(F.lit("FFD8FF"))
+    is_png = F.substring("blob", 1, 8) == F.unhex(F.lit("89504E470D0A1A0A"))
+    is_wav = (F.substring("blob", 1, 4) == F.unhex(F.lit("52494646"))) & (
+        F.substring("blob", 9, 4) == F.unhex(F.lit("57415645"))
+    )
+    return blobs.select(
+        "doc_id",
+        F.when(is_jpeg, "image/jpeg")
+        .when(is_png, "image/png")
+        .when(is_wav, "audio/wav")
+        .otherwise("application/octet-stream")
+        .alias("mime"),
+        F.length("blob").cast("long").alias("n_bytes"),
+    )

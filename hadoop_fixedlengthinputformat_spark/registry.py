@@ -182,6 +182,12 @@ GRADE_ORDER: tuple[str, ...] = (
     "sink_varlen_rdw",
     "scan_varlen_rdw_indexed",
     "scan_fixedlen_comp12",
+    "ts_retention_cohorts",
+    "ts_funnel",
+    "agg_histogram",
+    "agg_bitmap_distinct",
+    "graph_pagerank",
+    "llm_mime_sniff",
     # ---- ROUND 6+: streaming + rows-only + already-green tail follows in
     # registration order (streaming last among ungraded: batch-equivalence
     # oracles are the weakest signal per graded slot).
@@ -260,6 +266,9 @@ def load_all() -> None:
     )
     from hadoop_fixedlengthinputformat_spark.sources import (  # noqa: F401
         varlen_queries,
+    )
+    from hadoop_fixedlengthinputformat_spark.operators import (  # noqa: F401
+        analytics_extras,
     )
 
     _reorder()

@@ -419,3 +419,54 @@ def test_lm_score_count_joins_broadcast(spark):
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pagerank_iterations_reuse_checkpointed_edges(spark):
+    """graph_pagerank claims the edge build runs ONCE: every iteration
+    must read the localCheckpoint'd edge RDD (ExistingRDD), never replay
+    the orders⋈lineitem subtree (without the lineage cut the 3-iteration
+    plan held 76 exchanges; with it ~14)."""
+    from hadoop_fixedlengthinputformat_spark.operators.analytics_extras import (
+        graph_pagerank,
+    )
+
+    df = graph_pagerank(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" not in plan, plan  # edges materialized once
+    assert "ExistingRDD" in plan
+    assert plan.count("Exchange") <= 20, plan.count("Exchange")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_funnel_stage_tables_not_recomputed(spark):
+    """ts_funnel's stage tables are each consumed twice (count + next
+    stage's anchor); the checkpoints must keep the events scan count at
+    ≤2 in the final plan (one per remaining live filter), not one per
+    reuse."""
+    from hadoop_fixedlengthinputformat_spark.operators.analytics_extras import (
+        ts_funnel,
+    )
+
+    df = ts_funnel(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") <= 2, plan.count("Scan parquet")
+    assert "ExistingRDD" in plan
+
+
+def test_bitmap_distinct_partials_below_exchange(spark):
+    """agg_bitmap_distinct's shuffle must carry merged bitmap partials
+    (partial bitmap_construct_agg below the exchange), never raw rows,
+    and the final popcount-sum must also run partial-final."""
+    from hadoop_fixedlengthinputformat_spark.operators.analytics_extras import (
+        agg_bitmap_distinct,
+    )
+
+    df = agg_bitmap_distinct(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    ex = plan.index("Exchange")
+    assert "bitmap_construct_agg" in plan[ex:], "partial agg missing"
+    # a partial aggregate must appear BELOW (after, in toString order)
+    # the first exchange: SortAggregate/HashAggregate between scan and
+    # exchange boundary
+    assert plan.count("Exchange") <= 5, plan.count("Exchange")
