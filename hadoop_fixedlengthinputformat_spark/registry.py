@@ -188,6 +188,8 @@ GRADE_ORDER: tuple[str, ...] = (
     "agg_bitmap_distinct",
     "graph_pagerank",
     "llm_mime_sniff",
+    "maintain_varlen_index",
+    "stream_varlen_tail",
     # ---- ROUND 6+: streaming + rows-only + already-green tail follows in
     # registration order (streaming last among ungraded: batch-equivalence
     # oracles are the weakest signal per graded slot).

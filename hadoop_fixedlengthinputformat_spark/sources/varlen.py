@@ -51,6 +51,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import (
@@ -223,7 +224,8 @@ def _plan_file(path: str, opts: _VOptions) -> list[VarLenPartition]:
 
 
 def _iter_records(
-    fobj, start: int, end: int | None, prefix_min: int, path: str
+    fobj, start: int, end: int | None, prefix_min: int, path: str,
+    stop_on_partial: bool = False,
 ) -> Iterator[tuple[int, bytes]]:
     """Walk RDW records from ``start``; yield (offset, payload bytes).
 
@@ -231,7 +233,10 @@ def _iter_records(
     sidecar index offset or the file size); ``None`` reads to EOF
     (compressed streams).  Validation mirrors the fixedlen contract:
     truncated RDW/payload and spanned-segment bytes raise, a record too
-    short for the declared prefix raises.
+    short for the declared prefix raises.  ``stop_on_partial`` turns the
+    truncation errors into a clean stop — the tailing-stream case, where
+    a half-written record at EOF is growth in flight, not corruption
+    (the whole-record admission invariant carried to variable strides).
     """
     buf = bytearray()
     pos = start
@@ -262,6 +267,8 @@ def _iter_records(
                     )
                 return
             if len(buf) < RDW_LEN:
+                if stop_on_partial:
+                    return
                 raise IOError(
                     f"varlen: {path!r} ends mid-RDW at offset {pos} "
                     f"({len(buf)} trailing bytes)"
@@ -282,6 +289,8 @@ def _iter_records(
             cur = 0
             fill(total)
             if len(buf) < total:
+                if stop_on_partial:
+                    return
                 raise IOError(
                     f"varlen: {path!r} ends mid-record at offset {pos} "
                     f"(RDW claims {total} bytes, {len(buf)} available)"
@@ -371,6 +380,129 @@ class VarLenReader(DataSourceReader):
                 fobj.close()
 
         return gen()
+
+
+class VarLenStreamReader(SimpleDataSourceStreamReader):
+    """Tail ONE growing RDW file; an offset is the byte position of the
+    next unread record.  Only WHOLE records are admitted — a
+    half-written RDW or payload at EOF is growth in flight and stays
+    unread until complete (the fixed-length whole-record invariant
+    carried to variable strides).  Offsets are only ever record starts,
+    so restart replays (`readBetweenOffsets`) re-walk exactly the
+    committed span."""
+
+    def __init__(self, opts: _VOptions, path: str):
+        self.opts = opts
+        self.path = path
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def _rows(self, lo: int, hi: int | None, stop_on_partial: bool):
+        """Decode records in [lo, hi) (hi=None: all complete records);
+        returns (rows, end_pos)."""
+        o = self.opts
+        if not os.path.exists(self.path):
+            return [], lo
+        offsets: list[int] = []
+        prefixes = bytearray()
+        tails: list[bytes] = []
+        pos = lo
+        with open(self.path, "rb") as f:
+            f.seek(lo)
+            for off, payload in _iter_records(
+                f, lo, hi, o.prefix_length, self.path,
+                stop_on_partial=stop_on_partial,
+            ):
+                offsets.append(off)
+                if o.fields is None:
+                    tails.append(payload)
+                else:
+                    prefixes.extend(payload[: o.prefix_length])
+                    tails.append(payload[o.prefix_length :])
+                pos = off + RDW_LEN + len(payload)
+        if not offsets:
+            return [], pos
+        cols: list[pa.Array] = []
+        if o.with_offset:
+            cols.append(pa.array(offsets, type=pa.int64()))
+        if o.fields is None:
+            cols.append(pa.array(tails, type=pa.binary()))
+        else:
+            layout_batch = decode_chunk(
+                bytes(prefixes), o.prefix_length, o.fields, 0, False, None,
+                o.layout_arrow_schema(), encoding=o.encoding,
+            )
+            cols.extend(layout_batch.columns)
+            if o.with_tail:
+                cols.append(pa.array(tails, type=pa.binary()))
+        batch = pa.RecordBatch.from_arrays(cols, schema=o.arrow_schema())
+        return [tuple(r.values()) for r in batch.to_pylist()], pos
+
+    def read(self, start: dict):
+        rows, pos = self._rows(start["pos"], None, stop_on_partial=True)
+        return iter(rows), {"pos": pos}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # replay after restart: honor END exactly — the file may have
+        # grown since the batch was planned
+        if end["pos"] <= start["pos"]:
+            return iter(())
+        rows, _pos = self._rows(start["pos"], end["pos"], stop_on_partial=False)
+        return iter(rows)
+
+    def commit(self, end: dict):
+        pass
+
+
+def build_index(path: str, every: int = 4096) -> dict:
+    """Index a FOREIGN V-format file in place: one sequential RDW-header
+    walk (only the 4-byte headers are read — payloads are seek-skipped)
+    emits the ``.rdx.json`` sidecar, making every later read splittable.
+    Index once, split forever.  Run executor-side for fleets of files
+    (``sc.parallelize(files).map(build_index)``); returns the sidecar
+    payload."""
+    if every <= 0:
+        raise ValueError("varlen: index 'every' must be > 0")
+    size = os.path.getsize(path)
+    offsets: list[int] = []
+    n = 0
+    pos = 0
+    with open(path, "rb") as f:
+        while pos < size:
+            hdr = f.read(RDW_LEN)
+            if len(hdr) < RDW_LEN:
+                raise IOError(
+                    f"varlen: {path!r} ends mid-RDW at offset {pos}"
+                )
+            total, reserved = struct.unpack(">HH", hdr)
+            if reserved != 0:
+                raise ValueError(
+                    f"varlen: nonzero RDW segment-control bytes at offset "
+                    f"{pos} in {path!r}"
+                )
+            if total < RDW_LEN or pos + total > size:
+                raise IOError(
+                    f"varlen: {path!r} record at offset {pos} overruns EOF"
+                )
+            if n % every == 0:
+                offsets.append(pos)
+            n += 1
+            pos += total
+            f.seek(pos)
+    payload = {
+        "version": 1,
+        "every": every,
+        "prefix_length": 0,
+        "offsets": offsets,
+        "n_records": n,
+        "data_bytes": size,
+    }
+    tmp = _index_path(path) + f".tmp{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, _index_path(path))
+    return payload
 
 
 class _VCommitMessage(WriterCommitMessage):
@@ -511,6 +643,13 @@ class VarLenDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> VarLenWriter:
         return VarLenWriter(self.opts, self.path, overwrite)
+
+    def simpleStreamReader(self, schema: StructType) -> VarLenStreamReader:
+        if os.path.isdir(self.path) or _codec_of(self.path):
+            raise ValueError(
+                "varlen streaming tails a single uncompressed file"
+            )
+        return VarLenStreamReader(self.opts, self.path)
 
 
 def register(spark) -> None:

@@ -122,3 +122,53 @@ def scan_varlen_rdw_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("record_tail").cast("long")).alias("tail_bytes"),
         F.sum(F.col("n_chars").cast("long")).alias("sum_chars"),
     )
+
+
+@query(
+    "maintain_varlen_index",
+    oracle="""
+    SELECT COUNT(*) AS n_records,
+           CAST(SUM(26 + octet_length(encode(text))) AS BIGINT) AS data_bytes
+    FROM documents
+    """,
+)
+def maintain_varlen_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-once, split-forever: a FOREIGN (sidecar-less) V-format file
+    is one unsplittable partition; ``varlen.build_index`` walks the RDW
+    headers once (payloads seek-skipped) and writes the ``.rdx.json``
+    sidecar, after which the planner cuts record-aligned byte-range
+    partitions.  The walk runs executor-side via a parallelized file
+    list — the driver only collects per-file accounting (metadata
+    cardinality, like maintain_fixedlen_analyze)."""
+    import shutil
+
+    configure(spark)
+    varlen.register(spark)
+    src = fixture_gen.rdw_file_for(sf_dir)
+    work_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"flif_varlen_reindex_{os.path.basename(src).split('.')[0]}",
+    )
+    os.makedirs(work_dir, exist_ok=True)
+    path = os.path.join(work_dir, "data.rdw")
+    if not os.path.exists(path) or os.path.getsize(path) != os.path.getsize(src):
+        shutil.copyfile(src, path)
+        idx = path + ".rdx.json"
+        if os.path.exists(idx):
+            os.remove(idx)
+    # executor-side header walk, one task per file
+    stats = (
+        spark.sparkContext.parallelize([path], 1)
+        .map(lambda p: varlen.build_index(p, every=64))
+        .collect()
+    )
+    # prove the sidecar now splits the read
+    size = os.path.getsize(path)
+    df = read_rdw(spark, path, maxPartitionBytes=str(max(4096, size // 16)))
+    n_parts = df.rdd.getNumPartitions()
+    if n_parts <= 1:
+        raise AssertionError("index did not make the file splittable")
+    return spark.createDataFrame(
+        [(s["n_records"], s["data_bytes"]) for s in stats],
+        "n_records long, data_bytes long",
+    )

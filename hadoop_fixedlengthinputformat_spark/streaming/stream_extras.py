@@ -55,3 +55,38 @@ def stream_fixedlen_directory(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(d)
     )
     return _run_to_table(src, "append")
+
+
+@query(
+    "stream_varlen_tail",
+    oracle="""
+    SELECT doc_id, lang, n_chars,
+           CAST(octet_length(encode(text)) AS BIGINT) AS tail_bytes
+    FROM documents
+    """,
+)
+def stream_varlen_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail a growing RDW (RECFM=V) file: only WHOLE records are
+    admitted per micro-batch — a half-written RDW/payload at EOF stays
+    unread until complete (the fixed-length whole-record alignment
+    invariant carried to variable strides; offsets are always record
+    starts, so restart replays are exact)."""
+    from hadoop_fixedlengthinputformat_spark.sources import varlen
+
+    configure(spark)
+    varlen.register(spark)
+    path = fixture_gen.rdw_file_for(sf_dir)
+    import pyspark.sql.functions as F
+
+    src = (
+        spark.readStream.format("varlen")
+        .option("prefixLength", str(fixture_gen.RDW_PREFIX_LEN))
+        .option("layout", fixture_gen.RDW_PREFIX_LAYOUT)
+        .option("includeOffset", "false")
+        .load(path)
+    )
+    out = src.select(
+        "doc_id", "lang", "n_chars",
+        F.length("record_tail").cast("long").alias("tail_bytes"),
+    )
+    return _run_to_table(out, "append")

@@ -259,3 +259,44 @@ def test_ebcdic_prefix_decode(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0].k == 42 and rows[0].tag == "helo"
     assert bytes(rows[0].record_tail) == tail
+
+
+def test_stream_tail_admits_only_whole_records(tmp_path):
+    from hadoop_fixedlengthinputformat_spark.sources.varlen import (
+        VarLenStreamReader,
+    )
+
+    p = str(tmp_path / "tail.rdw")
+    r0, r1, r2 = _rec(0, "t0", b"aaa"), _rec(1, "t1", b"bbbb"), _rec(2, "t2", b"c")
+    with open(p, "wb") as f:
+        f.write(r0 + r1[:5])  # r1 half-written
+    opts = _VOptions.parse({"prefixlength": str(PFX_LEN), "layout": PFX_LAYOUT})
+    rd = VarLenStreamReader(opts, p)
+    rows, off = rd.read(rd.initialOffset())
+    rows = list(rows)
+    assert len(rows) == 1 and off == {"pos": len(r0)}
+    with open(p, "ab") as f:
+        f.write(r1[5:] + r2)
+    rows2, off2 = rd.read(off)
+    assert [r[1] for r in rows2] == [1, 2]  # k column after offset
+    assert off2 == {"pos": len(r0) + len(r1) + len(r2)}
+    # restart replay honors END exactly even though the file grew
+    replay = list(rd.readBetweenOffsets({"pos": 0}, {"pos": len(r0)}))
+    assert len(replay) == 1
+
+
+def test_build_index_makes_foreign_file_splittable(tmp_path):
+    from hadoop_fixedlengthinputformat_spark.sources.varlen import build_index
+
+    recs = _rand_recs(300, seed=21)
+    p = str(tmp_path / "foreign.rdw")
+    _write_file(p, recs)  # no sidecar
+    opts = _VOptions.parse(
+        {"prefixlength": str(PFX_LEN), "layout": PFX_LAYOUT,
+         "maxpartitionbytes": "4096"}
+    )
+    assert len(VarLenReader(opts, p).partitions()) == 1
+    payload = build_index(p, every=16)
+    assert payload["n_records"] == 300
+    assert payload["data_bytes"] == os.path.getsize(p)
+    assert len(VarLenReader(opts, p).partitions()) > 3
