@@ -504,3 +504,99 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("w").alias("vocab_size")
     )
     return doc.crossJoin(F.broadcast(voc))
+
+
+# --------------------------------------------------------------------------
+# Corpus snapshot diff + deterministic per-group sampling (session-2 batch)
+# --------------------------------------------------------------------------
+
+@query(
+    "llm_corpus_diff",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 = 7 THEN text || ' v2' ELSE text END AS text
+        FROM documents WHERE doc_id % 10 <> 3
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    a AS (SELECT doc_id, md5(text) AS h FROM documents),
+    b2 AS (SELECT doc_id, md5(text) AS h FROM b)
+    SELECT COALESCE(a.doc_id, b2.doc_id) AS doc_id,
+           CASE WHEN a.doc_id IS NULL THEN 'added'
+                WHEN b2.doc_id IS NULL THEN 'removed'
+                WHEN a.h <> b2.h THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM a FULL OUTER JOIN b2 ON a.doc_id = b2.doc_id
+    """,
+)
+def llm_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (the release-over-release audit of a
+    training set): content-hash comparison over a full outer join on
+    doc_id -> added / removed / changed / unchanged.  The 'B' snapshot
+    is synthesized deterministically from A (drops, edits, additions),
+    so the oracle predicts every status.  Scale: both sides reduce to
+    (id, 16-byte md5) BEFORE the join — the shuffle carries digests,
+    never text; the join is co-partitioned on the id."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b = (
+        docs.filter(F.col("doc_id") % 10 != 3)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 10 == 7, F.concat("text", F.lit(" v2"))
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        .unionAll(
+            docs.filter(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    a_h = docs.select("doc_id", F.md5("text").alias("h"))
+    b_h = b.select("doc_id", F.md5("text").alias("h"))
+    j = a_h.alias("a").join(
+        b_h.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer"
+    )
+    return j.select(
+        F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id"),
+        F.when(F.col("a.doc_id").isNull(), "added")
+        .when(F.col("b.doc_id").isNull(), "removed")
+        .when(F.col("a.h") != F.col("b.h"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+
+
+@query(
+    "llm_group_sample",
+    oracle="""
+    SELECT lang, doc_id, n_chars FROM (
+        SELECT lang, doc_id, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= 25
+    """,
+)
+def llm_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group sample (k docs per language): rank by
+    md5(doc_id) — a reproducible pseudo-random order every engine/run
+    agrees on, unlike TABLESAMPLE/rand() — and keep the top k per
+    group.  Plans with WindowGroupLimit: each mapper keeps only its
+    local top-k before the single hash shuffle, so the exchange carries
+    O(groups·k) rows per mapper regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "n_chars"
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 25)
+        .drop("rn")
+    )

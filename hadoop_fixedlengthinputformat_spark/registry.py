@@ -190,6 +190,8 @@ GRADE_ORDER: tuple[str, ...] = (
     "llm_mime_sniff",
     "maintain_varlen_index",
     "stream_varlen_tail",
+    "llm_corpus_diff",
+    "llm_group_sample",
     # ---- ROUND 6+: streaming + rows-only + already-green tail follows in
     # registration order (streaming last among ungraded: batch-equivalence
     # oracles are the weakest signal per graded slot).
