@@ -600,3 +600,49 @@ def llm_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 25)
         .drop("rn")
     )
+
+
+@query(
+    "llm_embedding_quantize",
+    oracle="""
+    SELECT vec_id,
+           CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS mn,
+           CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS mx,
+           CASE WHEN list_aggregate(embedding, 'max')
+                     = list_aggregate(embedding, 'min')
+                THEN list_transform(embedding, x -> 0)
+                ELSE list_transform(
+                    embedding,
+                    x -> CAST(floor(
+                        (CAST(x AS DOUBLE)
+                         - CAST(list_aggregate(embedding, 'min') AS DOUBLE))
+                        / (CAST(list_aggregate(embedding, 'max') AS DOUBLE)
+                           - CAST(list_aggregate(embedding, 'min') AS DOUBLE))
+                        * 255 + 0.5) AS INTEGER))
+           END AS q
+    FROM embeddings
+    """,
+)
+def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector uint8 scalar quantization (the 4× memory lever every
+    large ANN index pulls before PQ): min-max scale each vector to
+    0..255 with the floor(+0.5) snap.  Projection-only — zero shuffle,
+    pure codegen lambda over the array.  Determinism: every op
+    ((x−mn)/rng·255+0.5, floor) is an exactly-rounded IEEE step over
+    identical float32-widened inputs, written with the same
+    parenthesization on both engines — bit-identical codes, no
+    transcendentals, nothing to snap further."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    mn = F.array_min("embedding").cast("double")
+    mx = F.array_max("embedding").cast("double")
+    q = F.when(mx == mn, F.transform("embedding", lambda x: F.lit(0))).otherwise(
+        F.transform(
+            "embedding",
+            lambda x: F.floor(
+                (x.cast("double") - mn) / (mx - mn) * 255 + F.lit(0.5)
+            ).cast("int"),
+        )
+    )
+    return emb.select(
+        "vec_id", mn.alias("mn"), mx.alias("mx"), q.alias("q")
+    )

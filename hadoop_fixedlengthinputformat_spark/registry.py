@@ -192,6 +192,8 @@ GRADE_ORDER: tuple[str, ...] = (
     "stream_varlen_tail",
     "llm_corpus_diff",
     "llm_group_sample",
+    "llm_embedding_quantize",
+    "sql_varlen_view",
     # ---- ROUND 6+: streaming + rows-only + already-green tail follows in
     # registration order (streaming last among ungraded: batch-equivalence
     # oracles are the weakest signal per graded slot).

@@ -172,3 +172,34 @@ def maintain_varlen_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(s["n_records"], s["data_bytes"]) for s in stats],
         "n_records long, data_bytes long",
     )
+
+
+@query(
+    "sql_varlen_view",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def sql_varlen_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-SQL surface for the varlen source: `CREATE TEMPORARY VIEW
+    ... USING varlen OPTIONS (...)` registers an RDW file as a
+    queryable relation (parity of sql_fixedlen_view for RECFM=V)."""
+    configure(spark)
+    varlen.register(spark)
+    path = fixture_gen.rdw_file_for(sf_dir)
+    spark.sql(f"""
+        CREATE OR REPLACE TEMPORARY VIEW docs_rdw_sql
+        USING varlen
+        OPTIONS (
+            path '{path}',
+            prefixLength '{fixture_gen.RDW_PREFIX_LEN}',
+            layout '{fixture_gen.RDW_PREFIX_LAYOUT}',
+            includeOffset 'false', includeTail 'false'
+        )
+    """)
+    return spark.sql("""
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM docs_rdw_sql GROUP BY lang
+    """)
