@@ -296,13 +296,16 @@ def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
         SELECT doc_id, lang,
-               length(text) - length(replace(text, ' ', '')) + 1 AS n_tok
+               COALESCE(
+                   length(text) - length(replace(text, ' ', '')) + 1,
+                   0) AS n_tok
         FROM documents
     ),
     c AS (
         SELECT doc_id, lang, n_tok,
                COALESCE(SUM(n_tok) OVER (
-                   PARTITION BY lang ORDER BY doc_id, n_tok
+                   PARTITION BY lang
+                   ORDER BY doc_id ASC NULLS FIRST, n_tok ASC NULLS FIRST
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                    AS cum_before
         FROM t
@@ -321,18 +324,30 @@ def llm_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lang, doc_id range) and add the range's token grand total to the
     local cumsum — same two-phase offset trick as the scalable ntile.
 
-    Determinism: token count is the arithmetic formula (engine-identical,
-    see text.n_ws_tokens), and the window orders by (doc_id, n_tok) so
-    even duplicate doc_ids within a lang yield one well-defined multiset
-    of (pack_id, pack_offset) — the r2 driver hash FAIL was a data-roll
-    divergence this formulation cannot reproduce."""
+    Determinism (red in r2 AND r3 on the driver's roll, never locally —
+    so every cross-engine wiggle is pinned defensively now):
+      * token count is the arithmetic formula (engine-identical, see
+        text.n_ws_tokens) COALESCEd to 0 — a NULL text otherwise makes
+        the row's window position engine-defined (Spark sorts NULLS
+        FIRST asc, DuckDB NULLS LAST);
+      * the window ORDER BY pins NULLS FIRST explicitly on BOTH sides
+        (a NULL doc_id row would otherwise shift every later row's
+        cum_before by a whole-partition-order disagreement);
+      * (doc_id, n_tok) ordering makes duplicate doc_ids yield one
+        well-defined multiset of (pack_id, pack_offset): tied rows have
+        equal n_tok, so the tied cum_before values are the same set
+        regardless of which engine puts which row first."""
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
-    t = d.select("doc_id", "lang", text.n_ws_tokens("text").alias("n_tok"))
-    w = Window.partitionBy("lang").orderBy("doc_id", "n_tok").rowsBetween(
-        Window.unboundedPreceding, -1
+    t = d.select(
+        "doc_id",
+        "lang",
+        F.coalesce(text.n_ws_tokens("text"), F.lit(0)).alias("n_tok"),
     )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("doc_id").asc_nulls_first(), F.col("n_tok").asc_nulls_first()
+    ).rowsBetween(Window.unboundedPreceding, -1)
     c = t.withColumn("cum_before", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
     return c.select(
         "doc_id",

@@ -275,8 +275,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                ELSE 'application/octet-stream'
            END AS mime,
            CAST(CASE doc_id % 4
-               WHEN 0 THEN 3 WHEN 1 THEN 8 WHEN 2 THEN 12 ELSE 0
-           END + octet_length(encode(text)) AS BIGINT) AS n_bytes
+               WHEN 0 THEN 3 WHEN 1 THEN 8 WHEN 2 THEN 12 ELSE 1
+           END + octet_length(encode(COALESCE(text, ''))) AS BIGINT)
+               AS n_bytes
     FROM documents
     """,
 )
@@ -287,7 +288,14 @@ def llm_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     chosen by doc_id, text bytes as body — the oracle predicts the
     expected label from the construction, while the SPARK side does the
     real byte-prefix dispatch); detection is pure codegen substring
-    compares on binary, zero Python."""
+    compares on binary, zero Python.
+
+    Two synthesis rules keep the construction honest against arbitrary
+    text rolls (ADVICE r3): the octet-stream branch is prefixed with a
+    0x00 byte — 'RIFF' + size + 'WAVE' is valid UTF-8, so a text that
+    happens to start with it would otherwise be (correctly!) sniffed as
+    WAV while the oracle predicts octet-stream — and NULL text maps to
+    an empty body on both sides."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     magic = (
         F.when(F.col("doc_id") % 4 == 0, F.unhex(F.lit("FFD8FF")))
@@ -297,11 +305,13 @@ def llm_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
             # RIFF<size=0>WAVE — enough container structure to sniff
             F.unhex(F.lit("524946460000000057415645")),
         )
-        .otherwise(F.unhex(F.lit("")))
+        .otherwise(F.unhex(F.lit("00")))
     )
     blobs = docs.select(
         "doc_id",
-        F.concat(magic, F.encode("text", "utf-8")).alias("blob"),
+        F.concat(
+            magic, F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8")
+        ).alias("blob"),
     )
     is_jpeg = F.substring("blob", 1, 3) == F.unhex(F.lit("FFD8FF"))
     is_png = F.substring("blob", 1, 8) == F.unhex(F.lit("89504E470D0A1A0A"))

@@ -48,81 +48,40 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # joins, aggregates, windows, sort/setops, subqueries); r2 greened
 # scans/sinks (17) + scalar fns (22) + the LLM head (11), with 3 red rows.
 #
-# ROUND 3 WINDOW (this list's first 50): the 3 re-graded fixes, then the
-# never-graded reference-soul source queries, tpch_suite, udf_surface,
-# tpch_composites, and the two remaining join ops.
+# ROUND 4 WINDOW (this list's first 50), per VERDICT r3 order #1:
+# the 3 red/stale re-grades first, then five bisection diagnostics that
+# isolate each suspect term of the two roll-sensitive reds on the
+# driver's own roll (operators/diagnostics.py), then 41 entries of the
+# queued never-graded batch (subqueries/pivot/agg tail, timeseries,
+# fn_url, the LLM mid-family).
 GRADE_ORDER: tuple[str, ...] = (
-    # 1-3: round-2 red rows, reformulated — re-grade first to confirm
-    "fn_math",
-    "fn_epoch",
+    # 1-3: re-grades — proj_compute (fixed post-r1, stale red),
+    # llm_seq_packing (NULL-ordering hardened, red r2+r3),
+    # tpch_q12_priority_shipping (nanos-timestamp load generalized, red r3)
+    "proj_compute",
     "llm_seq_packing",
-    # 4-22: never-graded source/sink family (the reference's soul)
-    "scan_fixedlen_observed",
-    "scan_fixedlen_ebcdic",
-    "sink_fixedlen_ebcdic",
-    "scan_fixedlen_packed",
-    "pipeline_fixedlen_composite",
-    "scan_fixedlen_zoned",
-    "scan_fixedlen_implied",
-    "scan_fixedlen_binint",
-    "scan_fixedlen_multitype",
-    "scan_fixedlen_skiprecs",
-    "scan_fixedlen_occurs",
-    "scan_fixedlen_stats_pruned",
-    "scan_fixedlen_corrupt_quarantine",
-    "maintain_fixedlen_compact",
-    "scan_fixedlen_linesep",
-    "scan_fixedlen_hive_partitioned",
-    "maintain_fixedlen_analyze",
-    "sql_fixedlen_view",
-    "stream_fixedlen_directory",
-    # 23-38: full TPC-H suite additions (never graded)
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
     "tpch_q12_priority_shipping",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_count",
-    "tpch_q17_small_quantity",
-    "tpch_q19_discounted_revenue",
-    "tpch_q21_waiting_supplier",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q11_important_parts",
-    "tpch_q20_excess_share",
-    "tpch_q22_global_sales",
-    # 39-43: UDF surface (never graded)
-    "udf_scalar_pandas",
-    "udf_arrow_scalar",
-    "udaf_grouped_agg",
-    "udtf_fixed_decode",
-    "udf_grouped_map",
-    # 44-48: TPC-H composites (never graded)
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier",
-    "tpch_q10_returned_items",
-    "tpch_q14_promo_effect",
-    "tpch_q18_large_orders",
-    # 49-50: remaining never-graded join ops
-    "merge_scd2",
-    "join_interval_bucketed",
-    # ---- ROUND 4 WINDOW (51-100): queue the rest of the never-graded ----
+    # 4-9: bisection diagnostics (llm_token_count grades n_tok per doc —
+    # it was already queued; the diag_* probes decompose the rest)
+    "diag_documents_identity",
+    "llm_token_count",
+    "diag_q12_filter_only",
+    "diag_q12_join_only",
+    "diag_lineitem_ts_epoch",
+    "diag_orders_ts_epoch",
+    # 10-50: the queued never-graded round-4 batch
     "subq_scalar_select",
     "join_lateral",
     "pivot_segment",
     "unpivot_measures",
     "agg_stats",
     "agg_percentile",
-    "agg_approx_percentile",
     "agg_string_agg",
     "agg_min_max_by",
     "agg_bool_bit",
     "agg_count_if",
     "agg_collect_set",
     "agg_product",
-    "agg_hll_mergeable",
     "agg_regression",
     "ts_gap_fill",
     "ts_sessionize",
@@ -132,7 +91,6 @@ GRADE_ORDER: tuple[str, ...] = (
     "ts_ohlc",
     "fn_url",
     "llm_text_stats",
-    "llm_token_count",
     "llm_lang_id",
     "llm_quality_score",
     "llm_fingerprint",
@@ -153,13 +111,19 @@ GRADE_ORDER: tuple[str, ...] = (
     "llm_bm25",
     "llm_char_entropy",
     "llm_centroid_outliers",
+    # ---- ROUND 5 WINDOW (51-100): spillover of the round-4 queue
+    # (incl. the two rows-only agg sketches, kept out of the graded
+    # window per VERDICT r3 #5 — no_oracle rows burn grading signal),
+    # then the round-3 widening batch ----
+    "agg_approx_percentile",
+    "agg_hll_mergeable",
     "llm_shard_assign",
     "llm_chunk_split",
     "scan_parquet",
     "fn_string",
     "fn_date",
     "fn_conditional",
-    # ---- ROUND 5 WINDOW (101-150): the round-3 widening batch (all
+    # the round-3 widening batch (all
     # oracle-checked, 5-roll-verified locally) ahead of the weaker-signal
     # tail, then remaining never-graded re-greens.
     "cte_recursive",
@@ -275,6 +239,7 @@ def load_all() -> None:
     )
     from hadoop_fixedlengthinputformat_spark.operators import (  # noqa: F401
         analytics_extras,
+        diagnostics,
     )
 
     _reorder()

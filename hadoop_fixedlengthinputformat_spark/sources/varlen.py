@@ -97,6 +97,15 @@ class _VOptions:
         layout_raw = options.get("layout")
         fields = None
         prefix_length = 0
+        if layout_raw is None and options.get("prefixlength") is not None:
+            # mirror of the layout-without-prefixLength check below: a
+            # prefixLength in raw mode would be silently ignored and the
+            # user would get undecoded 'value' rows with no signal
+            raise ValueError(
+                "varlen: option 'prefixLength' requires 'layout' (raw mode "
+                "emits the whole payload as 'value'; there is no prefix to "
+                "decode)"
+            )
         if layout_raw is not None:
             pl_raw = options.get("prefixlength")
             if pl_raw is None:
@@ -398,9 +407,16 @@ class VarLenStreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self):
         return {"pos": 0}
 
-    def _rows(self, lo: int, hi: int | None, stop_on_partial: bool):
-        """Decode records in [lo, hi) (hi=None: all complete records);
-        returns (rows, end_pos)."""
+    def _rows(
+        self,
+        lo: int,
+        hi: int | None,
+        stop_on_partial: bool,
+        max_bytes: int | None = None,
+    ):
+        """Decode records in [lo, hi) (hi=None: all complete records, up
+        to ``max_bytes`` of file span when given); returns
+        (rows, end_pos)."""
         o = self.opts
         if not os.path.exists(self.path):
             return [], lo
@@ -421,6 +437,8 @@ class VarLenStreamReader(SimpleDataSourceStreamReader):
                     prefixes.extend(payload[: o.prefix_length])
                     tails.append(payload[o.prefix_length :])
                 pos = off + RDW_LEN + len(payload)
+                if max_bytes is not None and pos - lo >= max_bytes:
+                    break
         if not offsets:
             return [], pos
         cols: list[pa.Array] = []
@@ -440,7 +458,16 @@ class VarLenStreamReader(SimpleDataSourceStreamReader):
         return [tuple(r.values()) for r in batch.to_pylist()], pos
 
     def read(self, start: dict):
-        rows, pos = self._rows(start["pos"], None, stop_on_partial=True)
+        # cap the per-batch span (ADVICE r3): a large backlog on stream
+        # start would otherwise materialize the ENTIRE file into one
+        # Python list / micro-batch on the driver; capping at
+        # READ_CHUNK_TARGET drains it across micro-batches instead (the
+        # returned offset is always a record start, so the next batch
+        # resumes exactly where this one stopped).
+        rows, pos = self._rows(
+            start["pos"], None, stop_on_partial=True,
+            max_bytes=READ_CHUNK_TARGET,
+        )
         return iter(rows), {"pos": pos}
 
     def readBetweenOffsets(self, start: dict, end: dict):

@@ -84,16 +84,55 @@ def configure(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def _nanos_cols(path: str) -> list[str]:
+    """Top-level TIMESTAMP(NANOS) columns per the parquet footer.
+
+    With ``nanosAsLong=true`` (set globally in ``configure``) Spark reads
+    those as epoch-nanos bigint while DuckDB reads real timestamps — any
+    query filtering/grouping on such a column silently diverges.  Round 3
+    proved this is roll-dependent PER COLUMN (events.ts has shipped as
+    nanos; nothing stops a roll from shipping l_shipdate/o_orderdate as
+    nanos too), so detection must come from the file itself, not a
+    hard-coded column list.  Footer-only read: a few KB regardless of
+    file size, driver-side, once per load.
+    """
+    import pyarrow.parquet as pq
+    import pyarrow.types as pt
+
+    if os.path.isdir(path):
+        cands = sorted(
+            f for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        if not cands:
+            return []
+        path = os.path.join(path, cands[0])
+    try:
+        schema = pq.read_schema(path)
+    except (OSError, ValueError):
+        return []
+    return [
+        f.name
+        for f in schema
+        if pt.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     configure(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # floor-divide to µs (integer div — no double rounding), NTZ to match
-        # the naive timestamps DuckDB sees.
-        df = df.withColumn(
-            "ts",
-            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
-        )
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    dtypes = dict(df.dtypes)
+    for col in _nanos_cols(path):
+        if dtypes.get(col) == "bigint":
+            # floor-divide to µs (integer div — no double rounding), NTZ to
+            # match the naive timestamps DuckDB sees.
+            df = df.withColumn(
+                col,
+                F.timestamp_micros(F.expr(f"`{col}` div 1000")).cast(
+                    "timestamp_ntz"
+                ),
+            )
     return df
 
 

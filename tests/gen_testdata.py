@@ -46,7 +46,17 @@ def _ts_us(dates):
     return pa.array(dates.astype("datetime64[us]"))
 
 
-def gen(out: str, seed: int = 20260813, ns_events: bool = False) -> None:
+def _ts_ns(dates):
+    return pa.array(dates.astype("datetime64[ns]"))
+
+
+def gen(
+    out: str,
+    seed: int = 20260813,
+    ns_events: bool = False,
+    ns_dates: bool = False,
+    nulls: bool = False,
+) -> None:
     rng = np.random.RandomState(seed)
     os.makedirs(out, exist_ok=True)
 
@@ -111,13 +121,22 @@ def gen(out: str, seed: int = 20260813, ns_events: bool = False) -> None:
     n_ord = 1500 * SCALE
     base = np.datetime64("1995-01-01")
     odates = base + rng.randint(0, 2500, n_ord).astype("timedelta64[D]")
+    o_custkey = rng.randint(1, n_cust + 1, n_ord).tolist()
+    o_prio = [PRIORITIES[i] for i in rng.randint(0, 5, n_ord)]
+    if nulls:
+        # driver rolls may inject NULLs the local generator never did —
+        # every r1-r3 red was a data shape local rolls lacked
+        for j in range(0, 10, 2):
+            o_prio[j] = None
+        for j in range(1, 11, 2):
+            o_custkey[j] = None
     write("orders", pa.table({
         "o_orderkey": pa.array(range(1, n_ord + 1), pa.int64()),
-        "o_custkey": pa.array(rng.randint(1, n_cust + 1, n_ord), pa.int64()),
+        "o_custkey": pa.array(o_custkey, pa.int64()),
         "o_orderstatus": [["O", "F", "P"][i] for i in rng.randint(0, 3, n_ord)],
         "o_totalprice": _dec2(rng, 1000, 500000, n_ord),
-        "o_orderdate": _ts_us(odates),
-        "o_orderpriority": [PRIORITIES[i] for i in rng.randint(0, 5, n_ord)],
+        "o_orderdate": _ts_ns(odates) if ns_dates else _ts_us(odates),
+        "o_orderpriority": o_prio,
     }))
 
     n_li = 6000 * SCALE
@@ -138,7 +157,7 @@ def gen(out: str, seed: int = 20260813, ns_events: bool = False) -> None:
         "l_tax": np.round(rng.uniform(0, 0.08, n_li), 4),
         "l_returnflag": [["R", "A", "N"][i] for i in rng.randint(0, 3, n_li)],
         "l_linestatus": [["O", "F"][i] for i in rng.randint(0, 2, n_li)],
-        "l_shipdate": _ts_us(sdates),
+        "l_shipdate": _ts_ns(sdates) if ns_dates else _ts_us(sdates),
     }))
 
     n_ev = 1000 * SCALE
@@ -152,13 +171,17 @@ def gen(out: str, seed: int = 20260813, ns_events: bool = False) -> None:
         ev_ts_arr = pa.array(ev_ts.astype("datetime64[ns]"))
     else:
         ev_ts_arr = pa.array(ev_ts)
+    props = [json.dumps({"k": int(k)}) for k in rng.randint(0, 100, n_ev)]
+    if nulls:
+        for j in range(0, 10, 2):
+            props[j] = None
     write("events", pa.table({
         "event_id": pa.array(range(n_ev), pa.int64()),
         "ts": ev_ts_arr,
         "user_id": pa.array(rng.randint(0, 15, n_ev), pa.int64()),
         "event_type": [ETYPES[i] for i in rng.randint(0, 5, n_ev)],
         "value": _dec2(rng, 0.01, 330, n_ev),
-        "props": [json.dumps({"k": int(k)}) for k in rng.randint(0, 100, n_ev)],
+        "props": props,
     }))
 
     n_doc = 500 * SCALE
@@ -178,12 +201,34 @@ def gen(out: str, seed: int = 20260813, ns_events: bool = False) -> None:
     # exact duplicates for the dedup family
     for j in range(6, 26, 2):
         texts[j + 1] = texts[j]
+    doc_ids = list(range(n_doc))
+    langs = [LANGS[i] for i in rng.randint(0, 5, n_doc)]
+    if nulls:
+        # classes every driver red so far has hidden in: NULLs, empty
+        # strings, multibyte/astral chars, duplicate doc_ids
+        for j in range(30, 40, 2):
+            texts[j] = None
+        for j in range(41, 51, 2):
+            langs[j] = None
+        texts[52] = ""                          # empty string, not NULL
+        texts[53] = "naïve café übergröße"      # 2-byte UTF-8
+        texts[54] = "emoji 😀 pair 🎉 end"       # astral (4-byte UTF-8)
+        texts[55] = "汉字 没有 空格 测试"          # CJK tokens
+        texts[56] = None
+        langs[56] = None                        # NULL text AND lang
+        for j in range(60, 70, 2):              # dup doc_id, same text
+            doc_ids[j + 1] = doc_ids[j]
+            texts[j + 1] = texts[j]
+        for j in range(70, 80, 2):              # dup doc_id, different text
+            doc_ids[j + 1] = doc_ids[j]
     write("documents", pa.table({
-        "doc_id": pa.array(range(n_doc), pa.int64()),
+        "doc_id": pa.array(doc_ids, pa.int64()),
         "text": texts,
-        "lang": [LANGS[i] for i in rng.randint(0, 5, n_doc)],
+        "lang": langs,
         "source": [f"src{i}" for i in rng.randint(0, 20, n_doc)],
-        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        "n_chars": pa.array(
+            [len(t) if t is not None else None for t in texts], pa.int64()
+        ),
     }))
 
     n_vec = 500 * SCALE
@@ -200,7 +245,14 @@ def gen(out: str, seed: int = 20260813, ns_events: bool = False) -> None:
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if a != "--ns-events"]
+    flags = {"--ns-events", "--ns-dates", "--nulls"}
+    args = [a for a in sys.argv[1:] if a not in flags]
     out = args[0] if args else "/tmp/alt_testdata"
     seed = int(args[1]) if len(args) > 1 else 20260813
-    gen(out, seed, ns_events="--ns-events" in sys.argv)
+    gen(
+        out,
+        seed,
+        ns_events="--ns-events" in sys.argv,
+        ns_dates="--ns-dates" in sys.argv,
+        nulls="--nulls" in sys.argv,
+    )

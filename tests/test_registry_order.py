@@ -1,6 +1,6 @@
 """The driver grades the FIRST 50 registered queries each round; the
 window is an explicit artifact (registry.GRADE_ORDER).  Pin its
-round-3 composition so an accidental import reshuffle can't silently
+round-4 composition so an accidental import reshuffle can't silently
 waste a grading round."""
 
 from __future__ import annotations
@@ -15,14 +15,19 @@ def test_grade_order_applied_and_complete():
     assert names[: len(registry.GRADE_ORDER)] == list(registry.GRADE_ORDER)
 
 
-def test_round3_window_composition():
+def test_round4_window_composition():
     registry.load_all()
     window = list(registry.QUERIES)[:50]
-    # re-graded fixes come first
-    assert window[:3] == ["fn_math", "fn_epoch", "llm_seq_packing"]
-    # the reference-soul source family is all inside the window
-    source_family = [n for n in window if "fixedlen" in n]
-    assert len(source_family) >= 19
+    # the three red/stale re-grades come first (VERDICT r3 order #1)
+    assert window[:3] == [
+        "proj_compute",
+        "llm_seq_packing",
+        "tpch_q12_priority_shipping",
+    ]
+    # the bisection diagnostics sit directly behind them
+    diags = [n for n in window[:9] if n.startswith("diag_")]
+    assert len(diags) == 5
+    assert "llm_token_count" in window[:9]
     # every window query has a full SQL oracle (strongest driver signal);
     # rows-only ops are deliberately kept out of the graded window
     missing = [n for n in window if n not in registry.ORACLES]

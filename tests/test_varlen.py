@@ -235,6 +235,9 @@ def test_raw_mode_round_trip(spark, tmp_path):
 def test_option_validation():
     with pytest.raises(ValueError, match="prefixLength"):
         _VOptions.parse({"layout": PFX_LAYOUT})
+    # the inverse: prefixLength in raw mode would be silently ignored
+    with pytest.raises(ValueError, match="requires 'layout'"):
+        _VOptions.parse({"prefixlength": str(PFX_LEN)})
     with pytest.raises(ValueError, match="clashes"):
         _VOptions.parse(
             {"layout": PFX_LAYOUT, "prefixlength": str(PFX_LEN),
@@ -283,6 +286,35 @@ def test_stream_tail_admits_only_whole_records(tmp_path):
     # restart replay honors END exactly even though the file grew
     replay = list(rd.readBetweenOffsets({"pos": 0}, {"pos": len(r0)}))
     assert len(replay) == 1
+
+
+def test_stream_backlog_drains_across_batches(tmp_path, monkeypatch):
+    """A large backlog at stream start must NOT land in one micro-batch:
+    read() caps the per-batch byte span and later batches resume at the
+    returned record-start offset (ADVICE r3)."""
+    from hadoop_fixedlengthinputformat_spark.sources import varlen as vmod
+    from hadoop_fixedlengthinputformat_spark.sources.varlen import (
+        VarLenStreamReader,
+    )
+
+    recs = [_rec(i, f"t{i % 5}", b"x" * 40) for i in range(100)]
+    p = str(tmp_path / "backlog.rdw")
+    _write_file(p, recs)
+    monkeypatch.setattr(vmod, "READ_CHUNK_TARGET", 600)
+    opts = _VOptions.parse({"prefixlength": str(PFX_LEN), "layout": PFX_LAYOUT})
+    rd = VarLenStreamReader(opts, p)
+    seen, off, n_batches = [], rd.initialOffset(), 0
+    while True:
+        rows, nxt = rd.read(off)
+        rows = list(rows)
+        if not rows:
+            assert nxt == off
+            break
+        seen.extend(rows)
+        off, n_batches = nxt, n_batches + 1
+    assert [r[1] for r in seen] == list(range(100))  # no loss, no dup
+    assert n_batches > 5  # actually drained in capped chunks
+    assert off == {"pos": sum(len(r) for r in recs)}
 
 
 def test_build_index_makes_foreign_file_splittable(tmp_path):
