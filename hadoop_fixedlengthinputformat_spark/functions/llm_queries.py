@@ -85,10 +85,22 @@ def llm_minhash_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "llm_ngram_jaccard",
     oracle="""
-    WITH toks AS (
+    WITH canon AS (
+        -- one deterministic representative row per doc_id: duplicate ids
+        -- would otherwise inflate the per-doc token sizes across blocks
+        SELECT doc_id, lang, source, text FROM (
+            SELECT doc_id, lang, source, text,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY md5(text) ASC,
+                                lang ASC NULLS FIRST,
+                                source ASC NULLS FIRST) AS rn
+            FROM documents WHERE text IS NOT NULL
+        ) WHERE rn = 1
+    ),
+    toks AS (
         SELECT DISTINCT doc_id, lang, source, tok FROM (
             SELECT doc_id, lang, source, unnest(string_split(text, ' ')) AS tok
-            FROM documents
+            FROM canon
         )
     ),
     sizes AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id),
@@ -113,8 +125,10 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark plan uses prefix filtering (see ``ngram_jaccard_pairs``): the
     candidate join is keyed only on each doc's rarest tokens, yet the
     result set is provably identical to the oracle's naive all-shared-
-    token formulation — scale-safe without a semantics-changing DF cap."""
-    d = load_table(spark, sf_dir, "documents")
+    token formulation — scale-safe without a semantics-changing DF cap.
+    Input is canonicalized to one row per doc_id (dedup.canonical_docs)
+    so duplicate ids can't straddle blocking keys."""
+    d = dedup.canonical_docs(load_table(spark, sf_dir, "documents"))
     return dedup.ngram_jaccard_pairs(d, "doc_id", threshold=0.6)
 
 
@@ -202,6 +216,7 @@ def llm_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     1, greatest(len(string_split(text, ' ')) - 2, 1))) AS u(i))
                    AS distinct_3g
         FROM documents
+        WHERE length(text) > 0
     )
     SELECT doc_id,
            floor((1 - CAST(distinct_3g AS DOUBLE) / total_3g) * 10000 + 0.5)
@@ -212,8 +227,10 @@ def llm_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeated-3-gram fraction per document (the Gopher/MassiveText
     repetition quality filter): 1 - distinct/total 3-grams.  Pure per-row
-    array expressions — zero shuffles, streams at scan speed at 100 TB."""
-    d = load_table(spark, sf_dir, "documents")
+    array expressions — zero shuffles, streams at scan speed at 100 TB.
+    NULL/empty texts are excluded on BOTH sides (the engines' split
+    semantics on '' disagree — CLAUDE.md token-count rule)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     sh = dedup.word_shingles(d, "text", 3)
     return d.select(
         "doc_id",
@@ -381,12 +398,42 @@ def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("llm_simhash")  # xxhash64-based — rows-only (no DuckDB equivalent hash)
+@query(
+    "llm_simhash",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id,
+               (SELECT sum(
+                    (strpos('0123456789abcdef', substr(md5(tok), i, 1))
+                     - 1)::BIGINT << (4 * (15 - i)))
+                FROM generate_series(1, 15) t(i)) AS h
+        FROM toks
+    ),
+    votes AS (
+        SELECT doc_id, b.b,
+               sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM hashed, generate_series(0, 59) b(b)
+        GROUP BY doc_id, b.b
+    )
+    SELECT doc_id,
+           sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END) AS simhash
+    FROM votes
+    GROUP BY doc_id
+    """,
+)
 def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """62-bit SimHash per document; tests assert identical texts collide
+    """60-bit md5-derived SimHash per document — the hash is parsed from
+    the top 15 hex chars of md5(token), so the EXACT signature is
+    reproducible in ANSI SQL and the driver hash-checks it (previously
+    a rows-only xxhash64 slot; dedup.simhash64 keeps xxhash64 as the
+    faster production default).  Tests assert identical texts collide
     and near-identical texts land within small Hamming distance."""
     d = load_table(spark, sf_dir, "documents")
-    return dedup.simhash64(d, "doc_id")
+    return dedup.simhash64(d, "doc_id", hash_fn="md5")
 
 
 @query(
@@ -551,7 +598,8 @@ def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'fr' END AS predicted_lang
     FROM (
         SELECT doc_id, lang,
-               len(regexp_replace(lower(text), '[^aeiou]', '', 'g')) / len(text) AS vr
+               len(regexp_replace(lower(text), '[^aeiou]', '', 'g'))
+                   / greatest(len(text), 1) AS vr
         FROM documents
     )
     """,
@@ -574,7 +622,8 @@ def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                   + 0.3 * (len(list_distinct(string_split(text, ' ')))
                            / (length(text) - length(replace(text, ' ', '')) + 1))
                   + 0.3 * (1.0 - length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
-                                 / length(text))) * 10000 + 0.5) / 10000 AS quality
+                                 / greatest(length(text), 1)))
+                 * 10000 + 0.5) / 10000 AS quality
     FROM documents
     """,
 )
@@ -592,6 +641,7 @@ def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_id, text,
                    unnest(generate_series(1, greatest(len(text) - 7, 1))) AS i
             FROM documents
+            WHERE text IS NOT NULL
         )
     )
     SELECT doc_id, min(md5(gram)) AS fingerprint FROM grams GROUP BY doc_id
@@ -599,10 +649,15 @@ def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash fingerprint: min-md5 over char 8-grams (winnowing
-    1-of-k); md5 so the oracle recomputes it exactly."""
-    d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id", text.rolling_fingerprint("text", 8).alias("fingerprint")
+    1-of-k); md5 so the oracle recomputes it exactly.  One row per
+    doc_id: duplicate ids take the min fingerprint across their rows
+    (groupBy mirrors the oracle's GROUP BY — a per-row select would
+    emit duplicates), NULL texts are excluded on both sides."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    return d.groupBy("doc_id").agg(
+        F.min(text.rolling_fingerprint("text", 8)).alias("fingerprint")
     )
 
 
@@ -731,7 +786,11 @@ def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND n_tokens BETWEEN 8 AND 10000
     ),
     survivors AS (
-        SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)
+        -- DISTINCT pins semi-join semantics: a duplicate doc_id whose two
+        -- texts BOTH survive would otherwise fan the inner join out
+        SELECT DISTINCT doc_id FROM (
+            SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)
+        )
     )
     SELECT g.doc_id, g.lang, g.n_tokens, g.n_chars
     FROM gated g JOIN survivors USING (doc_id)

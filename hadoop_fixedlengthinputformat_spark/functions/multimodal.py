@@ -38,11 +38,15 @@ def attach_fake_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Simulate an ingested media column: a BinaryType payload plus typed
     metadata struct.  (In production this is the raw bytes from the
     object store + sidecar metadata.)"""
-    return df.withColumn("media", F.col("text").cast("binary")).withColumn(
+    # NULL text -> empty payload: the decode kernels are total functions
+    # over bytes (a NULL media would crash bytes() worker-side; a real
+    # ingest would quarantine, the stub keeps the row with 0 bytes)
+    body = F.coalesce(F.col("text"), F.lit(""))
+    return df.withColumn("media", body.cast("binary")).withColumn(
         "media_meta",
         F.struct(
             F.lit("image/png").alias("mime"),
-            F.length(F.col("text")).alias("n_bytes"),
+            F.length(body).alias("n_bytes"),
             F.col("source").alias("origin"),
         ),
     )

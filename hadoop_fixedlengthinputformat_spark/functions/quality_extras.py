@@ -32,6 +32,7 @@ from hadoop_fixedlengthinputformat_spark.tables import load_table
         SELECT doc_id, unnest(string_split(text, '')) AS ch,
                length(text) AS tot
         FROM documents
+        WHERE length(text) > 0
     ),
     freq AS (
         SELECT doc_id, ch, tot, count(*) AS cnt
@@ -53,7 +54,10 @@ def llm_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning.  A degenerate one-char document is a single group row.
     """
     d = load_table(spark, sf_dir, "documents")
-    chars = d.select(
+    # entropy of the empty string is undefined (0/0 terms): NULL/empty
+    # texts are excluded on BOTH sides (Spark split('','') still yields
+    # one '' element while DuckDB yields none — the filter pins it)
+    chars = d.filter(F.length("text") > 0).select(
         "doc_id",
         F.length("text").alias("tot"),
         F.explode(F.split("text", "")).alias("ch"),

@@ -412,7 +412,7 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            md5(text) AS text_md5,
-           md5(concat(lang, '|', source)) AS meta_md5,
+           md5(concat(COALESCE(lang, ''), '|', COALESCE(source, ''))) AS meta_md5,
            length(md5(text)) AS digest_len
     FROM documents
     """,
@@ -425,7 +425,15 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.md5("text").alias("text_md5"),
-        F.md5(F.concat("lang", F.lit("|"), "source")).alias("meta_md5"),
+        # NULL-proof: DuckDB concat skips NULLs, Spark yields NULL —
+        # coalesce pins one semantics on both sides
+        F.md5(
+            F.concat(
+                F.coalesce("lang", F.lit("")),
+                F.lit("|"),
+                F.coalesce("source", F.lit("")),
+            )
+        ).alias("meta_md5"),
         F.length(F.md5("text")).alias("digest_len"),
     )
 

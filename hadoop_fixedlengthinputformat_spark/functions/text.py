@@ -39,16 +39,21 @@ def n_bpe_ish_tokens(text: Column | str) -> Column:
 
 
 def punct_ratio(text: Column | str) -> Column:
-    """Fraction of characters that are not [a-z0-9 ] (lowercased)."""
+    """Fraction of characters that are not [a-z0-9 ] (lowercased).
+
+    Denominator floored at 1 (numerator <= length, so empty text gives
+    0.0 rather than an ANSI divide-by-zero; oracle twin:
+    ``greatest(length(text), 1)``)."""
     t = F.col(text) if isinstance(text, str) else text
     stripped = F.regexp_replace(F.lower(t), "[a-z0-9 ]", "")
-    return F.length(stripped) / F.length(t)
+    return F.length(stripped) / F.greatest(F.length(t), F.lit(1))
 
 
 def vowel_ratio(text: Column | str) -> Column:
+    """Vowel fraction; empty text gives 0.0 (see punct_ratio)."""
     t = F.col(text) if isinstance(text, str) else text
     vowels = F.regexp_replace(F.lower(t), "[^aeiou]", "")
-    return F.length(vowels) / F.length(t)
+    return F.length(vowels) / F.greatest(F.length(t), F.lit(1))
 
 
 def distinct_token_ratio(text: Column | str) -> Column:

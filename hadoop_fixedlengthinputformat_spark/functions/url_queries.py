@@ -20,9 +20,11 @@ from hadoop_fixedlengthinputformat_spark.tables import load_table
     oracle="""
     WITH u AS (
         SELECT doc_id,
-               concat('https://', source, '.example.org/', lang, '/doc/',
+               concat('https://', COALESCE(source, 'nullsrc'), '.example.org/',
+                      COALESCE(lang, ''), '/doc/',
                       CAST(doc_id AS VARCHAR), '?rank=',
-                      CAST(n_chars % 10 AS VARCHAR), '&src=', source) AS url
+                      CAST(COALESCE(n_chars, 0) % 10 AS VARCHAR),
+                      '&src=', COALESCE(source, 'nullsrc')) AS url
         FROM documents
     )
     SELECT doc_id, url,
@@ -46,11 +48,16 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     component with anchored regexes — deterministic string ops on both
     sides, hash-exact."""
     d = load_table(spark, sf_dir, "documents")
+    # NULL-proof: DuckDB concat skips NULLs, Spark yields NULL — pin one
+    # semantics with coalesce on both sides
+    src = F.coalesce("source", F.lit("nullsrc"))
     url = F.concat(
-        F.lit("https://"), "source", F.lit(".example.org/"), "lang",
+        F.lit("https://"), src, F.lit(".example.org/"),
+        F.coalesce("lang", F.lit("")),
         F.lit("/doc/"), F.col("doc_id").cast("string"),
-        F.lit("?rank="), (F.col("n_chars") % 10).cast("string"),
-        F.lit("&src="), "source",
+        F.lit("?rank="),
+        (F.coalesce("n_chars", F.lit(0)) % 10).cast("string"),
+        F.lit("&src="), src,
     )
     return d.select(
         "doc_id",

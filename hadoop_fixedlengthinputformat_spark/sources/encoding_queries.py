@@ -336,7 +336,7 @@ def bin_file_for(sf_dir: str) -> str:
     )
 
     tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|bin|{_BIN_SPEC}"
+        f"{os.path.abspath(sf_dir)}|bin|v2|{_BIN_SPEC}"
         f"|{fixture_gen.source_stamp(sf_dir)}".encode()
     ).hexdigest()[:12]
     out = os.path.join(fixture_gen.fixture_dir(), f"bin-{tag}.fixed")
@@ -347,6 +347,11 @@ def bin_file_for(sf_dir: str) -> str:
         .sort_by("o_orderkey")
         .to_pylist()
     )
+    # COMP-4 has no NULL: a NULL custkey serializes as binary zero
+    # (LOW-VALUES) — the oracle mirrors with COALESCE(o_custkey, 0)
+    for r in rows:
+        if r["o_custkey"] is None:
+            r["o_custkey"] = 0
     fields = parse_layout(_BIN_SPEC, _BIN_RL)
     payload = encode_rows(rows, fields, _BIN_RL)
     tmp = out + f".tmp{os.getpid()}"
@@ -359,7 +364,7 @@ def bin_file_for(sf_dir: str) -> str:
 @query(
     "scan_fixedlen_binint",
     oracle="""
-    SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS o_custkey,
+    SELECT o_orderkey, CAST(COALESCE(o_custkey, 0) AS BIGINT) AS o_custkey,
            o_orderstatus, o_totalprice
     FROM orders
     """,

@@ -178,6 +178,37 @@ RDW_PREFIX_LAYOUT = (
 )
 
 
+def rdw_doc_sort_key(r: dict) -> tuple:
+    """Total record order for the RDW documents serialization.
+
+    doc_id alone is NOT a total order on driver rolls with duplicate
+    ids, and the offset oracles replay the running byte sum — any
+    tie-order disagreement shifts every later offset.  Tie-break =
+    (md5(text), lang, source) with NULLs as '' — the exact twin of the
+    oracle's ``ORDER BY doc_id, md5(COALESCE(text,'')),
+    COALESCE(lang,''), COALESCE(source,'')``.
+    """
+    return (
+        r["doc_id"],
+        hashlib.md5((r["text"] or "").encode()).hexdigest(),
+        r["lang"] or "",
+        r["source"] or "",
+    )
+
+
+def rdw_coalesce(r: dict) -> dict:
+    """RECFM=V has no NULL concept: blank strings / zero counts / empty
+    tail stand in (the COBOL LOW-VALUES convention); oracles mirror
+    with COALESCE."""
+    return {
+        **r,
+        "text": r["text"] or "",
+        "lang": r["lang"] or "",
+        "source": r["source"] or "",
+        "n_chars": r["n_chars"] if r["n_chars"] is not None else 0,
+    }
+
+
 def rdw_file_for(sf_dir: str, index_every: int = 0) -> str:
     """Path of the RDW (variable-length) serialization of
     ``sf_dir/documents.parquet``; ``index_every`` > 0 also writes the
@@ -186,7 +217,7 @@ def rdw_file_for(sf_dir: str, index_every: int = 0) -> str:
     import struct
 
     tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|rdw|{index_every}"
+        f"{os.path.abspath(sf_dir)}|rdw|v2|{index_every}"
         f"|{source_stamp(sf_dir)}".encode()
     ).hexdigest()[:12]
     out = os.path.join(fixture_dir(), f"documents-{tag}.rdw")
@@ -198,7 +229,8 @@ def rdw_file_for(sf_dir: str, index_every: int = 0) -> str:
     written = 0
     n = 0
     payload = bytearray()
-    for r in tbl.sort_by("doc_id").to_pylist():
+    for r in sorted(tbl.to_pylist(), key=rdw_doc_sort_key):
+        r = rdw_coalesce(r)
         tail = r["text"].encode("utf-8")
         prefix = encode_rows([r], fields, RDW_PREFIX_LEN)
         total = 4 + RDW_PREFIX_LEN + len(tail)

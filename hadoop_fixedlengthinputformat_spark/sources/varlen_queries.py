@@ -45,12 +45,14 @@ def read_rdw(
 @query(
     "scan_varlen_rdw",
     oracle="""
-    SELECT CAST(COALESCE(SUM(26 + octet_length(encode(text)))
-                    OVER (ORDER BY doc_id
+    SELECT CAST(COALESCE(SUM(26 + octet_length(encode(COALESCE(text, ''))))
+                    OVER (ORDER BY doc_id, md5(COALESCE(text, '')),
+                                   COALESCE(lang, ''), COALESCE(source, '')
                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                 0) AS BIGINT) AS record_offset,
-           doc_id, lang, source, n_chars,
-           CAST(octet_length(encode(text)) AS BIGINT) AS tail_bytes
+           doc_id, COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
+           COALESCE(n_chars, 0) AS n_chars,
+           CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT) AS tail_bytes
     FROM documents
     """,
 )
@@ -72,15 +74,24 @@ def scan_varlen_rdw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sink_varlen_rdw",
-    oracle="SELECT doc_id, lang, n_chars, text FROM documents",
+    oracle="""
+    SELECT doc_id, COALESCE(lang, '') AS lang,
+           COALESCE(n_chars, 0) AS n_chars, COALESCE(text, '') AS text
+    FROM documents
+    """,
 )
 def sink_varlen_rdw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round trip through OUR sink: parquet -> varlen write (text as the
     variable tail) -> varlen read -> tail decoded back to the text."""
     configure(spark)
     varlen.register(spark)
+    # RECFM=V has no NULL concept — blank/zero stand-ins on both sides
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "source", "n_chars", "text"
+        "doc_id",
+        F.coalesce("lang", F.lit("")).alias("lang"),
+        F.coalesce("source", F.lit("")).alias("source"),
+        F.coalesce(F.col("n_chars"), F.lit(0)).alias("n_chars"),
+        F.coalesce("text", F.lit("")).alias("text"),
     )
     out = os.path.join(tempfile.gettempdir(), "flif_sink_varlen")
     (
@@ -100,10 +111,11 @@ def sink_varlen_rdw(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "scan_varlen_rdw_indexed",
     oracle="""
-    SELECT lang, COUNT(*) AS n_docs,
-           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS tail_bytes,
-           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-    FROM documents GROUP BY lang
+    SELECT COALESCE(lang, '') AS lang, COUNT(*) AS n_docs,
+           CAST(SUM(octet_length(encode(COALESCE(text, '')))) AS BIGINT)
+               AS tail_bytes,
+           CAST(SUM(COALESCE(n_chars, 0)) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY COALESCE(lang, '')
     """,
 )
 def scan_varlen_rdw_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -128,7 +140,8 @@ def scan_varlen_rdw_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "maintain_varlen_index",
     oracle="""
     SELECT COUNT(*) AS n_records,
-           CAST(SUM(26 + octet_length(encode(text))) AS BIGINT) AS data_bytes
+           CAST(SUM(26 + octet_length(encode(COALESCE(text, '')))) AS BIGINT)
+               AS data_bytes
     FROM documents
     """,
 )
@@ -177,8 +190,9 @@ def maintain_varlen_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sql_varlen_view",
     oracle="""
-    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-    FROM documents GROUP BY lang
+    SELECT COALESCE(lang, '') AS lang, COUNT(*) AS n_docs,
+           CAST(SUM(COALESCE(n_chars, 0)) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY COALESCE(lang, '')
     """,
 )
 def sql_varlen_view(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -60,8 +60,10 @@ def stream_fixedlen_directory(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stream_varlen_tail",
     oracle="""
-    SELECT doc_id, lang, n_chars,
-           CAST(octet_length(encode(text)) AS BIGINT) AS tail_bytes
+    SELECT doc_id, COALESCE(lang, '') AS lang,
+           COALESCE(n_chars, 0) AS n_chars,
+           CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT)
+               AS tail_bytes
     FROM documents
     """,
 )

@@ -68,6 +68,120 @@ def test_stream_fixedlen_sink_restart_is_idempotent(spark, tmp_path):
     assert df.select("event_id").distinct().count() == 200
 
 
+def _write_event_chunk(spark, d, lo, hi):
+    """Events with interleaved view/purchase types and close timestamps
+    so the 10-minute interval join has matches inside every chunk."""
+    (
+        spark.range(lo, hi)
+        .select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % 5).alias("user_id"),
+            F.when(F.col("id") % 2 == 0, "view").otherwise("purchase").alias(
+                "event_type"
+            ),
+            (
+                F.lit("2024-01-01 00:00:00").cast("timestamp")
+                + F.make_interval(secs=(F.col("id") * 60).cast("double"))
+            ).alias("ts"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(d, f"chunk-{lo}-{hi}"))
+    )
+
+
+def test_stream_stream_join_restart_is_idempotent(spark, tmp_path):
+    """The watermarked interval join replayed across restarts: a restart
+    with no new data adds no rows, and after a second chunk + restart
+    the appended result equals the batch time-interval join of ALL data
+    (exactly-once across the two runs — VERDICT r3 order #8)."""
+    src = str(tmp_path / "ev_src")
+    out_dir = str(tmp_path / "ssj_out")
+    ckpt = str(tmp_path / "ssj_ckpt")
+    _write_event_chunk(spark, src, 0, 60)
+
+    def run():
+        views = (
+            spark.readStream.schema(
+                "event_id long, user_id long, event_type string, ts timestamp"
+            )
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+            .filter(F.col("event_type") == "view")
+            .select(
+                F.col("event_id").alias("view_id"),
+                "user_id",
+                F.col("ts").alias("v_ts"),
+            )
+            .withWatermark("v_ts", "30 minutes")
+        )
+        purchases = (
+            spark.readStream.schema(
+                "event_id long, user_id long, event_type string, ts timestamp"
+            )
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "30 minutes")
+        )
+        joined = views.join(
+            purchases,
+            (views.user_id == purchases.p_user)
+            & (purchases.p_ts >= views.v_ts)
+            & (purchases.p_ts <= views.v_ts + F.expr("INTERVAL 10 MINUTES")),
+            "inner",
+        ).select("view_id", "purchase_id", "user_id")
+        q = (
+            joined.writeStream.format("parquet")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start(out_dir)
+        )
+        q.awaitTermination()
+
+    def batch_expected():
+        ev = spark.read.option("recursiveFileLookup", "true").parquet(src)
+        v = ev.filter("event_type = 'view'").selectExpr(
+            "event_id AS view_id", "user_id", "ts AS v_ts"
+        )
+        p = ev.filter("event_type = 'purchase'").selectExpr(
+            "event_id AS purchase_id", "user_id AS p_user", "ts AS p_ts"
+        )
+        return (
+            v.join(
+                p,
+                (v.user_id == p.p_user)
+                & (p.p_ts >= v.v_ts)
+                & (p.p_ts <= v.v_ts + F.expr("INTERVAL 10 MINUTES")),
+            )
+            .select("view_id", "purchase_id", "user_id")
+        )
+
+    def read_out():
+        return spark.read.parquet(out_dir)
+
+    run()
+    n1 = read_out().count()
+    assert n1 > 0
+    run()  # restart, no new data: nothing replays
+    assert read_out().count() == n1
+    _write_event_chunk(spark, src, 60, 100)
+    run()  # restart: processes ONLY the new chunk
+    got = {tuple(r) for r in read_out().collect()}
+    want = {tuple(r) for r in batch_expected().collect()}
+    assert len(got) == read_out().count()  # no duplicate emits
+    # note: rows whose match straddles the restart boundary are joined
+    # because BOTH sides re-read the full directory listing state from
+    # the checkpoint; the final multiset must equal the batch join
+    assert got == want
+
+
 def test_available_now_resumes_from_checkpoint(spark, tmp_path):
     src = str(tmp_path / "src")
     ckpt = str(tmp_path / "ckpt")
