@@ -158,6 +158,8 @@ GRADE_ORDER: tuple[str, ...] = (
     "llm_group_sample",
     "llm_embedding_quantize",
     "sql_varlen_view",
+    "scan_varlen_vb",
+    "sink_varlen_vb",
     # ---- ROUND 6+: streaming + rows-only + already-green tail follows in
     # registration order (streaming last among ungraded: batch-equivalence
     # oracles are the weakest signal per graded slot).

@@ -261,6 +261,47 @@ def rdw_file_for(sf_dir: str, index_every: int = 0) -> str:
     return out
 
 
+def vb_file_for(sf_dir: str, block_size: int = 8192) -> str:
+    """RECFM=VB (BDW-blocked) serialization of ``documents.parquet``:
+    the rdw_file_for records greedily packed into <= ``block_size``-byte
+    blocks, each prefixed by a 4-byte BDW.  Same coalesce + total-order
+    rules as the V fixture."""
+    import struct
+
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|vb|{block_size}"
+        f"|{source_stamp(sf_dir)}".encode()
+    ).hexdigest()[:12]
+    out = os.path.join(fixture_dir(), f"documents-{tag}.vb.rdw")
+    if os.path.exists(out):
+        return out
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    fields = parse_layout(RDW_PREFIX_LAYOUT, RDW_PREFIX_LEN)
+    payload = bytearray()
+    block = bytearray()
+
+    def flush():
+        if block:
+            payload.extend(struct.pack(">HH", 4 + len(block), 0))
+            payload.extend(block)
+            block.clear()
+
+    for r in sorted(tbl.to_pylist(), key=rdw_doc_sort_key):
+        r = rdw_coalesce(r)
+        tail = r["text"].encode("utf-8")
+        prefix = encode_rows([r], fields, RDW_PREFIX_LEN)
+        rec = struct.pack(">HH", 4 + RDW_PREFIX_LEN + len(tail), 0) + prefix + tail
+        if block and 4 + len(block) + len(rec) > block_size:
+            flush()
+        block.extend(rec)
+    flush()
+    tmp = out + f".tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(payload)
+    os.replace(tmp, out)
+    return out
+
+
 def occurs_file_for(sf_dir: str) -> str:
     """Fixed-width fixture with a COBOL OCCURS group: per nation row,
     key + 3 derived int elements (key+1, 2*key, regionkey) — derivable

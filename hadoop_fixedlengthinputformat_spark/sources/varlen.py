@@ -76,6 +76,7 @@ from hadoop_fixedlengthinputformat_spark.sources.layout import (
 )
 
 RDW_LEN = 4
+BDW_LEN = 4  # RECFM=VB Block Descriptor Word: >H block total incl. BDW, >H zero
 _MAX_RECORD = 0xFFFF  # RDW length field is an unsigned 16-bit total
 _WHOLE_FILE = -1  # partition.end sentinel: compressed stream, read to EOF
 _INDEX_SUFFIX = ".rdx.json"
@@ -91,6 +92,8 @@ class _VOptions:
     encoding: str
     max_partition_bytes: int
     index_every: int  # writer sidecar stride; 0 disables
+    recfm: str  # "V" (bare RDW stream) or "VB" (BDW-blocked)
+    block_size: int  # VB writer target block bytes (incl. the 4-byte BDW)
 
     @classmethod
     def parse(cls, options) -> "_VOptions":
@@ -145,9 +148,23 @@ class _VOptions:
         index_every = int(options.get("indexevery", "4096"))
         if index_every < 0:
             raise ValueError("varlen: indexEvery must be >= 0 (0 disables)")
+        recfm = options.get("recfm", "v").upper()
+        if recfm not in ("V", "VB"):
+            raise ValueError(
+                f"varlen: recfm must be 'V' or 'VB', got {recfm!r} "
+                "(spanned VS/VBS records are not supported)"
+            )
+        block_size = int(options.get("blocksize", "32760"))  # classic max
+        if recfm == "VB" and not (
+            BDW_LEN + RDW_LEN + prefix_length <= block_size <= _MAX_RECORD
+        ):
+            raise ValueError(
+                f"varlen: blockSize {block_size} must fit one minimal record "
+                f"({BDW_LEN + RDW_LEN + prefix_length}..{_MAX_RECORD})"
+            )
         return cls(
             prefix_length, fields, with_offset, with_tail, tail_column,
-            info.name, mpb, index_every,
+            info.name, mpb, index_every, recfm, block_size,
         )
 
     def spark_schema(self) -> StructType:
@@ -309,6 +326,92 @@ def _iter_records(
         pos += total
 
 
+def _read_exact(fobj, want: int) -> bytes:
+    """Read exactly ``want`` bytes unless EOF intervenes (codec streams
+    return short reads)."""
+    parts: list[bytes] = []
+    got = 0
+    while got < want:
+        chunk = fobj.read(want - got)
+        if not chunk:
+            break
+        parts.append(chunk)
+        got += len(chunk)
+    return b"".join(parts)
+
+
+def _iter_records_vb(
+    fobj, start: int, end: int | None, prefix_min: int, path: str,
+    stop_on_partial: bool = False, max_bytes: int | None = None,
+) -> Iterator[tuple[int, bytes]]:
+    """Walk RECFM=VB blocks from ``start``: each block is a 4-byte BDW
+    (big-endian total incl. the BDW, 2 zero bytes) wrapping RDW records
+    that must tile the block exactly — a record may NOT span blocks
+    (that would be VBS, rejected like VS).  Yields (absolute RDW offset,
+    payload); each block body is validated by the plain-V record walk
+    bounded to the block span, so every RDW rule applies unchanged.
+
+    ``end`` must be a BLOCK start (sidecar offsets are block starts in
+    VB mode).  ``stop_on_partial`` stops cleanly at a half-written
+    BDW/block at EOF (whole-BLOCK admission for tailing streams);
+    inside a complete block a malformed RDW is always corruption and
+    raises.  ``max_bytes`` stops before opening a new block once the
+    consumed span reaches it — the resume offset is always a block
+    start, never mid-block (a mid-block resume would misparse record
+    bytes as a BDW).
+    """
+    import io
+
+    pos = start
+    while True:
+        if end is not None and pos >= end:
+            return
+        hdr = _read_exact(fobj, BDW_LEN)
+        if not hdr:
+            if end is not None and pos < end:
+                raise IOError(
+                    f"varlen: {path!r} ends at {pos} before the planned "
+                    f"partition bound {end} (stale index sidecar?)"
+                )
+            return
+        if len(hdr) < BDW_LEN:
+            if stop_on_partial:
+                return
+            raise IOError(
+                f"varlen: {path!r} ends mid-BDW at offset {pos} "
+                f"({len(hdr)} trailing bytes)"
+            )
+        btotal, breserved = struct.unpack(">HH", hdr)
+        if breserved != 0:
+            raise ValueError(
+                f"varlen: nonzero BDW reserved bytes at offset {pos} in "
+                f"{path!r} — spanned blocks (RECFM=VBS) are not supported"
+            )
+        if btotal < BDW_LEN + RDW_LEN + prefix_min:
+            raise ValueError(
+                f"varlen: block at offset {pos} in {path!r} is {btotal} "
+                f"bytes total, too short for one BDW+RDW+prefix record"
+            )
+        body = _read_exact(fobj, btotal - BDW_LEN)
+        if len(body) < btotal - BDW_LEN:
+            if stop_on_partial:
+                return
+            raise IOError(
+                f"varlen: {path!r} ends mid-block at offset {pos} "
+                f"(BDW claims {btotal} bytes, {BDW_LEN + len(body)} available)"
+            )
+        yield from _iter_records(
+            io.BytesIO(body), pos + BDW_LEN, pos + btotal, prefix_min, path
+        )
+        pos += btotal
+        if max_bytes is not None and pos - start >= max_bytes:
+            return
+
+
+def _record_iter_for(opts: _VOptions):
+    return _iter_records_vb if opts.recfm == "VB" else _iter_records
+
+
 class VarLenReader(DataSourceReader):
     def __init__(self, opts: _VOptions, path: str):
         self.opts = opts
@@ -369,7 +472,7 @@ class VarLenReader(DataSourceReader):
                 prefixes = bytearray()
                 tails: list[bytes] = []
                 pending = 0
-                for off, payload in _iter_records(
+                for off, payload in _record_iter_for(o)(
                     fobj, start, end, o.prefix_length, partition.path
                 ):
                     offsets.append(off)
@@ -424,11 +527,17 @@ class VarLenStreamReader(SimpleDataSourceStreamReader):
         prefixes = bytearray()
         tails: list[bytes] = []
         pos = lo
+        # VB: the byte cap moves INSIDE the iterator so the stop lands on
+        # a block boundary — a mid-block resume offset would misparse
+        # record bytes as a BDW.  (Record ends tile blocks exactly, so
+        # the per-record pos below still equals the block end there.)
+        it_kwargs: dict = {"stop_on_partial": stop_on_partial}
+        if o.recfm == "VB":
+            it_kwargs["max_bytes"] = max_bytes
         with open(self.path, "rb") as f:
             f.seek(lo)
-            for off, payload in _iter_records(
-                f, lo, hi, o.prefix_length, self.path,
-                stop_on_partial=stop_on_partial,
+            for off, payload in _record_iter_for(o)(
+                f, lo, hi, o.prefix_length, self.path, **it_kwargs
             ):
                 offsets.append(off)
                 if o.fields is None:
@@ -437,7 +546,11 @@ class VarLenStreamReader(SimpleDataSourceStreamReader):
                     prefixes.extend(payload[: o.prefix_length])
                     tails.append(payload[o.prefix_length :])
                 pos = off + RDW_LEN + len(payload)
-                if max_bytes is not None and pos - lo >= max_bytes:
+                if (
+                    o.recfm != "VB"
+                    and max_bytes is not None
+                    and pos - lo >= max_bytes
+                ):
                     break
         if not offsets:
             return [], pos
@@ -482,41 +595,92 @@ class VarLenStreamReader(SimpleDataSourceStreamReader):
         pass
 
 
-def build_index(path: str, every: int = 4096) -> dict:
-    """Index a FOREIGN V-format file in place: one sequential RDW-header
-    walk (only the 4-byte headers are read — payloads are seek-skipped)
-    emits the ``.rdx.json`` sidecar, making every later read splittable.
-    Index once, split forever.  Run executor-side for fleets of files
+def build_index(path: str, every: int = 4096, recfm: str = "v") -> dict:
+    """Index a FOREIGN V/VB-format file in place: one sequential
+    descriptor-word walk (only the 4-byte headers are read — payloads
+    are seek-skipped) emits the ``.rdx.json`` sidecar, making every
+    later read splittable.  Index once, split forever.  Run
+    executor-side for fleets of files
     (``sc.parallelize(files).map(build_index)``); returns the sidecar
-    payload."""
+    payload.  For VB the sidecar offsets are BLOCK starts (the only
+    safe split points), emitted when a block's first record crosses the
+    ``every`` stride."""
     if every <= 0:
         raise ValueError("varlen: index 'every' must be > 0")
+    recfm = recfm.upper()
     size = os.path.getsize(path)
     offsets: list[int] = []
     n = 0
     pos = 0
     with open(path, "rb") as f:
-        while pos < size:
-            hdr = f.read(RDW_LEN)
-            if len(hdr) < RDW_LEN:
-                raise IOError(
-                    f"varlen: {path!r} ends mid-RDW at offset {pos}"
-                )
-            total, reserved = struct.unpack(">HH", hdr)
-            if reserved != 0:
-                raise ValueError(
-                    f"varlen: nonzero RDW segment-control bytes at offset "
-                    f"{pos} in {path!r}"
-                )
-            if total < RDW_LEN or pos + total > size:
-                raise IOError(
-                    f"varlen: {path!r} record at offset {pos} overruns EOF"
-                )
-            if n % every == 0:
-                offsets.append(pos)
-            n += 1
-            pos += total
-            f.seek(pos)
+        if recfm == "VB":
+            last_bucket = -1
+            while pos < size:
+                hdr = f.read(BDW_LEN)
+                if len(hdr) < BDW_LEN:
+                    raise IOError(
+                        f"varlen: {path!r} ends mid-BDW at offset {pos}"
+                    )
+                btotal, breserved = struct.unpack(">HH", hdr)
+                if breserved != 0:
+                    raise ValueError(
+                        f"varlen: nonzero BDW reserved bytes at offset "
+                        f"{pos} in {path!r}"
+                    )
+                if btotal < BDW_LEN + RDW_LEN or pos + btotal > size:
+                    raise IOError(
+                        f"varlen: {path!r} block at offset {pos} overruns EOF"
+                    )
+                bucket = n // every
+                if bucket > last_bucket:
+                    offsets.append(pos)
+                    last_bucket = bucket
+                bpos, bend = pos + BDW_LEN, pos + btotal
+                while bpos < bend:
+                    f.seek(bpos)
+                    rh = f.read(RDW_LEN)
+                    if len(rh) < RDW_LEN or bend - bpos < RDW_LEN:
+                        raise ValueError(
+                            f"varlen: block at offset {pos} in {path!r} has "
+                            "trailing bytes that are not a record"
+                        )
+                    rtotal, rres = struct.unpack(">HH", rh)
+                    if rres != 0:
+                        raise ValueError(
+                            f"varlen: nonzero RDW segment-control bytes at "
+                            f"offset {bpos} in {path!r}"
+                        )
+                    if rtotal < RDW_LEN or bpos + rtotal > bend:
+                        raise ValueError(
+                            f"varlen: record at offset {bpos} in {path!r} "
+                            "overruns its block"
+                        )
+                    n += 1
+                    bpos += rtotal
+                pos += btotal
+                f.seek(pos)
+        else:
+            while pos < size:
+                hdr = f.read(RDW_LEN)
+                if len(hdr) < RDW_LEN:
+                    raise IOError(
+                        f"varlen: {path!r} ends mid-RDW at offset {pos}"
+                    )
+                total, reserved = struct.unpack(">HH", hdr)
+                if reserved != 0:
+                    raise ValueError(
+                        f"varlen: nonzero RDW segment-control bytes at offset "
+                        f"{pos} in {path!r}"
+                    )
+                if total < RDW_LEN or pos + total > size:
+                    raise IOError(
+                        f"varlen: {path!r} record at offset {pos} overruns EOF"
+                    )
+                if n % every == 0:
+                    offsets.append(pos)
+                n += 1
+                pos += total
+                f.seek(pos)
     payload = {
         "version": 1,
         "every": every,
@@ -593,19 +757,55 @@ class VarLenWriter(DataSourceWriter):
             return struct.pack(">HH", total, 0) + payload
 
         with open(tmp, "wb") as f:
-            batch: list[bytes] = []
-            for row in iterator:
-                b = record_bytes(row)
-                if o.index_every and n % o.index_every == 0:
-                    index.append(written)
-                n += 1
-                written += len(b)
-                batch.append(b)
-                if len(batch) >= self.WRITE_BATCH_ROWS:
+            if o.recfm == "VB":
+                # pack records into BDW blocks of <= blockSize bytes; a
+                # sidecar offset must be a safe split point, which in VB
+                # is a BLOCK start — emitted when a block's first record
+                # crosses the indexEvery stride
+                block = bytearray()
+                last_bucket = -1
+
+                def flush_block():
+                    nonlocal written
+                    if not block:
+                        return
+                    btotal = BDW_LEN + len(block)
+                    f.write(struct.pack(">HH", btotal, 0) + bytes(block))
+                    written += btotal
+                    block.clear()
+
+                for row in iterator:
+                    b = record_bytes(row)
+                    if BDW_LEN + len(b) > o.block_size:
+                        raise ValueError(
+                            f"varlen: record of {len(b)} bytes cannot fit a "
+                            f"{o.block_size}-byte VB block (records may not "
+                            "span blocks; raise blockSize)"
+                        )
+                    if block and BDW_LEN + len(block) + len(b) > o.block_size:
+                        flush_block()
+                    if not block:
+                        bucket = n // o.index_every if o.index_every else -1
+                        if o.index_every and bucket > last_bucket:
+                            index.append(written)
+                            last_bucket = bucket
+                    block.extend(b)
+                    n += 1
+                flush_block()
+            else:
+                batch: list[bytes] = []
+                for row in iterator:
+                    b = record_bytes(row)
+                    if o.index_every and n % o.index_every == 0:
+                        index.append(written)
+                    n += 1
+                    written += len(b)
+                    batch.append(b)
+                    if len(batch) >= self.WRITE_BATCH_ROWS:
+                        f.write(b"".join(batch))
+                        batch = []
+                if batch:
                     f.write(b"".join(batch))
-                    batch = []
-            if batch:
-                f.write(b"".join(batch))
 
         idx_tmp = idx_final = None
         if o.index_every:

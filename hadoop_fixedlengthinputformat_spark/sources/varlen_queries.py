@@ -73,6 +73,75 @@ def scan_varlen_rdw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scan_varlen_vb",
+    oracle="""
+    SELECT doc_id, COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
+           COALESCE(n_chars, 0) AS n_chars,
+           CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT)
+               AS tail_bytes
+    FROM documents
+    """,
+)
+def scan_varlen_vb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECFM=VB: BDW-blocked RDW records (the standard z/OS unload
+    framing — records packed into <=8 KB blocks here).  Every RDW rule
+    applies inside each block; a record may not span blocks (VBS is
+    rejected like VS).  Offsets are omitted from the graded projection
+    because block packing is a greedy sequential recurrence no
+    window-SQL oracle can replay — the byte-level round trip is pinned
+    by tests/test_varlen.py instead."""
+    path = fixture_gen.vb_file_for(sf_dir)
+    df = read_rdw(spark, path, recfm="vb", includeOffset="false")
+    return df.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.length("record_tail").cast("long").alias("tail_bytes"),
+    )
+
+
+@query(
+    "sink_varlen_vb",
+    oracle="""
+    SELECT doc_id, COALESCE(lang, '') AS lang,
+           COALESCE(n_chars, 0) AS n_chars, COALESCE(text, '') AS text
+    FROM documents
+    """,
+)
+def sink_varlen_vb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round trip through OUR VB sink: parquet -> blocked varlen write
+    (records packed into blockSize blocks, block-start sidecar) ->
+    VB read -> tail decoded back to the text."""
+    configure(spark)
+    varlen.register(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.coalesce("lang", F.lit("")).alias("lang"),
+        F.coalesce("source", F.lit("")).alias("source"),
+        F.coalesce(F.col("n_chars"), F.lit(0)).alias("n_chars"),
+        F.coalesce("text", F.lit("")).alias("text"),
+    )
+    out = os.path.join(tempfile.gettempdir(), "flif_sink_varlen_vb")
+    (
+        docs.write.format("varlen")
+        .option("prefixLength", str(fixture_gen.RDW_PREFIX_LEN))
+        .option("layout", fixture_gen.RDW_PREFIX_LAYOUT)
+        .option("tailColumn", "text")
+        .option("recfm", "vb")
+        .option("blockSize", "8192")
+        .mode("overwrite")
+        .save(out)
+    )
+    df = read_rdw(
+        spark, out, tailColumn="text", includeOffset="false", recfm="vb"
+    )
+    return df.select(
+        "doc_id", "lang", "n_chars", F.col("text").cast("string").alias("text")
+    )
+
+
+@query(
     "sink_varlen_rdw",
     oracle="""
     SELECT doc_id, COALESCE(lang, '') AS lang,

@@ -332,3 +332,148 @@ def test_build_index_makes_foreign_file_splittable(tmp_path):
     assert payload["n_records"] == 300
     assert payload["data_bytes"] == os.path.getsize(p)
     assert len(VarLenReader(opts, p).partitions()) > 3
+
+
+def _vb_block(recs: list[bytes]) -> bytes:
+    body = b"".join(recs)
+    return struct.pack(">HH", 4 + len(body), 0) + body
+
+
+def test_vb_round_trip_and_offsets(spark, tmp_path):
+    """VB blocks decode to the same records as the bare V stream, with
+    record_offset pointing at each RDW *inside* its block."""
+    recs = _rand_recs(50)
+    p = str(tmp_path / "blocked.vb")
+    blocks, cur = [], []
+    size = 0
+    for r in recs:  # ~4 records per block
+        cur.append(r)
+        if len(cur) == 4:
+            blocks.append(_vb_block(cur))
+            cur = []
+    if cur:
+        blocks.append(_vb_block(cur))
+    with open(p, "wb") as f:
+        f.write(b"".join(blocks))
+    df = _read(spark, p, recfm="vb")
+    rows = sorted(df.collect(), key=lambda r: r.record_offset)
+    assert [r.k for r in rows] == list(range(50))
+    # offsets: first record of first block sits after its BDW
+    assert rows[0].record_offset == 4
+    # each record's offset + RDW + payload == next record's offset minus
+    # any intervening BDW (4 bytes at block boundaries)
+    pos = 4
+    for i, (r, rec) in enumerate(zip(rows, recs)):
+        assert r.record_offset in (pos, pos + 4)  # +4 when a BDW intervenes
+        pos = r.record_offset + len(rec)
+
+
+def test_vb_rejects_record_spanning_block(spark, tmp_path):
+    """A record whose RDW claims more bytes than remain in its block is
+    VBS-style spanning — rejected."""
+    r0 = _rec(0, "t0", b"abc")
+    bad_body = r0[:-2]  # truncate inside the record
+    blob = struct.pack(">HH", 4 + len(bad_body), 0) + bad_body
+    p = str(tmp_path / "span.vb")
+    with open(p, "wb") as f:
+        f.write(blob)
+    with pytest.raises(Exception, match="overruns its block|mid-record"):
+        _read(spark, p, recfm="vb").collect()
+
+
+def test_vb_sink_writes_blocks_and_splittable_sidecar(spark, tmp_path):
+    """OUR VB sink blocks records, writes block-start sidecar offsets,
+    and the reader plans >1 record-aligned partition from them."""
+    from hadoop_fixedlengthinputformat_spark.sources import varlen as vmod
+
+    varlen.register(spark)
+    n = 400
+    df = spark.createDataFrame(
+        [(i, f"t{i % 5}", bytes([i % 251]) * (20 + i % 60)) for i in range(n)],
+        "k long, tag string, record_tail binary",
+    )
+    out = str(tmp_path / "vb_out")
+    (
+        df.write.format("varlen")
+        .option("prefixLength", str(PFX_LEN))
+        .option("layout", PFX_LAYOUT)
+        .option("recfm", "vb")
+        .option("blockSize", "512")
+        .option("indexEvery", "32")
+        .mode("overwrite")
+        .save(out)
+    )
+    part = [f for f in os.listdir(out) if f.endswith(".rdw")]
+    assert len(part) >= 1
+    idx_files = [f for f in os.listdir(out) if f.endswith(".rdx.json")]
+    assert idx_files
+    # sidecar offsets are block starts: byte 0 must be one, and every
+    # offset must land on a BDW (validated by reading the partitioned way)
+    back = (
+        spark.read.format("varlen")
+        .option("prefixLength", str(PFX_LEN))
+        .option("layout", PFX_LAYOUT)
+        .option("recfm", "vb")
+        .option("maxPartitionBytes", "2048")
+        .load(out)
+    )
+    assert back.rdd.getNumPartitions() > 1
+    got = sorted(r.k for r in back.collect())
+    assert got == list(range(n))
+
+
+def test_vb_stream_admits_only_whole_blocks(tmp_path):
+    from hadoop_fixedlengthinputformat_spark.sources.varlen import (
+        VarLenStreamReader,
+        _VOptions,
+    )
+
+    b0 = _vb_block([_rec(0, "t0", b"aa"), _rec(1, "t1", b"bb")])
+    b1 = _vb_block([_rec(2, "t2", b"cc")])
+    p = str(tmp_path / "tail.vb")
+    with open(p, "wb") as f:
+        f.write(b0 + b1[:5])  # second block half-written
+    opts = _VOptions.parse(
+        {"prefixlength": str(PFX_LEN), "layout": PFX_LAYOUT, "recfm": "vb"}
+    )
+    rd = VarLenStreamReader(opts, p)
+    rows, off = rd.read(rd.initialOffset())
+    assert [r[1] for r in rows] == [0, 1]
+    assert off == {"pos": len(b0)}  # resume at the next BDW, never mid-block
+    with open(p, "ab") as f:
+        f.write(b1[5:])
+    rows2, off2 = rd.read(off)
+    assert [r[1] for r in rows2] == [2]
+    assert off2 == {"pos": len(b0) + len(b1)}
+
+
+def test_vb_build_index_foreign_file(tmp_path):
+    from hadoop_fixedlengthinputformat_spark.sources.varlen import build_index
+
+    recs = _rand_recs(100)
+    blocks = [_vb_block(recs[i : i + 5]) for i in range(0, 100, 5)]
+    p = str(tmp_path / "foreign.vb")
+    with open(p, "wb") as f:
+        f.write(b"".join(blocks))
+    payload = build_index(p, every=10, recfm="vb")
+    assert payload["n_records"] == 100
+    assert payload["offsets"][0] == 0
+    # every offset is a block start
+    starts, pos = set(), 0
+    for b in blocks:
+        starts.add(pos)
+        pos += len(b)
+    assert set(payload["offsets"]) <= starts
+    assert payload["data_bytes"] == pos
+
+
+def test_vb_option_validation():
+    from hadoop_fixedlengthinputformat_spark.sources.varlen import _VOptions
+
+    with pytest.raises(ValueError, match="recfm"):
+        _VOptions.parse({"recfm": "vbs"})
+    with pytest.raises(ValueError, match="blockSize"):
+        _VOptions.parse(
+            {"recfm": "vb", "blocksize": "8",
+             "prefixlength": str(PFX_LEN), "layout": PFX_LAYOUT}
+        )
