@@ -87,7 +87,9 @@ def test_hll_mergeable_tolerance(spark, sf_dir, con):
 
 
 def test_approx_percentile_tolerance(spark, sf_dir, con):
-    """agg_approx_percentile has no oracle; assert within 2% of exact."""
+    """agg_approx_percentile now has an exact oracle (accuracy 1e7
+    degenerates GK to exact at test scale); keep the tolerance bound as
+    the 100 TB-semantics check a lower accuracy must still satisfy."""
     rows = {
         r.l_returnflag: r
         for r in QUERIES["agg_approx_percentile"](spark, sf_dir).collect()
