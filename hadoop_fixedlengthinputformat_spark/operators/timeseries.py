@@ -197,10 +197,15 @@ def ts_rollup_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM spans
     ),
     anchored AS (
+        -- an all-NULL-value hour yields a b row with NULL hr_sum: it is
+        -- UNOBSERVED for anchoring, so the bucket anchor must skip it
+        -- too (bare b.bucket is non-NULL there and would desync pt/pv)
         SELECT g.user_id, g.bucket,
-               last_value(b.bucket IGNORE NULLS) OVER w_prev AS pt,
+               last_value(CASE WHEN b.hr_sum IS NOT NULL THEN b.bucket END
+                          IGNORE NULLS) OVER w_prev AS pt,
                last_value(b.hr_sum IGNORE NULLS) OVER w_prev AS pv,
-               first_value(b.bucket IGNORE NULLS) OVER w_next AS nt,
+               first_value(CASE WHEN b.hr_sum IS NOT NULL THEN b.bucket END
+                           IGNORE NULLS) OVER w_next AS nt,
                first_value(b.hr_sum IGNORE NULLS) OVER w_next AS nv
         FROM grid g LEFT JOIN b ON g.user_id = b.user_id AND g.bucket = b.bucket
         WINDOW w_prev AS (PARTITION BY g.user_id ORDER BY g.bucket

@@ -78,7 +78,7 @@ def fixed_file_for(sf_dir: str, table: str, encoding: str = "utf-8") -> str:
     single-byte-charset variant (e.g. EBCDIC cp037)."""
     record_length, spec, order_col = LAYOUTS[table]
     tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{table}|{spec}|{encoding}"
+        f"{os.path.abspath(sf_dir)}|{table}|v2|{spec}|{encoding}"
         f"|{source_stamp(sf_dir)}".encode()
     ).hexdigest()[:12]
     out = os.path.join(fixture_dir(), f"{table}-{tag}.fixed")
@@ -87,6 +87,14 @@ def fixed_file_for(sf_dir: str, table: str, encoding: str = "utf-8") -> str:
     tbl = pq.read_table(os.path.join(sf_dir, f"{table}.parquet"))
     fields = parse_layout(spec, record_length)
     rows = tbl.sort_by(order_col).to_pylist()
+    # fixed-width has no NULL: blank strings / zero numbers (LOW-VALUES);
+    # consuming oracles mirror with COALESCE
+    num_types = {"int", "long", "double", "implied", "bin", "packed",
+                 "zoned", "comp1", "comp2"}
+    for r in rows:
+        for f in fields:
+            if r.get(f.name) is None:
+                r[f.name] = 0 if f.base_type in num_types else ""
     payload = encode_rows(rows, fields, record_length, encoding=encoding)
     tmp = out + f".tmp{os.getpid()}"
     with open(tmp, "wb") as f:

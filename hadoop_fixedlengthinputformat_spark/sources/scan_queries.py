@@ -57,8 +57,8 @@ def scan_fixedlen(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "scan_fixedlen_wide",
     oracle="""
-    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
-           CAST(l_shipdate AS DATE) AS ship_date
+    SELECT l_orderkey, l_linenumber, COALESCE(l_quantity, 0) AS l_quantity,
+           l_returnflag, CAST(l_shipdate AS DATE) AS ship_date
     FROM lineitem
     """,
 )
@@ -302,9 +302,10 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "scan_fixedlen_pushdown",
     oracle="""
-    SELECT l_orderkey, l_linenumber, round(l_quantity, 4) AS qty, l_returnflag
+    SELECT l_orderkey, l_linenumber,
+           round(COALESCE(l_quantity, 0), 4) AS qty, l_returnflag
     FROM lineitem
-    WHERE l_quantity < 10 AND l_returnflag IN ('A', 'R')
+    WHERE COALESCE(l_quantity, 0) < 10 AND l_returnflag IN ('A', 'R')
     """,
 )
 def scan_fixedlen_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -325,7 +326,7 @@ def scan_fixedlen_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "scan_fixedlen_pruned",
     oracle="""
-    SELECT l_orderkey, l_linenumber, round(l_quantity, 4) AS qty
+    SELECT l_orderkey, l_linenumber, round(COALESCE(l_quantity, 0), 4) AS qty
     FROM lineitem
     """,
 )

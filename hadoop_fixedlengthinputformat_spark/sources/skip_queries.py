@@ -106,7 +106,8 @@ def scan_fixedlen_occurs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "scan_fixedlen_stats_pruned",
     oracle="""
-    SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+    SELECT l_orderkey, l_linenumber, COALESCE(l_quantity, 0) AS l_quantity,
+           l_shipdate
     FROM lineitem WHERE l_shipdate >= TIMESTAMP '2000-06-01'
     """,
 )
@@ -135,7 +136,10 @@ def scan_fixedlen_stats_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(marker):
         li = load_table(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
-            "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            # fixed-width has no NULL: zero stands in (LOW-VALUES),
+            # oracles mirror with COALESCE
+            F.coalesce("l_quantity", F.lit(0.0)).alias("l_quantity"),
+            "l_extendedprice", "l_discount", "l_tax",
             "l_returnflag", "l_linestatus",
             F.col("l_shipdate").cast("date").alias("l_shipdate"),
         )

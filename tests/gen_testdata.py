@@ -146,12 +146,16 @@ def gen(
     for i in range(1, n_li):
         linenum[i] = linenum[i - 1] + 1 if lkeys[i] == lkeys[i - 1] else 1
     sdates = base + rng.randint(0, 2500, n_li).astype("timedelta64[D]")
+    l_qty = _dec2(rng, 1, 50, n_li).tolist()
+    if nulls:
+        for j in range(0, 10, 2):  # NULL measures (aggregates skip them
+            l_qty[j] = None        # identically — prove it)
     write("lineitem", pa.table({
         "l_orderkey": pa.array(lkeys, pa.int64()),
         "l_partkey": pa.array(rng.randint(1, n_part + 1, n_li), pa.int64()),
         "l_suppkey": pa.array(rng.randint(1, n_supp + 1, n_li), pa.int64()),
         "l_linenumber": pa.array(linenum, pa.int32()),
-        "l_quantity": _dec2(rng, 1, 50, n_li),
+        "l_quantity": pa.array(l_qty, pa.float64()),
         "l_extendedprice": _dec2(rng, 900, 100000, n_li),
         "l_discount": np.round(rng.uniform(0, 0.1, n_li), 4),
         "l_tax": np.round(rng.uniform(0, 0.08, n_li), 4),
@@ -172,15 +176,18 @@ def gen(
     else:
         ev_ts_arr = pa.array(ev_ts)
     props = [json.dumps({"k": int(k)}) for k in rng.randint(0, 100, n_ev)]
+    ev_val = _dec2(rng, 0.01, 330, n_ev).tolist()
     if nulls:
         for j in range(0, 10, 2):
             props[j] = None
+        for j in range(1, 11, 2):
+            ev_val[j] = None
     write("events", pa.table({
         "event_id": pa.array(range(n_ev), pa.int64()),
         "ts": ev_ts_arr,
         "user_id": pa.array(rng.randint(0, 15, n_ev), pa.int64()),
         "event_type": [ETYPES[i] for i in rng.randint(0, 5, n_ev)],
-        "value": _dec2(rng, 0.01, 330, n_ev),
+        "value": pa.array(ev_val, pa.float64()),
         "props": props,
     }))
 
