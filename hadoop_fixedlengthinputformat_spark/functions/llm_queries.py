@@ -694,17 +694,24 @@ def llm_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mm_image_features")  # codec stubbed (multimodal.py) — rows-only
+@query("mm_image_features")  # binary features — rows-only (pixel math)
 def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode: the synthesized media column carries P6 PPM
+    payloads; the mapInPandas kernel parses the container and computes
+    dimensions + mean luma over actual pixels (pure numpy — see
+    multimodal.py; JPEG/PNG route through the PIL probe and quarantine
+    when absent)."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    media = multimodal.attach_fake_media(d)
+    media = multimodal.attach_media(d)
     return multimodal.decode_image_features(media)
 
 
-@query("mm_audio_frames")  # codec stubbed (multimodal.py) — rows-only
+@query("mm_audio_frames")  # frame RMS — rows-only (sample math)
 def mm_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio frame sampling: PCM16 RIFF/WAVE payloads chunk-parsed,
+    per-frame RMS computed from the actual samples (multimodal.py)."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
-    media = multimodal.attach_fake_media(d)
+    media = multimodal.attach_audio(d)
     return multimodal.sample_audio_frames(media, n_frames=4)
 
 
@@ -735,10 +742,13 @@ def llm_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mm_image_resize")  # codec stubbed (multimodal.py) — rows-only
+@query("mm_image_resize")  # resample metadata — rows-only (pixel math)
 def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL nearest-neighbor resize of the decoded PPM pixels (numpy
+    index maps); emits source dims + resampled byte count and mean
+    luma."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    media = multimodal.attach_fake_media(d)
+    media = multimodal.attach_media(d)
     return multimodal.resize_images(media, out_w=224, out_h=224)
 
 

@@ -2,23 +2,31 @@
 
 Image/audio/video payloads are opaque BinaryType columns bundled with a
 typed metadata struct; decode / feature-extract / resize / frame-sample
-run as Arrow-batched ``mapInPandas`` stages.  The actual codecs (PIL,
-ffmpeg, torchaudio) are NOT in this container, so the decode kernels are
-STUBBED with deterministic fakes behind ``_HAVE_CODECS`` — the Spark-side
-plumbing (schema, partitioning, UDF signature, batch shape) is real and
-tested (tests/test_llm.py).
+run as Arrow-batched ``mapInPandas`` stages.
+
+Round 4 upgrade: the kernels are REAL for uncompressed containers —
+P6 PPM and 24-bit BMP images and PCM16 RIFF/WAVE audio are parsed with
+pure numpy (header walk + reshape), so decode, mean-luma, nearest-
+neighbor resize, and per-frame RMS are actual pixel/sample math, not
+hash fakes.  Compressed codecs (JPEG/PNG) still need PIL, which is not
+in this container: they route through the ``_HAVE_CODECS`` probe and
+otherwise QUARANTINE (null features), the behavior a real ingest wants
+for undecodable blobs.  The test fixtures synthesize deterministic P6 /
+WAV payloads so the whole path is exercised end to end.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-_HAVE_CODECS = False  # PIL / av / soundfile are not installed in this env
+_HAVE_CODECS = False  # PIL is not installed in this env
 try:  # pragma: no cover - exercised only where codecs exist
     import PIL.Image  # noqa: F401
 
@@ -34,55 +42,203 @@ IMAGE_META_SCHEMA = (
 AUDIO_FRAME_SCHEMA = "doc_id bigint, frame_idx int, rms double"
 
 
-def attach_fake_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Simulate an ingested media column: a BinaryType payload plus typed
-    metadata struct.  (In production this is the raw bytes from the
-    object store + sidecar metadata.)"""
-    # NULL text -> empty payload: the decode kernels are total functions
-    # over bytes (a NULL media would crash bytes() worker-side; a real
-    # ingest would quarantine, the stub keeps the row with 0 bytes)
+# ---------------------------------------------------------------------------
+# Deterministic payload synthesis (test/fixture side)
+
+
+def _det_bytes(seed: bytes, n: int) -> bytes:
+    """n deterministic pseudo-random bytes via an md5 counter chain."""
+    out = bytearray()
+    i = 0
+    while len(out) < n:
+        out.extend(hashlib.md5(seed + i.to_bytes(4, "big")).digest())
+        i += 1
+    return bytes(out[:n])
+
+
+def ppm_payload(doc_id: int, text: str | None) -> bytes:
+    """A real P6 PPM image whose dimensions derive from doc_id and whose
+    pixel bytes derive from (doc_id, text) — fully deterministic."""
+    w = 8 + doc_id % 9
+    h = 8 + doc_id % 7
+    seed = f"{doc_id}|".encode() + (text or "").encode()
+    return f"P6\n{w} {h}\n255\n".encode() + _det_bytes(seed, w * h * 3)
+
+
+def wav_payload(doc_id: int, text: str | None, n_samples: int = 256) -> bytes:
+    """A real RIFF/WAVE PCM16 mono payload (8 kHz) with deterministic
+    samples."""
+    seed = f"wav|{doc_id}|".encode() + (text or "").encode()
+    raw = _det_bytes(seed, n_samples * 2)
+    data = np.frombuffer(raw, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 2, 2, 16)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def attach_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Simulate an ingested image column: a real P6 PPM BinaryType
+    payload plus a typed metadata struct.  (In production this is raw
+    bytes from the object store + sidecar metadata.)  Built Spark-side
+    with a vectorized pandas UDF so the synthesis scales with the scan.
+    """
+
+    @F.pandas_udf("binary")
+    def mk(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        return pd.Series(
+            [ppm_payload(int(i), t) for i, t in zip(doc_id, text)]
+        )
+
     body = F.coalesce(F.col("text"), F.lit(""))
-    return df.withColumn("media", body.cast("binary")).withColumn(
+    return df.withColumn("media", mk(F.col(id_col), F.col("text"))).withColumn(
         "media_meta",
         F.struct(
-            F.lit("image/png").alias("mime"),
+            F.lit("image/x-portable-pixmap").alias("mime"),
             F.length(body).alias("n_bytes"),
             F.col("source").alias("origin"),
         ),
     )
 
 
-def _fake_decode(payload: bytes) -> tuple[int, int, int, float]:
-    """Deterministic stand-in for an image decode: derives (w, h, c,
-    mean_luma) from a sha256 of the payload.  Replace with PIL when
-    _HAVE_CODECS."""
-    digest = hashlib.sha256(payload).digest()
-    width = 64 + digest[0] % 192
-    height = 64 + digest[1] % 192
-    mean_luma = digest[2] / 255.0
-    return width, height, 3, mean_luma
+# kept name for callers that predate the real-codec upgrade
+attach_fake_media = attach_media
+
+
+def attach_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """WAV twin of attach_media: a real PCM16 RIFF/WAVE payload."""
+
+    @F.pandas_udf("binary")
+    def mk(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        return pd.Series(
+            [wav_payload(int(i), t) for i, t in zip(doc_id, text)]
+        )
+
+    return df.withColumn("media", mk(F.col(id_col), F.col("text")))
+
+
+# ---------------------------------------------------------------------------
+# Real decode kernels (pure numpy — no image/audio libs required)
+
+
+def decode_image(payload: bytes) -> np.ndarray | None:
+    """Decode an uncompressed image container to an (h, w, 3) uint8
+    array; None = undecodable here (unknown magic / corrupt header /
+    compressed format without PIL) -> quarantine."""
+    if payload[:2] == b"P6":
+        # header: P6 <ws> width <ws> height <ws> maxval <ONE ws>, then
+        # raw pixel bytes.  An explicit scanner, NOT split(): pixel
+        # bytes can themselves be whitespace and split() would swallow
+        # them into the separator, shifting the data offset.
+        pos = 2
+        vals = []
+        try:
+            for _ in range(3):
+                while payload[pos : pos + 1].isspace():
+                    pos += 1
+                start = pos
+                while payload[pos : pos + 1].isdigit():
+                    pos += 1
+                vals.append(int(payload[start:pos]))
+            pos += 1  # the single whitespace byte after maxval
+            w, h, maxv = vals
+            if maxv != 255 or w <= 0 or h <= 0:
+                return None
+            px = np.frombuffer(
+                payload, dtype=np.uint8, count=w * h * 3, offset=pos
+            )
+            return px.reshape(h, w, 3)
+        except (ValueError, IndexError):
+            return None
+    if payload[:2] == b"BM":
+        try:
+            data_off = struct.unpack_from("<I", payload, 10)[0]
+            w, h = struct.unpack_from("<ii", payload, 18)
+            bpp = struct.unpack_from("<H", payload, 28)[0]
+            comp = struct.unpack_from("<I", payload, 30)[0]
+            if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+                return None
+            bottom_up = h > 0
+            h = abs(h)
+            stride = (w * 3 + 3) // 4 * 4
+            rows = np.frombuffer(
+                payload, dtype=np.uint8, count=stride * h, offset=data_off
+            ).reshape(h, stride)[:, : w * 3]
+            img = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+            return img[::-1] if bottom_up else img
+        except (ValueError, struct.error):
+            return None
+    if _HAVE_CODECS:  # pragma: no cover - PIL absent in this container
+        import io
+
+        import PIL.Image
+
+        try:
+            return np.asarray(PIL.Image.open(io.BytesIO(payload)).convert("RGB"))
+        except Exception:
+            return None
+    return None
+
+
+def decode_wav_pcm16(payload: bytes) -> np.ndarray | None:
+    """Parse a PCM16 RIFF/WAVE payload to an int16 sample array (chunk
+    walk: fmt must declare PCM/16-bit); None = not a decodable WAV."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, n = 12, len(payload)
+    ok_fmt = False
+    data = None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt " and len(body) >= 16:
+            audio_fmt, _ch, _sr, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            ok_fmt = audio_fmt == 1 and bits == 16
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if not ok_fmt or data is None or len(data) < 2:
+        return None
+    return np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2")
 
 
 def decode_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """mapInPandas decode stage: binary payload -> image features.
+    """mapInPandas decode stage: binary payload -> REAL image features
+    (dimensions + mean luma over actual pixels) for uncompressed
+    containers; undecodable payloads keep their row with null features
+    (quarantine).
 
-    Arrow-batched; each batch decodes vectorized-per-row in the Python
-    worker.  At 100 TB this is the pattern: repartition to media-sized
-    tasks upstream, keep the decode stateless, emit only features (never
+    Arrow-batched; each batch decodes per-row in the Python worker.  At
+    100 TB this is the pattern: repartition to media-sized tasks
+    upstream, keep the decode stateless, emit only features (never
     re-emit the payload unless the sink needs it).
     """
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if _HAVE_CODECS:  # pragma: no cover
-                raise NotImplementedError("real codec path not wired in this env")
-            feats = [_fake_decode(bytes(m)) for m in pdf["media"]]
-            out = pd.DataFrame(
-                feats, columns=["width", "height", "channels", "mean_luma"]
+            w, h, c, luma = [], [], [], []
+            for m in pdf["media"]:
+                img = decode_image(bytes(m)) if m is not None else None
+                if img is None:
+                    w.append(None), h.append(None), c.append(None)
+                    luma.append(None)
+                else:
+                    w.append(img.shape[1]), h.append(img.shape[0])
+                    c.append(img.shape[2])
+                    luma.append(float(img.mean()) / 255.0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values,
+                    "media": pdf["media"].values,
+                    "width": pd.array(w, dtype="Int32"),
+                    "height": pd.array(h, dtype="Int32"),
+                    "channels": pd.array(c, dtype="Int32"),
+                    "mean_luma": pd.array(luma, dtype="Float64"),
+                }
             )
-            out.insert(0, "media", pdf["media"].values)
-            out.insert(0, "doc_id", pdf[id_col].values)
-            yield out
 
     return df.select(id_col, "media").mapInPandas(decode, IMAGE_META_SCHEMA)
 
@@ -90,17 +246,29 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 def sample_audio_frames(
     df: DataFrame, id_col: str = "doc_id", n_frames: int = 4
 ) -> DataFrame:
-    """Frame-sampling stub: emits n_frames rows per payload with a
-    deterministic fake RMS (one row per sampled frame — the UDTF-shaped
-    expansion a real audio pipeline produces)."""
+    """Frame sampling with REAL per-frame RMS: the WAV payload is chunk-
+    parsed, samples split into n_frames equal frames, RMS computed in
+    [0, 1] (sqrt(mean(x^2))/32768).  Undecodable payloads emit zero
+    frames (quarantine)."""
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, media in zip(pdf[id_col], pdf["media"]):
-                digest = hashlib.sha256(bytes(media)).digest()
-                for i in range(n_frames):
-                    rows.append((doc_id, i, digest[i % 32] / 255.0))
+                samples = (
+                    decode_wav_pcm16(bytes(media)) if media is not None else None
+                )
+                if samples is None or len(samples) == 0:
+                    continue
+                for i, frame in enumerate(
+                    np.array_split(samples.astype(np.float64), n_frames)
+                ):
+                    rms = (
+                        float(np.sqrt(np.mean(frame * frame))) / 32768.0
+                        if len(frame)
+                        else 0.0
+                    )
+                    rows.append((doc_id, i, rms))
             yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "rms"])
 
     return df.select(id_col, "media").mapInPandas(sample, AUDIO_FRAME_SCHEMA)
@@ -108,38 +276,52 @@ def sample_audio_frames(
 
 RESIZE_SCHEMA = (
     "doc_id bigint, width int, height int, out_width int, out_height int, "
-    "out_bytes int"
+    "out_bytes int, out_mean_luma double"
 )
+
+
+def resize_nn(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize via numpy index maps (the classic
+    PIL-free kernel)."""
+    h, w = img.shape[:2]
+    yi = (np.arange(out_h) * h) // out_h
+    xi = (np.arange(out_w) * w) // out_w
+    return img[yi][:, xi]
 
 
 def resize_images(
     df: DataFrame, out_w: int, out_h: int, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Resize stage (kernel STUBBED — no image libs in this container; a
-    real deployment swaps ``_fake_resize`` for PIL/cv2).  The Spark
-    plumbing is real: Arrow-batched mapInPandas, stateless per batch,
-    output size metadata only — at 100 TB the resized payloads would be
-    written straight to an object-store sink from the same task, never
-    shuffled."""
-
-    def _fake_resize(payload: bytes) -> tuple[int, int, int]:
-        w, h, _c, _luma = _fake_decode(payload)
-        # deterministic fake: output byte count scales with target area
-        return w, h, out_w * out_h * 3
+    """REAL resize stage: decode (PPM/BMP), nearest-neighbor resample to
+    (out_w, out_h), emit size metadata + the resampled mean luma.
+    Undecodable payloads quarantine with null features.  At 100 TB the
+    resized payloads would be written straight to an object-store sink
+    from the same task, never shuffled."""
 
     def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            dims = [_fake_resize(bytes(m)) for m in pdf["media"]]
+            w, h, ob, oluma = [], [], [], []
+            for m in pdf["media"]:
+                img = decode_image(bytes(m)) if m is not None else None
+                if img is None:
+                    w.append(None), h.append(None)
+                    ob.append(None), oluma.append(None)
+                else:
+                    out = resize_nn(img, out_w, out_h)
+                    w.append(img.shape[1]), h.append(img.shape[0])
+                    ob.append(int(out.nbytes))
+                    oluma.append(float(out.mean()) / 255.0)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].values,
-                    "width": [d[0] for d in dims],
-                    "height": [d[1] for d in dims],
+                    "width": pd.array(w, dtype="Int32"),
+                    "height": pd.array(h, dtype="Int32"),
                     "out_width": out_w,
                     "out_height": out_h,
-                    "out_bytes": [d[2] for d in dims],
+                    "out_bytes": pd.array(ob, dtype="Int32"),
+                    "out_mean_luma": pd.array(oluma, dtype="Float64"),
                 }
             )
 

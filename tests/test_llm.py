@@ -94,30 +94,82 @@ def test_cosine_dup_pairs_finds_planted(spark):
     assert {(p.id_a, p.id_b) for p in pairs} == {(1, 100)}
 
 
-def test_multimodal_image_stub_schema_and_rows(spark):
+def test_multimodal_image_real_decode(spark):
+    import numpy as np
+
     d = spark.createDataFrame(
         [(1, "abc", "en", "s0"), (2, "defg", "en", "s0")],
         "doc_id long, text string, lang string, source string",
     )
-    feats = multimodal.decode_image_features(multimodal.attach_fake_media(d))
-    rows = feats.collect()
+    feats = multimodal.decode_image_features(multimodal.attach_media(d))
+    rows = {r.doc_id: r for r in feats.collect()}
     assert feats.columns == ["doc_id", "media", "width", "height", "channels", "mean_luma"]
     assert len(rows) == 2
-    assert all(64 <= r.width < 256 and r.channels == 3 for r in rows)
-    # deterministic: same payload -> same features
-    again = multimodal.decode_image_features(multimodal.attach_fake_media(d)).collect()
-    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # REAL decode: features must equal numpy math on the known payload
+    for doc_id, text in ((1, "abc"), (2, "defg")):
+        payload = multimodal.ppm_payload(doc_id, text)
+        img = multimodal.decode_image(payload)
+        r = rows[doc_id]
+        assert (r.width, r.height, r.channels) == (
+            img.shape[1], img.shape[0], 3,
+        )
+        assert abs(r.mean_luma - float(img.mean()) / 255.0) < 1e-12
+        assert (r.width, r.height) == (8 + doc_id % 9, 8 + doc_id % 7)
 
 
-def test_multimodal_audio_frames_expansion(spark):
+def test_multimodal_quarantines_undecodable(spark):
+    d = spark.createDataFrame(
+        [(1, "abc", "en", "s0")],
+        "doc_id long, text string, lang string, source string",
+    )
+    bad = d.withColumn("media", F.unhex(F.lit("DEADBEEF")))
+    rows = multimodal.decode_image_features(bad).collect()
+    assert len(rows) == 1 and rows[0].width is None and rows[0].mean_luma is None
+    # whitespace-leading pixel data must not shift the P6 data offset
+    import numpy as np
+
+    payload = b"P6\n3 2\n255\n" + bytes([0x20, 0x0A, 0x09] * 6)
+    img = multimodal.decode_image(payload)
+    assert img.shape == (2, 3, 3) and img[0, 0, 0] == 0x20
+
+
+def test_multimodal_bmp_decode():
+    import struct
+
+    import numpy as np
+
+    # 2x2 24-bit bottom-up BMP, rows padded to 4 bytes
+    px_bgr = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (10, 20, 30)]]
+    rows = b""
+    for r in px_bgr:
+        row = b"".join(bytes(c) for c in r)
+        rows += row + b"\x00" * ((4 - len(row) % 4) % 4)
+    header = b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+    header += struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(rows), 0, 0, 0, 0)
+    img = multimodal.decode_image(header + rows)
+    assert img.shape == (2, 2, 3)
+    # bottom-up: file row 0 is image row 1; BGR -> RGB swap applied
+    assert tuple(img[1, 0]) == (0, 0, 255)
+    assert tuple(img[0, 0]) == (255, 0, 0)
+
+
+def test_multimodal_audio_frames_real_rms(spark):
+    import numpy as np
+
     d = spark.createDataFrame(
         [(1, "abc", "en", "s0")], "doc_id long, text string, lang string, source string"
     )
     frames = multimodal.sample_audio_frames(
-        multimodal.attach_fake_media(d), n_frames=4
+        multimodal.attach_audio(d), n_frames=4
     ).collect()
-    assert len(frames) == 4
     assert [f.frame_idx for f in frames] == [0, 1, 2, 3]
+    # REAL RMS: recompute from the known WAV payload
+    samples = multimodal.decode_wav_pcm16(
+        multimodal.wav_payload(1, "abc")
+    ).astype(float)
+    for f, chunk in zip(frames, np.array_split(samples, 4)):
+        want = float(np.sqrt(np.mean(chunk * chunk))) / 32768.0
+        assert abs(f.rms - want) < 1e-12
 
 
 def test_multimodal_resize_schema_and_values(spark, sf_dir):
@@ -125,13 +177,14 @@ def test_multimodal_resize_schema_and_values(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
     out = multimodal.resize_images(
-        multimodal.attach_fake_media(d), out_w=224, out_h=224
+        multimodal.attach_media(d), out_w=224, out_h=224
     )
     rows = out.collect()
     assert len(rows) == 20
     assert all(r.out_width == 224 and r.out_height == 224 for r in rows)
     assert all(r.out_bytes == 224 * 224 * 3 for r in rows)
     assert all(r.width > 0 and r.height > 0 for r in rows)
+    assert all(0.0 <= r.out_mean_luma <= 1.0 for r in rows)
 
 
 def test_knn_pq_ranks_planted_copy_first(spark):
