@@ -21,6 +21,9 @@ import statistics
 import sys
 import time
 
+import pandas as pd  # module-level: pandas_udf type hints resolve via
+# the function's globals under `from __future__ import annotations`
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -86,6 +89,31 @@ def calibration(spark) -> float:
     return round(st.median(samples), 3)
 
 
+def calibration_py(spark) -> float:
+    """Python-worker-path probe: a fixed Arrow-batched pandas_udf sweep
+    over 2M rows.  The binaryRecords probe above is JVM/IO-bound and
+    does NOT track the Python-worker + Arrow-pipe axis that fixedlen /
+    mapInPandas queries run on — microVM drift can move the two axes
+    independently, so both are recorded (this one has no session-1
+    reference; each round's value is the next round's yardstick)."""
+    import statistics as st
+
+    from pyspark.sql.functions import col, pandas_udf
+
+    @pandas_udf("double")
+    def probe(v: pd.Series) -> pd.Series:
+        return v * 1.0000001 + 1.0
+
+    df = spark.range(2_000_000).select(probe(col("id")).alias("x"))
+    force(df)  # warm the Python workers
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        force(df)
+        samples.append(time.perf_counter() - t0)
+    return round(st.median(samples), 3)
+
+
 def main() -> None:
     from hadoop_fixedlengthinputformat_spark.tables import get_session
     import __spark_entry__ as entry_mod
@@ -110,6 +138,7 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s {samples}", file=sys.stderr)
 
     cal = calibration(spark)
+    cal_py = calibration_py(spark)
     machine_factor = round(cal / CALIBRATION_REF_SEC, 3)
     total = round(sum(timings.values()), 3)
     print(
@@ -122,6 +151,7 @@ def main() -> None:
                 "sf": sf,
                 "cpus": CPUS,
                 "calibration_sec": cal,
+                "calibration_py_sec": cal_py,
                 "calibration_ref_sec": CALIBRATION_REF_SEC,
                 # >1 = this run's machine is slower than the one that
                 # produced BASELINE.md; divide per-query times by it
