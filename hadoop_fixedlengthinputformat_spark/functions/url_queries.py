@@ -69,3 +69,100 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("QUERY"), F.lit("rank")).alias("rank_param"),
         F.try_parse_url(F.lit("%%bad url"), F.lit("HOST")).alias("bad_host"),
     )
+
+
+@query(
+    "llm_url_dedup",
+    oracle="""
+    WITH raw AS (
+        SELECT doc_id,
+               concat(CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END,
+                      CASE WHEN doc_id % 3 = 0 THEN upper(COALESCE(source, 'nullsrc'))
+                           ELSE COALESCE(source, 'nullsrc') END,
+                      '.Example.ORG',
+                      CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END,
+                      '/doc/', CAST(doc_id % 100 AS VARCHAR),
+                      CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END,
+                      CASE WHEN doc_id % 4 = 0
+                           THEN concat('?utm_source=feed&utm_campaign=x&id=',
+                                       CAST(doc_id % 100 AS VARCHAR))
+                           WHEN doc_id % 4 = 1
+                           THEN concat('?id=', CAST(doc_id % 100 AS VARCHAR))
+                           ELSE '' END,
+                      CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END
+               ) AS raw_url
+        FROM documents
+    ),
+    canon AS (
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         concat(lower(regexp_extract(raw_url, '^([A-Za-z]+)://', 1)),
+                                '://',
+                                lower(regexp_extract(raw_url, '^[A-Za-z]+://([^/:?#]+)', 1)),
+                                regexp_replace(raw_url, '^[A-Za-z]+://[^/]+', '')),
+                         '#.*$', '', 'g'),
+                       '([?&])utm_[^&]*', '\\1', 'g'),
+                     '[?&]+$', '', 'g'),
+                   '\\?&', '?', 'g'),
+                 '/+$', '', 'g') AS url
+        FROM raw
+    )
+    SELECT url, count(*) AS n_docs, min(doc_id) AS keep_id
+    FROM canon GROUP BY url
+    """,
+)
+def llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the C4/CCNet pre-dedup step: pages
+    crawled under scheme/host-case, default-port, trailing-slash,
+    fragment, and utm-tracking variants are one logical document.
+
+    The raw URLs are SYNTHESIZED with those exact variant classes
+    (deterministic per doc_id, so the oracle rebuilds them bit-for-bit),
+    then canonicalized engine-side with the same normalization both
+    pipelines apply: lowercase scheme+host, strip :443/:80, drop
+    fragment, drop utm_* params (collapsing the separator), strip
+    trailing slash; group on the canonical form keeping the min doc_id.
+    Pure codegen regex per row + ONE hash shuffle on the canonical URL —
+    at 100 TB this is exactly the exact-dedup shape (digest-width keys,
+    map-side partial counts)."""
+    d = load_table(spark, sf_dir, "documents")
+    src = F.coalesce("source", F.lit("nullsrc"))
+    raw = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, "HTTP://").otherwise("https://"),
+        F.when(F.col("doc_id") % 3 == 0, F.upper(src)).otherwise(src),
+        F.lit(".Example.ORG"),
+        F.when(F.col("doc_id") % 5 == 0, ":443").otherwise(""),
+        F.lit("/doc/"), (F.col("doc_id") % 100).cast("string"),
+        F.when(F.col("doc_id") % 7 == 0, "/").otherwise(""),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&utm_campaign=x&id="),
+                (F.col("doc_id") % 100).cast("string"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("?id="), (F.col("doc_id") % 100).cast("string")),
+        )
+        .otherwise(""),
+        F.when(F.col("doc_id") % 6 == 0, "#frag").otherwise(""),
+    )
+    scheme = F.lower(F.regexp_extract(raw, r"^([A-Za-z]+)://", 1))
+    host = F.lower(F.regexp_extract(raw, r"^[A-Za-z]+://([^/:?#]+)", 1))
+    rest = F.regexp_replace(raw, r"^[A-Za-z]+://[^/]+", "")
+    url = F.concat(scheme, F.lit("://"), host, rest)
+    url = F.regexp_replace(url, r"#.*$", "")
+    url = F.regexp_replace(url, r"([?&])utm_[^&]*", r"$1")
+    url = F.regexp_replace(url, r"[?&]+$", "")
+    url = F.regexp_replace(url, r"\?&", "?")
+    url = F.regexp_replace(url, r"/+$", "")
+    return (
+        d.select("doc_id", url.alias("url"))
+        .groupBy("url")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
+    )

@@ -160,6 +160,7 @@ GRADE_ORDER: tuple[str, ...] = (
     "sql_varlen_view",
     "scan_varlen_vb",
     "sink_varlen_vb",
+    "llm_url_dedup",
     # ---- ROUND 6+: streaming + rows-only + already-green tail follows in
     # registration order (streaming last among ungraded: batch-equivalence
     # oracles are the weakest signal per graded slot).
