@@ -161,6 +161,7 @@ GRADE_ORDER: tuple[str, ...] = (
     "scan_varlen_vb",
     "sink_varlen_vb",
     "llm_url_dedup",
+    "scan_fixedlen_odo",
     # ---- ROUND 6+: streaming + rows-only + already-green tail follows in
     # registration order (streaming last among ungraded: batch-equivalence
     # oracles are the weakest signal per graded slot).

@@ -310,6 +310,40 @@ def vb_file_for(sf_dir: str, block_size: int = 8192) -> str:
     return out
 
 
+ODO_LAYOUT = "n_nationkey:0:5:int,n_vals:5:1:int,vals:6:5:int[3->n_vals]"
+ODO_RL = 21
+
+
+def odo_file_for(sf_dir: str) -> str:
+    """OCCURS DEPENDING ON fixture: per nation row a 1-byte counter
+    (1 + key % 3) says how many of the 3 reserved int slots are data;
+    valid elements are SQL-derivable (key+1, 2*key, regionkey) so the
+    oracle recomputes them, unused slots are zero filler."""
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|odo|{source_stamp(sf_dir)}".encode()
+    ).hexdigest()[:12]
+    out = os.path.join(fixture_dir(), f"nation-odo-{tag}.fixed")
+    if os.path.exists(out):
+        return out
+    tbl = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    fields = parse_layout(ODO_LAYOUT, ODO_RL)
+    rows = []
+    for r in tbl.sort_by("n_nationkey").to_pylist():
+        k = r["n_nationkey"]
+        cnt = 1 + k % 3
+        rows.append({
+            "n_nationkey": k,
+            "n_vals": cnt,
+            "vals": [k + 1, 2 * k, r["n_regionkey"]][:cnt],
+        })
+    payload = encode_rows(rows, fields, ODO_RL)
+    tmp = out + f".tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(payload)
+    os.replace(tmp, out)
+    return out
+
+
 def occurs_file_for(sf_dir: str) -> str:
     """Fixed-width fixture with a COBOL OCCURS group: per nation row,
     key + 3 derived int elements (key+1, 2*key, regionkey) — derivable

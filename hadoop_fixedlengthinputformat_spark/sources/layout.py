@@ -58,6 +58,9 @@ class FieldSpec:
     length: int  # bytes per ELEMENT (= field width when occurs == 1)
     ftype: str  # one of _TYPES, or "double(scale)" for encode formatting
     occurs: int = 1  # COBOL OCCURS n: n consecutive elements -> array column
+    depends_on: str | None = None  # OCCURS DEPENDING ON: per-row valid
+    # element count comes from this earlier int/long field; `occurs`
+    # is the maximum (the fixed record always reserves all slots)
 
     @property
     def base_type(self) -> str:
@@ -131,13 +134,33 @@ def parse_layout(spec: str, record_length: int) -> list[FieldSpec]:
         name, start, length, ftype = bits
         start_i, length_i = int(start), int(length)
         # COBOL OCCURS: "type[n]" = n consecutive elements of `length`
-        # bytes each -> one array column (e.g. "qty:10:5:int[12]")
+        # bytes each -> one array column (e.g. "qty:10:5:int[12]");
+        # OCCURS DEPENDING ON: "type[n->counter]" = up to n slots, the
+        # per-row valid count read from the earlier `counter` field
+        # (PIC ... OCCURS 1 TO n TIMES DEPENDING ON counter)
         occurs = 1
-        m = re.fullmatch(r"(.+)\[([0-9]+)\]", ftype)
+        depends_on = None
+        m = re.fullmatch(r"(.+)\[([0-9]+)->([A-Za-z_][A-Za-z0-9_]*)\]", ftype)
         if m:
-            ftype, occurs = m.group(1), int(m.group(2))
+            ftype, occurs, depends_on = m.group(1), int(m.group(2)), m.group(3)
             if occurs < 1:
                 raise ValueError(f"OCCURS count must be >= 1 in {part!r}")
+            counters = [
+                g for g in fields
+                if g.name == depends_on and g.occurs == 1
+                and g.base_type in ("int", "long")
+            ]
+            if not counters:
+                raise ValueError(
+                    f"OCCURS DEPENDING ON field {depends_on!r} in {part!r} "
+                    "must be a PRECEDING scalar int/long layout field"
+                )
+        else:
+            m = re.fullmatch(r"(.+)\[([0-9]+)\]", ftype)
+            if m:
+                ftype, occurs = m.group(1), int(m.group(2))
+                if occurs < 1:
+                    raise ValueError(f"OCCURS count must be >= 1 in {part!r}")
         if ftype.split("(")[0] not in _TYPES:
             raise ValueError(f"unsupported layout type {ftype!r} in {part!r}")
         if start_i < 0 or length_i <= 0:
@@ -153,7 +176,7 @@ def parse_layout(spec: str, record_length: int) -> list[FieldSpec]:
                 f"layout field {name!r} [{start_i}, {start_i + length_i * occurs}) "
                 f"exceeds recordLength={record_length}"
             )
-        fields.append(FieldSpec(name, start_i, length_i, ftype, occurs))
+        fields.append(FieldSpec(name, start_i, length_i, ftype, occurs, depends_on))
     if len({f.name for f in fields}) != len(fields):
         raise ValueError("duplicate field names in layout")
     return fields
@@ -379,14 +402,24 @@ def _decode_scalar(
 
 
 def decode_occurs_field(
-    mat: np.ndarray, fmat: np.ndarray, f: FieldSpec, permissive: bool
+    mat: np.ndarray,
+    fmat: np.ndarray,
+    f: FieldSpec,
+    permissive: bool,
+    counts: "pa.Array | None" = None,
 ) -> pa.Array:
     """COBOL OCCURS n decode: each element slot decodes through the
     normal vectorized scalar path (n cheap column ops, never per-record
     Python), then the slot columns interleave row-major into one
     ListArray of fixed length n per row.  The interleave is a single
     Arrow take() with computed indices — O(rows x n) pointer moves,
-    no value re-parsing."""
+    no value re-parsing.
+
+    ``counts`` (OCCURS DEPENDING ON) trims each row's list to the
+    counter field's value: the record still reserves all n slots (fixed
+    LRECL), only the first count are data.  A counter that is null /
+    negative / > n is corruption: failfast raises, permissive nulls the
+    whole list (the quarantine convention)."""
     n_elem = f.occurs
     slots = [
         _decode_scalar(mat, fmat, f.element(i), permissive)
@@ -401,10 +434,38 @@ def decode_occurs_field(
         + np.arange(n_rows, dtype=np.int64)[:, None]
     ).ravel()
     row_major = values.take(pa.array(idx))
-    offsets = pa.array(
-        np.arange(0, (n_rows + 1) * n_elem, n_elem, dtype=np.int32)
+    if counts is None:
+        offsets = pa.array(
+            np.arange(0, (n_rows + 1) * n_elem, n_elem, dtype=np.int32)
+        )
+        return pa.ListArray.from_arrays(offsets, row_major)
+    cnt = np.asarray(counts.cast(pa.float64()))  # nulls -> NaN
+    bad = ~np.isfinite(cnt) | (cnt < 0) | (cnt > n_elem)
+    if bad.any() and not permissive:
+        i = int(np.argmax(bad))
+        raise ValueError(
+            f"OCCURS DEPENDING ON counter {f.depends_on!r} out of range "
+            f"[0, {n_elem}] for field {f.name!r} (row {i}: "
+            f"{counts[i].as_py()!r})"
+        )
+    lengths = np.where(bad, 0, cnt).astype(np.int64)
+    offsets = np.concatenate(
+        [[0], np.cumsum(lengths)]
+    ).astype(np.int64)
+    starts = np.arange(n_rows, dtype=np.int64) * n_elem
+    pos_in_row = np.arange(offsets[-1], dtype=np.int64) - np.repeat(
+        offsets[:-1], lengths
     )
-    return pa.ListArray.from_arrays(offsets, row_major)
+    taken = row_major.take(pa.array(np.repeat(starts, lengths) + pos_in_row))
+    if bad.any():  # permissive: null list per corrupt counter
+        off_list = [None if i < n_rows and bad[i] else int(o)
+                    for i, o in enumerate(offsets)]
+        return pa.ListArray.from_arrays(
+            pa.array(off_list, type=pa.int32()), taken
+        )
+    return pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int32()), taken
+    )
 
 
 def decode_chunk(
@@ -453,12 +514,20 @@ def decode_chunk(
     if fields is None:
         cols.append(_slice_binary(mat, 0, record_length))
     else:
+        scalar_cache: dict[str, pa.Array] = {}
         for f in fields:
             if f.occurs > 1:
-                cols.append(decode_occurs_field(mat, fmat, f, permissive))
+                counts = (
+                    scalar_cache[f.depends_on] if f.depends_on else None
+                )
+                cols.append(
+                    decode_occurs_field(mat, fmat, f, permissive, counts)
+                )
             else:
                 # binary types (packed BCD etc.) read the RAW matrix
-                cols.append(_decode_scalar(mat, fmat, f, permissive))
+                arr = _decode_scalar(mat, fmat, f, permissive)
+                scalar_cache[f.name] = arr
+                cols.append(arr)
         if corrupt_column:
             # fixed-width fields cannot be legitimately null (the writer
             # rejects None), so under permissive decode a null ANYWHERE
@@ -467,14 +536,22 @@ def decode_chunk(
             bad = None
             for col in cols[len(cols) - len(fields):]:
                 if pa.types.is_list(col.type):
-                    # OCCURS: element-level nulls -> any-per-row (the
-                    # LIST itself is never null, so null_count lives on
-                    # .values; element count is fixed = occurs, so the
-                    # reshape holds)
-                    if col.values.null_count == 0:
+                    # OCCURS: element-level nulls -> any-per-row; ODO
+                    # lists are variable-length and can themselves be
+                    # null (corrupt counter), so walk the offsets
+                    # instead of reshaping
+                    if col.values.null_count == 0 and col.null_count == 0:
                         continue
                     el_null = np.asarray(pc.is_null(col.values))
-                    m = pa.array(el_null.reshape(n, -1).any(axis=1))
+                    offs = np.asarray(col.offsets.fill_null(0))
+                    cs = np.concatenate([[0], np.cumsum(el_null)])
+                    anyel = cs[offs[1:]] - cs[offs[:-1]] > 0
+                    lst_null = (
+                        np.asarray(pc.is_null(col))
+                        if col.null_count
+                        else np.zeros(n, dtype=bool)
+                    )
+                    m = pa.array(anyel | lst_null)
                 else:
                     if col.null_count == 0:
                         continue
@@ -551,7 +628,17 @@ def encode_rows(
         for f in fields:
             if f.occurs > 1:
                 vals = row[f.name]
-                if vals is None or len(vals) != f.occurs:
+                if f.depends_on is not None:
+                    # ODO: up to `occurs` data elements; unused slots are
+                    # zero/blank filler (the record reserves them all)
+                    if vals is None or len(vals) > f.occurs:
+                        raise ValueError(
+                            f"OCCURS DEPENDING ON field {f.name} takes at "
+                            f"most {f.occurs} elements, got {vals!r}"
+                        )
+                    filler = 0 if f.base_type != "string" else ""
+                    vals = list(vals) + [filler] * (f.occurs - len(vals))
+                elif vals is None or len(vals) != f.occurs:
                     raise ValueError(
                         f"OCCURS field {f.name} needs exactly {f.occurs} "
                         f"elements, got {vals!r}"

@@ -104,6 +104,50 @@ def scan_fixedlen_occurs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scan_fixedlen_odo",
+    oracle="""
+    SELECT n_nationkey,
+           1 + n_nationkey % 3 AS n_vals,
+           n_nationkey + 1 AS v1,
+           (n_nationkey + 1)
+             + CASE WHEN 1 + n_nationkey % 3 >= 2 THEN 2 * n_nationkey
+                    ELSE 0 END
+             + CASE WHEN 1 + n_nationkey % 3 >= 3 THEN n_regionkey
+                    ELSE 0 END AS vsum
+    FROM nation
+    """,
+)
+def scan_fixedlen_odo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COBOL OCCURS DEPENDING ON: layout ``int[3->n_vals]`` reserves 3
+    slots but each row's array holds only the first ``n_vals`` elements
+    (PIC 9(5) OCCURS 1 TO 3 TIMES DEPENDING ON N-VALS) — the classic
+    variable-content-in-fixed-LRECL COBOL shape.  Decode stays fully
+    vectorized: all slots decode as usual, then one take() against
+    cumulative-count offsets trims each row's list; an out-of-range
+    counter raises (failfast) or nulls the list (permissive).  The
+    oracle recomputes every VALID element and the per-row count from
+    the source table, proving both trimming and positions."""
+    from pyspark.sql import functions as F
+
+    configure(spark)
+    fixedlen.register(spark)
+    path = fixture_gen.odo_file_for(sf_dir)
+    df = (
+        spark.read.format("fixedlen")
+        .option("recordLength", str(fixture_gen.ODO_RL))
+        .option("layout", fixture_gen.ODO_LAYOUT)
+        .option("includeOffset", "false")
+        .load(path)
+    )
+    return df.select(
+        "n_nationkey",
+        F.size("vals").alias("n_vals"),
+        F.element_at("vals", 1).alias("v1"),
+        F.aggregate("vals", F.lit(0), lambda a, x: a + x).alias("vsum"),
+    )
+
+
+@query(
     "scan_fixedlen_stats_pruned",
     oracle="""
     SELECT l_orderkey, l_linenumber, COALESCE(l_quantity, 0) AS l_quantity,

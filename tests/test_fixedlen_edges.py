@@ -865,3 +865,70 @@ def test_linesep_composes_with_multitype(spark, tmp_path):
     assert [r.record_type for r in rows] == ["N", "R", "N"]
     assert [r.record_offset for r in rows] == [0, 6, 12]  # stride walk
     assert rows[0].nk == 1 and rows[1].rk == 2 and rows[2].nk == 3
+
+
+# --- OCCURS DEPENDING ON (round 4) ---
+
+ODO_LAYOUT = "k:0:2:int,cnt:2:1:int,vals:3:3:int[3->cnt]"
+ODO_RL = 12
+
+
+def _odo_rec(k: int, cnt: int, vals: list[int]) -> bytes:
+    body = "".join(f"{v:03d}" for v in vals).ljust(9, "0")
+    return f"{k:02d}{cnt:01d}{body}".encode()
+
+
+def test_odo_trims_lists_to_counter(spark, tmp_path):
+    payload = (
+        _odo_rec(1, 1, [7])
+        + _odo_rec(2, 3, [1, 2, 3])
+        + _odo_rec(3, 0, [])
+        + _odo_rec(4, 2, [9, 8])
+    )
+    path = _write(tmp_path, "odo.fixed", payload)
+    rows = {
+        r.k: list(r.vals)
+        for r in _read(spark, path, ODO_RL, layout=ODO_LAYOUT,
+                       includeOffset="false").collect()
+    }
+    assert rows == {1: [7], 2: [1, 2, 3], 3: [], 4: [9, 8]}
+
+
+def test_odo_counter_out_of_range_failfast_and_permissive(spark, tmp_path):
+    payload = _odo_rec(1, 2, [5, 6]) + b"02" + b"7" + b"1" * 9  # cnt=7 > 3
+    path = _write(tmp_path, "odo_bad.fixed", payload)
+    with pytest.raises(Exception, match="DEPENDING ON counter"):
+        _read(spark, path, ODO_RL, layout=ODO_LAYOUT,
+              includeOffset="false").collect()
+    rows = {
+        r.k: r
+        for r in _read(
+            spark, path, ODO_RL, layout=ODO_LAYOUT, includeOffset="false",
+            mode="permissive", corruptRecordColumn="_corrupt",
+        ).collect()
+    }
+    assert list(rows[1].vals) == [5, 6] and rows[1]._corrupt is None
+    assert rows[2].vals is None  # corrupt counter -> null list
+    assert rows[2]._corrupt is not None  # quarantined raw bytes
+
+
+def test_odo_layout_validation():
+    with pytest.raises(ValueError, match="PRECEDING"):
+        parse_layout("vals:0:3:int[3->cnt],cnt:9:1:int", 12)
+    with pytest.raises(ValueError, match="PRECEDING"):
+        # counter must be scalar int/long, not a string field
+        parse_layout("cnt:0:1:string,vals:1:3:int[3->cnt]", 12)
+
+
+def test_odo_sink_pads_unused_slots(spark, tmp_path):
+    from hadoop_fixedlengthinputformat_spark.sources.layout import (
+        encode_rows,
+    )
+
+    fields = parse_layout(ODO_LAYOUT, ODO_RL)
+    payload = encode_rows(
+        [{"k": 5, "cnt": 1, "vals": [42]}], fields, ODO_RL
+    )
+    assert payload == b"051042000000"
+    with pytest.raises(ValueError, match="at most"):
+        encode_rows([{"k": 5, "cnt": 4, "vals": [1, 2, 3, 4]}], fields, ODO_RL)
