@@ -162,6 +162,7 @@ GRADE_ORDER: tuple[str, ...] = (
     "sink_varlen_vb",
     "llm_url_dedup",
     "scan_fixedlen_odo",
+    "scan_fixedlen_copybook",
     # ---- ROUND 6+: streaming + rows-only + already-green tail follows in
     # registration order (streaming last among ungraded: batch-equivalence
     # oracles are the weakest signal per graded slot).

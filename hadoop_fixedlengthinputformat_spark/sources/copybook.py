@@ -1,0 +1,263 @@
+"""COBOL copybook -> ``fixedlen`` layout translator.
+
+Real fixed-length feeds ship with a COBOL copybook, not a hand-written
+layout string; this module maps the storage-bearing subset straight to
+the engine's layout syntax (``sources/layout.py``), so
+
+    layout, record_length = copybook_to_layout(text)
+    spark.read.format("fixedlen").option("recordLength", record_length)
+         .option("layout", layout).load(path)
+
+is the whole on-ramp.  Supported (the subset that determines bytes):
+
+  * ``PIC X(n)`` / ``PIC A(n)``                      -> string, n bytes
+  * ``PIC 9(n)`` DISPLAY                             -> int (n<=9) / long
+  * ``PIC 9(n)V9(m)`` DISPLAY                        -> implied(m), n+m
+  * ``PIC S9(n)V9(m)`` DISPLAY                       -> zoned(m), n+m
+    (sign overpunch in the low-order byte)
+  * ``COMP-3`` / ``PACKED-DECIMAL``                  -> packed(m),
+    ceil((n+m+1)/2) bytes (digit nibbles + sign nibble)
+  * ``COMP`` / ``COMP-4`` / ``BINARY``               -> bin, 2/4/8 bytes
+    by digit count (1-4 / 5-9 / 10-18 — the COBOL85 binary sizing)
+  * ``COMP-1`` / ``COMP-2``                          -> comp1 / comp2
+  * ``OCCURS n TIMES``                               -> type[n]
+  * ``OCCURS 1 TO n TIMES DEPENDING ON f``           -> type[n->f]
+  * group items (no PIC) flatten; ``FILLER`` reserves bytes without a
+    column; ``REDEFINES`` overlays storage (offset resets to the
+    redefined item's start; following items start after the LARGER of
+    the two, per the standard); level-88 condition names are ignored.
+
+Repeated ``PIC 99V99``-style digit runs (no parentheses) are accepted.
+Unsupported usages (SIGN SEPARATE, COMP-5 little-endian, national/DBCS,
+edited pictures, VALUE-bearing storage tricks) raise with the offending
+sentence — never a silent wrong offset.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+_LEVEL_88 = 88
+
+
+@dataclass
+class _Item:
+    level: int
+    name: str
+    pic: str | None
+    usage: str
+    occurs: int
+    depends_on: str | None
+    redefines: str | None
+    # filled during layout:
+    start: int = 0
+    length: int = 0  # bytes per element
+    ltype: str | None = None  # layout type string ("long", "packed(2)", ...)
+
+
+def _norm_name(cobol: str) -> str:
+    return cobol.strip().lower().replace("-", "_")
+
+
+def _expand_pic(pic: str) -> str:
+    """Expand 9(4)V9(2) -> 9999V99 (parenthesized repeat factors)."""
+    return re.sub(
+        r"([XA9])\((\d+)\)", lambda m: m.group(1) * int(m.group(2)), pic
+    )
+
+
+def _sentences(text: str) -> list[str]:
+    """Copybook sentences: strip sequence columns / comments, join
+    continuation lines, split on the terminating period."""
+    lines = []
+    for raw in text.splitlines():
+        line = raw.rstrip("\n")
+        # classic reference format: cols 1-6 sequence, col 7 indicator
+        if len(line) > 6 and line[6] in ("*", "/"):
+            continue
+        if line.lstrip().startswith("*"):
+            continue
+        lines.append(line.strip())
+    blob = " ".join(lines)
+    return [s.strip() for s in blob.split(".") if s.strip()]
+
+
+def _parse_item(sentence: str) -> _Item | None:
+    toks = sentence.split()
+    if not toks or not toks[0].isdigit():
+        return None
+    level = int(toks[0])
+    if level == _LEVEL_88 or level == 66:
+        return None  # condition names / RENAMES carry no storage
+    name = toks[1] if len(toks) > 1 else "FILLER"
+    i = 2
+    pic = None
+    usage = "DISPLAY"
+    occurs = 1
+    depends_on = None
+    redefines = None
+    up = [t.upper() for t in toks]
+    while i < len(toks):
+        t = up[i]
+        if t == "REDEFINES" and i + 1 < len(toks):
+            redefines = _norm_name(toks[i + 1])
+            i += 2
+        elif t in ("PIC", "PICTURE"):
+            j = i + 1
+            if j < len(toks) and up[j] == "IS":
+                j += 1
+            pic = up[j]
+            i = j + 1
+        elif t in ("COMP", "COMP-4", "BINARY", "COMPUTATIONAL",
+                   "COMPUTATIONAL-4"):
+            usage = "COMP"
+            i += 1
+        elif t in ("COMP-3", "COMPUTATIONAL-3", "PACKED-DECIMAL"):
+            usage = "COMP-3"
+            i += 1
+        elif t in ("COMP-1", "COMPUTATIONAL-1"):
+            usage = "COMP-1"
+            i += 1
+        elif t in ("COMP-2", "COMPUTATIONAL-2"):
+            usage = "COMP-2"
+            i += 1
+        elif t in ("COMP-5", "COMPUTATIONAL-5"):
+            raise ValueError(
+                f"copybook: COMP-5 (native little-endian) is not supported "
+                f"in: {sentence!r}"
+            )
+        elif t == "SIGN":
+            raise ValueError(
+                f"copybook: SIGN SEPARATE clauses are not supported in: "
+                f"{sentence!r}"
+            )
+        elif t == "OCCURS":
+            # OCCURS n TIMES | OCCURS lo TO n TIMES DEPENDING ON f
+            j = i + 1
+            lo = toks[j]
+            if j + 1 < len(toks) and up[j + 1] == "TO":
+                occurs = int(toks[j + 2])
+                j += 3
+            else:
+                occurs = int(lo)
+                j += 1
+            if j < len(toks) and up[j] == "TIMES":
+                j += 1
+            if j + 2 < len(toks) and up[j] == "DEPENDING":
+                k = j + 1
+                if up[k] == "ON":
+                    k += 1
+                depends_on = _norm_name(toks[k])
+                j = k + 1
+            i = j
+        elif t == "USAGE":
+            i += 1  # the usage keyword itself follows
+        elif t == "IS":
+            i += 1
+        elif t == "VALUE":
+            break  # VALUE clause ends the storage-relevant part
+        else:
+            i += 1
+    return _Item(level, _norm_name(name), pic, usage, occurs, depends_on,
+                 redefines)
+
+
+def _type_of(item: _Item, sentence_hint: str) -> tuple[str, int]:
+    """(layout type, bytes per element) for a PIC-bearing item."""
+    pic = _expand_pic(item.pic or "")
+    m = re.fullmatch(r"(S?)(9+)(?:V(9+))?", pic)
+    if m:
+        signed, ints, decs = m.group(1) == "S", len(m.group(2)), len(
+            m.group(3) or ""
+        )
+        digits = ints + decs
+        if item.usage == "COMP-3":
+            return f"packed({decs})", (digits + 2) // 2
+        if item.usage == "COMP":
+            if digits > 18:
+                raise ValueError(
+                    f"copybook: more than 18 binary digits in: "
+                    f"{sentence_hint!r}"
+                )
+            width = 2 if digits <= 4 else 4 if digits <= 9 else 8
+            return "bin", width
+        if item.usage == "DISPLAY":
+            if decs or signed:
+                # zoned carries the sign overpunch; unsigned with
+                # decimals is a plain implied-point DISPLAY number
+                return (
+                    (f"zoned({decs})" if signed else f"implied({decs})"),
+                    digits,
+                )
+            return ("int" if digits <= 9 else "long"), digits
+    if item.usage == "COMP-1":
+        return "comp1", 4
+    if item.usage == "COMP-2":
+        return "comp2", 8
+    m = re.fullmatch(r"[XA]+", pic)
+    if m:
+        return "string", len(pic)
+    raise ValueError(
+        f"copybook: unsupported PICTURE {item.pic!r} in: {sentence_hint!r}"
+    )
+
+
+def copybook_to_layout(text: str) -> tuple[str, int]:
+    """Translate a copybook to ``(layout_spec, record_length)``.
+
+    Offsets are assigned in declaration order; groups flatten; FILLER
+    reserves bytes without emitting a field; REDEFINES overlays (the
+    record advances past the larger of the overlaid regions).
+    """
+    items: list[tuple[_Item, str]] = []
+    for sent in _sentences(text):
+        it = _parse_item(sent)
+        if it is not None:
+            items.append((it, sent))
+    if not items:
+        raise ValueError("copybook: no storage-bearing items found")
+
+    # name -> (start, span) for REDEFINES targets (groups and elementary)
+    region: dict[str, tuple[int, int]] = {}
+    fields: list[str] = []
+    offset = 0
+    record_end = 0
+    # stack of open group items: (level, name, start)
+    group_stack: list[tuple[int, str, int]] = []
+
+    def close_groups(level: int) -> None:
+        while group_stack and group_stack[-1][0] >= level:
+            glevel, gname, gstart = group_stack.pop()
+            region[gname] = (gstart, offset - gstart)
+
+    for it, sent in items:
+        close_groups(it.level)
+        if it.redefines is not None:
+            if it.redefines not in region:
+                raise ValueError(
+                    f"copybook: REDEFINES target {it.redefines!r} not seen "
+                    f"before: {sent!r}"
+                )
+            offset = region[it.redefines][0]
+        if it.pic is None and it.usage not in ("COMP-1", "COMP-2"):
+            # group item: children lay out from here (COMP-1/COMP-2 are
+            # elementary WITHOUT a PICTURE — their width is the usage)
+            group_stack.append((it.level, it.name, offset))
+            continue
+        ltype, width = _type_of(it, sent)
+        span = width * it.occurs
+        if it.name != "filler":
+            suffix = ""
+            if it.depends_on is not None:
+                suffix = f"[{it.occurs}->{it.depends_on}]"
+            elif it.occurs > 1:
+                suffix = f"[{it.occurs}]"
+            fields.append(f"{it.name}:{offset}:{width}:{ltype}{suffix}")
+        region[it.name] = (offset, span)
+        offset += span
+        record_end = max(record_end, offset)
+    close_groups(0)
+    if not fields:
+        raise ValueError("copybook: only FILLER items found")
+    return ",".join(fields), record_end

@@ -103,6 +103,79 @@ def scan_fixedlen_occurs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CUSTOMER_COPYBOOK = """
+       01  CUSTOMER-REC.
+           05  C-CUSTKEY      PIC 9(10).
+           05  C-NAME         PIC X(30).
+           05  C-NATIONKEY    PIC 9(5).
+           05  C-ACCTBAL      PIC S9(8)V99 COMP-3.
+           05  FILLER         PIC X(3).
+           05  C-MKTSEGMENT   PIC X(13).
+"""
+
+
+@query(
+    "scan_fixedlen_copybook",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey,
+           round(c_acctbal, 4) AS c_acctbal, c_mktsegment
+    FROM customer
+    """,
+)
+def scan_fixedlen_copybook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COBOL copybook on-ramp: ``copybook_to_layout`` translates the
+    PICTURE clauses (PIC 9/X, S9V9 COMP-3, FILLER) straight to the
+    engine layout — no hand-written offsets — and the scan decodes a
+    customer file serialized under that exact copybook (COMP-3 packed
+    acctbal, FILLER gap).  This is how a real mainframe consumer starts:
+    paste the copybook, read the file."""
+    import hashlib as _hashlib
+    import os as _os
+
+    from hadoop_fixedlengthinputformat_spark.sources.copybook import (
+        copybook_to_layout,
+    )
+    from hadoop_fixedlengthinputformat_spark.sources.layout import (
+        encode_rows,
+        parse_layout,
+    )
+
+    from pyspark.sql import functions as F
+
+    configure(spark)
+    fixedlen.register(spark)
+    layout, rl = copybook_to_layout(CUSTOMER_COPYBOOK)
+    tag = _hashlib.md5(
+        f"{_os.path.abspath(sf_dir)}|copybook|{layout}"
+        f"|{fixture_gen.source_stamp(sf_dir)}".encode()
+    ).hexdigest()[:12]
+    out = _os.path.join(fixture_gen.fixture_dir(), f"cust-cpy-{tag}.fixed")
+    if not _os.path.exists(out):
+        import pyarrow.parquet as pq
+
+        rows = (
+            pq.read_table(_os.path.join(sf_dir, "customer.parquet"))
+            .sort_by("c_custkey")
+            .to_pylist()
+        )
+        payload = encode_rows(rows, parse_layout(layout, rl), rl)
+        tmp = out + f".tmp{_os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        _os.replace(tmp, out)
+    df = (
+        spark.read.format("fixedlen")
+        .option("recordLength", str(rl))
+        .option("layout", layout)
+        .option("includeOffset", "false")
+        .load(out)
+    )
+    return df.select(
+        "c_custkey", "c_name", "c_nationkey",
+        F.round("c_acctbal", 4).alias("c_acctbal"), "c_mktsegment",
+    )
+
+
 @query(
     "scan_fixedlen_odo",
     oracle="""

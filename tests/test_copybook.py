@@ -1,0 +1,144 @@
+"""copybook_to_layout: COBOL PICTURE subset -> engine layout (offsets,
+type mapping, groups/FILLER/REDEFINES/OCCURS[ DEPENDING ON]), and a
+byte-level round trip through encode_rows + the fixedlen reader."""
+
+from __future__ import annotations
+
+import pytest
+
+from hadoop_fixedlengthinputformat_spark.sources.copybook import (
+    copybook_to_layout,
+)
+from hadoop_fixedlengthinputformat_spark.sources.layout import parse_layout
+
+
+def test_basic_display_and_comp3():
+    layout, rl = copybook_to_layout("""
+       01  REC.
+           05  K      PIC 9(10).
+           05  NAME   PIC X(12).
+           05  BAL    PIC S9(8)V99 COMP-3.
+           05  FILLER PIC X(3).
+           05  SEG    PIC A(5).
+    """)
+    assert layout == (
+        "k:0:10:long,name:10:12:string,bal:22:6:packed(2),seg:31:5:string"
+    )
+    assert rl == 36
+    parse_layout(layout, rl)  # must be a valid engine layout
+
+
+def test_binary_sizing_and_floats():
+    layout, rl = copybook_to_layout("""
+       01  R.
+           05  A PIC 9(4)  COMP.
+           05  B PIC 9(9)  BINARY.
+           05  C PIC 9(18) COMP-4.
+           05  D COMP-1.
+           05  E COMP-2.
+    """)
+    assert layout == "a:0:2:bin,b:2:4:bin,c:6:8:bin,d:14:4:comp1,e:18:8:comp2"
+    assert rl == 26
+
+
+def test_zoned_implied_and_unparenthesized_pics():
+    layout, rl = copybook_to_layout("""
+       01  R.
+           05  P  PIC S9(5)V99.
+           05  Q  PIC 99V99.
+           05  W  PIC 999.
+    """)
+    assert layout == "p:0:7:zoned(2),q:7:4:implied(2),w:11:3:int"
+    assert rl == 14
+
+
+def test_groups_flatten_and_occurs():
+    layout, rl = copybook_to_layout("""
+       01  REC.
+           05  HDR.
+               10  K    PIC 9(3).
+               10  TAG  PIC X(2).
+           05  CNT      PIC 9.
+           05  AMTS     PIC S9(3)V99 COMP-3 OCCURS 1 TO 4 TIMES
+                        DEPENDING ON CNT.
+           05  FIXED3   PIC 9(2) OCCURS 3 TIMES.
+    """)
+    assert layout == (
+        "k:0:3:int,tag:3:2:string,cnt:5:1:int,"
+        "amts:6:3:packed(2)[4->cnt],fixed3:18:2:int[3]"
+    )
+    assert rl == 24
+    parse_layout(layout, rl)
+
+
+def test_redefines_overlays_and_advances_past_larger():
+    layout, rl = copybook_to_layout("""
+       01  REC.
+           05  A       PIC X(4).
+           05  B REDEFINES A PIC 9(6).
+           05  C       PIC X(2).
+    """)
+    # B overlays A's start and is LARGER; C follows the larger region
+    assert layout == "a:0:4:string,b:0:6:int,c:6:2:string"
+    assert rl == 8
+
+
+def test_level88_and_comments_ignored():
+    layout, rl = copybook_to_layout("""
+      * customer status record
+       01  REC.
+           05  ST   PIC X.
+               88  ACTIVE  VALUE 'A'.
+               88  CLOSED  VALUE 'C'.
+           05  K    PIC 9(4).
+    """)
+    assert layout == "st:0:1:string,k:1:4:int"
+    assert rl == 5
+
+
+def test_unsupported_constructs_raise():
+    with pytest.raises(ValueError, match="COMP-5"):
+        copybook_to_layout("01 R. 05 X PIC 9(4) COMP-5.")
+    with pytest.raises(ValueError, match="SIGN"):
+        copybook_to_layout(
+            "01 R. 05 X PIC S9(4) SIGN LEADING SEPARATE."
+        )
+    with pytest.raises(ValueError, match="PICTURE"):
+        copybook_to_layout("01 R. 05 X PIC ZZ9.99.")
+    with pytest.raises(ValueError, match="no storage"):
+        copybook_to_layout("* nothing here")
+
+
+def test_round_trip_through_engine(spark, tmp_path):
+    from hadoop_fixedlengthinputformat_spark.sources import fixedlen
+    from hadoop_fixedlengthinputformat_spark.sources.layout import (
+        encode_rows,
+    )
+
+    layout, rl = copybook_to_layout("""
+       01  REC.
+           05  K    PIC 9(4).
+           05  BAL  PIC S9(5)V99 COMP-3.
+           05  TAG  PIC X(3).
+    """)
+    fields = parse_layout(layout, rl)
+    rows = [
+        {"k": 1, "bal": -123.45, "tag": "abc"},
+        {"k": 2, "bal": 99999.99, "tag": "xy"},
+    ]
+    p = str(tmp_path / "cpy.fixed")
+    with open(p, "wb") as f:
+        f.write(encode_rows(rows, fields, rl))
+    fixedlen.register(spark)
+    got = {
+        r.k: (r.bal, r.tag)
+        for r in (
+            spark.read.format("fixedlen")
+            .option("recordLength", str(rl))
+            .option("layout", layout)
+            .option("includeOffset", "false")
+            .load(p)
+            .collect()
+        )
+    }
+    assert got == {1: (-123.45, "abc"), 2: (99999.99, "xy")}
