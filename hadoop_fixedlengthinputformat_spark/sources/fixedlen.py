@@ -135,13 +135,38 @@ class _Options:
 
     @classmethod
     def parse(cls, options) -> "_Options":
+        # COBOL on-ramp: .option("copybook", <copybook text>) derives
+        # BOTH layout and recordLength from the PICTURE clauses
+        # (sources/copybook.py).  recordLength may still be given when
+        # the physical LRECL exceeds the copybook span (trailing
+        # unreferenced filler); a smaller one is a contradiction.
+        cpy_raw = options.get("copybook")
+        cpy_layout = cpy_rl = None
+        if cpy_raw is not None:
+            if options.get("layout") or options.get("layouts"):
+                raise ValueError(
+                    "fixedlen: 'copybook' and 'layout'/'layouts' are "
+                    "mutually exclusive"
+                )
+            from hadoop_fixedlengthinputformat_spark.sources.copybook import (
+                copybook_to_layout,
+            )
+
+            cpy_layout, cpy_rl = copybook_to_layout(cpy_raw)
         raw_len = options.get("recordlength")
+        if raw_len is None and cpy_rl is not None:
+            raw_len = str(cpy_rl)
         if raw_len is None:
             # mirrors the required-config error of FLIF:326-336 / FLIF:249-261
             raise ValueError(
                 "fixedlen: option 'recordLength' is required and must be > 0"
             )
         record_length = int(raw_len)
+        if cpy_rl is not None and record_length < cpy_rl:
+            raise ValueError(
+                f"fixedlen: recordLength={record_length} is smaller than "
+                f"the copybook span ({cpy_rl} bytes)"
+            )
         if record_length <= 0:
             raise ValueError(
                 f"fixedlen: recordLength must be > 0, got {record_length}"
@@ -172,7 +197,7 @@ class _Options:
                 )
             key_bounds = (start, end)
 
-        layout_raw = options.get("layout")
+        layout_raw = options.get("layout") or cpy_layout
         fields = parse_layout(layout_raw, record_length) if layout_raw else None
 
         layouts_raw = options.get("layouts")

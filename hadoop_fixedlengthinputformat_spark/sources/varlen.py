@@ -98,6 +98,21 @@ class _VOptions:
     @classmethod
     def parse(cls, options) -> "_VOptions":
         layout_raw = options.get("layout")
+        options = dict(options.items()) if hasattr(options, "items") else dict(options)
+        # COBOL on-ramp: the copybook describes the fixed PREFIX every
+        # record carries; prefixLength derives from its span
+        cpy_raw = options.get("copybook")
+        if cpy_raw is not None:
+            if layout_raw is not None:
+                raise ValueError(
+                    "varlen: 'copybook' and 'layout' are mutually exclusive"
+                )
+            from hadoop_fixedlengthinputformat_spark.sources.copybook import (
+                copybook_to_layout,
+            )
+
+            layout_raw, cpy_pl = copybook_to_layout(cpy_raw)
+            options.setdefault("prefixlength", str(cpy_pl))
         fields = None
         prefix_length = 0
         if layout_raw is None and options.get("prefixlength") is not None:

@@ -142,3 +142,66 @@ def test_round_trip_through_engine(spark, tmp_path):
         )
     }
     assert got == {1: (-123.45, "abc"), 2: (99999.99, "xy")}
+
+
+def test_copybook_option_on_fixedlen_reader(spark, tmp_path):
+    from hadoop_fixedlengthinputformat_spark.sources import fixedlen
+    from hadoop_fixedlengthinputformat_spark.sources.layout import (
+        encode_rows,
+    )
+
+    cb = """
+       01  REC.
+           05  K    PIC 9(4).
+           05  TAG  PIC X(3).
+    """
+    layout, rl = copybook_to_layout(cb)
+    p = str(tmp_path / "opt.fixed")
+    with open(p, "wb") as f:
+        f.write(encode_rows(
+            [{"k": i, "tag": f"t{i}"} for i in range(5)],
+            parse_layout(layout, rl), rl,
+        ))
+    fixedlen.register(spark)
+    # no recordLength, no layout: both derive from the copybook
+    df = (
+        spark.read.format("fixedlen")
+        .option("copybook", cb)
+        .option("includeOffset", "false")
+        .load(p)
+    )
+    assert sorted((r.k, r.tag) for r in df.collect()) == [
+        (i, f"t{i}") for i in range(5)
+    ]
+    # a recordLength SMALLER than the copybook span is a contradiction
+    with pytest.raises(Exception, match="smaller than the copybook"):
+        (
+            spark.read.format("fixedlen")
+            .option("copybook", cb)
+            .option("recordLength", "5")
+            .load(p)
+            .collect()
+        )
+    with pytest.raises(Exception, match="mutually exclusive"):
+        (
+            spark.read.format("fixedlen")
+            .option("copybook", cb)
+            .option("layout", layout)
+            .load(p)
+            .collect()
+        )
+
+
+def test_copybook_option_on_varlen_reader(tmp_path):
+    import struct
+
+    from hadoop_fixedlengthinputformat_spark.sources.varlen import _VOptions
+
+    cb = """
+       01  PFX.
+           05  K    PIC 9(6).
+           05  TAG  PIC X(4).
+    """
+    opts = _VOptions.parse({"copybook": cb})
+    assert opts.prefix_length == 10
+    assert [f.name for f in opts.fields] == ["k", "tag"]
