@@ -22,15 +22,19 @@ is the whole on-ramp.  Supported (the subset that determines bytes):
   * ``COMP-1`` / ``COMP-2``                          -> comp1 / comp2
   * ``OCCURS n TIMES``                               -> type[n]
   * ``OCCURS 1 TO n TIMES DEPENDING ON f``           -> type[n->f]
+  * ``SIGN [IS] LEADING|TRAILING SEPARATE [CHARACTER]``
+                                                     -> signl/signt(m),
+    digits + 1 bytes (an explicit '+'/'-' byte before/after the run;
+    SIGN TRAILING without SEPARATE is the default overpunch = zoned)
   * group items (no PIC) flatten; ``FILLER`` reserves bytes without a
     column; ``REDEFINES`` overlays storage (offset resets to the
     redefined item's start; following items start after the LARGER of
     the two, per the standard); level-88 condition names are ignored.
 
 Repeated ``PIC 99V99``-style digit runs (no parentheses) are accepted.
-Unsupported usages (SIGN SEPARATE, COMP-5 little-endian, national/DBCS,
-edited pictures, VALUE-bearing storage tricks) raise with the offending
-sentence — never a silent wrong offset.
+Unsupported usages (SIGN LEADING overpunch, COMP-5 little-endian,
+national/DBCS, edited pictures, VALUE-bearing storage tricks) raise
+with the offending sentence — never a silent wrong offset.
 """
 
 from __future__ import annotations
@@ -50,6 +54,7 @@ class _Item:
     occurs: int
     depends_on: str | None
     redefines: str | None
+    sign_sep: str | None = None  # "L"/"T" = SIGN LEADING/TRAILING SEPARATE
     # filled during layout:
     start: int = 0
     length: int = 0  # bytes per element
@@ -97,6 +102,7 @@ def _parse_item(sentence: str) -> _Item | None:
     occurs = 1
     depends_on = None
     redefines = None
+    sign_sep = None
     up = [t.upper() for t in toks]
     while i < len(toks):
         t = up[i]
@@ -128,10 +134,29 @@ def _parse_item(sentence: str) -> _Item | None:
                 f"in: {sentence!r}"
             )
         elif t == "SIGN":
-            raise ValueError(
-                f"copybook: SIGN SEPARATE clauses are not supported in: "
-                f"{sentence!r}"
-            )
+            # SIGN [IS] LEADING|TRAILING [SEPARATE [CHARACTER]]
+            j = i + 1
+            if j < len(toks) and up[j] == "IS":
+                j += 1
+            if j >= len(toks) or up[j] not in ("LEADING", "TRAILING"):
+                raise ValueError(
+                    f"copybook: malformed SIGN clause in: {sentence!r}"
+                )
+            where = up[j]
+            j += 1
+            separate = j < len(toks) and up[j] == "SEPARATE"
+            if separate:
+                j += 1
+                if j < len(toks) and up[j] == "CHARACTER":
+                    j += 1
+                sign_sep = "L" if where == "LEADING" else "T"
+            elif where == "LEADING":
+                raise ValueError(
+                    f"copybook: SIGN LEADING without SEPARATE (leading "
+                    f"overpunch) is not supported in: {sentence!r}"
+                )
+            # SIGN TRAILING without SEPARATE = the default overpunch
+            i = j
         elif t == "OCCURS":
             # OCCURS n TIMES | OCCURS lo TO n TIMES DEPENDING ON f
             j = i + 1
@@ -160,7 +185,7 @@ def _parse_item(sentence: str) -> _Item | None:
         else:
             i += 1
     return _Item(level, _norm_name(name), pic, usage, occurs, depends_on,
-                 redefines)
+                 redefines, sign_sep)
 
 
 def _type_of(item: _Item, sentence_hint: str) -> tuple[str, int]:
@@ -183,6 +208,14 @@ def _type_of(item: _Item, sentence_hint: str) -> tuple[str, int]:
             width = 2 if digits <= 4 else 4 if digits <= 9 else 8
             return "bin", width
         if item.usage == "DISPLAY":
+            if item.sign_sep is not None:
+                if not signed:
+                    raise ValueError(
+                        f"copybook: SIGN SEPARATE on an unsigned PICTURE "
+                        f"in: {sentence_hint!r}"
+                    )
+                t = "signl" if item.sign_sep == "L" else "signt"
+                return f"{t}({decs})", digits + 1  # + the sign byte
             if decs or signed:
                 # zoned carries the sign overpunch; unsigned with
                 # decimals is a plain implied-point DISPLAY number

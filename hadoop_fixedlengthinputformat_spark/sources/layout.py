@@ -45,6 +45,7 @@ from pyspark.sql.types import (
 _TYPES = (
     "int", "long", "double", "string", "date",
     "packed", "zoned", "implied", "bin", "comp1", "comp2",
+    "signl", "signt",  # SIGN LEADING/TRAILING SEPARATE: explicit +/- byte
 )
 
 # fixed widths for types whose byte layout implies them
@@ -90,6 +91,8 @@ class FieldSpec:
             "date": DateType(),
             "packed": DoubleType(),  # COMP-3 BCD, scaled by 10^-scale
             "zoned": DoubleType(),  # PIC S9 DISPLAY, sign overpunch
+            "signl": DoubleType(),  # SIGN LEADING SEPARATE: '+'/'-' first
+            "signt": DoubleType(),  # SIGN TRAILING SEPARATE: '+'/'-' last
             "implied": DoubleType(),  # PIC 9(n)V9(s): no point, implied scale
             "bin": LongType(),  # COMP-4: big-endian two's-complement binary
             "comp1": DoubleType(),  # COMP-1: BE IEEE float32, widened exactly
@@ -110,6 +113,8 @@ class FieldSpec:
             "date": pa.date32(),
             "packed": pa.float64(),
             "zoned": pa.float64(),
+            "signl": pa.float64(),
+            "signt": pa.float64(),
             "implied": pa.float64(),
             "bin": pa.int64(),
             "comp1": pa.float64(),
@@ -394,6 +399,10 @@ def _decode_scalar(
         return decode_packed_field(mat, f, permissive=permissive)
     if f.base_type == "zoned":
         return decode_zoned_field(mat, f, permissive=permissive)
+    if f.base_type in ("signl", "signt"):
+        return decode_signsep_field(
+            fmat, f, leading=f.base_type == "signl", permissive=permissive
+        )
     if f.base_type == "bin":
         return decode_bin_field(mat, f)
     if f.base_type in ("comp1", "comp2"):
@@ -610,6 +619,8 @@ def encode_rows(
             b = encode_packed(v, f)
         elif f.base_type == "zoned":
             b = encode_zoned(v, f)
+        elif f.base_type in ("signl", "signt"):
+            b = encode_signsep(v, f, f.base_type == "signl").encode(encoding)
         elif f.base_type == "bin":
             b = encode_bin(v, f)
         elif f.base_type in ("comp1", "comp2"):
@@ -850,6 +861,61 @@ def decode_zoned_field(
     if bool(bad.any()):
         arr = pc.if_else(pa.array(bad), pa.scalar(None, pa.float64()), arr)
     return arr
+
+
+def decode_signsep_field(
+    fmat: np.ndarray, f: FieldSpec, leading: bool, permissive: bool = False
+) -> pa.Array:
+    """COBOL SIGN LEADING/TRAILING SEPARATE (PIC S9(n)[V9(m)] DISPLAY
+    SIGN ... SEPARATE): an explicit '+'/'-' character byte before/after
+    the digit run.  Decodes the TRANSCODED matrix (charset digits, like
+    int/implied), vectorized."""
+    sl = np.ascontiguousarray(fmat[:, f.start : f.start + f.length])
+    n_digits = f.length - 1
+    if n_digits < 1:
+        raise ValueError(
+            f"sign-separate field {f.name!r} needs >= 2 bytes (sign + digit)"
+        )
+    if n_digits > 18:
+        raise ValueError(
+            f"sign-separate field {f.name!r}: {n_digits} digits exceeds "
+            "int64-exact 18"
+        )
+    sign = sl[:, 0] if leading else sl[:, -1]
+    digit_bytes = sl[:, 1:] if leading else sl[:, :-1]
+    d = digit_bytes.astype(np.int64) - ord("0")
+    bad = ((d < 0) | (d > 9)).any(axis=1) | ~np.isin(
+        sign, (ord("+"), ord("-"))
+    )
+    if bool(bad.any()) and not permissive:
+        raise ValueError(
+            f"fixedlen: invalid sign-separate byte in field {f.name!r}; "
+            "use mode=permissive to null malformed values"
+        )
+    np.clip(d, 0, 9, out=d)
+    powers = 10 ** np.arange(n_digits - 1, -1, -1, dtype=np.int64)
+    ints = d @ powers
+    ints = np.where(sign == ord("-"), -ints, ints)
+    vals = ints / np.float64(10**f.scale)
+    arr = pa.array(vals, type=pa.float64())
+    if bool(bad.any()):
+        arr = pc.if_else(pa.array(bad), pa.scalar(None, pa.float64()), arr)
+    return arr
+
+
+def encode_signsep(value, f: FieldSpec, leading: bool) -> str:
+    """Inverse of decode_signsep_field (charset-encoded by the caller)."""
+    if value is None:
+        raise ValueError(f"fixed-width field {f.name} cannot encode NULL")
+    scaled = round(float(value) * (10**f.scale))
+    digits = f"{abs(scaled):0{f.length - 1}d}"
+    if len(digits) > f.length - 1:
+        raise ValueError(
+            f"value {value!r} does not fit sign-separate field {f.name} "
+            f"({f.length - 1} digits)"
+        )
+    sign = "-" if scaled < 0 else "+"
+    return sign + digits if leading else digits + sign
 
 
 def encode_zoned(value, f: FieldSpec) -> bytes:

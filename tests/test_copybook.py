@@ -99,10 +99,8 @@ def test_level88_and_comments_ignored():
 def test_unsupported_constructs_raise():
     with pytest.raises(ValueError, match="COMP-5"):
         copybook_to_layout("01 R. 05 X PIC 9(4) COMP-5.")
-    with pytest.raises(ValueError, match="SIGN"):
-        copybook_to_layout(
-            "01 R. 05 X PIC S9(4) SIGN LEADING SEPARATE."
-        )
+    with pytest.raises(ValueError, match="LEADING without SEPARATE"):
+        copybook_to_layout("01 R. 05 X PIC S9(4) SIGN LEADING.")
     with pytest.raises(ValueError, match="PICTURE"):
         copybook_to_layout("01 R. 05 X PIC ZZ9.99.")
     with pytest.raises(ValueError, match="no storage"):
@@ -205,3 +203,64 @@ def test_copybook_option_on_varlen_reader(tmp_path):
     opts = _VOptions.parse({"copybook": cb})
     assert opts.prefix_length == 10
     assert [f.name for f in opts.fields] == ["k", "tag"]
+
+
+def test_sign_separate_clause_and_decode(spark, tmp_path):
+    from hadoop_fixedlengthinputformat_spark.sources import fixedlen
+    from hadoop_fixedlengthinputformat_spark.sources.layout import (
+        encode_rows,
+    )
+
+    cb = """
+       01  R.
+           05  X  PIC S9(4)V99 SIGN LEADING SEPARATE.
+           05  Y  PIC S9(3) SIGN IS TRAILING SEPARATE CHARACTER.
+           05  Z  PIC S9(3) SIGN TRAILING.
+    """
+    layout, rl = copybook_to_layout(cb)
+    assert layout == "x:0:7:signl(2),y:7:4:signt(0),z:11:3:zoned(0)"
+    assert rl == 14
+    fields = parse_layout(layout, rl)
+    p = str(tmp_path / "ss.fixed")
+    rows = [
+        {"x": -1234.56, "y": 789, "z": -5},
+        {"x": 0.07, "y": -1, "z": 3},
+    ]
+    with open(p, "wb") as f:
+        f.write(encode_rows(rows, fields, rl))
+    # byte-level: explicit sign characters where declared
+    blob = open(p, "rb").read()
+    assert blob[:7] == b"-123456" and blob[7:11] == b"789+"
+    fixedlen.register(spark)
+    got = sorted(
+        (r.x, r.y, r.z)
+        for r in (
+            spark.read.format("fixedlen")
+            .option("copybook", cb)
+            .option("includeOffset", "false")
+            .load(p)
+            .collect()
+        )
+    )
+    assert got == [(-1234.56, 789.0, -5.0), (0.07, -1.0, 3.0)]
+
+
+def test_sign_separate_malformed_bytes(spark, tmp_path):
+    from hadoop_fixedlengthinputformat_spark.sources import fixedlen
+
+    p = str(tmp_path / "bad_ss.fixed")
+    with open(p, "wb") as f:
+        f.write(b"x12345")  # 'x' is not a sign character
+    fixedlen.register(spark)
+    rd = (
+        spark.read.format("fixedlen")
+        .option("recordLength", "6")
+        .option("layout", "v:0:6:signl(0)")
+        .option("includeOffset", "false")
+    )
+    with pytest.raises(Exception, match="sign-separate"):
+        rd.load(p).collect()
+    rows = (
+        rd.option("mode", "permissive").load(p).collect()
+    )
+    assert rows[0].v is None
