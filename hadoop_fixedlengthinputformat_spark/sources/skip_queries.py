@@ -109,6 +109,7 @@ CUSTOMER_COPYBOOK = """
            05  C-NAME         PIC X(30).
            05  C-NATIONKEY    PIC 9(5).
            05  C-ACCTBAL      PIC S9(8)V99 COMP-3.
+           05  C-BAL-SIGNED   PIC S9(6)V99 SIGN LEADING SEPARATE.
            05  FILLER         PIC X(3).
            05  C-MKTSEGMENT   PIC X(13).
 """
@@ -118,17 +119,19 @@ CUSTOMER_COPYBOOK = """
     "scan_fixedlen_copybook",
     oracle="""
     SELECT c_custkey, c_name, c_nationkey,
-           round(c_acctbal, 4) AS c_acctbal, c_mktsegment
+           round(c_acctbal, 4) AS c_acctbal,
+           round(c_acctbal, 4) AS c_bal_signed, c_mktsegment
     FROM customer
     """,
 )
 def scan_fixedlen_copybook(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COBOL copybook on-ramp: ``copybook_to_layout`` translates the
-    PICTURE clauses (PIC 9/X, S9V9 COMP-3, FILLER) straight to the
-    engine layout — no hand-written offsets — and the scan decodes a
-    customer file serialized under that exact copybook (COMP-3 packed
-    acctbal, FILLER gap).  This is how a real mainframe consumer starts:
-    paste the copybook, read the file."""
+    PICTURE clauses (PIC 9/X, S9V9 COMP-3, SIGN LEADING SEPARATE,
+    FILLER) straight to the engine layout — no hand-written offsets —
+    and the scan decodes a customer file serialized under that exact
+    copybook (the acctbal appears twice: COMP-3 packed AND explicit-
+    sign DISPLAY, decoding to identical doubles).  This is how a real
+    mainframe consumer starts: paste the copybook, read the file."""
     import hashlib as _hashlib
     import os as _os
 
@@ -158,6 +161,8 @@ def scan_fixedlen_copybook(spark: SparkSession, sf_dir: str) -> DataFrame:
             .sort_by("c_custkey")
             .to_pylist()
         )
+        for r in rows:
+            r["c_bal_signed"] = r["c_acctbal"]
         payload = encode_rows(rows, parse_layout(layout, rl), rl)
         tmp = out + f".tmp{_os.getpid()}"
         with open(tmp, "wb") as f:
@@ -172,7 +177,8 @@ def scan_fixedlen_copybook(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return df.select(
         "c_custkey", "c_name", "c_nationkey",
-        F.round("c_acctbal", 4).alias("c_acctbal"), "c_mktsegment",
+        F.round("c_acctbal", 4).alias("c_acctbal"),
+        F.round("c_bal_signed", 4).alias("c_bal_signed"), "c_mktsegment",
     )
 
 
