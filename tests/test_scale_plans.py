@@ -470,3 +470,52 @@ def test_bitmap_distinct_partials_below_exchange(spark):
     # the first exchange: SortAggregate/HashAggregate between scan and
     # exchange boundary
     assert plan.count("Exchange") <= 5, plan.count("Exchange")
+
+
+def test_url_dedup_partial_agg_and_single_exchange(spark):
+    """llm_url_dedup is the exact-dedup shape: per-row codegen regex
+    chain, then ONE hash shuffle on the canonical URL carrying partial
+    counts (map-side combine)."""
+    from hadoop_fixedlengthinputformat_spark.functions.url_queries import (
+        llm_url_dedup,
+    )
+
+    df = llm_url_dedup(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "partial_count" in plan, plan
+
+
+def test_vb_scan_is_zero_exchange_row_op(spark):
+    """scan_varlen_vb decodes per partition — no Exchange anywhere in
+    the projection plan (block walk + prefix decode is embarrassingly
+    parallel)."""
+    from hadoop_fixedlengthinputformat_spark.sources.varlen_queries import (
+        scan_varlen_vb,
+    )
+
+    df = scan_varlen_vb(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_copybook_scan_is_zero_exchange_row_op(spark):
+    from hadoop_fixedlengthinputformat_spark.sources.skip_queries import (
+        scan_fixedlen_copybook,
+    )
+
+    df = scan_fixedlen_copybook(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_odo_scan_is_zero_exchange_row_op(spark):
+    """OCCURS DEPENDING ON decode happens inside the reader — the array
+    trim adds no shuffle and no Python post-processing stage."""
+    from hadoop_fixedlengthinputformat_spark.sources.skip_queries import (
+        scan_fixedlen_odo,
+    )
+
+    df = scan_fixedlen_odo(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
