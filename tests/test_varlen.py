@@ -477,3 +477,17 @@ def test_vb_option_validation():
             {"recfm": "vb", "blocksize": "8",
              "prefixlength": str(PFX_LEN), "layout": PFX_LAYOUT}
         )
+
+
+def test_vb_gzip_whole_file_stream(spark, tmp_path):
+    """VB + gzip: the codec layer is orthogonal — a .gz VB file reads as
+    one whole-file partition, the block walk running on the
+    decompressed stream."""
+    recs = _rand_recs(60, seed=21)
+    blocks = [_vb_block(recs[i : i + 6]) for i in range(0, 60, 6)]
+    p = str(tmp_path / "blocked.vb.gz")
+    with gzip.open(p, "wb") as f:
+        f.write(b"".join(blocks))
+    df = _read(spark, p, recfm="vb", includeOffset="false")
+    assert df.rdd.getNumPartitions() == 1
+    assert sorted(r.k for r in df.collect()) == list(range(60))
