@@ -116,7 +116,6 @@ GRADE_ORDER: tuple[str, ...] = (
     # window per VERDICT r3 #5 — no_oracle rows burn grading signal),
     # then the round-3 widening batch ----
     "agg_approx_percentile",
-    "agg_hll_mergeable",
     "llm_shard_assign",
     "llm_chunk_split",
     "scan_parquet",
@@ -163,6 +162,10 @@ GRADE_ORDER: tuple[str, ...] = (
     "llm_url_dedup",
     "scan_fixedlen_odo",
     "scan_fixedlen_copybook",
+    # agg_hll_mergeable stays LAST of the queued names: still rows-only
+    # (engine-specific sketch bytes) — it must not occupy an early slot
+    # of a future graded window (VERDICT r3 #5)
+    "agg_hll_mergeable",
     # ---- ROUND 6+: streaming + rows-only + already-green tail follows in
     # registration order (streaming last among ungraded: batch-equivalence
     # oracles are the weakest signal per graded slot).
