@@ -235,7 +235,20 @@ def llm_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "llm_winnowing",
     oracle="""
-    WITH grams AS (
+    WITH canon AS (
+        -- one row per doc_id: duplicate ids make the window's ORDER BY i
+        -- ambiguous (ties across the dup texts) and the result then
+        -- depends on physical row order / parallelism
+        SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY md5(text) ASC,
+                                lang ASC NULLS FIRST,
+                                source ASC NULLS FIRST) AS rn
+            FROM documents WHERE text IS NOT NULL
+        ) WHERE rn = 1
+    ),
+    grams AS (
         SELECT doc_id, i,
                substr(md5(substr(text, CAST(i AS INTEGER), 8)), 1, 8) AS h,
                length(text) AS len
@@ -243,7 +256,7 @@ def llm_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_id, text,
                    unnest(range(1, CAST(greatest(length(text) - 6, 2)
                                         AS BIGINT))) AS i
-            FROM documents
+            FROM canon
         )
     ),
     wins AS (
@@ -274,8 +287,13 @@ def llm_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode→window→agg chain partitioned by doc_id, with the window
     min needing no shuffle beyond the doc_id partitioning; fingerprint
     postings (doc_id, wmin) then feed the same bucket-join dedup
-    machinery as minhash bands."""
-    d = load_table(spark, sf_dir, "documents")
+    machinery as minhash bands.  Input canonicalized to one row per
+    doc_id (dedup.canonical_docs) — duplicate ids otherwise tie the
+    window's ORDER BY i and the fingerprint set becomes parallelism-
+    dependent (caught by the local[32] sweep on the nulls roll)."""
+    from hadoop_fixedlengthinputformat_spark.functions import dedup
+
+    d = dedup.canonical_docs(load_table(spark, sf_dir, "documents"))
     grams = d.select(
         "doc_id",
         F.length("text").alias("len"),
@@ -576,7 +594,8 @@ def llm_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT lang, doc_id, n_chars,
                ROW_NUMBER() OVER (
                    PARTITION BY lang
-                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id,
+                            COALESCE(n_chars, -1), md5(COALESCE(text, ''))
                ) AS rn
         FROM documents
     ) WHERE rn <= 25
@@ -590,15 +609,21 @@ def llm_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     local top-k before the single hash shuffle, so the exchange carries
     O(groups·k) rows per mapper regardless of corpus size."""
     docs = load_table(spark, sf_dir, "documents").select(
-        "lang", "doc_id", "n_chars"
+        "lang", "doc_id", "n_chars", "text"
     )
+    # tiebreak past doc_id: duplicate ids tie the md5(doc_id) sort key
+    # completely, making the rn<=25 cut parallelism/engine-dependent;
+    # (n_chars, md5(text)) pins a total order over the OUTPUT columns
     w = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")), "doc_id"
+        F.md5(F.col("doc_id").cast("string")),
+        "doc_id",
+        F.coalesce("n_chars", F.lit(-1)),
+        F.md5(F.coalesce("text", F.lit("")).cast("binary")),
     )
     return (
         docs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 25)
-        .drop("rn")
+        .drop("rn", "text")
     )
 
 

@@ -21,4 +21,12 @@ for d in /root/testdata/sf0.01 /tmp/alt_testdata /tmp/alt_testdata2 \
   echo "$d: $(tail -1 "$out")"
   [ $rc -ne 0 ] && { fail=1; grep -A3 "^FAIL" "$out" | head -30; }
 done
+# the nulls roll ONCE MORE at local[32]: duplicate-id + high-parallelism
+# interactions are invisible at local[8] (r4 caught llm_winnowing's
+# window-tie nondeterminism only here)
+out=/tmp/parity_nulls_cpu32.txt
+SPARK_GRAFT_CPUS=32 python tests/parity.py /tmp/alt_testdata_nulls > "$out" 2>&1
+rc=$?
+echo "nulls@local[32]: $(tail -1 "$out")"
+[ $rc -ne 0 ] && { fail=1; grep -A3 "^FAIL" "$out" | head -30; }
 exit $fail
