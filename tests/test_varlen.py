@@ -491,3 +491,40 @@ def test_vb_gzip_whole_file_stream(spark, tmp_path):
     df = _read(spark, p, recfm="vb", includeOffset="false")
     assert df.rdd.getNumPartitions() == 1
     assert sorted(r.k for r in df.collect()) == list(range(60))
+
+
+def test_vb_random_packing_round_trip(spark, tmp_path):
+    """Property: random records greedily packed into random block sizes
+    always round-trip with correct per-record values — regardless of how
+    records fall across block boundaries."""
+    import random as _random
+
+    rng = _random.Random(404)
+    for trial in range(4):
+        n = rng.randrange(20, 120)
+        block_size = rng.choice([128, 256, 512, 1024])
+        recs = [
+            _rec(i, f"t{i % 7}", bytes(rng.randrange(256) for _ in
+                                       range(rng.randrange(0, 60))))
+            for i in range(n)
+        ]
+        blocks, cur = [], []
+        cur_len = 4
+        for r in recs:
+            if cur and cur_len + len(r) > block_size:
+                blocks.append(_vb_block(cur))
+                cur, cur_len = [], 4
+            cur.append(r)
+            cur_len += len(r)
+        if cur:
+            blocks.append(_vb_block(cur))
+        p = str(tmp_path / f"prop{trial}.vb")
+        with open(p, "wb") as f:
+            f.write(b"".join(blocks))
+        rows = sorted(
+            _read(spark, p, recfm="vb").collect(),
+            key=lambda r: r.record_offset,
+        )
+        assert [r.k for r in rows] == list(range(n))
+        for r, rec in zip(rows, recs):
+            assert bytes(r.record_tail) == rec[4 + PFX_LEN:]
