@@ -78,6 +78,13 @@ class FieldSpec:
         """Total bytes the field occupies in the record."""
         return self.length * self.occurs
 
+    @property
+    def is_array(self) -> bool:
+        """Array column?  True for OCCURS n>1 AND for any DEPENDING ON
+        field — an ODO with max count 1 is still an array (0..1
+        elements), not a scalar."""
+        return self.occurs > 1 or self.depends_on is not None
+
     def element(self, i: int) -> "FieldSpec":
         """The i-th OCCURS slot as a scalar field spec."""
         return FieldSpec(self.name, self.start + i * self.length, self.length, self.ftype)
@@ -100,7 +107,7 @@ class FieldSpec:
         }[self.base_type]
 
     def spark_type(self) -> DataType:
-        if self.occurs > 1:
+        if self.is_array:
             return ArrayType(self._scalar_spark_type(), True)
         return self._scalar_spark_type()
 
@@ -122,7 +129,7 @@ class FieldSpec:
         }[self.base_type]
 
     def arrow_type(self) -> pa.DataType:
-        if self.occurs > 1:
+        if self.is_array:
             return pa.list_(self._scalar_arrow_type())
         return self._scalar_arrow_type()
 
@@ -152,7 +159,7 @@ def parse_layout(spec: str, record_length: int) -> list[FieldSpec]:
                 raise ValueError(f"OCCURS count must be >= 1 in {part!r}")
             counters = [
                 g for g in fields
-                if g.name == depends_on and g.occurs == 1
+                if g.name == depends_on and not g.is_array
                 and g.base_type in ("int", "long")
             ]
             if not counters:
@@ -525,7 +532,7 @@ def decode_chunk(
     else:
         scalar_cache: dict[str, pa.Array] = {}
         for f in fields:
-            if f.occurs > 1:
+            if f.is_array:
                 counts = (
                     scalar_cache[f.depends_on] if f.depends_on else None
                 )
@@ -637,7 +644,7 @@ def encode_rows(
     for row in rows:
         rec = bytearray(pad * record_length)
         for f in fields:
-            if f.occurs > 1:
+            if f.is_array:
                 vals = row[f.name]
                 if f.depends_on is not None:
                     # ODO: up to `occurs` data elements; unused slots are

@@ -91,3 +91,70 @@ def test_encode_decode_roundtrip(data):
                 assert abs(o - g) < 10**-f.scale / 2, (f, o, g)
             else:
                 assert o == g, (f, o, g)
+
+
+@st.composite
+def signsep_odo_layout_with_rows(draw):
+    """Round-4 types: sign-separate numerics and ODO arrays."""
+    fields: list[FieldSpec] = []
+    start = 0
+    # counter field first (ODO target)
+    max_occ = draw(st.integers(1, 5))
+    fields.append(FieldSpec("cnt", start, 1, "int"))
+    start += 1
+    for i in range(draw(st.integers(1, 4))):
+        kind = draw(st.sampled_from(["signl", "signt"]))
+        scale = draw(st.integers(0, 3))
+        digits = draw(st.integers(max(scale, 1), 10))
+        width = digits + 1
+        fields.append(FieldSpec(f"s{i}", start, width, f"{kind}({scale})"))
+        start += width
+    elem_w = draw(st.integers(2, 6))
+    fields.append(
+        FieldSpec("vals", start, elem_w, "long", max_occ, "cnt")
+    )
+    start += elem_w * max_occ
+    record_length = start
+
+    rows = []
+    for _ in range(draw(st.integers(1, 15))):
+        row = {}
+        cnt = draw(st.integers(0, max_occ))
+        row["cnt"] = cnt
+        for f in fields:
+            if f.name.startswith("s"):
+                n_digits = f.length - 1
+                int_digits = n_digits - f.scale
+                hi = 10 ** max(int_digits, 0) - 1
+                units = draw(st.integers(-hi * 10**f.scale if hi else 0,
+                                         hi * 10**f.scale if hi else 0))
+                row[f.name] = units / 10**f.scale
+        row["vals"] = [
+            draw(st.integers(0, 10**f.length - 1))
+            for f in [fields[-1].element(j) for j in range(cnt)]
+        ]
+        rows.append(row)
+    return fields, record_length, rows
+
+
+@settings(max_examples=40, deadline=None)
+@given(signsep_odo_layout_with_rows())
+def test_signsep_and_odo_roundtrip(data):
+    """Sign-separate values (either sign position) and DEPENDING-ON
+    arrays of every admissible count survive encode -> decode exactly."""
+    fields, record_length, rows = data
+    payload = encode_rows(rows, fields, record_length)
+    assert len(payload) == record_length * len(rows)
+    schema = pa.schema([pa.field(f.name, f.arrow_type()) for f in fields])
+    batch = decode_chunk(
+        payload, record_length, fields, 0, False, None, schema
+    )
+    decoded = batch.to_pylist()
+    for orig, got in zip(rows, decoded):
+        assert got["cnt"] == orig["cnt"]
+        assert got["vals"] == orig["vals"], (orig, got)
+        for f in fields:
+            if f.name.startswith("s"):
+                assert abs(got[f.name] - orig[f.name]) < 10**-f.scale / 2, (
+                    f, orig[f.name], got[f.name],
+                )
