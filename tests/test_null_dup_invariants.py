@@ -99,3 +99,53 @@ def test_minhash_signature_skips_null_text(spark, docs):
     pairs = dedup.lsh_candidate_pairs(sig, "doc_id").collect()
     # and therefore can never appear in a candidate pair
     assert all(4 not in (p.doc_a, p.doc_b) for p in pairs)
+
+
+def _docs_roll(spark, tmp_path, name, n_part):
+    """A dup-id documents roll written with n_part physical partitions."""
+    import pyspark.sql.functions as F
+
+    rows = []
+    for i in range(200):
+        doc_id = i if i % 10 else i - 1  # every 10th id duplicates its
+        rows.append(                      # predecessor with OTHER text
+            (doc_id, f"w{i} " * (5 + i % 37), ["en", "es", "de"][i % 3],
+             f"s{i % 4}")
+        )
+    d = str(tmp_path / name)
+    spark.createDataFrame(rows, SCHEMA).withColumn(
+        "n_chars", F.length("text").cast("long")
+    ).repartition(n_part).write.parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_windowed_queries_parallelism_invariant(spark, tmp_path):
+    """The round-4 local[32] lesson, pinned in-suite: winnowing,
+    group_sample, and seq_packing must return the same multiset whether
+    the dup-id input arrives in 1 or 16 physical partitions with 4 or 32
+    shuffle partitions."""
+    from hadoop_fixedlengthinputformat_spark.functions.corpus_extras import (
+        llm_group_sample,
+        llm_winnowing,
+    )
+    from hadoop_fixedlengthinputformat_spark.functions.llm_queries import (
+        llm_seq_packing,
+    )
+
+    d1 = _docs_roll(spark, tmp_path, "p1", 1)
+    d2 = _docs_roll(spark, tmp_path, "p16", 16)
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = []
+        for d, sp in ((d1, "4"), (d2, "32")):
+            spark.conf.set("spark.sql.shuffle.partitions", sp)
+            results.append({
+                "win": sorted(map(tuple, llm_winnowing(spark, d).collect())),
+                "smp": sorted(map(tuple, llm_group_sample(spark, d).collect())),
+                "pack": sorted(map(tuple, llm_seq_packing(spark, d).collect())),
+            })
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    assert results[0]["win"] == results[1]["win"]
+    assert results[0]["smp"] == results[1]["smp"]
+    assert results[0]["pack"] == results[1]["pack"]
