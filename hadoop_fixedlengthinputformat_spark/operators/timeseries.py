@@ -342,6 +342,7 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
            arg_max(value, printf('%020d%012d', epoch_us(ts), event_id)) AS close,
            count(*) AS n_events
     FROM events
+    WHERE value IS NOT NULL
     GROUP BY 1
     """,
 )
@@ -355,8 +356,14 @@ def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     string key: a total order identical in both engines (DuckDB's
     ``arg_min`` rejects struct keys, and a bare ``ts`` key would be
     tie-fragile), so values are hash-exact with no rounding snap —
-    the aggregate only selects existing doubles, never does arithmetic."""
-    e = load_table(spark, sf_dir, "events")
+    the aggregate only selects existing doubles, never does arithmetic.
+    NULL observations are excluded on BOTH sides: Spark's min_by
+    returns the (NULL) value of the min-key row while DuckDB's arg_min
+    skips NULL args — divergent exactly when a NULL-value event lands
+    first/last in its bucket (caught by a fresh-seed nulls roll)."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
     key = F.format_string(
         "%020d%012d",
         F.unix_micros(F.col("ts").cast("timestamp")),
