@@ -458,9 +458,9 @@ def llm_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH doc AS (
         SELECT count(*) AS n_docs,
                count(DISTINCT lang) AS n_langs,
-               sum(length(text) - length(replace(text, ' ', '')) + 1)
-                   AS total_tokens,
-               sum(n_chars) AS total_chars,
+               CAST(sum(length(text) - length(replace(text, ' ', '')) + 1)
+                   AS BIGINT) AS total_tokens,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
                floor((1 - CAST(count(DISTINCT md5(text)) AS DOUBLE)
                           / count(*)) * 10000 + 0.5) / 10000 AS dup_rate,
                floor(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)

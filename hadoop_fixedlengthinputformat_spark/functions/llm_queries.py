@@ -328,8 +328,8 @@ def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM t
     )
     SELECT doc_id, lang, n_tok,
-           cum_before // 2048 AS pack_id,
-           cum_before % 2048 AS pack_offset
+           CAST(cum_before // 2048 AS BIGINT) AS pack_id,
+           CAST(cum_before % 2048 AS BIGINT) AS pack_offset
     FROM c
     """,
 )
@@ -420,7 +420,8 @@ def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY doc_id, b.b
     )
     SELECT doc_id,
-           sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END) AS simhash
+           CAST(sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END)
+                AS BIGINT) AS simhash
     FROM votes
     GROUP BY doc_id
     """,
@@ -950,8 +951,8 @@ def llm_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT source, lang,
            count(*) AS n_docs,
-           sum(length(text) - length(replace(text, ' ', '')) + 1)
-               AS total_tokens,
+           CAST(sum(length(text) - length(replace(text, ' ', '')) + 1)
+               AS BIGINT) AS total_tokens,
            floor(sum(n_chars) / count(*) * 10000 + 0.5) / 10000 AS avg_chars,
            floor((1 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*))
                  * 10000 + 0.5) / 10000 AS dup_rate

@@ -124,7 +124,7 @@ def llm_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST((doc_id * 2654435761) % 4294967296 % 16 AS INTEGER) AS shard
         FROM documents
     )
-    SELECT shard, count(*) AS n_docs, sum(n_chars) AS sum_chars
+    SELECT shard, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
     FROM assigned GROUP BY shard
     """,
 )

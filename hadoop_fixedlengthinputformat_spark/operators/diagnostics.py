@@ -82,8 +82,8 @@ def diag_q12_filter_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     "diag_q12_join_only",
     oracle="""
     SELECT l_linestatus, count(*) AS n,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS n_high
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_high
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY l_linestatus
     """,

@@ -243,7 +243,8 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) - count(DISTINCT o_orderkey) AS violations FROM orders
     UNION ALL
     SELECT 'null_custkey',
-           sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) FROM orders
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) FROM orders
     UNION ALL
     SELECT 'orphan_order_custkey', count(*) FROM orders o
     WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)

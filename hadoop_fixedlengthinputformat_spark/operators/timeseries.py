@@ -98,9 +98,9 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM x
     )
     SELECT event_id, user_id,
-           sum(is_start) OVER (
+           CAST(sum(is_start) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
-               ROWS UNBOUNDED PRECEDING) AS session_seq,
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq,
            is_start
     FROM f
     """,
@@ -153,7 +153,7 @@ def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM hourly GROUP BY 1, 2
     )
     SELECT user_id, time_bucket(INTERVAL '1 month', d) AS month,
-           round(sum(v), 4) AS month_value, sum(n) AS month_events,
+           round(sum(v), 4) AS month_value, CAST(sum(n) AS BIGINT) AS month_events,
            count(*) AS days_active
     FROM daily GROUP BY 1, 2
     """,

@@ -88,9 +88,39 @@ def _values_equal(a, b) -> bool:
     return a == b
 
 
+def oracle_type_problems(oracle_sql: str, con) -> list[str]:
+    """DuckDB output-type gate (round-5 lesson; VERDICT r4).
+
+    DuckDB types ``sum(INTEGER/BIGINT)`` — including window SUM — as
+    HUGEINT (int128) while Spark returns BIGINT; ``_norm`` collapses the
+    fetched values to identical Python ints, so NO local roll can see the
+    divergence, but the driver's type-sensitive value hash fails.  All six
+    round-4 reds (and both carried r2/r3 reds) were exactly this.  Same
+    class: DECIMAL (Spark emits double) and TIMESTAMPTZ (the round-2
+    fn_epoch red).  Gate on the DESCRIBEd output schema, which sees the
+    declared type even when the fetch path would hide it.
+    """
+    try:
+        desc = con.execute(f"DESCRIBE {oracle_sql}").fetchall()
+    except Exception as exc:  # noqa: BLE001 — surfaced by compare() itself
+        return [f"DESCRIBE failed: {type(exc).__name__}: {exc}"]
+    bad = [
+        f"{c}: {t}"
+        for c, t, *_ in desc
+        if "HUGEINT" in t or "DECIMAL" in t or "WITH TIME ZONE" in t
+    ]
+    if bad:
+        return [
+            "oracle output type diverges from Spark (CAST AS "
+            "BIGINT/DOUBLE/TIMESTAMP): " + "; ".join(bad)
+        ]
+    return []
+
+
 def compare(name: str, spark_df, oracle_sql: str, con) -> list[str]:
     """Returns a list of problems (empty == pass)."""
     problems: list[str] = []
+    problems.extend(oracle_type_problems(oracle_sql, con))
     s_cols = list(spark_df.columns)
     s_rows = [tuple(_norm(v) for v in row) for row in spark_df.collect()]
 

@@ -1,0 +1,68 @@
+"""Sparkless DuckDB output-type gate over every registered oracle.
+
+Round-5 lesson (VERDICT r4): DuckDB types ``sum(INTEGER/BIGINT)`` —
+including window ``SUM() OVER`` — as HUGEINT (int128) while Spark emits
+BIGINT.  The local parity harness normalizes fetched values to Python
+ints, so the divergence is invisible on EVERY data roll, but the
+driver's type-sensitive value hash fails: all six round-4 reds (and the
+carried r2/r3 reds) were exactly this, never roll sensitivity.  Same
+family: DECIMAL (Spark emits double) and TIMESTAMP WITH TIME ZONE (the
+round-2 ``fn_epoch`` red — bare ``to_timestamp`` in DuckDB).
+
+This test runs WITHOUT Spark: it DESCRIBEs every oracle against the
+sf0.001 parquet views and asserts no banned output type, so the class
+can never re-enter the registry unnoticed.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from hadoop_fixedlengthinputformat_spark import registry
+from hadoop_fixedlengthinputformat_spark.tables import TABLES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
+
+BANNED = ("HUGEINT", "DECIMAL", "WITH TIME ZONE")
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        path = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(path):
+            c.execute(
+                f"CREATE OR REPLACE VIEW {t} AS "
+                f"SELECT * FROM read_parquet('{path}')"
+            )
+    return c
+
+
+def test_no_engine_divergent_oracle_output_types(con):
+    registry.load_all()
+    offenders: dict[str, list[str]] = {}
+    for name, sql in registry.ORACLES.items():
+        try:
+            desc = con.execute(f"DESCRIBE {sql}").fetchall()
+        except Exception as exc:  # noqa: BLE001
+            # DESCRIBE failures that depend on Spark-side fixtures (e.g.
+            # oracles reading files a query writes first) are not type
+            # bugs; only flag pure-SQL failures over the base views.
+            if "No files found" in str(exc) or "does not exist" in str(exc):
+                continue
+            offenders[name] = [f"DESCRIBE: {type(exc).__name__}: {exc}"]
+            continue
+        bad = [
+            f"{c}: {t}" for c, t, *_ in desc if any(b in t for b in BANNED)
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        "oracle output types diverge from Spark "
+        "(CAST AS BIGINT/DOUBLE/TIMESTAMP on the oracle side): "
+        f"{offenders}"
+    )
