@@ -77,17 +77,18 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH raw AS (
         SELECT doc_id,
                concat(CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END,
-                      CASE WHEN doc_id % 3 = 0 THEN upper(COALESCE(source, 'nullsrc'))
-                           ELSE COALESCE(source, 'nullsrc') END,
+                      CASE WHEN doc_id % 3 = 0
+                           THEN concat('SITE', CAST(((doc_id // 4) % 50) % 7 AS VARCHAR))
+                           ELSE concat('site', CAST(((doc_id // 4) % 50) % 7 AS VARCHAR)) END,
                       '.Example.ORG',
                       CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END,
-                      '/doc/', CAST(doc_id % 100 AS VARCHAR),
+                      '/doc/', CAST((doc_id // 4) % 50 AS VARCHAR),
                       CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END,
                       CASE WHEN doc_id % 4 = 0
                            THEN concat('?utm_source=feed&utm_campaign=x&id=',
-                                       CAST(doc_id % 100 AS VARCHAR))
+                                       CAST((doc_id // 4) % 50 AS VARCHAR))
                            WHEN doc_id % 4 = 1
-                           THEN concat('?id=', CAST(doc_id % 100 AS VARCHAR))
+                           THEN concat('?id=', CAST((doc_id // 4) % 50 AS VARCHAR))
                            ELSE '' END,
                       CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END
                ) AS raw_url
@@ -100,14 +101,16 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
                    regexp_replace(
                      regexp_replace(
                        regexp_replace(
-                         concat(lower(regexp_extract(raw_url, '^([A-Za-z]+)://', 1)),
-                                '://',
-                                lower(regexp_extract(raw_url, '^[A-Za-z]+://([^/:?#]+)', 1)),
-                                regexp_replace(raw_url, '^[A-Za-z]+://[^/]+', '')),
-                         '#.*$', '', 'g'),
-                       '([?&])utm_[^&]*', '\\1', 'g'),
+                         regexp_replace(
+                           concat(lower(regexp_extract(raw_url, '^([A-Za-z]+)://', 1)),
+                                  '://',
+                                  lower(regexp_extract(raw_url, '^[A-Za-z]+://([^/:?#]+)', 1)),
+                                  regexp_replace(raw_url, '^[A-Za-z]+://[^/]+', '')),
+                           '#.*$', '', 'g'),
+                         '([?&])utm_[^&]*', '\\1', 'g'),
+                       '([?&])&+', '\\1', 'g'),
                      '[?&]+$', '', 'g'),
-                   '\\?&', '?', 'g'),
+                   '/+\\?', '?', 'g'),
                  '/+$', '', 'g') AS url
         FROM raw
     )
@@ -130,24 +133,34 @@ def llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB this is exactly the exact-dedup shape (digest-width keys,
     map-side partial counts)."""
     d = load_table(spark, sf_dir, "documents")
-    src = F.coalesce("source", F.lit("nullsrc"))
+
+    def _path_id():
+        # doc_id div 4 so the four %4 variant classes (utm / clean query /
+        # no query x2) of the SAME logical page share one path id — the
+        # utm and clean twins must land in one canonical group
+        return F.expr("(doc_id div 4) % 50")
+
+    # host derives from the page id too (not the random per-doc source
+    # column), so variant classes of one logical page share a host and
+    # the canonicalizer's merges are observable/assertable
+    site = F.concat(F.lit("site"), (_path_id() % 7).cast("string"))
     raw = F.concat(
         F.when(F.col("doc_id") % 2 == 0, "HTTP://").otherwise("https://"),
-        F.when(F.col("doc_id") % 3 == 0, F.upper(src)).otherwise(src),
+        F.when(F.col("doc_id") % 3 == 0, F.upper(site)).otherwise(site),
         F.lit(".Example.ORG"),
         F.when(F.col("doc_id") % 5 == 0, ":443").otherwise(""),
-        F.lit("/doc/"), (F.col("doc_id") % 100).cast("string"),
+        F.lit("/doc/"), _path_id().cast("string"),
         F.when(F.col("doc_id") % 7 == 0, "/").otherwise(""),
         F.when(
             F.col("doc_id") % 4 == 0,
             F.concat(
                 F.lit("?utm_source=feed&utm_campaign=x&id="),
-                (F.col("doc_id") % 100).cast("string"),
+                _path_id().cast("string"),
             ),
         )
         .when(
             F.col("doc_id") % 4 == 1,
-            F.concat(F.lit("?id="), (F.col("doc_id") % 100).cast("string")),
+            F.concat(F.lit("?id="), _path_id().cast("string")),
         )
         .otherwise(""),
         F.when(F.col("doc_id") % 6 == 0, "#frag").otherwise(""),
@@ -157,9 +170,14 @@ def llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rest = F.regexp_replace(raw, r"^[A-Za-z]+://[^/]+", "")
     url = F.concat(scheme, F.lit("://"), host, rest)
     url = F.regexp_replace(url, r"#.*$", "")
+    # strip utm params, then collapse the separator runs the strip
+    # leaves behind (`?utm_a&utm_b&id=5` -> `?&&id=5` -> `?id=5`) so
+    # utm-tracking variants actually merge with their clean twin —
+    # the single-`\?&` cleanup used here before left a `?&` residue
     url = F.regexp_replace(url, r"([?&])utm_[^&]*", r"$1")
+    url = F.regexp_replace(url, r"([?&])&+", r"$1")
     url = F.regexp_replace(url, r"[?&]+$", "")
-    url = F.regexp_replace(url, r"\?&", "?")
+    url = F.regexp_replace(url, r"/+\?", "?")
     url = F.regexp_replace(url, r"/+$", "")
     return (
         d.select("doc_id", url.alias("url"))

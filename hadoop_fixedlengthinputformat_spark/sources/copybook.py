@@ -88,6 +88,20 @@ def _sentences(text: str) -> list[str]:
     return [s.strip() for s in blob.split(".") if s.strip()]
 
 
+# Tokens that can legally follow the level number directly — a data item
+# whose "name" is one of these is a nameless implicit FILLER
+# (`05 PIC X(3).` is legal COBOL and reserves storage).
+_CLAUSE_KEYWORDS = frozenset(
+    {
+        "PIC", "PICTURE", "REDEFINES", "OCCURS", "USAGE", "SIGN", "VALUE",
+        "COMP", "COMP-1", "COMP-2", "COMP-3", "COMP-4", "COMP-5",
+        "COMPUTATIONAL", "COMPUTATIONAL-1", "COMPUTATIONAL-2",
+        "COMPUTATIONAL-3", "COMPUTATIONAL-4", "COMPUTATIONAL-5",
+        "BINARY", "PACKED-DECIMAL", "DISPLAY", "FILLER",
+    }
+)
+
+
 def _parse_item(sentence: str) -> _Item | None:
     toks = sentence.split()
     if not toks or not toks[0].isdigit():
@@ -95,8 +109,16 @@ def _parse_item(sentence: str) -> _Item | None:
     level = int(toks[0])
     if level == _LEVEL_88 or level == 66:
         return None  # condition names / RENAMES carry no storage
-    name = toks[1] if len(toks) > 1 else "FILLER"
-    i = 2
+    if len(toks) > 1 and toks[1].upper() in _CLAUSE_KEYWORDS and \
+            toks[1].upper() != "FILLER":
+        # nameless item (`05 PIC X(3).`): implicit FILLER; clause
+        # scanning starts at the keyword itself, else the reserved bytes
+        # would be dropped and every following offset silently shifted
+        name = "FILLER"
+        i = 1
+    else:
+        name = toks[1] if len(toks) > 1 else "FILLER"
+        i = 2
     pic = None
     usage = "DISPLAY"
     occurs = 1
@@ -256,27 +278,37 @@ def copybook_to_layout(text: str) -> tuple[str, int]:
     fields: list[str] = []
     offset = 0
     record_end = 0
-    # stack of open group items: (level, name, start)
-    group_stack: list[tuple[int, str, int]] = []
+    # stack of open group items: (level, name, start, resume_end) —
+    # resume_end is the redefined target's end for a REDEFINES group
+    # (None otherwise): on close, the next item resumes after the
+    # LARGER of the overlaid regions, even when the redefining group is
+    # the standard-legal SMALLER one.
+    group_stack: list[tuple[int, str, int, int | None]] = []
 
     def close_groups(level: int) -> None:
+        nonlocal offset
         while group_stack and group_stack[-1][0] >= level:
-            glevel, gname, gstart = group_stack.pop()
+            glevel, gname, gstart, resume_end = group_stack.pop()
             region[gname] = (gstart, offset - gstart)
+            if resume_end is not None:
+                offset = max(offset, resume_end)
 
     for it, sent in items:
         close_groups(it.level)
+        resume_end: int | None = None
         if it.redefines is not None:
             if it.redefines not in region:
                 raise ValueError(
                     f"copybook: REDEFINES target {it.redefines!r} not seen "
                     f"before: {sent!r}"
                 )
-            offset = region[it.redefines][0]
+            t_start, t_span = region[it.redefines]
+            offset = t_start
+            resume_end = t_start + t_span
         if it.pic is None and it.usage not in ("COMP-1", "COMP-2"):
             # group item: children lay out from here (COMP-1/COMP-2 are
             # elementary WITHOUT a PICTURE — their width is the usage)
-            group_stack.append((it.level, it.name, offset))
+            group_stack.append((it.level, it.name, offset, resume_end))
             continue
         ltype, width = _type_of(it, sent)
         span = width * it.occurs
@@ -289,6 +321,10 @@ def copybook_to_layout(text: str) -> tuple[str, int]:
             fields.append(f"{it.name}:{offset}:{width}:{ltype}{suffix}")
         region[it.name] = (offset, span)
         offset += span
+        if resume_end is not None:
+            # elementary REDEFINES: following items start after the
+            # larger of (redefined target, this redefinition)
+            offset = max(offset, resume_end)
         record_end = max(record_end, offset)
     close_groups(0)
     if not fields:

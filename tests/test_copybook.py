@@ -83,6 +83,57 @@ def test_redefines_overlays_and_advances_past_larger():
     assert rl == 8
 
 
+def test_redefines_smaller_resumes_after_redefined_item():
+    # The standard-legal direction: redefining item SMALLER than the
+    # target.  C must start after A (offset 10), not after B (offset 4).
+    layout, rl = copybook_to_layout("""
+       01  REC.
+           05  A       PIC X(10).
+           05  B REDEFINES A PIC X(4).
+           05  C       PIC X(2).
+    """)
+    assert layout == "a:0:10:string,b:0:4:string,c:10:2:string"
+    assert rl == 12
+
+
+def test_redefines_smaller_group_resumes_after_redefined_item():
+    layout, rl = copybook_to_layout("""
+       01  REC.
+           05  A       PIC X(10).
+           05  B REDEFINES A.
+               10  B1  PIC X(2).
+               10  B2  PIC 9(2).
+           05  C       PIC X(3).
+    """)
+    assert layout == "a:0:10:string,b1:0:2:string,b2:2:2:int,c:10:3:string"
+    assert rl == 13
+
+
+def test_redefines_chain_resumes_after_largest():
+    layout, rl = copybook_to_layout("""
+       01  REC.
+           05  A       PIC X(10).
+           05  B REDEFINES A PIC X(4).
+           05  C REDEFINES A PIC X(6).
+           05  D       PIC X.
+    """)
+    assert layout == "a:0:10:string,b:0:4:string,c:0:6:string,d:10:1:string"
+    assert rl == 11
+
+
+def test_nameless_filler_reserves_bytes():
+    # `05 PIC X(3).` is a legal nameless FILLER: it must reserve its
+    # bytes (B at offset 5), not silently vanish as a group item.
+    layout, rl = copybook_to_layout("""
+       01  REC.
+           05  A   PIC X(2).
+           05      PIC X(3).
+           05  B   PIC 9(2).
+    """)
+    assert layout == "a:0:2:string,b:5:2:int"
+    assert rl == 7
+
+
 def test_level88_and_comments_ignored():
     layout, rl = copybook_to_layout("""
       * customer status record

@@ -307,3 +307,25 @@ def test_bpe_train_is_deterministic_and_scales_by_vocab(spark):
     m1 = [(r.left, r.right) for r in bpe_train(df1, n_merges=3).collect()]
     m2 = [(r.left, r.right) for r in bpe_train(df2, n_merges=3).collect()]
     assert m1 == m2 and m1[0] == ("a", "a</w>")
+
+
+def test_url_dedup_merges_utm_variants(spark, sf_dir):
+    """The utm-tracking variant (doc_id%4==0) and its clean twin
+    (doc_id%4==1) of the same logical page must land in ONE canonical
+    group (the advisor found the old single-pass `\\?&` cleanup left a
+    `?&` residue that kept them apart forever — and both engines agreed,
+    so parity could not see it)."""
+    from hadoop_fixedlengthinputformat_spark.functions.url_queries import (
+        llm_url_dedup,
+    )
+
+    rows = llm_url_dedup(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert "utm_" not in r.url, r.url
+        assert "?&" not in r.url and "&&" not in r.url, r.url
+    # every ?id= group contains at least the utm twin AND the clean twin
+    # (multiple doc_id div 4 cohorts share each path id at sf0.001)
+    id_groups = [r for r in rows if "?id=" in r.url]
+    assert id_groups, "synthesized query variants missing"
+    assert all(r.n_docs >= 2 for r in id_groups)
