@@ -48,127 +48,96 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # joins, aggregates, windows, sort/setops, subqueries); r2 greened
 # scans/sinks (17) + scalar fns (22) + the LLM head (11), with 3 red rows.
 #
-# ROUND 4 WINDOW (this list's first 50), per VERDICT r3 order #1:
-# the 3 red/stale re-grades first, then five bisection diagnostics that
-# isolate each suspect term of the two roll-sensitive reds on the
-# driver's own roll (operators/diagnostics.py), then 41 entries of the
-# queued never-graded batch (subqueries/pivot/agg tail, timeseries,
-# fn_url, the LLM mid-family).
+# Grading history: r4 greened 44/50; its 6 reds all shared the DuckDB
+# HUGEINT output-type root cause (VERDICT r4), fixed this round by
+# CASTing the oracle sums AS BIGINT + the tests/test_oracle_types.py
+# gate.
+#
+# ROUND 5 WINDOW (this list's first 50), per VERDICT r4 #1/#3/#4/#5:
+# the six HUGEINT re-grades first, then the four queued names the same
+# audit pre-empted, then 36 never-graded oracle-backed queries — the
+# reference-heritage varlen/copybook/ODO block early (this was round
+# 4's flagship source work), the r3 widening batch, the LLM corpus
+# tail, and the four exact-SQL streaming ops at the tail (first driver
+# evidence for the H family).
 GRADE_ORDER: tuple[str, ...] = (
-    # 1-3: re-grades — proj_compute (fixed post-r1, stale red),
-    # llm_seq_packing (NULL-ordering hardened, red r2+r3),
-    # tpch_q12_priority_shipping (nanos-timestamp load generalized, red r3)
-    "proj_compute",
-    "llm_seq_packing",
+    # 1-6: re-grades — all six r4 reds, one mechanical oracle-type fix
     "tpch_q12_priority_shipping",
-    # 4-9: bisection diagnostics (llm_token_count grades n_tok per doc —
-    # it was already queued; the diag_* probes decompose the rest)
-    "diag_documents_identity",
-    "llm_token_count",
-    "diag_q12_filter_only",
     "diag_q12_join_only",
-    "diag_lineitem_ts_epoch",
-    "diag_orders_ts_epoch",
-    # 10-50: the queued never-graded round-4 batch
-    "subq_scalar_select",
-    "join_lateral",
-    "pivot_segment",
-    "unpivot_measures",
-    "agg_stats",
-    "agg_percentile",
-    "agg_string_agg",
-    "agg_min_max_by",
-    "agg_bool_bit",
-    "agg_count_if",
-    "agg_collect_set",
-    "agg_product",
-    "agg_regression",
-    "ts_gap_fill",
+    "llm_seq_packing",
     "ts_sessionize",
     "ts_rollup_chain",
-    "ts_interpolate",
-    "ts_ewma",
-    "ts_ohlc",
-    "fn_url",
-    "llm_text_stats",
-    "llm_lang_id",
-    "llm_quality_score",
-    "llm_fingerprint",
-    "llm_multimodal_cols",
-    "llm_centroid_per_label",
-    "llm_incremental_dedup",
-    "llm_pipeline_clean",
-    "llm_gopher_filters",
     "llm_domain_stats",
-    "llm_topk_ngrams",
-    "llm_semdedup",
-    "llm_dedup_apply",
-    "llm_minhash_jaccard_est",
-    "llm_curriculum_mix",
-    "llm_tfidf_topterms",
-    "llm_near_dup_verified",
-    "llm_embedding_cosine_dup",
-    "llm_bm25",
-    "llm_char_entropy",
-    "llm_centroid_outliers",
-    # ---- ROUND 5 WINDOW (51-100): spillover of the round-4 queue
-    # (incl. the two rows-only agg sketches, kept out of the graded
-    # window per VERDICT r3 #5 — no_oracle rows burn grading signal),
-    # then the round-3 widening batch ----
-    "agg_approx_percentile",
+    # 7-10: queued names the r4 HUGEINT audit flagged would fail as-is,
+    # now cast — first grade must be green
+    "dq_audit",
     "llm_shard_assign",
-    "llm_chunk_split",
-    "scan_parquet",
-    "fn_string",
-    "fn_date",
-    "fn_conditional",
-    # the round-3 widening batch (all
-    # oracle-checked, 5-roll-verified locally) ahead of the weaker-signal
-    # tail, then remaining never-graded re-greens.
+    "llm_dataset_card",
+    "llm_simhash",
+    # 11-22: the reference-heritage source block (varlen RDW/VB,
+    # copybook, ODO, comp12, bz2 sink, varlen index/view/compaction)
+    "scan_varlen_rdw",
+    "sink_varlen_rdw",
+    "scan_varlen_rdw_indexed",
+    "scan_varlen_vb",
+    "sink_varlen_vb",
+    "maintain_varlen_index",
+    "sql_varlen_view",
+    "scan_fixedlen_copybook",
+    "scan_fixedlen_odo",
+    "scan_fixedlen_comp12",
+    "sink_fixedlen_bz2",
+    "maintain_zorder",
+    # 23-34: the round-3 relational/fn widening batch
     "cte_recursive",
     "win_percent_rank_nth",
     "set_union_by_name",
     "fn_try_arith",
-    "dq_audit",
+    "fn_datetime_interval",
+    "join_asof_nearest",
     "ts_anomaly_zscore",
-    "maintain_zorder",
+    "ts_retention_cohorts",
+    "ts_funnel",
+    "agg_approx_percentile",
+    "agg_histogram",
+    "agg_bitmap_distinct",
+    # 35-46: the LLM corpus tail
+    "llm_chunk_split",
     "llm_pmi_bigrams",
     "llm_passage_dedup",
     "llm_holdout_split",
     "llm_winnowing",
-    "fn_datetime_interval",
-    "join_asof_nearest",
     "llm_lm_score",
-    "llm_dataset_card",
-    "sink_fixedlen_bz2",
-    "scan_varlen_rdw",
-    "sink_varlen_rdw",
-    "scan_varlen_rdw_indexed",
-    "scan_fixedlen_comp12",
-    "ts_retention_cohorts",
-    "ts_funnel",
-    "agg_histogram",
-    "agg_bitmap_distinct",
-    "graph_pagerank",
-    "llm_mime_sniff",
-    "maintain_varlen_index",
-    "stream_varlen_tail",
     "llm_corpus_diff",
     "llm_group_sample",
     "llm_embedding_quantize",
-    "sql_varlen_view",
-    "scan_varlen_vb",
-    "sink_varlen_vb",
     "llm_url_dedup",
-    "scan_fixedlen_odo",
-    "scan_fixedlen_copybook",
-    # agg_hll_mergeable stays LAST of the queued names: still rows-only
-    # (engine-specific sketch bytes) — it must not occupy an early slot
-    # of a future graded window (VERDICT r3 #5)
+    "llm_mime_sniff",
+    "graph_pagerank",
+    # 47-50: first streaming grades — the four H ops with exact SQL
+    # oracles (VERDICT r4 #5)
+    "stream_tumbling_window",
+    "stream_stateful_count",
+    "stream_dedup",
+    "stream_static_join",
+    # ---- ROUND 6 WINDOW (51+): remaining never-graded names —
+    # scalar/agg leftovers, the varlen tail stream, the rest of the
+    # streaming family (batch-equivalence oracles, weakest signal) ----
+    "fn_trig",
+    "agg_mode",
+    "stream_varlen_tail",
+    "stream_sliding_window",
+    "stream_session_window",
+    "stream_fixedlen_tail",
+    "stream_custom_stateful",
+    "stream_fixedlen_partitioned",
+    "stream_stream_join",
+    "stream_foreach_batch",
+    "stream_fixedlen_sink",
+    # rows-only sketches stay LAST of the queued names (VERDICT r3 #5):
+    # no_oracle rows burn grading signal
+    "stream_watermark_late_drop",
     "agg_hll_mergeable",
-    # ---- ROUND 6+: streaming + rows-only + already-green tail follows in
-    # registration order (streaming last among ungraded: batch-equivalence
-    # oracles are the weakest signal per graded slot).
 )
 
 

@@ -15,23 +15,43 @@ def test_grade_order_applied_and_complete():
     assert names[: len(registry.GRADE_ORDER)] == list(registry.GRADE_ORDER)
 
 
-def test_round4_window_composition():
+def test_round5_window_composition():
     registry.load_all()
     window = list(registry.QUERIES)[:50]
-    # the three red/stale re-grades come first (VERDICT r3 order #1)
-    assert window[:3] == [
-        "proj_compute",
-        "llm_seq_packing",
+    # the six HUGEINT-class re-grades come first (VERDICT r4 #1)
+    assert window[:6] == [
         "tpch_q12_priority_shipping",
+        "diag_q12_join_only",
+        "llm_seq_packing",
+        "ts_sessionize",
+        "ts_rollup_chain",
+        "llm_domain_stats",
     ]
-    # the bisection diagnostics sit directly behind them
-    diags = [n for n in window[:9] if n.startswith("diag_")]
-    assert len(diags) == 5
-    assert "llm_token_count" in window[:9]
+    # then the four queued names the same audit pre-empted
+    assert window[6:10] == [
+        "dq_audit",
+        "llm_shard_assign",
+        "llm_dataset_card",
+        "llm_simhash",
+    ]
+    # first streaming grades close the window (VERDICT r4 #5)
+    assert window[46:50] == [
+        "stream_tumbling_window",
+        "stream_stateful_count",
+        "stream_dedup",
+        "stream_static_join",
+    ]
     # every window query has a full SQL oracle (strongest driver signal);
     # rows-only ops are deliberately kept out of the graded window
     missing = [n for n in window if n not in registry.ORACLES]
     assert not missing, f"window queries without oracle: {missing}"
+    # no slot re-grades an already-green query (50 fresh signals)
+    greens = {
+        "proj_compute", "diag_documents_identity", "llm_token_count",
+        "scan_parquet", "fn_string", "fn_date", "fn_conditional",
+    }
+    wasted = [n for n in window if n in greens]
+    assert not wasted, f"window wastes slots on greens: {wasted}"
 
 
 def test_grade_order_names_all_registered():
