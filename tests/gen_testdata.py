@@ -56,6 +56,7 @@ def gen(
     ns_events: bool = False,
     ns_dates: bool = False,
     nulls: bool = False,
+    ties: bool = False,
 ) -> None:
     rng = np.random.RandomState(seed)
     os.makedirs(out, exist_ok=True)
@@ -210,6 +211,26 @@ def gen(
         texts[j + 1] = texts[j]
     doc_ids = list(range(n_doc))
     langs = [LANGS[i] for i in rng.randint(0, 5, n_doc)]
+    if ties:
+        # VERDICT r4 #7: power-of-two lang groups whose integer sums land
+        # EXACTLY on 4th-decimal rounding ties (avg = k + 1/32 = k.03125
+        # -> x10000 = ...2.5): round-half-even vs floor(x+0.5) is a coin
+        # flip per group, so any oracle pair that slips back to round()
+        # instead of the snap discipline splits here deterministically.
+        def tie_text(n_tok: int, n_char: int) -> str:
+            body = "a " * (n_tok - 1)
+            assert n_char > len(body)
+            return body + "b" * (n_char - len(body))
+
+        langs = [["en", "es", "de"][i % 3] for i in range(n_doc)]
+        # zh: n=32, sum_chars % 32 == 1, sum_tokens % 32 == 1
+        for k, j in enumerate(range(100, 132)):
+            langs[j] = "zh"
+            texts[j] = tie_text(10, 100) if k < 31 else tie_text(11, 37)
+        # fr: n=64, sum_chars % 64 == 2, sum_tokens % 64 == 2
+        for k, j in enumerate(range(140, 204)):
+            langs[j] = "fr"
+            texts[j] = tie_text(10, 100) if k < 63 else tie_text(12, 102)
     if nulls:
         # classes every driver red so far has hidden in: NULLs, empty
         # strings, multibyte/astral chars, duplicate doc_ids
@@ -252,7 +273,7 @@ def gen(
 
 
 if __name__ == "__main__":
-    flags = {"--ns-events", "--ns-dates", "--nulls"}
+    flags = {"--ns-events", "--ns-dates", "--nulls", "--ties"}
     args = [a for a in sys.argv[1:] if a not in flags]
     out = args[0] if args else "/tmp/alt_testdata"
     seed = int(args[1]) if len(args) > 1 else 20260813
@@ -262,4 +283,5 @@ if __name__ == "__main__":
         ns_events="--ns-events" in sys.argv,
         ns_dates="--ns-dates" in sys.argv,
         nulls="--nulls" in sys.argv,
+        ties="--ties" in sys.argv,
     )
