@@ -121,8 +121,11 @@ GRADE_ORDER: tuple[str, ...] = (
     "stream_dedup",
     "stream_static_join",
     # ---- ROUND 6 WINDOW (51+): remaining never-graded names —
-    # scalar/agg leftovers, the varlen tail stream, the rest of the
-    # streaming family (batch-equivalence oracles, weakest signal) ----
+    # the round-5 VBS spanned-record pair, scalar/agg leftovers, the
+    # varlen tail stream, the rest of the streaming family
+    # (batch-equivalence oracles, weakest signal) ----
+    "scan_varlen_vbs",
+    "sink_varlen_vbs",
     "fn_trig",
     "agg_mode",
     "stream_varlen_tail",

@@ -310,6 +310,72 @@ def vb_file_for(sf_dir: str, block_size: int = 8192) -> str:
     return out
 
 
+def vbs_file_for(
+    sf_dir: str, block_size: int = 1024, segment_size: int = 256
+) -> str:
+    """RECFM=VBS (spanned + blocked) serialization of
+    ``documents.parquet``: logical records split into SDW segments
+    (codes 1/3/2) that fill ``block_size``-byte BDW blocks exactly,
+    records continuing across blocks.  The small segment cap forces
+    most document texts to actually SPAN (multi-segment, multi-block) —
+    reading this file exercises the assembler, not just the framing.
+    Same coalesce + total-order rules as the V fixture."""
+    import struct
+
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|vbs|{block_size}|{segment_size}"
+        f"|{source_stamp(sf_dir)}".encode()
+    ).hexdigest()[:12]
+    out = os.path.join(fixture_dir(), f"documents-{tag}.vbs.rdw")
+    if os.path.exists(out):
+        return out
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    fields = parse_layout(RDW_PREFIX_LAYOUT, RDW_PREFIX_LEN)
+    payload_out = bytearray()
+    block = bytearray()
+
+    def flush():
+        if block:
+            payload_out.extend(struct.pack(">HH", 4 + len(block), 0))
+            payload_out.extend(block)
+            block.clear()
+
+    seg_cap = segment_size - 4
+    for r in sorted(tbl.to_pylist(), key=rdw_doc_sort_key):
+        r = rdw_coalesce(r)
+        tail = r["text"].encode("utf-8")
+        payload = encode_rows([r], fields, RDW_PREFIX_LEN) + tail
+        view = memoryview(payload)
+        seg_idx = 0
+        while True:
+            avail = block_size - 4 - len(block) - 4
+            need = 1 if len(view) > 0 else 0
+            if avail < need:
+                flush()
+                continue
+            take = min(len(view), avail, seg_cap)
+            chunk = bytes(view[:take])
+            view = view[take:]
+            last = len(view) == 0
+            code = (
+                0 if (seg_idx == 0 and last)
+                else 1 if seg_idx == 0
+                else 2 if last
+                else 3
+            )
+            block.extend(struct.pack(">HBB", 4 + len(chunk), code, 0))
+            block.extend(chunk)
+            seg_idx += 1
+            if last:
+                break
+    flush()
+    tmp = out + f".tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(bytes(payload_out))
+    os.replace(tmp, out)
+    return out
+
+
 ODO_LAYOUT = "n_nationkey:0:5:int,n_vals:5:1:int,vals:6:5:int[3->n_vals]"
 ODO_RL = 21
 

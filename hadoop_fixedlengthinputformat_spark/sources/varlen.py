@@ -5,9 +5,14 @@ RECFM=F mainframe files only: every record exactly ``recordLength``
 bytes, which is what makes its split formula (FLIF:276-298) possible.
 Real mainframe feeds also arrive in IBM's V/VB format, where each
 record is prefixed by a 4-byte Record Descriptor Word (RDW): a 2-byte
-big-endian length that INCLUDES the RDW itself, then 2 reserved bytes
-(segment control; zero unless the file is spanned RECFM=VS, which this
-source rejects with a clear error).  This module closes that family
+big-endian length that INCLUDES the RDW itself, a segment-control byte
+(0 unless the file is spanned), and a reserved zero byte.  The full
+RECFM family is supported: ``V`` (bare RDW stream), ``VB`` (records
+packed into BDW blocks), ``VS`` (spanned: logical records split into
+SDW segments, codes 1/3/2 = first/middle/last), and ``VBS`` (spanned +
+blocked — segments fill blocks exactly and a record continues across
+blocks, so logical records have NO size ceiling: neither the 16-bit
+descriptor limit nor the block size).  This module closes that family
 gap with the same engine contract as ``fixedlen``:
 
   * a typed ``layout`` decodes the fixed PREFIX every record must carry
@@ -92,8 +97,9 @@ class _VOptions:
     encoding: str
     max_partition_bytes: int
     index_every: int  # writer sidecar stride; 0 disables
-    recfm: str  # "V" (bare RDW stream) or "VB" (BDW-blocked)
-    block_size: int  # VB writer target block bytes (incl. the 4-byte BDW)
+    recfm: str  # "V" | "VB" (blocked) | "VS" (spanned) | "VBS" (both)
+    block_size: int  # VB(S) writer target block bytes (incl. the 4-byte BDW)
+    segment_size: int = _MAX_RECORD  # VS/VBS max segment bytes incl. SDW
 
     @classmethod
     def parse(cls, options) -> "_VOptions":
@@ -164,10 +170,9 @@ class _VOptions:
         if index_every < 0:
             raise ValueError("varlen: indexEvery must be >= 0 (0 disables)")
         recfm = options.get("recfm", "v").upper()
-        if recfm not in ("V", "VB"):
+        if recfm not in ("V", "VB", "VS", "VBS"):
             raise ValueError(
-                f"varlen: recfm must be 'V' or 'VB', got {recfm!r} "
-                "(spanned VS/VBS records are not supported)"
+                f"varlen: recfm must be one of V, VB, VS, VBS, got {recfm!r}"
             )
         block_size = int(options.get("blocksize", "32760"))  # classic max
         if recfm == "VB" and not (
@@ -177,9 +182,26 @@ class _VOptions:
                 f"varlen: blockSize {block_size} must fit one minimal record "
                 f"({BDW_LEN + RDW_LEN + prefix_length}..{_MAX_RECORD})"
             )
+        if recfm == "VBS" and not (
+            BDW_LEN + RDW_LEN + 1 <= block_size <= _MAX_RECORD
+        ):
+            # spanned blocks only need room for one minimal SEGMENT —
+            # records larger than a block are the point of VBS
+            raise ValueError(
+                f"varlen: blockSize {block_size} must fit one minimal "
+                f"segment ({BDW_LEN + RDW_LEN + 1}..{_MAX_RECORD})"
+            )
+        segment_size = int(options.get("segmentsize", str(_MAX_RECORD)))
+        if recfm in ("VS", "VBS") and not (
+            RDW_LEN + 1 <= segment_size <= _MAX_RECORD
+        ):
+            raise ValueError(
+                f"varlen: segmentSize {segment_size} must be in "
+                f"{RDW_LEN + 1}..{_MAX_RECORD} (SDW + at least 1 data byte)"
+            )
         return cls(
             prefix_length, fields, with_offset, with_tail, tail_column,
-            info.name, mpb, index_every, recfm, block_size,
+            info.name, mpb, index_every, recfm, block_size, segment_size,
         )
 
     def spark_schema(self) -> StructType:
@@ -264,20 +286,23 @@ def _plan_file(path: str, opts: _VOptions) -> list[VarLenPartition]:
     return parts
 
 
-def _iter_records(
-    fobj, start: int, end: int | None, prefix_min: int, path: str,
-    stop_on_partial: bool = False,
-) -> Iterator[tuple[int, bytes]]:
-    """Walk RDW records from ``start``; yield (offset, payload bytes).
+def _iter_segments(
+    fobj, start: int, end: int | None, path: str,
+    stop_on_partial: bool = False, spanned: bool = False,
+) -> Iterator[tuple[int, int, bytes]]:
+    """Walk descriptor-word frames from ``start``; yield
+    ``(offset, segment_code, payload bytes)``.
 
-    ``end`` is an exclusive byte bound that MUST be a record start (a
-    sidecar index offset or the file size); ``None`` reads to EOF
-    (compressed streams).  Validation mirrors the fixedlen contract:
-    truncated RDW/payload and spanned-segment bytes raise, a record too
-    short for the declared prefix raises.  ``stop_on_partial`` turns the
-    truncation errors into a clean stop — the tailing-stream case, where
-    a half-written record at EOF is growth in flight, not corruption
-    (the whole-record admission invariant carried to variable strides).
+    Each frame is 4 bytes: ``>H`` total length including the word, one
+    segment-control byte (0 complete / 1 first / 2 last / 3 middle),
+    one reserved zero byte.  With ``spanned=False`` any nonzero segment
+    code raises (plain RECFM=V framing, where the word is the RDW);
+    with ``spanned=True`` codes 0-3 pass through for assembly
+    (RECFM=VS, where it is the SDW).  ``end`` is an exclusive byte
+    bound that MUST be a frame start; ``None`` reads to EOF (compressed
+    streams).  ``stop_on_partial`` turns EOF-truncation errors into a
+    clean stop — the tailing-stream case, where a half-written frame at
+    EOF is growth in flight, not corruption.
     """
     buf = bytearray()
     pos = start
@@ -314,16 +339,27 @@ def _iter_records(
                     f"varlen: {path!r} ends mid-RDW at offset {pos} "
                     f"({len(buf)} trailing bytes)"
                 )
-        total, reserved = struct.unpack_from(">HH", buf, cur)
+        total, code, reserved = struct.unpack_from(">HBB", buf, cur)
         if reserved != 0:
             raise ValueError(
-                f"varlen: nonzero RDW segment-control bytes at offset {pos} "
-                f"in {path!r} — spanned records (RECFM=VS) are not supported"
+                f"varlen: nonzero RDW reserved byte at offset {pos} "
+                f"in {path!r}"
             )
-        if total < RDW_LEN + prefix_min:
+        if code != 0 and not spanned:
             raise ValueError(
-                f"varlen: record at offset {pos} in {path!r} is {total} bytes "
-                f"total, shorter than RDW+prefix ({RDW_LEN + prefix_min})"
+                f"varlen: segment-control code {code} at offset {pos} in "
+                f"{path!r} — a spanned file must be read with recfm='VS' "
+                "(or 'VBS' if blocked)"
+            )
+        if code > 3:
+            raise ValueError(
+                f"varlen: invalid segment-control code {code} at offset "
+                f"{pos} in {path!r}"
+            )
+        if total < RDW_LEN:
+            raise ValueError(
+                f"varlen: frame at offset {pos} in {path!r} is {total} "
+                f"bytes total, shorter than its descriptor word"
             )
         if len(buf) - cur < total:
             del buf[:cur]
@@ -336,9 +372,123 @@ def _iter_records(
                     f"varlen: {path!r} ends mid-record at offset {pos} "
                     f"(RDW claims {total} bytes, {len(buf)} available)"
                 )
-        yield pos, bytes(buf[cur + RDW_LEN : cur + total])
+        yield pos, code, bytes(buf[cur + RDW_LEN : cur + total])
         cur += total
         pos += total
+
+
+def _iter_records(
+    fobj, start: int, end: int | None, prefix_min: int, path: str,
+    stop_on_partial: bool = False,
+) -> Iterator[tuple[int, bytes, int]]:
+    """Walk plain RDW records from ``start``; yield
+    ``(offset, payload bytes, resume_pos)`` where ``resume_pos`` is the
+    byte position after the record — always a safe re-entry point in an
+    unblocked stream.  Validation mirrors the fixedlen contract: a
+    record too short for the declared prefix raises."""
+    for pos, _code, payload in _iter_segments(
+        fobj, start, end, path, stop_on_partial, spanned=False
+    ):
+        total = RDW_LEN + len(payload)
+        if len(payload) < prefix_min:
+            raise ValueError(
+                f"varlen: record at offset {pos} in {path!r} is {total} bytes "
+                f"total, shorter than RDW+prefix ({RDW_LEN + prefix_min})"
+            )
+        yield pos, payload, pos + total
+
+
+# Guard for assembled spanned records: a corrupt stream that never
+# emits a last-segment code must not accumulate executor memory forever.
+_MAX_ASSEMBLED = 1 << 28  # 256 MiB per logical record
+
+
+class _SegmentAssembler:
+    """RECFM=VS/VBS segment-code state machine: feed segments in file
+    order, get back completed logical records.  Sequence violations
+    (first/complete while a record is open, middle/last with none) are
+    corruption and raise."""
+
+    def __init__(self, path: str, prefix_min: int):
+        self.path = path
+        self.prefix_min = prefix_min
+        self.first_off: int | None = None
+        self.parts: list[bytes] = []
+        self.size = 0
+
+    @property
+    def idle(self) -> bool:
+        return self.first_off is None
+
+    def _finish(self, pos: int) -> tuple[int, bytes]:
+        payload = b"".join(self.parts)
+        first = self.first_off
+        self.first_off, self.parts, self.size = None, [], 0
+        if len(payload) < self.prefix_min:
+            raise ValueError(
+                f"varlen: spanned record at offset {first} in {self.path!r} "
+                f"assembles to {len(payload)} bytes, shorter than the "
+                f"declared prefix ({self.prefix_min})"
+            )
+        return first, payload
+
+    def feed(self, pos: int, code: int, payload: bytes):
+        """Returns (first_offset, assembled_payload) when ``code``
+        completes a record, else None."""
+        if code in (0, 1):
+            if not self.idle:
+                raise ValueError(
+                    f"varlen: segment code {code} at offset {pos} in "
+                    f"{self.path!r} while the record starting at "
+                    f"{self.first_off} is still open"
+                )
+            if code == 0:
+                self.first_off, self.parts, self.size = pos, [payload], len(payload)
+                return self._finish(pos)
+            self.first_off, self.parts, self.size = pos, [payload], len(payload)
+            return None
+        # 2 = last, 3 = middle
+        if self.idle:
+            raise ValueError(
+                f"varlen: continuation segment code {code} at offset {pos} "
+                f"in {self.path!r} with no record open"
+            )
+        self.parts.append(payload)
+        self.size += len(payload)
+        if self.size > _MAX_ASSEMBLED:
+            raise ValueError(
+                f"varlen: spanned record starting at {self.first_off} in "
+                f"{self.path!r} exceeds {_MAX_ASSEMBLED} assembled bytes"
+            )
+        if code == 2:
+            return self._finish(pos)
+        return None
+
+
+def _iter_records_vs(
+    fobj, start: int, end: int | None, prefix_min: int, path: str,
+    stop_on_partial: bool = False,
+) -> Iterator[tuple[int, bytes, int]]:
+    """Walk RECFM=VS spanned records: SDW segments assemble into logical
+    records; yield ``(first_segment_offset, assembled_payload,
+    resume_pos)``.  ``resume_pos`` (position after the record's last
+    segment) is always a safe re-entry point in an unblocked spanned
+    stream.  ``stop_on_partial`` leaves a record whose last segment has
+    not arrived unread (whole-RECORD admission for tailing streams); a
+    mid-record end-of-data with a bound is a stale sidecar and raises."""
+    asm = _SegmentAssembler(path, prefix_min)
+    for pos, code, payload in _iter_segments(
+        fobj, start, end, path, stop_on_partial, spanned=True
+    ):
+        done = asm.feed(pos, code, payload)
+        if done is not None:
+            first, rec = done
+            yield first, rec, pos + RDW_LEN + len(payload)
+    if not asm.idle and not stop_on_partial:
+        raise IOError(
+            f"varlen: {path!r} ends mid-spanned-record (first segment at "
+            f"offset {asm.first_off}, no last segment)"
+        )
 
 
 def _read_exact(fobj, want: int) -> bytes:
@@ -358,7 +508,7 @@ def _read_exact(fobj, want: int) -> bytes:
 def _iter_records_vb(
     fobj, start: int, end: int | None, prefix_min: int, path: str,
     stop_on_partial: bool = False, max_bytes: int | None = None,
-) -> Iterator[tuple[int, bytes]]:
+) -> Iterator[tuple[int, bytes, int]]:
     """Walk RECFM=VB blocks from ``start``: each block is a 4-byte BDW
     (big-endian total incl. the BDW, 2 zero bytes) wrapping RDW records
     that must tile the block exactly — a record may NOT span blocks
@@ -423,8 +573,102 @@ def _iter_records_vb(
             return
 
 
+def _iter_records_vbs(
+    fobj, start: int, end: int | None, prefix_min: int, path: str,
+    stop_on_partial: bool = False, max_bytes: int | None = None,
+) -> Iterator[tuple[int, bytes, int]]:
+    """Walk RECFM=VBS: BDW blocks whose SDW segments assemble into
+    logical records that MAY span blocks — the full spanned-blocked
+    format (and the only one that admits logical records larger than a
+    block or the 16-bit descriptor limit).  Yields
+    ``(first_segment_offset, assembled_payload, resume_pos)`` where
+    ``resume_pos`` is the next BLOCK start when the record's last
+    segment closes its block (the only safe re-entry points — a
+    mid-block resume would misparse record bytes as a BDW, and a
+    between-blocks resume inside an open record would orphan its
+    continuation segments), else ``-1``.
+
+    ``end`` must be a safe block start (sidecar offsets).  ``max_bytes``
+    stops before opening a new block once the consumed span reaches it,
+    but never while a record is open across the boundary.
+    ``stop_on_partial`` stops cleanly at a half-written BDW/block at
+    EOF; the open record (if any) stays unread until its last segment
+    lands — whole-record admission carried to spanned blocks."""
+    import io
+
+    asm = _SegmentAssembler(path, prefix_min)
+    pos = start
+    while True:
+        if end is not None and pos >= end:
+            if not asm.idle:
+                raise IOError(
+                    f"varlen: {path!r} partition bound {end} falls inside "
+                    f"the spanned record starting at {asm.first_off} "
+                    "(stale index sidecar?)"
+                )
+            return
+        hdr = _read_exact(fobj, BDW_LEN)
+        if not hdr:
+            if end is not None and pos < end:
+                raise IOError(
+                    f"varlen: {path!r} ends at {pos} before the planned "
+                    f"partition bound {end} (stale index sidecar?)"
+                )
+            if not asm.idle and not stop_on_partial:
+                raise IOError(
+                    f"varlen: {path!r} ends mid-spanned-record (first "
+                    f"segment at offset {asm.first_off}, no last segment)"
+                )
+            return
+        if len(hdr) < BDW_LEN:
+            if stop_on_partial:
+                return
+            raise IOError(
+                f"varlen: {path!r} ends mid-BDW at offset {pos} "
+                f"({len(hdr)} trailing bytes)"
+            )
+        btotal, breserved = struct.unpack(">HH", hdr)
+        if breserved != 0:
+            raise ValueError(
+                f"varlen: nonzero BDW reserved bytes at offset {pos} in "
+                f"{path!r}"
+            )
+        if btotal < BDW_LEN + RDW_LEN:
+            raise ValueError(
+                f"varlen: block at offset {pos} in {path!r} is {btotal} "
+                f"bytes total, too short for one BDW+SDW segment"
+            )
+        body = _read_exact(fobj, btotal - BDW_LEN)
+        if len(body) < btotal - BDW_LEN:
+            if stop_on_partial:
+                return
+            raise IOError(
+                f"varlen: {path!r} ends mid-block at offset {pos} "
+                f"(BDW claims {btotal} bytes, {BDW_LEN + len(body)} available)"
+            )
+        bend = pos + btotal
+        segs = list(
+            _iter_segments(
+                io.BytesIO(body), pos + BDW_LEN, bend, path, spanned=True
+            )
+        )
+        for i, (spos, code, payload) in enumerate(segs):
+            done = asm.feed(spos, code, payload)
+            if done is not None:
+                first, rec = done
+                yield first, rec, (bend if i == len(segs) - 1 else -1)
+        pos = bend
+        if max_bytes is not None and pos - start >= max_bytes and asm.idle:
+            return
+
+
 def _record_iter_for(opts: _VOptions):
-    return _iter_records_vb if opts.recfm == "VB" else _iter_records
+    return {
+        "V": _iter_records,
+        "VB": _iter_records_vb,
+        "VS": _iter_records_vs,
+        "VBS": _iter_records_vbs,
+    }[opts.recfm]
 
 
 class VarLenReader(DataSourceReader):
@@ -487,7 +731,7 @@ class VarLenReader(DataSourceReader):
                 prefixes = bytearray()
                 tails: list[bytes] = []
                 pending = 0
-                for off, payload in _record_iter_for(o)(
+                for off, payload, _resume in _record_iter_for(o)(
                     fobj, start, end, o.prefix_length, partition.path
                 ):
                     offsets.append(off)
@@ -538,37 +782,45 @@ class VarLenStreamReader(SimpleDataSourceStreamReader):
         o = self.opts
         if not os.path.exists(self.path):
             return [], lo
+        # VB/VBS: the byte cap moves INSIDE the iterator so the stop
+        # lands on a block boundary — a mid-block resume offset would
+        # misparse record bytes as a BDW (and in VBS the stop also waits
+        # for any open spanned record to complete).
+        it_kwargs: dict = {"stop_on_partial": stop_on_partial}
+        if o.recfm in ("VB", "VBS"):
+            it_kwargs["max_bytes"] = max_bytes
+        recs: list[tuple[int, bytes, int]] = []
+        with open(self.path, "rb") as f:
+            f.seek(lo)
+            for off, payload, resume in _record_iter_for(o)(
+                f, lo, hi, o.prefix_length, self.path, **it_kwargs
+            ):
+                recs.append((off, payload, resume))
+                if (
+                    o.recfm in ("V", "VS")
+                    and max_bytes is not None
+                    and resume - lo >= max_bytes
+                ):
+                    break
+        # admit rows only up to the LAST safe resume point (VBS yields
+        # resume=-1 for records whose last segment ends mid-block; they
+        # replay from the previous block boundary next batch — emitting
+        # them now would double-read them after a restart)
+        while recs and recs[-1][2] == -1:
+            recs.pop()
+        if not recs:
+            return [], lo
+        pos = recs[-1][2]
         offsets: list[int] = []
         prefixes = bytearray()
         tails: list[bytes] = []
-        pos = lo
-        # VB: the byte cap moves INSIDE the iterator so the stop lands on
-        # a block boundary — a mid-block resume offset would misparse
-        # record bytes as a BDW.  (Record ends tile blocks exactly, so
-        # the per-record pos below still equals the block end there.)
-        it_kwargs: dict = {"stop_on_partial": stop_on_partial}
-        if o.recfm == "VB":
-            it_kwargs["max_bytes"] = max_bytes
-        with open(self.path, "rb") as f:
-            f.seek(lo)
-            for off, payload in _record_iter_for(o)(
-                f, lo, hi, o.prefix_length, self.path, **it_kwargs
-            ):
-                offsets.append(off)
-                if o.fields is None:
-                    tails.append(payload)
-                else:
-                    prefixes.extend(payload[: o.prefix_length])
-                    tails.append(payload[o.prefix_length :])
-                pos = off + RDW_LEN + len(payload)
-                if (
-                    o.recfm != "VB"
-                    and max_bytes is not None
-                    and pos - lo >= max_bytes
-                ):
-                    break
-        if not offsets:
-            return [], pos
+        for off, payload, _resume in recs:
+            offsets.append(off)
+            if o.fields is None:
+                tails.append(payload)
+            else:
+                prefixes.extend(payload[: o.prefix_length])
+                tails.append(payload[o.prefix_length :])
         cols: list[pa.Array] = []
         if o.with_offset:
             cols.append(pa.array(offsets, type=pa.int64()))
@@ -628,7 +880,120 @@ def build_index(path: str, every: int = 4096, recfm: str = "v") -> dict:
     n = 0
     pos = 0
     with open(path, "rb") as f:
-        if recfm == "VB":
+        if recfm == "VS":
+            # spanned stream: a safe offset is a record START (segment
+            # code 0 or 1); logical records count completions
+            open_rec = False
+            while pos < size:
+                hdr = f.read(RDW_LEN)
+                if len(hdr) < RDW_LEN:
+                    raise IOError(
+                        f"varlen: {path!r} ends mid-SDW at offset {pos}"
+                    )
+                total, code, res = struct.unpack(">HBB", hdr)
+                if res != 0 or code > 3:
+                    raise ValueError(
+                        f"varlen: invalid SDW at offset {pos} in {path!r} "
+                        f"(code={code}, reserved={res})"
+                    )
+                if total < RDW_LEN or pos + total > size:
+                    raise IOError(
+                        f"varlen: {path!r} segment at offset {pos} overruns "
+                        "EOF"
+                    )
+                if code in (0, 1):
+                    if open_rec:
+                        raise ValueError(
+                            f"varlen: segment code {code} at offset {pos} in "
+                            f"{path!r} while a record is open"
+                        )
+                    if n % every == 0:
+                        offsets.append(pos)
+                    n += 1
+                    open_rec = code == 1
+                else:
+                    if not open_rec:
+                        raise ValueError(
+                            f"varlen: continuation code {code} at offset "
+                            f"{pos} in {path!r} with no record open"
+                        )
+                    if code == 2:
+                        open_rec = False
+                pos += total
+                f.seek(pos)
+            if open_rec:
+                raise IOError(f"varlen: {path!r} ends mid-spanned-record")
+        elif recfm == "VBS":
+            # spanned blocks: a safe offset is a BLOCK whose first
+            # segment starts a new record
+            open_rec = False
+            last_bucket = -1
+            while pos < size:
+                hdr = f.read(BDW_LEN)
+                if len(hdr) < BDW_LEN:
+                    raise IOError(
+                        f"varlen: {path!r} ends mid-BDW at offset {pos}"
+                    )
+                btotal, breserved = struct.unpack(">HH", hdr)
+                if breserved != 0:
+                    raise ValueError(
+                        f"varlen: nonzero BDW reserved bytes at offset "
+                        f"{pos} in {path!r}"
+                    )
+                if btotal < BDW_LEN + RDW_LEN or pos + btotal > size:
+                    raise IOError(
+                        f"varlen: {path!r} block at offset {pos} overruns EOF"
+                    )
+                bpos, bend = pos + BDW_LEN, pos + btotal
+                first_seg = True
+                while bpos < bend:
+                    f.seek(bpos)
+                    rh = f.read(RDW_LEN)
+                    if len(rh) < RDW_LEN or bend - bpos < RDW_LEN:
+                        raise ValueError(
+                            f"varlen: block at offset {pos} in {path!r} has "
+                            "trailing bytes that are not a segment"
+                        )
+                    rtotal, code, res = struct.unpack(">HBB", rh)
+                    if res != 0 or code > 3:
+                        raise ValueError(
+                            f"varlen: invalid SDW at offset {bpos} in "
+                            f"{path!r} (code={code}, reserved={res})"
+                        )
+                    if rtotal < RDW_LEN or bpos + rtotal > bend:
+                        raise ValueError(
+                            f"varlen: segment at offset {bpos} in {path!r} "
+                            "overruns its block"
+                        )
+                    if code in (0, 1):
+                        if open_rec:
+                            raise ValueError(
+                                f"varlen: segment code {code} at offset "
+                                f"{bpos} in {path!r} while a record is open"
+                            )
+                        if first_seg:
+                            bucket = n // every
+                            if bucket > last_bucket:
+                                offsets.append(pos)
+                                last_bucket = bucket
+                        n += 1
+                        open_rec = code == 1
+                    else:
+                        if not open_rec:
+                            raise ValueError(
+                                f"varlen: continuation code {code} at "
+                                f"offset {bpos} in {path!r} with no record "
+                                "open"
+                            )
+                        if code == 2:
+                            open_rec = False
+                    first_seg = False
+                    bpos += rtotal
+                pos += btotal
+                f.seek(pos)
+            if open_rec:
+                raise IOError(f"varlen: {path!r} ends mid-spanned-record")
+        elif recfm == "VB":
             last_bucket = -1
             while pos < size:
                 hdr = f.read(BDW_LEN)
@@ -747,29 +1112,52 @@ class VarLenWriter(DataSourceWriter):
         n = 0
         written = 0
 
-        def record_bytes(row) -> bytes:
+        def payload_bytes(row) -> bytes:
             if o.fields is None:
-                payload = bytes(row["value"])
+                return bytes(row["value"])
+            d = row.asDict()
+            tail = d.get(o.tail_column) if o.with_tail else b""
+            if tail is None:
+                tail = b""
+            elif isinstance(tail, str):
+                tail = tail.encode("utf-8")
             else:
-                d = row.asDict()
-                tail = d.get(o.tail_column) if o.with_tail else b""
-                if tail is None:
-                    tail = b""
-                elif isinstance(tail, str):
-                    tail = tail.encode("utf-8")
-                else:
-                    tail = bytes(tail)
-                payload = (
-                    encode_rows([d], o.fields, o.prefix_length, encoding=o.encoding)
-                    + tail
-                )
+                tail = bytes(tail)
+            return (
+                encode_rows([d], o.fields, o.prefix_length, encoding=o.encoding)
+                + tail
+            )
+
+        def record_bytes(row) -> bytes:
+            payload = payload_bytes(row)
             total = RDW_LEN + len(payload)
             if total > _MAX_RECORD:
                 raise ValueError(
                     f"varlen: record of {total} bytes exceeds the RDW "
-                    f"16-bit limit ({_MAX_RECORD})"
+                    f"16-bit limit ({_MAX_RECORD}); write recfm='VS'/'VBS' "
+                    "to span it across segments"
                 )
             return struct.pack(">HH", total, 0) + payload
+
+        def segments_of(payload: bytes) -> list[bytes]:
+            """Split a logical record into SDW-framed spanned segments
+            (codes: 0 complete, 1 first, 3 middle, 2 last)."""
+            cap = o.segment_size - RDW_LEN
+            chunks = [
+                payload[i : i + cap] for i in range(0, len(payload), cap)
+            ] or [b""]
+            out = []
+            for j, c in enumerate(chunks):
+                if len(chunks) == 1:
+                    code = 0
+                elif j == 0:
+                    code = 1
+                elif j == len(chunks) - 1:
+                    code = 2
+                else:
+                    code = 3
+                out.append(struct.pack(">HBB", RDW_LEN + len(c), code, 0) + c)
+            return out
 
         with open(tmp, "wb") as f:
             if o.recfm == "VB":
@@ -805,6 +1193,84 @@ class VarLenWriter(DataSourceWriter):
                             index.append(written)
                             last_bucket = bucket
                     block.extend(b)
+                    n += 1
+                flush_block()
+            elif o.recfm == "VS":
+                # spanned, unblocked: records stream as SDW segments;
+                # every record start is a safe split point, so the
+                # sidecar bucket rule matches plain V exactly
+                batch: list[bytes] = []
+                for row in iterator:
+                    segs = segments_of(payload_bytes(row))
+                    if o.index_every and n % o.index_every == 0:
+                        index.append(written)
+                    n += 1
+                    for s in segs:
+                        written += len(s)
+                        batch.append(s)
+                    if len(batch) >= self.WRITE_BATCH_ROWS:
+                        f.write(b"".join(batch))
+                        batch = []
+                if batch:
+                    f.write(b"".join(batch))
+            elif o.recfm == "VBS":
+                # spanned + blocked: segments fill each block to
+                # blockSize and a record continues into the next
+                # block(s) — no per-block slack, no record size ceiling.
+                # A safe split point is a BLOCK whose first segment
+                # starts a new record; only those enter the sidecar.
+                block = bytearray()
+                last_bucket = -1
+
+                def flush_block():
+                    nonlocal written
+                    if not block:
+                        return
+                    btotal = BDW_LEN + len(block)
+                    f.write(struct.pack(">HH", btotal, 0) + bytes(block))
+                    written += btotal
+                    block.clear()
+
+                for row in iterator:
+                    payload = payload_bytes(row)
+                    view = memoryview(payload)
+                    seg_idx = 0
+                    while True:
+                        avail = (
+                            o.block_size - BDW_LEN - len(block) - RDW_LEN
+                        )
+                        need = 1 if len(view) > 0 else 0
+                        if avail < need:
+                            flush_block()
+                            continue
+                        if seg_idx == 0 and not block:
+                            # fresh record opens a fresh block: safe
+                            # split point — same bucket rule as VB
+                            bucket = (
+                                n // o.index_every if o.index_every else -1
+                            )
+                            if o.index_every and bucket > last_bucket:
+                                index.append(written)
+                                last_bucket = bucket
+                        take = min(
+                            len(view), avail, o.segment_size - RDW_LEN
+                        )
+                        chunk = bytes(view[:take])
+                        view = view[take:]
+                        last = len(view) == 0
+                        code = (
+                            0 if (seg_idx == 0 and last)
+                            else 1 if seg_idx == 0
+                            else 2 if last
+                            else 3
+                        )
+                        block.extend(
+                            struct.pack(">HBB", RDW_LEN + len(chunk), code, 0)
+                        )
+                        block.extend(chunk)
+                        seg_idx += 1
+                        if last:
+                            break
                     n += 1
                 flush_block()
             else:

@@ -286,3 +286,77 @@ def sql_varlen_view(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         FROM docs_rdw_sql GROUP BY lang
     """)
+
+
+@query(
+    "scan_varlen_vbs",
+    oracle="""
+    SELECT doc_id, COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
+           COALESCE(n_chars, 0) AS n_chars,
+           CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT)
+               AS tail_bytes
+    FROM documents
+    """,
+)
+def scan_varlen_vbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECFM=VBS: spanned + blocked — logical records split into SDW
+    segments (codes 1/3/2 = first/middle/last) that fill 1 KB BDW
+    blocks exactly, records continuing ACROSS blocks.  The fixture's
+    256-byte segment cap makes most document texts genuinely span, so
+    this scan exercises cross-block assembly (and VBS is the only
+    RECFM with no record size ceiling at all — neither the 16-bit
+    descriptor limit nor the block size).  Offsets omitted like
+    scan_varlen_vb: block/segment packing is a sequential recurrence
+    no window-SQL oracle can replay; the byte-level round trip is
+    pinned by tests/test_varlen.py."""
+    path = fixture_gen.vbs_file_for(sf_dir)
+    df = read_rdw(spark, path, recfm="vbs", includeOffset="false")
+    return df.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.length("record_tail").cast("long").alias("tail_bytes"),
+    )
+
+
+@query(
+    "sink_varlen_vbs",
+    oracle="""
+    SELECT doc_id, COALESCE(lang, '') AS lang,
+           COALESCE(n_chars, 0) AS n_chars, COALESCE(text, '') AS text
+    FROM documents
+    """,
+)
+def sink_varlen_vbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round trip through OUR VBS sink: parquet -> spanned-blocked
+    varlen write (segments fill 1 KB blocks, records span, block-start
+    sidecar at idle boundaries) -> VBS read reassembling every text."""
+    configure(spark)
+    varlen.register(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.coalesce("lang", F.lit("")).alias("lang"),
+        F.coalesce("source", F.lit("")).alias("source"),
+        F.coalesce(F.col("n_chars"), F.lit(0)).alias("n_chars"),
+        F.coalesce("text", F.lit("")).alias("text"),
+    )
+    out = os.path.join(tempfile.gettempdir(), "flif_sink_varlen_vbs")
+    (
+        docs.write.format("varlen")
+        .option("prefixLength", str(fixture_gen.RDW_PREFIX_LEN))
+        .option("layout", fixture_gen.RDW_PREFIX_LAYOUT)
+        .option("tailColumn", "text")
+        .option("recfm", "vbs")
+        .option("blockSize", "1024")
+        .option("segmentSize", "256")
+        .mode("overwrite")
+        .save(out)
+    )
+    df = read_rdw(
+        spark, out, tailColumn="text", includeOffset="false", recfm="vbs",
+        blockSize="1024", segmentSize="256",
+    )
+    return df.select(
+        "doc_id", "lang", "n_chars", F.col("text").cast("string").alias("text")
+    )

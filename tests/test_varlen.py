@@ -180,12 +180,19 @@ def test_gzip_stream_read(spark, tmp_path):
 
 
 def test_rejects_spanned_segment_bytes(spark, tmp_path):
+    # segment-control code != 0 under recfm=V: error must point at VS
     p = str(tmp_path / "bad.rdw")
     rec = _rec(1, "t1", b"abc")
-    bad = rec[:2] + b"\x00\x01" + rec[4:]
+    bad = rec[:2] + b"\x01\x00" + rec[4:]
     _write_file(p, [bad])
-    with pytest.raises(Exception, match="RECFM=VS|segment"):
+    with pytest.raises(Exception, match="recfm='VS'|segment-control"):
         _read(spark, p).collect()
+    # nonzero RESERVED byte is corruption in every recfm
+    p2 = str(tmp_path / "bad2.rdw")
+    bad2 = rec[:2] + b"\x00\x01" + rec[4:]
+    _write_file(p2, [bad2])
+    with pytest.raises(Exception, match="reserved"):
+        _read(spark, p2).collect()
 
 
 def test_rejects_truncated_record_and_rdw(spark, tmp_path):
@@ -471,7 +478,7 @@ def test_vb_option_validation():
     from hadoop_fixedlengthinputformat_spark.sources.varlen import _VOptions
 
     with pytest.raises(ValueError, match="recfm"):
-        _VOptions.parse({"recfm": "vbs"})
+        _VOptions.parse({"recfm": "fb"})
     with pytest.raises(ValueError, match="blockSize"):
         _VOptions.parse(
             {"recfm": "vb", "blocksize": "8",
@@ -528,3 +535,206 @@ def test_vb_random_packing_round_trip(spark, tmp_path):
         assert [r.k for r in rows] == list(range(n))
         for r, rec in zip(rows, recs):
             assert bytes(r.record_tail) == rec[4 + PFX_LEN:]
+
+
+# ---------------------------------------------------------------- VS / VBS
+
+
+def _sdw(code: int, data: bytes) -> bytes:
+    return struct.pack(">HBB", 4 + len(data), code, 0) + data
+
+
+def _bdw(body: bytes) -> bytes:
+    return struct.pack(">HH", 4 + len(body), 0) + body
+
+
+def _spanned_rows(n: int, seed: int = 11, big_every: int = 0):
+    """(k, tail) rows with assorted tail sizes; big_every > 0 plants
+    records larger than both the 16-bit descriptor limit and any block."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        size = rng.choice([0, 1, 7, 90, 900, 3000])
+        if big_every and i % big_every == big_every - 1:
+            size = 70000 + rng.randrange(5000)
+        rows.append((i, bytes((i + j) % 256 for j in range(size))))
+    return rows
+
+
+@pytest.mark.parametrize("recfm,opts", [
+    ("vs", {"segmentSize": "512"}),
+    ("vbs", {"blockSize": "2048"}),
+    ("vbs", {"blockSize": "2048", "segmentSize": "300"}),
+])
+def test_spanned_round_trip_with_oversized_records(spark, tmp_path, recfm, opts):
+    """Write->read round trip where records EXCEED the 16-bit RDW limit
+    and (for VBS) the block size — the capability V/VB cannot express."""
+    rows = _spanned_rows(300, big_every=50)
+    df = spark.createDataFrame(
+        [(k, f"{k:06d}tttt".encode() + t) for k, t in rows],
+        "k long, value binary",
+    ).repartition(3)
+    out = str(tmp_path / f"out_{recfm}")
+    w = df.select("value").write.format("varlen").option("recfm", recfm)
+    for kk, vv in opts.items():
+        w = w.option(kk, vv)
+    w.mode("overwrite").save(out)
+    rd = (
+        spark.read.format("varlen").option("recfm", recfm)
+        .option("includeOffset", "false").load(out)
+    )
+    got = sorted(bytes(r.value) for r in rd.collect())
+    want = sorted(f"{k:06d}tttt".encode() + t for k, t in rows)
+    assert got == want
+
+
+@pytest.mark.parametrize("recfm", ["vs", "vbs"])
+def test_spanned_sidecar_splits_and_tiles_exactly(spark, tmp_path, recfm):
+    rows = _spanned_rows(2000, seed=23, big_every=400)
+    df = spark.createDataFrame(
+        [(k, t) for k, t in rows], "k long, t binary"
+    ).coalesce(1)
+    out = str(tmp_path / f"split_{recfm}")
+    (
+        df.selectExpr("k", "t as record_tail")
+        .write.format("varlen")
+        .option("prefixLength", "8").option("layout", "k:0:8:long")
+        .option("recfm", recfm).option("blockSize", "4096")
+        .option("segmentSize", "1024").option("indexEvery", "64")
+        .mode("overwrite").save(out)
+    )
+    rd = (
+        spark.read.format("varlen")
+        .option("prefixLength", "8").option("layout", "k:0:8:long")
+        .option("recfm", recfm).option("includeOffset", "false")
+        .option("maxPartitionBytes", "65536").load(out)
+    )
+    assert rd.rdd.getNumPartitions() > 1
+    got = sorted((r.k, bytes(r.record_tail)) for r in rd.collect())
+    assert got == sorted(rows)
+
+
+@pytest.mark.parametrize("recfm", ["vs", "vbs"])
+def test_spanned_build_index_foreign_file(tmp_path, recfm):
+    """A sidecar-less spanned file indexes in one header walk; offsets
+    are record starts (VS) / idle block starts (VBS)."""
+    rows = _spanned_rows(500, seed=31, big_every=100)
+    recs = []
+    for k, t in rows:
+        payload = struct.pack(">q", k) + t
+        cap = 700 - 4
+        chunks = [payload[i:i + cap] for i in range(0, len(payload), cap)] or [b""]
+        for j, c in enumerate(chunks):
+            code = 0 if len(chunks) == 1 else (
+                1 if j == 0 else 2 if j == len(chunks) - 1 else 3)
+            recs.append(_sdw(code, c))
+    p = str(tmp_path / f"foreign_{recfm}.rdw")
+    if recfm == "vs":
+        with open(p, "wb") as f:
+            f.write(b"".join(recs))
+    else:
+        with open(p, "wb") as f:
+            block = bytearray()
+            for s in recs:
+                if block and 4 + len(block) + len(s) > 4096:
+                    f.write(_bdw(bytes(block)))
+                    block.clear()
+                block.extend(s)
+            if block:
+                f.write(_bdw(bytes(block)))
+    payload = varlen.build_index(p, every=50, recfm=recfm)
+    assert payload["n_records"] == len(rows)
+    assert payload["offsets"][0] == 0
+    assert payload["data_bytes"] == os.path.getsize(p)
+    # every offset must be a safe re-entry point: walk from each offset
+    # to the next and count whole records
+    opts = _VOptions.parse({
+        "prefixlength": "8", "layout": "k:0:8:long", "recfm": recfm,
+        "blocksize": "4096",
+    })
+    from hadoop_fixedlengthinputformat_spark.sources.varlen import (
+        _record_iter_for,
+    )
+    bounds = payload["offsets"] + [payload["data_bytes"]]
+    n = 0
+    for lo, hi in zip(bounds, bounds[1:]):
+        with open(p, "rb") as f:
+            f.seek(lo)
+            for _off, _payload, _res in _record_iter_for(opts)(
+                f, lo, hi, 8, p
+            ):
+                n += 1
+    assert n == len(rows)
+
+
+def test_spanned_sequence_violations_raise(spark, tmp_path):
+    # middle with no open record
+    p1 = str(tmp_path / "v1.rdw")
+    with open(p1, "wb") as f:
+        f.write(_sdw(3, b"00000001x"))
+    with pytest.raises(Exception, match="no record open"):
+        _read_spanned(spark, p1).collect()
+    # first while a record is open
+    p2 = str(tmp_path / "v2.rdw")
+    with open(p2, "wb") as f:
+        f.write(_sdw(1, b"00000001x") + _sdw(1, b"00000002y"))
+    with pytest.raises(Exception, match="still open"):
+        _read_spanned(spark, p2).collect()
+    # EOF mid-record (batch mode = corruption)
+    p3 = str(tmp_path / "v3.rdw")
+    with open(p3, "wb") as f:
+        f.write(_sdw(1, b"00000001x"))
+    with pytest.raises(Exception, match="mid-spanned-record"):
+        _read_spanned(spark, p3).collect()
+
+
+def _read_spanned(spark, path, **extra):
+    varlen.register(spark)
+    r = (
+        spark.read.format("varlen")
+        .option("prefixLength", "8").option("layout", "k:0:8:string")
+        .option("recfm", "vs")
+    )
+    for k, v in extra.items():
+        r = r.option(k, v)
+    return r.load(path)
+
+
+def test_vbs_stream_holds_open_records_until_block_close(tmp_path):
+    from hadoop_fixedlengthinputformat_spark.sources.varlen import (
+        VarLenStreamReader,
+    )
+
+    p = str(tmp_path / "tail.rdw")
+    opts = _VOptions.parse({
+        "prefixlength": "4", "layout": "k:0:4:int", "recfm": "vbs",
+        "blocksize": "64",
+    })
+    rd = VarLenStreamReader(opts, p)
+    # block 1: record 1 complete mid-block, record 2's first segment
+    # closes the block -> NOTHING is admitted (no safe resume point yet)
+    with open(p, "wb") as f:
+        f.write(_bdw(_sdw(0, b"0001xx") + _sdw(1, b"0002yy")))
+    rows, off = rd._rows(0, None, stop_on_partial=True, max_bytes=1 << 20)
+    assert rows == [] and off == 0
+    # block 2 closes record 2 and adds record 3 -> all three admitted
+    with open(p, "ab") as f:
+        f.write(_bdw(_sdw(2, b"zz") + _sdw(0, b"0003ww")))
+    rows, off = rd._rows(0, None, stop_on_partial=True, max_bytes=1 << 20)
+    assert [r[1] for r in rows] == [1, 2, 3]
+    assert bytes(rows[1][2]) == b"yyzz"  # assembled across blocks
+    assert off == os.path.getsize(p)
+    # restart replay over the committed span is exact
+    replay = rd.readBetweenOffsets({"pos": 0}, {"pos": off})
+    assert [r[1] for r in replay] == [1, 2, 3]
+
+
+def test_spanned_option_validation():
+    with pytest.raises(ValueError, match="segmentSize"):
+        _VOptions.parse({"recfm": "vs", "segmentsize": "4"})
+    with pytest.raises(ValueError, match="blockSize"):
+        _VOptions.parse({"recfm": "vbs", "blocksize": "8"})
+    # VBS accepts records larger than a block - only the segment floor
+    # matters
+    o = _VOptions.parse({"recfm": "vbs", "blocksize": "9"})
+    assert o.recfm == "VBS"
