@@ -671,3 +671,162 @@ def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id", mn.alias("mn"), mx.alias("mx"), q.alias("q")
     )
+
+
+@query(
+    "llm_mix_weights",
+    oracle="""
+    WITH per AS (
+        SELECT COALESCE(source, '') AS source,
+               count(*) AS n_docs,
+               CAST(sum(length(COALESCE(text, ''))
+                        - length(replace(COALESCE(text, ''), ' ', '')) + 1)
+                    AS BIGINT) AS tok
+        FROM documents GROUP BY COALESCE(source, '')
+    ),
+    tot AS (SELECT CAST(sum(tok) AS BIGINT) AS tok_all FROM per),
+    u AS (
+        SELECT p.source, p.n_docs, p.tok,
+               CAST(floor(sqrt(CAST(p.tok AS DOUBLE) / t.tok_all)
+                          * 100000000 + 0.5) AS BIGINT) AS units
+        FROM per p CROSS JOIN tot t
+    ),
+    su AS (SELECT CAST(sum(units) AS BIGINT) AS units_all FROM u)
+    SELECT u.source, u.n_docs, u.tok,
+           floor(CAST(u.units AS DOUBLE) / s.units_all * 10000 + 0.5) / 10000
+               AS weight
+    FROM u CROSS JOIN su s
+    """,
+)
+def llm_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling weights per source (the multilingual
+    /multi-domain data-mixing rule of mBERT/XLM-R and the starting point
+    of DoReMi-style reweighting): w_s ∝ p_s^alpha with alpha = 0.5, so
+    low-resource sources are upsampled relative to their token share.
+
+    Determinism: sqrt (IEEE-exact in both engines) is snapped to 8
+    decimals as integer units BEFORE the cross-source sum — summing
+    int64 units is order-independent, where a float sum would depend on
+    Spark's partition merge order (the CLAUDE.md "snap transcendentals
+    before further math" rule).  Two tiny aggregates after one
+    source-keyed shuffle; the per-source table (~#sources rows) then
+    joins against two scalar totals — at 100 TB the heavy part stays
+    the first map-side-combined token count."""
+    from hadoop_fixedlengthinputformat_spark.functions import text as tx
+
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy(
+        F.coalesce("source", F.lit("")).alias("source")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tx.n_ws_tokens(F.coalesce("text", F.lit("")))).alias("tok"),
+    )
+    w_all = Window.partitionBy()
+    units = F.floor(
+        F.sqrt(F.col("tok").cast("double") / F.sum("tok").over(w_all))
+        * 100000000
+        + 0.5
+    ).cast("long")
+    u = per.select("source", "n_docs", "tok", units.alias("units"))
+    return u.select(
+        "source",
+        "n_docs",
+        "tok",
+        (
+            F.floor(
+                F.col("units").cast("double")
+                / F.sum("units").over(w_all)
+                * 10000
+                + 0.5
+            )
+            / 10000
+        ).alias("weight"),
+    )
+
+
+@query(
+    "llm_ccnet_bucket",
+    oracle="""
+    WITH scored AS (
+        SELECT COALESCE(lang, '') AS lang,
+               COALESCE(n_chars, 0) AS n_chars,
+               CAST((COALESCE(n_chars, 0) * 1000)
+                    // greatest(length(COALESCE(text, ''))
+                                - length(replace(COALESCE(text, ''), ' ', ''))
+                                + 1, 1) AS BIGINT) AS score_units,
+               md5(COALESCE(text, '')) AS tie,
+               doc_id
+        FROM documents
+    ),
+    b AS (
+        SELECT lang, n_chars, score_units,
+               ntile(3) OVER (
+                   PARTITION BY lang
+                   ORDER BY score_units ASC, tie ASC, doc_id ASC NULLS FIRST
+               ) AS tercile
+        FROM scored
+    )
+    SELECT lang,
+           CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           min(score_units) AS min_score,
+           max(score_units) AS max_score
+    FROM b GROUP BY lang, bucket
+    """,
+)
+def llm_ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language quality bucketing: rank every document
+    within its language by a deterministic quality score and cut the
+    ranking into head / middle / tail terciles (CCNet does this with LM
+    perplexity; the mechanics — per-lang windowed terciles feeding a
+    keep/drop policy — are identical for any monotone score, and the
+    score here is exact-integer so both engines rank bit-identically).
+
+    score_units = n_chars * 1000 / tokens (integer division): average
+    token length in milli-chars.  The ntile ORDER BY is a TOTAL order
+    (score, md5(text), doc_id) per the round-4 parallelism-tie rule —
+    duplicate doc_ids with identical text produce identical rows, so
+    tile assignment between them cannot change the output multiset.
+    One lang shuffle for the window, then a map-side-combined
+    aggregate; at 100 TB the window is the classic sort-within-lang
+    pass CCNet itself runs."""
+    d = load_table(spark, sf_dir, "documents")
+    from hadoop_fixedlengthinputformat_spark.functions import text as tx
+
+    txt = F.coalesce("text", F.lit(""))
+    # integer `div` on BOTH sides (`//` in the oracle): float division +
+    # CAST would round in DuckDB but truncate in Spark (CLAUDE.md rule)
+    score = F.expr(
+        "(coalesce(n_chars, 0) * 1000L) div greatest("
+        "length(coalesce(text, '')) "
+        "- length(replace(coalesce(text, ''), ' ', '')) + 1, 1)"
+    )
+    scored = d.select(
+        F.coalesce("lang", F.lit("")).alias("lang"),
+        F.coalesce("n_chars", F.lit(0)).alias("n_chars"),
+        score.cast("long").alias("score_units"),
+        F.md5(txt).alias("tie"),
+        "doc_id",
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("score_units").asc(),
+        F.col("tie").asc(),
+        F.col("doc_id").asc_nulls_first(),
+    )
+    b = scored.withColumn("tercile", F.ntile(3).over(w))
+    bucket = (
+        F.when(F.col("tercile") == 1, "head")
+        .when(F.col("tercile") == 2, "middle")
+        .otherwise("tail")
+    )
+    return (
+        b.groupBy("lang", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.min("score_units").alias("min_score"),
+            F.max("score_units").alias("max_score"),
+        )
+    )

@@ -126,6 +126,8 @@ GRADE_ORDER: tuple[str, ...] = (
     # (batch-equivalence oracles, weakest signal) ----
     "scan_varlen_vbs",
     "sink_varlen_vbs",
+    "llm_mix_weights",
+    "llm_ccnet_bucket",
     "fn_trig",
     "agg_mode",
     "stream_varlen_tail",
