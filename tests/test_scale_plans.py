@@ -519,3 +519,50 @@ def test_odo_scan_is_zero_exchange_row_op(spark):
     df = scan_fixedlen_odo(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_vbs_scan_is_zero_exchange_row_op(spark):
+    """scan_varlen_vbs: cross-block segment assembly happens inside each
+    reader partition (sidecar split points are assembler-idle block
+    starts) — the projection plan has no Exchange."""
+    from hadoop_fixedlengthinputformat_spark.sources.varlen_queries import (
+        scan_varlen_vbs,
+    )
+
+    df = scan_varlen_vbs(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_ccnet_bucket_single_lang_exchange(spark):
+    """llm_ccnet_bucket: ONE hash exchange on lang feeds both the ntile
+    window and (via partial aggregation) the rollup — no global sort,
+    no unpartitioned window."""
+    from hadoop_fixedlengthinputformat_spark.functions.corpus_extras import (
+        llm_ccnet_bucket,
+    )
+
+    df = llm_ccnet_bucket(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_ex = plan.count("Exchange hashpartitioning")
+    assert plan.count("Exchange rangepartitioning") == 0, plan
+    assert n_ex <= 2, plan  # lang window + group rollup, nothing else
+    assert "partial_count" in plan or "partial" in plan.lower(), plan
+
+
+def test_mix_weights_heavy_agg_is_map_side_combined(spark):
+    """llm_mix_weights: the token count over documents (the only part
+    that scales with the corpus) must partial-aggregate below its
+    exchange; the whole-frame windows run over the ~#sources-row
+    post-aggregate only."""
+    from hadoop_fixedlengthinputformat_spark.functions.corpus_extras import (
+        llm_mix_weights,
+    )
+
+    df = llm_mix_weights(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # partial agg below the source exchange
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    # the single-partition exchanges belong to the tiny post-agg windows,
+    # never to a scan-sized input: the scan feeds a hash exchange first
+    assert "Exchange hashpartitioning" in plan, plan
