@@ -1,0 +1,195 @@
+"""Round-5 curation widening: line-level dedup (RefinedWeb) and
+tokenizer application.
+
+``llm_line_dedup`` is the RefinedWeb/CCNet line-level pass: segments
+repeated across many documents (boilerplate, navigation chrome,
+license headers) are REMOVED from every document and the cleaned text
+reconstructed — unlike ``llm_passage_dedup`` which only reports the
+shared chunks.  The synthetic corpus has no newlines, so the "line"
+unit here is a fixed 10-token segment (documented stand-in; on a real
+corpus the splitter is ``split(text, '\\n')`` and everything downstream
+is unchanged).
+
+``llm_tokenizer_apply`` closes the tokenizer loop opened by
+``llm_bpe_train``: apply the trained merge table to the corpus and
+report per-document token counts.  The scalable shape is the same
+insight as training — encode the DISTINCT-WORD vocabulary (Heaps-law
+bounded) through the merge chain once, then map documents through the
+word->tokens dictionary with a broadcast join; the corpus is never
+touched by the iterative part.
+
+Cross-engine determinism follows the corpus_extras rules: single-space
+token splits, md5 content hashes, exposed integer sums CAST AS BIGINT
+on the oracle side (DuckDB HUGEINT rule, tests/test_oracle_types.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hadoop_fixedlengthinputformat_spark.functions import dedup, text
+from hadoop_fixedlengthinputformat_spark.registry import query
+from hadoop_fixedlengthinputformat_spark.tables import load_table
+
+_CHUNK = 10  # tokens per "line" segment
+_MIN_DOCS = 2  # segment is boilerplate when seen in >= this many docs
+
+_CANON_CTE = """
+        SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY md5(text) ASC,
+                                lang ASC NULLS FIRST,
+                                source ASC NULLS FIRST) AS rn
+            FROM documents WHERE text IS NOT NULL
+        ) WHERE rn = 1
+"""
+
+
+@query(
+    "llm_line_dedup",
+    oracle=f"""
+    WITH canon AS (
+        -- one row per doc_id (dedup.canonical_docs twin): duplicate ids
+        -- would emit duplicate per-doc rows and break the value hash
+        {_CANON_CTE}
+    ),
+    tok AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM canon
+    ),
+    chunks AS (
+        SELECT doc_id, i,
+               array_to_string(
+                   list_slice(t, i * {_CHUNK} + 1, i * {_CHUNK} + {_CHUNK}),
+                   ' ') AS chunk
+        FROM (
+            SELECT doc_id, t,
+                   unnest(range(0, CAST(ceil(len(t) / {_CHUNK}.0) AS BIGINT)))
+                       AS i
+            FROM tok
+        )
+    ),
+    dups AS (
+        SELECT md5(chunk) AS h
+        FROM chunks GROUP BY 1 HAVING count(DISTINCT doc_id) >= {_MIN_DOCS}
+    ),
+    flagged AS (
+        SELECT c.doc_id, c.i, c.chunk, (d.h IS NOT NULL) AS is_dup
+        FROM chunks c LEFT JOIN dups d ON md5(c.chunk) = d.h
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed,
+           md5(COALESCE(string_agg(CASE WHEN NOT is_dup THEN chunk END,
+                                   ' ' ORDER BY i), '')) AS clean_md5,
+           CAST(length(COALESCE(string_agg(CASE WHEN NOT is_dup THEN chunk END,
+                                           ' ' ORDER BY i), '')) AS BIGINT)
+               AS clean_chars
+    FROM flagged
+    GROUP BY doc_id
+    """,
+)
+def llm_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style line-level dedup with actual removal: segment
+    every document into fixed 10-token "lines", drop every segment
+    whose hash occurs in >= 2 distinct documents, and rebuild the
+    cleaned text from the surviving segments in original order.
+
+    Scale shape: segmentation is in-array codegen (transform over
+    sequence — the llm_passage_dedup recipe); only (doc_id, pos,
+    16-byte digest) rows ever explode or shuffle.  The boilerplate set
+    is a digest groupBy with map-side combine; membership is an inner
+    join on the digest; removal positions flow back to the chunk array
+    via one doc_id-keyed join (co-partitioned with the per-doc agg).
+    Document text itself never crosses an exchange — at 100 TB the
+    heavy columns stay columnar in the scan while digests do the work.
+    """
+    d = dedup.canonical_docs(load_table(spark, sf_dir, "documents"))
+    tok = d.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    n_chunks = F.ceil(F.size("t") / F.lit(float(_CHUNK))).cast("int")
+    chunked = tok.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(" ", F.slice("t", i * _CHUNK + 1, _CHUNK)),
+        ).alias("chunks"),
+    )
+    hashed = chunked.select(
+        "doc_id", F.posexplode("chunks").alias("pos", "chunk")
+    ).select(
+        "doc_id", "pos", F.md5(F.col("chunk").cast("binary")).alias("h")
+    )
+    dups = (
+        hashed.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= _MIN_DOCS)
+        .select("h")
+    )
+    rm = (
+        hashed.join(dups, "h")
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("rm"))
+    )
+    merged = chunked.join(rm, "doc_id", "left")
+    rm_arr = F.coalesce(F.col("rm"), F.array().cast("array<int>"))
+    clean = F.array_join(
+        F.filter("chunks", lambda x, i: ~F.array_contains(rm_arr, i)), " "
+    )
+    return merged.select(
+        "doc_id",
+        F.size("chunks").cast("bigint").alias("n_lines"),
+        F.when(F.col("rm").isNull(), F.lit(0))
+        .otherwise(F.size("rm"))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.md5(clean.cast("binary")).alias("clean_md5"),
+        F.length(clean).cast("bigint").alias("clean_chars"),
+    )
+
+
+@query("llm_tokenizer_apply")  # trained-merge encode — rows-only by nature
+def llm_tokenizer_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the llm_bpe_train merge table to the corpus: per document,
+    the BPE token count, whitespace token count, and mean tokens/word.
+
+    Encoding runs over the DISTINCT-WORD vocabulary: each merge rank is
+    one JVM ``aggregate`` lambda (text.merge_pair_expr — the exact
+    expression the trainer uses for its vocab updates, so train and
+    apply can never diverge), chained over |vocab| rows.  Documents
+    then join the word->n_tokens dictionary (broadcast here; the
+    vocabulary is Heaps-law bounded, and at web scale the same join
+    runs as a plain digest-keyed hash join) and aggregate per doc_id.
+    The corpus is touched exactly twice (vocab build + final join) no
+    matter how many merges apply.  Iterative with a data-dependent
+    merge table => rows-only driver check; encode semantics pinned
+    against a hand-computed walkthrough in tests/test_curation.py.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r["left"], r["right"])
+        for r in text.bpe_train(d, n_merges=8).collect()
+    ]
+    doc_words = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    enc = doc_words.select("word").distinct().select(
+        "word", text.char_toks_expr("word").alias("toks")
+    )
+    for a, b in merges:
+        enc = enc.select("word", text.merge_pair_expr(a, b).alias("toks"))
+    enc = enc.select("word", F.size("toks").alias("n_toks"))
+    return (
+        doc_words.join(F.broadcast(enc), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_toks").alias("n_bpe_tokens"),
+            F.count(F.lit(1)).alias("n_ws_tokens"),
+        )
+        .withColumn(
+            "toks_per_word",
+            F.col("n_bpe_tokens").cast("double") / F.col("n_ws_tokens"),
+        )
+    )

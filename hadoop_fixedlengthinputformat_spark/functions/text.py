@@ -143,12 +143,7 @@ def bpe_train(df, text_col: str = "text", n_merges: int = 8):
     )
     # word -> char tokens with an end-of-word marker on the last char
     vocab = words.select(
-        "freq",
-        F.expr(
-            "transform(sequence(1, length(word)), "
-            "i -> if(i = length(word), substring(word, i, 1) || '</w>', "
-            "substring(word, i, 1)))"
-        ).alias("toks"),
+        "freq", char_toks_expr("word").alias("toks")
     ).localCheckpoint(eager=True)
 
     merges = []
@@ -174,21 +169,39 @@ def bpe_train(df, text_col: str = "text", n_merges: int = 8):
             break
         a, b, cnt = top[0].a, top[0].b, top[0].pair_count
         merges.append((rank, a, b, cnt))
-        merged = a + b
         # greedy left-to-right merge of (a, b) in one JVM lambda
         vocab = vocab.select(
-            "freq",
-            F.expr(
-                f"aggregate(toks, array(cast(null as string)), "
-                f"(acc, x) -> case "
-                f"  when size(acc) = 1 and acc[0] is null then array(x) "
-                f"  when element_at(acc, -1) = {_sq(a)} and x = {_sq(b)} "
-                f"    then concat(slice(acc, 1, size(acc) - 1), array({_sq(merged)})) "
-                f"  else concat(acc, array(x)) end)"
-            ).alias("toks"),
+            "freq", merge_pair_expr(a, b).alias("toks")
         ).localCheckpoint(eager=True)
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_count bigint"
+    )
+
+
+def char_toks_expr(word_col: str = "word"):
+    """``word`` -> its BPE start state: one token per character with the
+    ``</w>`` end-of-word marker appended to the last (the classic
+    Sennrich et al. 2016 convention).  Pure codegen expression."""
+    return F.expr(
+        f"transform(sequence(1, length({word_col})), "
+        f"i -> if(i = length({word_col}), substring({word_col}, i, 1) || '</w>', "
+        f"substring({word_col}, i, 1)))"
+    )
+
+
+def merge_pair_expr(a: str, b: str, toks_col: str = "toks"):
+    """Greedy left-to-right application of merge ``(a, b)`` to a token
+    array, in one JVM ``aggregate`` lambda — shared by the trainer's
+    per-round vocab update and the tokenizer-apply encoder, so the two
+    can never disagree on merge semantics."""
+    merged = a + b
+    return F.expr(
+        f"aggregate({toks_col}, array(cast(null as string)), "
+        f"(acc, x) -> case "
+        f"  when size(acc) = 1 and acc[0] is null then array(x) "
+        f"  when element_at(acc, -1) = {_sq(a)} and x = {_sq(b)} "
+        f"    then concat(slice(acc, 1, size(acc) - 1), array({_sq(merged)})) "
+        f"  else concat(acc, array(x)) end)"
     )
 
 

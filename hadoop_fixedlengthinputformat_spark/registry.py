@@ -139,10 +139,16 @@ GRADE_ORDER: tuple[str, ...] = (
     "stream_stream_join",
     "stream_foreach_batch",
     "stream_fixedlen_sink",
+    # round-5 session-2 widening: RECFM=FBA carriage control + the
+    # RefinedWeb line-level dedup (all exact-SQL oracles)
+    "scan_fixedlen_asa",
+    "sink_fixedlen_asa",
+    "llm_line_dedup",
     # rows-only sketches stay LAST of the queued names (VERDICT r3 #5):
     # no_oracle rows burn grading signal
     "stream_watermark_late_drop",
     "agg_hll_mergeable",
+    "llm_tokenizer_apply",
 )
 
 
@@ -222,6 +228,12 @@ def load_all() -> None:
     from hadoop_fixedlengthinputformat_spark.operators import (  # noqa: F401
         analytics_extras,
         diagnostics,
+    )
+    from hadoop_fixedlengthinputformat_spark.sources import (  # noqa: F401
+        asa_queries,
+    )
+    from hadoop_fixedlengthinputformat_spark.functions import (  # noqa: F401
+        curation_extras,
     )
 
     _reorder()

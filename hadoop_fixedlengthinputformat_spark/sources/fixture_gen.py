@@ -376,6 +376,54 @@ def vbs_file_for(
     return out
 
 
+# RECFM=FBA (ASA carriage control) fixture: nation as a mainframe print
+# file — every record's byte 0 is an ANSI/ASA control character that
+# positions the line BEFORE printing ('1' top-of-form, '0' double-space,
+# '-' triple-space, '+' overprint, ' ' single-space).  z/OS datasets with
+# RECFM=FBA/VBA carry exactly this layout; the reference's fixed-length
+# model reads them as data bytes with no channel interpretation.
+ASA_RL = 41
+ASA_LAYOUT = (
+    "cc:0:1:string,n_nationkey:1:5:int,n_name:6:30:string,n_regionkey:36:5:int"
+)
+
+
+def asa_cc(rn: int) -> str:
+    """Deterministic control char for data row ``rn`` (0-based rank in
+    n_nationkey order) — SQL-derivable so oracles recompute it:
+    page break every 10 rows, with one double-space, one overprint and
+    one triple-space per page."""
+    m = rn % 10
+    return {0: "1", 3: "+", 5: "0", 8: "-"}.get(m, " ")
+
+
+def asa_file_for(sf_dir: str) -> str:
+    """Path of the RECFM=FBA serialization of ``sf_dir/nation.parquet``
+    (ASA control byte + the nation layout shifted right by one)."""
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|asa|{source_stamp(sf_dir)}".encode()
+    ).hexdigest()[:12]
+    out = os.path.join(fixture_dir(), f"nation-asa-{tag}.fixed")
+    if os.path.exists(out):
+        return out
+    tbl = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    fields = parse_layout(ASA_LAYOUT, ASA_RL)
+    rows = []
+    for rn, r in enumerate(tbl.sort_by("n_nationkey").to_pylist()):
+        rows.append({
+            "cc": asa_cc(rn),
+            "n_nationkey": r["n_nationkey"],
+            "n_name": r["n_name"] or "",
+            "n_regionkey": r["n_regionkey"] if r["n_regionkey"] is not None else 0,
+        })
+    payload = encode_rows(rows, fields, ASA_RL)
+    tmp = out + f".tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(payload)
+    os.replace(tmp, out)
+    return out
+
+
 ODO_LAYOUT = "n_nationkey:0:5:int,n_vals:5:1:int,vals:6:5:int[3->n_vals]"
 ODO_RL = 21
 

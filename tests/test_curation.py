@@ -1,0 +1,124 @@
+"""Round-5 curation operators: BPE tokenizer-apply and line-level dedup.
+
+The line-dedup check is a third-engine oracle: a pure-Python replay of
+the whole operator (canonicalization, 10-token segmentation, cross-doc
+boilerplate set, reconstruction) compared row-for-row against Spark —
+independent of both Spark and the DuckDB parity oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pyarrow.parquet as pq
+
+from hadoop_fixedlengthinputformat_spark.functions import text
+from hadoop_fixedlengthinputformat_spark.functions.curation_extras import (
+    _CHUNK,
+    _MIN_DOCS,
+    llm_line_dedup,
+    llm_tokenizer_apply,
+)
+
+
+def ref_encode(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Reference BPE encode: chars + '</w>', then each merge applied
+    greedily left-to-right in rank order (Sennrich et al. 2016)."""
+    toks = list(word)
+    toks[-1] += "</w>"
+    for a, b in merges:
+        out: list[str] = []
+        for t in toks:
+            if out and out[-1] == a and t == b:
+                out[-1] = a + b
+            else:
+                out.append(t)
+        toks = out
+    return toks
+
+
+def test_merge_pair_expr_matches_reference(spark):
+    words = ["lower", "lowest", "newer", "wider", "low", "l", "héllo"]
+    merges = [("e", "r</w>"), ("l", "o"), ("lo", "w"), ("w", "er</w>")]
+    df = spark.createDataFrame([(w,) for w in words], "word string").select(
+        "word", text.char_toks_expr("word").alias("toks")
+    )
+    for a, b in merges:
+        df = df.select("word", text.merge_pair_expr(a, b).alias("toks"))
+    got = {r["word"]: list(r["toks"]) for r in df.collect()}
+    for w in words:
+        assert got[w] == ref_encode(w, merges), w
+
+
+def test_char_toks_detokenize_roundtrip(spark):
+    """Concatenating the start-state tokens and dropping the end marker
+    must reproduce the word (BPE is lossless), incl. non-ASCII."""
+    words = ["spark", "a", "héllo", "naïve", "日本語"]
+    df = spark.createDataFrame([(w,) for w in words], "word string").select(
+        "word", text.char_toks_expr("word").alias("toks")
+    )
+    for r in df.collect():
+        assert "".join(r["toks"]).replace("</w>", "") == r["word"]
+
+
+def test_tokenizer_apply_counts(spark, sf_dir):
+    rows = llm_tokenizer_apply(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        # merges only ever shrink the per-word token count, and every
+        # word is at least one token
+        assert r.n_ws_tokens <= r.n_bpe_tokens
+        assert abs(r.toks_per_word - r.n_bpe_tokens / r.n_ws_tokens) < 1e-12
+
+
+def _canonical_docs_py(rows: list[dict]) -> dict[int, str]:
+    """Python replay of dedup.canonical_docs ordering (md5(text) asc,
+    lang asc NULLS FIRST, source asc NULLS FIRST)."""
+    best: dict[int, tuple] = {}
+    for r in rows:
+        if r["text"] is None:
+            continue
+        key = (
+            hashlib.md5(r["text"].encode()).hexdigest(),
+            (r["lang"] is not None, r["lang"] or ""),
+            (r["source"] is not None, r["source"] or ""),
+        )
+        if r["doc_id"] not in best or key < best[r["doc_id"]][0]:
+            best[r["doc_id"]] = (key, r["text"])
+    return {k: v[1] for k, v in best.items()}
+
+
+def test_line_dedup_matches_python_replay(spark, sf_dir):
+    docs = pq.read_table(f"{sf_dir}/documents.parquet").to_pylist()
+    canon = _canonical_docs_py(docs)
+    chunks: dict[int, list[str]] = {}
+    for doc_id, t in canon.items():
+        toks = t.split(" ")
+        n = math.ceil(len(toks) / _CHUNK)
+        chunks[doc_id] = [
+            " ".join(toks[i * _CHUNK : (i + 1) * _CHUNK]) for i in range(n)
+        ]
+    seen: dict[str, set[int]] = {}
+    for doc_id, cs in chunks.items():
+        for c in cs:
+            seen.setdefault(c, set()).add(doc_id)
+    dup = {c for c, ids in seen.items() if len(ids) >= _MIN_DOCS}
+    expected = {}
+    for doc_id, cs in chunks.items():
+        kept = [c for c in cs if c not in dup]
+        clean = " ".join(kept)
+        expected[doc_id] = (
+            len(cs),
+            sum(1 for c in cs if c in dup),
+            hashlib.md5(clean.encode()).hexdigest(),
+            len(clean),
+        )
+
+    got = {
+        r.doc_id: (r.n_lines, r.n_removed, r.clean_md5, r.clean_chars)
+        for r in llm_line_dedup(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # the corpus genuinely contains cross-doc boilerplate to remove
+    assert any(v[1] > 0 for v in got.values())
