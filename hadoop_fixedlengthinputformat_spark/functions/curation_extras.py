@@ -149,6 +149,156 @@ def llm_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# span-corruption hash: deterministic exact-integer arithmetic, written
+# as ((x % M) + M) % M so Spark and DuckDB agree for negative dividends
+# (both give C-style sign-of-dividend %; the double-mod normalizes).
+_M = 1048576  # 2^20
+_A, _B = 2654435761, 40503  # Knuth multiplicative constants
+
+
+def _h_sql(w: str) -> str:
+    return (
+        f"(((COALESCE(doc_id, -1) * {_A} + ({w}) * {_B}) % {_M}) + {_M}) % {_M}"
+    )
+
+
+@query(
+    "llm_span_corruption",
+    oracle=f"""
+    WITH canon AS (
+        {_CANON_CTE}
+    ),
+    base AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM canon
+    ),
+    calc AS (
+        SELECT doc_id, t,
+               CAST(len(t) AS BIGINT) AS n_tok,
+               len(t) // 20 AS n_win,
+               {_h_sql('0')} AS h0
+        FROM base
+    )
+    SELECT doc_id, n_tok,
+           CAST(n_win AS BIGINT) AS n_spans,
+           CAST(COALESCE(list_sum(list_transform(range(0, n_win),
+                    w -> 2 + ({_h_sql('w')}) % 2)), 0) AS BIGINT) AS n_masked,
+           CASE WHEN n_win >= 1
+                THEN array_to_string(
+                         list_slice(t, (h0 % 18) + 1,
+                                    (h0 % 18) + 2 + (h0 % 2)), ' ')
+           END AS span0_text
+    FROM calc
+    """,
+)
+def llm_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/UL2-style span-corruption assignment: partition each document
+    into 20-token windows and deterministically pick one 2-3 token mask
+    span per window (≈12.5% corruption) from a Knuth multiplicative
+    hash of (doc_id, window) — reproducible across runs, engines, and
+    incremental drops, unlike rand()-driven masking (the
+    llm_holdout_split argument).  Windows are disjoint so spans never
+    overlap by construction — no merge pass.  Everything is in-array
+    codegen arithmetic on the token array: no explode, no shuffle, a
+    pure projection that trivially scales (the llm_chunk_split shape).
+    span0_text materializes the first masked span so the oracle checks
+    actual token extraction, not just counts."""
+    d = dedup.canonical_docs(load_table(spark, sf_dir, "documents"))
+    base = d.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    n_win = F.expr("size(t) div 20")
+    h0 = F.expr(_h_sql("0"))
+    return base.select(
+        "doc_id",
+        F.size("t").cast("bigint").alias("n_tok"),
+        n_win.cast("bigint").alias("n_spans"),
+        F.when(
+            n_win >= 1,
+            F.expr(
+                f"aggregate(transform(sequence(0, size(t) div 20 - 1), "
+                f"w -> 2 + ({_h_sql('w')}) % 2), 0L, (a, x) -> a + x)"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("n_masked"),
+        F.when(
+            n_win >= 1,
+            F.concat_ws(
+                " ",
+                F.slice(
+                    "t",
+                    ((h0 % 18) + 1).cast("int"),
+                    (F.lit(2) + (h0 % 2)).cast("int"),
+                ),
+            ),
+        ).alias("span0_text"),
+    )
+
+
+@query(
+    "llm_ngram_novelty",
+    oracle=f"""
+    WITH canon AS (
+        {_CANON_CTE}
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id, md5(g) AS h FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(len(t) - 2, 1) + 1),
+                       i -> array_to_string(list_slice(t, i, i + 2), ' ')))
+                       AS g
+            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM canon)
+        )
+    ),
+    df AS (SELECT h, count(*) AS n_docs FROM grams GROUP BY h)
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN df.n_docs = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel,
+           CAST(SUM(CASE WHEN df.n_docs = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) AS novelty
+    FROM grams g JOIN df ON g.h = df.h
+    GROUP BY g.doc_id
+    """,
+)
+def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty (the RefinedWeb/FineWeb 'how much of
+    this page is boilerplate' signal, inverted): the fraction of a
+    doc's DISTINCT word-3-gram shingles that occur in no other
+    document (corpus df = 1).  High novelty = original content; low =
+    template chrome worth down-weighting before training.
+
+    Scale shape: shingles hash to md5 in-array before the (doc_id, h)
+    distinct — text never crosses an exchange; df is a digest groupBy
+    with map-side combine; the df table joins back on the digest and
+    the per-doc agg reuses the doc_id partitioning.  Same machinery
+    class as llm_passage_dedup (driver-green), one extra digest join.
+    Novelty is one double division of exact int64s — nothing to snap."""
+    d = dedup.canonical_docs(load_table(spark, sf_dir, "documents"))
+    grams = (
+        d.select(
+            "doc_id",
+            F.explode(dedup.word_shingles(d, n=3)).alias("g"),
+        )
+        .select("doc_id", F.md5(F.col("g").cast("binary")).alias("h"))
+        .distinct()
+    )
+    df_tbl = grams.groupBy("h").agg(F.count(F.lit(1)).alias("n_docs"))
+    novel_flag = F.when(F.col("n_docs") == 1, 1).otherwise(0)
+    return (
+        grams.join(df_tbl, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(novel_flag).cast("bigint").alias("n_novel"),
+        )
+        .withColumn(
+            "novelty",
+            F.col("n_novel").cast("double") / F.col("n_grams"),
+        )
+    )
+
+
 @query("llm_tokenizer_apply")  # trained-merge encode — rows-only by nature
 def llm_tokenizer_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply the llm_bpe_train merge table to the corpus: per document,

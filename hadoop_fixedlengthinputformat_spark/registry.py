@@ -144,6 +144,8 @@ GRADE_ORDER: tuple[str, ...] = (
     "scan_fixedlen_asa",
     "sink_fixedlen_asa",
     "llm_line_dedup",
+    "llm_span_corruption",
+    "llm_ngram_novelty",
     # rows-only sketches stay LAST of the queued names (VERDICT r3 #5):
     # no_oracle rows burn grading signal
     "stream_watermark_late_drop",

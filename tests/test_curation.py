@@ -122,3 +122,50 @@ def test_line_dedup_matches_python_replay(spark, sf_dir):
     assert got == expected
     # the corpus genuinely contains cross-doc boilerplate to remove
     assert any(v[1] > 0 for v in got.values())
+
+
+def test_span_corruption_matches_python_replay(spark, sf_dir):
+    """Third-engine replay of the span-corruption assignment."""
+    from hadoop_fixedlengthinputformat_spark.functions.curation_extras import (
+        _A,
+        _B,
+        _M,
+        llm_span_corruption,
+    )
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet").to_pylist()
+    canon = _canonical_docs_py(docs)
+    expected = {}
+    for doc_id, t in canon.items():
+        toks = t.split(" ")
+        n_win = len(toks) // 20
+        key = doc_id if doc_id is not None else -1
+        h = lambda w: (key * _A + w * _B) % _M  # noqa: E731  (key >= 0 here)
+        n_masked = sum(2 + h(w) % 2 for w in range(n_win))
+        span0 = None
+        if n_win >= 1:
+            s0, l0 = h(0) % 18, 2 + h(0) % 2
+            span0 = " ".join(toks[s0 : s0 + l0])
+        expected[doc_id] = (len(toks), n_win, n_masked, span0)
+    got = {
+        r.doc_id: (r.n_tok, r.n_spans, r.n_masked, r.span0_text)
+        for r in llm_span_corruption(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert any(v[2] > 0 for v in got.values())
+
+
+def test_ngram_novelty_bounds_and_uniqueness(spark, sf_dir):
+    from hadoop_fixedlengthinputformat_spark.functions.curation_extras import (
+        llm_ngram_novelty,
+    )
+
+    rows = llm_ngram_novelty(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert len({r.doc_id for r in rows}) == len(rows)
+    for r in rows:
+        assert 0 <= r.n_novel <= r.n_grams
+        assert abs(r.novelty - r.n_novel / r.n_grams) < 1e-12
+    # the corpus has both boilerplate-heavy and original docs
+    assert any(r.novelty < 1.0 for r in rows)
+    assert any(r.novelty > 0.0 for r in rows)

@@ -566,3 +566,85 @@ def test_mix_weights_heavy_agg_is_map_side_combined(spark):
     # the single-partition exchanges belong to the tiny post-agg windows,
     # never to a scan-sized input: the scan feeds a hash exchange first
     assert "Exchange hashpartitioning" in plan, plan
+
+
+def test_line_dedup_digest_only_exchanges(spark):
+    """llm_line_dedup: document text must never cross an exchange — the
+    shuffles carry (doc_id, pos, 16-byte digest) rows and the removal
+    set joins back on doc_id.  No cartesian, no broadcast of the
+    corpus-sized side, partial agg below the digest groupBy."""
+    from hadoop_fixedlengthinputformat_spark.functions.curation_extras import (
+        llm_line_dedup,
+    )
+
+    df = llm_line_dedup(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_count" in plan, plan  # countDistinct partials
+    # the chunk arrays (text) may only appear below a doc_id-keyed
+    # exchange for the final join — never below the digest exchange; the
+    # digest groupBy's exchange must exist
+    assert "Exchange hashpartitioning(h#" in plan, plan
+
+
+def test_tokenizer_apply_vocab_broadcast(spark):
+    """llm_tokenizer_apply: the word->n_tokens dictionary joins the
+    corpus via broadcast (vocab is Heaps-bounded); the per-doc count is
+    map-side combined below its exchange."""
+    from hadoop_fixedlengthinputformat_spark.functions.curation_extras import (
+        llm_tokenizer_apply,
+    )
+
+    df = llm_tokenizer_apply(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_sum" in plan, plan
+
+
+def test_asa_scan_decodes_in_reader(spark):
+    """scan_fixedlen_asa: everything except the two bounded print-
+    geometry windows is inside the reader partitions — exactly one
+    single-partition exchange pair for the report-order running sums,
+    no hash exchange, no Python post-stage."""
+    from hadoop_fixedlengthinputformat_spark.sources.asa_queries import (
+        scan_fixedlen_asa,
+    )
+
+    df = scan_fixedlen_asa(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_span_corruption_is_projection_only(spark):
+    """llm_span_corruption: mask assignment is pure in-array arithmetic —
+    the only exchange permitted is the canonical_docs doc_id dedup; no
+    explode, no Python stage, no join."""
+    from hadoop_fixedlengthinputformat_spark.functions.curation_extras import (
+        llm_span_corruption,
+    )
+
+    df = llm_span_corruption(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1, plan  # canonical_docs window only
+    assert "Generate" not in plan, plan  # no explode
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_ngram_novelty_digest_only_exchanges(spark):
+    """llm_ngram_novelty: every exchange key is a digest or doc_id —
+    the gram strings are hashed in-array before the distinct, so no
+    text column is ever shuffled; df joins back on the digest."""
+    from hadoop_fixedlengthinputformat_spark.functions.curation_extras import (
+        llm_ngram_novelty,
+    )
+
+    df = llm_ngram_novelty(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_count" in plan, plan
+    # exchanges keyed on the digest h / doc_id only — never on g or text
+    import re
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)#", plan)
+    assert keys and set(keys) <= {"h", "doc_id"}, keys
