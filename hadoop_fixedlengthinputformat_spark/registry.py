@@ -143,6 +143,7 @@ GRADE_ORDER: tuple[str, ...] = (
     # RefinedWeb line-level dedup (all exact-SQL oracles)
     "scan_fixedlen_asa",
     "sink_fixedlen_asa",
+    "scan_varlen_vba",
     "llm_line_dedup",
     "llm_span_corruption",
     "llm_ngram_novelty",

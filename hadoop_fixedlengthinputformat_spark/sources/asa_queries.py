@@ -170,3 +170,73 @@ def sink_fixedlen_asa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("includeOffset", "false")
         .load(out)
     )
+
+
+@query(
+    "scan_varlen_vba",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id,
+               CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT)
+                   AS tail_bytes,
+               ROW_NUMBER() OVER (ORDER BY doc_id, md5(COALESCE(text, '')),
+                                  COALESCE(lang, ''), COALESCE(source, ''))
+                   - 1 AS rn
+        FROM documents
+    ),
+    ctl AS (
+        SELECT doc_id, tail_bytes, rn, {CC_FROM_RANK_SQL} AS cc
+        FROM ranked
+    ),
+    adv AS (
+        SELECT *, {ADVANCE_SQL} AS cc_advance,
+               CAST(SUM(CASE WHEN cc = '1' THEN 1 ELSE 0 END)
+                    OVER (ORDER BY rn) AS BIGINT) AS page_no
+        FROM ctl
+    )
+    SELECT doc_id, tail_bytes, cc, cc_advance, page_no,
+           CAST(SUM(cc_advance) OVER (PARTITION BY page_no ORDER BY rn)
+                AS BIGINT) AS line_no
+    FROM adv
+    """,
+)
+def scan_varlen_vba(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECFM=VBA scan — variable-length print records (SYSOUT spools,
+    job logs): each RDW record's prefix leads with the ASA control
+    byte, the tail is the variable print line.  Completes the print
+    family next to the fixed-length FBA pair; the geometry windows are
+    the same two running sums, ordered by record_offset on the Spark
+    side and by the fixture's documented total order in the oracle
+    (record_offset is strictly increasing in that order)."""
+    from hadoop_fixedlengthinputformat_spark.sources import varlen
+
+    configure(spark)
+    varlen.register(spark)
+    path = fixture_gen.vba_file_for(sf_dir)
+    df = (
+        spark.read.format("varlen")
+        .option("prefixLength", str(fixture_gen.VBA_PREFIX_LEN))
+        .option("layout", fixture_gen.VBA_PREFIX_LAYOUT)
+        .load(path)
+    )
+    w_page = Window.orderBy("record_offset").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    adv = df.select(
+        "doc_id",
+        F.length("record_tail").cast("long").alias("tail_bytes"),
+        "record_offset",
+        "cc",
+        F.expr(ADVANCE_SQL).alias("cc_advance"),
+        F.sum(F.when(F.col("cc") == "1", 1).otherwise(0))
+        .over(w_page)
+        .alias("page_no"),
+    )
+    w_line = (
+        Window.partitionBy("page_no")
+        .orderBy("record_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return adv.withColumn("line_no", F.sum("cc_advance").over(w_line)).drop(
+        "record_offset"
+    )

@@ -424,6 +424,46 @@ def asa_file_for(sf_dir: str) -> str:
     return out
 
 
+# RECFM=VBA fixture: the documents RDW serialization with an ASA
+# control byte leading each record's fixed prefix (variable-length
+# print datasets — SYSOUT spools, z/OS job logs).
+VBA_PREFIX_LEN = 23
+VBA_PREFIX_LAYOUT = (
+    "cc:0:1:string,doc_id:1:8:long,lang:9:2:string,source:11:6:string,"
+    "n_chars:17:6:int"
+)
+
+
+def vba_file_for(sf_dir: str) -> str:
+    """RECFM=V(A) serialization of ``documents.parquet``: RDW records
+    whose prefix leads with the asa_cc control byte (rank-derived, same
+    rule as the FBA fixture); same coalesce + total-order rules as the
+    V fixture."""
+    import struct
+
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|vba|{source_stamp(sf_dir)}".encode()
+    ).hexdigest()[:12]
+    out = os.path.join(fixture_dir(), f"documents-{tag}.vba.rdw")
+    if os.path.exists(out):
+        return out
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    fields = parse_layout(VBA_PREFIX_LAYOUT, VBA_PREFIX_LEN)
+    payload = bytearray()
+    for rn, r in enumerate(sorted(tbl.to_pylist(), key=rdw_doc_sort_key)):
+        r = rdw_coalesce(r)
+        r["cc"] = asa_cc(rn)
+        tail = r["text"].encode("utf-8")
+        prefix = encode_rows([r], fields, VBA_PREFIX_LEN)
+        total = 4 + VBA_PREFIX_LEN + len(tail)
+        payload += struct.pack(">HH", total, 0) + prefix + tail
+    tmp = out + f".tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(payload)
+    os.replace(tmp, out)
+    return out
+
+
 ODO_LAYOUT = "n_nationkey:0:5:int,n_vals:5:1:int,vals:6:5:int[3->n_vals]"
 ODO_RL = 21
 

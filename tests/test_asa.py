@@ -44,3 +44,25 @@ def test_asa_sink_roundtrip(spark, sf_dir):
     for rn, r in enumerate(rows):
         assert r.cc == fixture_gen.asa_cc(rn).rstrip()
         assert r.n_name == r.n_name.rstrip()
+
+
+def test_vba_scan_geometry_and_tails(spark, sf_dir):
+    """RECFM=VBA: control byte decodes from the record prefix, page/line
+    geometry follows the print-carriage semantics, and the variable tail
+    length round-trips."""
+    from hadoop_fixedlengthinputformat_spark.sources.asa_queries import (
+        scan_varlen_vba,
+    )
+
+    rows = scan_varlen_vba(spark, sf_dir).collect()
+    assert len(rows) > 0
+    pages = [r.page_no for r in rows]
+    assert min(pages) == 1 and max(pages) == (len(rows) - 1) // 10 + 1
+    # every page's line numbers follow the advance cycle
+    by_page: dict[int, list] = {}
+    for r in rows:
+        by_page.setdefault(r.page_no, []).append(r)
+    for recs in by_page.values():
+        recs.sort(key=lambda r: r.line_no)
+        assert recs[0].cc == "1" and recs[0].line_no == 1
+        assert any(r.tail_bytes >= 0 for r in recs)
