@@ -269,11 +269,14 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     template chrome worth down-weighting before training.
 
     Scale shape: shingles hash to md5 in-array before the (doc_id, h)
-    distinct — text never crosses an exchange; df is a digest groupBy
-    with map-side combine; the df table joins back on the digest and
-    the per-doc agg reuses the doc_id partitioning.  Same machinery
-    class as llm_passage_dedup (driver-green), one extra digest join.
-    Novelty is one double division of exact int64s — nothing to snap."""
+    distinct — text never crosses an exchange; the digest table is
+    localCheckpointed (consumed twice — the pagerank/funnel rule)
+    instead of re-exploding the corpus per consumer.  A df=1 gram
+    belongs to exactly ONE doc, so n_novel needs no gram-level join
+    back: the digest groupBy carries min(doc_id) alongside the count
+    and the solo grams aggregate straight to their owner — the only
+    join is per-doc-sized (two rows per doc at most).  Novelty is one
+    double division of exact int64s — nothing to snap."""
     d = dedup.canonical_docs(load_table(spark, sf_dir, "documents"))
     grams = (
         d.select(
@@ -282,15 +285,27 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.md5(F.col("g").cast("binary")).alias("h"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    df_tbl = grams.groupBy("h").agg(F.count(F.lit(1)).alias("n_docs"))
-    novel_flag = F.when(F.col("n_docs") == 1, 1).otherwise(0)
-    return (
-        grams.join(df_tbl, "h")
-        .groupBy("doc_id")
+    n_grams = grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams")
+    )
+    novel = (
+        grams.groupBy("h")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
-            F.sum(novel_flag).cast("bigint").alias("n_novel"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("solo_doc"),
+        )
+        .filter(F.col("n_docs") == 1)
+        .groupBy(F.col("solo_doc").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_novel"))
+    )
+    return (
+        n_grams.join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
         )
         .withColumn(
             "novelty",

@@ -647,4 +647,4 @@ def test_ngram_novelty_digest_only_exchanges(spark):
     # exchanges keyed on the digest h / doc_id only — never on g or text
     import re
     keys = re.findall(r"Exchange hashpartitioning\((\w+)#", plan)
-    assert keys and set(keys) <= {"h", "doc_id"}, keys
+    assert keys and set(keys) <= {"h", "doc_id", "solo_doc"}, keys
