@@ -461,3 +461,83 @@ def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.sum("value"), 4) + F.lit(0)).alias("val_sum"),
         )
     )
+
+
+# deterministic one-char-deletion corruption of p_name (dialect-shared
+# SQL fragment: substr/concat/greatest parse identically in Spark and
+# DuckDB; greatest(len,1) guards the ANSI %-by-zero on empty names)
+FUZZY_DIRTY_SQL = (
+    "concat(substr(p_name, 1, CAST(p_partkey % greatest(length(p_name), 1) "
+    "AS INT)), substr(p_name, CAST(p_partkey % greatest(length(p_name), 1) "
+    "AS INT) + 2))"
+)
+
+
+def _del_variants(col: str):
+    """Self + every 1-deletion variant of ``col`` (deduplicated) — the
+    SymSpell deletion neighborhood for edit distance <= 1."""
+    return F.expr(
+        f"array_union(array({col}), CASE WHEN length({col}) >= 1 THEN "
+        f"transform(sequence(1, length({col})), "
+        f"i -> concat(substr({col}, 1, i - 1), "
+        f"substr({col}, i + 1, length({col})))) "
+        f"ELSE array() END)"
+    )
+
+
+@query(
+    "join_fuzzy_string",
+    oracle=f"""
+    WITH clean AS (
+        SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL
+    ),
+    dirty AS (
+        SELECT p_partkey, {FUZZY_DIRTY_SQL} AS dn
+        FROM part WHERE p_name IS NOT NULL
+    )
+    SELECT d.p_partkey, c.p_name AS clean_match,
+           CAST(levenshtein(d.dn, c.p_name) AS INTEGER) AS dist
+    FROM dirty d JOIN clean c
+      ON abs(length(d.dn) - length(c.p_name)) <= 1
+     AND levenshtein(d.dn, c.p_name) <= 1
+    """,
+)
+def join_fuzzy_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string join (edit distance <= 1) via SymSpell deletion
+    neighborhoods: every name — the synthesized typo'd side and the
+    clean dictionary side — expands to itself + its 1-deletion
+    variants; two strings within edit distance 1 ALWAYS share a
+    variant (equal → self; substitution → both drop the differing
+    position; insert/delete → the shorter string itself), so an
+    equi-join on the variant produces a complete candidate set and
+    exact ``levenshtein`` verifies each candidate pair.
+
+    Scale shape: candidate generation is an in-array transform (len+1
+    variants per name) feeding a hash equi-join — NO cross/theta join
+    anywhere, so cost is bucket-bounded like the LSH families; the
+    verify touches only candidate pairs.  The oracle runs the naive
+    length-blocked quadratic join — same result, quadratic plan —
+    which is exactly the point (the join_interval_bucketed argument).
+    """
+    part = load_table(spark, sf_dir, "part")
+    clean = (
+        part.select("p_name").where(F.col("p_name").isNotNull()).distinct()
+    )
+    dirty = part.where(F.col("p_name").isNotNull()).select(
+        "p_partkey", F.expr(FUZZY_DIRTY_SQL).alias("dn")
+    )
+    cvar = clean.select("p_name", F.explode(_del_variants("p_name")).alias("v"))
+    dvar = dirty.select(
+        "p_partkey", "dn", F.explode(_del_variants("dn")).alias("v")
+    )
+    return (
+        dvar.join(cvar, "v")
+        .select("p_partkey", "dn", "p_name")
+        .distinct()
+        .select(
+            "p_partkey",
+            F.col("p_name").alias("clean_match"),
+            F.levenshtein("dn", "p_name").alias("dist"),
+        )
+        .filter(F.col("dist") <= 1)
+    )

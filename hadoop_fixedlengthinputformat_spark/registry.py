@@ -147,6 +147,7 @@ GRADE_ORDER: tuple[str, ...] = (
     "llm_line_dedup",
     "llm_span_corruption",
     "llm_ngram_novelty",
+    "join_fuzzy_string",
     # rows-only sketches stay LAST of the queued names (VERDICT r3 #5):
     # no_oracle rows burn grading signal
     "stream_watermark_late_drop",

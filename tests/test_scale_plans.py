@@ -648,3 +648,21 @@ def test_ngram_novelty_digest_only_exchanges(spark):
     import re
     keys = re.findall(r"Exchange hashpartitioning\((\w+)#", plan)
     assert keys and set(keys) <= {"h", "doc_id", "solo_doc"}, keys
+
+
+def test_fuzzy_join_is_equi_join_never_cartesian(spark):
+    """join_fuzzy_string: the SymSpell deletion-neighborhood candidate
+    join must plan as a hash/merge EQUI-join on the variant — no
+    CartesianProduct, no BroadcastNestedLoopJoin (the naive theta
+    formulation the oracle deliberately uses)."""
+    from hadoop_fixedlengthinputformat_spark.operators.joins import (
+        join_fuzzy_string,
+    )
+
+    df = join_fuzzy_string(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    ), plan
