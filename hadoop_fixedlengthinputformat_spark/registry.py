@@ -139,6 +139,7 @@ GRADE_ORDER: tuple[str, ...] = (
     "stream_stream_join",
     "stream_foreach_batch",
     "stream_fixedlen_sink",
+    "stream_vbs_tail",
     # round-5 session-2 widening: RECFM=FBA carriage control + the
     # RefinedWeb line-level dedup (all exact-SQL oracles)
     "scan_fixedlen_asa",

@@ -92,3 +92,45 @@ def stream_varlen_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("record_tail").cast("long").alias("tail_bytes"),
     )
     return _run_to_table(out, "append")
+
+
+@query(
+    "stream_vbs_tail",
+    oracle="""
+    SELECT doc_id, COALESCE(lang, '') AS lang,
+           COALESCE(n_chars, 0) AS n_chars,
+           CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT)
+               AS tail_bytes
+    FROM documents
+    """,
+)
+def stream_vbs_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail a growing RECFM=VBS (spanned + blocked) file: only WHOLE
+    logical records are admitted per micro-batch, which for VBS means
+    the admission boundary is an assembler-idle block start — a record
+    whose last segment hasn't landed yet keeps its ENTIRE segment
+    chain unread (mid-block completions are held until a safe
+    boundary), so restart replay re-assembles identical records.  The
+    strictest member of the tail family: stream_fixedlen_tail aligns
+    on a constant stride, stream_varlen_tail on one record's RDW, this
+    on a cross-block segment chain."""
+    from hadoop_fixedlengthinputformat_spark.sources import varlen
+
+    configure(spark)
+    varlen.register(spark)
+    path = fixture_gen.vbs_file_for(sf_dir)
+    import pyspark.sql.functions as F
+
+    src = (
+        spark.readStream.format("varlen")
+        .option("prefixLength", str(fixture_gen.RDW_PREFIX_LEN))
+        .option("layout", fixture_gen.RDW_PREFIX_LAYOUT)
+        .option("recfm", "vbs")
+        .option("includeOffset", "false")
+        .load(path)
+    )
+    out = src.select(
+        "doc_id", "lang", "n_chars",
+        F.length("record_tail").cast("long").alias("tail_bytes"),
+    )
+    return _run_to_table(out, "append")
