@@ -440,3 +440,105 @@ def agg_product(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.product(1 + F.col("l_tax")), 4).alias("compound_tax"),
         F.round(F.product(1 - F.col("l_discount")), 4).alias("compound_disc"),
     )
+
+
+# agg_moments: identically-parenthesized cross-engine formula fragments.
+# All inputs are exact int64 (see docstring); every double op below is
+# exactly-rounded IEEE on identical operands in an identical tree, so
+# the bits match without snapping anything but the sqrt outputs.
+from hadoop_fixedlengthinputformat_spark.functions.num import snap_sql
+
+# g1 = m3/m2^1.5 = (b/n^3)/((a/n^2)^1.5) = b / (a * sqrt(a));
+# g2 = m4/m2^2 - 3 = (c/n^4)/((a/n^2)^2) - 3 = c / (a * a) - 3
+# (the n powers cancel exactly — pinned against numpy in
+# tests/test_curation.py, which caught a wrong-factor version both
+# engines happily agreed on)
+_SQA = snap_sql("sqrt(CAST(a AS DOUBLE))", 8)
+_SKEW = snap_sql(f"b / (CAST(a AS DOUBLE) * ({_SQA}))", 4)
+_KURT = snap_sql("(c / (CAST(a AS DOUBLE) * a)) - 3", 4)
+
+
+@query(
+    "agg_moments",
+    oracle=f"""
+    WITH base AS (
+        SELECT l_returnflag, CAST(floor(l_quantity) AS BIGINT) AS qi
+        FROM lineitem WHERE l_quantity IS NOT NULL
+    ),
+    g AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(qi) AS BIGINT) AS s1,
+               CAST(SUM(qi*qi) AS BIGINT) AS s2,
+               CAST(SUM(qi*qi*qi) AS BIGINT) AS s3,
+               CAST(SUM(qi*qi*qi*qi) AS BIGINT) AS s4
+        FROM base GROUP BY l_returnflag
+    ),
+    m AS (
+        SELECT l_returnflag, n, a,
+               (CAST(n AS DOUBLE) * n * s3) - (CAST(3 AS DOUBLE) * n * s1 * s2)
+                   + (CAST(2 AS DOUBLE) * s1 * s1 * s1) AS b,
+               (CAST(n AS DOUBLE) * n * n * s4)
+                   - (CAST(4 AS DOUBLE) * n * n * s1 * s3)
+                   + (CAST(6 AS DOUBLE) * n * s1 * s1 * s2)
+                   - (CAST(3 AS DOUBLE) * s1 * s1 * s1 * s1) AS c
+        FROM (SELECT *, n*s2 - s1*s1 AS a FROM g)
+    )
+    SELECT l_returnflag, n AS n_rows,
+           {_SKEW} + 0 AS skew_q,
+           {_KURT} + 0 AS kurt_q
+    FROM m WHERE n >= 2 AND a > 0
+    """,
+)
+def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis per return flag from
+    EXACT integer power sums (the ts_anomaly_zscore technique, one
+    order higher): quantities floor to small int64s, so S1..S4 sum
+    exactly and merge-order-free; the classic raw-moment identities
+    n³m₃ = n²S₃−3nS₁S₂+2S₁³ and n⁴m₄ = n³S₄−4n²S₁S₃+6nS₁²S₂−3S₁⁴ are
+    then evaluated in doubles with an IDENTICALLY-parenthesized tree
+    on both engines (every op exactly-rounded on identical operands ⇒
+    identical bits; S₁⁴ would overflow int64, which is why the
+    combination steps are double).  Built-in skewness()/kurtosis()
+    are NOT cross-engine comparable: Spark returns population g₁/g₂
+    while DuckDB returns sample-adjusted b₁/b₂, and both accumulate
+    doubles in merge order.  sqrt outputs snapped to 8 decimals, final
+    ratios snapped to 4 (+0 clears IEEE -0.0).  One map-side-combined
+    groupBy — the same single-exchange shape as agg_stats.  Overflow
+    budget: qi ≤ 50 ⇒ S₄ ≤ 6.25e6·n, int64-safe past 1e11 rows/group;
+    larger domains re-unit qi first."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qi = F.floor(F.col("l_quantity")).cast("long")
+    base = li.where(F.col("l_quantity").isNotNull()).select(
+        "l_returnflag", qi.alias("qi")
+    )
+    q = F.col("qi")
+    g = base.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("s1"),
+        F.sum(q * q).alias("s2"),
+        F.sum(q * q * q).alias("s3"),
+        F.sum(q * q * q * q).alias("s4"),
+    )
+    m = g.select(
+        "l_returnflag",
+        "n",
+        (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).alias("a"),
+        (
+            F.col("n").cast("double") * F.col("n") * F.col("s3")
+            - F.lit(3.0) * F.col("n") * F.col("s1") * F.col("s2")
+            + F.lit(2.0) * F.col("s1") * F.col("s1") * F.col("s1")
+        ).alias("b"),
+        (
+            F.col("n").cast("double") * F.col("n") * F.col("n") * F.col("s4")
+            - F.lit(4.0) * F.col("n") * F.col("n") * F.col("s1") * F.col("s3")
+            + F.lit(6.0) * F.col("n") * F.col("s1") * F.col("s1") * F.col("s2")
+            - F.lit(3.0) * F.col("s1") * F.col("s1") * F.col("s1") * F.col("s1")
+        ).alias("c"),
+    )
+    return m.where((F.col("n") >= 2) & (F.col("a") > 0)).select(
+        "l_returnflag",
+        F.col("n").alias("n_rows"),
+        (F.expr(_SKEW) + F.lit(0.0)).alias("skew_q"),
+        (F.expr(_KURT) + F.lit(0.0)).alias("kurt_q"),
+    )

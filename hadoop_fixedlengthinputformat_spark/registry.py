@@ -149,6 +149,7 @@ GRADE_ORDER: tuple[str, ...] = (
     "llm_span_corruption",
     "llm_ngram_novelty",
     "join_fuzzy_string",
+    "agg_moments",
     # rows-only sketches stay LAST of the queued names (VERDICT r3 #5):
     # no_oracle rows burn grading signal
     "stream_watermark_late_drop",

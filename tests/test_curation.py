@@ -169,3 +169,34 @@ def test_ngram_novelty_bounds_and_uniqueness(spark, sf_dir):
     # the corpus has both boilerplate-heavy and original docs
     assert any(r.novelty < 1.0 for r in rows)
     assert any(r.novelty > 0.0 for r in rows)
+
+
+def test_agg_moments_matches_numpy(spark, sf_dir):
+    """Population skewness / excess kurtosis must match numpy computed
+    from the same floored quantities (within snap tolerance)."""
+    import numpy as np
+
+    from hadoop_fixedlengthinputformat_spark.operators.pivot_stats import (
+        agg_moments,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/lineitem.parquet").to_pylist()
+    groups: dict[str, list[int]] = {}
+    for r in tbl:
+        if r["l_quantity"] is not None:
+            groups.setdefault(r["l_returnflag"], []).append(
+                int(math.floor(r["l_quantity"]))
+            )
+    got = {r.l_returnflag: r for r in agg_moments(spark, sf_dir).collect()}
+    for flag, vals in groups.items():
+        x = np.array(vals, dtype=np.float64)
+        m2 = ((x - x.mean()) ** 2).mean()
+        if len(x) < 2 or m2 == 0:
+            assert flag not in got
+            continue
+        skew = ((x - x.mean()) ** 3).mean() / m2 ** 1.5
+        kurt = ((x - x.mean()) ** 4).mean() / m2 ** 2 - 3
+        r = got[flag]
+        assert r.n_rows == len(vals)
+        assert abs(r.skew_q - skew) < 2e-4, (flag, r.skew_q, skew)
+        assert abs(r.kurt_q - kurt) < 2e-4, (flag, r.kurt_q, kurt)
