@@ -150,6 +150,10 @@ GRADE_ORDER: tuple[str, ...] = (
     "llm_ngram_novelty",
     "join_fuzzy_string",
     "agg_moments",
+    # AWS virtual-tape source (RECFM=U block-is-record + FB deblocking)
+    "scan_awstape",
+    "scan_awstape_fb",
+    "sink_awstape",
     # rows-only sketches stay LAST of the queued names (VERDICT r3 #5):
     # no_oracle rows burn grading signal
     "stream_watermark_late_drop",
@@ -240,6 +244,9 @@ def load_all() -> None:
     )
     from hadoop_fixedlengthinputformat_spark.functions import (  # noqa: F401
         curation_extras,
+    )
+    from hadoop_fixedlengthinputformat_spark.sources import (  # noqa: F401
+        tape_queries,
     )
 
     _reorder()

@@ -1,0 +1,590 @@
+"""``awstape`` — Hercules AWS virtual-tape data source (RECFM=U / FB).
+
+The reference engine (FixedLengthInputFormat.java:38-43) reads RECFM=F
+data already deblocked into flat files.  Mainframe data that never got
+deblocked ships as TAPE IMAGES, and the lingua franca for those is the
+Hercules emulator's public AWSTAPE container: every physical tape block
+is stored as one or more CHUNKS, each prefixed by a 6-byte
+little-endian header::
+
+    <HHBB  =  curblkl, prvblkl, flags1, flags2
+
+``curblkl`` is this chunk's data length, ``prvblkl`` the previous
+chunk's (0 at start of tape — the backspace chain), ``flags1`` is a bit
+set: 0x80 NEWREC (chunk begins a block), 0x20 ENDREC (chunk ends it),
+0x40 TAPEMARK (``curblkl`` = 0; the inter-file mark).  A block larger
+than the writer's chunk cap spans several chunks (0x80, 0x00…, 0x20);
+a single-chunk block carries 0xA0.  ``flags2`` is always zero.
+
+This matters for RECFM=U ("undefined") datasets, where each physical
+BLOCK *is* one logical record and there are no descriptor words at all:
+a U record's boundary exists only on the device, so a flat-file dump
+loses it — the tape image is the faithful transport.  (A BDW-framed
+re-wrap of U would be byte-identical to RECFM=V, which sources/varlen.py
+already reads; the tape container is the genuinely distinct on-disk
+form.)
+
+Engine contract mirrors ``varlen``:
+
+  * ``recfm=U`` (default): block = record; ``layout``/``prefixLength``
+    decode the fixed prefix, the remainder lands in ``record_tail``,
+    ``record_offset`` is the byte position of the record's first chunk
+    header in the image.
+  * ``recfm=F``/``FB``: ``recordLength`` records tile every block (a
+    non-multiple block raises, the reference's planning-time error
+    carried to tape); the full layout decodes like ``fixedlen`` and
+    ``record_offset`` is the record's position in the DEBLOCKED byte
+    stream (rank * recordLength) — the offset the reference would have
+    assigned after deblocking.
+  * tape marks are file separators: ``tape_file`` (0-based) is emitted
+    when ``includeFile=true``; two consecutive marks end the tape.
+
+Splitting: chunk headers chain (no magic, no index), so an image is one
+partition — parallelism comes from many images, the standard unload
+shape.  Our writer emits one ``.aws`` image per input partition and
+terminates each with tapemark + end-of-tape mark.
+
+Corruption policy (the reference's fail-fast stance, FLRR:199-260):
+a nonzero ``flags2``, an unknown ``flags1`` combination, a broken
+``prvblkl`` chain, a continuation chunk without an open block, or EOF
+mid-chunk all raise with the image offset.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+import struct
+from dataclasses import dataclass
+from typing import Iterator
+
+import pyarrow as pa
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from hadoop_fixedlengthinputformat_spark.sources.fixedlen import _visible
+from hadoop_fixedlengthinputformat_spark.sources.layout import (
+    FieldSpec,
+    decode_chunk,
+    encode_rows,
+    layout_schema,
+    parse_layout,
+)
+
+HDR_LEN = 6
+_F1_NEWREC = 0x80
+_F1_ENDREC = 0x20
+_F1_TAPEMARK = 0x40
+_MAX_CHUNK = 0xFFFF
+
+
+@dataclass
+class _TOptions:
+    recfm: str  # "U" | "F" (FB treated identically)
+    record_length: int  # F mode only
+    prefix_length: int  # U mode fixed-prefix data bytes (0 = raw)
+    fields: list[FieldSpec] | None
+    with_offset: bool
+    with_file: bool
+    with_tail: bool
+    tail_column: str
+    encoding: str
+    chunk_size: int  # writer data bytes per chunk
+    block_size: int  # F-mode writer block bytes (multiple of record_length)
+
+    @classmethod
+    def parse(cls, options) -> "_TOptions":
+        options = dict(options.items()) if hasattr(options, "items") else dict(options)
+        recfm = options.get("recfm", "u").upper()
+        if recfm == "FB":
+            recfm = "F"
+        if recfm not in ("U", "F"):
+            raise ValueError(
+                f"awstape: recfm must be U, F or FB, got {recfm!r}"
+            )
+        layout_raw = options.get("layout")
+        fields = None
+        record_length = 0
+        prefix_length = 0
+        if recfm == "F":
+            rl_raw = options.get("recordlength")
+            if rl_raw is None:
+                raise ValueError(
+                    "awstape: option 'recordLength' is required with recfm=F"
+                )
+            try:
+                record_length = int(rl_raw)
+            except ValueError:
+                raise ValueError(
+                    f"awstape: recordLength must be an integer, got {rl_raw!r}"
+                )
+            if record_length <= 0:
+                raise ValueError(
+                    f"awstape: recordLength must be > 0, got {record_length}"
+                )
+            if options.get("prefixlength") is not None:
+                raise ValueError(
+                    "awstape: 'prefixLength' applies to recfm=U only "
+                    "(F records are whole-layout, there is no tail)"
+                )
+            if layout_raw is None:
+                raise ValueError(
+                    "awstape: option 'layout' is required with recfm=F"
+                )
+            fields = parse_layout(layout_raw, record_length)
+        else:
+            pl_raw = options.get("prefixlength")
+            if layout_raw is not None:
+                if pl_raw is None:
+                    raise ValueError(
+                        "awstape: option 'prefixLength' is required with "
+                        "'layout' (the fixed data bytes every record carries)"
+                    )
+                prefix_length = int(pl_raw)
+                if prefix_length <= 0:
+                    raise ValueError(
+                        f"awstape: prefixLength must be > 0, got {prefix_length}"
+                    )
+                fields = parse_layout(layout_raw, prefix_length)
+            elif pl_raw is not None:
+                raise ValueError(
+                    "awstape: option 'prefixLength' requires 'layout' (raw "
+                    "mode emits the whole block as 'value')"
+                )
+            if options.get("recordlength") is not None:
+                raise ValueError(
+                    "awstape: 'recordLength' applies to recfm=F only (U "
+                    "records are whole blocks of undefined length)"
+                )
+        with_offset = options.get("includeoffset", "true").lower() == "true"
+        with_file = options.get("includefile", "false").lower() == "true"
+        with_tail = options.get("includetail", "true").lower() == "true"
+        tail_column = options.get("tailcolumn", "record_tail")
+        if fields is not None and tail_column in {f.name for f in fields}:
+            raise ValueError(
+                f"awstape: tailColumn {tail_column!r} clashes with a layout field"
+            )
+        import codecs
+
+        enc_raw = options.get("encoding", "utf-8")
+        try:
+            info = codecs.lookup(enc_raw)
+            probe = "0A ".encode(info.name)
+        except LookupError:
+            raise ValueError(f"awstape: unknown encoding {enc_raw!r}")
+        if len(probe) != 3:
+            raise ValueError(
+                f"awstape: encoding {enc_raw!r} is not a single-byte charset"
+            )
+        chunk_size = int(options.get("chunksize", "4096"))
+        if not (1 <= chunk_size <= _MAX_CHUNK):
+            raise ValueError(
+                f"awstape: chunkSize must be in 1..{_MAX_CHUNK}, got {chunk_size}"
+            )
+        block_size = int(options.get("blocksize", "0"))
+        if recfm == "F":
+            if block_size == 0:
+                block_size = record_length * max(1, 32760 // record_length)
+            if block_size % record_length != 0 or block_size <= 0:
+                raise ValueError(
+                    f"awstape: blockSize {block_size} must be a positive "
+                    f"multiple of recordLength {record_length} (FB blocks "
+                    "hold whole records; the reference raises on non-"
+                    "multiples, FixedLengthInputFormat.java:344-361)"
+                )
+        return cls(
+            recfm, record_length, prefix_length, fields, with_offset,
+            with_file, with_tail, tail_column, info.name, chunk_size,
+            block_size,
+        )
+
+    def spark_schema(self) -> StructType:
+        out: list[StructField] = []
+        if self.with_file:
+            out.append(StructField("tape_file", IntegerType(), False))
+        if self.with_offset:
+            out.append(StructField("record_offset", LongType(), False))
+        if self.fields is None:
+            out.append(StructField("value", BinaryType(), False))
+        else:
+            out.extend(layout_schema(self.fields).fields)
+            if self.recfm == "U" and self.with_tail:
+                out.append(StructField(self.tail_column, BinaryType(), False))
+        return StructType(out)
+
+    def layout_arrow_schema(self) -> pa.Schema:
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        return to_arrow_schema(layout_schema(self.fields))
+
+    def arrow_schema(self) -> pa.Schema:
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        return to_arrow_schema(self.spark_schema())
+
+
+def _list_files(path: str) -> list[str]:
+    if os.path.isdir(path):
+        return sorted(filter(_visible, _glob.glob(os.path.join(path, "*"))))
+    elif os.path.isfile(path):
+        return [path]
+    names = sorted(filter(_visible, _glob.glob(path)))
+    if not names:
+        raise FileNotFoundError(f"awstape: no input files at {path!r}")
+    return names
+
+
+def iter_blocks(fobj, path: str) -> Iterator[tuple[int, int, bytes]]:
+    """Walk an AWS image; yield ``(tape_file, block_offset, block bytes)``
+    for every data block (chunks assembled).  Tape marks advance
+    ``tape_file``; two consecutive marks (end-of-tape) or EOF stop the
+    walk.  Every header rule is enforced (module docstring)."""
+    pos = 0
+    tape_file = 0
+    prev_len = 0
+    last_was_mark = False
+    open_parts: list[bytes] | None = None
+    open_off = 0
+    while True:
+        hdr = fobj.read(HDR_LEN)
+        if not hdr:
+            if open_parts is not None:
+                raise IOError(
+                    f"awstape: {path!r} ends mid-block (chunk chain open "
+                    f"since offset {open_off}, no ENDREC)"
+                )
+            return
+        if len(hdr) < HDR_LEN:
+            raise IOError(
+                f"awstape: {path!r} ends mid-header at offset {pos} "
+                f"({len(hdr)} trailing bytes)"
+            )
+        curblkl, prvblkl, flags1, flags2 = struct.unpack("<HHBB", hdr)
+        if flags2 != 0:
+            raise ValueError(
+                f"awstape: nonzero flags2 byte at offset {pos} in {path!r}"
+            )
+        if prvblkl != prev_len:
+            raise ValueError(
+                f"awstape: broken backspace chain at offset {pos} in "
+                f"{path!r} (header says previous chunk was {prvblkl} "
+                f"bytes, walk saw {prev_len})"
+            )
+        if flags1 == _F1_TAPEMARK:
+            if curblkl != 0:
+                raise ValueError(
+                    f"awstape: tapemark with nonzero length {curblkl} at "
+                    f"offset {pos} in {path!r}"
+                )
+            if open_parts is not None:
+                raise ValueError(
+                    f"awstape: tapemark at offset {pos} in {path!r} inside "
+                    f"the block open since offset {open_off}"
+                )
+            if last_was_mark:
+                return  # end-of-tape convention: two consecutive marks
+            last_was_mark = True
+            tape_file += 1
+            prev_len = 0
+            pos += HDR_LEN
+            continue
+        # middle chunks of a spanning block carry flags1 = 0x00
+        known = _F1_NEWREC | _F1_ENDREC
+        if flags1 & ~known:
+            raise ValueError(
+                f"awstape: unknown flags1 0x{flags1:02x} at offset {pos} "
+                f"in {path!r}"
+            )
+        if curblkl == 0:
+            raise ValueError(
+                f"awstape: zero-length data chunk at offset {pos} in {path!r}"
+            )
+        data = fobj.read(curblkl)
+        if len(data) < curblkl:
+            raise IOError(
+                f"awstape: {path!r} ends mid-chunk at offset {pos} (header "
+                f"claims {curblkl} data bytes, {len(data)} available)"
+            )
+        last_was_mark = False
+        if flags1 & _F1_NEWREC:
+            if open_parts is not None:
+                raise ValueError(
+                    f"awstape: NEWREC chunk at offset {pos} in {path!r} "
+                    f"while the block at offset {open_off} is still open"
+                )
+            open_parts, open_off = [data], pos
+        else:
+            if open_parts is None:
+                raise ValueError(
+                    f"awstape: continuation chunk at offset {pos} in "
+                    f"{path!r} with no block open"
+                )
+            open_parts.append(data)
+        if flags1 & _F1_ENDREC:
+            yield tape_file, open_off, b"".join(open_parts)
+            open_parts = None
+        prev_len = curblkl
+        pos += HDR_LEN + curblkl
+
+
+class TapePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class AwsTapeReader(DataSourceReader):
+    """One partition per image (chunk headers chain — no random entry);
+    fleets of images parallelize across tasks."""
+
+    BATCH_TARGET = 1 << 22
+
+    def __init__(self, opts: _TOptions, path: str):
+        self.opts = opts
+        self.path = path
+
+    def partitions(self):
+        files = _list_files(self.path)
+        return [TapePartition(p) for p in files] or [TapePartition("")]
+
+    def read(self, partition: TapePartition):
+        o = self.opts
+        if not partition.path:
+            return iter(())
+
+        full_schema = o.arrow_schema()
+        layout_arrow = o.layout_arrow_schema() if o.fields is not None else None
+
+        def build_batch(
+            files: list[int], offsets: list[int], fixed: bytearray,
+            tails: list[bytes], rl: int,
+        ) -> pa.RecordBatch:
+            cols: list[pa.Array] = []
+            if o.with_file:
+                cols.append(pa.array(files, type=pa.int32()))
+            if o.with_offset:
+                cols.append(pa.array(offsets, type=pa.int64()))
+            if o.fields is None:
+                cols.append(pa.array(tails, type=pa.binary()))
+            else:
+                layout_batch = decode_chunk(
+                    bytes(fixed), rl, o.fields, 0, False, None,
+                    layout_arrow, encoding=o.encoding,
+                )
+                cols.extend(layout_batch.columns)
+                if o.recfm == "U" and o.with_tail:
+                    cols.append(pa.array(tails, type=pa.binary()))
+            return pa.RecordBatch.from_arrays(cols, schema=full_schema)
+
+        def gen():
+            rl = o.record_length if o.recfm == "F" else o.prefix_length
+            files: list[int] = []
+            offsets: list[int] = []
+            fixed = bytearray()
+            tails: list[bytes] = []
+            pending = 0
+            data_pos = 0  # F mode: deblocked byte offset
+            with open(partition.path, "rb") as f:
+                for tf, boff, block in iter_blocks(f, partition.path):
+                    if o.recfm == "F":
+                        if len(block) % o.record_length != 0:
+                            raise ValueError(
+                                f"awstape: block at offset {boff} in "
+                                f"{partition.path!r} is {len(block)} bytes, "
+                                f"not a multiple of recordLength "
+                                f"{o.record_length}"
+                            )
+                        nrec = len(block) // o.record_length
+                        files.extend([tf] * nrec)
+                        offsets.extend(
+                            data_pos + i * o.record_length for i in range(nrec)
+                        )
+                        fixed.extend(block)
+                        data_pos += len(block)
+                    else:
+                        if len(block) < o.prefix_length:
+                            raise ValueError(
+                                f"awstape: block at offset {boff} in "
+                                f"{partition.path!r} is {len(block)} bytes, "
+                                f"shorter than the declared prefix "
+                                f"({o.prefix_length})"
+                            )
+                        files.append(tf)
+                        offsets.append(boff)
+                        if o.fields is None:
+                            tails.append(block)
+                        else:
+                            fixed.extend(block[: o.prefix_length])
+                            tails.append(block[o.prefix_length :])
+                    pending += len(block)
+                    if pending >= self.BATCH_TARGET:
+                        yield build_batch(files, offsets, fixed, tails, rl)
+                        files, offsets, fixed, tails = [], [], bytearray(), []
+                        pending = 0
+            if offsets:
+                yield build_batch(files, offsets, fixed, tails, rl)
+
+        return gen()
+
+
+class _TCommitMessage(WriterCommitMessage):
+    def __init__(self, outputs: list[tuple[str, str]], n_records: int):
+        self.outputs = outputs
+        self.n_records = n_records
+
+
+class AwsTapeWriter(DataSourceWriter):
+    """One ``.aws`` image per input partition, each a complete tape:
+    data blocks, tapemark, end-of-tape tapemark."""
+
+    def __init__(self, opts: _TOptions, path: str, overwrite: bool):
+        self.opts = opts
+        self.path = path
+        self.overwrite = overwrite
+        import uuid
+
+        self.token = uuid.uuid4().hex[:10]
+
+    def write(self, iterator) -> _TCommitMessage:
+        from pyspark import TaskContext
+
+        os.makedirs(self.path, exist_ok=True)
+        ctx = TaskContext.get()
+        o = self.opts
+        final = os.path.join(
+            self.path, f"part-{ctx.partitionId():05d}-{self.token}.aws"
+        )
+        tmp = f"{final}.tmp-{ctx.taskAttemptId()}"
+        n = 0
+        prev_len = 0
+        out: list[bytes] = []
+
+        def emit_block(block: bytes) -> None:
+            nonlocal prev_len
+            view = memoryview(block)
+            first = True
+            while True:
+                take = min(len(view), o.chunk_size)
+                chunk = bytes(view[:take])
+                view = view[take:]
+                last = len(view) == 0
+                flags1 = (_F1_NEWREC if first else 0) | (
+                    _F1_ENDREC if last else 0
+                )
+                out.append(
+                    struct.pack("<HHBB", len(chunk), prev_len, flags1, 0)
+                )
+                out.append(chunk)
+                prev_len = len(chunk)
+                first = False
+                if last:
+                    break
+
+        def payload_bytes(row) -> bytes:
+            if o.fields is None:
+                return bytes(row["value"])
+            d = row.asDict()
+            if o.recfm == "F":
+                return encode_rows(
+                    [d], o.fields, o.record_length, encoding=o.encoding
+                )
+            tail = d.get(o.tail_column) if o.with_tail else b""
+            if tail is None:
+                tail = b""
+            elif isinstance(tail, str):
+                tail = tail.encode("utf-8")
+            else:
+                tail = bytes(tail)
+            return (
+                encode_rows([d], o.fields, o.prefix_length, encoding=o.encoding)
+                + tail
+            )
+
+        block = bytearray()
+        for row in iterator:
+            payload = payload_bytes(row)
+            if o.recfm == "F":
+                block.extend(payload)
+                if len(block) >= o.block_size:
+                    emit_block(bytes(block[: o.block_size]))
+                    del block[: o.block_size]
+            else:
+                if not payload:
+                    raise ValueError(
+                        "awstape: a RECFM=U record must have at least one "
+                        "byte (an empty block is indistinguishable from a "
+                        "tapemark)"
+                    )
+                emit_block(payload)
+            n += 1
+        if block:
+            emit_block(bytes(block))
+        # tapemark after the file + end-of-tape mark
+        for _ in range(2):
+            out.append(struct.pack("<HHBB", 0, prev_len, _F1_TAPEMARK, 0))
+            prev_len = 0
+        with open(tmp, "wb") as f:
+            f.write(b"".join(out))
+        return _TCommitMessage([(tmp, final)], n)
+
+    def commit(self, messages):
+        if self.overwrite and os.path.isdir(self.path):
+            for fn in os.listdir(self.path):
+                if (
+                    fn.startswith("part-")
+                    and fn.endswith(".aws")
+                    and f"-{self.token}." not in fn
+                ):
+                    os.remove(os.path.join(self.path, fn))
+        for m in messages:
+            if m is not None:
+                for tmp, final in m.outputs:
+                    os.replace(tmp, final)
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None:
+                for tmp, _final in m.outputs:
+                    if os.path.exists(tmp):
+                        os.remove(tmp)
+
+
+class AwsTapeDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "awstape"
+
+    def __init__(self, options):
+        super().__init__(options)
+        self.opts = _TOptions.parse(options)
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("awstape: a path is required (.load(path))")
+
+    def schema(self) -> StructType:
+        return self.opts.spark_schema()
+
+    def reader(self, schema: StructType) -> AwsTapeReader:
+        return AwsTapeReader(self.opts, self.path)
+
+    def writer(self, schema: StructType, overwrite: bool) -> AwsTapeWriter:
+        return AwsTapeWriter(self.opts, self.path, overwrite)
+
+
+def register(spark) -> None:
+    """Idempotent per-session registration."""
+    if getattr(spark, "_awstape_registered", False):
+        return
+    spark.dataSource.register(AwsTapeDataSource)
+    spark._awstape_registered = True

@@ -527,3 +527,99 @@ def occurs_file_for(sf_dir: str) -> str:
         f.write(payload)
     os.replace(tmp, out)
     return out
+
+
+# AWS virtual-tape fixtures (sources/awstape.py): the documents table as
+# a RECFM=U tape (each block one record, chunked small enough that most
+# texts genuinely span chunks) and the nation fixed file re-blocked as
+# an FB tape.
+AWS_CHUNK = 512
+
+
+def _aws_emit(out: bytearray, block: bytes, prev_len: int, chunk: int) -> int:
+    """Append ``block`` as NEWREC..ENDREC chunks; returns the new
+    prev_len (the backspace chain value the next header must carry)."""
+    import struct
+
+    view = memoryview(block)
+    first = True
+    while True:
+        take = min(len(view), chunk)
+        piece = bytes(view[:take])
+        view = view[take:]
+        last = len(view) == 0
+        flags1 = (0x80 if first else 0) | (0x20 if last else 0)
+        out.extend(struct.pack("<HHBB", len(piece), prev_len, flags1, 0))
+        out.extend(piece)
+        prev_len = len(piece)
+        first = False
+        if last:
+            return prev_len
+
+
+def _aws_close(out: bytearray, prev_len: int) -> None:
+    """Tapemark + end-of-tape mark."""
+    import struct
+
+    out.extend(struct.pack("<HHBB", 0, prev_len, 0x40, 0))
+    out.extend(struct.pack("<HHBB", 0, 0, 0x40, 0))
+
+
+def aws_u_file_for(sf_dir: str, chunk: int = AWS_CHUNK) -> str:
+    """RECFM=U AWS tape image of ``documents.parquet``: one tape block
+    per document (prefix + utf-8 text), chunked at ``chunk`` data bytes.
+    Same coalesce + total-order rules as the V fixture, so the offset
+    oracle can replay the chunk-header arithmetic."""
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|awsu|{chunk}"
+        f"|{source_stamp(sf_dir)}".encode()
+    ).hexdigest()[:12]
+    out_path = os.path.join(fixture_dir(), f"documents-{tag}.aws")
+    if os.path.exists(out_path):
+        return out_path
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    fields = parse_layout(RDW_PREFIX_LAYOUT, RDW_PREFIX_LEN)
+    out = bytearray()
+    prev_len = 0
+    for r in sorted(tbl.to_pylist(), key=rdw_doc_sort_key):
+        r = rdw_coalesce(r)
+        block = (
+            encode_rows([r], fields, RDW_PREFIX_LEN)
+            + r["text"].encode("utf-8")
+        )
+        prev_len = _aws_emit(out, block, prev_len, chunk)
+    _aws_close(out, prev_len)
+    tmp = out_path + f".tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(bytes(out))
+    os.replace(tmp, out_path)
+    return out_path
+
+
+def aws_fb_file_for(sf_dir: str, recs_per_block: int = 5) -> str:
+    """RECFM=FB AWS tape image: the nation fixed-width serialization
+    re-blocked ``recs_per_block`` records per tape block (last block
+    short).  Single-chunk blocks (0xA0) — block bytes < the 4 KiB chunk
+    default."""
+    src = fixed_file_for(sf_dir, "nation")
+    rl = LAYOUTS["nation"][0]
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|awsfb|{recs_per_block}"
+        f"|{source_stamp(sf_dir)}".encode()
+    ).hexdigest()[:12]
+    out_path = os.path.join(fixture_dir(), f"nation-{tag}.aws")
+    if os.path.exists(out_path):
+        return out_path
+    with open(src, "rb") as f:
+        data = f.read()
+    bs = rl * recs_per_block
+    out = bytearray()
+    prev_len = 0
+    for i in range(0, len(data), bs):
+        prev_len = _aws_emit(out, data[i : i + bs], prev_len, 4096)
+    _aws_close(out, prev_len)
+    tmp = out_path + f".tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(bytes(out))
+    os.replace(tmp, out_path)
+    return out_path
