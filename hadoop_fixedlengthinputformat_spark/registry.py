@@ -154,6 +154,10 @@ GRADE_ORDER: tuple[str, ...] = (
     "scan_awstape",
     "scan_awstape_fb",
     "sink_awstape",
+    # GDG relative-generation resolution over fixedlen members
+    "scan_fixedlen_gdg",
+    "scan_fixedlen_gdg_all",
+    "maintain_gdg_roll",
     # rows-only sketches stay LAST of the queued names (VERDICT r3 #5):
     # no_oracle rows burn grading signal
     "stream_watermark_late_drop",
@@ -246,6 +250,7 @@ def load_all() -> None:
         curation_extras,
     )
     from hadoop_fixedlengthinputformat_spark.sources import (  # noqa: F401
+        gdg_queries,
         tape_queries,
     )
 

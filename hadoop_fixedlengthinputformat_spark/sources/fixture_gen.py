@@ -623,3 +623,50 @@ def aws_fb_file_for(sf_dir: str, recs_per_block: int = 5) -> str:
         f.write(bytes(out))
     os.replace(tmp, out_path)
     return out_path
+
+
+def gdg_dir_for(sf_dir: str) -> str:
+    """GDG fixture (sources/gdg.py): a catalog directory with four
+    customer generations —
+
+      CUST.G0001V00.fixed : c_custkey % 3 == 0
+      CUST.G0002V00.fixed : c_custkey % 3 == 1 AND even custkey (the
+                            superseded version — must never resolve)
+      CUST.G0002V01.fixed : c_custkey % 3 == 1  (generation 2 proper)
+      CUST.G0003V00.fixed : c_custkey % 3 == 2  (current)
+
+    Membership is pure custkey arithmetic so oracles recompute each
+    generation's content; the stale V00 member differs from V01, so a
+    wrong version pick changes row counts and fails the hash."""
+    record_length, spec, _ = LAYOUTS["customer"]
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|gdg|{source_stamp(sf_dir)}".encode()
+    ).hexdigest()[:12]
+    d = os.path.join(fixture_dir(), f"gdg-{tag}")
+    done = os.path.join(d, "_ok")
+    if os.path.exists(done):
+        return d
+    os.makedirs(d, exist_ok=True)
+    tbl = pq.read_table(os.path.join(sf_dir, "customer.parquet"))
+    fields = parse_layout(spec, record_length)
+    num_types = {"int", "long", "double", "implied", "bin", "packed",
+                 "zoned", "comp1", "comp2"}
+    rows = tbl.sort_by("c_custkey").to_pylist()
+    for r in rows:
+        for f in fields:
+            if r.get(f.name) is None:
+                r[f.name] = 0 if f.base_type in num_types else ""
+    members = {
+        "CUST.G0001V00.fixed": [r for r in rows if r["c_custkey"] % 3 == 0],
+        "CUST.G0002V00.fixed": [
+            r for r in rows
+            if r["c_custkey"] % 3 == 1 and r["c_custkey"] % 2 == 0
+        ],
+        "CUST.G0002V01.fixed": [r for r in rows if r["c_custkey"] % 3 == 1],
+        "CUST.G0003V00.fixed": [r for r in rows if r["c_custkey"] % 3 == 2],
+    }
+    for name, mrows in members.items():
+        with open(os.path.join(d, name), "wb") as f:
+            f.write(encode_rows(mrows, fields, record_length))
+    open(done, "w").close()
+    return d
