@@ -158,6 +158,7 @@ GRADE_ORDER: tuple[str, ...] = (
     "scan_fixedlen_gdg",
     "scan_fixedlen_gdg_all",
     "maintain_gdg_roll",
+    "llm_vocab_ids",
     # rows-only sketches stay LAST of the queued names (VERDICT r3 #5):
     # no_oracle rows burn grading signal
     "stream_watermark_late_drop",

@@ -666,3 +666,20 @@ def test_fuzzy_join_is_equi_join_never_cartesian(spark):
     assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
         "ShuffledHashJoin" in plan
     ), plan
+
+
+def test_vocab_ids_takeordered_before_rank_window(spark):
+    """llm_vocab_ids: the 32 K cap runs as TakeOrdered (parallel
+    per-partition heads), the vocab groupBy is map-side combined, and
+    the single-partition rank window sees only the capped survivors —
+    no full-vocab global sort."""
+    from hadoop_fixedlengthinputformat_spark.functions.tokenizer_queries import (
+        llm_vocab_ids,
+    )
+
+    df = llm_vocab_ids(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "partial_count" in plan, plan
+    # the global Sort for the window must sit ABOVE the take-ordered cap
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject"), plan
