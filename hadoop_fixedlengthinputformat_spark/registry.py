@@ -154,6 +154,7 @@ GRADE_ORDER: tuple[str, ...] = (
     "scan_awstape",
     "scan_awstape_fb",
     "sink_awstape",
+    "sink_awstape_labeled",
     # GDG relative-generation resolution over fixedlen members
     "scan_fixedlen_gdg",
     "scan_fixedlen_gdg_all",

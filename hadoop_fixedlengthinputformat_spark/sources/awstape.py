@@ -44,6 +44,14 @@ partition — parallelism comes from many images, the standard unload
 shape.  Our writer emits one ``.aws`` image per input partition and
 terminates each with tapemark + end-of-tape mark.
 
+IBM STANDARD LABELS (``labels=sl``): real volumes carry an EBCDIC
+VOL1+HDR1+HDR2 header group (tape file 0), the data file, and an
+EOF1+EOF2 trailer — all 80-byte tape blocks through the same chunk
+machinery.  The reader validates every field it understands (magics,
+HDR1/EOF1 dataset name vs the ``dataset`` option, HDR2 recfm/lrecl vs
+its own configuration, EOF1 block count vs the walk) BEFORE data
+flows; the writer emits a complete labeled volume per partition.
+
 Corruption policy (the reference's fail-fast stance, FLRR:199-260):
 a nonzero ``flags2``, an unknown ``flags1`` combination, a broken
 ``prvblkl`` chain, a continuation chunk without an open block, or EOF
@@ -103,6 +111,10 @@ class _TOptions:
     encoding: str
     chunk_size: int  # writer data bytes per chunk
     block_size: int  # F-mode writer block bytes (multiple of record_length)
+    labels: str = "NONE"  # "NONE" | "SL" (IBM standard labels)
+    dataset: str | None = None  # SL: required HDR1/EOF1 dataset name
+    volser: str = "SPARK1"  # SL writer volume serial
+    label_encoding: str = "cp037"  # SL labels are EBCDIC on real volumes
 
     @classmethod
     def parse(cls, options) -> "_TOptions":
@@ -204,10 +216,35 @@ class _TOptions:
                     "hold whole records; the reference raises on non-"
                     "multiples, FixedLengthInputFormat.java:344-361)"
                 )
+        labels = options.get("labels", "none").upper()
+        if labels not in ("NONE", "SL"):
+            raise ValueError(
+                f"awstape: labels must be NONE or SL, got {labels!r}"
+            )
+        dataset = options.get("dataset")
+        if dataset is not None:
+            dataset = dataset.upper()
+            if not (1 <= len(dataset) <= 17):
+                raise ValueError(
+                    f"awstape: dataset name must be 1..17 characters "
+                    f"(HDR1 field width), got {dataset!r}"
+                )
+        volser = options.get("volser", "SPARK1").upper()
+        if not (1 <= len(volser) <= 6):
+            raise ValueError(
+                f"awstape: volser must be 1..6 characters, got {volser!r}"
+            )
+        label_encoding = options.get("labelencoding", "cp037")
+        try:
+            codecs.lookup(label_encoding)
+        except LookupError:
+            raise ValueError(
+                f"awstape: unknown labelEncoding {label_encoding!r}"
+            )
         return cls(
             recfm, record_length, prefix_length, fields, with_offset,
             with_file, with_tail, tail_column, info.name, chunk_size,
-            block_size,
+            block_size, labels, dataset, volser, label_encoding,
         )
 
     def spark_schema(self) -> StructType:
@@ -246,11 +283,16 @@ def _list_files(path: str) -> list[str]:
     return names
 
 
-def iter_blocks(fobj, path: str) -> Iterator[tuple[int, int, bytes]]:
+def iter_blocks(
+    fobj, path: str, eot_on_double_mark: bool = True
+) -> Iterator[tuple[int, int, bytes]]:
     """Walk an AWS image; yield ``(tape_file, block_offset, block bytes)``
     for every data block (chunks assembled).  Tape marks advance
     ``tape_file``; two consecutive marks (end-of-tape) or EOF stop the
-    walk.  Every header rule is enforced (module docstring)."""
+    walk — except under SL labels (``eot_on_double_mark=False``), where
+    an empty dataset legitimately carries consecutive marks and only
+    physical EOF ends it.  Every header rule is enforced (module
+    docstring)."""
     pos = 0
     tape_file = 0
     prev_len = 0
@@ -293,7 +335,7 @@ def iter_blocks(fobj, path: str) -> Iterator[tuple[int, int, bytes]]:
                     f"awstape: tapemark at offset {pos} in {path!r} inside "
                     f"the block open since offset {open_off}"
                 )
-            if last_was_mark:
+            if last_was_mark and eot_on_double_mark:
                 return  # end-of-tape convention: two consecutive marks
             last_was_mark = True
             tape_file += 1
@@ -337,6 +379,135 @@ def iter_blocks(fobj, path: str) -> Iterator[tuple[int, int, bytes]]:
             open_parts = None
         prev_len = curblkl
         pos += HDR_LEN + curblkl
+
+
+_LABEL_LEN = 80
+
+
+def _label(kind: str, body: str, enc: str) -> bytes:
+    """An 80-byte label block: 4-char magic + body, space-padded."""
+    s = (kind + body)[:_LABEL_LEN].ljust(_LABEL_LEN)
+    return s.encode(enc)
+
+
+def _hdr1_body(dsname: str, blocks: int | None) -> str:
+    """HDR1/EOF1 body: dataset name at bytes 4-20, block count (EOF1)
+    at bytes 54-59 — the two fields this engine reads back."""
+    body = dsname.ljust(17)  # bytes 4-20
+    body = body.ljust(50)  # up to byte 53
+    body += f"{blocks:06d}" if blocks is not None else "000000"
+    return body
+
+
+def _hdr2_body(recfm: str, blksize: int, lrecl: int) -> str:
+    """HDR2/EOF2 body: recfm char at byte 4, block length 5-9, record
+    length 10-14."""
+    return f"{recfm}{min(blksize, 99999):05d}{min(lrecl, 99999):05d}"
+
+
+def iter_labeled_blocks(
+    fobj, path: str, opts: _TOptions
+) -> Iterator[tuple[int, int, bytes]]:
+    """IBM standard-label (SL) walk: tape file 0 = VOL1+HDR1+HDR2, file
+    1 = the data blocks (yielded), file 2 = EOF1+EOF2.  Every label
+    field this engine understands is VALIDATED, not skipped: magics,
+    HDR1/EOF1 dataset name (against the ``dataset`` option when given),
+    HDR2 recfm/lrecl against the reader's own options — catching the
+    classic operational error of mounting the wrong generation or
+    reading U data with an F layout — and the EOF1 block count against
+    the blocks actually walked (a torn tape shows as a count short-
+    fall even when every surviving block parses).  One dataset per
+    volume (our writer's shape); multi-dataset volumes raise."""
+    enc = opts.label_encoding
+    group0: list[tuple[int, bytes]] = []
+    trailer: list[tuple[int, bytes]] = []
+    n_data = 0
+    dsname: str | None = None
+
+    def decode(off: int, b: bytes) -> str:
+        if len(b) != _LABEL_LEN:
+            raise ValueError(
+                f"awstape: label block at offset {off} in {path!r} is "
+                f"{len(b)} bytes (standard labels are {_LABEL_LEN})"
+            )
+        return b.decode(enc)
+
+    def expect(lbl: str, kind: str, off: int) -> str:
+        if lbl[:4] != kind:
+            raise ValueError(
+                f"awstape: expected {kind} label at offset {off} in "
+                f"{path!r}, found {lbl[:4]!r}"
+            )
+        return lbl
+
+    def check_header() -> str:
+        if len(group0) != 3:
+            raise ValueError(
+                f"awstape: SL header group in {path!r} has {len(group0)} "
+                "label blocks, expected VOL1+HDR1+HDR2"
+            )
+        expect(decode(*group0[0]), "VOL1", group0[0][0])
+        hdr1 = expect(decode(*group0[1]), "HDR1", group0[1][0])
+        hdr2 = expect(decode(*group0[2]), "HDR2", group0[2][0])
+        name = hdr1[4:21].strip()
+        if opts.dataset is not None and name != opts.dataset:
+            raise ValueError(
+                f"awstape: {path!r} holds dataset {name!r}, not the "
+                f"requested {opts.dataset!r} (wrong volume mounted?)"
+            )
+        lbl_recfm = hdr2[4]
+        if lbl_recfm != opts.recfm:
+            raise ValueError(
+                f"awstape: HDR2 says recfm={lbl_recfm!r} but the reader "
+                f"is configured for {opts.recfm!r} in {path!r}"
+            )
+        if opts.recfm == "F":
+            lrecl = int(hdr2[10:15])
+            if lrecl != opts.record_length:
+                raise ValueError(
+                    f"awstape: HDR2 record length {lrecl} != configured "
+                    f"recordLength {opts.record_length} in {path!r}"
+                )
+        return name
+
+    # the closing TM TM is structure here, not end-of-tape: an EMPTY
+    # dataset legitimately puts two consecutive marks between HDR and
+    # EOF groups, so the walk runs to physical EOF instead
+    for tf, off, block in iter_blocks(fobj, path, eot_on_double_mark=False):
+        if tf == 0:
+            group0.append((off, block))
+        elif tf == 1:
+            if dsname is None:
+                dsname = check_header()  # validate BEFORE any data flows
+            n_data += 1
+            yield tf, off, block
+        elif tf == 2:
+            trailer.append((off, block))
+        else:
+            raise ValueError(
+                f"awstape: data block in tape file {tf} at offset {off} "
+                f"in {path!r} — one dataset per SL volume is supported"
+            )
+    if dsname is None:
+        dsname = check_header()  # empty dataset: header still validates
+    if len(trailer) != 2:
+        raise ValueError(
+            f"awstape: SL trailer group in {path!r} has {len(trailer)} "
+            "label blocks, expected EOF1+EOF2"
+        )
+    eof1 = expect(decode(*trailer[0]), "EOF1", trailer[0][0])
+    expect(decode(*trailer[1]), "EOF2", trailer[1][0])
+    if eof1[4:21].strip() != dsname:
+        raise ValueError(
+            f"awstape: EOF1 dataset {eof1[4:21].strip()!r} != HDR1 "
+            f"dataset {dsname!r} in {path!r}"
+        )
+    count = int(eof1[54:60])
+    if count != n_data:
+        raise ValueError(
+            f"awstape: EOF1 block count {count} != {n_data} data blocks "
+            f"walked in {path!r} (torn tape?)"
+        )
 
 
 class TapePartition(InputPartition):
@@ -396,7 +567,12 @@ class AwsTapeReader(DataSourceReader):
             pending = 0
             data_pos = 0  # F mode: deblocked byte offset
             with open(partition.path, "rb") as f:
-                for tf, boff, block in iter_blocks(f, partition.path):
+                walk = (
+                    iter_labeled_blocks(f, partition.path, o)
+                    if o.labels == "SL"
+                    else iter_blocks(f, partition.path)
+                )
+                for tf, boff, block in walk:
                     if o.recfm == "F":
                         if len(block) % o.record_length != 0:
                             raise ValueError(
@@ -467,11 +643,13 @@ class AwsTapeWriter(DataSourceWriter):
         )
         tmp = f"{final}.tmp-{ctx.taskAttemptId()}"
         n = 0
+        n_blocks = 0
         prev_len = 0
         out: list[bytes] = []
 
         def emit_block(block: bytes) -> None:
-            nonlocal prev_len
+            nonlocal prev_len, n_blocks
+            n_blocks += 1
             view = memoryview(block)
             first = True
             while True:
@@ -511,6 +689,31 @@ class AwsTapeWriter(DataSourceWriter):
                 + tail
             )
 
+        def tapemark() -> None:
+            nonlocal prev_len
+            out.append(struct.pack("<HHBB", 0, prev_len, _F1_TAPEMARK, 0))
+            prev_len = 0
+
+        dsname = (
+            o.dataset or os.path.basename(self.path).upper()[:17]
+            or "SPARK.DATA"
+        )
+        if o.labels == "SL":
+            lrecl = o.record_length if o.recfm == "F" else 0
+            blksize = o.block_size if o.recfm == "F" else o.chunk_size
+            emit_block(_label("VOL1", o.volser, o.label_encoding))
+            emit_block(
+                _label("HDR1", _hdr1_body(dsname, None), o.label_encoding)
+            )
+            emit_block(
+                _label(
+                    "HDR2", _hdr2_body(o.recfm, blksize, lrecl),
+                    o.label_encoding,
+                )
+            )
+            tapemark()
+            n_blocks = 0  # EOF1 counts DATA blocks only
+
         block = bytearray()
         for row in iterator:
             payload = payload_bytes(row)
@@ -530,10 +733,30 @@ class AwsTapeWriter(DataSourceWriter):
             n += 1
         if block:
             emit_block(bytes(block))
+        if o.labels == "SL":
+            if n_blocks > 999999:
+                raise ValueError(
+                    f"awstape: {n_blocks} data blocks exceeds the 6-digit "
+                    "EOF1 block-count field; split the write"
+                )
+            data_blocks = n_blocks
+            lrecl = o.record_length if o.recfm == "F" else 0
+            blksize = o.block_size if o.recfm == "F" else o.chunk_size
+            tapemark()
+            emit_block(
+                _label(
+                    "EOF1", _hdr1_body(dsname, data_blocks), o.label_encoding
+                )
+            )
+            emit_block(
+                _label(
+                    "EOF2", _hdr2_body(o.recfm, blksize, lrecl),
+                    o.label_encoding,
+                )
+            )
         # tapemark after the file + end-of-tape mark
-        for _ in range(2):
-            out.append(struct.pack("<HHBB", 0, prev_len, _F1_TAPEMARK, 0))
-            prev_len = 0
+        tapemark()
+        tapemark()
         with open(tmp, "wb") as f:
             f.write(b"".join(out))
         return _TCommitMessage([(tmp, final)], n)

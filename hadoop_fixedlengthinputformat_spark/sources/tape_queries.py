@@ -148,3 +148,52 @@ def sink_awstape(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "doc_id", "lang", "n_chars", F.col("text").cast("string").alias("text")
     )
+
+
+@query(
+    "sink_awstape_labeled",
+    oracle="""
+    SELECT doc_id, COALESCE(lang, '') AS lang,
+           COALESCE(n_chars, 0) AS n_chars, COALESCE(text, '') AS text
+    FROM documents
+    """,
+)
+def sink_awstape_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IBM standard-label (SL) round trip: documents -> labeled AWS
+    volumes (EBCDIC cp037 VOL1+HDR1+HDR2 header group, data file,
+    EOF1+EOF2 trailer whose block count the reader re-verifies) ->
+    labeled read that must match the HDR1 dataset name and the HDR2
+    recfm before a single data block flows — the mount-the-wrong-tape
+    class of operational error caught at the source, not downstream."""
+    configure(spark)
+    awstape.register(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.coalesce("lang", F.lit("")).alias("lang"),
+        F.coalesce("source", F.lit("")).alias("source"),
+        F.coalesce(F.col("n_chars"), F.lit(0)).alias("n_chars"),
+        F.coalesce("text", F.lit("")).alias("text"),
+    )
+    out = os.path.join(tempfile.gettempdir(), "flif_sink_awstape_sl")
+    (
+        docs.write.format("awstape")
+        .option("prefixLength", str(fixture_gen.RDW_PREFIX_LEN))
+        .option("layout", fixture_gen.RDW_PREFIX_LAYOUT)
+        .option("tailColumn", "text")
+        .option("chunkSize", "512")
+        .option("labels", "sl")
+        .option("dataset", "DOCS.CORPUS")
+        .option("volser", "DOC001")
+        .mode("overwrite")
+        .save(out)
+    )
+    df = read_tape(
+        spark, out,
+        prefixLength=str(fixture_gen.RDW_PREFIX_LEN),
+        layout=fixture_gen.RDW_PREFIX_LAYOUT,
+        tailColumn="text", includeOffset="false",
+        labels="sl", dataset="DOCS.CORPUS",
+    )
+    return df.select(
+        "doc_id", "lang", "n_chars", F.col("text").cast("string").alias("text")
+    )

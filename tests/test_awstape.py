@@ -267,3 +267,109 @@ def test_iter_blocks_matches_writer_chain(tmp_path):
     # offsets strictly increasing and header-aligned
     offs = [o for _, o, _ in got]
     assert offs == sorted(set(offs))
+
+
+def _sl_tape(blocks: list[bytes], dsname: str = "A.B", recfm: str = "U",
+             lrecl: int = 0, blkcount: int | None = None,
+             enc: str = "cp037") -> bytes:
+    """Standard-label volume: VOL1+HDR1+HDR2 | TM | data | TM |
+    EOF1+EOF2 | TM TM."""
+    def lbl(kind, body):
+        return (kind + body)[:80].ljust(80).encode(enc)
+
+    def hdr1(kind, count):
+        body = dsname.ljust(17).ljust(50) + (
+            f"{count:06d}" if count is not None else "000000"
+        )
+        return lbl(kind, body)
+
+    hdr2 = lbl("HDR2", f"{recfm}{32760:05d}{lrecl:05d}")
+    eof2 = lbl("EOF2", f"{recfm}{32760:05d}{lrecl:05d}")
+    out = bytearray()
+    prev = 0
+    for b in (lbl("VOL1", "TEST01"), hdr1("HDR1", None), hdr2):
+        piece, prev = _chunks(b, prev, 4096)
+        out.extend(piece)
+    out.extend(struct.pack("<HHBB", 0, prev, 0x40, 0)); prev = 0
+    for b in blocks:
+        piece, prev = _chunks(b, prev, 4096)
+        out.extend(piece)
+    out.extend(struct.pack("<HHBB", 0, prev, 0x40, 0)); prev = 0
+    n = blkcount if blkcount is not None else len(blocks)
+    for b in (hdr1("EOF1", n), eof2):
+        piece, prev = _chunks(b, prev, 4096)
+        out.extend(piece)
+    out.extend(struct.pack("<HHBB", 0, prev, 0x40, 0))
+    out.extend(struct.pack("<HHBB", 0, 0, 0x40, 0))
+    return bytes(out)
+
+
+def test_sl_labels_read_and_dataset_match(spark, tmp_path):
+    blocks = [_block(i, "sl", b"x" * i) for i in range(1, 4)]
+    p = tmp_path / "t.aws"
+    p.write_bytes(_sl_tape(blocks, dsname="MY.DATA"))
+    df = _read(spark, p, labels="sl", dataset="MY.DATA")
+    assert sorted(r.k for r in df.collect()) == [1, 2, 3]
+    with pytest.raises(Exception, match="wrong volume"):
+        _read(spark, p, labels="sl", dataset="OTHER.DATA").collect()
+
+
+def test_sl_recfm_lrecl_and_blockcount_validation(spark, tmp_path):
+    blocks = [_block(i, "sl", b"") for i in range(1, 4)]
+    p = tmp_path / "t.aws"
+    # HDR2 recfm disagrees with the reader
+    p.write_bytes(_sl_tape(blocks, recfm="F", lrecl=10))
+    with pytest.raises(Exception, match="HDR2 says recfm"):
+        _read(spark, p, labels="sl").collect()
+    # EOF1 block count disagrees with the walk (torn tape)
+    p.write_bytes(_sl_tape(blocks, blkcount=7))
+    with pytest.raises(Exception, match="block count"):
+        _read(spark, p, labels="sl").collect()
+    # F-mode lrecl mismatch
+    p.write_bytes(_sl_tape([b"12345678" * 3], recfm="F", lrecl=6))
+    with pytest.raises(Exception, match="record length"):
+        (
+            spark.read.format("awstape")
+            .option("recfm", "f").option("recordLength", "8")
+            .option("layout", "n:0:8:string")
+            .option("labels", "sl")
+            .load(str(p)).collect()
+        )
+
+
+def test_sl_unlabeled_tape_rejected(spark, tmp_path):
+    p = tmp_path / "t.aws"
+    p.write_bytes(_tape([_block(1, "aa", b"zz")]))
+    with pytest.raises(Exception, match="label block|VOL1|header group"):
+        _read(spark, p, labels="sl").collect()
+
+
+def test_sl_sink_round_trip_and_label_bytes(spark, tmp_path):
+    awstape.register(spark)
+    rows = [(i, f"g{i % 2}", bytes(b"q" * (i * 7 % 200))) for i in range(1, 60)]
+    df = spark.createDataFrame(rows, "k long, tag string, record_tail binary")
+    out = str(tmp_path / "sl")
+    (
+        df.repartition(2).write.format("awstape")
+        .option("prefixLength", str(PFX_LEN))
+        .option("layout", PFX_LAYOUT)
+        .option("chunkSize", "96")
+        .option("labels", "sl")
+        .option("dataset", "T.SET")
+        .option("volser", "VOL42")
+        .mode("overwrite")
+        .save(out)
+    )
+    for f in os.listdir(out):
+        if not f.endswith(".aws"):
+            continue
+        img = open(os.path.join(out, f), "rb").read()
+        # first block = VOL1 label, EBCDIC
+        assert img[6:10].decode("cp037") == "VOL1"
+        assert img[10:16].decode("cp037") == "VOL42 "
+    back = _read(
+        spark, out, labels="sl", dataset="T.SET", includeOffset="false"
+    ).collect()
+    assert {(r.k, r.tag, bytes(r.record_tail)) for r in back} == {
+        (k, t, b) for k, t, b in rows
+    }
