@@ -684,3 +684,84 @@ def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.xpath_long(xml, F.lit("/r/k")).alias("xpath_key"),
     )
 
+
+
+@query(
+    "fn_ip",
+    oracle="""
+    WITH ips AS (
+        SELECT c_custkey,
+               CAST(1 + c_custkey % 223 AS BIGINT) AS o1,
+               CAST((c_custkey // 3) % 256 AS BIGINT) AS o2,
+               CAST((c_custkey // 7) % 256 AS BIGINT) AS o3,
+               CAST(c_custkey % 256 AS BIGINT) AS o4
+        FROM customer
+    ),
+    strung AS (
+        SELECT c_custkey,
+               o1 || '.' || o2 || '.' || o3 || '.' || o4 AS ip
+        FROM ips
+    ),
+    parsed AS (
+        SELECT c_custkey, ip,
+               CAST(string_split(ip, '.')[1] AS BIGINT) AS p1,
+               CAST(string_split(ip, '.')[2] AS BIGINT) AS p2,
+               CAST(string_split(ip, '.')[3] AS BIGINT) AS p3,
+               CAST(string_split(ip, '.')[4] AS BIGINT) AS p4
+        FROM strung
+    )
+    SELECT c_custkey, ip,
+           p1 * 16777216 + p2 * 65536 + p3 * 256 + p4 AS ip_num,
+           p1 || '.' || p2 || '.' || p3 || '.0/24' AS subnet_24,
+           (p1 = 10 OR (p1 = 172 AND p2 BETWEEN 16 AND 31)
+               OR (p1 = 192 AND p2 = 168)) AS is_private
+    FROM parsed
+    """,
+)
+def fn_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4 address functions — the network-log staple the engine's
+    scalar family was missing: dotted-quad synthesis (from custkey
+    arithmetic so the oracle derives identical addresses), octet PARSE
+    back out of the string, 32-bit numeric form (the sortable/range-
+    joinable representation), /24 subnet bucketing, and RFC-1918
+    private-range classification.  Pure per-row codegen expressions —
+    split/casts/concat — zero shuffle, zero UDF."""
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    ips = c.select(
+        "c_custkey",
+        (1 + k % 223).cast("long").alias("o1"),
+        # integer division via `div` (CLAUDE.md: never CAST(a/b AS
+        # BIGINT) — DuckDB // floors, double-cast truncates)
+        (F.expr("c_custkey div 3") % 256).cast("long").alias("o2"),
+        (F.expr("c_custkey div 7") % 256).cast("long").alias("o3"),
+        (k % 256).cast("long").alias("o4"),
+    )
+    strung = ips.select(
+        "c_custkey",
+        F.concat_ws(".", "o1", "o2", "o3", "o4").alias("ip"),
+    )
+    oct_ = lambda i: F.element_at(F.split(F.col("ip"), "[.]"), i).cast("long")
+    parsed = strung.select(
+        "c_custkey", "ip",
+        oct_(1).alias("p1"), oct_(2).alias("p2"),
+        oct_(3).alias("p3"), oct_(4).alias("p4"),
+    )
+    return parsed.select(
+        "c_custkey",
+        "ip",
+        (
+            F.col("p1") * 16777216 + F.col("p2") * 65536
+            + F.col("p3") * 256 + F.col("p4")
+        ).alias("ip_num"),
+        F.concat(
+            F.col("p1").cast("string"), F.lit("."),
+            F.col("p2").cast("string"), F.lit("."),
+            F.col("p3").cast("string"), F.lit(".0/24"),
+        ).alias("subnet_24"),
+        (
+            (F.col("p1") == 10)
+            | ((F.col("p1") == 172) & F.col("p2").between(16, 31))
+            | ((F.col("p1") == 192) & (F.col("p2") == 168))
+        ).alias("is_private"),
+    )

@@ -541,3 +541,60 @@ def join_fuzzy_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dist") <= 1)
     )
+
+
+@query(
+    "merge_upsert",
+    oracle="""
+    WITH target AS (
+        SELECT c_custkey, COALESCE(c_name, '') AS name,
+               round(COALESCE(c_acctbal, 0), 4) AS bal
+        FROM customer WHERE c_custkey % 4 <> 0
+    ),
+    source AS (
+        SELECT c_custkey, COALESCE(c_name, '') AS name,
+               round(COALESCE(c_acctbal, 0) + 100, 4) AS bal
+        FROM customer WHERE c_custkey % 2 = 0
+    )
+    SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
+           COALESCE(s.name, t.name) AS name,
+           COALESCE(s.bal, t.bal) AS bal,
+           CASE WHEN s.c_custkey IS NULL THEN 'kept'
+                WHEN t.c_custkey IS NULL THEN 'inserted'
+                ELSE 'updated' END AS action
+    FROM target t FULL OUTER JOIN source s ON t.c_custkey = s.c_custkey
+    """,
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO, latest-wins upsert shape (the companion to
+    merge_scd2's history-keeping variant): matched keys take the source
+    row, unmatched target rows pass through, unmatched source rows
+    insert — one FULL OUTER join keyed on the merge key, which at 100 TB
+    is a single co-partitioned shuffle on both sides (and the standard
+    logical plan a lakehouse MERGE lowers to when the update batch is
+    too large to broadcast).  The action column audits the three merge
+    outcomes; source/target carved from customer by key arithmetic so
+    all three outcomes occur and the oracle recomputes them."""
+    c = load_table(spark, sf_dir, "customer")
+    target = c.filter(F.col("c_custkey") % 4 != 0).select(
+        "c_custkey",
+        F.coalesce("c_name", F.lit("")).alias("name"),
+        F.round(F.coalesce("c_acctbal", F.lit(0.0)), 4).alias("bal"),
+    )
+    source = c.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey",
+        F.coalesce("c_name", F.lit("")).alias("name"),
+        F.round(F.coalesce("c_acctbal", F.lit(0.0)) + 100, 4).alias("bal"),
+    )
+    t = target.alias("t")
+    s = source.alias("s")
+    j = t.join(s, F.col("t.c_custkey") == F.col("s.c_custkey"), "full_outer")
+    return j.select(
+        F.coalesce(F.col("s.c_custkey"), F.col("t.c_custkey")).alias("c_custkey"),
+        F.coalesce(F.col("s.name"), F.col("t.name")).alias("name"),
+        F.coalesce(F.col("s.bal"), F.col("t.bal")).alias("bal"),
+        F.when(F.col("s.c_custkey").isNull(), F.lit("kept"))
+        .when(F.col("t.c_custkey").isNull(), F.lit("inserted"))
+        .otherwise(F.lit("updated"))
+        .alias("action"),
+    )

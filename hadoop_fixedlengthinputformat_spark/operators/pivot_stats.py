@@ -542,3 +542,68 @@ def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.expr(_SKEW) + F.lit(0.0)).alias("skew_q"),
         (F.expr(_KURT) + F.lit(0.0)).alias("kurt_q"),
     )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH base AS (
+        SELECT l_returnflag, CAST(floor(l_quantity) AS BIGINT) AS qi,
+               CAST(floor(l_extendedprice) AS BIGINT) AS w
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    ),
+    per AS (
+        SELECT l_returnflag, qi, CAST(SUM(w) AS BIGINT) AS wsum
+        FROM base GROUP BY l_returnflag, qi
+    ),
+    cum AS (
+        SELECT l_returnflag, qi,
+               CAST(SUM(wsum) OVER (PARTITION BY l_returnflag
+                                    ORDER BY qi) AS BIGINT) AS cw,
+               CAST(SUM(wsum) OVER (PARTITION BY l_returnflag)
+                    AS BIGINT) AS total
+        FROM per
+    )
+    SELECT l_returnflag, MIN(qi) AS wmedian_qty, total AS total_w
+    FROM cum WHERE 2 * cw >= total
+    GROUP BY l_returnflag, total
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (lower) of quantity weighted by revenue, per
+    return flag — the smallest value whose running weight reaches half
+    the group total.  Everything stays EXACT int64 (floored quantity and
+    price, the agg_moments technique): the per-value pre-aggregation
+    collapses the running sum's input to |distinct values| rows per
+    group, so the rank window is tiny regardless of corpus size, and
+    integer sums are merge-order-free — no snap, no double drift.
+    Shuffle shape: one (flag, qi) groupBy with map-side partials, then
+    a flag-keyed window over the collapsed rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.where(
+        F.col("l_quantity").isNotNull() & F.col("l_extendedprice").isNotNull()
+    ).select(
+        "l_returnflag",
+        F.floor("l_quantity").cast("long").alias("qi"),
+        F.floor("l_extendedprice").cast("long").alias("w"),
+    )
+    per = base.groupBy("l_returnflag", "qi").agg(F.sum("w").alias("wsum"))
+    w_run = Window.partitionBy("l_returnflag").orderBy("qi")
+    w_all = Window.partitionBy("l_returnflag")
+    cum = per.select(
+        "l_returnflag",
+        "qi",
+        F.sum("wsum").over(w_run).alias("cw"),
+        F.sum("wsum").over(w_all).alias("total"),
+    )
+    return (
+        cum.where(2 * F.col("cw") >= F.col("total"))
+        .groupBy("l_returnflag", "total")
+        .agg(F.min("qi").alias("wmedian_qty"))
+        .select(
+            "l_returnflag",
+            "wmedian_qty",
+            F.col("total").alias("total_w"),
+        )
+    )

@@ -160,6 +160,9 @@ GRADE_ORDER: tuple[str, ...] = (
     "scan_fixedlen_gdg_all",
     "maintain_gdg_roll",
     "llm_vocab_ids",
+    "merge_upsert",
+    "agg_weighted_median",
+    "fn_ip",
     # rows-only sketches stay LAST of the queued names (VERDICT r3 #5):
     # no_oracle rows burn grading signal
     "stream_watermark_late_drop",
