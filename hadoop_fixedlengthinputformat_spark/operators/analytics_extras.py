@@ -327,3 +327,67 @@ def llm_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("mime"),
         F.length("blob").cast("long").alias("n_bytes"),
     )
+
+
+@query(
+    "ts_pattern_match",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id,
+               CASE event_type WHEN 'signup' THEN 's' WHEN 'view' THEN 'v'
+                    WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
+                    ELSE 'x' END AS ch
+        FROM events
+        WHERE ts IS NOT NULL AND event_type IS NOT NULL
+              AND user_id IS NOT NULL AND event_id IS NOT NULL
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           string_agg(ch, '' ORDER BY us, event_id, ch) AS seq,
+           regexp_matches(string_agg(ch, '' ORDER BY us, event_id, ch),
+                          'v[^p]*c[^p]*p') AS converted
+    FROM ev GROUP BY user_id
+    """,
+)
+def ts_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite event-sequence pattern matching: each
+    user's journey collapses to an ordered character string (one char
+    per event, total order (ts, event_id, char) so duplicate-id rolls
+    stay deterministic), and the funnel pattern 'view, then a click,
+    then a purchase with no earlier purchase between' is a REGEX over
+    that string — the row-pattern idiom SQL:2016 MATCH_RECOGNIZE
+    expresses, built from one user-keyed aggregation.  Scale shape:
+    collect_list+sort_array runs inside the single user_id exchange;
+    journeys are user-bounded (thousands of events, not corpus-sized).
+    Events with NULL ts/type/ids excluded on BOTH sides (round-4
+    rule)."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull()
+    ).select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        F.when(F.col("event_type") == "signup", "s")
+        .when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .otherwise("x")
+        .alias("ch"),
+    )
+    seq = F.array_join(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct("us", "event_id", "ch"))
+            ),
+            lambda s: s.getField("ch"),
+        ),
+        "",
+    )
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        seq.alias("seq"),
+        seq.rlike("v[^p]*c[^p]*p").alias("converted"),
+    )

@@ -163,6 +163,7 @@ GRADE_ORDER: tuple[str, ...] = (
     "merge_upsert",
     "agg_weighted_median",
     "fn_ip",
+    "ts_pattern_match",
     # rows-only sketches stay LAST of the queued names (VERDICT r3 #5):
     # no_oracle rows burn grading signal
     "stream_watermark_late_drop",
