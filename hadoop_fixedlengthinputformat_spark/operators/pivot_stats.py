@@ -607,3 +607,76 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total").alias("total_w"),
         )
     )
+
+
+# Gini: G = (2*S1 - (n+1)*S0) / (n*S0) over ascending-sorted xi with
+# 1-based ranks i, S0 = sum(xi), S1 = sum(i*xi) — all EXACT int64, so
+# the one double division runs on identical operands in an identical
+# tree on both engines.  Rank ties (equal xi) cost nothing: the i-sum
+# over a tie block is order-free.
+_GINI = snap_sql(
+    "(2.0 * s1 - (CAST(n AS DOUBLE) + 1) * s0) / (CAST(n AS DOUBLE) * s0)", 4
+)
+
+
+@query(
+    "agg_gini",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderpriority AS priority,
+               CAST(floor(o_totalprice) AS BIGINT) AS x
+        FROM orders
+        WHERE o_totalprice IS NOT NULL AND o_totalprice >= 0
+              AND o_orderpriority IS NOT NULL
+    ),
+    ranked AS (
+        SELECT priority, x,
+               ROW_NUMBER() OVER (PARTITION BY priority ORDER BY x) AS i
+        FROM base
+    ),
+    g AS (
+        SELECT priority, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS s0,
+               CAST(SUM(i * x) AS BIGINT) AS s1
+        FROM ranked GROUP BY priority
+    )
+    SELECT priority, n AS n_orders,
+           {_GINI} + 0 AS gini
+    FROM g WHERE s0 > 0
+    """,
+)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration coefficient of order value per priority class
+    (the inequality measure curation dashboards put next to domain
+    mixes): the rank-sum identity G = (2*Σi·xᵢ − (n+1)*Σxᵢ) / (n*Σxᵢ)
+    over ascending-sorted exact int64 values — rank ties are order-free
+    (equal xᵢ make the i-sum over the tie block constant), every sum is
+    exact, and only the final ratio touches doubles (identical operand
+    tree both engines, snapped to 4).  Shuffle shape: one priority-
+    keyed rank window + one map-side-combined groupBy on the same key —
+    the partitioning is reused across both.  Overflow budget:
+    Σi·xᵢ ≤ n²·max(x) ≈ 1.4e18 at sf1 per class — inside int64; larger
+    scales re-unit x first (the agg_moments rule)."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.where(
+        F.col("o_totalprice").isNotNull()
+        & (F.col("o_totalprice") >= 0)
+        & F.col("o_orderpriority").isNotNull()
+    ).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.floor("o_totalprice").cast("long").alias("x"),
+    )
+    w = Window.partitionBy("priority").orderBy("x")
+    ranked = base.select(
+        "priority", "x", F.row_number().over(w).cast("long").alias("i")
+    )
+    g = ranked.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s0"),
+        F.sum(F.col("i") * F.col("x")).alias("s1"),
+    )
+    return g.where(F.col("s0") > 0).select(
+        "priority",
+        F.col("n").alias("n_orders"),
+        (F.expr(_GINI) + F.lit(0.0)).alias("gini"),
+    )

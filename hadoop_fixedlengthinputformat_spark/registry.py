@@ -164,6 +164,7 @@ GRADE_ORDER: tuple[str, ...] = (
     "agg_weighted_median",
     "fn_ip",
     "ts_pattern_match",
+    "agg_gini",
     # rows-only sketches stay LAST of the queued names (VERDICT r3 #5):
     # no_oracle rows burn grading signal
     "stream_watermark_late_drop",

@@ -200,3 +200,33 @@ def test_agg_moments_matches_numpy(spark, sf_dir):
         assert r.n_rows == len(vals)
         assert abs(r.skew_q - skew) < 2e-4, (flag, r.skew_q, skew)
         assert abs(r.kurt_q - kurt) < 2e-4, (flag, r.kurt_q, kurt)
+
+
+def test_agg_gini_matches_numpy(spark, sf_dir):
+    """Gini via the rank-sum identity must match the O(n^2) pairwise
+    definition computed by numpy on the same floored values."""
+    import numpy as np
+
+    from hadoop_fixedlengthinputformat_spark.operators.pivot_stats import (
+        agg_gini,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/orders.parquet").to_pylist()
+    groups: dict[str, list[int]] = {}
+    for r in tbl:
+        if r["o_totalprice"] is not None and r["o_totalprice"] >= 0 and \
+                r["o_orderpriority"] is not None:
+            groups.setdefault(r["o_orderpriority"], []).append(
+                int(math.floor(r["o_totalprice"]))
+            )
+    got = {r.priority: r for r in agg_gini(spark, sf_dir).collect()}
+    for pr, vals in groups.items():
+        x = np.array(vals, dtype=np.float64)
+        if x.sum() == 0:
+            assert pr not in got
+            continue
+        diffs = np.abs(x[:, None] - x[None, :]).sum()
+        gini = diffs / (2 * len(x) ** 2 * x.mean())
+        r = got[pr]
+        assert r.n_orders == len(vals)
+        assert abs(r.gini - gini) < 2e-4, (pr, r.gini, gini)
