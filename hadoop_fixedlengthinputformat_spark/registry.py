@@ -155,6 +155,7 @@ GRADE_ORDER: tuple[str, ...] = (
     "scan_awstape_fb",
     "sink_awstape",
     "sink_awstape_labeled",
+    "stream_awstape_tail",
     # GDG relative-generation resolution over fixedlen members
     "scan_fixedlen_gdg",
     "scan_fixedlen_gdg_all",

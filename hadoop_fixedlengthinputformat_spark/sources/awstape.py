@@ -72,6 +72,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import (
@@ -284,31 +285,51 @@ def _list_files(path: str) -> list[str]:
 
 
 def iter_blocks(
-    fobj, path: str, eot_on_double_mark: bool = True
-) -> Iterator[tuple[int, int, bytes]]:
-    """Walk an AWS image; yield ``(tape_file, block_offset, block bytes)``
-    for every data block (chunks assembled).  Tape marks advance
-    ``tape_file``; two consecutive marks (end-of-tape) or EOF stop the
-    walk — except under SL labels (``eot_on_double_mark=False``), where
-    an empty dataset legitimately carries consecutive marks and only
-    physical EOF ends it.  Every header rule is enforced (module
-    docstring)."""
-    pos = 0
-    tape_file = 0
-    prev_len = 0
-    last_was_mark = False
+    fobj,
+    path: str,
+    eot_on_double_mark: bool = True,
+    start: tuple[int, int, int, bool] | None = None,
+    stop_on_partial: bool = False,
+    end_pos: int | None = None,
+) -> Iterator[tuple[int, int, bytes, tuple[int, int, int, bool]]]:
+    """Walk an AWS image; yield ``(tape_file, block_offset, block bytes,
+    resume_state)`` for every data block (chunks assembled), where
+    ``resume_state = (pos, prev_len, tape_file, last_was_mark)`` is the
+    walk state right after the block's ENDREC chunk — the only safe
+    re-entry points for a tailing stream (resuming mid-chain would
+    orphan continuation chunks, and the backspace-chain check needs the
+    previous chunk length).  ``start`` resumes from such a state.
+    Tape marks advance ``tape_file``; two consecutive marks
+    (end-of-tape) or EOF stop the walk — except under SL labels
+    (``eot_on_double_mark=False``), where an empty dataset legitimately
+    carries consecutive marks and only physical EOF ends it.
+    ``stop_on_partial`` turns EOF-truncation (mid-header, mid-chunk, or
+    chain-open) into a clean stop — the tailing case, where a
+    half-written chunk chain is growth in flight, not corruption.
+    Every header rule is enforced (module docstring)."""
+    pos, prev_len, tape_file, last_was_mark = start or (0, 0, 0, False)
     open_parts: list[bytes] | None = None
     open_off = 0
     while True:
+        # ``end_pos`` is always a block boundary (a replay bound from a
+        # prior resume state) — stop BEFORE touching bytes past it, so
+        # an in-flight partial chain beyond the committed range can
+        # never disturb an exact replay
+        if end_pos is not None and pos >= end_pos:
+            return
         hdr = fobj.read(HDR_LEN)
         if not hdr:
             if open_parts is not None:
+                if stop_on_partial:
+                    return
                 raise IOError(
                     f"awstape: {path!r} ends mid-block (chunk chain open "
                     f"since offset {open_off}, no ENDREC)"
                 )
             return
         if len(hdr) < HDR_LEN:
+            if stop_on_partial:
+                return
             raise IOError(
                 f"awstape: {path!r} ends mid-header at offset {pos} "
                 f"({len(hdr)} trailing bytes)"
@@ -355,6 +376,8 @@ def iter_blocks(
             )
         data = fobj.read(curblkl)
         if len(data) < curblkl:
+            if stop_on_partial:
+                return
             raise IOError(
                 f"awstape: {path!r} ends mid-chunk at offset {pos} (header "
                 f"claims {curblkl} data bytes, {len(data)} available)"
@@ -375,7 +398,9 @@ def iter_blocks(
                 )
             open_parts.append(data)
         if flags1 & _F1_ENDREC:
-            yield tape_file, open_off, b"".join(open_parts)
+            yield tape_file, open_off, b"".join(open_parts), (
+                pos + HDR_LEN + curblkl, curblkl, tape_file, False,
+            )
             open_parts = None
         prev_len = curblkl
         pos += HDR_LEN + curblkl
@@ -407,7 +432,7 @@ def _hdr2_body(recfm: str, blksize: int, lrecl: int) -> str:
 
 def iter_labeled_blocks(
     fobj, path: str, opts: _TOptions
-) -> Iterator[tuple[int, int, bytes]]:
+) -> Iterator[tuple[int, int, bytes, tuple[int, int, int, bool]]]:
     """IBM standard-label (SL) walk: tape file 0 = VOL1+HDR1+HDR2, file
     1 = the data blocks (yielded), file 2 = EOF1+EOF2.  Every label
     field this engine understands is VALIDATED, not skipped: magics,
@@ -473,14 +498,16 @@ def iter_labeled_blocks(
     # the closing TM TM is structure here, not end-of-tape: an EMPTY
     # dataset legitimately puts two consecutive marks between HDR and
     # EOF groups, so the walk runs to physical EOF instead
-    for tf, off, block in iter_blocks(fobj, path, eot_on_double_mark=False):
+    for tf, off, block, resume in iter_blocks(
+        fobj, path, eot_on_double_mark=False
+    ):
         if tf == 0:
             group0.append((off, block))
         elif tf == 1:
             if dsname is None:
                 dsname = check_header()  # validate BEFORE any data flows
             n_data += 1
-            yield tf, off, block
+            yield tf, off, block, resume
         elif tf == 2:
             trailer.append((off, block))
         else:
@@ -572,7 +599,7 @@ class AwsTapeReader(DataSourceReader):
                     if o.labels == "SL"
                     else iter_blocks(f, partition.path)
                 )
-                for tf, boff, block in walk:
+                for tf, boff, block, _resume in walk:
                     if o.recfm == "F":
                         if len(block) % o.record_length != 0:
                             raise ValueError(
@@ -612,6 +639,103 @@ class AwsTapeReader(DataSourceReader):
                 yield build_batch(files, offsets, fixed, tails, rl)
 
         return gen()
+
+
+class AwsTapeStreamReader(SimpleDataSourceStreamReader):
+    """Tail ONE growing AWS image (recfm=U, unlabeled).  An offset is
+    the full walk state ``(pos, prev, tf, mark)`` — the byte position
+    of the next unread chunk header plus the backspace-chain value and
+    tape-file counters needed to re-enter there, so restart replays
+    re-validate the exact chain they first walked.  Only WHOLE blocks
+    are admitted: a half-written chunk chain at EOF is growth in
+    flight and its entire chain stays unread until the ENDREC chunk
+    lands (the whole-record invariant carried to chunked tape blocks).
+    A closed tape (double mark) simply stops yielding new rows."""
+
+    BATCH_TARGET = 1 << 22
+
+    def __init__(self, opts: _TOptions, path: str):
+        self.opts = opts
+        self.path = path
+
+    def initialOffset(self):
+        return {"pos": 0, "prev": 0, "tf": 0, "mark": False}
+
+    def _rows(self, lo: dict, hi: dict | None, stop_on_partial: bool,
+              max_bytes: int | None = None):
+        o = self.opts
+        if not os.path.exists(self.path):
+            return [], lo
+        recs: list[tuple[int, int, bytes]] = []
+        end = lo
+        with open(self.path, "rb") as f:
+            f.seek(lo["pos"])
+            for tf, off, block, resume in iter_blocks(
+                f, self.path,
+                start=(lo["pos"], lo["prev"], lo["tf"], lo["mark"]),
+                stop_on_partial=stop_on_partial,
+                end_pos=hi["pos"] if hi is not None else None,
+            ):
+                if len(block) < o.prefix_length:
+                    raise ValueError(
+                        f"awstape: block at offset {off} in {self.path!r} "
+                        f"is {len(block)} bytes, shorter than the declared "
+                        f"prefix ({o.prefix_length})"
+                    )
+                recs.append((tf, off, block))
+                end = {
+                    "pos": resume[0], "prev": resume[1],
+                    "tf": resume[2], "mark": resume[3],
+                }
+                if max_bytes is not None and resume[0] - lo["pos"] >= max_bytes:
+                    break
+        if not recs:
+            return [], lo
+        offsets = [off for _tf, off, _ in recs]
+        prefixes = bytearray()
+        tails: list[bytes] = []
+        for _tf, _off, block in recs:
+            if o.fields is None:
+                tails.append(block)
+            else:
+                prefixes.extend(block[: o.prefix_length])
+                tails.append(block[o.prefix_length :])
+        cols: list[pa.Array] = []
+        if o.with_file:
+            cols.append(
+                pa.array([tf for tf, _off, _b in recs], type=pa.int32())
+            )
+        if o.with_offset:
+            cols.append(pa.array(offsets, type=pa.int64()))
+        if o.fields is None:
+            cols.append(pa.array(tails, type=pa.binary()))
+        else:
+            layout_batch = decode_chunk(
+                bytes(prefixes), o.prefix_length, o.fields, 0, False, None,
+                o.layout_arrow_schema(), encoding=o.encoding,
+            )
+            cols.extend(layout_batch.columns)
+            if o.with_tail:
+                cols.append(pa.array(tails, type=pa.binary()))
+        batch = pa.RecordBatch.from_arrays(cols, schema=o.arrow_schema())
+        return [tuple(r.values()) for r in batch.to_pylist()], end
+
+    def read(self, start: dict):
+        # cap the per-batch span so a large backlog drains across
+        # micro-batches instead of materializing at once (ADVICE r3)
+        rows, pos = self._rows(
+            start, None, stop_on_partial=True, max_bytes=self.BATCH_TARGET
+        )
+        return iter(rows), pos
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        if end["pos"] <= start["pos"]:
+            return iter(())
+        rows, _pos = self._rows(start, end, stop_on_partial=False)
+        return iter(rows)
+
+    def commit(self, end: dict):
+        pass
 
 
 class _TCommitMessage(WriterCommitMessage):
@@ -803,6 +927,21 @@ class AwsTapeDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> AwsTapeWriter:
         return AwsTapeWriter(self.opts, self.path, overwrite)
+
+    def simpleStreamReader(self, schema: StructType) -> AwsTapeStreamReader:
+        if os.path.isdir(self.path):
+            raise ValueError("awstape streaming tails a single image file")
+        if self.opts.labels != "NONE":
+            raise ValueError(
+                "awstape streaming reads unlabeled images (the SL trailer "
+                "is written after the data a tail is still following)"
+            )
+        if self.opts.recfm != "U":
+            raise ValueError(
+                "awstape streaming supports recfm=U (deblocked F offsets "
+                "are not stable across growing batches)"
+            )
+        return AwsTapeStreamReader(self.opts, self.path)
 
 
 def register(spark) -> None:

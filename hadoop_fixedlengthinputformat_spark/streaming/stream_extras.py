@@ -134,3 +134,43 @@ def stream_vbs_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("record_tail").cast("long").alias("tail_bytes"),
     )
     return _run_to_table(out, "append")
+
+
+@query(
+    "stream_awstape_tail",
+    oracle="""
+    SELECT doc_id, COALESCE(lang, '') AS lang,
+           COALESCE(n_chars, 0) AS n_chars,
+           CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT)
+               AS tail_bytes
+    FROM documents
+    """,
+)
+def stream_awstape_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail a growing AWS tape image (RECFM=U): only WHOLE blocks are
+    admitted per micro-batch — a half-written chunk chain at EOF keeps
+    its entire chain unread until the ENDREC chunk lands, and the
+    stream offset carries the full walk state (position + backspace-
+    chain value), so restart replays re-validate the exact chain they
+    first walked.  Completes the tail family across every container:
+    fixed stride -> RDW record -> VBS segment chain -> chunked tape
+    block."""
+    from hadoop_fixedlengthinputformat_spark.sources import awstape
+
+    configure(spark)
+    awstape.register(spark)
+    path = fixture_gen.aws_u_file_for(sf_dir)
+    import pyspark.sql.functions as F
+
+    src = (
+        spark.readStream.format("awstape")
+        .option("prefixLength", str(fixture_gen.RDW_PREFIX_LEN))
+        .option("layout", fixture_gen.RDW_PREFIX_LAYOUT)
+        .option("includeOffset", "false")
+        .load(path)
+    )
+    out = src.select(
+        "doc_id", "lang", "n_chars",
+        F.length("record_tail").cast("long").alias("tail_bytes"),
+    )
+    return _run_to_table(out, "append")

@@ -262,10 +262,10 @@ def test_iter_blocks_matches_writer_chain(tmp_path):
     p.write_bytes(img)
     with open(p, "rb") as f:
         got = list(iter_blocks(f, str(p)))
-    assert [b for _, _, b in got] == blocks
-    assert [tf for tf, _, _ in got] == [0] * 10 + [1] * 20 + [2] * 20
+    assert [b for _, _, b, _ in got] == blocks
+    assert [tf for tf, _, _, _ in got] == [0] * 10 + [1] * 20 + [2] * 20
     # offsets strictly increasing and header-aligned
-    offs = [o for _, o, _ in got]
+    offs = [o for _, o, _, _ in got]
     assert offs == sorted(set(offs))
 
 
@@ -373,3 +373,62 @@ def test_sl_sink_round_trip_and_label_bytes(spark, tmp_path):
     assert {(r.k, r.tag, bytes(r.record_tail)) for r in back} == {
         (k, t, b) for k, t, b in rows
     }
+
+
+def test_stream_tail_admits_only_whole_blocks(tmp_path):
+    """Direct SimpleDataSourceStreamReader drive: a partial chunk chain
+    at EOF stays unread; after completion it is admitted; replay
+    between committed offsets is exact even with a new partial tail."""
+    from hadoop_fixedlengthinputformat_spark.sources.awstape import (
+        AwsTapeStreamReader,
+    )
+
+    opts = _TOptions.parse({"prefixlength": str(PFX_LEN), "layout": PFX_LAYOUT})
+    p = tmp_path / "t.aws"
+    b1, prev1 = _chunks(_block(1, "aa", b"x" * 100), 0, 64)
+    b2, _prev2 = _chunks(_block(2, "bb", b"y" * 100), prev1, 64)
+    # write block1 + HALF of block2's chain
+    half = b2[: 6 + 64]
+    p.write_bytes(b1 + half)
+    r = AwsTapeStreamReader(opts, str(p))
+    start = r.initialOffset()
+    rows, off1 = r._rows(start, None, stop_on_partial=True)
+    assert [(row[0], row[1]) for row in rows] == [(0, 1)]  # whole block only
+    assert off1["pos"] == len(b1)
+    # complete block2: now it is admitted from the saved offset
+    p.write_bytes(b1 + b2)
+    rows2, off2 = r._rows(off1, None, stop_on_partial=True)
+    assert [(row[0], row[1]) for row in rows2] == [(len(b1), 2)]
+    assert off2["pos"] == len(b1) + len(b2)
+    # replay of the committed first batch is exact despite the tail
+    replay = list(r.readBetweenOffsets(start, off1))
+    assert replay == rows
+    # chain-state in the offset: corrupt prev -> replay raises
+    bad = dict(off1, prev=13)
+    with pytest.raises(Exception, match="backspace chain"):
+        list(r.readBetweenOffsets(bad, off2))
+
+
+def test_stream_reader_option_guards(tmp_path):
+    from hadoop_fixedlengthinputformat_spark.sources.awstape import (
+        AwsTapeDataSource,
+    )
+
+    ds = AwsTapeDataSource(
+        {"path": str(tmp_path), "prefixlength": str(PFX_LEN),
+         "layout": PFX_LAYOUT}
+    )
+    with pytest.raises(ValueError, match="single image file"):
+        ds.simpleStreamReader(None)
+    ds = AwsTapeDataSource(
+        {"path": str(tmp_path / "x.aws"), "labels": "sl",
+         "prefixlength": str(PFX_LEN), "layout": PFX_LAYOUT}
+    )
+    with pytest.raises(ValueError, match="unlabeled"):
+        ds.simpleStreamReader(None)
+    ds = AwsTapeDataSource(
+        {"path": str(tmp_path / "x.aws"), "recfm": "fb",
+         "recordlength": "8", "layout": "a:0:8:string"}
+    )
+    with pytest.raises(ValueError, match="recfm=U"):
+        ds.simpleStreamReader(None)
