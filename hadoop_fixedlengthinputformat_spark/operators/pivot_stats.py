@@ -680,3 +680,91 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_orders"),
         (F.expr(_GINI) + F.lit(0.0)).alias("gini"),
     )
+
+
+# Welch t-test from exact int64 power sums: variance terms va = n*S2-S1²
+# (exact), then t = (m1-m2)/sqrt(v1/n1+v2/n2) evaluated in an
+# identically-parenthesized double tree.  sqrt snapped to 8 first, the
+# statistic to 4 (the agg_moments discipline).
+_T_DEN = snap_sql(
+    "sqrt(va / (CAST(na AS DOUBLE) * na * (na - 1))"
+    "    + vr / (CAST(nr AS DOUBLE) * nr * (nr - 1)))", 8
+)
+_T_STAT = snap_sql(
+    f"(s1a / CAST(na AS DOUBLE) - s1r / CAST(nr AS DOUBLE)) / ({_T_DEN})", 4
+)
+
+
+@query(
+    "agg_ttest",
+    oracle=f"""
+    WITH base AS (
+        SELECT l_returnflag, CAST(floor(l_quantity) AS BIGINT) AS qi
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_returnflag IN ('A', 'R')
+    ),
+    g AS (
+        SELECT CAST(count(*) FILTER (l_returnflag = 'A') AS BIGINT) AS na,
+               CAST(SUM(qi)  FILTER (l_returnflag = 'A') AS BIGINT) AS s1a,
+               CAST(SUM(qi*qi) FILTER (l_returnflag = 'A') AS BIGINT) AS s2a,
+               CAST(count(*) FILTER (l_returnflag = 'R') AS BIGINT) AS nr,
+               CAST(SUM(qi)  FILTER (l_returnflag = 'R') AS BIGINT) AS s1r,
+               CAST(SUM(qi*qi) FILTER (l_returnflag = 'R') AS BIGINT) AS s2r
+        FROM base
+    ),
+    v AS (
+        SELECT na, s1a, nr, s1r,
+               CAST(na * s2a - s1a * s1a AS BIGINT) AS va,
+               CAST(nr * s2r - s1r * s1r AS BIGINT) AS vr
+        FROM g
+    )
+    SELECT na AS n_a, nr AS n_r, {_T_STAT} + 0 AS t_stat
+    FROM v WHERE na >= 2 AND nr >= 2 AND (va > 0 OR vr > 0)
+    """,
+)
+def agg_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t-statistic (returned vs rejected quantities) —
+    the A/B-comparison primitive, computed from EXACT integer power
+    sums in ONE pass: conditional sums per class inside a single global
+    aggregate (map-side combined, no join of two filtered subqueries),
+    then the Welch formula n·S₂−S₁² / (n²(n−1)) per class evaluated in
+    an identically-parenthesized double tree on both engines (sqrt
+    snapped to 8, statistic to 4 — the agg_moments discipline).
+    Overflow: S₂ ≤ 2500·n, va ≤ 2500·n² — int64-safe past 1e7 rows per
+    class; re-unit beyond (documented budget)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.where(
+        F.col("l_quantity").isNotNull()
+        & F.col("l_returnflag").isin("A", "R")
+    ).select(
+        "l_returnflag", F.floor("l_quantity").cast("long").alias("qi")
+    )
+    q = F.col("qi")
+
+    def side(flag: str, expr, name: str):
+        return F.sum(
+            F.when(F.col("l_returnflag") == flag, expr).otherwise(F.lit(0))
+        ).alias(name)
+
+    def cnt(flag: str, name: str):
+        return F.sum(
+            F.when(F.col("l_returnflag") == flag, F.lit(1)).otherwise(F.lit(0))
+        ).cast("long").alias(name)
+
+    g = base.agg(
+        cnt("A", "na"), side("A", q, "s1a"), side("A", q * q, "s2a"),
+        cnt("R", "nr"), side("R", q, "s1r"), side("R", q * q, "s2r"),
+    )
+    v = g.select(
+        "na", "s1a", "nr", "s1r",
+        (F.col("na") * F.col("s2a") - F.col("s1a") * F.col("s1a")).alias("va"),
+        (F.col("nr") * F.col("s2r") - F.col("s1r") * F.col("s1r")).alias("vr"),
+    )
+    return v.where(
+        (F.col("na") >= 2) & (F.col("nr") >= 2)
+        & ((F.col("va") > 0) | (F.col("vr") > 0))
+    ).select(
+        F.col("na").alias("n_a"),
+        F.col("nr").alias("n_r"),
+        (F.expr(_T_STAT) + F.lit(0.0)).alias("t_stat"),
+    )

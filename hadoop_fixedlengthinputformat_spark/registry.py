@@ -166,6 +166,7 @@ GRADE_ORDER: tuple[str, ...] = (
     "fn_ip",
     "ts_pattern_match",
     "agg_gini",
+    "agg_ttest",
     # rows-only sketches stay LAST of the queued names (VERDICT r3 #5):
     # no_oracle rows burn grading signal
     "stream_watermark_late_drop",

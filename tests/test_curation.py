@@ -230,3 +230,31 @@ def test_agg_gini_matches_numpy(spark, sf_dir):
         r = got[pr]
         assert r.n_orders == len(vals)
         assert abs(r.gini - gini) < 2e-4, (pr, r.gini, gini)
+
+
+def test_agg_ttest_matches_numpy(spark, sf_dir):
+    """Welch t from the rank-free power-sum identity must match the
+    textbook mean/variance formulation in numpy."""
+    import numpy as np
+
+    from hadoop_fixedlengthinputformat_spark.operators.pivot_stats import (
+        agg_ttest,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/lineitem.parquet").to_pylist()
+    a = np.array([math.floor(r["l_quantity"]) for r in tbl
+                  if r["l_quantity"] is not None
+                  and r["l_returnflag"] == "A"], dtype=np.float64)
+    r_ = np.array([math.floor(r["l_quantity"]) for r in tbl
+                   if r["l_quantity"] is not None
+                   and r["l_returnflag"] == "R"], dtype=np.float64)
+    rows = agg_ttest(spark, sf_dir).collect()
+    if len(a) < 2 or len(r_) < 2 or (a.var(ddof=1) == 0 and r_.var(ddof=1) == 0):
+        assert rows == []
+        return
+    t = (a.mean() - r_.mean()) / math.sqrt(
+        a.var(ddof=1) / len(a) + r_.var(ddof=1) / len(r_)
+    )
+    assert len(rows) == 1
+    assert rows[0].n_a == len(a) and rows[0].n_r == len(r_)
+    assert abs(rows[0].t_stat - t) < 2e-4, (rows[0].t_stat, t)
