@@ -29,7 +29,9 @@ is the whole on-ramp.  Supported (the subset that determines bytes):
   * group items (no PIC) flatten; ``FILLER`` reserves bytes without a
     column; ``REDEFINES`` overlays storage (offset resets to the
     redefined item's start; following items start after the LARGER of
-    the two, per the standard); level-88 condition names are ignored.
+    the two, per the standard); level-88 condition names carry no
+    storage (skipped here) but parse into boolean expressions over the
+    decoded columns via :func:`conditions`.
 
 Repeated ``PIC 99V99``-style digit runs (no parentheses) are accepted.
 Unsupported usages (SIGN LEADING overpunch, COMP-5 little-endian,
@@ -85,7 +87,10 @@ def _sentences(text: str) -> list[str]:
             continue
         lines.append(line.strip())
     blob = " ".join(lines)
-    return [s.strip() for s in blob.split(".") if s.strip()]
+    # a COBOL separator period is followed by whitespace (or ends the
+    # text) — a bare "." inside a numeric literal (88 ... VALUE 9.99)
+    # is NOT a sentence boundary
+    return [s.strip() for s in re.split(r"\.(?:\s+|$)", blob) if s.strip()]
 
 
 # Tokens that can legally follow the level number directly — a data item
@@ -330,3 +335,101 @@ def copybook_to_layout(text: str) -> tuple[str, int]:
     if not fields:
         raise ValueError("copybook: only FILLER items found")
     return ",".join(fields), record_end
+
+
+@dataclass
+class Condition:
+    """A level-88 condition name: ``name`` is true when ``field`` takes
+    one of the declared values/ranges.  ``sql`` is a boolean expression
+    over the DECODED layout column, valid verbatim in Spark SQL and
+    DuckDB (only =, IN, BETWEEN, OR)."""
+
+    name: str
+    field: str
+    sql: str
+
+
+_VALUE_TOKEN = re.compile(r"'(?:[^']|'')*'|\S+")  # '' = embedded quote
+
+
+def conditions(text: str) -> list[Condition]:
+    """Parse the level-88 condition names ``copybook_to_layout`` skips
+    (they carry no storage) into boolean expressions over the decoded
+    columns — ``88 IS-ACTIVE VALUE 'A'.`` becomes
+    ``(status = 'A') AS is_active``.  Supports VALUE/VALUES [IS/ARE],
+    multiple literals, and ``THRU``/``THROUGH`` ranges; a condition
+    before any elementary item, or without a VALUE clause, raises (the
+    module's never-silently-wrong rule)."""
+    out: list[Condition] = []
+    parent: str | None = None
+    for sentence in _sentences(text):
+        toks = _VALUE_TOKEN.findall(sentence)
+        if not toks or not toks[0].isdigit():
+            continue
+        level = int(toks[0])
+        if level != _LEVEL_88:
+            item = _parse_item(sentence)
+            if item is not None and item.pic is not None and \
+                    item.name != "filler":
+                parent = item.name
+            continue
+        if len(toks) < 2:
+            raise ValueError(f"copybook: level-88 without a name: {sentence!r}")
+        name = _norm_name(toks[1])
+        if parent is None:
+            raise ValueError(
+                f"copybook: condition {toks[1]!r} precedes any elementary "
+                "item — nothing to condition on"
+            )
+        i = 2
+        if i < len(toks) and toks[i].upper() in ("VALUE", "VALUES"):
+            i += 1
+        else:
+            raise ValueError(
+                f"copybook: level-88 {toks[1]!r} has no VALUE clause"
+            )
+        if i < len(toks) and toks[i].upper() in ("IS", "ARE"):
+            i += 1
+
+        def lit(tok: str) -> str:
+            if tok.startswith("'"):
+                # COBOL doubles embedded quotes exactly like SQL — the
+                # token body passes through verbatim
+                return tok
+            try:
+                float(tok)
+            except ValueError:
+                raise ValueError(
+                    f"copybook: level-88 {name!r}: {tok!r} is neither a "
+                    "quoted string nor a number"
+                )
+            return tok
+
+        clauses: list[str] = []
+        singles: list[str] = []
+        while i < len(toks):
+            lo = lit(toks[i])
+            i += 1
+            if i + 1 < len(toks) + 1 and i < len(toks) and \
+                    toks[i].upper() in ("THRU", "THROUGH"):
+                if i + 1 >= len(toks):
+                    raise ValueError(
+                        f"copybook: level-88 {name!r}: THRU without an "
+                        "upper bound"
+                    )
+                hi = lit(toks[i + 1])
+                clauses.append(f"{parent} BETWEEN {lo} AND {hi}")
+                i += 2
+            else:
+                singles.append(lo)
+        if singles:
+            if len(singles) == 1:
+                clauses.append(f"{parent} = {singles[0]}")
+            else:
+                clauses.append(f"{parent} IN ({', '.join(singles)})")
+        if not clauses:
+            raise ValueError(
+                f"copybook: level-88 {name!r} declares no values"
+            )
+        out.append(Condition(name, parent, "(" + " OR ".join(clauses) + ")"))
+    return out

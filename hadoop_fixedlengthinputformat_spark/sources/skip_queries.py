@@ -631,3 +631,59 @@ def sql_fixedlen_view(spark: SparkSession, sf_dir: str) -> DataFrame:
                min(n_name) AS first_name
         FROM nation_fixed_sql GROUP BY n_regionkey
     """)
+
+
+NATION_COPYBOOK_88 = """
+       01  NATION-REC.
+           05  N-NATIONKEY    PIC 9(5).
+           05  N-NAME         PIC X(30).
+               88  IS-UNITED  VALUES 'UNITED STATES' 'UNITED KINGDOM'.
+           05  N-REGIONKEY    PIC 9(5).
+               88  R-LOW      VALUE 0 THRU 1.
+               88  R-HIGH     VALUES ARE 3 4.
+"""
+
+
+@query(
+    "scan_fixedlen_cond88",
+    oracle="""
+    SELECT n_nationkey, COALESCE(n_name, '') AS n_name,
+           (COALESCE(n_name, '') IN ('UNITED STATES', 'UNITED KINGDOM'))
+               AS is_united,
+           (COALESCE(n_regionkey, 0) BETWEEN 0 AND 1) AS r_low,
+           (COALESCE(n_regionkey, 0) IN (3, 4)) AS r_high
+    FROM nation
+    """,
+)
+def scan_fixedlen_cond88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COBOL level-88 condition names as first-class booleans: the
+    copybook's ``88 R-LOW VALUE 0 THRU 1.`` sentences — which carry no
+    storage and are skipped by the layout translator — parse into
+    boolean expressions over the decoded columns
+    (``copybook.conditions``), so a reader gets IS-UNITED / R-LOW /
+    R-HIGH exactly as COBOL programs test them.  The expressions are
+    dialect-shared (=/IN/BETWEEN only); the oracle mirrors them with
+    COALESCE for the blank/zero NULL stand-ins the fixed file carries."""
+    from hadoop_fixedlengthinputformat_spark.sources.copybook import (
+        conditions,
+        copybook_to_layout,
+    )
+
+    import pyspark.sql.functions as F
+
+    configure(spark)
+    fixedlen.register(spark)
+    layout, rl = copybook_to_layout(NATION_COPYBOOK_88)
+    rl_fix, _spec, _ = fixture_gen.LAYOUTS["nation"]
+    assert rl == rl_fix, (rl, rl_fix)  # copybook spans the fixture layout
+    path = fixture_gen.fixed_file_for(sf_dir, "nation")
+    df = (
+        spark.read.format("fixedlen")
+        .option("recordLength", str(rl))
+        .option("layout", layout)
+        .option("includeOffset", "false")
+        .load(path)
+    )
+    cols = [F.col("n_nationkey"), F.col("n_name")]
+    cols += [F.expr(c.sql).alias(c.name) for c in conditions(NATION_COPYBOOK_88)]
+    return df.select(*cols)

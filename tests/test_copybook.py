@@ -315,3 +315,50 @@ def test_sign_separate_malformed_bytes(spark, tmp_path):
         rd.option("mode", "permissive").load(p).collect()
     )
     assert rows[0].v is None
+
+
+def test_level88_conditions_parse():
+    from hadoop_fixedlengthinputformat_spark.sources.copybook import (
+        conditions,
+    )
+
+    conds = {c.name: c for c in conditions("""
+        01 R.
+           05 STATUS PIC X.
+              88 IS-ACTIVE VALUE 'A'.
+              88 IS-CLOSED VALUES 'C' 'X'.
+           05 AMT PIC 9(4)V99 COMP-3.
+              88 SMALL VALUE 0 THRU 9.99.
+              88 MIXED VALUES 1 5 THRU 7 42.
+    """)}
+    assert conds["is_active"].sql == "(status = 'A')"
+    assert conds["is_closed"].sql == "(status IN ('C', 'X'))"
+    assert conds["small"].sql == "(amt BETWEEN 0 AND 9.99)"
+    # THRU range + collected singles OR-combined
+    assert conds["mixed"].sql == "(amt BETWEEN 5 AND 7 OR amt IN (1, 42))"
+    assert conds["is_active"].field == "status"
+    assert conds["small"].field == "amt"
+
+
+def test_level88_quoting_and_errors():
+    import pytest
+
+    from hadoop_fixedlengthinputformat_spark.sources.copybook import (
+        conditions,
+    )
+
+    # embedded quote doubles; spaces inside literals survive
+    (c,) = conditions("""
+        01 R.
+           05 NM PIC X(20).
+              88 ODD VALUE 'O''BRIEN AND SONS'.
+    """)
+    assert c.sql == "(nm = 'O''BRIEN AND SONS')"
+    with pytest.raises(ValueError, match="precedes any elementary"):
+        conditions("01 R.\n   88 ORPHAN VALUE 1.")
+    with pytest.raises(ValueError, match="no VALUE clause"):
+        conditions("01 R.\n 05 A PIC 9.\n 88 BAD.")
+    with pytest.raises(ValueError, match="THRU without an upper"):
+        conditions("01 R.\n 05 A PIC 9.\n 88 BAD VALUE 1 THRU.")
+    with pytest.raises(ValueError, match="neither a quoted string"):
+        conditions("01 R.\n 05 A PIC 9.\n 88 BAD VALUE FOO.")
