@@ -768,3 +768,89 @@ def agg_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nr").alias("n_r"),
         (F.expr(_T_STAT) + F.lit(0.0)).alias("t_stat"),
     )
+
+
+# Chi-square independence over the FIXED 3x2 (returnflag x linestatus)
+# contingency: cell counts are exact int64 conditional sums, and the
+# statistic is ONE explicit 6-term expression in a fixed order — no
+# SUM-over-rows of double terms, so no merge-order drift anywhere.
+_CHI_CELLS = [(f, s) for f in "ANR" for s in "FO"]
+_CHI_TERMS = " + ".join(
+    f"pow(o_{f.lower()}{s.lower()} - (r_{f.lower()} * c_{s.lower()}) / n, 2)"
+    f" / ((r_{f.lower()} * c_{s.lower()}) / n)"
+    for f, s in _CHI_CELLS
+)
+_CHI_STAT = snap_sql(_CHI_TERMS, 4)
+
+
+@query(
+    "agg_chisq",
+    oracle=f"""
+    WITH g AS (
+        SELECT {', '.join(
+            f"CAST(count(*) FILTER (l_returnflag = '{f}' AND "
+            f"l_linestatus = '{s}') AS BIGINT) AS o_{f.lower()}{s.lower()}"
+            for f, s in _CHI_CELLS
+        )}
+        FROM lineitem
+        WHERE l_returnflag IN ('A', 'N', 'R') AND l_linestatus IN ('F', 'O')
+    ),
+    t AS (
+        SELECT *,
+               CAST(o_af + o_ao AS DOUBLE) AS r_a,
+               CAST(o_nf + o_no AS DOUBLE) AS r_n,
+               CAST(o_rf + o_ro AS DOUBLE) AS r_r,
+               CAST(o_af + o_nf + o_rf AS DOUBLE) AS c_f,
+               CAST(o_ao + o_no + o_ro AS DOUBLE) AS c_o,
+               CAST(o_af + o_ao + o_nf + o_no + o_rf + o_ro AS DOUBLE) AS n
+        FROM g
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows, {_CHI_STAT} + 0 AS chi2
+    FROM t
+    WHERE r_a > 0 AND r_n > 0 AND r_r > 0 AND c_f > 0 AND c_o > 0
+    """,
+)
+def agg_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence (returnflag x linestatus) with a
+    DETERMINISTIC evaluation: the 3x2 contingency's cell counts are
+    exact int64 conditional sums inside one global aggregate, and the
+    statistic is a single 6-term expression written in a fixed cell
+    order and SHARED verbatim with the oracle — never a SUM over
+    per-cell double terms, whose merge order neither engine pins.
+    Degenerate margins (an absent row/column class) yield an empty
+    result on both sides rather than a division by zero.  One map-side-
+    combined aggregate; one row out."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag").isin("A", "N", "R")
+        & F.col("l_linestatus").isin("F", "O")
+    )
+    g = li.agg(*[
+        F.sum(
+            F.when(
+                (F.col("l_returnflag") == f) & (F.col("l_linestatus") == s),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias(f"o_{f.lower()}{s.lower()}")
+        for f, s in _CHI_CELLS
+    ])
+    t = g.select(
+        "*",
+        (F.col("o_af") + F.col("o_ao")).cast("double").alias("r_a"),
+        (F.col("o_nf") + F.col("o_no")).cast("double").alias("r_n"),
+        (F.col("o_rf") + F.col("o_ro")).cast("double").alias("r_r"),
+        (F.col("o_af") + F.col("o_nf") + F.col("o_rf"))
+        .cast("double").alias("c_f"),
+        (F.col("o_ao") + F.col("o_no") + F.col("o_ro"))
+        .cast("double").alias("c_o"),
+        (
+            F.col("o_af") + F.col("o_ao") + F.col("o_nf")
+            + F.col("o_no") + F.col("o_rf") + F.col("o_ro")
+        ).cast("double").alias("n"),
+    )
+    return t.where(
+        (F.col("r_a") > 0) & (F.col("r_n") > 0) & (F.col("r_r") > 0)
+        & (F.col("c_f") > 0) & (F.col("c_o") > 0)
+    ).select(
+        F.col("n").cast("long").alias("n_rows"),
+        (F.expr(_CHI_STAT) + F.lit(0.0)).alias("chi2"),
+    )

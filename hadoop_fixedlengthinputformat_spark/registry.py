@@ -168,6 +168,7 @@ GRADE_ORDER: tuple[str, ...] = (
     "agg_gini",
     "agg_ttest",
     "scan_fixedlen_cond88",
+    "agg_chisq",
     # rows-only sketches stay LAST of the queued names (VERDICT r3 #5):
     # no_oracle rows burn grading signal
     "stream_watermark_late_drop",

@@ -258,3 +258,30 @@ def test_agg_ttest_matches_numpy(spark, sf_dir):
     assert len(rows) == 1
     assert rows[0].n_a == len(a) and rows[0].n_r == len(r_)
     assert abs(rows[0].t_stat - t) < 2e-4, (rows[0].t_stat, t)
+
+
+def test_agg_chisq_matches_numpy(spark, sf_dir):
+    """Chi-square from the fixed 6-term expression must match the
+    textbook contingency computation."""
+    import numpy as np
+
+    from hadoop_fixedlengthinputformat_spark.operators.pivot_stats import (
+        agg_chisq,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/lineitem.parquet").to_pylist()
+    obs = np.zeros((3, 2))
+    flags, stats = "ANR", "FO"
+    for r in tbl:
+        if r["l_returnflag"] in flags and r["l_linestatus"] in stats:
+            obs[flags.index(r["l_returnflag"]),
+                stats.index(r["l_linestatus"])] += 1
+    rows = agg_chisq(spark, sf_dir).collect()
+    if (obs.sum(axis=1) == 0).any() or (obs.sum(axis=0) == 0).any():
+        assert rows == []
+        return
+    exp = np.outer(obs.sum(axis=1), obs.sum(axis=0)) / obs.sum()
+    chi2 = ((obs - exp) ** 2 / exp).sum()
+    assert len(rows) == 1
+    assert rows[0].n_rows == int(obs.sum())
+    assert abs(rows[0].chi2 - chi2) < 2e-4, (rows[0].chi2, chi2)
