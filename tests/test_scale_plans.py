@@ -683,3 +683,50 @@ def test_vocab_ids_takeordered_before_rank_window(spark):
     assert "partial_count" in plan, plan
     # the global Sort for the window must sit ABOVE the take-ordered cap
     assert plan.index("Window") < plan.index("TakeOrderedAndProject"), plan
+
+
+def test_merge_upsert_is_one_full_outer_join(spark):
+    """merge_upsert: a single FULL OUTER sort-merge join on the merge
+    key — no cartesian, no nested loop, partial aggregation absent
+    (it's a pure join-project plan)."""
+    from hadoop_fixedlengthinputformat_spark.operators.joins import (
+        merge_upsert,
+    )
+
+    df = merge_upsert(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FullOuter" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_stat_aggregates_are_map_side_combined(spark):
+    """agg_ttest / agg_chisq: one global aggregate with map-side
+    partials (partial_sum below the single-partition exchange) — the
+    whole statistic reduces to one row without a keyed shuffle."""
+    from hadoop_fixedlengthinputformat_spark.operators.pivot_stats import (
+        agg_chisq,
+        agg_ttest,
+    )
+
+    for fn in (agg_ttest, agg_chisq):
+        plan = fn(
+            spark, "/root/testdata/sf0.001"
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "partial_sum" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+
+def test_weighted_median_reuses_flag_partitioning(spark):
+    """agg_weighted_median: the (flag, qi) pre-aggregation is map-side
+    combined and the rank window runs over the collapsed rows — no
+    second scan of lineitem, no cartesian."""
+    from hadoop_fixedlengthinputformat_spark.operators.pivot_stats import (
+        agg_weighted_median,
+    )
+
+    df = agg_weighted_median(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Scan ") == 1, plan
