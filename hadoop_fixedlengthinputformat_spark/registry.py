@@ -156,6 +156,7 @@ GRADE_ORDER: tuple[str, ...] = (
     "sink_awstape",
     "sink_awstape_labeled",
     "stream_awstape_tail",
+    "sql_awstape_view",
     # GDG relative-generation resolution over fixedlen members
     "scan_fixedlen_gdg",
     "scan_fixedlen_gdg_all",

@@ -197,3 +197,37 @@ def sink_awstape_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "doc_id", "lang", "n_chars", F.col("text").cast("string").alias("text")
     )
+
+
+@query(
+    "sql_awstape_view",
+    oracle="""
+    SELECT COALESCE(lang, '') AS lang, COUNT(*) AS n_docs,
+           CAST(SUM(COALESCE(n_chars, 0)) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY COALESCE(lang, '')
+    """,
+)
+def sql_awstape_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-SQL surface for the tape source: ``CREATE TEMPORARY VIEW
+    ... USING awstape OPTIONS (...)`` registers a RECFM=U image as a
+    queryable relation — the third member of the SQL on-ramp family
+    (fixedlen, varlen, awstape), so a SQL-only consumer never touches
+    the DataFrame API."""
+    configure(spark)
+    awstape.register(spark)
+    path = fixture_gen.aws_u_file_for(sf_dir)
+    spark.sql(f"""
+        CREATE OR REPLACE TEMPORARY VIEW docs_aws_sql
+        USING awstape
+        OPTIONS (
+            path '{path}',
+            prefixLength '{fixture_gen.RDW_PREFIX_LEN}',
+            layout '{fixture_gen.RDW_PREFIX_LAYOUT}',
+            includeOffset 'false', includeTail 'false'
+        )
+    """)
+    return spark.sql("""
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM docs_aws_sql GROUP BY lang
+    """)
