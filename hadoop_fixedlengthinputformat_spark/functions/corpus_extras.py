@@ -830,3 +830,95 @@ def llm_ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("score_units").alias("max_score"),
         )
     )
+
+
+# DSIR bucket log-ratio in EXACT int64 units: each ln() snaps straight
+# to 1e-8 units (CAST(floor(ln(x)*1e8 + 0.5) AS BIGINT)) so the
+# per-document SUM over token buckets is integer-exact and
+# merge-order-free on both engines.  The fragment is shared verbatim.
+_DSIR_WU = (
+    "CAST(floor(ln((ct + 1.0) / (tt + 256.0)) * 100000000 + 0.5) AS BIGINT)"
+    " - "
+    "CAST(floor(ln((cr + 1.0) / (tr + 256.0)) * 100000000 + 0.5) AS BIGINT)"
+)
+
+
+@query(
+    "llm_dsir_resample",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, substr(md5(t), 1, 2) AS b,
+               (COALESCE(lang, '') = 'en') AS is_en
+        FROM (
+            SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+            FROM documents WHERE text IS NOT NULL AND text <> ''
+        ) WHERE t <> ''
+    ),
+    g AS (
+        SELECT b, CAST(count(*) AS BIGINT) AS cr,
+               CAST(count(*) FILTER (is_en) AS BIGINT) AS ct
+        FROM toks GROUP BY b
+    ),
+    w AS (
+        SELECT b, {_DSIR_WU} AS wu
+        FROM (SELECT b, cr, ct,
+                     CAST(SUM(cr) OVER () AS DOUBLE) AS tr,
+                     CAST(SUM(ct) OVER () AS DOUBLE) AS tt
+              FROM g)
+    )
+    SELECT doc_id, COUNT(*) AS n_toks,
+           CAST(SUM(wu) AS BIGINT) AS logw_units,
+           CAST(SUM(wu) AS BIGINT) > 0 AS selected
+    FROM toks JOIN w USING (b) GROUP BY doc_id
+    """,
+)
+def llm_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance scoring (Xie et al., data selection via
+    importance resampling, simplified to hashed unigram buckets):
+    estimate a 256-bucket hashed-feature distribution for the TARGET
+    slice (lang='en') and the RAW corpus, weight every bucket by the
+    Laplace-smoothed log ratio, and score each document by the sum of
+    its tokens' bucket weights — positive means target-leaning, and
+    ``selected`` keeps exactly those (a deterministic stand-in for
+    sampling ∝ importance).  Every ln() snaps directly to exact 1e-8
+    int64 UNITS before any sum (the llm_mix_weights technique), so the
+    per-doc aggregation is merge-order-free.  Scale shape: the bucket
+    table is 256 rows (broadcast join onto the token stream); only
+    (doc_id, bucket) pairs shuffle — text never does."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.where(F.col("text").isNotNull() & (F.col("text") != ""))
+        .select(
+            "doc_id",
+            (F.coalesce("lang", F.lit("")) == "en").alias("is_en"),
+            F.explode(F.split("text", " ")).alias("t"),
+        )
+        .where(F.col("t") != "")
+        .select(
+            "doc_id", "is_en",
+            F.substring(F.md5(F.col("t").cast("binary")), 1, 2).alias("b"),
+        )
+    )
+    g = toks.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.when(F.col("is_en"), F.lit(1)).otherwise(F.lit(0)))
+        .cast("long").alias("ct"),
+    )
+    wall = Window.partitionBy()
+    w = g.select(
+        "b", "cr", "ct",
+        F.sum("cr").over(wall).cast("double").alias("tr"),
+        F.sum("ct").over(wall).cast("double").alias("tt"),
+    ).select("b", F.expr(_DSIR_WU).alias("wu"))
+    scored = (
+        toks.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum("wu").alias("logw_units"),
+        )
+    )
+    return scored.select(
+        "doc_id", "n_toks", "logw_units",
+        (F.col("logw_units") > 0).alias("selected"),
+    )

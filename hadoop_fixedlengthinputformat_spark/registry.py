@@ -170,6 +170,7 @@ GRADE_ORDER: tuple[str, ...] = (
     "agg_ttest",
     "scan_fixedlen_cond88",
     "agg_chisq",
+    "llm_dsir_resample",
     # rows-only sketches stay LAST of the queued names (VERDICT r3 #5):
     # no_oracle rows burn grading signal
     "stream_watermark_late_drop",
