@@ -730,3 +730,21 @@ def test_weighted_median_reuses_flag_partitioning(spark):
     assert "partial_sum" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert plan.count("Scan ") == 1, plan
+
+
+def test_dsir_broadcasts_bucket_weights(spark):
+    """llm_dsir_resample: the 256-row bucket-weight table broadcasts
+    onto the token stream; the only hash exchanges carry bucket ids or
+    doc ids — document text never shuffles."""
+    from hadoop_fixedlengthinputformat_spark.functions.corpus_extras import (
+        llm_dsir_resample,
+    )
+
+    df = llm_dsir_resample(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    import re as _re
+
+    for m in _re.finditer(r"hashpartitioning\(([a-zA-Z0-9_#]+)", plan):
+        assert m.group(1).split("#")[0] in {"b", "doc_id"}, m.group(0)
