@@ -391,3 +391,72 @@ def ts_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq.alias("seq"),
         seq.rlike("v[^p]*c[^p]*p").alias("converted"),
     )
+
+
+@query(
+    "ts_pattern_count",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id,
+               CASE event_type WHEN 'signup' THEN 's' WHEN 'view' THEN 'v'
+                    WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
+                    ELSE 'x' END AS ch
+        FROM events
+        WHERE ts IS NOT NULL AND event_type IS NOT NULL
+              AND user_id IS NOT NULL AND event_id IS NOT NULL
+    ),
+    seqs AS (
+        SELECT user_id,
+               string_agg(ch, '' ORDER BY us, event_id, ch) AS seq
+        FROM ev GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(regexp_extract_all(seq, 'vc+p')) AS BIGINT)
+               AS n_conversions,
+           CAST(len(regexp_extract_all(seq, 'p')) AS BIGINT) AS n_purchases,
+           CAST(len(regexp_extract_all(seq, 'x{2,}')) AS BIGINT)
+               AS n_error_bursts
+    FROM seqs
+    """,
+)
+def ts_pattern_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified row-pattern matching (the MATCH_RECOGNIZE `B+`/`C{2,}`
+    shapes): per-user NON-OVERLAPPING match counts of
+    view→clicks→purchase runs, raw purchases, and error bursts (>= 2
+    consecutive 'x') over the same deterministic event string as
+    ts_pattern_match.  Greedy non-overlapping scan semantics agree
+    between the two regex engines for these backtrack-free patterns.
+    Same single user-keyed aggregation shape."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull()
+    ).select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        F.when(F.col("event_type") == "signup", "s")
+        .when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .otherwise("x")
+        .alias("ch"),
+    )
+    seq = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("us", "event_id", "ch"))),
+            lambda s: s.getField("ch"),
+        ),
+        "",
+    )
+    seqs = ev.groupBy("user_id").agg(seq.alias("seq"))
+    return seqs.select(
+        "user_id",
+        F.size(F.regexp_extract_all("seq", F.lit("vc+p"), F.lit(0)))
+        .cast("long").alias("n_conversions"),
+        F.size(F.regexp_extract_all("seq", F.lit("p"), F.lit(0)))
+        .cast("long").alias("n_purchases"),
+        F.size(F.regexp_extract_all("seq", F.lit("x{2,}"), F.lit(0)))
+        .cast("long").alias("n_error_bursts"),
+    )

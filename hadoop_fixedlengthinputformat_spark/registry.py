@@ -171,6 +171,7 @@ GRADE_ORDER: tuple[str, ...] = (
     "scan_fixedlen_cond88",
     "agg_chisq",
     "llm_dsir_resample",
+    "ts_pattern_count",
     # rows-only sketches stay LAST of the queued names (VERDICT r3 #5):
     # no_oracle rows burn grading signal
     "stream_watermark_late_drop",
