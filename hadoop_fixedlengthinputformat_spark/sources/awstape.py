@@ -114,6 +114,7 @@ class _TOptions:
     block_size: int  # F-mode writer block bytes (multiple of record_length)
     labels: str = "NONE"  # "NONE" | "SL" (IBM standard labels)
     dataset: str | None = None  # SL: required HDR1/EOF1 dataset name
+    file_seq: int | None = None  # SL: 1-based dataset position on volume
     volser: str = "SPARK1"  # SL writer volume serial
     label_encoding: str = "cp037"  # SL labels are EBCDIC on real volumes
 
@@ -230,6 +231,18 @@ class _TOptions:
                     f"awstape: dataset name must be 1..17 characters "
                     f"(HDR1 field width), got {dataset!r}"
                 )
+        file_seq = None
+        if options.get("fileseq") is not None:
+            file_seq = int(options["fileseq"])
+            if file_seq < 1:
+                raise ValueError(
+                    f"awstape: fileSeq is 1-based, got {file_seq}"
+                )
+            if labels != "SL":
+                raise ValueError(
+                    "awstape: fileSeq selects a dataset on an SL volume "
+                    "(labels=sl)"
+                )
         volser = options.get("volser", "SPARK1").upper()
         if not (1 <= len(volser) <= 6):
             raise ValueError(
@@ -245,7 +258,7 @@ class _TOptions:
         return cls(
             recfm, record_length, prefix_length, fields, with_offset,
             with_file, with_tail, tail_column, info.name, chunk_size,
-            block_size, labels, dataset, volser, label_encoding,
+            block_size, labels, dataset, file_seq, volser, label_encoding,
         )
 
     def spark_schema(self) -> StructType:
@@ -433,21 +446,30 @@ def _hdr2_body(recfm: str, blksize: int, lrecl: int) -> str:
 def iter_labeled_blocks(
     fobj, path: str, opts: _TOptions
 ) -> Iterator[tuple[int, int, bytes, tuple[int, int, int, bool]]]:
-    """IBM standard-label (SL) walk: tape file 0 = VOL1+HDR1+HDR2, file
-    1 = the data blocks (yielded), file 2 = EOF1+EOF2.  Every label
-    field this engine understands is VALIDATED, not skipped: magics,
-    HDR1/EOF1 dataset name (against the ``dataset`` option when given),
-    HDR2 recfm/lrecl against the reader's own options — catching the
-    classic operational error of mounting the wrong generation or
-    reading U data with an F layout — and the EOF1 block count against
-    the blocks actually walked (a torn tape shows as a count short-
-    fall even when every surviving block parses).  One dataset per
-    volume (our writer's shape); multi-dataset volumes raise."""
+    """IBM standard-label (SL) walk over a (possibly multi-dataset)
+    volume.  Dataset k occupies three tape files: header group at
+    ``3k`` (VOL1 leads only the first), data at ``3k+1``, EOF1+EOF2
+    trailer at ``3k+2`` — the arithmetic holds even for EMPTY datasets,
+    whose data file contributes no blocks but still consumes a tape
+    file between its marks.  The ``dataset`` option selects by HDR1
+    name, ``fileSeq`` by 1-based position (both given must agree);
+    default is the first dataset.
+
+    Every label field this engine understands is VALIDATED, not
+    skipped: magics and EOF1 name/block-count for EVERY dataset on the
+    volume (a torn tape shows as a count shortfall even when every
+    surviving block parses), plus HDR2 recfm/lrecl against the
+    reader's own options for the SELECTED dataset (other datasets on
+    the volume may legitimately carry different record formats) —
+    catching the mount-the-wrong-tape and read-U-as-F operational
+    errors before any data flows."""
     enc = opts.label_encoding
-    group0: list[tuple[int, bytes]] = []
-    trailer: list[tuple[int, bytes]] = []
-    n_data = 0
-    dsname: str | None = None
+    headers: dict[int, list[tuple[int, bytes]]] = {}
+    trailers: dict[int, list[tuple[int, bytes]]] = {}
+    n_data: dict[int, int] = {}
+    names: dict[int, str] = {}
+    selected: int | None = None
+    validated = False
 
     def decode(off: int, b: bytes) -> str:
         if len(b) != _LABEL_LEN:
@@ -465,21 +487,55 @@ def iter_labeled_blocks(
             )
         return lbl
 
-    def check_header() -> str:
-        if len(group0) != 3:
+    def header_name(ds: int) -> str:
+        """Validate dataset ``ds``'s header group magics; return its
+        HDR1 name (memoized)."""
+        if ds in names:
+            return names[ds]
+        grp = headers.get(ds, [])
+        want = 3 if ds == 0 else 2  # VOL1 leads only the first group
+        if len(grp) != want:
             raise ValueError(
-                f"awstape: SL header group in {path!r} has {len(group0)} "
-                "label blocks, expected VOL1+HDR1+HDR2"
+                f"awstape: SL header group {ds} in {path!r} has "
+                f"{len(grp)} label blocks, expected "
+                + ("VOL1+HDR1+HDR2" if ds == 0 else "HDR1+HDR2")
             )
-        expect(decode(*group0[0]), "VOL1", group0[0][0])
-        hdr1 = expect(decode(*group0[1]), "HDR1", group0[1][0])
-        hdr2 = expect(decode(*group0[2]), "HDR2", group0[2][0])
-        name = hdr1[4:21].strip()
-        if opts.dataset is not None and name != opts.dataset:
-            raise ValueError(
-                f"awstape: {path!r} holds dataset {name!r}, not the "
-                f"requested {opts.dataset!r} (wrong volume mounted?)"
-            )
+        i = 0
+        if ds == 0:
+            expect(decode(*grp[0]), "VOL1", grp[0][0])
+            i = 1
+        hdr1 = expect(decode(*grp[i]), "HDR1", grp[i][0])
+        expect(decode(*grp[i + 1]), "HDR2", grp[i + 1][0])
+        names[ds] = hdr1[4:21].strip()
+        return names[ds]
+
+    def hdr2_of(ds: int) -> str:
+        grp = headers[ds]
+        return decode(*grp[2 if ds == 0 else 1])
+
+    def choose(ds: int) -> bool:
+        """Is dataset ``ds`` the one the reader asked for?"""
+        name = header_name(ds)
+        by_name = opts.dataset is not None and name == opts.dataset
+        by_seq = opts.file_seq is not None and ds == opts.file_seq - 1
+        if opts.dataset is not None and opts.file_seq is not None:
+            if by_seq and not by_name:
+                raise ValueError(
+                    f"awstape: fileSeq {opts.file_seq} in {path!r} holds "
+                    f"dataset {name!r}, not the requested "
+                    f"{opts.dataset!r}"
+                )
+            return by_seq and by_name
+        if opts.dataset is not None:
+            return by_name
+        if opts.file_seq is not None:
+            return by_seq
+        return ds == 0
+
+    def check_selected(ds: int) -> None:
+        """recfm/lrecl validation for the dataset actually read."""
+        nonlocal validated
+        hdr2 = hdr2_of(ds)
         lbl_recfm = hdr2[4]
         if lbl_recfm != opts.recfm:
             raise ValueError(
@@ -493,7 +549,7 @@ def iter_labeled_blocks(
                     f"awstape: HDR2 record length {lrecl} != configured "
                     f"recordLength {opts.record_length} in {path!r}"
                 )
-        return name
+        validated = True
 
     # the closing TM TM is structure here, not end-of-tape: an EMPTY
     # dataset legitimately puts two consecutive marks between HDR and
@@ -501,39 +557,59 @@ def iter_labeled_blocks(
     for tf, off, block, resume in iter_blocks(
         fobj, path, eot_on_double_mark=False
     ):
-        if tf == 0:
-            group0.append((off, block))
-        elif tf == 1:
-            if dsname is None:
-                dsname = check_header()  # validate BEFORE any data flows
-            n_data += 1
-            yield tf, off, block, resume
-        elif tf == 2:
-            trailer.append((off, block))
+        ds, phase = divmod(tf, 3)
+        if phase == 0:
+            headers.setdefault(ds, []).append((off, block))
+        elif phase == 1:
+            if selected is None and choose(ds):
+                selected = ds
+                check_selected(ds)  # validate BEFORE any data flows
+            n_data[ds] = n_data.get(ds, 0) + 1
+            if ds == selected:
+                yield tf, off, block, resume
         else:
+            trailers.setdefault(ds, []).append((off, block))
+    # post-walk: every dataset's labels + counts validate; the
+    # requested dataset must exist
+    for ds in sorted(headers):
+        dsname = header_name(ds)
+        grp = trailers.get(ds, [])
+        if len(grp) != 2:
             raise ValueError(
-                f"awstape: data block in tape file {tf} at offset {off} "
-                f"in {path!r} — one dataset per SL volume is supported"
+                f"awstape: SL trailer group {ds} in {path!r} has "
+                f"{len(grp)} label blocks, expected EOF1+EOF2"
             )
-    if dsname is None:
-        dsname = check_header()  # empty dataset: header still validates
-    if len(trailer) != 2:
+        eof1 = expect(decode(*grp[0]), "EOF1", grp[0][0])
+        expect(decode(*grp[1]), "EOF2", grp[1][0])
+        if eof1[4:21].strip() != dsname:
+            raise ValueError(
+                f"awstape: EOF1 dataset {eof1[4:21].strip()!r} != HDR1 "
+                f"dataset {dsname!r} in {path!r}"
+            )
+        count = int(eof1[54:60])
+        if count != n_data.get(ds, 0):
+            raise ValueError(
+                f"awstape: EOF1 block count {count} != "
+                f"{n_data.get(ds, 0)} data blocks walked for dataset "
+                f"{dsname!r} in {path!r} (torn tape?)"
+            )
+        if selected is None and choose(ds):
+            selected = ds  # empty selected dataset: still validate
+            check_selected(ds)
+    if not headers:
         raise ValueError(
-            f"awstape: SL trailer group in {path!r} has {len(trailer)} "
-            "label blocks, expected EOF1+EOF2"
+            f"awstape: no SL label groups found in {path!r} (unlabeled "
+            "tape read with labels=sl?)"
         )
-    eof1 = expect(decode(*trailer[0]), "EOF1", trailer[0][0])
-    expect(decode(*trailer[1]), "EOF2", trailer[1][0])
-    if eof1[4:21].strip() != dsname:
-        raise ValueError(
-            f"awstape: EOF1 dataset {eof1[4:21].strip()!r} != HDR1 "
-            f"dataset {dsname!r} in {path!r}"
+    if selected is None or not validated:
+        want = (
+            f"dataset {opts.dataset!r}" if opts.dataset is not None
+            else f"fileSeq {opts.file_seq}" if opts.file_seq is not None
+            else "the first dataset"
         )
-    count = int(eof1[54:60])
-    if count != n_data:
         raise ValueError(
-            f"awstape: EOF1 block count {count} != {n_data} data blocks "
-            f"walked in {path!r} (torn tape?)"
+            f"awstape: {path!r} does not hold {want} "
+            f"(cataloged: {[names[d] for d in sorted(names)]})"
         )
 
 

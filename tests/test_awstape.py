@@ -310,7 +310,7 @@ def test_sl_labels_read_and_dataset_match(spark, tmp_path):
     p.write_bytes(_sl_tape(blocks, dsname="MY.DATA"))
     df = _read(spark, p, labels="sl", dataset="MY.DATA")
     assert sorted(r.k for r in df.collect()) == [1, 2, 3]
-    with pytest.raises(Exception, match="wrong volume"):
+    with pytest.raises(Exception, match="does not hold"):
         _read(spark, p, labels="sl", dataset="OTHER.DATA").collect()
 
 
@@ -432,3 +432,95 @@ def test_stream_reader_option_guards(tmp_path):
     )
     with pytest.raises(ValueError, match="recfm=U"):
         ds.simpleStreamReader(None)
+
+
+def _sl_multi(datasets: list[tuple[str, str, int, list[bytes]]],
+              enc: str = "cp037") -> bytes:
+    """Multi-dataset SL volume: [(dsname, recfm, lrecl, blocks), ...] —
+    HDR group (VOL1 only on the first) | TM | data | TM | EOF group |
+    TM per dataset, closing TM."""
+    def lbl(kind, body):
+        return (kind + body)[:80].ljust(80).encode(enc)
+
+    out = bytearray()
+    prev = 0
+
+    def emit(b):
+        nonlocal prev
+        piece, prev = _chunks(b, prev, 4096)
+        out.extend(piece)
+
+    def mark():
+        nonlocal prev
+        out.extend(struct.pack("<HHBB", 0, prev, 0x40, 0))
+        prev = 0
+
+    for i, (dsname, recfm, lrecl, blocks) in enumerate(datasets):
+        if i == 0:
+            emit(lbl("VOL1", "TEST01"))
+        emit(lbl("HDR1", dsname.ljust(17).ljust(50) + "000000"))
+        emit(lbl("HDR2", f"{recfm}{32760:05d}{lrecl:05d}"))
+        mark()
+        for b in blocks:
+            emit(b)
+        mark()
+        emit(lbl("EOF1", dsname.ljust(17).ljust(50) + f"{len(blocks):06d}"))
+        emit(lbl("EOF2", f"{recfm}{32760:05d}{lrecl:05d}"))
+        mark()
+    mark()
+    return bytes(out)
+
+
+def test_sl_multi_dataset_selection(spark, tmp_path):
+    """Three datasets on one volume — select by name, by fileSeq, by
+    default (first); differing recfm on NON-selected datasets is fine;
+    the selected one still validates."""
+    vol = _sl_multi([
+        ("FIRST.DS", "U", 0, [_block(i, "f1", b"a" * i) for i in (1, 2)]),
+        ("MID.EMPTY", "F", 80, []),                      # empty, recfm F
+        ("THIRD.DS", "U", 0, [_block(i, "f3", b"c") for i in (7, 8, 9)]),
+    ])
+    p = tmp_path / "multi.aws"
+    p.write_bytes(vol)
+    assert sorted(
+        r.k for r in _read(spark, p, labels="sl", dataset="THIRD.DS").collect()
+    ) == [7, 8, 9]
+    assert sorted(
+        r.k for r in _read(spark, p, labels="sl", fileSeq="1").collect()
+    ) == [1, 2]
+    assert sorted(r.k for r in _read(spark, p, labels="sl").collect()) == [1, 2]
+    # the empty F dataset selects fine as F (zero rows), but as U raises
+    df = (
+        spark.read.format("awstape")
+        .option("recfm", "fb").option("recordLength", "80")
+        .option("layout", "a:0:80:string")
+        .option("labels", "sl").option("fileSeq", "2")
+        .load(str(p))
+    )
+    assert df.count() == 0
+    with pytest.raises(Exception, match="HDR2 says recfm"):
+        _read(spark, p, labels="sl", fileSeq="2").collect()
+    # unknown name lists the catalog
+    with pytest.raises(Exception, match="does not hold dataset"):
+        _read(spark, p, labels="sl", dataset="NOPE").collect()
+    # name + fileSeq must agree
+    with pytest.raises(Exception, match="holds dataset"):
+        _read(
+            spark, p, labels="sl", dataset="FIRST.DS", fileSeq="3"
+        ).collect()
+
+
+def test_sl_multi_dataset_trailer_validation(spark, tmp_path):
+    """EVERY dataset's EOF1 count validates, even non-selected ones."""
+    vol = bytearray(_sl_multi([
+        ("A.DS", "U", 0, [_block(1, "aa", b"x")]),
+        ("B.DS", "U", 0, [_block(2, "bb", b"y"), _block(3, "bb", b"z")]),
+    ]))
+    # corrupt B.DS's EOF1 count (cp037 digits); find its EOF1 label
+    eof1_b = vol.find("EOF1B.DS".encode("cp037"))
+    assert eof1_b > 0
+    vol[eof1_b + 54 : eof1_b + 60] = "000009".encode("cp037")
+    p = tmp_path / "bad.aws"
+    p.write_bytes(bytes(vol))
+    with pytest.raises(Exception, match="block count 9"):
+        _read(spark, p, labels="sl", dataset="A.DS").collect()
