@@ -172,6 +172,8 @@ GRADE_ORDER: tuple[str, ...] = (
     "agg_chisq",
     "llm_dsir_resample",
     "ts_pattern_count",
+    "scan_varlen_d",
+    "sink_varlen_d",
     # rows-only sketches stay LAST of the queued names (VERDICT r3 #5):
     # no_oracle rows burn grading signal
     "stream_watermark_late_drop",

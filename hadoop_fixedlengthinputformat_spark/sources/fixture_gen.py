@@ -670,3 +670,32 @@ def gdg_dir_for(sf_dir: str) -> str:
             f.write(encode_rows(mrows, fields, record_length))
     open(done, "w").close()
     return d
+
+
+def d_file_for(sf_dir: str) -> str:
+    """ANSI RECFM=D serialization of ``documents.parquet``: each record
+    prefixed by a 4-digit decimal ASCII count field (total incl. the
+    field).  Oversized texts are clipped to fit the 9999-byte ANSI
+    ceiling (clip mirrored by the oracle); same coalesce + total-order
+    rules as the V fixture."""
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|ansid|{source_stamp(sf_dir)}".encode()
+    ).hexdigest()[:12]
+    out = os.path.join(fixture_dir(), f"documents-{tag}.ansid")
+    if os.path.exists(out):
+        return out
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    fields = parse_layout(RDW_PREFIX_LAYOUT, RDW_PREFIX_LEN)
+    cap = 9999 - 4 - RDW_PREFIX_LEN
+    payload = bytearray()
+    for r in sorted(tbl.to_pylist(), key=rdw_doc_sort_key):
+        r = rdw_coalesce(r)
+        tail = r["text"].encode("utf-8")[:cap]
+        prefix = encode_rows([r], fields, RDW_PREFIX_LEN)
+        total = 4 + RDW_PREFIX_LEN + len(tail)
+        payload += f"{total:04d}".encode("ascii") + prefix + tail
+    tmp = out + f".tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(payload)
+    os.replace(tmp, out)
+    return out

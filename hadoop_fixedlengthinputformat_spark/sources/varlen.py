@@ -9,10 +9,12 @@ big-endian length that INCLUDES the RDW itself, a segment-control byte
 (0 unless the file is spanned), and a reserved zero byte.  The full
 RECFM family is supported: ``V`` (bare RDW stream), ``VB`` (records
 packed into BDW blocks), ``VS`` (spanned: logical records split into
-SDW segments, codes 1/3/2 = first/middle/last), and ``VBS`` (spanned +
+SDW segments, codes 1/3/2 = first/middle/last), ``VBS`` (spanned +
 blocked — segments fill blocks exactly and a record continues across
 blocks, so logical records have NO size ceiling: neither the 16-bit
-descriptor limit nor the block size).  This module closes that family
+descriptor limit nor the block size), and ``D`` (ANSI/ISO interchange
+variable-length: a 4-byte count field of decimal ASCII digits,
+X3.27's sibling of the RDW, 9999-byte ceiling).  This module closes that family
 gap with the same engine contract as ``fixedlen``:
 
   * a typed ``layout`` decodes the fixed PREFIX every record must carry
@@ -83,6 +85,7 @@ from hadoop_fixedlengthinputformat_spark.sources.layout import (
 RDW_LEN = 4
 BDW_LEN = 4  # RECFM=VB Block Descriptor Word: >H block total incl. BDW, >H zero
 _MAX_RECORD = 0xFFFF  # RDW length field is an unsigned 16-bit total
+_MAX_D_RECORD = 9999  # ANSI D count field is 4 decimal ASCII digits
 _WHOLE_FILE = -1  # partition.end sentinel: compressed stream, read to EOF
 _INDEX_SUFFIX = ".rdx.json"
 
@@ -170,9 +173,15 @@ class _VOptions:
         if index_every < 0:
             raise ValueError("varlen: indexEvery must be >= 0 (0 disables)")
         recfm = options.get("recfm", "v").upper()
-        if recfm not in ("V", "VB", "VS", "VBS"):
+        if recfm not in ("V", "VB", "VS", "VBS", "D"):
             raise ValueError(
-                f"varlen: recfm must be one of V, VB, VS, VBS, got {recfm!r}"
+                f"varlen: recfm must be one of V, VB, VS, VBS, D, "
+                f"got {recfm!r}"
+            )
+        if recfm == "D" and RDW_LEN + prefix_length > _MAX_D_RECORD:
+            raise ValueError(
+                f"varlen: prefixLength {prefix_length} cannot fit a "
+                f"{_MAX_D_RECORD}-byte ANSI D record"
             )
         block_size = int(options.get("blocksize", "32760"))  # classic max
         if recfm == "VB" and not (
@@ -662,12 +671,67 @@ def _iter_records_vbs(
             return
 
 
+def _iter_records_d(
+    fobj, start: int, end: int | None, prefix_min: int, path: str,
+    stop_on_partial: bool = False,
+) -> Iterator[tuple[int, bytes, int]]:
+    """Walk ANSI RECFM=D records (ISO/ANSI interchange tapes, the
+    X3.27 sibling of IBM's RDW): each record is prefixed by a 4-byte
+    count field of decimal ASCII DIGITS giving the total length
+    including the field itself — human-readable framing, 9999-byte
+    ceiling.  Yields ``(offset, payload, resume_pos)``; every record
+    start is a safe re-entry point, exactly like plain V."""
+    pos = start
+    while True:
+        if end is not None and pos >= end:
+            return
+        hdr = _read_exact(fobj, RDW_LEN)
+        if not hdr:
+            if end is not None and pos < end:
+                raise IOError(
+                    f"varlen: {path!r} ends at {pos} before the planned "
+                    f"partition bound {end} (stale index sidecar?)"
+                )
+            return
+        if len(hdr) < RDW_LEN:
+            if stop_on_partial:
+                return
+            raise IOError(
+                f"varlen: {path!r} ends mid-count-field at offset {pos} "
+                f"({len(hdr)} trailing bytes)"
+            )
+        if not hdr.isdigit():
+            raise ValueError(
+                f"varlen: ANSI D count field at offset {pos} in {path!r} "
+                f"is not 4 decimal digits ({hdr!r})"
+            )
+        total = int(hdr)
+        if total < RDW_LEN + prefix_min:
+            raise ValueError(
+                f"varlen: record at offset {pos} in {path!r} is {total} "
+                f"bytes total, shorter than count+prefix "
+                f"({RDW_LEN + prefix_min})"
+            )
+        payload = _read_exact(fobj, total - RDW_LEN)
+        if len(payload) < total - RDW_LEN:
+            if stop_on_partial:
+                return
+            raise IOError(
+                f"varlen: {path!r} ends mid-record at offset {pos} "
+                f"(count field claims {total} bytes, "
+                f"{RDW_LEN + len(payload)} available)"
+            )
+        yield pos, payload, pos + total
+        pos += total
+
+
 def _record_iter_for(opts: _VOptions):
     return {
         "V": _iter_records,
         "VB": _iter_records_vb,
         "VS": _iter_records_vs,
         "VBS": _iter_records_vbs,
+        "D": _iter_records_d,
     }[opts.recfm]
 
 
@@ -797,7 +861,7 @@ class VarLenStreamReader(SimpleDataSourceStreamReader):
             ):
                 recs.append((off, payload, resume))
                 if (
-                    o.recfm in ("V", "VS")
+                    o.recfm in ("V", "VS", "D")
                     and max_bytes is not None
                     and resume - lo >= max_bytes
                 ):
@@ -1046,12 +1110,20 @@ def build_index(path: str, every: int = 4096, recfm: str = "v") -> dict:
                     raise IOError(
                         f"varlen: {path!r} ends mid-RDW at offset {pos}"
                     )
-                total, reserved = struct.unpack(">HH", hdr)
-                if reserved != 0:
-                    raise ValueError(
-                        f"varlen: nonzero RDW segment-control bytes at offset "
-                        f"{pos} in {path!r}"
-                    )
+                if recfm == "D":
+                    if not hdr.isdigit():
+                        raise ValueError(
+                            f"varlen: ANSI D count field at offset {pos} "
+                            f"in {path!r} is not 4 decimal digits ({hdr!r})"
+                        )
+                    total = int(hdr)
+                else:
+                    total, reserved = struct.unpack(">HH", hdr)
+                    if reserved != 0:
+                        raise ValueError(
+                            f"varlen: nonzero RDW segment-control bytes at "
+                            f"offset {pos} in {path!r}"
+                        )
                 if total < RDW_LEN or pos + total > size:
                     raise IOError(
                         f"varlen: {path!r} record at offset {pos} overruns EOF"
@@ -1131,6 +1203,14 @@ class VarLenWriter(DataSourceWriter):
         def record_bytes(row) -> bytes:
             payload = payload_bytes(row)
             total = RDW_LEN + len(payload)
+            if o.recfm == "D":
+                if total > _MAX_D_RECORD:
+                    raise ValueError(
+                        f"varlen: record of {total} bytes exceeds the ANSI "
+                        f"D 4-digit count limit ({_MAX_D_RECORD}); write "
+                        "recfm='V' (64 KiB) or 'VS'/'VBS' (unbounded)"
+                    )
+                return f"{total:04d}".encode("ascii") + payload
             if total > _MAX_RECORD:
                 raise ValueError(
                     f"varlen: record of {total} bytes exceeds the RDW "

@@ -360,3 +360,84 @@ def sink_varlen_vbs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "doc_id", "lang", "n_chars", F.col("text").cast("string").alias("text")
     )
+
+
+@query(
+    "scan_varlen_d",
+    oracle="""
+    WITH sized AS (
+        SELECT doc_id, COALESCE(lang, '') AS lang,
+               COALESCE(source, '') AS source,
+               COALESCE(n_chars, 0) AS n_chars,
+               md5(COALESCE(text, '')) AS tie,
+               LEAST(octet_length(encode(COALESCE(text, ''))), 9973)
+                   AS tail_len
+        FROM documents
+    )
+    SELECT CAST(COALESCE(SUM(26 + tail_len)
+                    OVER (ORDER BY doc_id, tie, lang, source
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0) AS BIGINT) AS record_offset,
+           doc_id, lang, source, n_chars,
+           CAST(tail_len AS BIGINT) AS tail_bytes
+    FROM sized
+    """,
+)
+def scan_varlen_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI RECFM=D scan (ISO/ANSI interchange tapes): 4 decimal ASCII
+    digits frame each record — X3.27's human-readable sibling of the
+    RDW, 9999-byte ceiling (the fixture clips tails to fit; the oracle
+    mirrors with LEAST).  Offsets replay the running 26+len byte sum,
+    so one misparsed count field anywhere shifts every later offset
+    and fails the hash."""
+    path = fixture_gen.d_file_for(sf_dir)
+    df = read_rdw(spark, path, recfm="d")
+    return df.select(
+        "record_offset",
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.length("record_tail").cast("long").alias("tail_bytes"),
+    )
+
+
+@query(
+    "sink_varlen_d",
+    oracle="""
+    SELECT doc_id, COALESCE(lang, '') AS lang,
+           COALESCE(n_chars, 0) AS n_chars,
+           substr(COALESCE(text, ''), 1, 800) AS text
+    FROM documents
+    """,
+)
+def sink_varlen_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round trip through OUR ANSI D sink: parquet -> decimal-ASCII
+    framed write (text capped at 800 chars so every record respects
+    the 9999-byte ANSI ceiling; the cap is part of the projection on
+    both sides) -> D read -> tail decoded back."""
+    configure(spark)
+    varlen.register(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.coalesce("lang", F.lit("")).alias("lang"),
+        F.coalesce("source", F.lit("")).alias("source"),
+        F.coalesce(F.col("n_chars"), F.lit(0)).alias("n_chars"),
+        F.substring(F.coalesce("text", F.lit("")), 1, 800).alias("text"),
+    )
+    out = os.path.join(tempfile.gettempdir(), "flif_sink_varlen_d")
+    (
+        docs.write.format("varlen")
+        .option("prefixLength", str(fixture_gen.RDW_PREFIX_LEN))
+        .option("layout", fixture_gen.RDW_PREFIX_LAYOUT)
+        .option("tailColumn", "text")
+        .option("recfm", "d")
+        .mode("overwrite")
+        .save(out)
+    )
+    df = read_rdw(
+        spark, out, tailColumn="text", includeOffset="false", recfm="d"
+    )
+    return df.select(
+        "doc_id", "lang", "n_chars", F.col("text").cast("string").alias("text")
+    )

@@ -738,3 +738,84 @@ def test_spanned_option_validation():
     # matters
     o = _VOptions.parse({"recfm": "vbs", "blocksize": "9"})
     assert o.recfm == "VBS"
+
+
+def _drec(k: int, tag: str, tail: bytes) -> bytes:
+    prefix = f"{k:06d}{tag:<4}".encode()
+    total = 4 + len(prefix) + len(tail)
+    return f"{total:04d}".encode("ascii") + prefix + tail
+
+
+def test_ansi_d_round_trip_and_offsets(spark, tmp_path):
+    recs = [_drec(1, "aa", b"x" * 50), _drec(2, "bb", b""), _drec(3, "cc", b"y")]
+    p = tmp_path / "d.ansid"
+    p.write_bytes(b"".join(recs))
+    rows = {r.k: r for r in _read(spark, str(p), recfm="d").collect()}
+    assert sorted(rows) == [1, 2, 3]
+    assert bytes(rows[1].record_tail) == b"x" * 50
+    assert rows[2].record_offset == len(recs[0])
+    assert rows[3].record_offset == len(recs[0]) + len(recs[1])
+
+
+def test_ansi_d_rejects_bad_count_and_truncation(spark, tmp_path):
+    p = tmp_path / "d.ansid"
+    p.write_bytes(b"00x4abcd")  # non-digit count field
+    with pytest.raises(Exception, match="not 4 decimal digits"):
+        _read(spark, str(p), recfm="d").collect()
+    good = _drec(1, "aa", b"zz")
+    p.write_bytes(good[:7])  # mid-record
+    with pytest.raises(Exception, match="mid-record"):
+        _read(spark, str(p), recfm="d").collect()
+    p.write_bytes(good + good[:2])  # mid-count-field at EOF
+    with pytest.raises(Exception, match="mid-count-field"):
+        _read(spark, str(p), recfm="d").collect()
+
+
+def test_ansi_d_write_rejects_oversized_record(spark, tmp_path):
+    varlen.register(spark)
+    df = spark.createDataFrame(
+        [(1, "big", bytes(b"z" * 10_000))],
+        "k long, tag string, record_tail binary",
+    )
+    with pytest.raises(Exception, match="4-digit count limit"):
+        (
+            df.write.format("varlen")
+            .option("prefixLength", str(PFX_LEN))
+            .option("layout", PFX_LAYOUT)
+            .option("recfm", "d")
+            .mode("overwrite")
+            .save(str(tmp_path / "d"))
+        )
+
+
+def test_ansi_d_sink_writes_digit_frames_and_sidecar_splits(spark, tmp_path):
+    varlen.register(spark)
+    rows = [(i, f"t{i % 2}", bytes(b"p" * (i % 90))) for i in range(1, 200)]
+    df = spark.createDataFrame(rows, "k long, tag string, record_tail binary")
+    out = str(tmp_path / "dsink")
+    (
+        df.repartition(1).write.format("varlen")
+        .option("prefixLength", str(PFX_LEN))
+        .option("layout", PFX_LAYOUT)
+        .option("recfm", "d")
+        .option("indexEvery", "16")
+        .mode("overwrite")
+        .save(out)
+    )
+    part = next(
+        os.path.join(out, f) for f in os.listdir(out) if f.endswith(".rdw")
+    )
+    head = open(part, "rb").read(4)
+    assert head.isdigit()  # decimal ASCII framing, not binary RDW
+    back = (
+        spark.read.format("varlen")
+        .option("prefixLength", str(PFX_LEN))
+        .option("layout", PFX_LAYOUT)
+        .option("recfm", "d")
+        .option("maxPartitionBytes", "2048")
+        .option("includeOffset", "false")
+        .load(out)
+    )
+    assert back.rdd.getNumPartitions() > 1  # sidecar made it splittable
+    got = {(r.k, r.tag, bytes(r.record_tail)) for r in back.collect()}
+    assert got == {(k, t, b) for k, t, b in rows}
