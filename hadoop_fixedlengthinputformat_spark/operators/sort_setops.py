@@ -140,3 +140,42 @@ def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = li.filter(F.col("l_quantity") >= 10).select("l_returnflag", "l_linestatus")
     b = li.filter(F.col("l_quantity") >= 30).select("l_returnflag", "l_linestatus")
     return a.intersectAll(b)
+
+
+@query(
+    "limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, round(COALESCE(o_totalprice, 0), 4)
+               AS total
+    FROM orders
+    ORDER BY o_orderkey, o_orderstatus NULLS FIRST,
+             round(COALESCE(o_totalprice, 0), 4)
+    LIMIT 50 OFFSET 100
+    """,
+)
+def limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset-free pagination (ANSI OFFSET … FETCH): page 3 of the
+    order book under a TOTAL order (every projected column in the sort,
+    NULLS FIRST pinned — an underspecified sort makes every page
+    nondeterministic, and rows identical across a page boundary are
+    harmless because either order yields the same multiset).  Spark plans the whole page as one
+    TakeOrdered-style global limit of offset+limit rows, so the skip
+    never materializes upstream partitions beyond the per-partition
+    heads — the reason OFFSET pagination stays usable at scale for
+    early pages (deep pagination should keyset on the sort key
+    instead)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round(F.coalesce("o_totalprice", F.lit(0.0)), 4).alias("total"),
+        )
+        .orderBy(
+            F.col("o_orderkey").asc(),
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("total").asc(),
+        )
+        .offset(100)
+        .limit(50)
+    )

@@ -174,6 +174,7 @@ GRADE_ORDER: tuple[str, ...] = (
     "ts_pattern_count",
     "scan_varlen_d",
     "sink_varlen_d",
+    "limit_offset",
     # rows-only sketches stay LAST of the queued names (VERDICT r3 #5):
     # no_oracle rows burn grading signal
     "stream_watermark_late_drop",
