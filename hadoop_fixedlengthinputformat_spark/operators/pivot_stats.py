@@ -854,3 +854,102 @@ def agg_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_rows"),
         (F.expr(_CHI_STAT) + F.lit(0.0)).alias("chi2"),
     )
+
+
+# Spearman rho from exact integer midranks: with x = 2*midrank (always
+# an integer: 2*min_rank + ties - 1), the Pearson identity
+# (n*Sxy - Sx*Sy) / (sqrt(n*Sxx - Sx^2) * sqrt(n*Syy - Sy^2)) runs on
+# exact int64 sums; only the two sqrts and the final ratio are doubles
+# (snapped 8 / 4, identical trees).
+_SP_DA = snap_sql("sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)", 8)
+_SP_DB = snap_sql("sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)", 8)
+_SP_RHO = snap_sql(
+    f"(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+    f" / (({_SP_DA}) * ({_SP_DB}))", 4
+)
+
+
+@query(
+    "agg_spearman",
+    oracle=f"""
+    WITH base AS (
+        SELECT l_returnflag AS flag,
+               CAST(floor(l_quantity) AS BIGINT) AS q,
+               CAST(floor(l_extendedprice) AS BIGINT) AS p
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+              AND l_returnflag IS NOT NULL
+    ),
+    ranked AS (
+        SELECT flag,
+               2 * RANK() OVER (PARTITION BY flag ORDER BY q)
+                   + COUNT(*) OVER (PARTITION BY flag, q) - 1 AS x,
+               2 * RANK() OVER (PARTITION BY flag ORDER BY p)
+                   + COUNT(*) OVER (PARTITION BY flag, p) - 1 AS y
+        FROM base
+    ),
+    g AS (
+        SELECT flag, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM ranked GROUP BY flag
+    )
+    SELECT flag, n AS n_rows, {_SP_RHO} + 0 AS rho
+    FROM g WHERE n >= 2 AND n * sxx > sx * sx AND n * syy > sy * sy
+    """,
+)
+def agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (quantity vs revenue per return flag)
+    with EXACT integer midranks: 2*midrank = 2*rank + |ties| - 1 is
+    always an integer, so every Pearson-identity power sum is exact
+    int64 and merge-order-free; only the two sqrts (snapped to 8) and
+    the final ratio (snapped to 4) touch doubles, on identical operand
+    trees both engines.  Built-in corr() on ranks is NOT cross-engine
+    comparable (double accumulation in merge order).  Shuffle shape:
+    rank windows + the tie counts reuse one flag partitioning, then a
+    map-side-combined groupBy on the same key.  Overflow budget:
+    Σx·y ≤ 4n³ — int64-safe to ~1.3M rows/group; re-unit ranks beyond
+    (the agg_moments rule).  Degenerate (constant) columns yield no
+    row, not a division by zero."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.where(
+        F.col("l_quantity").isNotNull()
+        & F.col("l_extendedprice").isNotNull()
+        & F.col("l_returnflag").isNotNull()
+    ).select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor("l_quantity").cast("long").alias("q"),
+        F.floor("l_extendedprice").cast("long").alias("p"),
+    )
+    wq = Window.partitionBy("flag").orderBy("q")
+    wp = Window.partitionBy("flag").orderBy("p")
+    ranked = base.select(
+        "flag",
+        (
+            2 * F.rank().over(wq).cast("long")
+            + F.count(F.lit(1)).over(Window.partitionBy("flag", "q")) - 1
+        ).alias("x"),
+        (
+            2 * F.rank().over(wp).cast("long")
+            + F.count(F.lit(1)).over(Window.partitionBy("flag", "p")) - 1
+        ).alias("y"),
+    )
+    g = ranked.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return g.where(
+        (F.col("n") >= 2)
+        & (F.col("n") * F.col("sxx") > F.col("sx") * F.col("sx"))
+        & (F.col("n") * F.col("syy") > F.col("sy") * F.col("sy"))
+    ).select(
+        "flag",
+        F.col("n").alias("n_rows"),
+        (F.expr(_SP_RHO) + F.lit(0.0)).alias("rho"),
+    )

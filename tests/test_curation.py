@@ -285,3 +285,51 @@ def test_agg_chisq_matches_numpy(spark, sf_dir):
     assert len(rows) == 1
     assert rows[0].n_rows == int(obs.sum())
     assert abs(rows[0].chi2 - chi2) < 2e-4, (rows[0].chi2, chi2)
+
+
+def test_agg_spearman_matches_scipy_free_reference(spark, sf_dir):
+    """Spearman from exact integer midranks must match a pure-Python
+    midrank + Pearson reference on the same floored values."""
+    import numpy as np
+
+    from hadoop_fixedlengthinputformat_spark.operators.pivot_stats import (
+        agg_spearman,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/lineitem.parquet").to_pylist()
+    groups: dict[str, list[tuple[int, int]]] = {}
+    for r in tbl:
+        if r["l_quantity"] is not None and r["l_extendedprice"] is not None \
+                and r["l_returnflag"] is not None:
+            groups.setdefault(r["l_returnflag"], []).append(
+                (int(math.floor(r["l_quantity"])),
+                 int(math.floor(r["l_extendedprice"])))
+            )
+
+    def midranks(vals):
+        order = np.argsort(np.asarray(vals), kind="stable")
+        ranks = np.empty(len(vals), dtype=np.float64)
+        sv = np.asarray(vals)[order]
+        i = 0
+        while i < len(sv):
+            j = i
+            while j < len(sv) and sv[j] == sv[i]:
+                j += 1
+            ranks[order[i:j]] = (i + j + 1) / 2  # average of ranks i+1..j
+            i = j
+        return ranks
+
+    got = {r.flag: r for r in agg_spearman(spark, sf_dir).collect()}
+    for flag, pairs in groups.items():
+        if len(pairs) < 2:
+            assert flag not in got
+            continue
+        x = midranks([q for q, _ in pairs])
+        y = midranks([p for _, p in pairs])
+        if x.std() == 0 or y.std() == 0:
+            assert flag not in got
+            continue
+        rho = np.corrcoef(x, y)[0, 1]
+        r = got[flag]
+        assert r.n_rows == len(pairs)
+        assert abs(r.rho - rho) < 2e-4, (flag, r.rho, rho)
