@@ -953,3 +953,114 @@ def agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_rows"),
         (F.expr(_SP_RHO) + F.lit(0.0)).alias("rho"),
     )
+
+
+# Mann-Whitney z from exact int64 rank sums: 2U = 2R_A - nA(nA+1) is
+# integer-exact via per-value midranks, and the tie-corrected variance
+# uses the exact tie sum T = sum(t^3 - t).  One shared double tree.
+_MW_VAR = snap_sql(
+    "sqrt((CAST(na AS DOUBLE) * nb / 12.0)"
+    " * ((nn + 1.0) - tsum / (CAST(nn AS DOUBLE) * (nn - 1.0))))", 8
+)
+_MW_Z = snap_sql(
+    f"(CAST(u2 AS DOUBLE) - CAST(na AS DOUBLE) * nb) / (2.0 * ({_MW_VAR}))", 4
+)
+
+
+@query(
+    "agg_mannwhitney",
+    oracle=f"""
+    WITH base AS (
+        SELECT (l_returnflag = 'A') AS is_a,
+               CAST(floor(l_quantity) AS BIGINT) AS qi
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_returnflag IN ('A', 'R')
+    ),
+    per AS (
+        SELECT qi, CAST(count(*) AS BIGINT) AS cnt,
+               CAST(count(*) FILTER (is_a) AS BIGINT) AS cnta
+        FROM base GROUP BY qi
+    ),
+    cum AS (
+        SELECT qi, cnt, cnta,
+               CAST(COALESCE(SUM(cnt) OVER (ORDER BY qi
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) AS less
+        FROM per
+    ),
+    s AS (
+        SELECT CAST(SUM(cnta * (2 * less + cnt + 1)) AS BIGINT) AS r2a,
+               CAST(SUM(cnta) AS BIGINT) AS na,
+               CAST(SUM(cnt) AS BIGINT) AS nn,
+               CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tsum,
+               CAST(COUNT(*) AS BIGINT) AS ndist
+        FROM cum
+    ),
+    u AS (
+        SELECT na, nn - na AS nb, nn, tsum,
+               r2a - na * (na + 1) AS u2
+        FROM s
+    )
+    SELECT na AS n_a, nb AS n_r, u2 AS u2, {_MW_Z} + 0 AS z_stat
+    FROM u, (SELECT ndist FROM s) d
+    WHERE na >= 1 AND nb >= 1 AND d.ndist >= 2
+    """,
+)
+def agg_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (returned vs rejected quantities) — the
+    nonparametric companion to agg_ttest — from EXACT integer rank
+    sums: per-value pooled midranks via 2·midrank = 2·|smaller| +
+    |ties| + 1 (always integer), so 2U = 2R_A − n_A(n_A+1) is exact
+    int64, and the tie-corrected normal approximation's variance uses
+    the exact tie sum Σ(t³−t); only the final z touches doubles
+    (identical tree, sqrt snapped 8 / z snapped 4; no continuity
+    correction — stated, same on both sides).  The midrank table is
+    |distinct values| rows, so the running-sum window is tiny at any
+    corpus size.  Degenerate inputs (one class empty, all values tied)
+    yield no row.  Overflow: Σ t³ ≤ N³ — int64-safe to ~2M pooled
+    rows; re-unit beyond (the agg_moments rule)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.where(
+        F.col("l_quantity").isNotNull()
+        & F.col("l_returnflag").isin("A", "R")
+    ).select(
+        (F.col("l_returnflag") == "A").alias("is_a"),
+        F.floor("l_quantity").cast("long").alias("qi"),
+    )
+    per = base.groupBy("qi").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.when(F.col("is_a"), F.lit(1)).otherwise(F.lit(0)))
+        .cast("long").alias("cnta"),
+    )
+    wrun = Window.orderBy("qi").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per.select(
+        "qi", "cnt", "cnta",
+        F.coalesce(F.sum("cnt").over(wrun), F.lit(0)).alias("less"),
+    )
+    s = cum.agg(
+        F.sum(
+            F.col("cnta") * (2 * F.col("less") + F.col("cnt") + 1)
+        ).alias("r2a"),
+        F.sum("cnta").alias("na"),
+        F.sum("cnt").alias("nn"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).alias("tsum"),
+        F.count(F.lit(1)).alias("ndist"),
+    )
+    u = s.select(
+        "na",
+        (F.col("nn") - F.col("na")).alias("nb"),
+        "nn",
+        "tsum",
+        "ndist",
+        (F.col("r2a") - F.col("na") * (F.col("na") + 1)).alias("u2"),
+    )
+    return u.where(
+        (F.col("na") >= 1) & (F.col("nb") >= 1) & (F.col("ndist") >= 2)
+    ).select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_r"),
+        "u2",
+        (F.expr(_MW_Z) + F.lit(0.0)).alias("z_stat"),
+    )

@@ -176,6 +176,7 @@ GRADE_ORDER: tuple[str, ...] = (
     "sink_varlen_d",
     "limit_offset",
     "agg_spearman",
+    "agg_mannwhitney",
     # rows-only sketches stay LAST of the queued names (VERDICT r3 #5):
     # no_oracle rows burn grading signal
     "stream_watermark_late_drop",

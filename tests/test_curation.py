@@ -333,3 +333,52 @@ def test_agg_spearman_matches_scipy_free_reference(spark, sf_dir):
         r = got[flag]
         assert r.n_rows == len(pairs)
         assert abs(r.rho - rho) < 2e-4, (flag, r.rho, rho)
+
+
+def test_agg_mannwhitney_matches_reference(spark, sf_dir):
+    """U and z from exact rank sums must match a pure-Python midrank
+    reference (tie-corrected normal approximation, no continuity
+    correction)."""
+    import numpy as np
+
+    from hadoop_fixedlengthinputformat_spark.operators.pivot_stats import (
+        agg_mannwhitney,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/lineitem.parquet").to_pylist()
+    a, r_ = [], []
+    for r in tbl:
+        if r["l_quantity"] is None:
+            continue
+        if r["l_returnflag"] == "A":
+            a.append(math.floor(r["l_quantity"]))
+        elif r["l_returnflag"] == "R":
+            r_.append(math.floor(r["l_quantity"]))
+    rows = agg_mannwhitney(spark, sf_dir).collect()
+    pooled = np.array(a + r_, dtype=np.float64)
+    if not a or not r_ or len(set(a + r_)) < 2:
+        assert rows == []
+        return
+    order = np.argsort(pooled, kind="stable")
+    ranks = np.empty(len(pooled))
+    sv = pooled[order]
+    i = 0
+    tsum = 0
+    while i < len(sv):
+        j = i
+        while j < len(sv) and sv[j] == sv[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2
+        t = j - i
+        tsum += t ** 3 - t
+        i = j
+    na, nb, nn = len(a), len(r_), len(pooled)
+    ra = ranks[: na].sum()
+    u = ra - na * (na + 1) / 2
+    var = na * nb / 12 * ((nn + 1) - tsum / (nn * (nn - 1)))
+    z = (u - na * nb / 2) / math.sqrt(var)
+    assert len(rows) == 1
+    got = rows[0]
+    assert (got.n_a, got.n_r) == (na, nb)
+    assert got.u2 == int(round(2 * u))
+    assert abs(got.z_stat - z) < 2e-4, (got.z_stat, z)
