@@ -1064,3 +1064,82 @@ def agg_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         "u2",
         (F.expr(_MW_Z) + F.lit(0.0)).alias("z_stat"),
     )
+
+
+@query(
+    "agg_ks_test",
+    oracle="""
+    WITH base AS (
+        SELECT (l_returnflag = 'A') AS is_a,
+               CAST(floor(l_quantity) AS BIGINT) AS qi
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_returnflag IN ('A', 'R')
+    ),
+    per AS (
+        SELECT qi, CAST(count(*) FILTER (is_a) AS BIGINT) AS ca,
+               CAST(count(*) FILTER (NOT is_a) AS BIGINT) AS cb
+        FROM base GROUP BY qi
+    ),
+    cum AS (
+        SELECT CAST(SUM(ca) OVER (ORDER BY qi) AS BIGINT) AS cuma,
+               CAST(SUM(cb) OVER (ORDER BY qi) AS BIGINT) AS cumb,
+               CAST(SUM(ca) OVER () AS BIGINT) AS na,
+               CAST(SUM(cb) OVER () AS BIGINT) AS nb
+        FROM per
+    )
+    SELECT na AS n_a, nb AS n_r,
+           CAST(MAX(abs(cuma * nb - cumb * na)) AS BIGINT) AS d_num,
+           na * nb AS d_den
+    FROM cum WHERE na >= 1 AND nb >= 1
+    GROUP BY na, nb
+    """,
+)
+def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance (returned vs rejected
+    quantity distributions) computed EXACTLY: D = max over values of
+    |ECDF_A − ECDF_R| cross-multiplies to max |cumA·n_B − cumB·n_A| /
+    (n_A·n_B) — every term exact int64, so the statistic is exposed as
+    an exact integer fraction (numerator + denominator) with NO
+    floating point anywhere, the strongest cross-engine form possible.
+    The per-value pre-aggregation bounds the ECDF window to |distinct
+    values| rows at any corpus size.  Overflow: cum·n ≤ N² — int64-safe
+    to ~3e9 pooled rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.where(
+        F.col("l_quantity").isNotNull()
+        & F.col("l_returnflag").isin("A", "R")
+    ).select(
+        (F.col("l_returnflag") == "A").alias("is_a"),
+        F.floor("l_quantity").cast("long").alias("qi"),
+    )
+    per = base.groupBy("qi").agg(
+        F.sum(F.when(F.col("is_a"), F.lit(1)).otherwise(F.lit(0)))
+        .cast("long").alias("ca"),
+        F.sum(F.when(~F.col("is_a"), F.lit(1)).otherwise(F.lit(0)))
+        .cast("long").alias("cb"),
+    )
+    wrun = Window.orderBy("qi").rangeBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = per.select(
+        F.sum("ca").over(wrun).alias("cuma"),
+        F.sum("cb").over(wrun).alias("cumb"),
+        F.sum("ca").over(wall).alias("na"),
+        F.sum("cb").over(wall).alias("nb"),
+    )
+    return (
+        cum.where((F.col("na") >= 1) & (F.col("nb") >= 1))
+        .groupBy("na", "nb")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na")
+                )
+            ).alias("d_num")
+        )
+        .select(
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_r"),
+            "d_num",
+            (F.col("na") * F.col("nb")).alias("d_den"),
+        )
+    )

@@ -382,3 +382,40 @@ def test_agg_mannwhitney_matches_reference(spark, sf_dir):
     assert (got.n_a, got.n_r) == (na, nb)
     assert got.u2 == int(round(2 * u))
     assert abs(got.z_stat - z) < 2e-4, (got.z_stat, z)
+
+
+def test_agg_ks_matches_reference(spark, sf_dir):
+    """Exact-fraction KS distance must equal the ECDF sup-distance
+    computed directly."""
+    import numpy as np
+
+    from hadoop_fixedlengthinputformat_spark.operators.pivot_stats import (
+        agg_ks_test,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/lineitem.parquet").to_pylist()
+    a, b = [], []
+    for r in tbl:
+        if r["l_quantity"] is None:
+            continue
+        if r["l_returnflag"] == "A":
+            a.append(math.floor(r["l_quantity"]))
+        elif r["l_returnflag"] == "R":
+            b.append(math.floor(r["l_quantity"]))
+    rows = agg_ks_test(spark, sf_dir).collect()
+    if not a or not b:
+        assert rows == []
+        return
+    xs = sorted(set(a + b))
+    aa, bb = np.array(sorted(a)), np.array(sorted(b))
+    d = max(
+        abs(
+            np.searchsorted(aa, v, side="right") / len(a)
+            - np.searchsorted(bb, v, side="right") / len(b)
+        )
+        for v in xs
+    )
+    assert len(rows) == 1
+    got = rows[0]
+    assert (got.n_a, got.n_r) == (len(a), len(b))
+    assert abs(got.d_num / got.d_den - d) < 1e-12, (got.d_num / got.d_den, d)
