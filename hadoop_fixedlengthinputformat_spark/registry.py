@@ -178,6 +178,7 @@ GRADE_ORDER: tuple[str, ...] = (
     "agg_spearman",
     "agg_mannwhitney",
     "agg_ks_test",
+    "maintain_gdg_expire",
     # rows-only sketches stay LAST of the queued names (VERDICT r3 #5):
     # no_oracle rows burn grading signal
     "stream_watermark_late_drop",

@@ -88,3 +88,28 @@ def next_generation_name(directory: str, base: str) -> str:
     if nxt > 9999:
         raise ValueError(f"gdg: {base} is at generation 9999 (no successor)")
     return f"{base}.G{nxt:04d}V00"
+
+
+def expire(directory: str, base: str, limit: int) -> list[str]:
+    """Apply the GDG LIMIT attribute: keep the newest ``limit``
+    generations and roll the rest off (every VERSION of an expired
+    generation is removed — superseded versions never outlive their
+    generation).  Returns the removed paths, oldest first.  This is
+    the catalog's automatic behavior on z/OS when a new generation
+    exceeds the limit; here it is an explicit maintenance call the
+    writer composes with next_generation_name."""
+    import shutil
+
+    if limit < 1:
+        raise ValueError(f"gdg: limit must be >= 1, got {limit}")
+    pat = re.compile(re.escape(base) + r"\.G(\d{4})V(\d{2})(?:\..+)?$")
+    gens = generations(directory, base)
+    doomed = set(gens[:-limit]) if len(gens) > limit else set()
+    removed: list[str] = []
+    for name in sorted(os.listdir(directory)):
+        m = pat.fullmatch(name)
+        if m and int(m.group(1)) in doomed:
+            p = os.path.join(directory, name)
+            (shutil.rmtree if os.path.isdir(p) else os.remove)(p)
+            removed.append(p)
+    return removed

@@ -155,3 +155,66 @@ def maintain_gdg_roll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return member(0).unionAll(member(-1))
+
+
+@query(
+    "maintain_gdg_expire",
+    oracle="""
+    SELECT n_nationkey, COALESCE(n_name, '') AS n_name,
+           3 + (n_nationkey % 3 + 2) % 3 AS generation
+    FROM nation
+    """,
+)
+def maintain_gdg_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GDG LIMIT attribute (catalog roll-off): a five-generation
+    catalog — generation k holds nation keys with key % 3 == (k-2) % 3,
+    so membership is SQL-derivable — expires down to LIMIT 3.
+    Generations 1-2 roll off (every version deleted); the survivors
+    3/4/5 hold keys with remainder 1/2/0 respectively, covering every
+    key exactly once, so each row's surviving generation is
+    3 + (key % 3 + 2) % 3 and the oracle replays it.  Post-expiry
+    resolution is re-proven by reading (−2)/(−1)/(0) = G0003/4/5."""
+    configure(spark)
+    fixedlen.register(spark)
+    record_length, spec, _ = fixture_gen.LAYOUTS["nation"]
+    import pyarrow.parquet as _pq
+
+    from hadoop_fixedlengthinputformat_spark.sources.layout import (
+        encode_rows,
+        parse_layout,
+    )
+
+    d = os.path.join(
+        tempfile.gettempdir(), f"flif_gdg_expire_{uuid.uuid4().hex[:8]}"
+    )
+    os.makedirs(d)
+    rows = (
+        _pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+        .sort_by("n_nationkey")
+        .to_pylist()
+    )
+    for r in rows:
+        r["n_name"] = r["n_name"] or ""
+        r["n_regionkey"] = r["n_regionkey"] if r["n_regionkey"] is not None else 0
+    fields = parse_layout(spec, record_length)
+    # generations 1..5; generation k holds keys with key % 3 == (k-2) % 3
+    # (so the SURVIVORS 3,4,5 cover every key exactly once and the
+    # oracle recomputes each row's generation as 2 + key % 3;
+    # expired gens 1-2 hold overlapping content that MUST disappear)
+    for k in range(1, 6):
+        sub = [r for r in rows if r["n_nationkey"] % 3 == (k - 2) % 3]
+        name = gdg.next_generation_name(d, "NAT") + ".fixed"
+        with open(os.path.join(d, name), "wb") as f:
+            f.write(encode_rows(sub, fields, record_length))
+    removed = gdg.expire(d, "NAT", limit=3)
+    assert len(removed) == 2 and gdg.generations(d, "NAT") == [3, 4, 5]
+
+    def member(rel: int, gen: int) -> DataFrame:
+        df = _read_member(spark, gdg.resolve(d, "NAT", rel), "nation")
+        return df.select(
+            "n_nationkey", "n_name", F.lit(gen).alias("generation")
+        )
+
+    return (
+        member(-2, 3).unionAll(member(-1, 4)).unionAll(member(0, 5))
+    )

@@ -70,3 +70,20 @@ def test_generation_zero_rejected(tmp_path):
 def test_missing_directory_raises(tmp_path):
     with pytest.raises(FileNotFoundError):
         gdg.generations(str(tmp_path / "nope"), "A")
+
+
+def test_expire_rolls_off_oldest_and_all_versions(tmp_path):
+    for n in ("A.G0001V00.fixed", "A.G0001V01.fixed", "A.G0002V00.fixed",
+              "A.G0003V00.fixed", "A.G0004V00.fixed", "B.G0001V00.fixed"):
+        _touch(tmp_path, n)
+    removed = gdg.expire(str(tmp_path), "A", limit=2)
+    # gens 1 (both versions) and 2 rolled off; other bases untouched
+    assert [os.path.basename(p) for p in removed] == [
+        "A.G0001V00.fixed", "A.G0001V01.fixed", "A.G0002V00.fixed",
+    ]
+    assert gdg.generations(str(tmp_path), "A") == [3, 4]
+    assert gdg.generations(str(tmp_path), "B") == [1]
+    # under the limit: nothing removed
+    assert gdg.expire(str(tmp_path), "A", limit=5) == []
+    with pytest.raises(ValueError, match="limit must be"):
+        gdg.expire(str(tmp_path), "A", limit=0)
