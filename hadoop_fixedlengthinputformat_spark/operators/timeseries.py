@@ -376,3 +376,85 @@ def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("value", key).alias("close"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query(
+    "ts_cusum_changepoint",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id,
+               CAST(floor(value) AS BIGINT) AS x
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL AND value >= 0
+              AND user_id IS NOT NULL AND event_id IS NOT NULL
+    ),
+    cum AS (
+        SELECT user_id,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS i,
+               CAST(SUM(x) OVER w AS BIGINT) AS si,
+               CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+               CAST(SUM(x) OVER (PARTITION BY user_id) AS BIGINT) AS sn
+        FROM base
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id, x
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, n AS n_events,
+           CAST(MAX(abs(n * si - i * sn)) AS BIGINT) AS peak_num,
+           n * sn AS scale_den
+    FROM cum WHERE n >= 2
+    GROUP BY user_id, n, sn
+    """,
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint score per user — how far the running total of
+    event values strays from a constant-rate line — computed EXACTLY:
+    the classic max_i |S_i − (i/n)·S_n| cross-multiplies to
+    max |n·S_i − i·S_n| / (n·S_n), exposed as an exact integer fraction
+    (numerator + scale) with no floating point anywhere, the agg_ks_test
+    technique carried to time series.  Total order (ts, event_id, x)
+    keeps duplicate-id rolls deterministic; one user-keyed window +
+    groupBy reusing the same partitioning.  Overflow: n·S_i ≤ n²·max(x)
+    — int64-safe for any realistic per-user stream (1e6 events of 1e6
+    units)."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & (F.col("value") >= 0)
+        & F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull()
+    ).select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        F.floor("value").cast("long").alias("x"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id", "x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wu = Window.partitionBy("user_id")
+    cum = ev.select(
+        "user_id",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy("us", "event_id", "x")
+        ).cast("long").alias("i"),
+        F.sum("x").over(w).alias("si"),
+        F.count(F.lit(1)).over(wu).alias("n"),
+        F.sum("x").over(wu).alias("sn"),
+    )
+    return (
+        cum.where(F.col("n") >= 2)
+        .groupBy("user_id", "n", "sn")
+        .agg(
+            F.max(
+                F.abs(F.col("n") * F.col("si") - F.col("i") * F.col("sn"))
+            ).alias("peak_num")
+        )
+        .select(
+            "user_id",
+            F.col("n").alias("n_events"),
+            "peak_num",
+            (F.col("n") * F.col("sn")).alias("scale_den"),
+        )
+    )

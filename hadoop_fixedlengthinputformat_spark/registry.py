@@ -179,6 +179,7 @@ GRADE_ORDER: tuple[str, ...] = (
     "agg_mannwhitney",
     "agg_ks_test",
     "maintain_gdg_expire",
+    "ts_cusum_changepoint",
     # rows-only sketches stay LAST of the queued names (VERDICT r3 #5):
     # no_oracle rows burn grading signal
     "stream_watermark_late_drop",
