@@ -458,3 +458,87 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n") * F.col("sn")).alias("scale_den"),
         )
     )
+
+
+# Lag-1 autocorrelation = Pearson over (x_t, x_{t-1}) pairs with exact
+# int64 inputs: the same snapped-sqrt identity as agg_spearman.
+from hadoop_fixedlengthinputformat_spark.functions.num import snap_sql
+
+_AC_DA = snap_sql("sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)", 8)
+_AC_DB = snap_sql("sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)", 8)
+_AC_R = snap_sql(
+    f"(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+    f" / (({_AC_DA}) * ({_AC_DB}))", 4
+)
+
+
+@query(
+    "ts_autocorr",
+    oracle=f"""
+    WITH base AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id,
+               CAST(floor(value) AS BIGINT) AS x
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL AND value >= 0
+              AND user_id IS NOT NULL AND event_id IS NOT NULL
+    ),
+    pairs AS (
+        SELECT user_id, x,
+               LAG(x) OVER (PARTITION BY user_id
+                            ORDER BY us, event_id, x) AS y
+        FROM base
+    ),
+    g AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM pairs WHERE y IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, n AS n_pairs, {_AC_R} + 0 AS acf1
+    FROM g
+    WHERE n >= 2 AND n * sxx > sx * sx AND n * syy > sy * sy
+    """,
+)
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of event values per user — the
+    is-this-series-trending diagnostic — as Pearson over (x_t, x_{t−1})
+    pairs with EXACT int64 power sums (floored values, total order
+    (ts, event_id, x) so duplicate-id rolls pair identically); only
+    the two snapped sqrts and the final ratio touch doubles, identical
+    trees both engines.  One user-keyed lag window + a groupBy on the
+    same key.  Constant or too-short series yield no row, not ÷0."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & (F.col("value") >= 0)
+        & F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull()
+    ).select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        F.floor("value").cast("long").alias("x"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id", "x")
+    pairs = ev.select(
+        "user_id", "x", F.lag("x").over(w).alias("y")
+    ).where(F.col("y").isNotNull())
+    g = pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return g.where(
+        (F.col("n") >= 2)
+        & (F.col("n") * F.col("sxx") > F.col("sx") * F.col("sx"))
+        & (F.col("n") * F.col("syy") > F.col("sy") * F.col("sy"))
+    ).select(
+        "user_id",
+        F.col("n").alias("n_pairs"),
+        (F.expr(_AC_R) + F.lit(0.0)).alias("acf1"),
+    )

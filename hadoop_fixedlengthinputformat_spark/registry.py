@@ -180,6 +180,8 @@ GRADE_ORDER: tuple[str, ...] = (
     "agg_ks_test",
     "maintain_gdg_expire",
     "ts_cusum_changepoint",
+    "scan_fixedlen_redefines",
+    "ts_autocorr",
     # rows-only sketches stay LAST of the queued names (VERDICT r3 #5):
     # no_oracle rows burn grading signal
     "stream_watermark_late_drop",

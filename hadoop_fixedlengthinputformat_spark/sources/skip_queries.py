@@ -687,3 +687,98 @@ def scan_fixedlen_cond88(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = [F.col("n_nationkey"), F.col("n_name")]
     cols += [F.expr(c.sql).alias(c.name) for c in conditions(NATION_COPYBOOK_88)]
     return df.select(*cols)
+
+
+NATION_COPYBOOK_REDEF = """
+       01  REC.
+           05  N-KEY    PIC 9(5).
+           05  N-PAIR.
+               10  N-REG PIC 9(5).
+               10  N-PAD PIC 9(5).
+           05  N-CODE  REDEFINES N-PAIR PIC X(10).
+           05  N-SHORT REDEFINES N-PAIR PIC X(4).
+           05  N-SUFFIX PIC X(2).
+"""
+
+
+@query(
+    "scan_fixedlen_redefines",
+    oracle="""
+    WITH enc AS (
+        SELECT n_nationkey AS n_key, COALESCE(n_regionkey, 0) AS n_reg,
+               n_nationkey % 100 AS n_pad,
+               lpad(CAST(COALESCE(n_regionkey, 0) AS VARCHAR), 5, '0')
+                   || lpad(CAST(n_nationkey % 100 AS VARCHAR), 5, '0')
+                   AS code
+        FROM nation
+    )
+    SELECT n_key, n_reg, n_pad, code AS n_code,
+           substr(code, 1, 4) AS n_short,
+           lpad(CAST(n_key % 10 AS VARCHAR), 2, '0') AS n_suffix
+    FROM enc
+    """,
+)
+def scan_fixedlen_redefines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COBOL REDEFINES storage overlay as a graded read: the same ten
+    bytes decode THREE ways — the (reg, pad) numeric pair, the full
+    X(10) character view, and a SMALLER X(4) redefinition (the
+    standard-legal case whose offset handling silently corrupted every
+    following field until round 5's ADVICE fix) — and N-SUFFIX must
+    land AFTER the larger of the overlapped spans.  The oracle
+    recomputes every view from the encoded digits, so one wrong offset
+    anywhere shifts a column and fails the hash."""
+    import hashlib as _hashlib
+    import os as _os
+
+    import pyarrow.parquet as _pq
+    import pyspark.sql.functions as F
+
+    from hadoop_fixedlengthinputformat_spark.sources.copybook import (
+        copybook_to_layout,
+    )
+    from hadoop_fixedlengthinputformat_spark.sources.layout import (
+        encode_rows,
+        parse_layout,
+    )
+
+    configure(spark)
+    fixedlen.register(spark)
+    layout, rl = copybook_to_layout(NATION_COPYBOOK_REDEF)
+    tag = _hashlib.md5(
+        f"{_os.path.abspath(sf_dir)}|redef|{layout}"
+        f"|{fixture_gen.source_stamp(sf_dir)}".encode()
+    ).hexdigest()[:12]
+    out = _os.path.join(fixture_gen.fixture_dir(), f"nat-redef-{tag}.fixed")
+    if not _os.path.exists(out):
+        # encode through the NON-overlapping view; the overlapped views
+        # are pure read-side interpretations of the same bytes
+        enc_fields = parse_layout(
+            "n_key:0:5:int,n_reg:5:5:int,n_pad:10:5:int,n_suffix:15:2:string",
+            rl,
+        )
+        rows = [
+            {
+                "n_key": r["n_nationkey"],
+                "n_reg": r["n_regionkey"] if r["n_regionkey"] is not None else 0,
+                "n_pad": r["n_nationkey"] % 100,
+                "n_suffix": f"{r['n_nationkey'] % 10:02d}",
+            }
+            for r in _pq.read_table(_os.path.join(sf_dir, "nation.parquet"))
+            .sort_by("n_nationkey")
+            .to_pylist()
+        ]
+        payload = encode_rows(rows, enc_fields, rl)
+        tmp = out + f".tmp{_os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        _os.replace(tmp, out)
+    df = (
+        spark.read.format("fixedlen")
+        .option("recordLength", str(rl))
+        .option("layout", layout)
+        .option("includeOffset", "false")
+        .load(out)
+    )
+    return df.select(
+        "n_key", "n_reg", "n_pad", "n_code", "n_short", "n_suffix"
+    )
