@@ -1143,3 +1143,79 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("na") * F.col("nb")).alias("d_den"),
         )
     )
+
+
+# Cramér's V for the fixed 3x2 table: min(r-1, c-1) = 1, so
+# V = sqrt(chi2 / n) — one more snapped op on the shared chi2 tree.
+_CRAMER_V = snap_sql(f"sqrt(({_CHI_STAT}) / n)", 4)
+
+
+@query(
+    "agg_cramers_v",
+    oracle=f"""
+    WITH g AS (
+        SELECT {', '.join(
+            f"CAST(count(*) FILTER (l_returnflag = '{f}' AND "
+            f"l_linestatus = '{s}') AS BIGINT) AS o_{f.lower()}{s.lower()}"
+            for f, s in _CHI_CELLS
+        )}
+        FROM lineitem
+        WHERE l_returnflag IN ('A', 'N', 'R') AND l_linestatus IN ('F', 'O')
+    ),
+    t AS (
+        SELECT *,
+               CAST(o_af + o_ao AS DOUBLE) AS r_a,
+               CAST(o_nf + o_no AS DOUBLE) AS r_n,
+               CAST(o_rf + o_ro AS DOUBLE) AS r_r,
+               CAST(o_af + o_nf + o_rf AS DOUBLE) AS c_f,
+               CAST(o_ao + o_no + o_ro AS DOUBLE) AS c_o,
+               CAST(o_af + o_ao + o_nf + o_no + o_rf + o_ro AS DOUBLE) AS n
+        FROM g
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows, {_CRAMER_V} + 0 AS cramers_v
+    FROM t
+    WHERE r_a > 0 AND r_n > 0 AND r_r > 0 AND c_f > 0 AND c_o > 0
+    """,
+)
+def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association strength for the returnflag × linestatus
+    contingency — the effect size a chi-square's raw statistic lacks
+    (χ² grows with n; V = sqrt(χ²/(n·min(r−1,c−1))) stays in [0,1];
+    min is 1 for the fixed 3×2 table).  Rides the SAME deterministic
+    6-term cell expression as agg_chisq — exact int64 counts, one
+    fixed-order double tree shared verbatim with the oracle, one more
+    snapped sqrt on top."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag").isin("A", "N", "R")
+        & F.col("l_linestatus").isin("F", "O")
+    )
+    g = li.agg(*[
+        F.sum(
+            F.when(
+                (F.col("l_returnflag") == f) & (F.col("l_linestatus") == s),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias(f"o_{f.lower()}{s.lower()}")
+        for f, s in _CHI_CELLS
+    ])
+    t = g.select(
+        "*",
+        (F.col("o_af") + F.col("o_ao")).cast("double").alias("r_a"),
+        (F.col("o_nf") + F.col("o_no")).cast("double").alias("r_n"),
+        (F.col("o_rf") + F.col("o_ro")).cast("double").alias("r_r"),
+        (F.col("o_af") + F.col("o_nf") + F.col("o_rf"))
+        .cast("double").alias("c_f"),
+        (F.col("o_ao") + F.col("o_no") + F.col("o_ro"))
+        .cast("double").alias("c_o"),
+        (
+            F.col("o_af") + F.col("o_ao") + F.col("o_nf")
+            + F.col("o_no") + F.col("o_rf") + F.col("o_ro")
+        ).cast("double").alias("n"),
+    )
+    return t.where(
+        (F.col("r_a") > 0) & (F.col("r_n") > 0) & (F.col("r_r") > 0)
+        & (F.col("c_f") > 0) & (F.col("c_o") > 0)
+    ).select(
+        F.col("n").cast("long").alias("n_rows"),
+        (F.expr(_CRAMER_V) + F.lit(0.0)).alias("cramers_v"),
+    )

@@ -182,6 +182,7 @@ GRADE_ORDER: tuple[str, ...] = (
     "ts_cusum_changepoint",
     "scan_fixedlen_redefines",
     "ts_autocorr",
+    "agg_cramers_v",
     # rows-only sketches stay LAST of the queued names (VERDICT r3 #5):
     # no_oracle rows burn grading signal
     "stream_watermark_late_drop",
