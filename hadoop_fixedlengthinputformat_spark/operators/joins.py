@@ -229,6 +229,63 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "join_asof_forward",
+    oracle="""
+    WITH od AS (
+        SELECT o_custkey, o_orderdate, min(o_orderkey) AS o_orderkey
+        FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, od.o_orderkey AS next_orderkey
+    FROM events e
+    ASOF LEFT JOIN od
+      ON e.user_id = od.o_custkey AND e.ts <= od.o_orderdate
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join — each event matched to the EARLIEST
+    subsequent order of the same user (the what-happened-next probe;
+    join_asof is the backward twin).  Same one-shuffle formulation,
+    mirrored: tag both sides, union on (key, time), then
+    first(ignorenulls) over a (key)-partitioned window running from the
+    current row FORWARD — events sort before orders at equal t so a
+    same-instant order matches (<= semantics, as in the oracle's ASOF
+    ON e.ts <= od.o_orderdate).  Orders pre-deduped to one row per
+    (custkey, orderdate) (min orderkey) so ties are deterministic in
+    both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    od = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.min("o_orderkey").alias("o_orderkey"))
+    )
+    left = ev.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(0).alias("side"),  # events sort BEFORE orders at equal t
+        F.col("event_id"),
+        F.lit(None).cast("long").alias("ord_key"),
+    )
+    right = od.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").cast("timestamp_ntz").alias("t"),
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderkey").alias("ord_key"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "side")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    merged = left.unionByName(right).withColumn(
+        "next_orderkey", F.first("ord_key", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("side") == 0).select(
+        "event_id", F.col("k").alias("user_id"), "next_orderkey"
+    )
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

@@ -183,6 +183,7 @@ GRADE_ORDER: tuple[str, ...] = (
     "scan_fixedlen_redefines",
     "ts_autocorr",
     "agg_cramers_v",
+    "join_asof_forward",
     # rows-only sketches stay LAST of the queued names (VERDICT r3 #5):
     # no_oracle rows burn grading signal
     "stream_watermark_late_drop",
