@@ -168,3 +168,39 @@ def test_vbs_reassembles_any_packing_and_splits_safely(
             _iter_records_vbs(io.BytesIO(raw[pos:]), pos, len(raw), 0, "t")
         )
         assert [r[1] for r in rest] == payloads[len(payloads) - len(rest):]
+
+
+def _d_rec(payload: bytes) -> bytes:
+    return f"{4 + len(payload):04d}".encode("ascii") + payload
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.lists(st.binary(min_size=0, max_size=400), max_size=15),
+    st.integers(0, 4000),
+)
+def test_ansi_d_walk_and_truncation(payloads, cut):
+    """RECFM=D: the production walk reassembles every record from any
+    packer output, every resume position replays the suffix, and a
+    byte-truncated stream under stop_on_partial yields a strict prefix
+    — never a partial record, never an error."""
+    from hadoop_fixedlengthinputformat_spark.sources.varlen import (
+        _iter_records_d,
+    )
+
+    img = b"".join(_d_rec(p) for p in payloads)
+    got = list(_iter_records_d(io.BytesIO(img), 0, None, 0, "prop.d"))
+    assert [p for _, p, _ in got] == payloads
+    for i, (_off, _p, resume) in enumerate(got):
+        bio = io.BytesIO(img)
+        bio.seek(resume)
+        rest = list(_iter_records_d(bio, resume, None, 0, "prop.d"))
+        assert [p for _, p, _ in rest] == payloads[i + 1 :]
+    cut = min(cut, len(img))
+    part = list(
+        _iter_records_d(
+            io.BytesIO(img[:cut]), 0, None, 0, "prop.d",
+            stop_on_partial=True,
+        )
+    )
+    assert [p for _, p, _ in part] == payloads[: len(part)]
