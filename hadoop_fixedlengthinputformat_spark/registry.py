@@ -184,6 +184,7 @@ GRADE_ORDER: tuple[str, ...] = (
     "ts_autocorr",
     "agg_cramers_v",
     "join_asof_forward",
+    "pipeline_tape_to_corpus",
     # rows-only sketches stay LAST of the queued names (VERDICT r3 #5):
     # no_oracle rows burn grading signal
     "stream_watermark_late_drop",

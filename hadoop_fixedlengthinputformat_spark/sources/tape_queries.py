@@ -231,3 +231,73 @@ def sql_awstape_view(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         FROM docs_aws_sql GROUP BY lang
     """)
+
+
+@query(
+    "pipeline_tape_to_corpus",
+    oracle="""
+    WITH tape AS (
+        SELECT doc_id, COALESCE(lang, '') AS lang,
+               COALESCE(text, '') AS text
+        FROM documents
+    ),
+    dedup AS (
+        SELECT md5(text) AS h, min(doc_id) AS rep_id,
+               arbitrary(lang ORDER BY doc_id, lang) AS lang,
+               arbitrary(length(text) ORDER BY doc_id, lang) AS n_chars
+        FROM tape GROUP BY md5(text)
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(MIN(rep_id) AS BIGINT) AS first_doc
+    FROM dedup WHERE n_chars >= 50
+    GROUP BY lang
+    """,
+)
+def pipeline_tape_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole mainframe-to-training-corpus story in ONE plan: read
+    raw documents out of an AWS tape image (chunk chains -> blocks ->
+    typed prefix + text tail), exact-dedup on content digest (keep the
+    lowest doc id per digest — deterministic under duplicate-id rolls),
+    drop short documents (the first Gopher gate), and report the
+    per-language corpus the curation steps downstream would consume.
+    Scale shape: the dedup groupBy keys on md5(text) with the
+    representative chosen map-side (min), text length computed BEFORE
+    the exchange — the shuffle carries (digest, id, lang, len), never
+    text; then a lang-keyed agg.  Exactly the plan a 100 TB tape
+    unload pipeline would run."""
+    path = fixture_gen.aws_u_file_for(sf_dir)
+    df = read_tape(
+        spark, path,
+        prefixLength=str(fixture_gen.RDW_PREFIX_LEN),
+        layout=fixture_gen.RDW_PREFIX_LAYOUT,
+        includeOffset="false",
+    )
+    docs = df.select(
+        "doc_id",
+        "lang",
+        F.col("record_tail").cast("string").alias("text"),
+    )
+    dedup = (
+        docs.select(
+            F.md5(F.col("text").cast("binary")).alias("h"),
+            "doc_id",
+            "lang",
+            F.length("text").alias("n_chars"),
+        )
+        .groupBy("h")
+        .agg(
+            F.min("doc_id").alias("rep_id"),
+            F.min_by("lang", F.struct("doc_id", "lang")).alias("lang"),
+            F.min_by("n_chars", F.struct("doc_id", "lang")).alias("n_chars"),
+        )
+    )
+    return (
+        dedup.where(F.col("n_chars") >= 50)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("rep_id").alias("first_doc"),
+        )
+    )

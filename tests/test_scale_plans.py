@@ -748,3 +748,21 @@ def test_dsir_broadcasts_bucket_weights(spark):
 
     for m in _re.finditer(r"hashpartitioning\(([a-zA-Z0-9_#]+)", plan):
         assert m.group(1).split("#")[0] in {"b", "doc_id"}, m.group(0)
+
+
+def test_tape_pipeline_never_shuffles_text(spark):
+    """pipeline_tape_to_corpus: the dedup exchange carries digests and
+    scalars only — document text is consumed (md5 + length) before any
+    hashpartitioning; no cartesian anywhere."""
+    from hadoop_fixedlengthinputformat_spark.sources.tape_queries import (
+        pipeline_tape_to_corpus,
+    )
+
+    df = pipeline_tape_to_corpus(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_min" in plan or "partial_count" in plan, plan
+    import re as _re
+
+    for m in _re.finditer(r"hashpartitioning\(([a-zA-Z0-9_#]+)", plan):
+        assert m.group(1).split("#")[0] in {"h", "lang"}, m.group(0)
