@@ -1219,3 +1219,110 @@ def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_rows"),
         (F.expr(_CRAMER_V) + F.lit(0.0)).alias("cramers_v"),
     )
+
+
+# Kruskal-Wallis H over the fixed three return-flag classes: with
+# per-class DOUBLED rank sums r2_j exact int64 (pooled midranks), 
+# H = (12/(N(N+1))) * sum(r2_j^2 / (4 n_j)) - 3(N+1), tie-corrected by
+# 1 - T/(N^3 - N) — one fixed-order double tree, no SUM over doubles.
+_KW_H_RAW = (
+    "((12.0 / (CAST(nn AS DOUBLE) * (nn + 1.0)))"
+    " * (CAST(r2a AS DOUBLE) * r2a / (4.0 * na)"
+    "    + CAST(r2n AS DOUBLE) * r2n / (4.0 * nb)"
+    "    + CAST(r2r AS DOUBLE) * r2r / (4.0 * nc))"
+    " - 3.0 * (nn + 1.0))"
+)
+_KW_H = snap_sql(
+    f"({_KW_H_RAW}) / (1.0 - CAST(tsum AS DOUBLE)"
+    f" / (CAST(nn AS DOUBLE) * nn * nn - nn))", 4
+)
+
+
+@query(
+    "agg_kruskal",
+    oracle=f"""
+    WITH base AS (
+        SELECT l_returnflag AS cls, CAST(floor(l_quantity) AS BIGINT) AS qi
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_returnflag IN ('A', 'N', 'R')
+    ),
+    per AS (
+        SELECT qi, CAST(count(*) AS BIGINT) AS cnt,
+               CAST(count(*) FILTER (cls = 'A') AS BIGINT) AS ca,
+               CAST(count(*) FILTER (cls = 'N') AS BIGINT) AS cn,
+               CAST(count(*) FILTER (cls = 'R') AS BIGINT) AS cr
+        FROM base GROUP BY qi
+    ),
+    cum AS (
+        SELECT qi, cnt, ca, cn, cr,
+               CAST(COALESCE(SUM(cnt) OVER (ORDER BY qi
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) AS less
+        FROM per
+    ),
+    s AS (
+        SELECT CAST(SUM(ca * (2 * less + cnt + 1)) AS BIGINT) AS r2a,
+               CAST(SUM(cn * (2 * less + cnt + 1)) AS BIGINT) AS r2n,
+               CAST(SUM(cr * (2 * less + cnt + 1)) AS BIGINT) AS r2r,
+               CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cn) AS BIGINT) AS nb,
+               CAST(SUM(cr) AS BIGINT) AS nc, CAST(SUM(cnt) AS BIGINT) AS nn,
+               CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tsum,
+               CAST(COUNT(*) AS BIGINT) AS ndist
+        FROM cum
+    )
+    SELECT na AS n_a, nb AS n_n, nc AS n_r, {_KW_H} + 0 AS h_stat
+    FROM s WHERE na >= 1 AND nb >= 1 AND nc >= 1 AND ndist >= 2
+    """,
+)
+def agg_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across the three return-flag classes — the
+    k-sample extension of agg_mannwhitney, same exact machinery: pooled
+    per-value midranks double to integers, per-class DOUBLED rank sums
+    are exact int64, and H with the Σ(t³−t) tie correction is one
+    fixed-order double tree shared verbatim with the oracle (3 classes
+    = 3 explicit terms, never a SUM over double terms).  The midrank
+    table is |distinct values| rows; degenerate inputs (an empty class,
+    all values tied) yield no row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.where(
+        F.col("l_quantity").isNotNull()
+        & F.col("l_returnflag").isin("A", "N", "R")
+    ).select(
+        F.col("l_returnflag").alias("cls"),
+        F.floor("l_quantity").cast("long").alias("qi"),
+    )
+
+    def ccount(c: str, name: str):
+        return F.sum(
+            F.when(F.col("cls") == c, F.lit(1)).otherwise(F.lit(0))
+        ).cast("long").alias(name)
+
+    per = base.groupBy("qi").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        ccount("A", "ca"), ccount("N", "cn"), ccount("R", "cr"),
+    )
+    wrun = Window.orderBy("qi").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per.select(
+        "*", F.coalesce(F.sum("cnt").over(wrun), F.lit(0)).alias("less")
+    )
+    mid = 2 * F.col("less") + F.col("cnt") + 1
+    s = cum.agg(
+        F.sum(F.col("ca") * mid).alias("r2a"),
+        F.sum(F.col("cn") * mid).alias("r2n"),
+        F.sum(F.col("cr") * mid).alias("r2r"),
+        F.sum("ca").alias("na"), F.sum("cn").alias("nb"),
+        F.sum("cr").alias("nc"), F.sum("cnt").alias("nn"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).alias("tsum"),
+        F.count(F.lit(1)).alias("ndist"),
+    )
+    return s.where(
+        (F.col("na") >= 1) & (F.col("nb") >= 1) & (F.col("nc") >= 1)
+        & (F.col("ndist") >= 2)
+    ).select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_n"),
+        F.col("nc").alias("n_r"),
+        (F.expr(_KW_H) + F.lit(0.0)).alias("h_stat"),
+    )

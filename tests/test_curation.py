@@ -419,3 +419,51 @@ def test_agg_ks_matches_reference(spark, sf_dir):
     got = rows[0]
     assert (got.n_a, got.n_r) == (len(a), len(b))
     assert abs(got.d_num / got.d_den - d) < 1e-12, (got.d_num / got.d_den, d)
+
+
+def test_agg_kruskal_matches_reference(spark, sf_dir):
+    """H from exact doubled rank sums must match a pure-Python midrank
+    reference with tie correction."""
+    import numpy as np
+
+    from hadoop_fixedlengthinputformat_spark.operators.pivot_stats import (
+        agg_kruskal,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/lineitem.parquet").to_pylist()
+    groups = {"A": [], "N": [], "R": []}
+    for r in tbl:
+        if r["l_quantity"] is not None and r["l_returnflag"] in groups:
+            groups[r["l_returnflag"]].append(math.floor(r["l_quantity"]))
+    rows = agg_kruskal(spark, sf_dir).collect()
+    pooled = np.array(sum(groups.values(), []), dtype=np.float64)
+    if any(not v for v in groups.values()) or len(set(pooled)) < 2:
+        assert rows == []
+        return
+    order = np.argsort(pooled, kind="stable")
+    ranks = np.empty(len(pooled))
+    sv = pooled[order]
+    i = 0
+    tsum = 0
+    while i < len(sv):
+        j = i
+        while j < len(sv) and sv[j] == sv[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2
+        t = j - i
+        tsum += t ** 3 - t
+        i = j
+    nn = len(pooled)
+    h = 0.0
+    start = 0
+    for cls in ("A", "N", "R"):
+        n_j = len(groups[cls])
+        rj = ranks[start : start + n_j].sum()
+        h += rj * rj / n_j
+        start += n_j
+    h = 12 / (nn * (nn + 1)) * h - 3 * (nn + 1)
+    h /= 1 - tsum / (nn ** 3 - nn)
+    assert len(rows) == 1
+    got = rows[0]
+    assert (got.n_a, got.n_n, got.n_r) == tuple(len(groups[c]) for c in "ANR")
+    assert abs(got.h_stat - h) < 2e-4, (got.h_stat, h)
