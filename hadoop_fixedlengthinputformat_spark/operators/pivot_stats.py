@@ -1326,3 +1326,85 @@ def agg_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nc").alias("n_r"),
         (F.expr(_KW_H) + F.lit(0.0)).alias("h_stat"),
     )
+
+
+# Jarque-Bera rides the agg_moments fragments directly: both engines
+# compute the identical SNAPPED skew/kurt first, then one more shared
+# tree on top — n/6 * (g1^2 + g2^2/4).
+_JB = snap_sql(
+    f"(CAST(n AS DOUBLE) / 6.0)"
+    f" * (pow({_SKEW}, 2) + pow({_KURT}, 2) / 4.0)", 4
+)
+
+
+@query(
+    "agg_jarque_bera",
+    oracle=f"""
+    WITH base AS (
+        SELECT l_returnflag, CAST(floor(l_quantity) AS BIGINT) AS qi
+        FROM lineitem WHERE l_quantity IS NOT NULL
+    ),
+    g AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(qi) AS BIGINT) AS s1,
+               CAST(SUM(qi*qi) AS BIGINT) AS s2,
+               CAST(SUM(qi*qi*qi) AS BIGINT) AS s3,
+               CAST(SUM(qi*qi*qi*qi) AS BIGINT) AS s4
+        FROM base GROUP BY l_returnflag
+    ),
+    m AS (
+        SELECT l_returnflag, n, a,
+               (CAST(n AS DOUBLE) * n * s3) - (CAST(3 AS DOUBLE) * n * s1 * s2)
+                   + (CAST(2 AS DOUBLE) * s1 * s1 * s1) AS b,
+               (CAST(n AS DOUBLE) * n * n * s4)
+                   - (CAST(4 AS DOUBLE) * n * n * s1 * s3)
+                   + (CAST(6 AS DOUBLE) * n * s1 * s1 * s2)
+                   - (CAST(3 AS DOUBLE) * s1 * s1 * s1 * s1) AS c
+        FROM (SELECT *, n*s2 - s1*s1 AS a FROM g)
+    )
+    SELECT l_returnflag, n AS n_rows, {_JB} + 0 AS jb_stat
+    FROM m WHERE n >= 2 AND a > 0
+    """,
+)
+def agg_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality statistic per return flag — n/6·(g₁² +
+    g₂²/4) — riding agg_moments' exact-power-sum machinery unchanged:
+    the identical CTE chain produces the identical SNAPPED skewness and
+    excess kurtosis on both engines, then one more shared double tree
+    on top.  Same single map-side-combined groupBy; same int64 budget
+    (docstring there)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qi = F.floor(F.col("l_quantity")).cast("long")
+    base = li.where(F.col("l_quantity").isNotNull()).select(
+        "l_returnflag", qi.alias("qi")
+    )
+    q = F.col("qi")
+    g = base.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("s1"),
+        F.sum(q * q).alias("s2"),
+        F.sum(q * q * q).alias("s3"),
+        F.sum(q * q * q * q).alias("s4"),
+    )
+    m = g.select(
+        "l_returnflag",
+        "n",
+        (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).alias("a"),
+        (
+            F.col("n").cast("double") * F.col("n") * F.col("s3")
+            - F.lit(3.0) * F.col("n") * F.col("s1") * F.col("s2")
+            + F.lit(2.0) * F.col("s1") * F.col("s1") * F.col("s1")
+        ).alias("b"),
+        (
+            F.col("n").cast("double") * F.col("n") * F.col("n") * F.col("s4")
+            - F.lit(4.0) * F.col("n") * F.col("n") * F.col("s1") * F.col("s3")
+            + F.lit(6.0) * F.col("n") * F.col("s1") * F.col("s1") * F.col("s2")
+            - F.lit(3.0) * F.col("s1") * F.col("s1") * F.col("s1") * F.col("s1")
+        ).alias("c"),
+    )
+    return m.where((F.col("n") >= 2) & (F.col("a") > 0)).select(
+        "l_returnflag",
+        F.col("n").alias("n_rows"),
+        (F.expr(_JB) + F.lit(0.0)).alias("jb_stat"),
+    )

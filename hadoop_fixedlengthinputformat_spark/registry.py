@@ -186,6 +186,7 @@ GRADE_ORDER: tuple[str, ...] = (
     "join_asof_forward",
     "pipeline_tape_to_corpus",
     "agg_kruskal",
+    "agg_jarque_bera",
     # rows-only sketches stay LAST of the queued names (VERDICT r3 #5):
     # no_oracle rows burn grading signal
     "stream_watermark_late_drop",

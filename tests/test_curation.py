@@ -467,3 +467,34 @@ def test_agg_kruskal_matches_reference(spark, sf_dir):
     got = rows[0]
     assert (got.n_a, got.n_n, got.n_r) == tuple(len(groups[c]) for c in "ANR")
     assert abs(got.h_stat - h) < 2e-4, (got.h_stat, h)
+
+
+def test_agg_jarque_bera_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from hadoop_fixedlengthinputformat_spark.operators.pivot_stats import (
+        agg_jarque_bera,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/lineitem.parquet").to_pylist()
+    groups: dict[str, list[int]] = {}
+    for r in tbl:
+        if r["l_quantity"] is not None:
+            groups.setdefault(r["l_returnflag"], []).append(
+                int(math.floor(r["l_quantity"]))
+            )
+    got = {r.l_returnflag: r for r in agg_jarque_bera(spark, sf_dir).collect()}
+    for flag, vals in groups.items():
+        x = np.array(vals, dtype=np.float64)
+        m2 = ((x - x.mean()) ** 2).mean()
+        if len(x) < 2 or m2 == 0:
+            assert flag not in got
+            continue
+        g1 = ((x - x.mean()) ** 3).mean() / m2 ** 1.5
+        g2 = ((x - x.mean()) ** 4).mean() / m2 ** 2 - 3
+        jb = len(x) / 6 * (g1 ** 2 + g2 ** 2 / 4)
+        r = got[flag]
+        assert r.n_rows == len(vals)
+        assert abs(r.jb_stat - jb) < max(2e-4, 2e-4 * abs(jb)), (
+            flag, r.jb_stat, jb,
+        )
