@@ -766,3 +766,25 @@ def test_tape_pipeline_never_shuffles_text(spark):
 
     for m in _re.finditer(r"hashpartitioning\(([a-zA-Z0-9_#]+)", plan):
         assert m.group(1).split("#")[0] in {"h", "lang"}, m.group(0)
+
+
+def test_rank_tests_collapse_before_the_rank_window(spark):
+    """agg_mannwhitney / agg_kruskal / agg_ks_test: the per-value
+    pre-aggregation (map-side combined) collapses the input BEFORE the
+    single-partition running-rank window, so the window sees |distinct
+    values| rows regardless of corpus size; one scan, no cartesian."""
+    from hadoop_fixedlengthinputformat_spark.operators.pivot_stats import (
+        agg_kruskal,
+        agg_ks_test,
+        agg_mannwhitney,
+    )
+
+    for fn in (agg_mannwhitney, agg_kruskal, agg_ks_test):
+        plan = fn(
+            spark, "/root/testdata/sf0.001"
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "partial_sum" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert plan.count("Scan ") == 1, plan
+        # the groupBy exchange precedes the single-partition window
+        assert plan.index("Window") < plan.index("hashpartitioning"), plan
