@@ -1408,3 +1408,404 @@ def agg_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_rows"),
         (F.expr(_JB) + F.lit(0.0)).alias("jb_stat"),
     )
+
+
+# One-way ANOVA over the FIXED five market segments (the agg_chisq
+# fixed-class technique one family over): per-class n/S1/S2 are exact
+# int64 conditional sums in ONE global aggregate; SSB/SSW come from the
+# classical identity  SSB = Sum_g S1_g^2/n_g - S1^2/N,
+# SSW = S2 - Sum_g S1_g^2/n_g  evaluated as ONE fixed-order 5-term
+# double expression shared verbatim with the oracle (never a SUM over
+# double rows -> no merge-order drift).
+_ANOVA_KEYS = [("AUTOMOBILE", "a"), ("BUILDING", "b"), ("FURNITURE", "f"),
+               ("HOUSEHOLD", "h"), ("MACHINERY", "m")]
+_ANOVA_SSQ = " + ".join(
+    f"(CAST(s1_{k} AS DOUBLE) * s1_{k}) / n_{k}" for _, k in _ANOVA_KEYS
+)
+_ANOVA_F = snap_sql(
+    f"((({_ANOVA_SSQ}) - (CAST(s1t AS DOUBLE) * s1t) / nt) / 4.0)"
+    f" / ((CAST(s2t AS DOUBLE) - ({_ANOVA_SSQ}))"
+    f" / (CAST(nt AS DOUBLE) - 5.0))", 4
+)
+
+
+@query(
+    "agg_anova",
+    oracle=f"""
+    WITH base AS (
+        SELECT c_mktsegment AS seg, CAST(floor(c_acctbal) AS BIGINT) AS x
+        FROM customer
+        WHERE c_acctbal IS NOT NULL AND c_mktsegment IN
+              ('AUTOMOBILE', 'BUILDING', 'FURNITURE', 'HOUSEHOLD', 'MACHINERY')
+    ),
+    g AS (
+        SELECT
+            {", ".join(
+                f"CAST(count(*) FILTER (seg = '{s}') AS BIGINT) AS n_{k}, "
+                f"CAST(COALESCE(SUM(x) FILTER (seg = '{s}'), 0) AS BIGINT)"
+                f" AS s1_{k}, "
+                f"CAST(COALESCE(SUM(x*x) FILTER (seg = '{s}'), 0) AS BIGINT)"
+                f" AS s2_{k}"
+                for s, k in _ANOVA_KEYS)}
+        FROM base
+    ),
+    t AS (
+        SELECT *,
+               CAST(n_a + n_b + n_f + n_h + n_m AS BIGINT) AS nt,
+               CAST(s1_a + s1_b + s1_f + s1_h + s1_m AS BIGINT) AS s1t,
+               CAST(s2_a + s2_b + s2_f + s2_h + s2_m AS BIGINT) AS s2t
+        FROM g
+    )
+    SELECT nt AS n_total, {_ANOVA_F} + 0 AS f_stat
+    FROM t
+    WHERE n_a >= 2 AND n_b >= 2 AND n_f >= 2 AND n_h >= 2 AND n_m >= 2
+          AND CAST(s2t AS DOUBLE) - ({_ANOVA_SSQ}) > 0
+    """,
+)
+def agg_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic of account balance across the five
+    market segments — the k-sample mean-difference primitive next to
+    agg_ttest (k=2) and agg_kruskal (rank-based).  Balances floor to
+    exact int64 (negatives floor identically on both engines); per-class
+    power sums are conditional sums in ONE map-side-combined global
+    aggregate (no join of five filtered subqueries); the F identity is
+    one fixed-order double tree shared verbatim with the oracle, snapped
+    to 4 (+0 clears -0.0).  Overflow budget: |x| <= 1e4 so S1_g^2 is
+    computed in DOUBLE (exactly-rounded square of an exact int64 —
+    identical bits both engines); the int64 sums themselves are safe to
+    ~1e11 rows/class.  Degenerate inputs (a class below 2 rows, zero
+    within-class variance) yield no row."""
+    c = load_table(spark, sf_dir, "customer")
+    base = c.where(
+        F.col("c_acctbal").isNotNull() & F.col("c_mktsegment").isin(SEGMENTS)
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.floor("c_acctbal").cast("long").alias("x"),
+    )
+    x = F.col("x")
+    aggs = []
+    for s, k in _ANOVA_KEYS:
+        cond = F.col("seg") == s
+        aggs.append(
+            F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long").alias(f"n_{k}")
+        )
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(cond, x).otherwise(F.lit(0))), F.lit(0)
+            ).cast("long").alias(f"s1_{k}")
+        )
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(cond, x * x).otherwise(F.lit(0))), F.lit(0)
+            ).cast("long").alias(f"s2_{k}")
+        )
+    g = base.agg(*aggs)
+    t = g.select(
+        "*",
+        sum([F.col(f"n_{k}") for _, k in _ANOVA_KEYS[1:]],
+            F.col("n_a")).alias("nt"),
+        sum([F.col(f"s1_{k}") for _, k in _ANOVA_KEYS[1:]],
+            F.col("s1_a")).alias("s1t"),
+        sum([F.col(f"s2_{k}") for _, k in _ANOVA_KEYS[1:]],
+            F.col("s2_a")).alias("s2t"),
+    )
+    guard = F.lit(True)
+    for _, k in _ANOVA_KEYS:
+        guard = guard & (F.col(f"n_{k}") >= 2)
+    return t.where(
+        guard & (F.expr(f"CAST(s2t AS DOUBLE) - ({_ANOVA_SSQ})") > 0)
+    ).select(
+        F.col("nt").alias("n_total"),
+        (F.expr(_ANOVA_F) + F.lit(0.0)).alias("f_stat"),
+    )
+
+
+# Brown-Forsythe (median-centered Levene) over the three return-flag
+# classes: lower medians come from the agg_weighted_median per-value
+# collapse (exact ints), |x - med| is exact int64, and the one-way
+# ANOVA F over those deviations is the agg_anova fixed-order tree with
+# k=3.  Zero floating point until the final shared expression.
+_BF_SSQ = (
+    "(CAST(s1_a AS DOUBLE) * s1_a) / n_a"
+    " + (CAST(s1_n AS DOUBLE) * s1_n) / n_n"
+    " + (CAST(s1_r AS DOUBLE) * s1_r) / n_r"
+)
+_BF_F = snap_sql(
+    f"((({_BF_SSQ}) - (CAST(s1t AS DOUBLE) * s1t) / nt) / 2.0)"
+    f" / ((CAST(s2t AS DOUBLE) - ({_BF_SSQ}))"
+    f" / (CAST(nt AS DOUBLE) - 3.0))", 4
+)
+
+
+@query(
+    "agg_levene",
+    oracle=f"""
+    WITH base AS (
+        SELECT l_returnflag AS cls, CAST(floor(l_quantity) AS BIGINT) AS qi
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_returnflag IN ('A', 'N', 'R')
+    ),
+    per AS (
+        SELECT cls, qi, CAST(count(*) AS BIGINT) AS cnt
+        FROM base GROUP BY cls, qi
+    ),
+    cum AS (
+        SELECT cls, qi, cnt,
+               CAST(SUM(cnt) OVER (PARTITION BY cls ORDER BY qi)
+                    AS BIGINT) AS cw,
+               CAST(SUM(cnt) OVER (PARTITION BY cls) AS BIGINT) AS ncls
+        FROM per
+    ),
+    med AS (
+        SELECT cls, MIN(qi) AS qm FROM cum WHERE 2 * cw >= ncls GROUP BY cls
+    ),
+    z AS (
+        SELECT p.cls, p.cnt, abs(p.qi - m.qm) AS zv, m.qm
+        FROM per p JOIN med m ON p.cls = m.cls
+    ),
+    g AS (
+        SELECT
+            CAST(COALESCE(SUM(cnt)       FILTER (cls = 'A'), 0) AS BIGINT) AS n_a,
+            CAST(COALESCE(SUM(cnt*zv)    FILTER (cls = 'A'), 0) AS BIGINT) AS s1_a,
+            CAST(COALESCE(SUM(cnt*zv*zv) FILTER (cls = 'A'), 0) AS BIGINT) AS s2_a,
+            CAST(COALESCE(SUM(cnt)       FILTER (cls = 'N'), 0) AS BIGINT) AS n_n,
+            CAST(COALESCE(SUM(cnt*zv)    FILTER (cls = 'N'), 0) AS BIGINT) AS s1_n,
+            CAST(COALESCE(SUM(cnt*zv*zv) FILTER (cls = 'N'), 0) AS BIGINT) AS s2_n,
+            CAST(COALESCE(SUM(cnt)       FILTER (cls = 'R'), 0) AS BIGINT) AS n_r,
+            CAST(COALESCE(SUM(cnt*zv)    FILTER (cls = 'R'), 0) AS BIGINT) AS s1_r,
+            CAST(COALESCE(SUM(cnt*zv*zv) FILTER (cls = 'R'), 0) AS BIGINT) AS s2_r,
+            MIN(qm) FILTER (cls = 'A') AS med_a,
+            MIN(qm) FILTER (cls = 'N') AS med_n,
+            MIN(qm) FILTER (cls = 'R') AS med_r
+        FROM z
+    ),
+    t AS (
+        SELECT *, CAST(n_a + n_n + n_r AS BIGINT) AS nt,
+               CAST(s1_a + s1_n + s1_r AS BIGINT) AS s1t,
+               CAST(s2_a + s2_n + s2_r AS BIGINT) AS s2t
+        FROM g
+    )
+    SELECT nt AS n_total, med_a, med_n, med_r, {_BF_F} + 0 AS bf_stat
+    FROM t
+    WHERE n_a >= 2 AND n_n >= 2 AND n_r >= 2
+          AND CAST(s2t AS DOUBLE) - ({_BF_SSQ}) > 0
+    """,
+)
+def agg_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-equality statistic (median-centered
+    Levene) across the three return-flag classes — the robust companion
+    to agg_anova's mean test.  Lower medians per class come from the
+    agg_weighted_median per-value collapse (exact int64, engine-order
+    free); absolute deviations |x − med| stay integer; the one-way
+    ANOVA F over the deviations is the fixed-order shared double tree
+    (k=3), snapped to 4.  The Brown-Forsythe choice of the LOWER median
+    (not the interpolated one) is deliberate: it keeps every
+    intermediate exact.  Shuffle shape: one (cls, qi) groupBy, a
+    cls-keyed window over the collapsed rows, a 3-row broadcast join
+    back, one global conditional aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.where(
+        F.col("l_quantity").isNotNull()
+        & F.col("l_returnflag").isin("A", "N", "R")
+    ).select(
+        F.col("l_returnflag").alias("cls"),
+        F.floor("l_quantity").cast("long").alias("qi"),
+    )
+    per = base.groupBy("cls", "qi").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_run = Window.partitionBy("cls").orderBy("qi")
+    w_all = Window.partitionBy("cls")
+    cum = per.select(
+        "cls", "qi", "cnt",
+        F.sum("cnt").over(w_run).alias("cw"),
+        F.sum("cnt").over(w_all).alias("ncls"),
+    )
+    med = (
+        cum.where(2 * F.col("cw") >= F.col("ncls"))
+        .groupBy("cls").agg(F.min("qi").alias("qm"))
+    )
+    z = per.join(F.broadcast(med), "cls").select(
+        "cls", "cnt", F.abs(F.col("qi") - F.col("qm")).alias("zv"), "qm"
+    )
+    aggs = []
+    for c, k in (("A", "a"), ("N", "n"), ("R", "r")):
+        cond = F.col("cls") == c
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(cond, F.col("cnt")).otherwise(F.lit(0))),
+                F.lit(0),
+            ).cast("long").alias(f"n_{k}")
+        )
+        aggs.append(
+            F.coalesce(
+                F.sum(
+                    F.when(cond, F.col("cnt") * F.col("zv")).otherwise(F.lit(0))
+                ),
+                F.lit(0),
+            ).cast("long").alias(f"s1_{k}")
+        )
+        aggs.append(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        cond, F.col("cnt") * F.col("zv") * F.col("zv")
+                    ).otherwise(F.lit(0))
+                ),
+                F.lit(0),
+            ).cast("long").alias(f"s2_{k}")
+        )
+        aggs.append(
+            F.min(F.when(cond, F.col("qm"))).alias(f"med_{k}")
+        )
+    g = z.agg(*aggs)
+    t = g.select(
+        "*",
+        (F.col("n_a") + F.col("n_n") + F.col("n_r")).alias("nt"),
+        (F.col("s1_a") + F.col("s1_n") + F.col("s1_r")).alias("s1t"),
+        (F.col("s2_a") + F.col("s2_n") + F.col("s2_r")).alias("s2t"),
+    )
+    return t.where(
+        (F.col("n_a") >= 2) & (F.col("n_n") >= 2) & (F.col("n_r") >= 2)
+        & (F.expr(f"CAST(s2t AS DOUBLE) - ({_BF_SSQ})") > 0)
+    ).select(
+        F.col("nt").alias("n_total"),
+        "med_a", "med_n", "med_r",
+        (F.expr(_BF_F) + F.lit(0.0)).alias("bf_stat"),
+    )
+
+
+# Shannon entropy via the count identity H = ln(N) - (1/N)*Sum c*ln(c):
+# per-class ln(c) snaps straight to int64 1e-8 units (the llm_lm_score
+# rule — a transcendental per DISTINCT count, then an exact integer sum,
+# so merge order can't move the total), and the final combination is
+# one shared double tree.
+_ENTROPY = snap_sql(
+    "floor(ln(CAST(n AS DOUBLE)) * 100000000.0 + 0.5) / 100000000.0"
+    " - CAST(sl AS DOUBLE) / (CAST(n AS DOUBLE) * 100000000.0)", 4
+)
+
+
+@query(
+    "agg_entropy",
+    oracle=f"""
+    WITH c AS (
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS cnt
+        FROM documents
+        WHERE lang IS NOT NULL AND source IS NOT NULL
+        GROUP BY source, lang
+    ),
+    t AS (
+        SELECT source, CAST(SUM(cnt) AS BIGINT) AS n,
+               CAST(SUM(cnt * CAST(floor(ln(CAST(cnt AS DOUBLE))
+                        * 100000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sl
+        FROM c GROUP BY source
+    )
+    SELECT source, n AS n_docs, {_ENTROPY} + 0 AS lang_entropy
+    FROM t
+    """,
+)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats) of the language distribution per source —
+    the mixture-diversity number every corpus card reports.  Uses the
+    count identity H = ln N − (Σ c·ln c)/N: ln runs once per DISTINCT
+    (source, lang) count and snaps immediately to exact int64 1e-8
+    units (the llm_lm_score transcendental rule), so the per-source sum
+    is merge-order-free; the final combination is one shared double
+    tree snapped to 4.  NULL lang/source rows are excluded on both
+    sides (domain pinning).  Shuffle shape: one (source, lang) groupBy
+    collapses to class counts, one source groupBy on those few rows —
+    both map-side combined.  Overflow: c·ln(c)·1e8 ≤ 2.8e9·c, int64-safe
+    past 1e9 docs/source."""
+    d = load_table(spark, sf_dir, "documents")
+    c = (
+        d.where(F.col("lang").isNotNull() & F.col("source").isNotNull())
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    li = F.floor(
+        F.log(F.col("cnt").cast("double")) * 100000000.0 + 0.5
+    ).cast("long")
+    t = c.groupBy("source").agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("cnt") * li).alias("sl"),
+    )
+    return t.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        (F.expr(_ENTROPY) + F.lit(0.0)).alias("lang_entropy"),
+    )
+
+
+# Benford first-digit test: expected shares log10(1+1/d) are PYTHON
+# literals (no engine transcendental at all — both engines parse the
+# same shortest-repr decimal to the same double); observed counts are
+# exact conditional int64s; chi-square is one fixed-order 9-term shared
+# expression (the agg_chisq shape).
+import math as _math
+
+_BENFORD_P = {
+    d: _math.floor(_math.log10(1 + 1 / d) * 1e8 + 0.5) / 1e8
+    for d in range(1, 10)
+}
+_BENFORD_TERMS = " + ".join(
+    f"pow(c{d} - CAST(nt AS DOUBLE) * {_BENFORD_P[d]!r}, 2)"
+    f" / (CAST(nt AS DOUBLE) * {_BENFORD_P[d]!r})"
+    for d in range(1, 10)
+)
+_BENFORD_CHI = snap_sql(_BENFORD_TERMS, 4)
+
+
+@query(
+    "agg_benford",
+    oracle=f"""
+    WITH base AS (
+        SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                      1, 1) AS d
+        FROM orders
+        WHERE o_totalprice IS NOT NULL AND o_totalprice >= 1
+    ),
+    g AS (
+        SELECT
+            {", ".join(
+                f"CAST(count(*) FILTER (d = '{d}') AS BIGINT) AS c{d}"
+                for d in range(1, 10))},
+            CAST(count(*) AS BIGINT) AS nt
+        FROM base
+    )
+    SELECT nt AS n_orders, {_BENFORD_CHI} + 0 AS chi2_benford
+    FROM g WHERE nt >= 1
+    """,
+)
+def agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit chi-square over order totals —
+    the classic fraud/data-quality screen.  The first digit comes from
+    the decimal string of the floored value (no log10 on data — string
+    truncation is bit-free); expected shares log10(1+1/d) are Python
+    literals embedded identically in both dialects, so the only doubles
+    are the final fixed-order 9-term chi-square tree (agg_chisq shape),
+    snapped to 4.  Values below 1 are excluded on both sides (their
+    first significant digit lives past the decimal point).  One
+    map-side-combined global aggregate — a single 1-row exchange at any
+    scale."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.where(
+        F.col("o_totalprice").isNotNull() & (F.col("o_totalprice") >= 1)
+    ).select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        ).alias("d")
+    )
+    aggs = [
+        F.sum(
+            F.when(F.col("d") == str(d), F.lit(1)).otherwise(F.lit(0))
+        ).cast("long").alias(f"c{d}")
+        for d in range(1, 10)
+    ]
+    aggs.append(F.count(F.lit(1)).alias("nt"))
+    g = base.agg(*aggs)
+    return g.where(F.col("nt") >= 1).select(
+        F.col("nt").alias("n_orders"),
+        (F.expr(_BENFORD_CHI) + F.lit(0.0)).alias("chi2_benford"),
+    )

@@ -187,6 +187,11 @@ GRADE_ORDER: tuple[str, ...] = (
     "pipeline_tape_to_corpus",
     "agg_kruskal",
     "agg_jarque_bera",
+    # round-6 widening: the fixed-class ANOVA family + info/DQ stats
+    "agg_anova",
+    "agg_levene",
+    "agg_entropy",
+    "agg_benford",
     # rows-only sketches stay LAST of the queued names (VERDICT r3 #5):
     # no_oracle rows burn grading signal
     "stream_watermark_late_drop",

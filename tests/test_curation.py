@@ -498,3 +498,143 @@ def test_agg_jarque_bera_matches_numpy(spark, sf_dir):
         assert abs(r.jb_stat - jb) < max(2e-4, 2e-4 * abs(jb)), (
             flag, r.jb_stat, jb,
         )
+
+
+def test_agg_anova_matches_numpy(spark, sf_dir):
+    """One-way F from the fixed 5-term power-sum tree must match the
+    textbook SSB/SSW computation in numpy."""
+    import numpy as np
+
+    from hadoop_fixedlengthinputformat_spark.operators.pivot_stats import (
+        SEGMENTS, agg_anova,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/customer.parquet").to_pylist()
+    groups: dict[str, list[int]] = {}
+    for r in tbl:
+        if r["c_acctbal"] is not None and r["c_mktsegment"] in SEGMENTS:
+            groups.setdefault(r["c_mktsegment"], []).append(
+                int(math.floor(r["c_acctbal"]))
+            )
+    rows = agg_anova(spark, sf_dir).collect()
+    if len(groups) < 5 or any(len(v) < 2 for v in groups.values()):
+        assert rows == []
+        return
+    xs = [np.array(v, dtype=np.float64) for v in groups.values()]
+    allx = np.concatenate(xs)
+    ssb = sum(len(x) * (x.mean() - allx.mean()) ** 2 for x in xs)
+    ssw = sum(((x - x.mean()) ** 2).sum() for x in xs)
+    if ssw == 0:
+        assert rows == []
+        return
+    f = (ssb / 4) / (ssw / (len(allx) - 5))
+    assert len(rows) == 1
+    assert rows[0].n_total == len(allx)
+    assert abs(rows[0].f_stat - f) < max(2e-4, 2e-4 * abs(f)), (
+        rows[0].f_stat, f,
+    )
+
+
+def test_agg_levene_matches_numpy(spark, sf_dir):
+    """Brown-Forsythe from the per-value collapse must match the direct
+    |x - lower_median| ANOVA in numpy."""
+    import numpy as np
+
+    from hadoop_fixedlengthinputformat_spark.operators.pivot_stats import (
+        agg_levene,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/lineitem.parquet").to_pylist()
+    groups: dict[str, list[int]] = {}
+    for r in tbl:
+        if r["l_quantity"] is not None and r["l_returnflag"] in "ANR":
+            groups.setdefault(r["l_returnflag"], []).append(
+                int(math.floor(r["l_quantity"]))
+            )
+    rows = agg_levene(spark, sf_dir).collect()
+    if len(groups) < 3 or any(len(v) < 2 for v in groups.values()):
+        assert rows == []
+        return
+
+    def lower_median(vals):
+        sv = sorted(vals)
+        # smallest value whose cumulative count reaches half the total
+        for i, v in enumerate(sv):
+            if 2 * (i + 1) >= len(sv):
+                return v
+
+    zs = []
+    meds = {}
+    for flag in "ANR":
+        m = lower_median(groups[flag])
+        meds[flag] = m
+        zs.append(np.abs(np.array(groups[flag], dtype=np.float64) - m))
+    allz = np.concatenate(zs)
+    ssb = sum(len(z) * (z.mean() - allz.mean()) ** 2 for z in zs)
+    ssw = sum(((z - z.mean()) ** 2).sum() for z in zs)
+    if ssw == 0:
+        assert rows == []
+        return
+    f = (ssb / 2) / (ssw / (len(allz) - 3))
+    assert len(rows) == 1
+    assert rows[0].n_total == len(allz)
+    assert (rows[0].med_a, rows[0].med_n, rows[0].med_r) == (
+        meds["A"], meds["N"], meds["R"],
+    )
+    assert abs(rows[0].bf_stat - f) < max(2e-4, 2e-4 * abs(f)), (
+        rows[0].bf_stat, f,
+    )
+
+
+def test_agg_entropy_matches_numpy(spark, sf_dir):
+    """Entropy from int64 ln-units must match the direct -sum(p ln p)."""
+    import numpy as np
+
+    from hadoop_fixedlengthinputformat_spark.operators.pivot_stats import (
+        agg_entropy,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet").to_pylist()
+    counts: dict[str, dict[str, int]] = {}
+    for r in tbl:
+        if r["lang"] is not None and r["source"] is not None:
+            counts.setdefault(r["source"], {})
+            counts[r["source"]][r["lang"]] = (
+                counts[r["source"]].get(r["lang"], 0) + 1
+            )
+    got = {r.source: r for r in agg_entropy(spark, sf_dir).collect()}
+    assert set(got) == set(counts)
+    for src, langs in counts.items():
+        n = sum(langs.values())
+        p = np.array(list(langs.values()), dtype=np.float64) / n
+        h = float(-(p * np.log(p)).sum())
+        r = got[src]
+        assert r.n_docs == n
+        assert abs(r.lang_entropy - h) < 2e-4, (src, r.lang_entropy, h)
+
+
+def test_agg_benford_matches_numpy(spark, sf_dir):
+    """Benford chi-square from the literal-share 9-term tree must match
+    the direct computation."""
+    import numpy as np
+
+    from hadoop_fixedlengthinputformat_spark.operators.pivot_stats import (
+        agg_benford,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/orders.parquet").to_pylist()
+    obs = np.zeros(9)
+    for r in tbl:
+        if r["o_totalprice"] is not None and r["o_totalprice"] >= 1:
+            obs[int(str(int(math.floor(r["o_totalprice"])))[0]) - 1] += 1
+    rows = agg_benford(spark, sf_dir).collect()
+    if obs.sum() == 0:
+        assert rows == []
+        return
+    exp = obs.sum() * np.log10(1 + 1 / np.arange(1, 10))
+    chi2 = float(((obs - exp) ** 2 / exp).sum())
+    assert len(rows) == 1
+    assert rows[0].n_orders == int(obs.sum())
+    assert abs(rows[0].chi2_benford - chi2) < max(2e-4, 2e-4 * abs(chi2)), (
+        rows[0].chi2_benford, chi2,
+    )
