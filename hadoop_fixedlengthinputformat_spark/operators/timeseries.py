@@ -462,7 +462,10 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Lag-1 autocorrelation = Pearson over (x_t, x_{t-1}) pairs with exact
 # int64 inputs: the same snapped-sqrt identity as agg_spearman.
-from hadoop_fixedlengthinputformat_spark.functions.num import snap_sql
+from hadoop_fixedlengthinputformat_spark.functions.num import (
+    money_units,
+    snap_sql,
+)
 
 _AC_DA = snap_sql("sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)", 8)
 _AC_DB = snap_sql("sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)", 8)
@@ -541,4 +544,177 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("n").alias("n_pairs"),
         (F.expr(_AC_R) + F.lit(0.0)).alias("acf1"),
+    )
+
+
+# Bollinger bands over a fixed 20-row frame: per-frame n/S1/S2 are exact
+# int64 window sums over cent units, the band arithmetic is one shared
+# double tree (sqrt of the exact discriminant snapped to 8 first — the
+# agg_moments discipline applied per row of a ROWS frame).
+_BOLL_SQ = snap_sql("sqrt(CAST(20 * s2 - s1 * s1 AS DOUBLE))", 8)
+_BOLL_MID = snap_sql("CAST(s1 AS DOUBLE) / 20.0", 4)
+_BOLL_UP = snap_sql(f"(CAST(s1 AS DOUBLE) + 2.0 * ({_BOLL_SQ})) / 20.0", 4)
+_BOLL_LO = snap_sql(f"(CAST(s1 AS DOUBLE) - 2.0 * ({_BOLL_SQ})) / 20.0", 4)
+
+
+@query(
+    "ts_bollinger",
+    oracle=f"""
+    WITH base AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id,
+               CAST(round(value * 100, 0) AS BIGINT) AS vc
+        FROM events
+        WHERE event_type = 'purchase' AND ts IS NOT NULL
+              AND value IS NOT NULL AND user_id IS NOT NULL
+              AND event_id IS NOT NULL
+    ),
+    fr AS (
+        SELECT user_id, us, event_id, vc,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n20,
+               CAST(SUM(vc) OVER w AS BIGINT) AS s1,
+               CAST(SUM(vc * vc) OVER w AS BIGINT) AS s2
+        FROM base
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id, vc
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, us, event_id, vc,
+           {_BOLL_MID} + 0 AS mid_cents,
+           {_BOLL_UP} + 0 AS upper_cents,
+           {_BOLL_LO} + 0 AS lower_cents
+    FROM fr WHERE n20 = 20
+    """,
+)
+def ts_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands (20-row SMA ± 2σ) over each user's purchase
+    values — the rolling-volatility primitive.  Values lift to exact
+    cent int64s; per-frame S1/S2 are exact ROWS-frame window sums
+    (merge-order-free — a frame sum has ONE evaluation order), the
+    population-σ discriminant 20·S2−S1² stays integer, and only the
+    shared sqrt/band tree touches doubles (sqrt snapped to 8, bands to
+    4, +0 clears -0.0).  Total order (us, event_id, vc) pins frames
+    under duplicate-id rolls (fully-identical rows permute
+    sum-invariantly).  Partial leading frames (<20 rows) are excluded
+    on both sides.  One user-keyed exchange; the frame never leaves the
+    task.  Overflow: vc ≤ 5e4 ⇒ S2 ≤ 20·2.5e9 — int64-trivial."""
+    ev = load_table(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase")
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull()
+    ).select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        money_units(F.col("value"), 2).alias("vc"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id", "vc")
+        .rowsBetween(-19, 0)
+    )
+    fr = ev.select(
+        "user_id", "us", "event_id", "vc",
+        F.count(F.lit(1)).over(w).alias("n20"),
+        F.sum("vc").over(w).alias("s1"),
+        F.sum(F.col("vc") * F.col("vc")).over(w).alias("s2"),
+    )
+    return fr.where(F.col("n20") == 20).select(
+        "user_id", "us", "event_id", "vc",
+        (F.expr(_BOLL_MID) + F.lit(0.0)).alias("mid_cents"),
+        (F.expr(_BOLL_UP) + F.lit(0.0)).alias("upper_cents"),
+        (F.expr(_BOLL_LO) + F.lit(0.0)).alias("lower_cents"),
+    )
+
+
+# SMA-RSI: gains/losses are exact cent int64 frame sums, and
+# RSI = 100*G/(G+L) needs only ONE double division — zero sqrt, zero
+# transcendentals (100 - 100/(1+G/L) simplifies away).
+_RSI = snap_sql("100.0 * g14 / (CAST(g14 AS DOUBLE) + l14)", 4)
+
+
+@query(
+    "ts_rsi",
+    oracle=f"""
+    WITH base AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id,
+               CAST(round(value * 100, 0) AS BIGINT) AS vc
+        FROM events
+        WHERE event_type = 'purchase' AND ts IS NOT NULL
+              AND value IS NOT NULL AND user_id IS NOT NULL
+              AND event_id IS NOT NULL
+    ),
+    pairs AS (
+        SELECT user_id, us, event_id, vc,
+               vc - LAG(vc) OVER (PARTITION BY user_id
+                                  ORDER BY us, event_id, vc) AS d
+        FROM base
+    ),
+    fr AS (
+        SELECT user_id, us, event_id,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n14,
+               CAST(SUM(CASE WHEN d > 0 THEN d ELSE 0 END) OVER w
+                    AS BIGINT) AS g14,
+               CAST(SUM(CASE WHEN d < 0 THEN -d ELSE 0 END) OVER w
+                    AS BIGINT) AS l14
+        FROM pairs WHERE d IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id, d
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, us, event_id, g14 AS gain14, l14 AS loss14,
+           {_RSI} + 0 AS rsi
+    FROM fr WHERE n14 = 14 AND g14 + l14 > 0
+    """,
+)
+def ts_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative Strength Index (14-period SMA variant) over each user's
+    purchase values: period-over-period cent deltas split into gains
+    and losses, summed EXACTLY over a 14-row frame, and
+    RSI = 100·G/(G+L) — the algebraic simplification of
+    100 − 100/(1+RS) — needs exactly ONE double division on exact
+    integers (no sqrt, no transcendental, nothing to accumulate in
+    float).  Total order (us, event_id, vc) for the lag, then
+    (us, event_id, d) over the delta rows pins the frame contents under
+    duplicate rolls.  Partial frames and all-flat frames (G+L=0) are
+    excluded on both sides.  One user-keyed exchange shared by the lag
+    and frame windows (same partitioning)."""
+    ev = load_table(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase")
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull()
+    ).select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        money_units(F.col("value"), 2).alias("vc"),
+    )
+    w_lag = Window.partitionBy("user_id").orderBy("us", "event_id", "vc")
+    pairs = ev.select(
+        "user_id", "us", "event_id", "vc",
+        (F.col("vc") - F.lag("vc").over(w_lag)).alias("d"),
+    ).where(F.col("d").isNotNull())
+    w_fr = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id", "d")
+        .rowsBetween(-13, 0)
+    )
+    fr = pairs.select(
+        "user_id", "us", "event_id",
+        F.count(F.lit(1)).over(w_fr).alias("n14"),
+        F.sum(
+            F.when(F.col("d") > 0, F.col("d")).otherwise(F.lit(0))
+        ).over(w_fr).alias("g14"),
+        F.sum(
+            F.when(F.col("d") < 0, -F.col("d")).otherwise(F.lit(0))
+        ).over(w_fr).alias("l14"),
+    )
+    return fr.where(
+        (F.col("n14") == 14) & (F.col("g14") + F.col("l14") > 0)
+    ).select(
+        "user_id", "us", "event_id",
+        F.col("g14").alias("gain14"),
+        F.col("l14").alias("loss14"),
+        (F.expr(_RSI) + F.lit(0.0)).alias("rsi"),
     )

@@ -192,6 +192,8 @@ GRADE_ORDER: tuple[str, ...] = (
     "agg_levene",
     "agg_entropy",
     "agg_benford",
+    "ts_bollinger",
+    "ts_rsi",
     # rows-only sketches stay LAST of the queued names (VERDICT r3 #5):
     # no_oracle rows burn grading signal
     "stream_watermark_late_drop",

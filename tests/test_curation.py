@@ -638,3 +638,90 @@ def test_agg_benford_matches_numpy(spark, sf_dir):
     assert abs(rows[0].chi2_benford - chi2) < max(2e-4, 2e-4 * abs(chi2)), (
         rows[0].chi2_benford, chi2,
     )
+
+
+def _purchase_series(sf_dir):
+    """Per-user purchase cent values in the engine's total order."""
+    tbl = pq.read_table(f"{sf_dir}/events.parquet").to_pylist()
+    series: dict[int, list[tuple]] = {}
+    for r in tbl:
+        if r["event_type"] == "purchase" and r["ts"] is not None \
+                and r["value"] is not None and r["user_id"] is not None \
+                and r["event_id"] is not None:
+            vc = int(round(r["value"] * 100))
+            series.setdefault(r["user_id"], []).append(
+                (r["ts"], r["event_id"], vc)
+            )
+    for rows in series.values():
+        rows.sort()
+    return series
+
+
+def test_ts_bollinger_matches_numpy(spark, sf_dir):
+    """Band math from exact frame sums must match the direct rolling
+    mean/population-sigma computation."""
+    import numpy as np
+
+    from hadoop_fixedlengthinputformat_spark.operators.timeseries import (
+        ts_bollinger,
+    )
+
+    series = _purchase_series(sf_dir)
+    expected = {}
+    for uid, rows in series.items():
+        vals = np.array([v for _, _, v in rows], dtype=np.float64)
+        for i in range(19, len(vals)):
+            fr = vals[i - 19:i + 1]
+            mid = fr.mean()
+            sd = fr.std()  # population
+            expected[(uid, i)] = (mid, mid + 2 * sd, mid - 2 * sd)
+    got = ts_bollinger(spark, sf_dir).collect()
+    assert len(got) == len(expected)
+    # per-user row counts and value ranges line up; spot-check values by
+    # re-deriving each row's frame from its (user, sorted-position)
+    by_user: dict[int, list] = {}
+    for r in got:
+        by_user.setdefault(r.user_id, []).append(r)
+    for uid, rows in by_user.items():
+        rows.sort(key=lambda r: (r.us, r.event_id, r.vc))
+        for i, r in enumerate(rows):
+            mid, up, lo = expected[(uid, i + 19)]
+            assert abs(r.mid_cents - mid) < 2e-4
+            assert abs(r.upper_cents - up) < 5e-4
+            assert abs(r.lower_cents - lo) < 5e-4
+
+
+def test_ts_rsi_matches_numpy(spark, sf_dir):
+    """RSI = 100*G/(G+L) from exact frame sums must match the direct
+    gain/loss rolling computation."""
+    import numpy as np
+
+    from hadoop_fixedlengthinputformat_spark.operators.timeseries import (
+        ts_rsi,
+    )
+
+    series = _purchase_series(sf_dir)
+    expected: dict[int, list[float]] = {}
+    for uid, rows in series.items():
+        vals = np.array([v for _, _, v in rows], dtype=np.int64)
+        d = np.diff(vals)
+        out = []
+        for i in range(13, len(d)):
+            fr = d[i - 13:i + 1]
+            g = int(fr[fr > 0].sum())
+            loss = int(-fr[fr < 0].sum())
+            if g + loss > 0:
+                out.append(100.0 * g / (g + loss))
+        expected[uid] = sorted(out)
+    got: dict[int, list[float]] = {}
+    for r in ts_rsi(spark, sf_dir).collect():
+        assert r.gain14 >= 0 and r.loss14 >= 0 and r.gain14 + r.loss14 > 0
+        got.setdefault(r.user_id, []).append(r.rsi)
+    for uid in got:
+        got[uid].sort()
+    assert set(got) == {u for u, v in expected.items() if v}
+    for uid, vals in got.items():
+        exp = expected[uid]
+        assert len(vals) == len(exp)
+        for a, b in zip(vals, exp):
+            assert abs(a - b) < 2e-4
