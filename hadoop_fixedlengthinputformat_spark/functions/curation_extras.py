@@ -358,3 +358,265 @@ def llm_tokenizer_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_bpe_tokens").cast("double") / F.col("n_ws_tokens"),
         )
     )
+
+
+# Zipf exponent: least squares of ln(freq) on ln(rank) over the top-1000
+# vocabulary head.  Both lns snap straight to exact int64 1e-4 units
+# (the llm_lm_score transcendental rule — one ln per DISTINCT
+# rank/count, vocabulary-sized straddle exposure), so every regression
+# power sum is exact and merge-order-free; only the final slope/r2
+# divisions touch doubles, on identical operand trees.
+_ZIPF_HEAD = 1000
+_LN_U = "10000.0"  # 1e-4 ln units
+
+_ZIPF_SLOPE = (
+    "CAST(nf * sxy - sx * sy AS DOUBLE) / (CAST(nf * sxx - sx * sx AS DOUBLE))"
+)
+_ZIPF_EXP_SQL = None  # built below with snap_sql
+
+
+def _zipf_fragments():
+    from hadoop_fixedlengthinputformat_spark.functions.num import snap_sql
+
+    exp_sql = snap_sql(f"-({_ZIPF_SLOPE})", 4)
+    r2_sql = snap_sql(
+        "(CAST(nf * sxy - sx * sy AS DOUBLE)"
+        " * (CAST(nf AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))"
+        " / ((CAST(nf * sxx - sx * sx AS DOUBLE))"
+        " * (CAST(nf * syy - sy * sy AS DOUBLE)))", 4
+    )
+    return exp_sql, r2_sql
+
+
+_ZIPF_EXP, _ZIPF_R2 = _zipf_fragments()
+
+
+@query(
+    "llm_zipf_fit",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    ),
+    vocab AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+        FROM toks WHERE tok != '' GROUP BY tok
+    ),
+    head AS (
+        SELECT tok, cnt FROM vocab
+        ORDER BY cnt DESC, tok LIMIT {_ZIPF_HEAD}
+    ),
+    ranked AS (
+        SELECT cnt,
+               CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok)
+                    AS BIGINT) AS rnk
+        FROM head
+    ),
+    u AS (
+        SELECT
+            CAST(floor(ln(CAST(rnk AS DOUBLE)) * {_LN_U} + 0.5)
+                 AS BIGINT) AS lx,
+            CAST(floor(ln(CAST(cnt AS DOUBLE)) * {_LN_U} + 0.5)
+                 AS BIGINT) AS ly
+        FROM ranked
+    ),
+    g AS (
+        SELECT CAST(count(*) AS BIGINT) AS nf,
+               CAST(SUM(lx) AS BIGINT) AS sx,
+               CAST(SUM(ly) AS BIGINT) AS sy,
+               CAST(SUM(lx * lx) AS BIGINT) AS sxx,
+               CAST(SUM(ly * ly) AS BIGINT) AS syy,
+               CAST(SUM(lx * ly) AS BIGINT) AS sxy
+        FROM u
+    )
+    SELECT nf AS n_fit, {_ZIPF_EXP} + 0 AS zipf_exponent,
+           {_ZIPF_R2} + 0 AS r2
+    FROM g
+    WHERE nf >= 2 AND nf * sxx > sx * sx AND nf * syy > sy * sy
+    """,
+)
+def llm_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the corpus vocabulary head — the corpus-health
+    number (natural text ≈ 1.0; word salad or template spam drifts
+    off).  Token counts aggregate once; the fit window is the top-1000
+    head selected with orderBy().limit() (TakeOrdered — never a global
+    sort, the llm_vocab_ids rule) before the single-partition rank
+    window on ≤1000 rows.  ln(rank)/ln(freq) snap to exact int64 1e-4
+    units so the five regression power sums are exact and
+    merge-order-free; slope and r² are exact-integer fractions
+    evaluated in one shared double tree (snapped to 4).  Overflow
+    budget at head=1000: lx ≤ 6.91e4, ly ≤ ln(1e12)·1e4 ≈ 2.77e5,
+    nf·Σlx·ly ≤ 1.9e16 — int64-safe at any corpus size since the head
+    is fixed.  Shuffle shape: one token groupBy (map-side combined),
+    one 1000-row TakeOrdered, one 1-row aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    ).select(F.explode(F.split("text", " ")).alias("tok"))
+    vocab = (
+        toks.where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    head = vocab.orderBy(F.col("cnt").desc(), "tok").limit(_ZIPF_HEAD)
+    from pyspark.sql import Window
+
+    ranked = head.select(
+        "cnt",
+        F.row_number().over(
+            Window.orderBy(F.col("cnt").desc(), "tok")
+        ).cast("long").alias("rnk"),
+    )
+    ln_u = F.lit(float(_LN_U))
+    u = ranked.select(
+        F.floor(
+            F.log(F.col("rnk").cast("double")) * ln_u + 0.5
+        ).cast("long").alias("lx"),
+        F.floor(
+            F.log(F.col("cnt").cast("double")) * ln_u + 0.5
+        ).cast("long").alias("ly"),
+    )
+    g = u.agg(
+        F.count(F.lit(1)).alias("nf"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("ly") * F.col("ly")).alias("syy"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+    )
+    return g.where(
+        (F.col("nf") >= 2)
+        & (F.col("nf") * F.col("sxx") > F.col("sx") * F.col("sx"))
+        & (F.col("nf") * F.col("syy") > F.col("sy") * F.col("sy"))
+    ).select(
+        F.col("nf").alias("n_fit"),
+        (F.expr(_ZIPF_EXP) + F.lit(0.0)).alias("zipf_exponent"),
+        (F.expr(_ZIPF_R2) + F.lit(0.0)).alias("r2"),
+    )
+
+
+# Bloom-filter incremental dedup: the index side collapses to a
+# (word, bits) table of OR-merged 62-bit words — ~4.3k rows for 2^18
+# bits — that BROADCASTS to the probe side; only bloom-candidate
+# digests reach the exact verify join.  k=4 positions come from
+# non-overlapping md5 hex slices, so the whole construction is
+# bit-identically replayable in ANSI SQL.
+_BLOOM_BITS = 1 << 18  # m = 262144 bit positions
+_BLOOM_WORD = 62  # bits per int64 word (sign-safe shifts)
+_BLOOM_K = 4  # hash functions = 4 disjoint 5-hex-char slices
+
+
+def _bloom_pos_sql(j: int, engine: str) -> str:
+    """Position j from hex slice [1+5j, 5] of the digest column h."""
+    sl = f"substr(h, {1 + 5 * j}, 5)"
+    if engine == "spark":
+        return f"CAST(conv({sl}, 16, 10) AS BIGINT) % {_BLOOM_BITS}"
+    return f"CAST('0x' || {sl} AS BIGINT) % {_BLOOM_BITS}"
+
+
+def _bloom_mask_sql(engine: str) -> str:
+    if engine == "spark":
+        return f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_BLOOM_WORD} AS INT))"
+    return f"(CAST(1 AS BIGINT) << CAST(pos % {_BLOOM_WORD} AS INTEGER))"
+
+
+@query(
+    "llm_dedup_bloom",
+    oracle=f"""
+    WITH idx AS (
+        SELECT DISTINCT md5(text) AS h FROM documents
+        WHERE doc_id IS NOT NULL AND doc_id % 5 != 0 AND text IS NOT NULL
+    ),
+    probe AS (
+        SELECT DISTINCT doc_id, md5(text) AS h FROM documents
+        WHERE doc_id IS NOT NULL AND doc_id % 5 = 0 AND text IS NOT NULL
+    ),
+    ipos AS (
+        SELECT h, unnest([{", ".join(_bloom_pos_sql(j, "duck") for j in range(_BLOOM_K))}]) AS pos
+        FROM idx
+    ),
+    bloom AS (
+        SELECT CAST(pos // {_BLOOM_WORD} AS BIGINT) AS word,
+               CAST(bit_or({_bloom_mask_sql("duck")}) AS BIGINT) AS bits
+        FROM ipos GROUP BY 1
+    ),
+    ppos AS (
+        SELECT doc_id, h,
+               unnest([{", ".join(_bloom_pos_sql(j, "duck") for j in range(_BLOOM_K))}]) AS pos
+        FROM probe
+    ),
+    hits AS (
+        SELECT p.doc_id, p.h,
+               CAST(SUM(CASE WHEN (COALESCE(b.bits, 0)
+                                   & {_bloom_mask_sql("duck")}) != 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+        FROM ppos p LEFT JOIN bloom b
+          ON CAST(p.pos // {_BLOOM_WORD} AS BIGINT) = b.word
+        GROUP BY p.doc_id, p.h
+    )
+    SELECT hits.doc_id, hits.h,
+           n_hit = {_BLOOM_K} AS bloom_candidate,
+           (idx.h IS NOT NULL) AS exact_dup
+    FROM hits LEFT JOIN idx ON hits.h = idx.h
+    """,
+)
+def llm_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter incremental dedup — the 100 TB pre-filter for
+    probe-batch-vs-index digest membership.  The index's distinct
+    digests fold into a 2^18-bit Bloom filter stored as ~4.3k OR-merged
+    62-bit int64 words (sign-safe shifts): a ~34 KB table that
+    BROADCASTS, so a probe batch never joins the full index — only
+    bloom-candidate digests (true dups + the measured false-positive
+    rate) touch the exact verify join.  k=4 positions come from
+    disjoint 5-hex md5 slices, making the filter bit-identically
+    replayable in the oracle.  Per probe doc: bloom_candidate (all 4
+    bits set) and exact_dup ground truth — no false negatives by
+    construction (tests assert, plus the FP rate stays under the
+    1-in-~60 theoretical bound at fixture load factors).  Shuffle
+    shape: digests-only exchanges; document text never shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.where(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    ).select("doc_id", F.md5(F.col("text").cast("binary")).alias("h"))
+    idx = base.where(F.col("doc_id") % 5 != 0).select("h").distinct()
+    probe = base.where(F.col("doc_id") % 5 == 0).distinct()
+
+    pos_arr = F.array(
+        *[F.expr(_bloom_pos_sql(j, "spark")) for j in range(_BLOOM_K)]
+    )
+    ipos = idx.select(F.explode(pos_arr).alias("pos"))
+    bloom = ipos.groupBy(
+        (F.col("pos") / _BLOOM_WORD).cast("long").alias("word")
+    ).agg(
+        F.bit_or(F.expr(_bloom_mask_sql("spark"))).alias("bits")
+    )
+    ppos = probe.select(
+        "doc_id", "h", F.explode(pos_arr).alias("pos")
+    )
+    hits = (
+        ppos.join(
+            F.broadcast(bloom),
+            (F.col("pos") / _BLOOM_WORD).cast("long") == F.col("word"),
+            "left",
+        )
+        .groupBy("doc_id", "h")
+        .agg(
+            F.sum(
+                F.when(
+                    F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(
+                        F.expr(_bloom_mask_sql("spark"))
+                    )
+                    != 0,
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).cast("long").alias("n_hit")
+        )
+    )
+    return hits.join(
+        idx.withColumn("in_idx", F.lit(True)), "h", "left"
+    ).select(
+        "doc_id",
+        "h",
+        (F.col("n_hit") == _BLOOM_K).alias("bloom_candidate"),
+        F.coalesce(F.col("in_idx"), F.lit(False)).alias("exact_dup"),
+    )

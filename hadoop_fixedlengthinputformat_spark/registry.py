@@ -194,6 +194,8 @@ GRADE_ORDER: tuple[str, ...] = (
     "agg_benford",
     "ts_bollinger",
     "ts_rsi",
+    "llm_zipf_fit",
+    "llm_dedup_bloom",
     # rows-only sketches stay LAST of the queued names (VERDICT r3 #5):
     # no_oracle rows burn grading signal
     "stream_watermark_late_drop",

@@ -725,3 +725,74 @@ def test_ts_rsi_matches_numpy(spark, sf_dir):
         assert len(vals) == len(exp)
         for a, b in zip(vals, exp):
             assert abs(a - b) < 2e-4
+
+
+def test_llm_zipf_fit_matches_numpy(spark, sf_dir):
+    """Zipf exponent from int64 ln-units must match a direct numpy
+    least-squares on the same head."""
+    import numpy as np
+
+    from hadoop_fixedlengthinputformat_spark.functions.curation_extras import (
+        _ZIPF_HEAD, llm_zipf_fit,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet").to_pylist()
+    counts: dict[str, int] = {}
+    for r in tbl:
+        if r["text"]:
+            for tok in r["text"].split(" "):
+                if tok:
+                    counts[tok] = counts.get(tok, 0) + 1
+    head = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:_ZIPF_HEAD]
+    rows = llm_zipf_fit(spark, sf_dir).collect()
+    if len(head) < 2:
+        assert rows == []
+        return
+    x = np.log(np.arange(1, len(head) + 1, dtype=np.float64))
+    y = np.log(np.array([c for _, c in head], dtype=np.float64))
+    if np.allclose(x, x.mean()) or np.allclose(y, y.mean()):
+        assert rows == []
+        return
+    slope = ((x - x.mean()) * (y - y.mean())).sum() / ((x - x.mean()) ** 2).sum()
+    r2 = (((x - x.mean()) * (y - y.mean())).sum() ** 2
+          / (((x - x.mean()) ** 2).sum() * ((y - y.mean()) ** 2).sum()))
+    assert len(rows) == 1
+    assert rows[0].n_fit == len(head)
+    assert abs(rows[0].zipf_exponent - (-slope)) < 5e-4
+    assert abs(rows[0].r2 - r2) < 5e-4
+    assert 0.0 <= rows[0].r2 <= 1.0
+
+
+def test_llm_dedup_bloom_invariants(spark, sf_dir):
+    """Bloom membership has NO false negatives; the false-positive rate
+    stays inside a generous multiple of the theoretical bound."""
+    import hashlib as _hl
+
+    from hadoop_fixedlengthinputformat_spark.functions.curation_extras import (
+        _BLOOM_BITS, _BLOOM_K, llm_dedup_bloom,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet").to_pylist()
+    idx_digests = {
+        _hl.md5(r["text"].encode()).hexdigest()
+        for r in tbl
+        if r["doc_id"] is not None and r["doc_id"] % 5 != 0 and r["text"] is not None
+    }
+    rows = llm_dedup_bloom(spark, sf_dir).collect()
+    assert len(rows) > 0
+    fp = fn = 0
+    for r in rows:
+        assert r.exact_dup == (r.h in idx_digests)
+        if r.exact_dup and not r.bloom_candidate:
+            fn += 1
+        if r.bloom_candidate and not r.exact_dup:
+            fp += 1
+    assert fn == 0, "bloom filter produced a false negative"
+    # theoretical FPR (1-exp(-kn/m))^k; allow a wide margin on small n
+    import math as _m
+
+    n = len(idx_digests)
+    p = (1 - _m.exp(-_BLOOM_K * n / _BLOOM_BITS)) ** _BLOOM_K
+    non_dup = sum(1 for r in rows if not r.exact_dup)
+    if non_dup >= 50:
+        assert fp <= max(5, 10 * p * non_dup), (fp, p, non_dup)
