@@ -196,6 +196,8 @@ GRADE_ORDER: tuple[str, ...] = (
     "ts_rsi",
     "llm_zipf_fit",
     "llm_dedup_bloom",
+    "scan_varlen_db",
+    "sink_varlen_db",
     # rows-only sketches stay LAST of the queued names (VERDICT r3 #5):
     # no_oracle rows burn grading signal
     "stream_watermark_late_drop",

@@ -699,3 +699,51 @@ def d_file_for(sf_dir: str) -> str:
         f.write(payload)
     os.replace(tmp, out)
     return out
+
+
+DB_BLOCK_SIZE = 2048  # ANSI DB fixture block cap (incl. 4-digit prefix)
+# max tail bytes: block prefix (4) + count field (4) + fixed prefix
+DB_TAIL_CAP = DB_BLOCK_SIZE - 8 - RDW_PREFIX_LEN
+
+
+def db_file_for(sf_dir: str, block_size: int = DB_BLOCK_SIZE) -> str:
+    """ANSI RECFM=DB (blocked D) serialization of ``documents.parquet``:
+    D records (4-digit decimal count fields) greedily packed into
+    blocks of <= ``block_size`` bytes, each opened by a 4-digit decimal
+    block prefix (the ISO/ANSI BUFOFF=L buffer-offset form).  Tails are
+    byte-clipped so every record fits one block (clip mirrored by the
+    oracle); same coalesce + total-order rules as the V fixture."""
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|ansidb|{block_size}"
+        f"|{source_stamp(sf_dir)}".encode()
+    ).hexdigest()[:12]
+    out = os.path.join(fixture_dir(), f"documents-{tag}.ansidb")
+    if os.path.exists(out):
+        return out
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    fields = parse_layout(RDW_PREFIX_LAYOUT, RDW_PREFIX_LEN)
+    cap = block_size - 8 - RDW_PREFIX_LEN
+    payload = bytearray()
+    block = bytearray()
+
+    def flush():
+        if block:
+            payload.extend(f"{4 + len(block):04d}".encode("ascii"))
+            payload.extend(block)
+            block.clear()
+
+    for r in sorted(tbl.to_pylist(), key=rdw_doc_sort_key):
+        r = rdw_coalesce(r)
+        tail = r["text"].encode("utf-8")[:cap]
+        prefix = encode_rows([r], fields, RDW_PREFIX_LEN)
+        total = 4 + RDW_PREFIX_LEN + len(tail)
+        rec = f"{total:04d}".encode("ascii") + prefix + tail
+        if block and 4 + len(block) + len(rec) > block_size:
+            flush()
+        block.extend(rec)
+    flush()
+    tmp = out + f".tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(payload)
+    os.replace(tmp, out)
+    return out

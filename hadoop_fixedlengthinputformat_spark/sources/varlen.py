@@ -100,7 +100,7 @@ class _VOptions:
     encoding: str
     max_partition_bytes: int
     index_every: int  # writer sidecar stride; 0 disables
-    recfm: str  # "V" | "VB" (blocked) | "VS" (spanned) | "VBS" (both)
+    recfm: str  # "V" | "VB" | "VS" | "VBS" | "D" (ANSI) | "DB" (blocked D)
     block_size: int  # VB(S) writer target block bytes (incl. the 4-byte BDW)
     segment_size: int = _MAX_RECORD  # VS/VBS max segment bytes incl. SDW
 
@@ -173,23 +173,37 @@ class _VOptions:
         if index_every < 0:
             raise ValueError("varlen: indexEvery must be >= 0 (0 disables)")
         recfm = options.get("recfm", "v").upper()
-        if recfm not in ("V", "VB", "VS", "VBS", "D"):
+        if recfm not in ("V", "VB", "VS", "VBS", "D", "DB"):
             raise ValueError(
-                f"varlen: recfm must be one of V, VB, VS, VBS, D, "
+                f"varlen: recfm must be one of V, VB, VS, VBS, D, DB, "
                 f"got {recfm!r}"
             )
-        if recfm == "D" and RDW_LEN + prefix_length > _MAX_D_RECORD:
+        if recfm in ("D", "DB") and RDW_LEN + prefix_length > _MAX_D_RECORD:
             raise ValueError(
                 f"varlen: prefixLength {prefix_length} cannot fit a "
                 f"{_MAX_D_RECORD}-byte ANSI D record"
             )
-        block_size = int(options.get("blocksize", "32760"))  # classic max
+        # classic max BLKSIZE; ANSI DB defaults to the historical 2048
+        # (its 4-digit decimal prefix caps any block at 9999 anyway)
+        block_size = int(
+            options.get("blocksize", "2048" if recfm == "DB" else "32760")
+        )
         if recfm == "VB" and not (
             BDW_LEN + RDW_LEN + prefix_length <= block_size <= _MAX_RECORD
         ):
             raise ValueError(
                 f"varlen: blockSize {block_size} must fit one minimal record "
                 f"({BDW_LEN + RDW_LEN + prefix_length}..{_MAX_RECORD})"
+            )
+        if recfm == "DB" and not (
+            RDW_LEN + RDW_LEN + prefix_length <= block_size <= _MAX_D_RECORD
+        ):
+            # ANSI blocked D: 4-digit decimal block prefix (buffer
+            # offset, BUFOFF=L form) caps the whole block at 9999 bytes
+            raise ValueError(
+                f"varlen: blockSize {block_size} must fit one minimal "
+                f"ANSI DB record "
+                f"({RDW_LEN + RDW_LEN + prefix_length}..{_MAX_D_RECORD})"
             )
         if recfm == "VBS" and not (
             BDW_LEN + RDW_LEN + 1 <= block_size <= _MAX_RECORD
@@ -725,6 +739,69 @@ def _iter_records_d(
         pos += total
 
 
+def _iter_records_db(
+    fobj, start: int, end: int | None, prefix_min: int, path: str,
+    stop_on_partial: bool = False, max_bytes: int | None = None,
+) -> Iterator[tuple[int, bytes, int]]:
+    """Walk ANSI blocked-D (RECFM=DB, ISO/ANSI interchange with the
+    BUFOFF=L buffer-offset form): each block opens with a 4-byte
+    DECIMAL ASCII block length (including the prefix itself — the
+    human-readable sibling of VB's binary BDW) wrapping D records that
+    must tile the block exactly; a record may not span blocks (ANSI D
+    has no spanned variant here).  Each block body is validated by the
+    plain-D record walk bounded to the block span, so every count-field
+    rule applies unchanged.  ``end`` must be a BLOCK start; ``max_bytes``
+    stops before opening a new block so a streaming resume offset is
+    always a block start (the VB admission rule)."""
+    import io
+
+    pos = start
+    while True:
+        if end is not None and pos >= end:
+            return
+        hdr = _read_exact(fobj, RDW_LEN)
+        if not hdr:
+            if end is not None and pos < end:
+                raise IOError(
+                    f"varlen: {path!r} ends at {pos} before the planned "
+                    f"partition bound {end} (stale index sidecar?)"
+                )
+            return
+        if len(hdr) < RDW_LEN:
+            if stop_on_partial:
+                return
+            raise IOError(
+                f"varlen: {path!r} ends mid-block-prefix at offset {pos} "
+                f"({len(hdr)} trailing bytes)"
+            )
+        if not hdr.isdigit():
+            raise ValueError(
+                f"varlen: ANSI DB block prefix at offset {pos} in "
+                f"{path!r} is not 4 decimal digits ({hdr!r})"
+            )
+        btotal = int(hdr)
+        if btotal < RDW_LEN + RDW_LEN + prefix_min:
+            raise ValueError(
+                f"varlen: block at offset {pos} in {path!r} is {btotal} "
+                f"bytes total, too short for one prefix+count+data record"
+            )
+        body = _read_exact(fobj, btotal - RDW_LEN)
+        if len(body) < btotal - RDW_LEN:
+            if stop_on_partial:
+                return
+            raise IOError(
+                f"varlen: {path!r} ends mid-block at offset {pos} "
+                f"(block prefix claims {btotal} bytes, "
+                f"{RDW_LEN + len(body)} available)"
+            )
+        yield from _iter_records_d(
+            io.BytesIO(body), pos + RDW_LEN, pos + btotal, prefix_min, path
+        )
+        pos += btotal
+        if max_bytes is not None and pos - start >= max_bytes:
+            return
+
+
 def _record_iter_for(opts: _VOptions):
     return {
         "V": _iter_records,
@@ -732,6 +809,7 @@ def _record_iter_for(opts: _VOptions):
         "VS": _iter_records_vs,
         "VBS": _iter_records_vbs,
         "D": _iter_records_d,
+        "DB": _iter_records_db,
     }[opts.recfm]
 
 
@@ -851,7 +929,7 @@ class VarLenStreamReader(SimpleDataSourceStreamReader):
         # misparse record bytes as a BDW (and in VBS the stop also waits
         # for any open spanned record to complete).
         it_kwargs: dict = {"stop_on_partial": stop_on_partial}
-        if o.recfm in ("VB", "VBS"):
+        if o.recfm in ("VB", "VBS", "DB"):
             it_kwargs["max_bytes"] = max_bytes
         recs: list[tuple[int, bytes, int]] = []
         with open(self.path, "rb") as f:
@@ -1103,6 +1181,53 @@ def build_index(path: str, every: int = 4096, recfm: str = "v") -> dict:
                     bpos += rtotal
                 pos += btotal
                 f.seek(pos)
+        elif recfm == "DB":
+            last_bucket = -1
+            while pos < size:
+                hdr = f.read(RDW_LEN)
+                if len(hdr) < RDW_LEN:
+                    raise IOError(
+                        f"varlen: {path!r} ends mid-block-prefix at "
+                        f"offset {pos}"
+                    )
+                if not hdr.isdigit():
+                    raise ValueError(
+                        f"varlen: ANSI DB block prefix at offset {pos} in "
+                        f"{path!r} is not 4 decimal digits ({hdr!r})"
+                    )
+                btotal = int(hdr)
+                if btotal < RDW_LEN + RDW_LEN or pos + btotal > size:
+                    raise IOError(
+                        f"varlen: {path!r} block at offset {pos} overruns EOF"
+                    )
+                bucket = n // every
+                if bucket > last_bucket:
+                    offsets.append(pos)
+                    last_bucket = bucket
+                bpos, bend = pos + RDW_LEN, pos + btotal
+                while bpos < bend:
+                    f.seek(bpos)
+                    rh = f.read(RDW_LEN)
+                    if len(rh) < RDW_LEN or bend - bpos < RDW_LEN:
+                        raise ValueError(
+                            f"varlen: block at offset {pos} in {path!r} has "
+                            "trailing bytes that are not a record"
+                        )
+                    if not rh.isdigit():
+                        raise ValueError(
+                            f"varlen: ANSI D count field at offset {bpos} "
+                            f"in {path!r} is not 4 decimal digits ({rh!r})"
+                        )
+                    rtotal = int(rh)
+                    if rtotal < RDW_LEN or bpos + rtotal > bend:
+                        raise ValueError(
+                            f"varlen: record at offset {bpos} in {path!r} "
+                            "overruns its block"
+                        )
+                    n += 1
+                    bpos += rtotal
+                pos += btotal
+                f.seek(pos)
         else:
             while pos < size:
                 hdr = f.read(RDW_LEN)
@@ -1203,7 +1328,7 @@ class VarLenWriter(DataSourceWriter):
         def record_bytes(row) -> bytes:
             payload = payload_bytes(row)
             total = RDW_LEN + len(payload)
-            if o.recfm == "D":
+            if o.recfm in ("D", "DB"):
                 if total > _MAX_D_RECORD:
                     raise ValueError(
                         f"varlen: record of {total} bytes exceeds the ANSI "
@@ -1266,6 +1391,41 @@ class VarLenWriter(DataSourceWriter):
                             "span blocks; raise blockSize)"
                         )
                     if block and BDW_LEN + len(block) + len(b) > o.block_size:
+                        flush_block()
+                    if not block:
+                        bucket = n // o.index_every if o.index_every else -1
+                        if o.index_every and bucket > last_bucket:
+                            index.append(written)
+                            last_bucket = bucket
+                    block.extend(b)
+                    n += 1
+                flush_block()
+            elif o.recfm == "DB":
+                # ANSI blocked D: same greedy packing as VB but the
+                # block prefix is 4 decimal ASCII digits (BUFOFF=L) —
+                # sidecar offsets are block starts, the only safe
+                # split points
+                block = bytearray()
+                last_bucket = -1
+
+                def flush_block():
+                    nonlocal written
+                    if not block:
+                        return
+                    btotal = RDW_LEN + len(block)
+                    f.write(f"{btotal:04d}".encode("ascii") + bytes(block))
+                    written += btotal
+                    block.clear()
+
+                for row in iterator:
+                    b = record_bytes(row)
+                    if RDW_LEN + len(b) > o.block_size:
+                        raise ValueError(
+                            f"varlen: record of {len(b)} bytes cannot fit "
+                            f"a {o.block_size}-byte DB block (records may "
+                            "not span blocks; raise blockSize)"
+                        )
+                    if block and RDW_LEN + len(block) + len(b) > o.block_size:
                         flush_block()
                     if not block:
                         bucket = n // o.index_every if o.index_every else -1

@@ -441,3 +441,77 @@ def sink_varlen_d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "doc_id", "lang", "n_chars", F.col("text").cast("string").alias("text")
     )
+
+
+@query(
+    "scan_varlen_db",
+    oracle=f"""
+    SELECT doc_id, COALESCE(lang, '') AS lang,
+           COALESCE(source, '') AS source,
+           COALESCE(n_chars, 0) AS n_chars,
+           CAST(LEAST(octet_length(encode(COALESCE(text, ''))),
+                      {fixture_gen.DB_TAIL_CAP}) AS BIGINT) AS tail_bytes
+    FROM documents
+    """,
+)
+def scan_varlen_db(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI RECFM=DB scan (blocked D — ISO/ANSI interchange with the
+    BUFOFF=L buffer offset): D records packed into blocks opened by a
+    4-digit decimal block prefix, the human-readable sibling of VB's
+    BDW.  Every D count-field rule applies inside each block; a record
+    may not span blocks.  Tails are byte-clipped to fit one block
+    (oracle mirrors with LEAST).  Offsets are omitted from the graded
+    projection for the VB reason: greedy block packing is a sequential
+    recurrence no window-SQL oracle can replay — the byte-level round
+    trip is pinned by tests/test_varlen.py instead."""
+    path = fixture_gen.db_file_for(sf_dir)
+    df = read_rdw(spark, path, recfm="db", includeOffset="false")
+    return df.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.length("record_tail").cast("long").alias("tail_bytes"),
+    )
+
+
+@query(
+    "sink_varlen_db",
+    oracle="""
+    SELECT doc_id, COALESCE(lang, '') AS lang,
+           COALESCE(n_chars, 0) AS n_chars,
+           substr(COALESCE(text, ''), 1, 400) AS text
+    FROM documents
+    """,
+)
+def sink_varlen_db(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round trip through OUR ANSI DB sink: parquet -> decimal-framed
+    blocked write (text capped at 400 chars so every record fits the
+    2048-byte default block even at 4 bytes/char; the cap is part of
+    the projection on both sides, block-start sidecar) -> DB read ->
+    tail decoded back."""
+    configure(spark)
+    varlen.register(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.coalesce("lang", F.lit("")).alias("lang"),
+        F.coalesce("source", F.lit("")).alias("source"),
+        F.coalesce(F.col("n_chars"), F.lit(0)).alias("n_chars"),
+        F.substring(F.coalesce("text", F.lit("")), 1, 400).alias("text"),
+    )
+    out = os.path.join(tempfile.gettempdir(), "flif_sink_varlen_db")
+    (
+        docs.write.format("varlen")
+        .option("prefixLength", str(fixture_gen.RDW_PREFIX_LEN))
+        .option("layout", fixture_gen.RDW_PREFIX_LAYOUT)
+        .option("tailColumn", "text")
+        .option("recfm", "db")
+        .mode("overwrite")
+        .save(out)
+    )
+    df = read_rdw(
+        spark, out, tailColumn="text", includeOffset="false", recfm="db"
+    )
+    return df.select(
+        "doc_id", "lang", "n_chars", F.col("text").cast("string").alias("text")
+    )

@@ -819,3 +819,185 @@ def test_ansi_d_sink_writes_digit_frames_and_sidecar_splits(spark, tmp_path):
     assert back.rdd.getNumPartitions() > 1  # sidecar made it splittable
     got = {(r.k, r.tag, bytes(r.record_tail)) for r in back.collect()}
     assert got == {(k, t, b) for k, t, b in rows}
+
+
+# ---------------- ANSI RECFM=DB (blocked D, decimal block prefix) ----
+
+
+def _d_rec(k: int, tag: str, tail: bytes) -> bytes:
+    prefix = f"{k:06d}{tag:<4}".encode()
+    total = 4 + len(prefix) + len(tail)
+    return f"{total:04d}".encode("ascii") + prefix + tail
+
+
+def _db_block(recs: list[bytes]) -> bytes:
+    body = b"".join(recs)
+    return f"{4 + len(body):04d}".encode("ascii") + body
+
+
+def test_ansi_db_round_trip_and_offsets(spark, tmp_path):
+    """DB blocks decode to the same records as the bare D stream, with
+    record_offset pointing at each count field inside its block."""
+    recs = [_d_rec(i, f"t{i % 5}", bytes([65 + i % 26]) * (i % 40))
+            for i in range(50)]
+    blocks = [_db_block(recs[i: i + 4]) for i in range(0, 50, 4)]
+    p = str(tmp_path / "blocked.ansidb")
+    with open(p, "wb") as f:
+        f.write(b"".join(blocks))
+    df = _read(spark, p, recfm="db")
+    rows = sorted(df.collect(), key=lambda r: r.record_offset)
+    assert [r.k for r in rows] == list(range(50))
+    assert rows[0].record_offset == 4  # first record after its block prefix
+    pos = 4
+    for r, rec in zip(rows, recs):
+        assert r.record_offset in (pos, pos + 4)  # +4 at a block boundary
+        pos = r.record_offset + len(rec)
+
+
+def test_ansi_db_rejects_bad_prefix_and_overrun(spark, tmp_path):
+    # non-digit block prefix
+    p = str(tmp_path / "bad.ansidb")
+    with open(p, "wb") as f:
+        f.write(b"ZZZZ" + b"x" * 20)
+    with pytest.raises(Exception, match="not 4 decimal digits"):
+        _read(spark, p, recfm="db").collect()
+    # record overruns its block
+    r0 = _d_rec(0, "t0", b"abcdef")
+    cut = r0[:-2]
+    p2 = str(tmp_path / "span.ansidb")
+    with open(p2, "wb") as f:
+        f.write(f"{4 + len(cut):04d}".encode() + cut)
+    with pytest.raises(Exception, match="mid-record|overruns"):
+        _read(spark, p2, recfm="db").collect()
+
+
+def test_ansi_db_sink_writes_blocks_and_splittable_sidecar(spark, tmp_path):
+    """OUR DB sink packs decimal-framed records into decimal-prefixed
+    blocks, writes block-start sidecar offsets, and the reader plans >1
+    record-aligned partition from them."""
+    varlen.register(spark)
+    n = 400
+    df = spark.createDataFrame(
+        [(i, f"t{i % 5}", bytes([i % 251]) * (20 + i % 60)) for i in range(n)],
+        "k long, tag string, record_tail binary",
+    )
+    out = str(tmp_path / "db_out")
+    (
+        df.write.format("varlen")
+        .option("prefixLength", str(PFX_LEN))
+        .option("layout", PFX_LAYOUT)
+        .option("recfm", "db")
+        .option("blockSize", "512")
+        .option("indexEvery", "32")
+        .mode("overwrite")
+        .save(out)
+    )
+    part = [f for f in os.listdir(out) if f.endswith(".rdw")]
+    assert part
+    # every written block opens with 4 decimal digits
+    with open(os.path.join(out, part[0]), "rb") as f:
+        blob = f.read()
+    assert blob[:4].isdigit()
+    back = (
+        spark.read.format("varlen")
+        .option("prefixLength", str(PFX_LEN))
+        .option("layout", PFX_LAYOUT)
+        .option("recfm", "db")
+        .option("maxPartitionBytes", "2048")
+        .load(out)
+    )
+    assert back.rdd.getNumPartitions() > 1
+    assert sorted(r.k for r in back.collect()) == list(range(n))
+
+
+def test_ansi_db_stream_admits_only_whole_blocks(tmp_path):
+    from hadoop_fixedlengthinputformat_spark.sources.varlen import (
+        VarLenStreamReader,
+    )
+
+    b0 = _db_block([_d_rec(0, "t0", b"aa"), _d_rec(1, "t1", b"bb")])
+    b1 = _db_block([_d_rec(2, "t2", b"cc")])
+    p = str(tmp_path / "tail.ansidb")
+    with open(p, "wb") as f:
+        f.write(b0 + b1[:5])  # second block half-written
+    opts = _VOptions.parse(
+        {"prefixlength": str(PFX_LEN), "layout": PFX_LAYOUT, "recfm": "db"}
+    )
+    rd = VarLenStreamReader(opts, p)
+    rows, off = rd.read(rd.initialOffset())
+    assert [r[1] for r in rows] == [0, 1]
+    assert off == {"pos": len(b0)}  # resume at the next block prefix
+    with open(p, "ab") as f:
+        f.write(b1[5:])
+    rows2, off2 = rd.read(off)
+    assert [r[1] for r in rows2] == [2]
+    assert off2 == {"pos": len(b0) + len(b1)}
+
+
+def test_ansi_db_build_index_foreign_file(tmp_path):
+    from hadoop_fixedlengthinputformat_spark.sources.varlen import build_index
+
+    recs = [_d_rec(i, f"t{i % 3}", b"y" * (i % 30)) for i in range(100)]
+    blocks = [_db_block(recs[i: i + 5]) for i in range(0, 100, 5)]
+    p = str(tmp_path / "foreign.ansidb")
+    with open(p, "wb") as f:
+        f.write(b"".join(blocks))
+    payload = build_index(p, every=10, recfm="db")
+    assert payload["n_records"] == 100
+    assert payload["offsets"][0] == 0
+    starts, pos = set(), 0
+    for b in blocks:
+        starts.add(pos)
+        pos += len(b)
+    assert set(payload["offsets"]) <= starts
+    assert payload["data_bytes"] == pos
+
+
+def test_ansi_db_option_validation():
+    # default blockSize drops to 2048 for DB (9999 decimal ceiling)
+    o = _VOptions.parse(
+        {"prefixlength": str(PFX_LEN), "layout": PFX_LAYOUT, "recfm": "db"}
+    )
+    assert o.block_size == 2048
+    with pytest.raises(ValueError, match="blockSize"):
+        _VOptions.parse(
+            {"recfm": "db", "blocksize": "10000",
+             "prefixlength": str(PFX_LEN), "layout": PFX_LAYOUT}
+        )
+    with pytest.raises(ValueError, match="blockSize"):
+        _VOptions.parse(
+            {"recfm": "db", "blocksize": "8",
+             "prefixlength": str(PFX_LEN), "layout": PFX_LAYOUT}
+        )
+
+
+def test_ansi_db_random_packing_round_trip(spark, tmp_path):
+    """Property: random records greedily packed into random block sizes
+    always round-trip regardless of how records meet block boundaries."""
+    import random as _random
+
+    rng = _random.Random(99)
+    for trial in range(3):
+        n = rng.randrange(30, 90)
+        recs = [
+            _d_rec(i, f"t{i % 7}",
+                   bytes(rng.randrange(256) for _ in range(rng.choice([0, 1, 17, 120]))))
+            for i in range(n)
+        ]
+        block_size = rng.choice([256, 512, 999])
+        blocks, cur, cur_len = [], [], 0
+        for r in recs:
+            if cur and 4 + cur_len + len(r) > block_size:
+                blocks.append(_db_block(cur))
+                cur, cur_len = [], 0
+            cur.append(r)
+            cur_len += len(r)
+        if cur:
+            blocks.append(_db_block(cur))
+        p = str(tmp_path / f"rand{trial}.ansidb")
+        with open(p, "wb") as f:
+            f.write(b"".join(blocks))
+        rows = sorted(
+            _read(spark, p, recfm="db").collect(), key=lambda r: r.k
+        )
+        assert [r.k for r in rows] == list(range(n))
