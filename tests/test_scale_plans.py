@@ -788,3 +788,86 @@ def test_rank_tests_collapse_before_the_rank_window(spark):
         assert plan.count("Scan ") == 1, plan
         # the groupBy exchange precedes the single-partition window
         assert plan.index("Window") < plan.index("hashpartitioning"), plan
+
+
+def test_agg_levene_broadcasts_medians(spark):
+    """agg_levene: the 3-row median table joins back by BROADCAST (never
+    SMJ), and both power-sum aggregates are map-side combined."""
+    from hadoop_fixedlengthinputformat_spark.operators.pivot_stats import (
+        agg_levene,
+    )
+
+    df = agg_levene(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_agg_anova_single_aggregate_row(spark):
+    """agg_anova: one global conditional aggregate — exactly one
+    single-partition exchange over map-side partials, one scan."""
+    from hadoop_fixedlengthinputformat_spark.operators.pivot_stats import (
+        agg_anova,
+    )
+
+    df = agg_anova(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in plan, plan
+    assert plan.count("Scan ") == 1, plan
+    assert "SinglePartition" in plan, plan
+
+
+def test_ts_bollinger_single_user_exchange(spark):
+    """ts_bollinger: the count/sum/sum frame functions share ONE
+    user-keyed exchange; no join, no extra sort chains."""
+    from hadoop_fixedlengthinputformat_spark.operators.timeseries import (
+        ts_bollinger,
+    )
+
+    df = ts_bollinger(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_ts_rsi_lag_and_frame_share_exchange(spark):
+    """ts_rsi: the lag window and the 14-row frame window run on the
+    same user_id partitioning — one hash exchange total."""
+    from hadoop_fixedlengthinputformat_spark.operators.timeseries import (
+        ts_rsi,
+    )
+
+    df = ts_rsi(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_zipf_fit_takeordered_before_rank_window(spark):
+    """llm_zipf_fit: the head cap is TakeOrdered (per-partition heaps),
+    the token count is map-side combined, and the single-partition rank
+    window sees only the <=1000 survivors."""
+    from hadoop_fixedlengthinputformat_spark.functions.curation_extras import (
+        llm_zipf_fit,
+    )
+
+    df = llm_zipf_fit(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "partial_count" in plan, plan
+
+
+def test_dedup_bloom_broadcasts_filter_words(spark):
+    """llm_dedup_bloom: the OR-merged word table reaches the probe side
+    by BROADCAST; no sort-merge or cartesian anywhere, and the word
+    aggregation is map-side combined (partial bit_or)."""
+    from hadoop_fixedlengthinputformat_spark.functions.curation_extras import (
+        llm_dedup_bloom,
+    )
+
+    df = llm_dedup_bloom(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_bit_or" in plan, plan
