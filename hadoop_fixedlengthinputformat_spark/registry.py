@@ -198,6 +198,7 @@ GRADE_ORDER: tuple[str, ...] = (
     "llm_dedup_bloom",
     "scan_varlen_db",
     "sink_varlen_db",
+    "scan_fixedlen_sorted",
     # rows-only sketches stay LAST of the queued names (VERDICT r3 #5):
     # no_oracle rows burn grading signal
     "stream_watermark_late_drop",

@@ -127,6 +127,14 @@ class _Options:
     # executor memory / latency when a stream starts against a large
     # backlog or a burst lands.  None = unbounded.
     max_bytes_per_trigger: int | None = None
+    # DECLARED per-file ascending sort field (the Hive SORTED BY
+    # contract): pushed range predicates on it binary-search record
+    # boundaries at planning time — O(log n) single-record probes
+    # replace a full scan, exploiting the random-access-by-ordinal
+    # property that defines fixed-width files.  The row-level mask
+    # still runs, so a true claim gives identical results with pruned
+    # IO; the claim itself is the user's (like bucketed tables).
+    sorted_by: str | None = None
 
     @property
     def stride(self) -> int:
@@ -334,6 +342,19 @@ class _Options:
                     "fields — partition values live in the path, not the "
                     "record bytes"
                 )
+        sorted_by = options.get("sortedby")
+        if sorted_by is not None:
+            if fields is None:
+                raise ValueError(
+                    "fixedlen: sortedBy requires a 'layout' (the sort "
+                    "field must be a decodable layout field)"
+                )
+            scalar = {f.name for f in fields if f.occurs == 1}
+            if sorted_by not in scalar:
+                raise ValueError(
+                    f"fixedlen: sortedBy field {sorted_by!r} is not a "
+                    "scalar layout field"
+                )
         return cls(
             record_length, key_bounds, fields, with_offset, malformed, mpb,
             mode, pruned, compression, info.name,
@@ -341,6 +362,7 @@ class _Options:
             skip_header, skip_trailer, stats_sidecar, stats_block,
             corrupt_col, line_sep, (), partition_by,
             max_bytes_per_trigger=mbt,
+            sorted_by=sorted_by,
         )
 
     def trigger_budget(self) -> int | None:
@@ -846,6 +868,113 @@ class FixedLengthReader(DataSourceReader):
                 continue  # incomparable: keep the file
         return True
 
+    def _sorted_value_bounds(self):
+        """(lo_val, lo_strict, hi_val, hi_strict) from pushed range
+        predicates on the declared sort field, or None when no usable
+        bound was pushed."""
+        from pyspark.sql.datasource import (
+            EqualTo, GreaterThan, GreaterThanOrEqual, LessThan,
+            LessThanOrEqual,
+        )
+
+        if not self.opts.sorted_by:
+            return None
+        lo_val = hi_val = None
+        lo_strict = hi_strict = False
+        for flt in self.pushed:
+            if getattr(flt, "attribute", None) != (self.opts.sorted_by,):
+                continue
+            v = getattr(flt, "value", None)
+            if v is None:
+                continue
+            if isinstance(flt, EqualTo):
+                if lo_val is None or v > lo_val:
+                    lo_val, lo_strict = v, False
+                if hi_val is None or v < hi_val:
+                    hi_val, hi_strict = v, False
+            elif isinstance(flt, GreaterThanOrEqual):
+                if lo_val is None or v > lo_val:
+                    lo_val, lo_strict = v, False
+            elif isinstance(flt, GreaterThan):
+                if lo_val is None or v >= lo_val:
+                    lo_val, lo_strict = v, True
+            elif isinstance(flt, LessThanOrEqual):
+                if hi_val is None or v < hi_val:
+                    hi_val, hi_strict = v, False
+            elif isinstance(flt, LessThan):
+                if hi_val is None or v <= hi_val:
+                    hi_val, hi_strict = v, True
+        if lo_val is None and hi_val is None:
+            return None
+        return lo_val, lo_strict, hi_val, hi_strict
+
+    def _sorted_byte_bounds(self, path: str) -> tuple[int, int] | None:
+        """[lo_byte, hi_byte) a sorted file can possibly match, found by
+        BINARY SEARCH over record boundaries: ~2·log2(n) single-record
+        seeks replace reading the whole file — the planning-time index
+        a SORTED fixed-width file inherently is (record ordinal ->
+        byte offset is exact arithmetic, FLIF:276-298).  Conservative:
+        any decode/compare failure keeps the full range; the row-level
+        Arrow mask still runs either way."""
+        bounds = self._sorted_value_bounds()
+        if bounds is None or _codec_of(path):
+            return None
+        o = self.opts
+        field = next(f for f in o.fields if f.name == o.sorted_by)
+        lo_val, lo_strict, hi_val, hi_strict = bounds
+        rl = o.stride
+        size = os.path.getsize(path)
+        usable = size - (size % rl)
+        base = min(o.skip_header * rl, usable)
+        top = max(usable - o.skip_trailer * rl, base)
+        n = (top - base) // rl
+        if n == 0:
+            return base, base
+        sub_schema = pa.schema([pa.field(field.name, field.arrow_type())])
+        try:
+            with open(path, "rb") as f:
+
+                def key(i: int):
+                    f.seek(base + i * rl)
+                    rec = f.read(o.record_length)
+                    batch = decode_chunk(
+                        rec, o.record_length, [field], 0, False, None,
+                        sub_schema, encoding=o.encoding,
+                    )
+                    return batch.column(0)[0].as_py()
+
+                def bisect(pred) -> int:
+                    """First index i in [0, n] with pred(key(i)) true
+                    (pred monotone under the sort contract)."""
+                    lo_i, hi_i = 0, n
+                    while lo_i < hi_i:
+                        mid = (lo_i + hi_i) // 2
+                        if pred(key(mid)):
+                            hi_i = mid
+                        else:
+                            lo_i = mid + 1
+                    return lo_i
+
+                first = 0
+                if lo_val is not None:
+                    first = bisect(
+                        (lambda k: k is not None and k > lo_val)
+                        if lo_strict
+                        else (lambda k: k is not None and k >= lo_val)
+                    )
+                last = n
+                if hi_val is not None:
+                    last = bisect(
+                        (lambda k: k is not None and k >= hi_val)
+                        if hi_strict
+                        else (lambda k: k is not None and k > hi_val)
+                    )
+        except (TypeError, ValueError, OSError):
+            return None  # unprovable: keep the whole file
+        if last < first:
+            last = first
+        return base + first * rl, base + last * rl
+
     def partitions(self):
         lo, hi = self._offset_bounds()
         fields_by_name = {
@@ -869,7 +998,17 @@ class FixedLengthReader(DataSourceReader):
             # byte ranges proven to exclude every pushed predicate —
             # planning-time, so the bytes are never read
             payload = stats.load_sidecar(p) if stats_filters else None
+            # sorted-file pruning: bisect the byte range the declared
+            # sort order allows, then CLAMP partitions to it (bounds are
+            # record-aligned, so clamped partitions stay aligned)
+            sb = self._sorted_byte_bounds(p) if self.opts.sorted_by else None
             for part in _plan_file(p, self.opts):
+                if sb is not None and part.end != _WHOLE_FILE:
+                    s = max(part.start, sb[0])
+                    e = min(part.end, sb[1])
+                    if e <= s:
+                        continue
+                    part = FixedLenPartition(part.path, s, e)
                 if part.end == _WHOLE_FILE or (part.end > lo and part.start < hi):
                     if payload is not None and not stats.partition_may_match(
                         payload,

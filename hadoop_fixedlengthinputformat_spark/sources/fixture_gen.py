@@ -747,3 +747,35 @@ def db_file_for(sf_dir: str, block_size: int = DB_BLOCK_SIZE) -> str:
         f.write(payload)
     os.replace(tmp, out)
     return out
+
+
+def sorted_fixed_file_for(sf_dir: str, table: str = "customer") -> str:
+    """Fixed-width serialization SORTED BY THE ENCODED key (NULLs
+    coalesce to 0 BEFORE the sort, unlike fixed_file_for where Arrow
+    sorts nulls last and the later 0-encoding would break the order on
+    a nulls roll) — the fixture for the ``sortedBy`` bisection scan,
+    whose correctness contract is that the bytes really ascend."""
+    record_length, spec, order_col = LAYOUTS[table]
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{table}|sorted|{spec}"
+        f"|{source_stamp(sf_dir)}".encode()
+    ).hexdigest()[:12]
+    out = os.path.join(fixture_dir(), f"{table}-{tag}.sorted.fixed")
+    if os.path.exists(out):
+        return out
+    tbl = pq.read_table(os.path.join(sf_dir, f"{table}.parquet"))
+    fields = parse_layout(spec, record_length)
+    rows = tbl.to_pylist()
+    num_types = {"int", "long", "double", "implied", "bin", "packed",
+                 "zoned", "comp1", "comp2"}
+    for r in rows:
+        for f in fields:
+            if r.get(f.name) is None:
+                r[f.name] = 0 if f.base_type in num_types else ""
+    rows.sort(key=lambda r: r[order_col])
+    payload = encode_rows(rows, fields, record_length)
+    tmp = out + f".tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(payload)
+    os.replace(tmp, out)
+    return out

@@ -454,3 +454,49 @@ def sink_fixedlen_bz2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("includeOffset", "false")
         .load(out)
     )
+
+
+@query(
+    "scan_fixedlen_sorted",
+    oracle="""
+    SELECT COALESCE(c_custkey, 0) AS c_custkey,
+           COALESCE(c_name, '') AS c_name,
+           COALESCE(c_nationkey, 0) AS c_nationkey,
+           round(COALESCE(c_acctbal, 0), 4) AS acctbal,
+           COALESCE(c_mktsegment, '') AS c_mktsegment
+    FROM customer
+    WHERE COALESCE(c_custkey, 0) BETWEEN 40 AND 90
+    """,
+)
+def scan_fixedlen_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-file bisection pruning (``sortedBy``): the fixture file
+    ascends by c_custkey, so the pushed BETWEEN predicate binary-
+    searches record boundaries at planning time — ~2·log2(n) single-
+    record probes replace scanning the file, exploiting the random-
+    access-by-ordinal property that defines fixed-width records
+    (FLIF:276-298's arithmetic run backwards).  The row-level Arrow
+    mask still applies, so results are identical to the unpruned scan;
+    partition-count reduction is pinned in tests/test_sorted_scan.py.
+    At 100 TB this is the key-range index a sorted feed carries for
+    free: a selective key lookup reads KBs, not the file."""
+    configure(spark)
+    fixedlen.register(spark)
+    path = fixture_gen.sorted_fixed_file_for(sf_dir, "customer")
+    record_length, spec, _ = fixture_gen.LAYOUTS["customer"]
+    df = (
+        spark.read.format("fixedlen")
+        .option("recordLength", str(record_length))
+        .option("layout", spec)
+        .option("sortedBy", "c_custkey")
+        .option("includeOffset", "false")
+        .load(path)
+    )
+    return df.filter(
+        (F.col("c_custkey") >= 40) & (F.col("c_custkey") <= 90)
+    ).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.round("c_acctbal", 4).alias("acctbal"),
+        "c_mktsegment",
+    )
