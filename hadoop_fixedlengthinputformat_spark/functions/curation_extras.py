@@ -620,3 +620,118 @@ def llm_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_hit") == _BLOOM_K).alias("bloom_candidate"),
         F.coalesce(F.col("in_idx"), F.lit(False)).alias("exact_dup"),
     )
+
+
+# Feature hashing (the hashing trick): token -> md5-hex-slice % 64
+# bucket, bit-identically replayable in SQL (the llm_dedup_bloom slice
+# technique); output is the sparse (doc, bucket, count) triple form.
+_HASH_DIM = 64
+
+
+@query(
+    "llm_hash_features",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+        WHERE doc_id IS NOT NULL AND text IS NOT NULL AND length(text) > 0
+    )
+    SELECT doc_id,
+           CAST(CAST('0x' || substr(md5(tok), 1, 4) AS BIGINT)
+                % {_HASH_DIM} AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n
+    FROM toks WHERE tok != ''
+    GROUP BY doc_id, bucket
+    """,
+)
+def llm_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick bag-of-words features ({_HASH_DIM} buckets, sparse
+    (doc, bucket, count) form) — the vectorizer behind fastText-style
+    quality/language classifiers, at corpus scale.  Bucket = 16-bit md5
+    hex slice mod dim, so the whole featurization replays bit-
+    identically in SQL; no vocabulary table, no fitting pass, memory
+    O(dim) per doc regardless of vocabulary growth (the point of the
+    trick).  One explode + one (doc, bucket) groupBy with map-side
+    partials; text itself never shuffles — only 8-byte ids and
+    bucket/count ints."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.where(
+        F.col("doc_id").isNotNull()
+        & F.col("text").isNotNull()
+        & (F.length("text") > 0)
+    ).select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 4), 16, 10)
+        .cast("long") % _HASH_DIM
+    )
+    return (
+        toks.where(F.col("tok") != "")
+        .select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# Fixed linear quality model: z from exact integer features in ONE
+# shared tree, sigmoid via snapped exp (the transcendental rule).
+from hadoop_fixedlengthinputformat_spark.functions.num import snap_sql as _snap_sql
+
+_QC_Z = (
+    "(-1.5 + 0.002 * LEAST(ntok, 1000)"
+    " + 0.3 * ((CAST(nns AS DOUBLE) / ntok) - 4.0))"
+)
+_QC_E = f"floor(exp(-({_QC_Z})) * 100000000.0 + 0.5) / 100000000.0"
+_QC_SCORE = _snap_sql(f"1.0 / (1.0 + ({_QC_E}))", 4)
+
+
+@query(
+    "llm_quality_classifier",
+    oracle=f"""
+    WITH feat AS (
+        SELECT doc_id,
+               CAST(length(text) - length(replace(text, ' ', '')) + 1
+                    AS BIGINT) AS ntok,
+               CAST(length(replace(text, ' ', '')) AS BIGINT) AS nns
+        FROM documents
+        WHERE doc_id IS NOT NULL AND text IS NOT NULL AND length(text) > 0
+    )
+    SELECT doc_id, ntok AS n_tok,
+           {_QC_SCORE} + 0 AS quality_score,
+           ({_QC_SCORE}) >= 0.5 AS is_quality
+    FROM feat
+    """,
+)
+def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A fixed linear quality model applied at corpus scale — the
+    apply-the-trained-fastText-classifier step of a curation pipeline,
+    with the weights as shared literals (training is out of scope; the
+    Spark-side shape is what matters: pure codegen row expressions,
+    zero shuffle).  Features are exact integers (whitespace token count
+    via string arithmetic, non-space char count); the logit is ONE
+    shared double tree on them; the sigmoid's exp() snaps to 8 decimals
+    before the final ratio snaps to 4 (the llm_bm25 transcendental
+    rule), so the score — and therefore the 0.5 decision — is
+    bit-identical on both engines.  Empty/NULL text excluded both
+    sides."""
+    d = load_table(spark, sf_dir, "documents")
+    feat = d.where(
+        F.col("doc_id").isNotNull()
+        & F.col("text").isNotNull()
+        & (F.length("text") > 0)
+    ).select(
+        "doc_id",
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            + 1
+        ).cast("long").alias("ntok"),
+        F.length(
+            F.replace(F.col("text"), F.lit(" "), F.lit(""))
+        ).cast("long").alias("nns"),
+    )
+    return feat.select(
+        "doc_id",
+        F.col("ntok").alias("n_tok"),
+        (F.expr(_QC_SCORE) + F.lit(0.0)).alias("quality_score"),
+        F.expr(f"({_QC_SCORE}) >= 0.5").alias("is_quality"),
+    )

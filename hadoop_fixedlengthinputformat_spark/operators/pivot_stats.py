@@ -1809,3 +1809,54 @@ def agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nt").alias("n_orders"),
         (F.expr(_BENFORD_CHI) + F.lit(0.0)).alias("chi2_benford"),
     )
+
+
+# Herfindahl-Hirschman concentration: HHI = Sum_s (c_s/N)^2 = Ssq/N^2 —
+# exact integer numerator and denominator, ONE double division.
+_HHI = snap_sql("CAST(ssq AS DOUBLE) / (CAST(n AS DOUBLE) * n)", 4)
+
+
+@query(
+    "agg_hhi",
+    oracle=f"""
+    WITH c AS (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS cnt
+        FROM documents
+        WHERE lang IS NOT NULL AND source IS NOT NULL
+        GROUP BY lang, source
+    ),
+    t AS (
+        SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n,
+               CAST(SUM(cnt * cnt) AS BIGINT) AS ssq,
+               CAST(COUNT(*) AS BIGINT) AS n_sources
+        FROM c GROUP BY lang
+    )
+    SELECT lang, n AS n_docs, n_sources, {_HHI} + 0 AS hhi
+    FROM t
+    """,
+)
+def agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of sources within each
+    language — the is-this-slice-dominated-by-one-crawl number next to
+    agg_entropy's diversity: HHI = Σ(cₛ/N)² folds to ΣΣcₛ²/N², an exact
+    integer fraction with ONE double division (identical operands both
+    engines, snapped to 4) — zero transcendentals, zero accumulation
+    order.  NULL lang/source excluded both sides.  Two tiny map-side-
+    combined groupBys; Σc² ≤ N² budget (int64 to ~3e9 docs/lang)."""
+    d = load_table(spark, sf_dir, "documents")
+    c = (
+        d.where(F.col("lang").isNotNull() & F.col("source").isNotNull())
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    t = c.groupBy("lang").agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("ssq"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    return t.select(
+        "lang",
+        F.col("n").alias("n_docs"),
+        "n_sources",
+        (F.expr(_HHI) + F.lit(0.0)).alias("hhi"),
+    )

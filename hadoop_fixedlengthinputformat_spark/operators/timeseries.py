@@ -718,3 +718,80 @@ def ts_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l14").alias("loss14"),
         (F.expr(_RSI) + F.lit(0.0)).alias("rsi"),
     )
+
+
+# Day-of-week uniformity: dow from pure epoch arithmetic (no calendar
+# function — Spark dayofweek and DuckDB dayofweek disagree on week
+# start), counts per cell exact, chi-square vs uniform as a fixed-order
+# 7-term shared expression (the agg_chisq shape).
+_DOW_TERMS = " + ".join(
+    f"pow(d{i} - CAST(n AS DOUBLE) / 7.0, 2) / (CAST(n AS DOUBLE) / 7.0)"
+    for i in range(7)
+)
+_DOW_CHI = snap_sql(_DOW_TERMS, 4)
+
+
+@query(
+    "ts_dow_profile",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type,
+               CAST((((CAST(floor(epoch(ts)) AS BIGINT) // 86400) % 7)
+                     + 7) % 7 AS BIGINT) AS dow
+        FROM events
+        WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    ),
+    g AS (
+        SELECT event_type,
+            {", ".join(
+                f"CAST(count(*) FILTER (dow = {i}) AS BIGINT) AS d{i}"
+                for i in range(7))},
+            CAST(count(*) AS BIGINT) AS n
+        FROM base GROUP BY event_type
+    )
+    SELECT event_type, n AS n_events, {_DOW_CHI} + 0 AS chi2_dow
+    FROM g WHERE n >= 7
+    """,
+)
+def ts_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality per event type: counts per weekday cell
+    plus a chi-square-vs-uniform score (is this event type weekday-
+    shaped?).  The weekday index is PURE EPOCH ARITHMETIC —
+    ((epoch_days % 7)+7)%7, identical in both dialects — because the
+    engines' calendar dayofweek() functions disagree on week start
+    (Spark 1=Sunday, DuckDB 0=Sunday); epoch division has no such
+    seam (UTC session pin makes the day boundary identical).  Cell
+    counts are exact conditional int64s in one aggregate per type; the
+    statistic is a fixed-order 7-term shared tree snapped to 4.  One
+    map-side-combined groupBy, |event types| rows out."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    ).select(
+        "event_type",
+        (
+            (
+                (
+                    F.floor(
+                        F.col("ts").cast("timestamp").cast("double")
+                    ).cast("long")
+                    / 86400
+                ).cast("long")
+                % 7
+                + 7
+            )
+            % 7
+        ).alias("dow"),
+    )
+    aggs = [
+        F.sum(
+            F.when(F.col("dow") == i, F.lit(1)).otherwise(F.lit(0))
+        ).cast("long").alias(f"d{i}")
+        for i in range(7)
+    ]
+    aggs.append(F.count(F.lit(1)).alias("n"))
+    g = ev.groupBy("event_type").agg(*aggs)
+    return g.where(F.col("n") >= 7).select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        (F.expr(_DOW_CHI) + F.lit(0.0)).alias("chi2_dow"),
+    )

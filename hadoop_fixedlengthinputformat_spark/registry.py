@@ -199,6 +199,11 @@ GRADE_ORDER: tuple[str, ...] = (
     "scan_varlen_db",
     "sink_varlen_db",
     "scan_fixedlen_sorted",
+    "sink_fixedlen_sorted",
+    "agg_hhi",
+    "ts_dow_profile",
+    "llm_hash_features",
+    "llm_quality_classifier",
     # rows-only sketches stay LAST of the queued names (VERDICT r3 #5):
     # no_oracle rows burn grading signal
     "stream_watermark_late_drop",

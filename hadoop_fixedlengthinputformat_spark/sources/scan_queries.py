@@ -500,3 +500,59 @@ def scan_fixedlen_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("c_acctbal", 4).alias("acctbal"),
         "c_mktsegment",
     )
+
+
+@query(
+    "sink_fixedlen_sorted",
+    oracle="""
+    SELECT COALESCE(c_custkey, 0) AS c_custkey,
+           COALESCE(c_name, '') AS c_name,
+           round(COALESCE(c_acctbal, 0), 4) AS acctbal
+    FROM customer
+    WHERE COALESCE(c_custkey, 0) BETWEEN 100 AND 400
+    """,
+)
+def sink_fixedlen_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The writer side of sortedBy: repartitionByRange + sortWithin-
+    Partitions produces part files that are each internally ascending
+    with DISJOINT key ranges — exactly the shape the bisection scan
+    prunes (files outside the probed range clamp to zero partitions;
+    the matching file clamps to the key slice).  One range exchange,
+    the standard cluster recipe for writing a key-indexed fixed-width
+    feed.  Read back through sortedBy with a range predicate and
+    compared to the source table."""
+    configure(spark)
+    fixedlen.register(spark)
+    record_length, spec, _ = fixture_gen.LAYOUTS["customer"]
+    c = load_table(spark, sf_dir, "customer").select(
+        F.coalesce("c_custkey", F.lit(0)).alias("c_custkey"),
+        F.coalesce("c_name", F.lit("")).alias("c_name"),
+        F.coalesce("c_nationkey", F.lit(0)).alias("c_nationkey"),
+        F.coalesce("c_acctbal", F.lit(0.0)).alias("c_acctbal"),
+        F.coalesce("c_mktsegment", F.lit("")).alias("c_mktsegment"),
+    )
+    out = os.path.join(tempfile.gettempdir(), "flif_sink_fixedlen_sorted")
+    (
+        c.repartitionByRange(4, "c_custkey")
+        .sortWithinPartitions("c_custkey")
+        .write.format("fixedlen")
+        .option("recordLength", str(record_length))
+        .option("layout", spec)
+        .mode("overwrite")
+        .save(out)
+    )
+    df = (
+        spark.read.format("fixedlen")
+        .option("recordLength", str(record_length))
+        .option("layout", spec)
+        .option("sortedBy", "c_custkey")
+        .option("includeOffset", "false")
+        .load(out)
+    )
+    return df.filter(
+        (F.col("c_custkey") >= 100) & (F.col("c_custkey") <= 400)
+    ).select(
+        "c_custkey",
+        "c_name",
+        F.round("c_acctbal", 4).alias("acctbal"),
+    )

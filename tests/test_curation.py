@@ -796,3 +796,89 @@ def test_llm_dedup_bloom_invariants(spark, sf_dir):
     non_dup = sum(1 for r in rows if not r.exact_dup)
     if non_dup >= 50:
         assert fp <= max(5, 10 * p * non_dup), (fp, p, non_dup)
+
+
+def test_agg_hhi_matches_python(spark, sf_dir):
+    from hadoop_fixedlengthinputformat_spark.operators.pivot_stats import (
+        agg_hhi,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet").to_pylist()
+    counts: dict[str, dict[str, int]] = {}
+    for r in tbl:
+        if r["lang"] is not None and r["source"] is not None:
+            counts.setdefault(r["lang"], {})
+            counts[r["lang"]][r["source"]] = (
+                counts[r["lang"]].get(r["source"], 0) + 1
+            )
+    got = {r.lang: r for r in agg_hhi(spark, sf_dir).collect()}
+    assert set(got) == set(counts)
+    for lang, srcs in counts.items():
+        n = sum(srcs.values())
+        hhi = sum((c / n) ** 2 for c in srcs.values())
+        r = got[lang]
+        assert r.n_docs == n and r.n_sources == len(srcs)
+        assert abs(r.hhi - hhi) < 2e-4
+        assert 1.0 / max(len(srcs), 1) - 2e-4 <= r.hhi <= 1.0 + 2e-4
+
+
+def test_ts_dow_profile_matches_python(spark, sf_dir):
+    from hadoop_fixedlengthinputformat_spark.operators.timeseries import (
+        ts_dow_profile,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/events.parquet").to_pylist()
+    cells: dict[str, list[int]] = {}
+    for r in tbl:
+        if r["ts"] is not None and r["event_type"] is not None:
+            ts = r["ts"]
+            if ts.tzinfo is not None:
+                import datetime as _dt
+
+                ts = ts.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            import datetime as _dt
+
+            epoch = int(
+                (ts - _dt.datetime(1970, 1, 1)).total_seconds() // 1
+            )
+            dow = ((epoch // 86400) % 7 + 7) % 7
+            cells.setdefault(r["event_type"], [0] * 7)[dow] += 1
+    got = {r.event_type: r for r in ts_dow_profile(spark, sf_dir).collect()}
+    for et, cs in cells.items():
+        n = sum(cs)
+        if n < 7:
+            assert et not in got
+            continue
+        chi = sum((c - n / 7) ** 2 / (n / 7) for c in cs)
+        r = got[et]
+        assert r.n_events == n
+        assert abs(r.chi2_dow - chi) < max(2e-4, 2e-4 * abs(chi))
+
+
+def test_llm_quality_classifier_matches_python(spark, sf_dir):
+    from hadoop_fixedlengthinputformat_spark.functions.curation_extras import (
+        llm_quality_classifier,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet").to_pylist()
+    got = {}
+    for r in llm_quality_classifier(spark, sf_dir).collect():
+        got.setdefault(r.doc_id, []).append(r)
+    import math as _m
+
+    seen = 0
+    for r in tbl:
+        if r["doc_id"] is None or not r["text"]:
+            continue
+        seen += 1
+        ntok = len(r["text"]) - len(r["text"].replace(" ", "")) + 1
+        nns = len(r["text"].replace(" ", ""))
+        z = -1.5 + 0.002 * min(ntok, 1000) + 0.3 * (nns / ntok - 4.0)
+        score = 1.0 / (1.0 + _m.exp(-z))
+        matches = [
+            g for g in got.get(r["doc_id"], [])
+            if g.n_tok == ntok and abs(g.quality_score - score) < 2e-4
+        ]
+        assert matches, (r["doc_id"], ntok, score)
+        assert matches[0].is_quality == (matches[0].quality_score >= 0.5)
+    assert seen > 0
