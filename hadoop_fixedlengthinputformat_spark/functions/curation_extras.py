@@ -735,3 +735,52 @@ def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.expr(_QC_SCORE) + F.lit(0.0)).alias("quality_score"),
         F.expr(f"({_QC_SCORE}) >= 0.5").alias("is_quality"),
     )
+
+
+# Log2 length histogram: power-of-two buckets via a shared CASE chain —
+# integer-only, no log() on data.
+_LH_BOUNDS = [4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8, 4, 2, 1]
+_LH_BUCKET = (
+    "CASE "
+    + " ".join(f"WHEN ntok >= {b} THEN {b}" for b in _LH_BOUNDS)
+    + " ELSE 0 END"
+)
+
+
+@query(
+    "llm_length_histogram",
+    oracle=f"""
+    WITH feat AS (
+        SELECT CAST(length(text) - length(replace(text, ' ', '')) + 1
+                    AS BIGINT) AS ntok
+        FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    )
+    SELECT CAST({_LH_BUCKET} AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS sum_tokens
+    FROM feat GROUP BY bucket
+    """,
+)
+def llm_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two document-length histogram (the dataset-card length
+    distribution): bucket = largest power of two <= token count, via a
+    shared integer CASE chain — no log() on data, nothing to snap.
+    Token counts use the string-arithmetic rule (text.n_ws_tokens
+    formula).  One map-side-combined groupBy over 14 possible buckets —
+    the exchange carries partials, never documents."""
+    d = load_table(spark, sf_dir, "documents")
+    feat = d.where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    ).select(
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            + 1
+        ).cast("long").alias("ntok")
+    )
+    return feat.groupBy(
+        F.expr(_LH_BUCKET).cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ntok").alias("sum_tokens"),
+    )

@@ -795,3 +795,149 @@ def ts_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_events"),
         (F.expr(_DOW_CHI) + F.lit(0.0)).alias("chi2_dow"),
     )
+
+
+# Kaplan-Meier: S(t) = prod_{ti<=t} (1 - d_i/n_i).  A float product is
+# merge-order-dependent; ln((n-d)/n) per DISTINCT event time snaps to
+# int64 1e-8 units (the llm_lm_score rule), the prefix sum is exact,
+# and one exp at the end recovers S — bit-identical both engines.
+_KM_LN_U = (
+    "CAST(floor(ln((CAST(nr AS DOUBLE) - d) / nr) * 100000000.0 + 0.5)"
+    " AS BIGINT)"
+)
+_KM_S = snap_sql("exp(CAST(cum_lu AS DOUBLE) / 100000000.0)", 4)
+
+
+@query(
+    "ts_survival_km",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(floor(epoch(MIN(ts))) AS BIGINT) AS first_s,
+               CAST(floor(epoch(COALESCE(
+                   MIN(ts) FILTER (event_type = 'error'), MAX(ts)
+               ))) AS BIGINT) AS end_s,
+               (COUNT(*) FILTER (event_type = 'error')) > 0 AS observed
+        FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
+              AND event_type IS NOT NULL
+        GROUP BY user_id
+    ),
+    durs AS (
+        SELECT CAST((end_s - first_s) // 86400 AS BIGINT) AS t_day, observed
+        FROM per_user
+    ),
+    cells AS (
+        SELECT t_day,
+               CAST(count(*) FILTER (observed) AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS a
+        FROM durs GROUP BY t_day
+    ),
+    risk AS (
+        SELECT t_day, d,
+               CAST(SUM(a) OVER () - COALESCE(SUM(a) OVER (
+                   ORDER BY t_day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS nr
+        FROM cells
+    ),
+    ev AS (
+        SELECT t_day, d, nr,
+               CASE WHEN nr > d THEN {_KM_LN_U} ELSE 0 END AS lu,
+               CASE WHEN nr = d THEN 1 ELSE 0 END AS dies_out
+        FROM risk WHERE d > 0
+    ),
+    cum AS (
+        SELECT t_day, d, nr,
+               CAST(SUM(lu) OVER w AS BIGINT) AS cum_lu,
+               CAST(SUM(dies_out) OVER w AS BIGINT) AS dead
+        FROM ev
+        WINDOW w AS (ORDER BY t_day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT t_day, nr AS n_risk, d AS n_events,
+           CASE WHEN dead > 0 THEN 0.0 ELSE {_KM_S} + 0 END AS survival
+    FROM cum
+    """,
+)
+def ts_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-first-error per user
+    (censored at the user's last observed event) — the churn/reliability
+    estimator.  S(t) = Π(1−dᵢ/nᵢ) would be a merge-order-dependent
+    float product; instead ln((n−d)/n) per DISTINCT event day snaps to
+    exact int64 1e-8 units, the prefix sum is exact, and one exp at the
+    end recovers S bit-identically (the llm_lm_score transcendental
+    rule applied to a product).  A day where every remaining subject
+    dies (n=d) pins S to exactly 0.0 from there on.  Shuffle shape:
+    one user groupBy collapses events to |users| duration rows, one
+    day groupBy to |distinct days| cells; the risk/survival windows run
+    over that tiny table (single-partition by design — event-time
+    cells, not raw data)."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    epoch = F.floor(F.col("ts").cast("timestamp").cast("double")).cast("long")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(epoch).alias("first_s"),
+        F.coalesce(
+            F.min(F.when(F.col("event_type") == "error", epoch)),
+            F.max(epoch),
+        ).alias("end_s"),
+        (
+            F.sum(
+                F.when(F.col("event_type") == "error", F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            > 0
+        ).alias("observed"),
+    )
+    durs = per_user.select(
+        ((F.col("end_s") - F.col("first_s")) / 86400)
+        .cast("long")
+        .alias("t_day"),
+        "observed",
+    )
+    cells = durs.groupBy("t_day").agg(
+        F.sum(F.when(F.col("observed"), F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("d"),
+        F.count(F.lit(1)).alias("a"),
+    )
+    w_all = Window.partitionBy()
+    w_prev = Window.orderBy("t_day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = cells.select(
+        "t_day",
+        "d",
+        (
+            F.sum("a").over(w_all)
+            - F.coalesce(F.sum("a").over(w_prev), F.lit(0))
+        ).alias("nr"),
+    )
+    evt = risk.where(F.col("d") > 0).select(
+        "t_day",
+        "d",
+        "nr",
+        F.expr(f"CASE WHEN nr > d THEN {_KM_LN_U} ELSE 0 END").alias("lu"),
+        F.expr("CASE WHEN nr = d THEN 1 ELSE 0 END").alias("dies_out"),
+    )
+    w_run = Window.orderBy("t_day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = evt.select(
+        "t_day",
+        "d",
+        "nr",
+        F.sum("lu").over(w_run).alias("cum_lu"),
+        F.sum("dies_out").over(w_run).alias("dead"),
+    )
+    return cum.select(
+        "t_day",
+        F.col("nr").alias("n_risk"),
+        F.col("d").alias("n_events"),
+        F.expr(
+            f"CASE WHEN dead > 0 THEN 0.0 ELSE {_KM_S} + 0 END"
+        ).alias("survival"),
+    )

@@ -204,6 +204,8 @@ GRADE_ORDER: tuple[str, ...] = (
     "ts_dow_profile",
     "llm_hash_features",
     "llm_quality_classifier",
+    "ts_survival_km",
+    "llm_length_histogram",
     # rows-only sketches stay LAST of the queued names (VERDICT r3 #5):
     # no_oracle rows burn grading signal
     "stream_watermark_late_drop",

@@ -882,3 +882,77 @@ def test_llm_quality_classifier_matches_python(spark, sf_dir):
         assert matches, (r["doc_id"], ntok, score)
         assert matches[0].is_quality == (matches[0].quality_score >= 0.5)
     assert seen > 0
+
+
+def test_ts_survival_km_matches_python(spark, sf_dir):
+    """KM from ln-unit sums must match the direct product estimator."""
+    import datetime as _dt
+
+    from hadoop_fixedlengthinputformat_spark.operators.timeseries import (
+        ts_survival_km,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/events.parquet").to_pylist()
+    users: dict[int, dict] = {}
+    for r in tbl:
+        if r["ts"] is None or r["user_id"] is None or r["event_type"] is None:
+            continue
+        ts = r["ts"]
+        if ts.tzinfo is not None:
+            ts = ts.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        epoch = int((ts - _dt.datetime(1970, 1, 1)).total_seconds() // 1)
+        u = users.setdefault(
+            r["user_id"], {"first": epoch, "last": epoch, "err": None}
+        )
+        u["first"] = min(u["first"], epoch)
+        u["last"] = max(u["last"], epoch)
+        if r["event_type"] == "error":
+            u["err"] = epoch if u["err"] is None else min(u["err"], epoch)
+    durs = []
+    for u in users.values():
+        end = u["err"] if u["err"] is not None else u["last"]
+        durs.append(((end - u["first"]) // 86400, u["err"] is not None))
+    # direct KM
+    from collections import Counter
+
+    d_at = Counter(t for t, obs in durs if obs)
+    a_at = Counter(t for t, _ in durs)
+    total = len(durs)
+    surv, expected, cum_before = 1.0, {}, 0
+    for t in sorted(a_at):
+        nr = total - cum_before
+        d = d_at.get(t, 0)
+        if d > 0:
+            surv *= (nr - d) / nr
+            expected[t] = (nr, d, surv)
+        cum_before += a_at[t]
+    got = {r.t_day: r for r in ts_survival_km(spark, sf_dir).collect()}
+    assert set(got) == set(expected)
+    for t, (nr, d, s) in expected.items():
+        r = got[t]
+        assert (r.n_risk, r.n_events) == (nr, d)
+        assert abs(r.survival - s) < 2e-4, (t, r.survival, s)
+    # survival is non-increasing in t
+    vals = [got[t].survival for t in sorted(got)]
+    assert all(a >= b - 1e-9 for a, b in zip(vals, vals[1:]))
+
+
+def test_llm_length_histogram_buckets(spark, sf_dir):
+    from hadoop_fixedlengthinputformat_spark.functions.curation_extras import (
+        llm_length_histogram,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet").to_pylist()
+    exp: dict[int, list[int]] = {}
+    for r in tbl:
+        if r["text"]:
+            ntok = len(r["text"]) - len(r["text"].replace(" ", "")) + 1
+            b = 1
+            while b * 2 <= ntok and b < 4096:
+                b *= 2
+            cell = exp.setdefault(b, [0, 0])
+            cell[0] += 1
+            cell[1] += ntok
+    got = {r.bucket: (r.n_docs, r.sum_tokens)
+           for r in llm_length_histogram(spark, sf_dir).collect()}
+    assert got == {b: tuple(v) for b, v in exp.items()}
