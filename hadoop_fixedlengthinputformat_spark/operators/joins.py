@@ -655,3 +655,75 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("updated"))
         .alias("action"),
     )
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    WITH od AS (
+        SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id,
+           CASE WHEN CAST(floor(epoch(e.ts)) AS BIGINT)
+                     - CAST(floor(epoch(od.o_orderdate)) AS BIGINT)
+                     <= 30 * 86400
+                THEN od.o_orderkey END AS asof_orderkey
+    FROM events e
+    ASOF LEFT JOIN od
+      ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a match tolerance (the pandas merge_asof
+    ``tolerance=`` semantics): each event matches its latest prior
+    order ONLY if that order is at most 30 days old — stale state
+    must read as no-state, the contract every feature-store lookup
+    needs.  Same one-shuffle union + keyed-window formulation as
+    join_asof, carrying BOTH the order key and its epoch through twin
+    last(ignorenulls) windows (they null out together, so the pair is
+    consistent); the age test is whole-second integer arithmetic on
+    both engines (the ts_sessionize epoch rule).  Orders pre-deduped
+    per (custkey, orderdate) for deterministic ties."""
+    ev = load_table(spark, sf_dir, "events")
+    od = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    left = ev.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").cast("timestamp").alias("t"),
+        F.lit(1).alias("side"),
+        F.col("event_id"),
+        F.lit(None).cast("long").alias("ord_key"),
+        F.lit(None).cast("long").alias("ord_s"),
+    )
+    right = od.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").cast("timestamp").alias("t"),
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderkey").alias("ord_key"),
+        F.floor(F.col("o_orderdate").cast("timestamp").cast("double"))
+        .cast("long")
+        .alias("ord_s"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = (
+        left.unionByName(right)
+        .withColumn("a_key", F.last("ord_key", ignorenulls=True).over(w))
+        .withColumn("a_s", F.last("ord_s", ignorenulls=True).over(w))
+    )
+    ev_s = F.floor(F.col("t").cast("double")).cast("long")
+    return merged.filter(F.col("side") == 1).select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        F.when(
+            ev_s - F.col("a_s") <= 30 * 86400, F.col("a_key")
+        ).alias("asof_orderkey"),
+    )

@@ -206,6 +206,7 @@ GRADE_ORDER: tuple[str, ...] = (
     "llm_quality_classifier",
     "ts_survival_km",
     "llm_length_histogram",
+    "join_asof_tolerance",
     # rows-only sketches stay LAST of the queued names (VERDICT r3 #5):
     # no_oracle rows burn grading signal
     "stream_watermark_late_drop",
