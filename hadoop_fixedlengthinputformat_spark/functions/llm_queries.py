@@ -1325,3 +1325,17 @@ def llm_near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dist <= limit)
         .select("doc_a", "doc_b", dist.alias("edit_dist"))
     )
+
+
+@query("mm_video_frames")  # frame sampling — rows-only (pixel math)
+def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling: the media column carries a
+    concatenated-P6 container (each frame a complete image); the
+    mapInPandas kernel walks the container by exact per-frame byte
+    arithmetic, keeps every 2nd frame, and computes dims + mean luma
+    from the actual pixels (multimodal.py).  Completes the multimodal
+    trio (image features / audio frames / video frame-sample) with the
+    same quarantine convention for foreign codecs."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    media = multimodal.attach_video(d)
+    return multimodal.sample_video_frames(media, every=2)

@@ -326,3 +326,122 @@ def resize_images(
             )
 
     return df.select(id_col, "media").mapInPandas(run, RESIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Video: concatenated-PPM container (the uncompressed-frames transport —
+# each frame is a complete P6 image, frames back-to-back; real codecs
+# route through the same quarantine convention as compressed images)
+
+VIDEO_FRAME_SCHEMA = (
+    "doc_id bigint, n_frames int, frame_idx int, width int, height int, "
+    "mean_luma double"
+)
+
+
+def video_payload(doc_id: int, text: str | None, n_frames: int = 6) -> bytes:
+    """A deterministic multi-frame video: n_frames complete P6 images
+    concatenated (constant dims per video, per-frame pixel bytes chain
+    off (doc_id, frame, text))."""
+    w = 8 + doc_id % 5
+    h = 8 + doc_id % 3
+    out = bytearray()
+    for fi in range(n_frames):
+        seed = f"vid|{doc_id}|{fi}|".encode() + (text or "").encode()
+        out += f"P6\n{w} {h}\n255\n".encode() + _det_bytes(seed, w * h * 3)
+    return bytes(out)
+
+
+def attach_video(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Video twin of attach_media."""
+
+    @F.pandas_udf("binary")
+    def mk(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        return pd.Series(
+            [video_payload(int(i), t) for i, t in zip(doc_id, text)]
+        )
+
+    return df.withColumn("media", mk(F.col(id_col), F.col("text")))
+
+
+def split_video_frames(payload: bytes) -> list[np.ndarray] | None:
+    """Walk a concatenated-P6 container into decoded frames; None =
+    not this container (foreign codec -> quarantine).  Each frame's
+    byte length is computable from its own header, so the walk is
+    exact — a malformed frame mid-stream returns None rather than
+    shifting all later frames."""
+    frames: list[np.ndarray] = []
+    pos, n = 0, len(payload)
+    while pos < n:
+        if payload[pos : pos + 2] != b"P6":
+            return None
+        # header scan (the decode_image scanner, offset-aware)
+        p = pos + 2
+        vals = []
+        try:
+            for _ in range(3):
+                while payload[p : p + 1].isspace():
+                    p += 1
+                s = p
+                while payload[p : p + 1].isdigit():
+                    p += 1
+                vals.append(int(payload[s:p]))
+            p += 1
+            w, h, maxv = vals
+            if maxv != 255 or w <= 0 or h <= 0:
+                return None
+            end = p + w * h * 3
+            if end > n:
+                return None
+            img = decode_image(payload[pos:end])
+            if img is None:
+                return None
+            frames.append(img)
+            pos = end
+        except (ValueError, IndexError):
+            return None
+    return frames or None
+
+
+def sample_video_frames(
+    df: DataFrame, id_col: str = "doc_id", every: int = 2
+) -> DataFrame:
+    """Frame sampling over REAL decoded frames: keep every ``every``-th
+    frame (the keyframe-stride stand-in), emit per-kept-frame dims +
+    mean luma.  Undecodable containers emit zero rows (quarantine).
+    Same mapInPandas shape as the image/audio kernels: stateless,
+    Arrow-batched, features-out-only — at 100 TB repartition to
+    media-sized tasks upstream and never re-emit payload bytes."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, media in zip(pdf[id_col], pdf["media"]):
+                frames = (
+                    split_video_frames(bytes(media))
+                    if media is not None
+                    else None
+                )
+                if not frames:
+                    continue
+                for fi in range(0, len(frames), every):
+                    img = frames[fi]
+                    rows.append(
+                        (
+                            doc_id,
+                            len(frames),
+                            fi,
+                            img.shape[1],
+                            img.shape[0],
+                            float(img.mean()) / 255.0,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "frame_idx", "width", "height",
+                    "mean_luma",
+                ],
+            )
+
+    return df.select(id_col, "media").mapInPandas(sample, VIDEO_FRAME_SCHEMA)

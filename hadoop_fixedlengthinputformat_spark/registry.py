@@ -212,6 +212,7 @@ GRADE_ORDER: tuple[str, ...] = (
     "stream_watermark_late_drop",
     "agg_hll_mergeable",
     "llm_tokenizer_apply",
+    "mm_video_frames",
 )
 
 

@@ -956,3 +956,44 @@ def test_llm_length_histogram_buckets(spark, sf_dir):
     got = {r.bucket: (r.n_docs, r.sum_tokens)
            for r in llm_length_histogram(spark, sf_dir).collect()}
     assert got == {b: tuple(v) for b, v in exp.items()}
+
+
+def test_video_frame_sampling_matches_numpy(spark, sf_dir):
+    """Video kernel ground truth: the sampled frames' luma must match a
+    direct numpy decode of the same deterministic container, and a
+    foreign-codec payload must quarantine (zero rows)."""
+    import numpy as np
+
+    from hadoop_fixedlengthinputformat_spark.functions import multimodal
+
+    # pure-python reference on one doc
+    payload = multimodal.video_payload(7, "hello", n_frames=6)
+    frames = multimodal.split_video_frames(payload)
+    assert frames is not None and len(frames) == 6
+    for img in frames:
+        assert img.shape == (8 + 7 % 3, 8 + 7 % 5, 3)
+    # spark pipeline agrees per (doc, frame)
+    from hadoop_fixedlengthinputformat_spark.functions.llm_queries import (
+        mm_video_frames,
+    )
+
+    got = {(r.doc_id, r.frame_idx): r for r in mm_video_frames(spark, sf_dir).collect()}
+    assert got
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet").to_pylist()
+    checked = 0
+    for r in tbl:
+        if r["doc_id"] is None or r["doc_id"] >= 60:
+            continue
+        frames = multimodal.split_video_frames(
+            multimodal.video_payload(r["doc_id"], r["text"] or "")
+        )
+        for fi in range(0, len(frames), 2):
+            g = got[(r["doc_id"], fi)]
+            assert g.n_frames == len(frames)
+            assert abs(g.mean_luma - float(frames[fi].mean()) / 255.0) < 1e-9
+            checked += 1
+    assert checked > 0
+    # quarantine: foreign magic yields None
+    assert multimodal.split_video_frames(b"\x00\x01notavideo") is None
+    # truncated mid-frame yields None, never a shifted parse
+    assert multimodal.split_video_frames(payload[:-5]) is None
