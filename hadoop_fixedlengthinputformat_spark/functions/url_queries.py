@@ -184,3 +184,45 @@ def llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("url")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
     )
+
+
+@query(
+    "fn_uuid",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, md5('flif-ns|' || CAST(doc_id AS VARCHAR)) AS hx
+        FROM documents WHERE doc_id IS NOT NULL
+    )
+    SELECT DISTINCT doc_id,
+           concat(substr(hx, 1, 8), '-', substr(hx, 9, 4), '-',
+                  '5', substr(hx, 14, 3), '-',
+                  '8', substr(hx, 18, 3), '-', substr(hx, 21, 12)) AS doc_uuid
+    FROM h
+    """,
+)
+def fn_uuid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic namespaced UUID minting (the RFC-4122 name-based
+    v5 SHAPE over md5 — the stable-surrogate-key recipe every ingest
+    pipeline needs; Spark's uuid() is nondeterministic and useless for
+    idempotent re-runs).  Version/variant nibbles pinned as literals so
+    the output parses as a valid UUID; pure string slicing of the md5
+    hex on both engines — zero UDF, zero shuffle beyond DISTINCT
+    (duplicate doc_ids mint the same id, by design)."""
+    d = load_table(spark, sf_dir, "documents")
+    hx = F.md5(
+        F.concat(F.lit("flif-ns|"), F.col("doc_id").cast("string")).cast(
+            "binary"
+        )
+    )
+    uid = F.concat(
+        F.substring(hx, 1, 8), F.lit("-"),
+        F.substring(hx, 9, 4), F.lit("-"),
+        F.lit("5"), F.substring(hx, 14, 3), F.lit("-"),
+        F.lit("8"), F.substring(hx, 18, 3), F.lit("-"),
+        F.substring(hx, 21, 12),
+    )
+    return (
+        d.where(F.col("doc_id").isNotNull())
+        .select("doc_id", uid.alias("doc_uuid"))
+        .distinct()
+    )

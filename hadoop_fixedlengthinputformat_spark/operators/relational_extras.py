@@ -638,3 +638,46 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("fkey"))
         .alias("nearest_orderkey"),
     )
+
+
+@query(
+    "dq_freshness",
+    oracle="""
+    WITH per AS (
+        SELECT event_type,
+               CAST(floor(epoch(MAX(ts))) AS BIGINT) AS latest_s,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events
+        WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY event_type
+    ),
+    g AS (SELECT CAST(MAX(latest_s) AS BIGINT) AS global_s FROM per)
+    SELECT per.event_type, n_events,
+           CAST(global_s - latest_s AS BIGINT) AS staleness_s,
+           (global_s - latest_s) > 86400 AS is_stale
+    FROM per, g
+    """,
+)
+def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream freshness audit (the data-SLA companion to dq_audit):
+    each event type's lag behind the newest event anywhere, flagged
+    stale past 24 h — whole-second integer epochs on both sides (the
+    ts_sessionize rule), so the flag can't flip on a fractional-second
+    seam.  One map-side-combined groupBy to |event types| rows + a
+    broadcast 1-row global max — nothing scales with data volume past
+    the scan."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    epoch = F.floor(F.col("ts").cast("timestamp").cast("double")).cast("long")
+    per = ev.groupBy("event_type").agg(
+        F.max(epoch).alias("latest_s"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    g = per.agg(F.max("latest_s").alias("global_s"))
+    return per.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        "n_events",
+        (F.col("global_s") - F.col("latest_s")).alias("staleness_s"),
+        ((F.col("global_s") - F.col("latest_s")) > 86400).alias("is_stale"),
+    )

@@ -207,6 +207,8 @@ GRADE_ORDER: tuple[str, ...] = (
     "ts_survival_km",
     "llm_length_histogram",
     "join_asof_tolerance",
+    "fn_uuid",
+    "dq_freshness",
     # rows-only sketches stay LAST of the queued names (VERDICT r3 #5):
     # no_oracle rows burn grading signal
     "stream_watermark_late_drop",
