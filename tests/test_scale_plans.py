@@ -871,3 +871,42 @@ def test_dedup_bloom_broadcasts_filter_words(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "partial_bit_or" in plan, plan
+
+
+def test_asof_tolerance_single_exchange_no_range_join(spark):
+    """join_asof_tolerance keeps the join_asof shape: the twin
+    last(ignorenulls) windows share ONE key exchange over the union —
+    no nested-loop range probe anywhere."""
+    from hadoop_fixedlengthinputformat_spark.operators.joins import (
+        join_asof_tolerance,
+    )
+
+    df = join_asof_tolerance(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # exactly two hash exchanges: the orders (custkey, date) pre-dedup
+    # aggregate and the user-keyed union window — and the twin
+    # last(ignorenulls) functions share ONE Window node on one exchange
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("Window ") == 1, plan
+
+
+def test_sink_sorted_one_range_exchange(spark):
+    """sink_fixedlen_sorted's write plan is one range exchange + an
+    in-partition sort (never a global sort node)."""
+    from hadoop_fixedlengthinputformat_spark.tables import (
+        configure, load_table,
+    )
+    import pyspark.sql.functions as F
+
+    configure(spark)
+    c = load_table(spark, "/root/testdata/sf0.001", "customer").select(
+        F.coalesce("c_custkey", F.lit(0)).alias("c_custkey"), "c_name"
+    )
+    shaped = c.repartitionByRange(4, "c_custkey").sortWithinPartitions(
+        "c_custkey"
+    )
+    plan = shaped._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange rangepartitioning" in plan, plan
+    assert plan.count("Exchange") == 1, plan
