@@ -12,6 +12,14 @@ oracle (see ``snap_sql``).
 Transcendentals (``ln``, ``exp``, trig) differ between engines in the
 last ulp, so snap them to 8 decimals BEFORE any further arithmetic
 (the ``llm_bm25`` idf recipe), then snap the final result to 4.
+
+MAGNITUDE RULE: Spark's ``floor(double)`` returns LONG and SATURATES at
+int64 max, while DuckDB's stays DOUBLE — so ``snap(x, 8)`` silently
+diverges once ``|x| > ~9.2e10`` (x*1e8 overflows the long).  Never snap
+an un-normalized quantity whose magnitude grows with corpus size
+(raw variance terms, un-divided sums): normalize first (divide by n or
+n², work in per-row units) so every snapped operand is bounded by data
+magnitude.  Found via agg_corr_matrix (stats_extras._corr_expr).
 """
 
 from __future__ import annotations

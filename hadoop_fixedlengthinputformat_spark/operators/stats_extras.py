@@ -1,0 +1,543 @@
+"""F++ family — association / agreement / robust-trend statistics.
+
+Nothing like these exists in the reference (SURVEY.md §2.2: the only
+arithmetic there is split-offset math); they extend the statistical
+surface a curation dashboard runs over ingested corpora: inter-rater
+agreement (Cohen's kappa), rank association (Kendall's tau), effect
+size (Cohen's d / Hedges' g), a Pearson correlation matrix, and the
+robust Theil–Sen trend slope.
+
+Determinism follows the CLAUDE.md round-5/6 statistics recipes:
+  * floor/round inputs to EXACT int64 units, aggregate exact power /
+    pair-count sums (merge-order-free), and only then evaluate ONE
+    identically-parenthesized double tree shared verbatim with the
+    DuckDB oracle (sqrt snapped to 8, final statistic to 4, ``+ 0``
+    clearing IEEE -0.0);
+  * where a statistic is a pure ratio of integers (kappa, tau-a) the
+    exact numerator/denominator are ALSO exposed as BIGINT columns —
+    zero floating point in the primary result;
+  * medians use the per-value-collapse + running-count "lower median"
+    construction (the agg_weighted_median shape) — no percentile
+    interpolation, no double ordering ambiguity.
+
+Scale notes:
+  * pairwise ops (tau, Theil–Sen) self-join WITHIN a bounded group
+    (order: ≤ O(10) lines; user history: bounded per-user) — the join
+    key co-partitions both sides, pairs per group are O(k²) on a
+    k that does NOT grow with corpus size, so the shuffle is one
+    key-hash exchange and the blow-up is a constant factor.
+  * kappa / effect-size / corr-matrix are single full-aggregate passes
+    with map-side partials — one 1-row (or |groups|-row) exchange.
+  * int64 overflow budgets are documented per-op; past them, re-unit
+    the integer inputs first (the agg_moments rule).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from hadoop_fixedlengthinputformat_spark.functions.num import (
+    money_units,
+    snap_sql,
+)
+from hadoop_fixedlengthinputformat_spark.registry import query
+from hadoop_fixedlengthinputformat_spark.tables import load_table
+
+
+# Cohen's kappa on the 2x2 agreement table is an EXACT integer
+# fraction: kappa = (N*(a+d) - (r1*c1 + r2*c2)) / (N*N - (r1*c1+r2*c2))
+# — no floating point anywhere except the final convenience ratio.
+_KAPPA = snap_sql("CAST(kappa_num AS DOUBLE) / kappa_den", 4)
+
+
+@query(
+    "agg_cohen_kappa",
+    oracle=f"""
+    WITH base AS (
+        SELECT CASE WHEN o_totalprice >= 150000 THEN 1 ELSE 0 END AS rp,
+               CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS rq
+        FROM orders
+        WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+    ),
+    g AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) FILTER (rp = 1 AND rq = 1) AS BIGINT) AS a,
+               CAST(count(*) FILTER (rp = 1 AND rq = 0) AS BIGINT) AS b,
+               CAST(count(*) FILTER (rp = 0 AND rq = 1) AS BIGINT) AS c,
+               CAST(count(*) FILTER (rp = 0 AND rq = 0) AS BIGINT) AS d
+        FROM base
+    ),
+    k AS (
+        SELECT n, a + d AS agree,
+               CAST(n * (a + d)
+                    - ((a + b) * (a + c) + (c + d) * (b + d))
+                    AS BIGINT) AS kappa_num,
+               CAST(n * n
+                    - ((a + b) * (a + c) + (c + d) * (b + d))
+                    AS BIGINT) AS kappa_den
+        FROM g
+    )
+    SELECT n AS n_orders, CAST(agree AS BIGINT) AS agree,
+           kappa_num, kappa_den, {_KAPPA} + 0 AS kappa
+    FROM k WHERE n > 0 AND kappa_den > 0
+    """,
+)
+def agg_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa agreement between two deterministic binary
+    "raters" over orders (price-threshold vs priority-class labelers —
+    the shape of comparing a heuristic quality filter against a model
+    classifier on the same corpus).  The 2x2 table is four exact
+    conditional counts in ONE full aggregate (map-side combined, one
+    1-row exchange), and kappa is an EXACT integer fraction
+    (N·diag − Σrᵢcᵢ) / (N² − Σrᵢcᵢ) exposed as BIGINT num/den columns;
+    the double ratio is a convenience, snapped to 4.  Overflow: N² at
+    int64 holds past 3e9 orders — beyond, the fraction needs one
+    re-unit (or DECIMAL) but the counts themselves never overflow."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.where(
+        F.col("o_totalprice").isNotNull()
+        & F.col("o_orderpriority").isNotNull()
+    ).select(
+        F.when(F.col("o_totalprice") >= 150000, 1).otherwise(0).alias("rp"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        ).otherwise(0).alias("rq"),
+    )
+
+    def cell(p: int, q: int, name: str):
+        return F.sum(
+            F.when((F.col("rp") == p) & (F.col("rq") == q), 1).otherwise(0)
+        ).cast("long").alias(name)
+
+    g = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        cell(1, 1, "a"), cell(1, 0, "b"), cell(0, 1, "c"), cell(0, 0, "d"),
+    )
+    pe_sum = (
+        (F.col("a") + F.col("b")) * (F.col("a") + F.col("c"))
+        + (F.col("c") + F.col("d")) * (F.col("b") + F.col("d"))
+    )
+    k = g.select(
+        "n",
+        (F.col("a") + F.col("d")).alias("agree"),
+        (F.col("n") * (F.col("a") + F.col("d")) - pe_sum)
+        .cast("long").alias("kappa_num"),
+        (F.col("n") * F.col("n") - pe_sum).cast("long").alias("kappa_den"),
+    )
+    return k.where((F.col("n") > 0) & (F.col("kappa_den") > 0)).select(
+        F.col("n").alias("n_orders"),
+        F.col("agree").cast("long").alias("agree"),
+        "kappa_num",
+        "kappa_den",
+        (F.expr(_KAPPA) + F.lit(0.0)).alias("kappa"),
+    )
+
+
+# Kendall: tau-a = (C - D) / n0 is an exact fraction; tau-b divides by
+# sqrt((n0-n1)(n0-n2)) — evaluated as tie-FRACTIONS (≤ 1) so the one
+# snapped transcendental is magnitude-bounded at any corpus size (the
+# Spark floor()-is-LONG snap rule, see _corr_expr).
+_TAU_B_DEN = snap_sql(
+    "sqrt((CAST(n_pairs - tx AS DOUBLE) / n_pairs)"
+    " * (CAST(n_pairs - ty AS DOUBLE) / n_pairs))", 8
+)
+_TAU_A = snap_sql("CAST(concordant - discordant AS DOUBLE) / n_pairs", 4)
+_TAU_B = snap_sql(
+    "(CAST(concordant - discordant AS DOUBLE) / n_pairs)"
+    f" / ({_TAU_B_DEN})", 4
+)
+
+
+@query(
+    "agg_kendall_tau",
+    oracle=f"""
+    WITH li AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(round(l_quantity * 100, 0) AS BIGINT) AS x,
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+              AND l_linenumber IS NOT NULL
+    ),
+    pairs AS (
+        SELECT a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.l_linenumber < b.l_linenumber
+    ),
+    g AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(count(*) FILTER ((x1 < x2 AND y1 < y2)
+                    OR (x1 > x2 AND y1 > y2)) AS BIGINT) AS concordant,
+               CAST(count(*) FILTER ((x1 < x2 AND y1 > y2)
+                    OR (x1 > x2 AND y1 < y2)) AS BIGINT) AS discordant,
+               CAST(count(*) FILTER (x1 = x2) AS BIGINT) AS tx,
+               CAST(count(*) FILTER (y1 = y2) AS BIGINT) AS ty
+        FROM pairs
+    )
+    SELECT n_pairs, concordant, discordant, tx AS ties_x, ty AS ties_y,
+           {_TAU_A} + 0 AS tau_a, {_TAU_B} + 0 AS tau_b
+    FROM g WHERE n_pairs > tx AND n_pairs > ty
+    """,
+)
+def agg_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooled within-order Kendall rank association between quantity
+    and extended price: concordant/discordant/tied pair counts over
+    all (i<j) line pairs of each order, pooled corpus-wide (the
+    stratified-pairs construction — association is measured within
+    strata so the order mix can't confound it).  EXACT integer cent
+    units and exact pair counts; tau-a is an exact fraction, tau-b's
+    sqrt is snapped to 8 before the final snap-4 ratio.  Scale: the
+    self-join key (orderkey) co-partitions both sides in ONE exchange
+    and groups are ≤ O(10) lines, so pairs are a bounded constant
+    factor (≤ 78 rows per order at TPC-H line counts) — no quadratic
+    blow-up in corpus size, no skew (order sizes are capped)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.where(
+        F.col("l_quantity").isNotNull()
+        & F.col("l_extendedprice").isNotNull()
+        & F.col("l_linenumber").isNotNull()
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        money_units(F.col("l_quantity"), 2).alias("x"),
+        money_units(F.col("l_extendedprice"), 2).alias("y"),
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_linenumber") < F.col("b.l_linenumber")),
+    ).select(
+        F.col("a.x").alias("x1"), F.col("a.y").alias("y1"),
+        F.col("b.x").alias("x2"), F.col("b.y").alias("y2"),
+    )
+
+    def cnt(cond, name: str):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+
+    x1, y1, x2, y2 = (F.col(c) for c in ("x1", "y1", "x2", "y2"))
+    g = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        cnt(((x1 < x2) & (y1 < y2)) | ((x1 > x2) & (y1 > y2)), "concordant"),
+        cnt(((x1 < x2) & (y1 > y2)) | ((x1 > x2) & (y1 < y2)), "discordant"),
+        cnt(x1 == x2, "tx"),
+        cnt(y1 == y2, "ty"),
+    )
+    return g.where(
+        (F.col("n_pairs") > F.col("tx")) & (F.col("n_pairs") > F.col("ty"))
+    ).select(
+        "n_pairs",
+        "concordant",
+        "discordant",
+        F.col("tx").alias("ties_x"),
+        F.col("ty").alias("ties_y"),
+        (F.expr(_TAU_A) + F.lit(0.0)).alias("tau_a"),
+        (F.expr(_TAU_B) + F.lit(0.0)).alias("tau_b"),
+    )
+
+
+# Effect size from exact power sums: (n-1)*s² per class is exactly
+# v/n with v = n*S2 - S1² (exact int64), so the pooled sd is
+# sqrt((va/na + vr/nr) / (na + nr - 2)) — one double tree, sqrt
+# snapped to 8, d and g to 4.
+_D_SP = snap_sql(
+    "sqrt((vf / CAST(nf AS DOUBLE) + vo / CAST(no_ AS DOUBLE))"
+    " / (nf + no_ - 2))", 8
+)
+_D_STAT = snap_sql(
+    f"(s1f / CAST(nf AS DOUBLE) - s1o / CAST(no_ AS DOUBLE)) / ({_D_SP})", 4
+)
+_G_STAT = snap_sql(
+    f"(({_D_STAT}) * (1.0 - 3.0 / (4.0 * (nf + no_) - 9.0)))", 4
+)
+
+
+@query(
+    "agg_cohens_d",
+    oracle=f"""
+    WITH base AS (
+        SELECT l_linestatus, CAST(floor(l_extendedprice) AS BIGINT) AS xi
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_linestatus IN ('F', 'O')
+    ),
+    g AS (
+        SELECT CAST(count(*) FILTER (l_linestatus = 'F') AS BIGINT) AS nf,
+               CAST(SUM(xi)  FILTER (l_linestatus = 'F') AS BIGINT) AS s1f,
+               CAST(SUM(xi*xi) FILTER (l_linestatus = 'F') AS BIGINT) AS s2f,
+               CAST(count(*) FILTER (l_linestatus = 'O') AS BIGINT) AS no_,
+               CAST(SUM(xi)  FILTER (l_linestatus = 'O') AS BIGINT) AS s1o,
+               CAST(SUM(xi*xi) FILTER (l_linestatus = 'O') AS BIGINT) AS s2o
+        FROM base
+    ),
+    v AS (
+        SELECT nf, s1f, no_, s1o,
+               CAST(nf * s2f - s1f * s1f AS BIGINT) AS vf,
+               CAST(no_ * s2o - s1o * s1o AS BIGINT) AS vo
+        FROM g
+    )
+    SELECT nf AS n_f, no_ AS n_o,
+           {_D_STAT} + 0 AS cohens_d, {_G_STAT} + 0 AS hedges_g
+    FROM v WHERE nf >= 2 AND no_ >= 2 AND (vf > 0 OR vo > 0)
+    """,
+)
+def agg_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d and Hedges' g effect size of extended price between
+    line statuses F and O — the "is this distribution shift material"
+    companion to agg_ttest's "is it significant".  Same one-pass exact
+    int64 power-sum shape (conditional sums inside a single global
+    aggregate, map-side combined); pooled sd uses (n−1)s² = v/n with
+    v = n·S₂−S₁² exact, evaluated in one shared double tree (sqrt
+    snap-8, statistics snap-4).  Overflow: S₂ ≤ 1e10·n — int64-safe to
+    ~9e8 rows per class; floor to hundreds of dollars beyond
+    (documented budget)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.where(
+        F.col("l_extendedprice").isNotNull()
+        & F.col("l_linestatus").isin("F", "O")
+    ).select(
+        "l_linestatus", F.floor("l_extendedprice").cast("long").alias("xi")
+    )
+    x = F.col("xi")
+
+    def side(flag: str, expr, name: str):
+        return F.sum(
+            F.when(F.col("l_linestatus") == flag, expr).otherwise(F.lit(0))
+        ).alias(name)
+
+    def cnt(flag: str, name: str):
+        return F.sum(
+            F.when(F.col("l_linestatus") == flag, F.lit(1)).otherwise(F.lit(0))
+        ).cast("long").alias(name)
+
+    g = base.agg(
+        cnt("F", "nf"), side("F", x, "s1f"), side("F", x * x, "s2f"),
+        cnt("O", "no_"), side("O", x, "s1o"), side("O", x * x, "s2o"),
+    )
+    v = g.select(
+        "nf", "s1f", "no_", "s1o",
+        (F.col("nf") * F.col("s2f") - F.col("s1f") * F.col("s1f"))
+        .alias("vf"),
+        (F.col("no_") * F.col("s2o") - F.col("s1o") * F.col("s1o"))
+        .alias("vo"),
+    )
+    return v.where(
+        (F.col("nf") >= 2) & (F.col("no_") >= 2)
+        & ((F.col("vf") > 0) | (F.col("vo") > 0))
+    ).select(
+        F.col("nf").alias("n_f"),
+        F.col("no_").alias("n_o"),
+        (F.expr(_D_STAT) + F.lit(0.0)).alias("cohens_d"),
+        (F.expr(_G_STAT) + F.lit(0.0)).alias("hedges_g"),
+    )
+
+
+# Pearson r from exact int64 power sums; the variance/covariance terms
+# are evaluated in DOUBLE (deterministic: identical IEEE ops on
+# identical exact-int operands) so no n*S2 int64 overflow cliff exists
+# anywhere — the SUMS carry the budget, not the products.
+#
+# snap() magnitude rule (learned here): Spark's floor() returns LONG,
+# so snap-8 saturates for |x| > ~9.2e10 while DuckDB's floor stays
+# DOUBLE — NEVER snap an un-normalized quantity.  Divide by n² first:
+# cov/n² and the sds vx/n², vy/n² are in (bounded) data units, so the
+# snapped operands can't outgrow int64 at any corpus size.
+def _corr_expr(sx: str, sy: str, sxx: str, syy: str, sxy: str) -> str:
+    n2 = "(CAST(n AS DOUBLE) * n)"
+    sdx = f"sqrt((CAST(n AS DOUBLE) * {sxx} - CAST({sx} AS DOUBLE) * {sx}) / {n2})"
+    sdy = f"sqrt((CAST(n AS DOUBLE) * {syy} - CAST({sy} AS DOUBLE) * {sy}) / {n2})"
+    cov = f"((CAST(n AS DOUBLE) * {sxy} - CAST({sx} AS DOUBLE) * {sy}) / {n2})"
+    return snap_sql(
+        f"{cov} / (({snap_sql(sdx, 8)}) * ({snap_sql(sdy, 8)}))", 4
+    )
+
+
+_CORR_QP = _corr_expr("sq", "sp", "sqq", "spp", "sqp")
+_CORR_QD = _corr_expr("sq", "sd", "sqq", "sdd", "sqd")
+_CORR_PD = _corr_expr("sp", "sd", "spp", "sdd", "spd")
+
+
+@query(
+    "agg_corr_matrix",
+    oracle=f"""
+    WITH base AS (
+        SELECT l_returnflag,
+               CAST(floor(l_quantity) AS BIGINT) AS q,
+               CAST(floor(l_extendedprice) AS BIGINT) AS p,
+               CAST(round(l_discount * 10000, 0) AS BIGINT) AS d
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+              AND l_discount IS NOT NULL AND l_returnflag IS NOT NULL
+    ),
+    g AS (
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(q) AS BIGINT) AS sq, CAST(SUM(p) AS BIGINT) AS sp,
+               CAST(SUM(d) AS BIGINT) AS sd,
+               CAST(SUM(q*q) AS BIGINT) AS sqq,
+               CAST(SUM(p*p) AS BIGINT) AS spp,
+               CAST(SUM(d*d) AS BIGINT) AS sdd,
+               CAST(SUM(q*p) AS BIGINT) AS sqp,
+               CAST(SUM(q*d) AS BIGINT) AS sqd,
+               CAST(SUM(p*d) AS BIGINT) AS spd
+        FROM base GROUP BY l_returnflag HAVING count(*) >= 2
+    )
+    SELECT l_returnflag, 'quantity' AS var_x, 'price' AS var_y,
+           n AS n_rows, {_CORR_QP} + 0 AS corr
+    FROM g
+    UNION ALL
+    SELECT l_returnflag, 'quantity', 'discount', n, {_CORR_QD} + 0
+    FROM g
+    UNION ALL
+    SELECT l_returnflag, 'price', 'discount', n, {_CORR_PD} + 0
+    FROM g
+    """,
+)
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over three lineitem
+    measures (quantity, price dollars, discount basis points) per
+    return flag — the feature-correlation screen a mixing pipeline
+    runs before weighting quality signals.  ONE groupBy computes all
+    ten exact int64 power sums (map-side partial, one |flags|-row
+    exchange); the three correlations are then three rows UNION'd from
+    that single aggregate — the scan and shuffle are NOT repeated per
+    pair.  n·S₂−S₁² terms are evaluated in double (identical IEEE tree
+    both engines, so no int64 n·S₂ overflow cliff); sqrt snap-8, r
+    snap-4.  Sum budget: S_pp ≤ 1e10·n → int64-safe to ~9e8 rows per
+    flag; re-unit price to hundreds beyond."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.where(
+        F.col("l_quantity").isNotNull()
+        & F.col("l_extendedprice").isNotNull()
+        & F.col("l_discount").isNotNull()
+        & F.col("l_returnflag").isNotNull()
+    ).select(
+        "l_returnflag",
+        F.floor("l_quantity").cast("long").alias("q"),
+        F.floor("l_extendedprice").cast("long").alias("p"),
+        money_units(F.col("l_discount"), 4).alias("d"),
+    )
+    q, p, d = F.col("q"), F.col("p"), F.col("d")
+    g = (
+        base.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(q).alias("sq"), F.sum(p).alias("sp"),
+            F.sum(d).alias("sd"),
+            F.sum(q * q).alias("sqq"), F.sum(p * p).alias("spp"),
+            F.sum(d * d).alias("sdd"),
+            F.sum(q * p).alias("sqp"), F.sum(q * d).alias("sqd"),
+            F.sum(p * d).alias("spd"),
+        )
+        .where(F.col("n") >= 2)
+    )
+
+    def row(xn: str, yn: str, expr: str) -> DataFrame:
+        return g.select(
+            "l_returnflag",
+            F.lit(xn).alias("var_x"),
+            F.lit(yn).alias("var_y"),
+            F.col("n").alias("n_rows"),
+            (F.expr(expr) + F.lit(0.0)).alias("corr"),
+        )
+
+    return (
+        row("quantity", "price", _CORR_QP)
+        .unionAll(row("quantity", "discount", _CORR_QD))
+        .unionAll(row("price", "discount", _CORR_PD))
+    )
+
+
+@query(
+    "ts_theil_sen",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+               CAST(round(value * 100, 0) AS BIGINT) AS y
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+    ),
+    slopes AS (
+        SELECT a.user_id,
+               CAST((b.y - a.y) * 86400 AS DOUBLE) / (b.t - a.t) AS slope
+        FROM ev a JOIN ev b
+          ON a.user_id = b.user_id AND a.t < b.t
+    ),
+    per AS (
+        SELECT user_id, slope, CAST(count(*) AS BIGINT) AS cnt
+        FROM slopes GROUP BY user_id, slope
+    ),
+    cum AS (
+        SELECT user_id, slope,
+               CAST(SUM(cnt) OVER (PARTITION BY user_id
+                                   ORDER BY slope) AS BIGINT) AS cw,
+               CAST(SUM(cnt) OVER (PARTITION BY user_id)
+                    AS BIGINT) AS total
+        FROM per
+    )
+    SELECT user_id, total AS n_pairs,
+           {snap_sql('MIN(slope)', 4)} + 0 AS sen_slope
+    FROM cum WHERE 2 * cw >= total
+    GROUP BY user_id, total
+    """,
+)
+def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend slope of event value per user: the
+    median of all pairwise slopes (Δvalue/Δt, cents per DAY) over
+    strictly time-ordered event pairs — the outlier-proof drift
+    estimator for per-source quality trends.  Every slope is one exact
+    IEEE division of exact int64 cents by exact int64 seconds
+    (identical bits both engines; same-timestamp pairs are excluded,
+    so no zero division and no -0.0), and the median uses the
+    per-value-collapse + running-count LOWER-median construction
+    (agg_weighted_median shape) — no percentile interpolation.
+    Scale: the pair self-join co-partitions on user_id in one
+    exchange; per-user history is bounded (O(k²) pairs on a k that
+    doesn't grow with corpus size), and the median window runs over
+    the collapsed |distinct slopes| rows, not the raw pairs."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.where(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    ).select(
+        "user_id",
+        F.col("ts").cast("timestamp").cast("long").alias("t"),
+        money_units(F.col("value"), 2).alias("y"),
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.t") < F.col("b.t")),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        (
+            ((F.col("b.y") - F.col("a.y")) * 86400).cast("double")
+            / (F.col("b.t") - F.col("a.t"))
+        ).alias("slope"),
+    )
+    per = slopes.groupBy("user_id", "slope").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_run = Window.partitionBy("user_id").orderBy("slope")
+    w_all = Window.partitionBy("user_id")
+    cum = per.select(
+        "user_id",
+        "slope",
+        F.sum("cnt").over(w_run).alias("cw"),
+        F.sum("cnt").over(w_all).alias("total"),
+    )
+    return (
+        cum.where(2 * F.col("cw") >= F.col("total"))
+        .groupBy("user_id", "total")
+        .agg(F.min("slope").alias("med"))
+        .select(
+            "user_id",
+            F.col("total").alias("n_pairs"),
+            (F.expr(snap_sql("med", 4)) + F.lit(0.0)).alias("sen_slope"),
+        )
+    )

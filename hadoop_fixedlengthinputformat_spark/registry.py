@@ -209,6 +209,13 @@ GRADE_ORDER: tuple[str, ...] = (
     "join_asof_tolerance",
     "fn_uuid",
     "dq_freshness",
+    # round-6 session-2 widening: association/agreement/effect-size
+    # statistics (exact-integer recipes)
+    "agg_cohen_kappa",
+    "agg_kendall_tau",
+    "agg_cohens_d",
+    "agg_corr_matrix",
+    "ts_theil_sen",
     # rows-only sketches stay LAST of the queued names (VERDICT r3 #5):
     # no_oracle rows burn grading signal
     "stream_watermark_late_drop",
@@ -304,6 +311,9 @@ def load_all() -> None:
     from hadoop_fixedlengthinputformat_spark.sources import (  # noqa: F401
         gdg_queries,
         tape_queries,
+    )
+    from hadoop_fixedlengthinputformat_spark.operators import (  # noqa: F401
+        stats_extras,
     )
 
     _reorder()

@@ -1,0 +1,196 @@
+"""Numpy/pure-Python reference pins for operators/stats_extras.py.
+
+Parity (Spark vs DuckDB) cannot see a wrong formula both engines agree
+on (the agg_moments lesson) — each statistic here is re-derived from
+the raw parquet with an independent brute-force implementation and
+compared within snap tolerance.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyarrow.parquet as pq
+
+from hadoop_fixedlengthinputformat_spark.operators.stats_extras import (
+    agg_cohen_kappa,
+    agg_cohens_d,
+    agg_corr_matrix,
+    agg_kendall_tau,
+    ts_theil_sen,
+)
+
+TOL = 2e-4  # both sides snap to 4 decimals
+
+
+def test_cohen_kappa_matches_reference(spark, sf_dir):
+    rows = pq.read_table(f"{sf_dir}/orders.parquet").to_pylist()
+    labels = [
+        (
+            1 if r["o_totalprice"] >= 150000 else 0,
+            1 if r["o_orderpriority"] in ("1-URGENT", "2-HIGH") else 0,
+        )
+        for r in rows
+        if r["o_totalprice"] is not None and r["o_orderpriority"] is not None
+    ]
+    n = len(labels)
+    a = sum(1 for p, q in labels if p == 1 and q == 1)
+    b = sum(1 for p, q in labels if p == 1 and q == 0)
+    c = sum(1 for p, q in labels if p == 0 and q == 1)
+    d = sum(1 for p, q in labels if p == 0 and q == 0)
+    po = (a + d) / n
+    pe = ((a + b) * (a + c) + (c + d) * (b + d)) / (n * n)
+    kappa = (po - pe) / (1 - pe)
+    got = agg_cohen_kappa(spark, sf_dir).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.n_orders == n
+    assert r.agree == a + d
+    # the exposed exact fraction IS kappa
+    assert abs(r.kappa_num / r.kappa_den - kappa) < 1e-12
+    assert abs(r.kappa - kappa) < TOL
+
+
+def test_kendall_tau_matches_bruteforce(spark, sf_dir):
+    rows = pq.read_table(f"{sf_dir}/lineitem.parquet").to_pylist()
+    orders: dict[int, list[tuple[int, int, int]]] = {}
+    for r in rows:
+        if (
+            r["l_quantity"] is not None
+            and r["l_extendedprice"] is not None
+            and r["l_linenumber"] is not None
+        ):
+            orders.setdefault(r["l_orderkey"], []).append(
+                (
+                    r["l_linenumber"],
+                    round(r["l_quantity"] * 100),
+                    round(r["l_extendedprice"] * 100),
+                )
+            )
+    n0 = conc = disc = tx = ty = 0
+    for lines in orders.values():
+        lines.sort()
+        for i in range(len(lines)):
+            for j in range(i + 1, len(lines)):
+                if lines[i][0] >= lines[j][0]:
+                    continue
+                _, x1, y1 = lines[i]
+                _, x2, y2 = lines[j]
+                n0 += 1
+                if (x1 < x2 and y1 < y2) or (x1 > x2 and y1 > y2):
+                    conc += 1
+                elif (x1 < x2 and y1 > y2) or (x1 > x2 and y1 < y2):
+                    disc += 1
+                if x1 == x2:
+                    tx += 1
+                if y1 == y2:
+                    ty += 1
+    tau_a = (conc - disc) / n0
+    tau_b = (conc - disc) / math.sqrt((n0 - tx) * (n0 - ty))
+    got = agg_kendall_tau(spark, sf_dir).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.n_pairs, r.concordant, r.discordant) == (n0, conc, disc)
+    assert (r.ties_x, r.ties_y) == (tx, ty)
+    assert abs(r.tau_a - tau_a) < TOL
+    assert abs(r.tau_b - tau_b) < TOL
+
+
+def test_cohens_d_matches_reference(spark, sf_dir):
+    import numpy as np
+
+    rows = pq.read_table(f"{sf_dir}/lineitem.parquet").to_pylist()
+    by: dict[str, list[int]] = {"F": [], "O": []}
+    for r in rows:
+        if r["l_extendedprice"] is not None and r["l_linestatus"] in by:
+            by[r["l_linestatus"]].append(int(math.floor(r["l_extendedprice"])))
+    xf = np.array(by["F"], dtype=np.float64)
+    xo = np.array(by["O"], dtype=np.float64)
+    nf, no = len(xf), len(xo)
+    sp2 = ((nf - 1) * xf.var(ddof=1) + (no - 1) * xo.var(ddof=1)) / (
+        nf + no - 2
+    )
+    d_ref = (xf.mean() - xo.mean()) / math.sqrt(sp2)
+    g_ref = d_ref * (1 - 3 / (4 * (nf + no) - 9))
+    got = agg_cohens_d(spark, sf_dir).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.n_f, r.n_o) == (nf, no)
+    assert abs(r.cohens_d - d_ref) < TOL
+    assert abs(r.hedges_g - g_ref) < TOL
+
+
+def test_corr_matrix_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    rows = pq.read_table(f"{sf_dir}/lineitem.parquet").to_pylist()
+    by: dict[str, list[tuple[int, int, int]]] = {}
+    for r in rows:
+        if (
+            r["l_quantity"] is not None
+            and r["l_extendedprice"] is not None
+            and r["l_discount"] is not None
+            and r["l_returnflag"] is not None
+        ):
+            by.setdefault(r["l_returnflag"], []).append(
+                (
+                    int(math.floor(r["l_quantity"])),
+                    int(math.floor(r["l_extendedprice"])),
+                    round(r["l_discount"] * 10000),
+                )
+            )
+    got = {
+        (r.l_returnflag, r.var_x, r.var_y): r
+        for r in agg_corr_matrix(spark, sf_dir).collect()
+    }
+    names = {0: "quantity", 1: "price", 2: "discount"}
+    for flag, triples in by.items():
+        if len(triples) < 2:
+            continue
+        m = np.array(triples, dtype=np.float64)
+        # population corrcoef == sample corrcoef (the n's cancel)
+        cc = np.corrcoef(m.T)
+        for i, j in ((0, 1), (0, 2), (1, 2)):
+            r = got[(flag, names[i], names[j])]
+            assert r.n_rows == len(triples)
+            assert abs(r.corr - cc[i, j]) < TOL
+    assert len(got) == 3 * len([t for t in by.values() if len(t) >= 2])
+
+
+def test_theil_sen_matches_bruteforce(spark, sf_dir):
+    rows = pq.read_table(f"{sf_dir}/events.parquet").to_pylist()
+    by_user: dict[int, list[tuple[int, int]]] = {}
+    for r in rows:
+        if (
+            r["user_id"] is not None
+            and r["ts"] is not None
+            and r["value"] is not None
+        ):
+            from datetime import timezone
+
+            t = int(r["ts"].replace(tzinfo=timezone.utc).timestamp())
+            by_user.setdefault(r["user_id"], []).append(
+                (t, round(r["value"] * 100))
+            )
+    expect: dict[int, tuple[int, float]] = {}
+    for uid, pts in by_user.items():
+        slopes = [
+            (y2 - y1) * 86400 / (t2 - t1)
+            for i, (t1, y1) in enumerate(pts)
+            for (t2, y2) in pts
+            if t2 > t1
+        ]
+        # the generator above pairs every strict-time-ordered pair once
+        # per (a, b) row pair, matching the join (duplicates included)
+        if not slopes:
+            continue
+        slopes.sort()
+        n = len(slopes)
+        # lower median: smallest v with 2 * rank(v) >= n
+        lower = slopes[(n - 1) // 2]
+        expect[uid] = (n, lower)
+    got = {r.user_id: r for r in ts_theil_sen(spark, sf_dir).collect()}
+    assert set(got) == set(expect)
+    for uid, (n, med) in expect.items():
+        assert got[uid].n_pairs == n
+        assert abs(got[uid].sen_slope - med) < TOL
