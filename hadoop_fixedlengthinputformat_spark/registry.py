@@ -216,6 +216,7 @@ GRADE_ORDER: tuple[str, ...] = (
     "agg_cohens_d",
     "agg_corr_matrix",
     "ts_theil_sen",
+    "scan_fixedlen_zonedl",
     # rows-only sketches stay LAST of the queued names (VERDICT r3 #5):
     # no_oracle rows burn grading signal
     "stream_watermark_late_drop",

@@ -34,9 +34,11 @@ is the whole on-ramp.  Supported (the subset that determines bytes):
     decoded columns via :func:`conditions`.
 
 Repeated ``PIC 99V99``-style digit runs (no parentheses) are accepted.
-Unsupported usages (SIGN LEADING overpunch, COMP-5 little-endian,
-national/DBCS, edited pictures, VALUE-bearing storage tricks) raise
-with the offending sentence — never a silent wrong offset.
+``SIGN LEADING`` without SEPARATE maps to the ``zonedl`` layout type
+(overpunch in the FIRST byte's zone).  Unsupported usages (COMP-5
+little-endian, national/DBCS, edited pictures, VALUE-bearing storage
+tricks) raise with the offending sentence — never a silent wrong
+offset.
 """
 
 from __future__ import annotations
@@ -57,6 +59,7 @@ class _Item:
     depends_on: str | None
     redefines: str | None
     sign_sep: str | None = None  # "L"/"T" = SIGN LEADING/TRAILING SEPARATE
+    lead_over: bool = False  # SIGN LEADING without SEPARATE (overpunch first)
     # filled during layout:
     start: int = 0
     length: int = 0  # bytes per element
@@ -130,6 +133,7 @@ def _parse_item(sentence: str) -> _Item | None:
     depends_on = None
     redefines = None
     sign_sep = None
+    lead_over = False
     up = [t.upper() for t in toks]
     while i < len(toks):
         t = up[i]
@@ -178,10 +182,9 @@ def _parse_item(sentence: str) -> _Item | None:
                     j += 1
                 sign_sep = "L" if where == "LEADING" else "T"
             elif where == "LEADING":
-                raise ValueError(
-                    f"copybook: SIGN LEADING without SEPARATE (leading "
-                    f"overpunch) is not supported in: {sentence!r}"
-                )
+                # SIGN LEADING without SEPARATE: overpunch in the FIRST
+                # byte's zone (zonedl layout type)
+                lead_over = True
             # SIGN TRAILING without SEPARATE = the default overpunch
             i = j
         elif t == "OCCURS":
@@ -212,7 +215,7 @@ def _parse_item(sentence: str) -> _Item | None:
         else:
             i += 1
     return _Item(level, _norm_name(name), pic, usage, occurs, depends_on,
-                 redefines, sign_sep)
+                 redefines, sign_sep, lead_over)
 
 
 def _type_of(item: _Item, sentence_hint: str) -> tuple[str, int]:
@@ -243,6 +246,13 @@ def _type_of(item: _Item, sentence_hint: str) -> tuple[str, int]:
                     )
                 t = "signl" if item.sign_sep == "L" else "signt"
                 return f"{t}({decs})", digits + 1  # + the sign byte
+            if item.lead_over:
+                if not signed:
+                    raise ValueError(
+                        f"copybook: SIGN LEADING on an unsigned PICTURE "
+                        f"in: {sentence_hint!r}"
+                    )
+                return f"zonedl({decs})", digits
             if decs or signed:
                 # zoned carries the sign overpunch; unsigned with
                 # decimals is a plain implied-point DISPLAY number

@@ -413,3 +413,80 @@ def scan_fixedlen_comp12(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("includeOffset", "false")
         .load(path)
     )
+
+
+# SIGN LEADING overpunch (zonedl) fixture: layout derived from an
+# actual COBOL copybook so the graded query proves the whole
+# copybook -> layout -> decode chain, not just the decode kernel.
+_ZONEDL_CB = """
+   01  SUPP-REC.
+       05  S-SUPPKEY    PIC 9(10).
+       05  S-NAME       PIC X(25).
+       05  S-NATIONKEY  PIC S9(5) SIGN LEADING.
+       05  S-ACCTBAL    PIC S9(8)V99 SIGN IS LEADING.
+"""
+
+
+def zonedl_file_for(sf_dir: str) -> tuple[str, str, int]:
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from hadoop_fixedlengthinputformat_spark.sources.copybook import (
+        copybook_to_layout,
+    )
+    from hadoop_fixedlengthinputformat_spark.sources.layout import (
+        encode_rows,
+        parse_layout,
+    )
+
+    spec, rl = copybook_to_layout(_ZONEDL_CB)
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|zonedl|{spec}"
+        f"|{fixture_gen.source_stamp(sf_dir)}".encode()
+    ).hexdigest()[:12]
+    out = os.path.join(fixture_gen.fixture_dir(), f"zonedl-{tag}.fixed")
+    if os.path.exists(out):
+        return out, spec, rl
+    rows = (
+        pq.read_table(os.path.join(sf_dir, "supplier.parquet"))
+        .sort_by("s_suppkey")
+        .to_pylist()
+    )
+    fields = parse_layout(spec, rl)
+    payload = encode_rows(rows, fields, rl, encoding="cp037")
+    tmp = out + f".tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(payload)
+    os.replace(tmp, out)
+    return out, spec, rl
+
+
+@query(
+    "scan_fixedlen_zonedl",
+    oracle="""
+    SELECT s_suppkey, s_name, CAST(s_nationkey AS DOUBLE) AS s_nationkey,
+           s_acctbal
+    FROM supplier
+    """,
+)
+def scan_fixedlen_zonedl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COBOL ``SIGN LEADING`` without SEPARATE: zoned decimal with the
+    sign overpunched in the FIRST byte's zone nibble instead of the
+    last (IBM Enterprise COBOL SIGN clause; the reference's key-slice
+    semantics never cared, but any real mainframe feed can carry it).
+    The layout is derived from the copybook at query time, so this
+    grades the parser's SIGN-clause handling AND the leading-overpunch
+    decode kernel in one pass.  Negative s_acctbal rows exercise the
+    0xD zone on byte 0."""
+    configure(spark)
+    fixedlen.register(spark)
+    path, spec, rl = zonedl_file_for(sf_dir)
+    return (
+        spark.read.format("fixedlen")
+        .option("recordLength", str(rl))
+        .option("layout", spec)
+        .option("encoding", "cp037")
+        .option("includeOffset", "false")
+        .load(path)
+    )

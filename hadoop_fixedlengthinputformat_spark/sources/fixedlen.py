@@ -169,7 +169,12 @@ class _Options:
             raise ValueError(
                 "fixedlen: option 'recordLength' is required and must be > 0"
             )
-        record_length = int(raw_len)
+        try:
+            record_length = int(raw_len)
+        except ValueError:
+            raise ValueError(
+                f"fixedlen: recordLength must be an integer, got {raw_len!r}"
+            ) from None
         if cpy_rl is not None and record_length < cpy_rl:
             raise ValueError(
                 f"fixedlen: recordLength={record_length} is smaller than "

@@ -90,7 +90,7 @@ def fixed_file_for(sf_dir: str, table: str, encoding: str = "utf-8") -> str:
     # fixed-width has no NULL: blank strings / zero numbers (LOW-VALUES);
     # consuming oracles mirror with COALESCE
     num_types = {"int", "long", "double", "implied", "bin", "packed",
-                 "zoned", "comp1", "comp2"}
+                 "zoned", "zonedl", "signl", "signt", "comp1", "comp2"}
     for r in rows:
         for f in fields:
             if r.get(f.name) is None:
@@ -650,7 +650,7 @@ def gdg_dir_for(sf_dir: str) -> str:
     tbl = pq.read_table(os.path.join(sf_dir, "customer.parquet"))
     fields = parse_layout(spec, record_length)
     num_types = {"int", "long", "double", "implied", "bin", "packed",
-                 "zoned", "comp1", "comp2"}
+                 "zoned", "zonedl", "signl", "signt", "comp1", "comp2"}
     rows = tbl.sort_by("c_custkey").to_pylist()
     for r in rows:
         for f in fields:
@@ -767,7 +767,7 @@ def sorted_fixed_file_for(sf_dir: str, table: str = "customer") -> str:
     fields = parse_layout(spec, record_length)
     rows = tbl.to_pylist()
     num_types = {"int", "long", "double", "implied", "bin", "packed",
-                 "zoned", "comp1", "comp2"}
+                 "zoned", "zonedl", "signl", "signt", "comp1", "comp2"}
     for r in rows:
         for f in fields:
             if r.get(f.name) is None:

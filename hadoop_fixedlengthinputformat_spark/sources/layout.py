@@ -46,6 +46,7 @@ _TYPES = (
     "int", "long", "double", "string", "date",
     "packed", "zoned", "implied", "bin", "comp1", "comp2",
     "signl", "signt",  # SIGN LEADING/TRAILING SEPARATE: explicit +/- byte
+    "zonedl",  # SIGN LEADING overpunch: sign in the FIRST byte's zone
 )
 
 # fixed widths for types whose byte layout implies them
@@ -98,6 +99,7 @@ class FieldSpec:
             "date": DateType(),
             "packed": DoubleType(),  # COMP-3 BCD, scaled by 10^-scale
             "zoned": DoubleType(),  # PIC S9 DISPLAY, sign overpunch
+            "zonedl": DoubleType(),  # PIC S9 DISPLAY SIGN LEADING overpunch
             "signl": DoubleType(),  # SIGN LEADING SEPARATE: '+'/'-' first
             "signt": DoubleType(),  # SIGN TRAILING SEPARATE: '+'/'-' last
             "implied": DoubleType(),  # PIC 9(n)V9(s): no point, implied scale
@@ -120,6 +122,7 @@ class FieldSpec:
             "date": pa.date32(),
             "packed": pa.float64(),
             "zoned": pa.float64(),
+            "zonedl": pa.float64(),
             "signl": pa.float64(),
             "signt": pa.float64(),
             "implied": pa.float64(),
@@ -406,6 +409,8 @@ def _decode_scalar(
         return decode_packed_field(mat, f, permissive=permissive)
     if f.base_type == "zoned":
         return decode_zoned_field(mat, f, permissive=permissive)
+    if f.base_type == "zonedl":
+        return decode_zoned_field(mat, f, permissive=permissive, leading=True)
     if f.base_type in ("signl", "signt"):
         return decode_signsep_field(
             fmat, f, leading=f.base_type == "signl", permissive=permissive
@@ -626,6 +631,8 @@ def encode_rows(
             b = encode_packed(v, f)
         elif f.base_type == "zoned":
             b = encode_zoned(v, f)
+        elif f.base_type == "zonedl":
+            b = encode_zoned(v, f, leading=True)
         elif f.base_type in ("signl", "signt"):
             b = encode_signsep(v, f, f.base_type == "signl").encode(encoding)
         elif f.base_type == "bin":
@@ -834,12 +841,15 @@ def decode_chunk_multitype(
 
 
 def decode_zoned_field(
-    mat: np.ndarray, f: FieldSpec, permissive: bool = False
+    mat: np.ndarray, f: FieldSpec, permissive: bool = False,
+    leading: bool = False,
 ) -> pa.Array:
     """EBCDIC zoned decimal (COBOL PIC S9(n) DISPLAY): one digit per
-    byte, low nibble the digit, zone nibble 0xF — except the LAST byte,
-    whose zone overpunches the sign (0xC/0xF positive, 0xD negative).
-    Binary-level like packed: decodes the RAW matrix, vectorized."""
+    byte, low nibble the digit, zone nibble 0xF — except the sign byte
+    (LAST by default; FIRST under ``SIGN LEADING`` without SEPARATE,
+    ``leading=True``), whose zone overpunches the sign (0xC/0xF
+    positive, 0xD negative).  Binary-level like packed: decodes the RAW
+    matrix, vectorized."""
     sl = np.ascontiguousarray(mat[:, f.start : f.start + f.length])
     n_digits = f.length
     if n_digits > 18:
@@ -848,10 +858,11 @@ def decode_zoned_field(
         )
     zones = (sl >> 4).astype(np.int64)
     digits = (sl & 0x0F).astype(np.int64)
-    sign_zone = zones[:, -1]
+    sign_zone = zones[:, 0] if leading else zones[:, -1]
+    plain_zones = zones[:, 1:] if leading else zones[:, :-1]
     bad = (
         (digits > 9).any(axis=1)
-        | (zones[:, :-1] != 0xF).any(axis=1)
+        | (plain_zones != 0xF).any(axis=1)
         | ~np.isin(sign_zone, (0xC, 0xD, 0xF))
     )
     if bool(bad.any()) and not permissive:
@@ -925,9 +936,10 @@ def encode_signsep(value, f: FieldSpec, leading: bool) -> str:
     return sign + digits if leading else digits + sign
 
 
-def encode_zoned(value, f: FieldSpec) -> bytes:
+def encode_zoned(value, f: FieldSpec, leading: bool = False) -> bytes:
     """Encode a number as EBCDIC zoned decimal (inverse of
-    decode_zoned_field; sign overpunched in the last byte's zone)."""
+    decode_zoned_field; sign overpunched in the last byte's zone, or
+    the first byte's under ``leading=True``)."""
     if value is None:
         raise ValueError(f"fixed-width field {f.name} cannot encode NULL")
     scaled = round(float(value) * (10**f.scale))
@@ -938,7 +950,8 @@ def encode_zoned(value, f: FieldSpec) -> bytes:
             f"({f.length} digits)"
         )
     out = bytearray(0xF0 | int(c) for c in digits)
-    out[-1] = (0xD0 if scaled < 0 else 0xC0) | int(digits[-1])
+    at = 0 if leading else -1
+    out[at] = (0xD0 if scaled < 0 else 0xC0) | int(digits[at])
     return bytes(out)
 
 

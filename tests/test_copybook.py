@@ -150,12 +150,42 @@ def test_level88_and_comments_ignored():
 def test_unsupported_constructs_raise():
     with pytest.raises(ValueError, match="COMP-5"):
         copybook_to_layout("01 R. 05 X PIC 9(4) COMP-5.")
-    with pytest.raises(ValueError, match="LEADING without SEPARATE"):
-        copybook_to_layout("01 R. 05 X PIC S9(4) SIGN LEADING.")
+    with pytest.raises(ValueError, match="SIGN LEADING on an unsigned"):
+        copybook_to_layout("01 R. 05 X PIC 9(4) SIGN LEADING.")
     with pytest.raises(ValueError, match="PICTURE"):
         copybook_to_layout("01 R. 05 X PIC ZZ9.99.")
     with pytest.raises(ValueError, match="no storage"):
         copybook_to_layout("* nothing here")
+
+
+def test_sign_leading_overpunch_zonedl(tmp_path):
+    """SIGN LEADING without SEPARATE = overpunch in the FIRST byte's
+    zone (zonedl layout type): copybook -> layout -> encode -> decode
+    round-trips, negative zone 0xD lands on byte 0, not the last."""
+    import numpy as np
+    from hadoop_fixedlengthinputformat_spark.sources.layout import (
+        decode_zoned_field, encode_rows,
+    )
+
+    cb = """
+       01  R.
+           05  A  PIC S9(4) SIGN LEADING.
+           05  B  PIC S9(3)V99 SIGN IS LEADING.
+    """
+    layout, rl = copybook_to_layout(cb)
+    assert layout == "a:0:4:zonedl(0),b:4:5:zonedl(2)"
+    assert rl == 9
+    fields = parse_layout(layout, rl)
+    rows = [{"a": -1234, "b": 123.45}, {"a": 42, "b": -0.07}]
+    blob = encode_rows(rows, fields, rl)
+    mat = np.frombuffer(blob, dtype=np.uint8).reshape(-1, rl)
+    # the sign zone sits on the FIRST byte of each field
+    assert mat[0, 0] >> 4 == 0xD and mat[0, 3] >> 4 == 0xF  # a = -1234
+    assert mat[1, 4] >> 4 == 0xD and mat[1, 8] >> 4 == 0xF  # b = -0.07
+    a = decode_zoned_field(mat, fields[0], leading=True)
+    b = decode_zoned_field(mat, fields[1], leading=True)
+    assert a.to_pylist() == [-1234.0, 42.0]
+    assert b.to_pylist() == [123.45, -0.07]
 
 
 def test_round_trip_through_engine(spark, tmp_path):
