@@ -60,6 +60,7 @@ class _Item:
     redefines: str | None
     sign_sep: str | None = None  # "L"/"T" = SIGN LEADING/TRAILING SEPARATE
     lead_over: bool = False  # SIGN LEADING without SEPARATE (overpunch first)
+    sync: bool = False  # SYNCHRONIZED: align binary items, slack before
     # filled during layout:
     start: int = 0
     length: int = 0  # bytes per element
@@ -134,6 +135,7 @@ def _parse_item(sentence: str) -> _Item | None:
     redefines = None
     sign_sep = None
     lead_over = False
+    sync = False
     up = [t.upper() for t in toks]
     while i < len(toks):
         t = up[i]
@@ -206,6 +208,13 @@ def _parse_item(sentence: str) -> _Item | None:
                 depends_on = _norm_name(toks[k])
                 j = k + 1
             i = j
+        elif t in ("SYNC", "SYNCHRONIZED"):
+            # SYNC [LEFT|RIGHT]: IBM treats LEFT/RIGHT identically for
+            # storage purposes (alignment is what moves bytes)
+            sync = True
+            i += 1
+            if i < len(toks) and up[i] in ("LEFT", "RIGHT"):
+                i += 1
         elif t == "USAGE":
             i += 1  # the usage keyword itself follows
         elif t == "IS":
@@ -215,7 +224,7 @@ def _parse_item(sentence: str) -> _Item | None:
         else:
             i += 1
     return _Item(level, _norm_name(name), pic, usage, occurs, depends_on,
-                 redefines, sign_sep, lead_over)
+                 redefines, sign_sep, lead_over, sync)
 
 
 def _type_of(item: _Item, sentence_hint: str) -> tuple[str, int]:
@@ -293,17 +302,18 @@ def copybook_to_layout(text: str) -> tuple[str, int]:
     fields: list[str] = []
     offset = 0
     record_end = 0
-    # stack of open group items: (level, name, start, resume_end) —
-    # resume_end is the redefined target's end for a REDEFINES group
+    # stack of open group items: (level, name, start, resume_end, sync)
+    # — resume_end is the redefined target's end for a REDEFINES group
     # (None otherwise): on close, the next item resumes after the
     # LARGER of the overlaid regions, even when the redefining group is
-    # the standard-legal SMALLER one.
-    group_stack: list[tuple[int, str, int, int | None]] = []
+    # the standard-legal SMALLER one.  sync propagates: SYNCHRONIZED on
+    # a group synchronizes every elementary item within it (IBM rule).
+    group_stack: list[tuple[int, str, int, int | None, bool]] = []
 
     def close_groups(level: int) -> None:
         nonlocal offset
         while group_stack and group_stack[-1][0] >= level:
-            glevel, gname, gstart, resume_end = group_stack.pop()
+            glevel, gname, gstart, resume_end, _gs = group_stack.pop()
             region[gname] = (gstart, offset - gstart)
             if resume_end is not None:
                 offset = max(offset, resume_end)
@@ -323,9 +333,35 @@ def copybook_to_layout(text: str) -> tuple[str, int]:
         if it.pic is None and it.usage not in ("COMP-1", "COMP-2"):
             # group item: children lay out from here (COMP-1/COMP-2 are
             # elementary WITHOUT a PICTURE — their width is the usage)
-            group_stack.append((it.level, it.name, offset, resume_end))
+            group_stack.append((
+                it.level, it.name, offset, resume_end,
+                it.sync or any(g[4] for g in group_stack),
+            ))
             continue
         ltype, width = _type_of(it, sent)
+        effective_sync = it.sync or any(g[4] for g in group_stack)
+        if effective_sync:
+            # SYNCHRONIZED aligns binary items to their natural boundary
+            # (halfword/fullword/doubleword, record-relative per IBM:
+            # the 01 record is assumed doubleword-aligned); slack bytes
+            # are inserted BEFORE the item and stay unnamed.  DISPLAY /
+            # COMP-3 items are unaffected (SYNC is a storage no-op).
+            # Binary widths (2/4/8) are self-aligned strides, so an
+            # aligned start aligns every OCCURS element too.
+            align = (
+                width if ltype == "bin"
+                else 4 if ltype == "comp1"
+                else 8 if ltype == "comp2"
+                else 1
+            )
+            pad = (-offset) % align
+            if pad and it.redefines is not None:
+                raise ValueError(
+                    f"copybook: SYNCHRONIZED would shift REDEFINES "
+                    f"overlay {it.name!r} by {pad} slack byte(s) — the "
+                    f"redefined region starts misaligned: {sent!r}"
+                )
+            offset += pad
         span = width * it.occurs
         if it.name != "filler":
             suffix = ""
