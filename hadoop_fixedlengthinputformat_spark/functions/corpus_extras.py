@@ -633,18 +633,19 @@ def llm_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS mn,
            CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS mx,
-           CASE WHEN list_aggregate(embedding, 'max')
-                     = list_aggregate(embedding, 'min')
-                THEN list_transform(embedding, x -> 0)
-                ELSE list_transform(
-                    embedding,
-                    x -> CAST(floor(
-                        (CAST(x AS DOUBLE)
-                         - CAST(list_aggregate(embedding, 'min') AS DOUBLE))
-                        / (CAST(list_aggregate(embedding, 'max') AS DOUBLE)
-                           - CAST(list_aggregate(embedding, 'min') AS DOUBLE))
-                        * 255 + 0.5) AS INTEGER))
-           END AS q
+           array_to_string(
+               CASE WHEN list_aggregate(embedding, 'max')
+                         = list_aggregate(embedding, 'min')
+                    THEN list_transform(embedding, x -> 0)
+                    ELSE list_transform(
+                        embedding,
+                        x -> CAST(floor(
+                            (CAST(x AS DOUBLE)
+                             - CAST(list_aggregate(embedding, 'min') AS DOUBLE))
+                            / (CAST(list_aggregate(embedding, 'max') AS DOUBLE)
+                               - CAST(list_aggregate(embedding, 'min') AS DOUBLE))
+                            * 255 + 0.5) AS INTEGER))
+               END, ',') AS q
     FROM embeddings
     """,
 )
@@ -656,7 +657,13 @@ def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ((x−mn)/rng·255+0.5, floor) is an exactly-rounded IEEE step over
     identical float32-widened inputs, written with the same
     parenthesization on both engines — bit-identical codes, no
-    transcendentals, nothing to snap further."""
+    transcendentals, nothing to snap further.
+
+    Output shape: the codes are rendered ``array_join(q, ',')`` — the
+    driver canonicalizer pandas-sorts every output column and an
+    ``array<int>`` cell is unhashable there (FAIL r6); the CSV string
+    carries identical information and hashes fine.  The complex-output
+    class is gated repo-wide by tests/test_oracle_types.py."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     mn = F.array_min("embedding").cast("double")
     mx = F.array_max("embedding").cast("double")
@@ -669,7 +676,10 @@ def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return emb.select(
-        "vec_id", mn.alias("mn"), mx.alias("mx"), q.alias("q")
+        "vec_id",
+        mn.alias("mn"),
+        mx.alias("mx"),
+        F.array_join(q.cast("array<string>"), ",").alias("q"),
     )
 
 

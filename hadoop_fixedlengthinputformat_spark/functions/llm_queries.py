@@ -9,7 +9,7 @@ bit-identical to Spark's), xxhash64 for the rows-only scale paths.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from hadoop_fixedlengthinputformat_spark.functions import (
     dedup,
@@ -475,42 +475,79 @@ def llm_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_cosine_bruteforce(emb, probes, k=10)
 
 
-@query("llm_knn_ivf")  # approximate (cluster shortlist) — rows-only
+@query("llm_knn_ivf", oracle=similarity.KNN_GATE_ORACLE)
 def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (centroid shortlist -> probe-list bucket join), graded
+    via per-probe STRUCTURAL gates (similarity.knn_structural_gates):
+    recall on unplanted rolls is data-dependent (measured ~0.4), so the
+    driver checks the deterministic invariants — exact cosine recompute,
+    rank discipline, self-exclusion — while recall bounds stay pinned on
+    planted fixtures in tests/test_llm.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id").between(1, 5))
-    return similarity.knn_cosine_ivf(emb, probes, k=10, nprobe=3)
+    res = similarity.knn_cosine_ivf(emb, probes, k=10, nprobe=3)
+    return similarity.knn_structural_gates(emb, res, probes, k=10)
 
 
-@query("llm_cosine_lsh")  # approximate (sign-LSH buckets) — rows-only
+@query("llm_cosine_lsh", oracle=similarity.KNN_GATE_ORACLE)
 def llm_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH ANN (Hamming<=1 signature buckets), graded via the same
+    structural gates as llm_knn_ivf (recall ~0.1 on random rolls — the
+    bucket shrink is 2^8; accuracy semantics pinned on planted
+    fixtures in tests/test_llm.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id").between(1, 5))
-    return similarity.knn_cosine_lsh(emb, probes, k=10)
+    res = similarity.knn_cosine_lsh(emb, probes, k=10)
+    return similarity.knn_structural_gates(emb, res, probes, k=10)
 
 
-@query("llm_kmeans_train")  # iterative algorithm — rows-only (non-SQL class)
+@query(
+    "llm_kmeans_train",
+    oracle="""
+    SELECT CAST(c AS BIGINT) AS cluster,
+           (SELECT CAST(count(*) AS BIGINT) FROM embeddings)
+               AS total_assigned,
+           true AS centroid_dim_ok,
+           true AS members_nonneg
+    FROM generate_series(0, 7) t(c)
+    """,
+)
 def llm_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means (k=8, 3 iterations) over the embedding corpus —
     the real codebook-training step behind llm_knn_ivf / llm_knn_pq.
-    Iterative driver loop over distributed assign/recompute passes;
-    genuinely non-SQL-expressible (the class the driver records as a
-    rows-only check).  Convergence + determinism asserted in
-    tests/test_llm.py on planted clusters."""
+    Iterative driver loop over distributed assign/recompute passes.
+
+    Graded shape (VERDICT r6 #3): the centroids themselves are
+    data-dependent, so the driver checks construction-predicted
+    facts — exactly k cluster rows 0..k-1, total membership == corpus
+    row count (every vector assigned exactly once), centroid dim ==
+    embedding dim, member counts non-negative.  Convergence +
+    determinism stay asserted in tests/test_llm.py on planted
+    clusters."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.kmeans_train(emb, k=8, iters=3)
+    out = similarity.kmeans_train(emb, k=8, iters=3)
+    dim = emb.select(F.size("embedding").alias("d")).limit(1)
+    total = F.sum("n_members").over(Window.partitionBy())
+    return out.crossJoin(F.broadcast(dim)).select(
+        F.col("cluster").cast("long").alias("cluster"),
+        total.cast("long").alias("total_assigned"),
+        (F.size("centroid") == F.col("d")).alias("centroid_dim_ok"),
+        (F.col("n_members") >= 0).alias("members_nonneg"),
+    )
 
 
-@query("llm_knn_pq")  # approximate (product quantization + ADC) — rows-only
+@query("llm_knn_pq", oracle=similarity.KNN_GATE_ORACLE)
 def llm_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ ANN: corpus compressed to m=8 sub-codes, ADC scan over the
     code table, exact cosine re-rank on the rerank*k shortlist — the
     memory-bound scale path (codes are m ints/vector; raw floats move
-    only for shortlist survivors).  Recall vs brute force asserted in
+    only for shortlist survivors).  Graded via the structural gates
+    (see llm_knn_ivf); recall vs brute force asserted in
     tests/test_llm.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id").between(1, 5))
-    return similarity.knn_l2_pq(emb, probes, k=10)
+    res = similarity.knn_l2_pq(emb, probes, k=10)
+    return similarity.knn_structural_gates(emb, res, probes, k=10)
 
 
 @query(
@@ -695,25 +732,69 @@ def llm_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mm_image_features")  # binary features — rows-only (pixel math)
+@query(
+    "mm_image_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(8 + doc_id % 9 AS INT) AS width,
+           CAST(8 + doc_id % 7 AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           true AS decoded, true AS luma_in_range
+    FROM documents WHERE doc_id < 100
+    """,
+)
 def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode: the synthesized media column carries P6 PPM
     payloads; the mapInPandas kernel parses the container and computes
     dimensions + mean luma over actual pixels (pure numpy — see
     multimodal.py; JPEG/PNG route through the PIL probe and quarantine
-    when absent)."""
+    when absent).
+
+    Driver-gradeable (VERDICT r6 #3): the fixture is construction-
+    predictable — ppm_payload dims are (8 + doc_id % 9, 8 + doc_id % 7,
+    3 channels), so the oracle predicts them EXACTLY from doc_id; mean
+    luma over >=192 uniform md5-chain bytes is 0.5 +- 0.021 (1 sigma),
+    gated at +-0.15 (~7 sigma — deterministic for any given roll, and
+    effectively unflakeable across rolls).  Exact per-pixel luma stays
+    pinned in tests/test_llm.py."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     media = multimodal.attach_media(d)
-    return multimodal.decode_image_features(media)
+    feats = multimodal.decode_image_features(media)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        "channels",
+        F.col("width").isNotNull().alias("decoded"),
+        (F.abs(F.col("mean_luma") - 0.5) <= 0.15).alias("luma_in_range"),
+    )
 
 
-@query("mm_audio_frames")  # frame RMS — rows-only (sample math)
+@query(
+    "mm_audio_frames",
+    oracle="""
+    SELECT doc_id, CAST(f AS INT) AS frame_idx, true AS rms_in_range
+    FROM documents, (VALUES (0), (1), (2), (3)) t(f)
+    WHERE doc_id < 50
+    """,
+)
 def mm_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio frame sampling: PCM16 RIFF/WAVE payloads chunk-parsed,
-    per-frame RMS computed from the actual samples (multimodal.py)."""
+    per-frame RMS computed from the actual samples (multimodal.py).
+
+    Driver-gradeable: the fixture synthesizes exactly 256 uniform int16
+    samples -> 4 frames of 64, so the oracle predicts the (doc_id,
+    frame_idx) row set exactly; frame RMS of uniform int16 is
+    1/sqrt(3) ~ 0.577 +- 0.032 (1 sigma at 64 samples), gated at
+    [0.35, 0.80] (~7 sigma).  Exact RMS pinned in tests/test_llm.py."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     media = multimodal.attach_audio(d)
-    return multimodal.sample_audio_frames(media, n_frames=4)
+    frames = multimodal.sample_audio_frames(media, n_frames=4)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.col("rms").between(0.35, 0.80).alias("rms_in_range"),
+    )
 
 
 @query(
@@ -743,14 +824,41 @@ def llm_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mm_image_resize")  # resample metadata — rows-only (pixel math)
+@query(
+    "mm_image_resize",
+    oracle="""
+    SELECT doc_id,
+           CAST(8 + doc_id % 9 AS INT) AS width,
+           CAST(8 + doc_id % 7 AS INT) AS height,
+           CAST(224 AS INT) AS out_width,
+           CAST(224 AS INT) AS out_height,
+           CAST(224 * 224 * 3 AS INT) AS out_bytes,
+           true AS luma_in_range
+    FROM documents WHERE doc_id < 100
+    """,
+)
 def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL nearest-neighbor resize of the decoded PPM pixels (numpy
     index maps); emits source dims + resampled byte count and mean
-    luma."""
+    luma.
+
+    Driver-gradeable: source dims and the 224x224x3 output byte count
+    are construction-predicted exactly (see mm_image_features); the
+    resampled mean luma replicates the original uniform pixels, gated
+    at +-0.15 (~7 sigma).  Exact resample kernel pinned in
+    tests/test_llm.py."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     media = multimodal.attach_media(d)
-    return multimodal.resize_images(media, out_w=224, out_h=224)
+    out = multimodal.resize_images(media, out_w=224, out_h=224)
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        "out_width",
+        "out_height",
+        "out_bytes",
+        (F.abs(F.col("out_mean_luma") - 0.5) <= 0.15).alias("luma_in_range"),
+    )
 
 
 @query(
@@ -1327,7 +1435,19 @@ def llm_near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mm_video_frames")  # frame sampling — rows-only (pixel math)
+@query(
+    "mm_video_frames",
+    oracle="""
+    SELECT doc_id,
+           CAST(6 AS INT) AS n_frames,
+           CAST(f AS INT) AS frame_idx,
+           CAST(8 + doc_id % 5 AS INT) AS width,
+           CAST(8 + doc_id % 3 AS INT) AS height,
+           true AS luma_in_range
+    FROM documents, (VALUES (0), (2), (4)) t(f)
+    WHERE doc_id < 60
+    """,
+)
 def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video frame sampling: the media column carries a
     concatenated-P6 container (each frame a complete image); the
@@ -1335,7 +1455,21 @@ def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic, keeps every 2nd frame, and computes dims + mean luma
     from the actual pixels (multimodal.py).  Completes the multimodal
     trio (image features / audio frames / video frame-sample) with the
-    same quarantine convention for foreign codecs."""
+    same quarantine convention for foreign codecs.
+
+    Driver-gradeable: video_payload synthesizes exactly 6 frames of
+    (8 + doc_id % 5) x (8 + doc_id % 3), so the kept-frame row set
+    (every 2nd: 0, 2, 4) and dims are oracle-predicted exactly; frame
+    mean luma over >=192 uniform bytes gated at +-0.15 (~7 sigma).
+    Exact frame walk pinned in tests/test_llm.py."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
     media = multimodal.attach_video(d)
-    return multimodal.sample_video_frames(media, every=2)
+    frames = multimodal.sample_video_frames(media, every=2)
+    return frames.select(
+        "doc_id",
+        "n_frames",
+        "frame_idx",
+        "width",
+        "height",
+        (F.abs(F.col("mean_luma") - 0.5) <= 0.15).alias("luma_in_range"),
+    )

@@ -9,15 +9,48 @@ from hadoop_fixedlengthinputformat_spark.registry import query
 from hadoop_fixedlengthinputformat_spark.tables import load_table
 
 
-@query("llm_bpe_train")  # iterative, data-dependent argmax per round — rows-only
+@query(
+    "llm_bpe_train",
+    oracle="""
+    SELECT CAST(r AS INT) AS rank,
+           true AS pair_nonempty,
+           true AS count_positive,
+           true AS freq_nonincreasing
+    FROM generate_series(0, 7) t(r)
+    """,
+)
 def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE merge-table training over the documents corpus (8 rounds).
     The corpus collapses to a word-frequency table first, so every
     iterative pass runs over |vocab| rows — the property that makes
     tokenizer training feasible at 100 TB (see text.bpe_train).
-    Merge order pinned to the textbook walkthrough in tests/test_llm.py."""
+
+    Driver-gradeable (VERDICT r6 #3): the merge pairs are
+    data-dependent strings no SQL oracle can re-derive (8 unrolled BPE
+    rounds), so the graded output is the invariant set a correct
+    trainer satisfies on ANY corpus: exactly ranks 0..7, non-empty
+    pair halves, positive counts, and the max-pair-frequency
+    MONOTONICITY of BPE (each merge's new pairs inherit counts bounded
+    by the merged pair's, so the argmax sequence never increases).
+    Merge order itself is pinned to the textbook walkthrough in
+    tests/test_llm.py."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
     d = load_table(spark, sf_dir, "documents")
-    return text.bpe_train(d, n_merges=8)
+    out = text.bpe_train(d, n_merges=8)
+    w = Window.orderBy("rank")
+    prev = F.lag("pair_count").over(w)
+    return out.select(
+        "rank",
+        ((F.length("left") > 0) & (F.length("right") > 0)).alias(
+            "pair_nonempty"
+        ),
+        (F.col("pair_count") >= 1).alias("count_positive"),
+        F.coalesce(F.col("pair_count") <= prev, F.lit(True)).alias(
+            "freq_nonincreasing"
+        ),
+    )
 
 
 @query(

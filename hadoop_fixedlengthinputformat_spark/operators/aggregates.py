@@ -235,48 +235,103 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct")  # approximate — rows-only check (SURVEY §2.3-D)
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           true AS parts_within_5pct,
+           true AS orders_within_5pct
+    FROM lineitem
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ sketch; tests assert within 5% of exact count."""
+    """HyperLogLog++ sketch, graded as a boolean accuracy gate (VERDICT
+    r6 #2 recipe): the sketch estimate itself is engine-specific so it
+    can't hash-match any oracle; instead emit the EXACT distinct counts
+    (oracle-checkable) plus Spark-computed |approx-exact|/exact <= 0.05
+    booleans whose oracle is the literal ``true``.  The raw sketch
+    behavior stays covered in tests/test_operators.py.  rsd=0.02 gives
+    ~2sigma headroom under the 5% gate at every SF."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+    agg = li.agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("ap"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("ao"),
+    )
+    within = lambda a, e: (  # noqa: E731
+        F.abs(F.col(a) - F.col(e)) / F.col(e) <= F.lit(0.05)
+    )
+    return agg.select(
+        "exact_parts",
+        "exact_orders",
+        within("ap", "exact_parts").alias("parts_within_5pct"),
+        within("ao", "exact_orders").alias("orders_within_5pct"),
     )
 
 
-@query("agg_hll_mergeable")  # sketch — rows-only check (SURVEY §2.3-D)
+@query(
+    "agg_hll_mergeable",
+    oracle="""
+    SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT c_custkey) AS BIGINT) AS exact_distinct,
+           true AS est_within_5pct
+    FROM customer GROUP BY c_nationkey
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT c_custkey) AS BIGINT), true
+    FROM customer
+    """,
+)
 def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable Datasketches HLL: per-nation customer sketches built in
     one pass, then UNIONED into a global distinct estimate WITHOUT
     re-reading the data — the two-level pattern that matters at 100 TB
     (per-partition/per-day sketches persist as bytes; any rollup is a
-    cheap union over sketch blobs, never a re-scan).  Per-nation
-    estimates and the unioned global estimate in one result; tests
-    assert <=2% error vs exact and that union(estimates) == estimate
-    over the full data."""
+    cheap union over sketch blobs, never a re-scan).
+
+    Graded via the boolean-gate recipe (VERDICT r6 #2): sketch
+    estimates are engine-specific, so the driver-checked output is the
+    EXACT per-group distinct plus a Spark-computed <=5% accuracy
+    boolean (lgConfigK=12 keeps ~0.8% rsd — wide headroom).  The
+    global row (-1) gates the UNIONED sketch, proving mergeability
+    against the exact global count.  Raw estimates stay pinned in
+    tests/test_operators.py."""
     c = load_table(spark, sf_dir, "customer")
     per_nation = c.groupBy("c_nationkey").agg(
         F.hll_sketch_agg("c_custkey").alias("sk"),
         F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("c_custkey").alias("exact_distinct"),
     )
-    return per_nation.select(
-        "c_nationkey",
-        "n_rows",
-        F.hll_sketch_estimate("sk").alias("nation_distinct_est"),
-        F.lit(None).cast("long").alias("global_distinct_est"),
-    ).unionByName(
-        per_nation.agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
-                "global_distinct_est"
-            )
-        ).select(
-            F.lit(-1).cast("long").alias("c_nationkey"),
-            F.lit(None).cast("long").alias("n_rows"),
-            F.lit(None).cast("long").alias("nation_distinct_est"),
-            "global_distinct_est",
+    gate = (
+        F.abs(
+            F.hll_sketch_estimate("sk").cast("double")
+            - F.col("exact_distinct")
         )
+        / F.col("exact_distinct")
+        <= F.lit(0.05)
     )
+    nation_rows = per_nation.select(
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        "n_rows",
+        "exact_distinct",
+        gate.alias("est_within_5pct"),
+    )
+    global_row = per_nation.agg(
+        F.hll_union_agg("sk").alias("sk"),
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("exact_distinct").alias("exact_distinct"),
+    ).select(
+        F.lit(-1).cast("long").alias("c_nationkey"),
+        "n_rows",
+        # c_custkey is globally unique, so the exact global distinct is
+        # the sum of per-nation distincts — no second data pass needed
+        "exact_distinct",
+        gate.alias("est_within_5pct"),
+    )
+    return nation_rows.unionByName(global_row)
 
 
 @query(

@@ -182,11 +182,33 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_watermark_late_drop")  # drop set depends on batch boundaries — rows-only
+@query(
+    "stream_watermark_late_drop",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1
+    HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR
+           <= (SELECT max(ts) - INTERVAL 10 MINUTES FROM events)
+    """,
+)
 def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10-minute watermark over tumbling hourly counts; the input's final
     chunk replays 20 events shifted 30 minutes earlier, which the
-    watermark must drop (append mode emits only finalized windows)."""
+    watermark must drop (append mode emits only finalized windows).
+
+    Exact oracle (upgraded from rows-only, r7): with ts-ordered chunks
+    at maxFilesPerTrigger=1, the watermark when the late chunk arrives
+    is already max(ts) - 10min, and every replayed row sits 30min
+    below its original (orig_ts - 30min >= max_ts - 10min would need
+    orig_ts > max_ts) — so ALL replayed rows are late-dropped
+    deterministically, and the append-mode output is exactly the
+    batch hourly counts for windows with end <= max(ts) - 10min
+    (Spark finalizes on window.end <= watermark).  Verified
+    empirically at sf0.001 and sf0.01 (530/719 windows, exact match).
+    Boundary note: a window end landing EXACTLY on max(ts) - 10min
+    relies on the <= eviction predicate; hour-aligned ends vs
+    second-granular max(ts) make that alignment vanishingly rare."""
     src = _read_stream(spark, _events_stream_dir(spark, sf_dir, True))
     # watermarks require TIMESTAMP (LTZ); session tz is UTC so the cast is
     # value-preserving.

@@ -972,12 +972,17 @@ def test_video_frame_sampling_matches_numpy(spark, sf_dir):
     assert frames is not None and len(frames) == 6
     for img in frames:
         assert img.shape == (8 + 7 % 3, 8 + 7 % 5, 3)
-    # spark pipeline agrees per (doc, frame)
-    from hadoop_fixedlengthinputformat_spark.functions.llm_queries import (
-        mm_video_frames,
-    )
+    # spark pipeline agrees per (doc, frame) — run the kernel directly
+    # (the registered query now collapses luma to a driver-gate boolean)
+    import pyspark.sql.functions as F
 
-    got = {(r.doc_id, r.frame_idx): r for r in mm_video_frames(spark, sf_dir).collect()}
+    from hadoop_fixedlengthinputformat_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    kernel_out = multimodal.sample_video_frames(
+        multimodal.attach_video(d), every=2
+    )
+    got = {(r.doc_id, r.frame_idx): r for r in kernel_out.collect()}
     assert got
     tbl = pq.read_table(f"{sf_dir}/documents.parquet").to_pylist()
     checked = 0

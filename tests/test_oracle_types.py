@@ -9,6 +9,13 @@ carried r2/r3 reds) were exactly this, never roll sensitivity.  Same
 family: DECIMAL (Spark emits double) and TIMESTAMP WITH TIME ZONE (the
 round-2 ``fn_epoch`` red — bare ``to_timestamp`` in DuckDB).
 
+Round-7 lesson (VERDICT r6): the driver canonicalizer pandas-sorts
+every output column before hashing; a LIST/STRUCT/MAP cell is
+unhashable there (``llm_embedding_quantize`` FAIL r6 — the only
+complex-typed output in a judge audit of all 90 queued queries).
+Complex-typed OUTPUT columns are therefore banned registry-wide:
+render arrays as ``array_join(x, ',')`` / ``array_to_string(x, ',')``.
+
 This test runs WITHOUT Spark: it DESCRIBEs every oracle against the
 sf0.001 parquet views and asserts no banned output type, so the class
 can never re-enter the registry unnoticed.
@@ -27,6 +34,13 @@ from hadoop_fixedlengthinputformat_spark.tables import TABLES
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
 
 BANNED = ("HUGEINT", "DECIMAL", "WITH TIME ZONE")
+
+
+def _is_complex(duck_type: str) -> bool:
+    """LIST (``T[]``), STRUCT, MAP, UNION — unhashable in the driver's
+    pandas canonicalizer (sort_values → Categorical → factorize)."""
+    t = duck_type.strip()
+    return t.endswith("]") or t.startswith(("STRUCT", "MAP", "UNION"))
 
 
 @pytest.fixture(scope="module")
@@ -57,7 +71,9 @@ def test_no_engine_divergent_oracle_output_types(con):
             offenders[name] = [f"DESCRIBE: {type(exc).__name__}: {exc}"]
             continue
         bad = [
-            f"{c}: {t}" for c, t, *_ in desc if any(b in t for b in BANNED)
+            f"{c}: {t}"
+            for c, t, *_ in desc
+            if any(b in t for b in BANNED) or _is_complex(t)
         ]
         if bad:
             offenders[name] = bad
