@@ -53,77 +53,18 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # CASTing the oracle sums AS BIGINT + the tests/test_oracle_types.py
 # gate.
 #
-# ROUND 5 WINDOW (this list's first 50), per VERDICT r4 #1/#3/#4/#5:
-# the six HUGEINT re-grades first, then the four queued names the same
-# audit pre-empted, then 36 never-graded oracle-backed queries — the
-# reference-heritage varlen/copybook/ODO block early (this was round
-# 4's flagship source work), the r3 widening batch, the LLM corpus
-# tail, and the four exact-SQL streaming ops at the tail (first driver
-# evidence for the H family).
+# ROUND 7 WINDOW (this list's first 50), per VERDICT r6 #1/#2: the two
+# r6 reds re-graded first (llm_embedding_quantize's array output is now
+# array_join'd; agg_approx_distinct is re-shaped to exact counts +
+# boolean accuracy gates), then the head of the 90-name never-graded
+# backlog in its established order — the VBS spanned-record pair, the
+# streaming family, RECFM=FBA/VBA, the AWS tape + GDG flagships, and
+# the first half of the stats family.
 GRADE_ORDER: tuple[str, ...] = (
-    # 1-6: re-grades — all six r4 reds, one mechanical oracle-type fix
-    "tpch_q12_priority_shipping",
-    "diag_q12_join_only",
-    "llm_seq_packing",
-    "ts_sessionize",
-    "ts_rollup_chain",
-    "llm_domain_stats",
-    # 7-10: queued names the r4 HUGEINT audit flagged would fail as-is,
-    # now cast — first grade must be green
-    "dq_audit",
-    "llm_shard_assign",
-    "llm_dataset_card",
-    "llm_simhash",
-    # 11-22: the reference-heritage source block (varlen RDW/VB,
-    # copybook, ODO, comp12, bz2 sink, varlen index/view/compaction)
-    "scan_varlen_rdw",
-    "sink_varlen_rdw",
-    "scan_varlen_rdw_indexed",
-    "scan_varlen_vb",
-    "sink_varlen_vb",
-    "maintain_varlen_index",
-    "sql_varlen_view",
-    "scan_fixedlen_copybook",
-    "scan_fixedlen_odo",
-    "scan_fixedlen_comp12",
-    "sink_fixedlen_bz2",
-    "maintain_zorder",
-    # 23-34: the round-3 relational/fn widening batch
-    "cte_recursive",
-    "win_percent_rank_nth",
-    "set_union_by_name",
-    "fn_try_arith",
-    "fn_datetime_interval",
-    "join_asof_nearest",
-    "ts_anomaly_zscore",
-    "ts_retention_cohorts",
-    "ts_funnel",
-    "agg_approx_percentile",
-    "agg_histogram",
-    "agg_bitmap_distinct",
-    # 35-46: the LLM corpus tail
-    "llm_chunk_split",
-    "llm_pmi_bigrams",
-    "llm_passage_dedup",
-    "llm_holdout_split",
-    "llm_winnowing",
-    "llm_lm_score",
-    "llm_corpus_diff",
-    "llm_group_sample",
+    # 1-2: red re-grades (both were harness-shape, not wrong answers)
     "llm_embedding_quantize",
-    "llm_url_dedup",
-    "llm_mime_sniff",
-    "graph_pagerank",
-    # 47-50: first streaming grades — the four H ops with exact SQL
-    # oracles (VERDICT r4 #5)
-    "stream_tumbling_window",
-    "stream_stateful_count",
-    "stream_dedup",
-    "stream_static_join",
-    # ---- ROUND 6 WINDOW (51+): remaining never-graded names —
-    # the round-5 VBS spanned-record pair, scalar/agg leftovers, the
-    # varlen tail stream, the rest of the streaming family
-    # (batch-equivalence oracles, weakest signal) ----
+    "agg_approx_distinct",
+    # 3-18: VBS pair, scalar/agg leftovers, streaming family
     "scan_varlen_vbs",
     "sink_varlen_vbs",
     "llm_mix_weights",
@@ -176,6 +117,12 @@ GRADE_ORDER: tuple[str, ...] = (
     "sink_varlen_d",
     "limit_offset",
     "agg_spearman",
+    # ---- ROUND 8 WINDOW (51+): remaining never-graded backlog (the
+    # second half of the stats family, the varlen D/DB pair, sorted
+    # scan/sink, tolerance asof, zonedl), then the 13 ops that gained
+    # oracles in round 7 (sketch gates, ANN structural gates,
+    # multimodal construction-predicted fixtures, BPE invariants,
+    # watermark exact oracle) — first-ever driver evidence for them ----
     "agg_mannwhitney",
     "agg_ks_test",
     "maintain_gdg_expire",
@@ -217,12 +164,20 @@ GRADE_ORDER: tuple[str, ...] = (
     "agg_corr_matrix",
     "ts_theil_sen",
     "scan_fixedlen_zonedl",
-    # rows-only sketches stay LAST of the queued names (VERDICT r3 #5):
-    # no_oracle rows burn grading signal
+    # the formerly rows-only ops, driver-gradeable since round 7
+    # (VERDICT r6 #2/#3 recipes — see each query's docstring)
     "stream_watermark_late_drop",
     "agg_hll_mergeable",
     "llm_tokenizer_apply",
     "mm_video_frames",
+    "llm_bpe_train",
+    "llm_kmeans_train",
+    "llm_knn_ivf",
+    "llm_knn_pq",
+    "llm_cosine_lsh",
+    "mm_image_features",
+    "mm_audio_frames",
+    "mm_image_resize",
 )
 
 

@@ -1,11 +1,19 @@
 """The driver grades the FIRST 50 registered queries each round; the
 window is an explicit artifact (registry.GRADE_ORDER).  Pin its
-round-4 composition so an accidental import reshuffle can't silently
-waste a grading round."""
+composition so an accidental import reshuffle can't silently waste a
+grading round, and gate the SURVEY §2.3 table against the registry so
+the two can never drift (VERDICT r6 #4: agg_moments was registered and
+graded green but missing from the table)."""
 
 from __future__ import annotations
 
+import json
+import os
+import re
+
 from hadoop_fixedlengthinputformat_spark import registry
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_grade_order_applied_and_complete():
@@ -15,42 +23,49 @@ def test_grade_order_applied_and_complete():
     assert names[: len(registry.GRADE_ORDER)] == list(registry.GRADE_ORDER)
 
 
-def test_round5_window_composition():
+def test_round7_window_composition():
     registry.load_all()
     window = list(registry.QUERIES)[:50]
-    # the six HUGEINT-class re-grades come first (VERDICT r4 #1)
-    assert window[:6] == [
-        "tpch_q12_priority_shipping",
-        "diag_q12_join_only",
-        "llm_seq_packing",
-        "ts_sessionize",
-        "ts_rollup_chain",
-        "llm_domain_stats",
-    ]
-    # then the four queued names the same audit pre-empted
-    assert window[6:10] == [
-        "dq_audit",
-        "llm_shard_assign",
-        "llm_dataset_card",
-        "llm_simhash",
-    ]
-    # first streaming grades close the window (VERDICT r4 #5)
-    assert window[46:50] == [
-        "stream_tumbling_window",
-        "stream_stateful_count",
-        "stream_dedup",
-        "stream_static_join",
-    ]
-    # every window query has a full SQL oracle (strongest driver signal);
-    # rows-only ops are deliberately kept out of the graded window
+    # the two r6 reds re-graded first (VERDICT r6 #1/#2)
+    assert window[:2] == ["llm_embedding_quantize", "agg_approx_distinct"]
+    # then the head of the never-graded backlog, in its established order
+    assert window[2:4] == ["scan_varlen_vbs", "sink_varlen_vbs"]
+    assert window[49] == "agg_spearman"
+    # every window query has a full SQL oracle (strongest driver signal)
     missing = [n for n in window if n not in registry.ORACLES]
     assert not missing, f"window queries without oracle: {missing}"
-    # no slot re-grades an already-green query (50 fresh signals)
-    greens = {
-        "proj_compute", "diag_documents_identity", "llm_token_count",
-        "scan_parquet", "fn_string", "fn_date", "fn_conditional",
-    }
-    wasted = [n for n in window if n in greens]
+
+
+def test_no_query_is_oracle_less():
+    """Since r7 EVERY registered query must carry a DuckDB oracle — the
+    driver has no rows-only mode (a no_oracle row burns a grading slot
+    and scores red, proven by agg_approx_distinct r1)."""
+    registry.load_all()
+    missing = [n for n in registry.QUERIES if n not in registry.ORACLES]
+    assert not missing, f"oracle-less queries: {missing}"
+
+
+def test_window_regrades_only_known_reds():
+    """No slot in the 50-query window may re-grade an already-green
+    query (each round's window should carry maximum fresh signal).
+    Derived from the committed CORRECTNESS_r*.json artifacts rather
+    than a hand-kept list."""
+    registry.load_all()
+    window = list(registry.QUERIES)[:50]
+    graded: dict[str, bool] = {}
+    for fname in sorted(os.listdir(REPO)):
+        if not re.fullmatch(r"CORRECTNESS_r\d+\.json", fname):
+            continue
+        with open(os.path.join(REPO, fname)) as f:
+            for name, v in json.load(f).items():
+                ok = (
+                    v.get("rows_match")
+                    and v.get("schema_match")
+                    and v.get("hash_match") in (True, None)
+                    and not v.get("err")
+                )
+                graded[name] = bool(ok)
+    wasted = [n for n in window if graded.get(n) is True]
     assert not wasted, f"window wastes slots on greens: {wasted}"
 
 
@@ -58,3 +73,19 @@ def test_grade_order_names_all_registered():
     registry.load_all()
     unknown = [n for n in registry.GRADE_ORDER if n not in registry.QUERIES]
     assert not unknown
+
+
+def test_survey_table_covers_registry():
+    """Every registered query name must appear in SURVEY.md §2.3 as a
+    backticked table token (combined rows like ```a` / `b``` count for
+    both names), and the table must not name queries that don't exist."""
+    registry.load_all()
+    with open(os.path.join(REPO, "SURVEY.md")) as f:
+        survey = f.read()
+    # §2.3 spans from its heading to the next ### heading
+    start = survey.index("### 2.3")
+    m = re.search(r"\n### (?!2\.3)", survey[start + 1 :])
+    section = survey[start : start + 1 + m.start()] if m else survey[start:]
+    table_tokens = set(re.findall(r"`([a-z0-9_]+)`", section))
+    missing = sorted(n for n in registry.QUERIES if n not in table_tokens)
+    assert not missing, f"registry queries missing from SURVEY §2.3: {missing}"
