@@ -241,11 +241,22 @@ def agg_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Effect size from exact power sums: (n-1)*s² per class is exactly
-# v/n with v = n*S2 - S1² (exact int64), so the pooled sd is
+# v/n with v = n*S2 - S1², so the pooled sd is
 # sqrt((va/na + vr/nr) / (na + nr - 2)) — one double tree, sqrt
 # snapped to 8, d and g to 4.
+#
+# v is evaluated in DOUBLE like the adjacent _corr_expr (ADVICE r6,
+# high): the int64 product n*S2 overflows at ~7e4 rows/class for
+# price-magnitude data (measured 3.34e20 at sf0.1 vs int64 max
+# 9.2e18 — DuckDB raises, Spark long*long WRAPS silently).  The
+# int64→double casts and the subtraction round identically on both
+# engines (same IEEE ops on identical exact-int operands), so
+# determinism is preserved; only the SUMS carry the overflow budget
+# now (S2 ≤ 1.3e10·n — int64-safe to ~7e8 rows/class).
+_D_VF = "(CAST(nf AS DOUBLE) * s2f - CAST(s1f AS DOUBLE) * s1f)"
+_D_VO = "(CAST(no_ AS DOUBLE) * s2o - CAST(s1o AS DOUBLE) * s1o)"
 _D_SP = snap_sql(
-    "sqrt((vf / CAST(nf AS DOUBLE) + vo / CAST(no_ AS DOUBLE))"
+    f"sqrt((({_D_VF}) / CAST(nf AS DOUBLE) + ({_D_VO}) / CAST(no_ AS DOUBLE))"
     " / (nf + no_ - 2))", 8
 )
 _D_STAT = snap_sql(
@@ -272,16 +283,11 @@ _G_STAT = snap_sql(
                CAST(SUM(xi)  FILTER (l_linestatus = 'O') AS BIGINT) AS s1o,
                CAST(SUM(xi*xi) FILTER (l_linestatus = 'O') AS BIGINT) AS s2o
         FROM base
-    ),
-    v AS (
-        SELECT nf, s1f, no_, s1o,
-               CAST(nf * s2f - s1f * s1f AS BIGINT) AS vf,
-               CAST(no_ * s2o - s1o * s1o AS BIGINT) AS vo
-        FROM g
     )
     SELECT nf AS n_f, no_ AS n_o,
            {_D_STAT} + 0 AS cohens_d, {_G_STAT} + 0 AS hedges_g
-    FROM v WHERE nf >= 2 AND no_ >= 2 AND (vf > 0 OR vo > 0)
+    FROM g
+    WHERE nf >= 2 AND no_ >= 2 AND ({_D_VF} > 0 OR {_D_VO} > 0)
     """,
 )
 def agg_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -290,10 +296,13 @@ def agg_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
     companion to agg_ttest's "is it significant".  Same one-pass exact
     int64 power-sum shape (conditional sums inside a single global
     aggregate, map-side combined); pooled sd uses (n−1)s² = v/n with
-    v = n·S₂−S₁² exact, evaluated in one shared double tree (sqrt
-    snap-8, statistics snap-4).  Overflow: S₂ ≤ 1e10·n — int64-safe to
-    ~9e8 rows per class; floor to hundreds of dollars beyond
-    (documented budget)."""
+    v = n·S₂−S₁² evaluated in DOUBLE (the _corr_expr convention —
+    identical IEEE tree both engines; an int64 v overflowed at a mere
+    ~7e4 rows/class, ADVICE r6).  sqrt snap-8, statistics snap-4.
+    Overflow budget: only the exact SUMS bind now — S₂ ≤ 1.3e10·n is
+    int64-safe to ~7e8 rows per class; floor to hundreds of dollars
+    beyond.  Pinned vs numpy at sf0.1 (past the old cliff) in
+    tests/test_stats_extras.py."""
     li = load_table(spark, sf_dir, "lineitem")
     base = li.where(
         F.col("l_extendedprice").isNotNull()
@@ -317,16 +326,9 @@ def agg_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt("F", "nf"), side("F", x, "s1f"), side("F", x * x, "s2f"),
         cnt("O", "no_"), side("O", x, "s1o"), side("O", x * x, "s2o"),
     )
-    v = g.select(
-        "nf", "s1f", "no_", "s1o",
-        (F.col("nf") * F.col("s2f") - F.col("s1f") * F.col("s1f"))
-        .alias("vf"),
-        (F.col("no_") * F.col("s2o") - F.col("s1o") * F.col("s1o"))
-        .alias("vo"),
-    )
-    return v.where(
+    return g.where(
         (F.col("nf") >= 2) & (F.col("no_") >= 2)
-        & ((F.col("vf") > 0) | (F.col("vo") > 0))
+        & ((F.expr(_D_VF) > 0) | (F.expr(_D_VO) > 0))
     ).select(
         F.col("nf").alias("n_f"),
         F.col("no_").alias("n_o"),

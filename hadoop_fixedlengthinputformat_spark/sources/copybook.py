@@ -355,7 +355,15 @@ def copybook_to_layout(text: str) -> tuple[str, int]:
                 else 1
             )
             pad = (-offset) % align
-            if pad and it.redefines is not None:
+            # the misalignment guard covers BOTH an elementary item
+            # bearing REDEFINES and an item nested anywhere inside an
+            # open REDEFINES *group* (resume_end is not None) — slack
+            # inserted there would silently shift the whole overlay
+            # relative to the redefined region (ADVICE r6)
+            in_redefines_overlay = it.redefines is not None or any(
+                g[3] is not None for g in group_stack
+            )
+            if pad and in_redefines_overlay:
                 raise ValueError(
                     f"copybook: SYNCHRONIZED would shift REDEFINES "
                     f"overlay {it.name!r} by {pad} slack byte(s) — the "

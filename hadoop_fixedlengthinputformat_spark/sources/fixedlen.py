@@ -946,7 +946,14 @@ class FixedLengthReader(DataSourceReader):
                         rec, o.record_length, [field], 0, False, None,
                         sub_schema, encoding=o.encoding,
                     )
-                    return batch.column(0)[0].as_py()
+                    k = batch.column(0)[0].as_py()
+                    if k is None:
+                        # a NULL sort key makes the bisect predicate
+                        # non-monotone (ADVICE r6: treating it as
+                        # below-range can clamp away matching bytes);
+                        # unprovable -> the except keeps the whole file
+                        raise ValueError("NULL sort key mid-file")
+                    return k
 
                 def bisect(pred) -> int:
                     """First index i in [0, n] with pred(key(i)) true
@@ -963,16 +970,16 @@ class FixedLengthReader(DataSourceReader):
                 first = 0
                 if lo_val is not None:
                     first = bisect(
-                        (lambda k: k is not None and k > lo_val)
+                        (lambda k: k > lo_val)
                         if lo_strict
-                        else (lambda k: k is not None and k >= lo_val)
+                        else (lambda k: k >= lo_val)
                     )
                 last = n
                 if hi_val is not None:
                     last = bisect(
-                        (lambda k: k is not None and k >= hi_val)
+                        (lambda k: k >= hi_val)
                         if hi_strict
-                        else (lambda k: k is not None and k > hi_val)
+                        else (lambda k: k > hi_val)
                     )
         except (TypeError, ValueError, OSError):
             return None  # unprovable: keep the whole file

@@ -392,3 +392,55 @@ def test_level88_quoting_and_errors():
         conditions("01 R.\n 05 A PIC 9.\n 88 BAD VALUE 1 THRU.")
     with pytest.raises(ValueError, match="neither a quoted string"):
         conditions("01 R.\n 05 A PIC 9.\n 88 BAD VALUE FOO.")
+
+
+def test_synchronized_inserts_slack_before_binary():
+    layout, rl = copybook_to_layout("""
+       01  R.
+           05  TAG PIC X(3).
+           05  N   PIC 9(9) COMP SYNC.
+    """)
+    # fullword item after a 3-byte field: 1 slack byte before offset 4
+    assert layout == "tag:0:3:string,n:4:4:bin"
+    assert rl == 8
+
+
+def test_synchronized_group_propagates_to_children():
+    layout, rl = copybook_to_layout("""
+       01  R.
+           05  TAG PIC X(2).
+           05  G SYNCHRONIZED.
+               10  H PIC 9(4) COMP.
+               10  W PIC 9(9) COMP.
+    """)
+    # group SYNC aligns every binary child: h at 2 (halfword), w at 4
+    assert layout == "tag:0:2:string,h:2:2:bin,w:4:4:bin"
+    assert rl == 8
+
+
+def test_sync_inside_redefines_group_guards_misaligned_overlay():
+    """ADVICE r6: a SYNC binary item nested inside a REDEFINES *group*
+    must hit the same misalignment guard as an elementary REDEFINES
+    item — slack inserted there would silently shift the overlay
+    relative to the redefined region."""
+    with pytest.raises(ValueError, match="SYNCHRONIZED would shift"):
+        copybook_to_layout("""
+           01  R.
+               05  RAW PIC X(7).
+               05  OV REDEFINES RAW.
+                   10  PFX PIC X(3).
+                   10  N   PIC 9(9) COMP SYNC.
+        """)
+
+
+def test_sync_inside_redefines_group_ok_when_aligned():
+    layout, rl = copybook_to_layout("""
+       01  R.
+           05  RAW PIC X(8).
+           05  OV REDEFINES RAW.
+               10  PFX PIC X(4).
+               10  N   PIC 9(9) COMP SYNC.
+    """)
+    # overlay starts at 0, n lands at 4 with zero slack — legal
+    assert layout == "raw:0:8:string,pfx:0:4:string,n:4:4:bin"
+    assert rl == 8

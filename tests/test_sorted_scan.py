@@ -107,3 +107,23 @@ def test_sorted_option_validation():
         _Options.parse(
             {"recordlength": "20", "layout": LAYOUT, "sortedby": "missing"}
         )
+
+
+def test_sorted_null_key_mid_file_falls_back_conservatively(spark, tmp_path):
+    """ADVICE r6: a record whose key decodes to NULL (blank-padded
+    trailer-like row) must make the bisect UNPROVABLE (whole file
+    kept), not compare as below-range — the latter makes the predicate
+    non-monotone and can clamp away matching byte ranges."""
+    p = tmp_path / "nullkey.fixed"
+    with open(p, "wb") as f:
+        f.write(b"".join(
+            f"{k:08d}".encode() + b"x".ljust(12) for k in range(100)
+        ))
+        f.write(b" " * 8 + b"x".ljust(12))  # NULL-key record mid-sort
+        f.write(b"".join(
+            f"{k:08d}".encode() + b"x".ljust(12) for k in range(100, 120)
+        ))
+    df = _rd(spark, p, sortedBy="k", mode="permissive").where(
+        "k >= 90 and k < 105"
+    )
+    assert sorted(r.k for r in df.collect()) == list(range(90, 105))

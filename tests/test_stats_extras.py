@@ -9,8 +9,10 @@ compared within snap tolerance.
 from __future__ import annotations
 
 import math
+import os
 
 import pyarrow.parquet as pq
+import pytest
 
 from hadoop_fixedlengthinputformat_spark.operators.stats_extras import (
     agg_cohen_kappa,
@@ -115,6 +117,41 @@ def test_cohens_d_matches_reference(spark, sf_dir):
     got = agg_cohens_d(spark, sf_dir).collect()
     assert len(got) == 1
     r = got[0]
+    assert (r.n_f, r.n_o) == (nf, no)
+    assert abs(r.cohens_d - d_ref) < TOL
+    assert abs(r.hedges_g - g_ref) < TOL
+
+
+def test_cohens_d_past_int64_product_cliff(spark):
+    """ADVICE r6 (high): the old int64 v = n*S2 - S1^2 overflowed at
+    ~7e4 rows/class (Spark wrapped silently, DuckDB raised).  Run the
+    full query at sf0.1 (~6e5 lineitem rows, n*S2 ~ 3e20 — far past
+    the cliff) and pin against numpy: a wrap would be off by orders of
+    magnitude, not TOL."""
+    import numpy as np
+
+    sf_dir = "/root/testdata/sf0.1"
+    if not os.path.exists(f"{sf_dir}/lineitem.parquet"):
+        pytest.skip("sf0.1 fixture not present")
+    cols = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_linestatus", "l_extendedprice"]
+    ).to_pydict()
+    by: dict[str, list[int]] = {"F": [], "O": []}
+    for st, ep in zip(cols["l_linestatus"], cols["l_extendedprice"]):
+        if ep is not None and st in by:
+            by[st].append(int(math.floor(ep)))
+    xf = np.array(by["F"], dtype=np.float64)
+    xo = np.array(by["O"], dtype=np.float64)
+    nf, no = len(xf), len(xo)
+    # past the OLD cliff: n*S2 must exceed int64 max for the test to bite
+    s2f = int((np.array(by["F"], dtype=np.object_) ** 2).sum())
+    assert nf * s2f > 2**63 - 1, "fixture no longer exercises the cliff"
+    sp2 = ((nf - 1) * xf.var(ddof=1) + (no - 1) * xo.var(ddof=1)) / (
+        nf + no - 2
+    )
+    d_ref = (xf.mean() - xo.mean()) / math.sqrt(sp2)
+    g_ref = d_ref * (1 - 3 / (4 * (nf + no) - 9))
+    r = agg_cohens_d(spark, sf_dir).collect()[0]
     assert (r.n_f, r.n_o) == (nf, no)
     assert abs(r.cohens_d - d_ref) < TOL
     assert abs(r.hedges_g - g_ref) < TOL
