@@ -57,6 +57,7 @@ def gen(
     ns_dates: bool = False,
     nulls: bool = False,
     ties: bool = False,
+    flat_emb: bool = False,
 ) -> None:
     rng = np.random.RandomState(seed)
     os.makedirs(out, exist_ok=True)
@@ -264,6 +265,16 @@ def gen(
     # planted near-duplicates for the cosine-dup family
     for j in range(0, 40, 4):
         emb[j + 1] = emb[j] + rng.standard_normal(64).astype(np.float32) * 0.01
+    if flat_emb:
+        # degenerate vectors (VERDICT r6 #7): CONSTANT components hit
+        # the mx == mn branch of llm_embedding_quantize; exact
+        # duplicates tie every cosine rank.  Values stay nonzero so
+        # norms never vanish (an all-zero vector is a data bug, not a
+        # supported input — cosine is undefined there).
+        for k, j in enumerate(range(100, 112)):
+            emb[j] = np.float32(0.25 * (k + 1))   # constant vector
+        for j in range(120, 130, 2):
+            emb[j + 1] = emb[j]                   # exact duplicate pair
     write("embeddings", pa.table({
         "vec_id": pa.array(range(n_vec), pa.int64()),
         "embedding": pa.array([v.tolist() for v in emb], pa.list_(pa.float32())),
@@ -273,7 +284,7 @@ def gen(
 
 
 if __name__ == "__main__":
-    flags = {"--ns-events", "--ns-dates", "--nulls", "--ties"}
+    flags = {"--ns-events", "--ns-dates", "--nulls", "--ties", "--flat-emb"}
     args = [a for a in sys.argv[1:] if a not in flags]
     out = args[0] if args else "/tmp/alt_testdata"
     seed = int(args[1]) if len(args) > 1 else 20260813
@@ -284,4 +295,5 @@ if __name__ == "__main__":
         ns_dates="--ns-dates" in sys.argv,
         nulls="--nulls" in sys.argv,
         ties="--ties" in sys.argv,
+        flat_emb="--flat-emb" in sys.argv,
     )

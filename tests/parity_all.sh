@@ -11,9 +11,9 @@ python tests/gen_testdata.py /tmp/alt_testdata   20260813
 python tests/gen_testdata.py /tmp/alt_testdata2  777
 python tests/gen_testdata.py /tmp/alt_testdata3  4242
 python tests/gen_testdata.py /tmp/alt_testdata_ns 31337 --ns-events --ns-dates
-python tests/gen_testdata.py /tmp/alt_testdata_nulls 90210 --nulls
+python tests/gen_testdata.py /tmp/alt_testdata_nulls 90210 --nulls --flat-emb
 python tests/gen_testdata.py /tmp/alt_testdata_nullns 13579 --nulls --ns-dates
-python tests/gen_testdata.py /tmp/alt_testdata_ties 24680 --ties
+python tests/gen_testdata.py /tmp/alt_testdata_ties 24680 --ties --flat-emb
 fail=0
 for d in /root/testdata/sf0.01 /tmp/alt_testdata /tmp/alt_testdata2 \
          /tmp/alt_testdata3 /tmp/alt_testdata_ns /tmp/alt_testdata_nulls \
