@@ -114,6 +114,18 @@ def oracle_type_problems(oracle_sql: str, con) -> list[str]:
             "oracle output type diverges from Spark (CAST AS "
             "BIGINT/DOUBLE/TIMESTAMP): " + "; ".join(bad)
         ]
+    # complex outputs are unhashable in the driver's pandas canonicalizer
+    # (the r6 llm_embedding_quantize red) — array_join/array_to_string them
+    complex_cols = [
+        f"{c}: {t}"
+        for c, t, *_ in desc
+        if t.strip().endswith("]") or t.strip().startswith(("STRUCT", "MAP", "UNION"))
+    ]
+    if complex_cols:
+        return [
+            "oracle output column is LIST/STRUCT/MAP (driver canonicalizer "
+            "crashes on unhashable cells): " + "; ".join(complex_cols)
+        ]
     return []
 
 

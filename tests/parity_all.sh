@@ -32,4 +32,8 @@ SPARK_GRAFT_CPUS=32 python tests/parity.py /tmp/alt_testdata_nulls > "$out" 2>&1
 rc=$?
 echo "nulls@local[32]: $(tail -1 "$out")"
 [ $rc -ne 0 ] && { fail=1; grep -A3 "^FAIL" "$out" | head -30; }
+# committed evidence for queries outside the 50-query driver window
+# (VERDICT r6 #5): PARITY_ALL.json summarizes this run; copy/rename to
+# PARITY_ALL_r{N}.json and git add it at round end
+python tests/parity_artifact.py PARITY_ALL.json > /dev/null || fail=1
 exit $fail
