@@ -315,6 +315,75 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_repeated_ngrams",
+    oracle=f"""
+    WITH canon AS (
+        {_CANON_CTE}
+    ),
+    inst AS (
+        SELECT doc_id, md5(g) AS h FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(len(t) - 7, 1) + 1),
+                       i -> array_to_string(list_slice(t, i, i + 7), ' ')))
+                       AS g
+            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM canon)
+        )
+    ),
+    dfreq AS (
+        SELECT h, count(DISTINCT doc_id) AS n_docs FROM inst GROUP BY h
+    )
+    SELECT i.doc_id,
+           CAST(count(*) AS BIGINT) AS n_ngrams,
+           CAST(SUM(CASE WHEN d.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_repeated,
+           CAST(SUM(CASE WHEN d.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) AS repeated_frac
+    FROM inst i JOIN dfreq d ON i.h = d.h
+    GROUP BY i.doc_id
+    """,
+)
+def llm_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level cross-document repetition (the Lee et al. 2022
+    'Deduplicating Training Data' signal at word-8-gram granularity):
+    per document, how many of its 8-gram INSTANCES (positions, not
+    distinct shingles) also occur in at least one OTHER document, and
+    the repeated fraction.  This is the quantity substring dedup cuts;
+    llm_ngram_novelty is its distinct-shingle complement and
+    llm_repetition_score the within-doc one.
+
+    Scale shape (the ngram_novelty rules): shingles md5 to digests
+    in-array before anything wide — text never crosses an exchange;
+    the instance table is localCheckpointed (consumed twice: document
+    frequency + the instance join); the df join is digest-keyed.  The
+    repeated fraction is one exact int64/int64 double division —
+    nothing to snap.  Cross-doc df uses count(DISTINCT doc_id), so
+    within-doc self-repetition alone never flags a span."""
+    d = dedup.canonical_docs(load_table(spark, sf_dir, "documents"))
+    inst = d.select(
+        "doc_id",
+        F.explode(dedup.word_shingles(d, n=8)).alias("g"),
+    ).select(
+        "doc_id", F.md5(F.col("g").cast("binary")).alias("h")
+    ).localCheckpoint(eager=False)
+    dfreq = inst.groupBy("h").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    rep = F.sum(
+        F.when(F.col("n_docs") >= 2, F.lit(1)).otherwise(F.lit(0))
+    )
+    return (
+        inst.join(dfreq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ngrams"),
+            rep.cast("bigint").alias("n_repeated"),
+            (rep.cast("double") / F.count(F.lit(1))).alias("repeated_frac"),
+        )
+    )
+
+
+@query(
     "llm_tokenizer_apply",
     oracle="""
     SELECT DISTINCT doc_id,

@@ -178,6 +178,8 @@ GRADE_ORDER: tuple[str, ...] = (
     "mm_image_features",
     "mm_audio_frames",
     "mm_image_resize",
+    # round-7 widening (r9 window candidates)
+    "llm_repeated_ngrams",
 )
 
 

@@ -63,13 +63,16 @@ def test_char_toks_detokenize_roundtrip(spark):
 
 
 def test_tokenizer_apply_counts(spark, sf_dir):
+    """Gate shape (r7): one row per DISTINCT doc_id (incl. word-less
+    docs), every encoder-invariant boolean true."""
     rows = llm_tokenizer_apply(spark, sf_dir).collect()
     assert len(rows) > 0
+    docs = pq.read_table(f"{sf_dir}/documents.parquet").to_pylist()
+    assert len(rows) == len({r["doc_id"] for r in docs})
     for r in rows:
         # merges only ever shrink the per-word token count, and every
         # word is at least one token
-        assert r.n_ws_tokens <= r.n_bpe_tokens
-        assert abs(r.toks_per_word - r.n_bpe_tokens / r.n_ws_tokens) < 1e-12
+        assert r.bpe_ge_ws_tokens and r.bpe_le_word_chars, r
 
 
 def _canonical_docs_py(rows: list[dict]) -> dict[int, str]:
@@ -169,6 +172,36 @@ def test_ngram_novelty_bounds_and_uniqueness(spark, sf_dir):
     # the corpus has both boilerplate-heavy and original docs
     assert any(r.novelty < 1.0 for r in rows)
     assert any(r.novelty > 0.0 for r in rows)
+
+
+def test_repeated_ngrams_planted_span(spark, tmp_path):
+    """A 10-word span planted verbatim in two docs must flag exactly
+    the 8-gram instances inside it (3 per doc of 20 words: positions
+    covering the shared span), and a fully-unique doc must flag 0."""
+    from hadoop_fixedlengthinputformat_spark.functions.curation_extras import (
+        llm_repeated_ngrams,
+    )
+
+    import pyspark.sql.functions as F
+
+    span = " ".join(f"s{i}" for i in range(10))
+    docs = [
+        (1, span + " " + " ".join(f"a{i}" for i in range(10)), "en", "s0"),
+        (2, " ".join(f"b{i}" for i in range(10)) + " " + span, "en", "s0"),
+        (3, " ".join(f"c{i}" for i in range(20)), "en", "s0"),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text"))
+    out = str(tmp_path / "docs")
+    df.coalesce(1).write.parquet(out + "/documents.parquet")
+    rows = {r.doc_id: r for r in llm_repeated_ngrams(spark, out).collect()}
+    # 20 words -> 13 8-gram instances per doc; the 10-word shared span
+    # contributes exactly 3 fully-inside 8-grams (offsets 0..2 / 10..12)
+    assert rows[1].n_ngrams == 13 and rows[2].n_ngrams == 13
+    assert rows[1].n_repeated == 3 and rows[2].n_repeated == 3
+    assert abs(rows[1].repeated_frac - 3 / 13) < 1e-12
+    assert rows[3].n_repeated == 0 and rows[3].repeated_frac == 0.0
 
 
 def test_agg_moments_matches_numpy(spark, sf_dir):
