@@ -37,7 +37,7 @@ def _events_stream_dir(spark: SparkSession, sf_dir: str, with_late: bool) -> str
     clones shifted 30 minutes earlier (FIXTURES.md §D late-data fixture).
     """
     tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|late={with_late}|v2"
+        f"{os.path.abspath(sf_dir)}|late={with_late}|v3"
         f"|{fixture_gen.source_stamp(sf_dir)}".encode()
     ).hexdigest()[:12]
     out = os.path.join(tempfile.gettempdir(), f"flif_stream_{tag}")
@@ -55,9 +55,18 @@ def _events_stream_dir(spark: SparkSession, sf_dir: str, with_late: bool) -> str
             "overwrite"
         ).parquet(os.path.join(out, f"chunk-{i}"))
     if with_late:
+        # replay the 20 OLDEST events (by ts): their shifted stamps sit
+        # at the very bottom of the range, far below the late-event
+        # filter watermark of ANY batch, so the watermark drops ALL of
+        # them deterministically.  (v2 replayed the first 20 by
+        # event_id — arbitrary ts; on some rolls the newest of those
+        # survived because Spark's late filter LAGS one batch behind
+        # eviction: in batch N it uses max(ts through batch N-2) -
+        # delay, the two-watermark model — caught by the seed-20260813
+        # parity roll, see plans/NOTES.md "Round-7 two-watermark".)
         late = (
             load_table(spark, sf_dir, "events")
-            .orderBy("event_id")
+            .orderBy("ts", "event_id")
             .limit(20)
             .withColumn("ts", F.col("ts") - F.expr("INTERVAL 30 MINUTES"))
             .withColumn("event_id", F.col("event_id") + 1_000_000)
@@ -197,15 +206,16 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk replays 20 events shifted 30 minutes earlier, which the
     watermark must drop (append mode emits only finalized windows).
 
-    Exact oracle (upgraded from rows-only, r7): with ts-ordered chunks
-    at maxFilesPerTrigger=1, the watermark when the late chunk arrives
-    is already max(ts) - 10min, and every replayed row sits 30min
-    below its original (orig_ts - 30min >= max_ts - 10min would need
-    orig_ts > max_ts) — so ALL replayed rows are late-dropped
-    deterministically, and the append-mode output is exactly the
-    batch hourly counts for windows with end <= max(ts) - 10min
-    (Spark finalizes on window.end <= watermark).  Verified
-    empirically at sf0.001 and sf0.01 (530/719 windows, exact match).
+    Exact oracle (upgraded from rows-only, r7): the replay clones the
+    20 OLDEST events, whose shifted stamps sit at the bottom of the ts
+    range — below the late-event filter watermark of EVERY batch (the
+    filter lags eviction by one batch: in batch N it is max(ts through
+    batch N-2) - delay, Spark's two-watermark model; see plans/NOTES.md
+    "Round-7 two-watermark").  All replayed rows are therefore dropped
+    deterministically, and the append-mode output is exactly the batch
+    hourly counts for windows with end <= max(ts) - 10min (eviction
+    uses the UPDATED watermark, finalizing on window.end <= watermark).
+    Verified exact at sf0.001/sf0.01 and the variant-seed rolls.
     Boundary note: a window end landing EXACTLY on max(ts) - 10min
     relies on the <= eviction predicate; hour-aligned ends vs
     second-granular max(ts) make that alignment vanishingly rare."""
