@@ -460,3 +460,128 @@ def ts_pattern_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("seq", F.lit("x{2,}"), F.lit(0)))
         .cast("long").alias("n_error_bursts"),
     )
+
+
+@query(
+    "agg_count_min",
+    oracle="""
+    SELECT l_suppkey,
+           CAST(count(*) AS BIGINT) AS exact_cnt,
+           true AS est_ge_exact,
+           true AS est_within_eps,
+           true AS sketch_linear
+    FROM lineitem GROUP BY l_suppkey
+    QUALIFY ROW_NUMBER() OVER (ORDER BY count(*) DESC, l_suppkey ASC) <= 10
+    """,
+)
+def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters (Cormode & Muthukrishnan 2005):
+    d=4 hash rows x w=2048 cells of int64 counts estimate any key's
+    frequency in O(d·w) memory — the mergeable sketch that answers
+    "top sellers per hour over 100 TB" without carrying every key.
+
+    Graded with the round-7 recipes (plans/NOTES.md):
+      exact_cnt       the exact top-10 supplier counts (deterministic
+                      count-desc/key-asc tiebreak) — the oracle's half
+      est_ge_exact    CM never underestimates (algebraic: every
+                      occurrence of k lands in cell h_r(k) of row r)
+      est_within_eps  min-over-rows estimate <= exact + max(N/100, 64)
+                      — expected collision mass per cell is N/w ~ 29
+                      at sf0.01; the gate sits ~20x above it (~7+
+                      sigma against 4 independent rows)
+      sketch_linear   cell-wise sum of the sketches of any data split
+                      equals the full-data sketch (CM is LINEAR — the
+                      mergeability that makes per-partition/per-day
+                      sketches compose by addition); asserted over the
+                      even/odd l_orderkey split, all d·w cells
+
+    Scale shape: the sketch build is one groupBy over (row, bucket) —
+    the exchange carries <= d·w fixed cells regardless of input size
+    (map-side combined); estimates for the probe keys join the cells
+    by (row, bucket) with the tiny probe side broadcast.  No raw-key
+    exchange anywhere except the exact-count verification half, which
+    IS the operator under test's oracle, not its scale path."""
+    W, D = 2048, 4
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey"
+    )
+
+    def bucket(r: int):
+        return F.pmod(F.xxhash64(F.lit(r), F.col("l_suppkey")), F.lit(W))
+
+    def sketch_of(df: DataFrame) -> DataFrame:
+        """(row, bucket, c): the d x w cell counts of df."""
+        rows = [
+            df.select(F.lit(r).alias("row"), bucket(r).alias("bucket"))
+            for r in range(D)
+        ]
+        cells = rows[0]
+        for more in rows[1:]:
+            cells = cells.unionAll(more)
+        return cells.groupBy("row", "bucket").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+    full = sketch_of(li).localCheckpoint(eager=False)
+
+    # linearity: sketch(even) + sketch(odd) must equal sketch(full),
+    # cell-for-cell (missing cell = 0)
+    even = sketch_of(li.where(F.col("l_orderkey") % 2 == 0))
+    odd = sketch_of(li.where(F.col("l_orderkey") % 2 == 1))
+    summed = (
+        even.select("row", "bucket", "c")
+        .unionAll(odd.select("row", "bucket", "c"))
+        .groupBy("row", "bucket")
+        .agg(F.sum("c").alias("c2"))
+    )
+    linear = (
+        full.join(summed, ["row", "bucket"], "full")
+        .select(
+            (F.coalesce("c", F.lit(0)) == F.coalesce("c2", F.lit(0)))
+            .cast("int").alias("ok")
+        )
+        .agg(F.min("ok").alias("lin"))
+    )
+
+    n_total = li.agg(F.count(F.lit(1)).alias("n"))
+    top = (
+        li.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("l_suppkey"))
+        .limit(10)
+    )
+    # probe each top key against the sketch: est = min over rows of
+    # its cell — probes are 10 rows, broadcast onto the d*w cells
+    probes = top.select(
+        "l_suppkey",
+        "exact_cnt",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r).alias("row"), bucket(r).alias("bucket")
+                )
+                for r in range(D)
+            ])
+        ).alias("p"),
+    ).select("l_suppkey", "exact_cnt", "p.row", "p.bucket")
+    est = (
+        F.broadcast(probes)
+        .join(full, ["row", "bucket"])
+        .groupBy("l_suppkey", "exact_cnt")
+        .agg(F.min("c").alias("est"))
+    )
+    return (
+        est.crossJoin(F.broadcast(n_total))
+        .crossJoin(F.broadcast(linear))
+        .select(
+            "l_suppkey",
+            F.col("exact_cnt").cast("long").alias("exact_cnt"),
+            (F.col("est") >= F.col("exact_cnt")).alias("est_ge_exact"),
+            (
+                F.col("est") - F.col("exact_cnt")
+                <= F.greatest(
+                    (F.col("n") / 100).cast("long"), F.lit(64)
+                )
+            ).alias("est_within_eps"),
+            (F.col("lin") == 1).alias("sketch_linear"),
+        )
+    )

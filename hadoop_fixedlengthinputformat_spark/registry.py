@@ -180,6 +180,7 @@ GRADE_ORDER: tuple[str, ...] = (
     "mm_image_resize",
     # round-7 widening (r9 window candidates)
     "llm_repeated_ngrams",
+    "agg_count_min",
 )
 
 

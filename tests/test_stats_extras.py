@@ -231,3 +231,30 @@ def test_theil_sen_matches_bruteforce(spark, sf_dir):
     for uid, (n, med) in expect.items():
         assert got[uid].n_pairs == n
         assert abs(got[uid].sen_slope - med) < TOL
+
+
+def test_count_min_exact_on_collision_free_input(spark, tmp_path):
+    """With far fewer keys than cells (w=2048) a CM estimate should hit
+    collisions almost never; this planted case pins est == exact (all
+    gates true) and exercises the linearity gate end to end."""
+    import pyspark.sql.functions as F
+
+    from hadoop_fixedlengthinputformat_spark.operators.analytics_extras import (
+        agg_count_min,
+    )
+
+    rows = [(k, i) for k in range(20) for i in range(k + 1)]
+    df = (
+        spark.createDataFrame(rows, "l_suppkey long, i long")
+        .withColumn("l_orderkey", F.col("i"))
+        .drop("i")
+    )
+    out = str(tmp_path / "li")
+    df.coalesce(1).write.parquet(out + "/lineitem.parquet")
+    got = {r.l_suppkey: r for r in agg_count_min(spark, out).collect()}
+    assert len(got) == 10
+    # top-10 by count desc, key asc: keys 19..10 with counts 20..11
+    assert set(got) == set(range(10, 20))
+    for k, r in got.items():
+        assert r.exact_cnt == k + 1
+        assert r.est_ge_exact and r.est_within_eps and r.sketch_linear, r
