@@ -910,3 +910,34 @@ def test_sink_sorted_one_range_exchange(spark):
     plan = shaped._jdf.queryExecution().executedPlan().toString()
     assert "Exchange rangepartitioning" in plan, plan
     assert plan.count("Exchange") == 1, plan
+
+
+def test_repeated_ngrams_digests_only_cross_exchanges(spark):
+    """llm_repeated_ngrams: the shingle TEXT must be hashed to a digest
+    before any exchange — no exchange may partition on (or carry) the
+    raw gram column, and the df join must be digest-keyed."""
+    from hadoop_fixedlengthinputformat_spark.functions.curation_extras import (
+        llm_repeated_ngrams,
+    )
+
+    df = llm_repeated_ngrams(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(h#" in plan, plan
+    assert "hashpartitioning(g#" not in plan, plan
+    # partial count below the exchange for the instance agg
+    assert "partial_count" in plan, plan
+
+
+def test_count_min_sketch_build_partial_agg(spark):
+    """agg_count_min: the (row, bucket) sketch build must pre-combine
+    map-side (exchange carries <= d*w cells), the probe join must
+    broadcast the tiny probe side, and nothing may cartesian beyond
+    the three deliberate 1-row crossJoins."""
+    from hadoop_fixedlengthinputformat_spark.operators.analytics_extras import (
+        agg_count_min,
+    )
+
+    df = agg_count_min(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
