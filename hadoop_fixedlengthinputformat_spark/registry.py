@@ -181,6 +181,7 @@ GRADE_ORDER: tuple[str, ...] = (
     # round-7 widening (r9 window candidates)
     "llm_repeated_ngrams",
     "agg_count_min",
+    "stream_approx_distinct",
 )
 
 

@@ -565,3 +565,54 @@ def stream_fixedlen_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 # applyInPandasWithState operator above (stream_custom_stateful) covers
 # the custom-stateful surface; swap in transformWithStateInPandas where
 # protobuf is available.
+
+
+@query(
+    "stream_approx_distinct",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           true AS est_within_5pct
+    FROM events GROUP BY 1
+    """,
+)
+def stream_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming cardinality: per tumbling hour, distinct users via a
+    mergeable Datasketches HLL built INSIDE the micro-batch engine
+    (exact count-distinct is unsupported in streaming — the sketch IS
+    the production answer, and its per-window state is a fixed-size
+    blob the state store merges across batches).
+
+    Graded with the r7 boolean-gate recipe: streaming estimates are
+    engine-specific, so the output carries the batch-exact per-window
+    distinct (oracle-checkable) plus a <=5% accuracy boolean computed
+    by joining the streaming estimates back to the batch exacts
+    (lgConfigK=12 ~ 0.8% rsd — wide headroom).  The streaming side
+    must produce exactly the batch window set or the inner join +
+    row-count check fails — window coverage is part of the gate."""
+    src = _read_stream(spark, _events_stream_dir(spark, sf_dir, False))
+    agg = src.groupBy(F.window("ts", "1 hour")).agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
+    )
+    stream_out = _run_to_table(agg, "complete").select(
+        F.col("window.start").alias("window_start"), "est"
+    )
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"))
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    joined = stream_out.join(exact, "window_start", "full")
+    return joined.select(
+        "window_start",
+        F.col("exact_users").cast("long").alias("exact_users"),
+        (
+            F.col("est").isNotNull()
+            & F.col("exact_users").isNotNull()
+            & (
+                F.abs(F.col("est").cast("double") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= F.lit(0.05)
+            )
+        ).alias("est_within_5pct"),
+    )
