@@ -182,6 +182,7 @@ GRADE_ORDER: tuple[str, ...] = (
     "llm_repeated_ngrams",
     "agg_count_min",
     "stream_approx_distinct",
+    "scan_fixedlen_julian",
 )
 
 

@@ -490,3 +490,92 @@ def scan_fixedlen_zonedl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("includeOffset", "false")
         .load(path)
     )
+
+
+# Julian-date fixture: orders keys + o_orderdate encoded BOTH ways —
+# YYDDD (windowed century) and YYYYDDD
+_JULIAN_RL = 36
+_JULIAN_SPEC = (
+    "o_orderkey:0:12:long,o_custkey:12:12:long,"
+    "od_yyddd:24:5:julian,od_yyyyddd:29:7:julian"
+)
+
+
+def julian_file_for(sf_dir: str) -> str:
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from hadoop_fixedlengthinputformat_spark.sources.layout import (
+        encode_rows,
+        parse_layout,
+    )
+
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|julian|{_JULIAN_SPEC}"
+        f"|{fixture_gen.source_stamp(sf_dir)}".encode()
+    ).hexdigest()[:12]
+    out = os.path.join(fixture_gen.fixture_dir(), f"julian-{tag}.fixed")
+    if os.path.exists(out):
+        return out
+    rows = (
+        pq.read_table(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        )
+        .sort_by("o_orderkey")
+        .to_pylist()
+    )
+    # fixed-width has no NULL (fixture_gen convention): numbers -> 0,
+    # dates -> the 1970-01-01 epoch sentinel; the oracle COALESCEs
+    import datetime as _dt
+
+    epoch = _dt.date(1970, 1, 1)
+    recs = [
+        {
+            "o_orderkey": r["o_orderkey"] if r["o_orderkey"] is not None else 0,
+            "o_custkey": r["o_custkey"] if r["o_custkey"] is not None else 0,
+            "od_yyddd": r["o_orderdate"] or epoch,
+            "od_yyyyddd": r["o_orderdate"] or epoch,
+        }
+        for r in rows
+    ]
+    fields = parse_layout(_JULIAN_SPEC, _JULIAN_RL)
+    payload = encode_rows(recs, fields, _JULIAN_RL)
+    tmp = out + f".tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(payload)
+    os.replace(tmp, out)
+    return out
+
+
+@query(
+    "scan_fixedlen_julian",
+    oracle="""
+    SELECT CAST(COALESCE(o_orderkey, 0) AS BIGINT) AS o_orderkey,
+           CAST(COALESCE(o_custkey, 0) AS BIGINT) AS o_custkey,
+           COALESCE(CAST(o_orderdate AS DATE), DATE '1970-01-01')
+               AS od_yyddd,
+           COALESCE(CAST(o_orderdate AS DATE), DATE '1970-01-01')
+               AS od_yyyyddd
+    FROM orders
+    """,
+)
+def scan_fixedlen_julian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mainframe Julian dates (the other COBOL date format): YYDDD with
+    the classic windowed century (YY >= 70 -> 19YY else 20YY) and
+    YYYYDDD, both decoded by exact day-of-year arithmetic with the
+    day validated against the year's real length (leap-aware; 95366
+    fails, 96366 is Dec 31 1996).  The fixture encodes o_orderdate in
+    BOTH widths so one scan grades the century window and the
+    unwindowed path against the same oracle column."""
+    configure(spark)
+    fixedlen.register(spark)
+    path = julian_file_for(sf_dir)
+    return (
+        spark.read.format("fixedlen")
+        .option("recordLength", str(_JULIAN_RL))
+        .option("layout", _JULIAN_SPEC)
+        .option("includeOffset", "false")
+        .load(path)
+    )

@@ -47,6 +47,7 @@ _TYPES = (
     "packed", "zoned", "implied", "bin", "comp1", "comp2",
     "signl", "signt",  # SIGN LEADING/TRAILING SEPARATE: explicit +/- byte
     "zonedl",  # SIGN LEADING overpunch: sign in the FIRST byte's zone
+    "julian",  # mainframe Julian date: YYDDD (5, windowed century) or YYYYDDD (7)
 )
 
 # fixed widths for types whose byte layout implies them
@@ -97,6 +98,7 @@ class FieldSpec:
             "double": DoubleType(),
             "string": StringType(),
             "date": DateType(),
+            "julian": DateType(),  # YYDDD / YYYYDDD day-of-year date
             "packed": DoubleType(),  # COMP-3 BCD, scaled by 10^-scale
             "zoned": DoubleType(),  # PIC S9 DISPLAY, sign overpunch
             "zonedl": DoubleType(),  # PIC S9 DISPLAY SIGN LEADING overpunch
@@ -120,6 +122,7 @@ class FieldSpec:
             "double": pa.float64(),
             "string": pa.string(),
             "date": pa.date32(),
+            "julian": pa.date32(),
             "packed": pa.float64(),
             "zoned": pa.float64(),
             "zonedl": pa.float64(),
@@ -185,6 +188,11 @@ def parse_layout(spec: str, record_length: int) -> list[FieldSpec]:
             raise ValueError(
                 f"layout field {name!r}: type {ftype!r} is exactly "
                 f"{want_w} bytes, got {length_i}"
+            )
+        if ftype == "julian" and length_i not in (5, 7):
+            raise ValueError(
+                f"layout field {name!r}: julian is 5 (YYDDD) or 7 "
+                f"(YYYYDDD) bytes, got {length_i}"
             )
         if start_i + length_i * occurs > record_length:
             raise ValueError(
@@ -256,6 +264,7 @@ _VALID_RE = {
     "double": r"^-?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?$",
     "date": r"^[0-9]{4}-(0[1-9]|1[0-2])-(0[1-9]|[12][0-9]|3[01])$",
     "implied": r"^-?[0-9]{1,18}$",
+    "julian": r"^[0-9]{5}([0-9]{2})?$",  # width re-checked numerically below
 }
 
 _I32_MIN, _I32_MAX = -(2**31), 2**31 - 1
@@ -380,6 +389,69 @@ def decode_field(mat: np.ndarray, f: FieldSpec, permissive: bool = False) -> pa.
         )
     if base == "double":
         return pc.cast(trimmed, pa.float64())
+    if base == "julian":
+        # mainframe Julian date: YYDDD (windowed century: YY >= 70 ->
+        # 19YY else 20YY, the classic COBOL Y2K window) or YYYYDDD.
+        # Decoded by explicit day-of-year arithmetic (portable across
+        # Arrow strptime %j quirks): epoch_day(Jan 1, year) + DDD - 1,
+        # with DDD validated against the year's real length.
+        w = f.length
+        year_s = pc.utf8_slice_codeunits(trimmed, 0, w - 3)
+        ddd_s = pc.utf8_slice_codeunits(trimmed, w - 3, w)
+        if permissive:
+            # regex guaranteed digits; exact-width check
+            len_ok = pc.equal(pc.utf8_length(trimmed), w)
+            year_s = pc.if_else(len_ok, year_s, pa.scalar(None, pa.string()))
+            ddd_s = pc.if_else(len_ok, ddd_s, pa.scalar(None, pa.string()))
+        year = pc.cast(year_s, pa.int32())  # failfast: raises on garbage
+        ddd = pc.cast(ddd_s, pa.int32())
+        if w == 5:
+            year = pc.add(
+                year,
+                pc.if_else(
+                    pc.greater_equal(year, 70),
+                    pa.scalar(1900, pa.int32()),
+                    pa.scalar(2000, pa.int32()),
+                ),
+            )
+        leap = pc.or_(
+            pc.and_(
+                pc.equal(pc.bit_wise_and(year, 3), 0),
+                pc.not_equal(
+                    pc.subtract(year, pc.multiply(pc.divide(year, 100), 100)),
+                    0,
+                ),
+            ),
+            pc.equal(
+                pc.subtract(year, pc.multiply(pc.divide(year, 400), 400)), 0
+            ),
+        )
+        max_ddd = pc.add(pa.scalar(365, pa.int32()), pc.cast(leap, pa.int32()))
+        bad = pc.and_kleene(
+            pc.is_valid(ddd),
+            pc.or_kleene(
+                pc.less(ddd, 1), pc.greater(ddd, max_ddd)
+            ),
+        )
+        if pc.any(pc.fill_null(bad, False)).as_py():
+            if not permissive:
+                raise ValueError(
+                    f"fixedlen: day-of-year out of range in julian field "
+                    f"{f.name!r} (e.g. "
+                    f"{trimmed.filter(pc.fill_null(bad, False))[0].as_py()!r}); "
+                    "use mode=permissive to null malformed values"
+                )
+            year = pc.if_else(bad, pa.scalar(None, pa.int32()), year)
+            ddd = pc.if_else(bad, pa.scalar(None, pa.int32()), ddd)
+        year4 = pc.utf8_lpad(pc.cast(year, pa.string()), 4, "0")
+        jan1 = pc.strptime(
+            pc.binary_join_element_wise(year4, "01", "01", "-"),
+            format="%Y-%m-%d",
+            unit="s",
+        )
+        epoch_day = pc.cast(pc.cast(jan1, pa.date32()), pa.int32())
+        days = pc.add(epoch_day, pc.subtract(ddd, 1))
+        return pc.cast(pc.cast(days, pa.int32()), pa.date32())
     if base == "date":
         ts = pc.strptime(trimmed, format="%Y-%m-%d", unit="s")
         # Arrow strptime silently ROLLS OVER calendar-invalid dates
@@ -604,6 +676,24 @@ def format_value(v, f: FieldSpec) -> str:
     elif base == "date":
         s = v.strftime("%Y-%m-%d") if hasattr(v, "strftime") else str(v)[:10]
         s = s.ljust(f.length)
+    elif base == "julian":
+        import datetime as _dt
+
+        d = (
+            v
+            if hasattr(v, "timetuple")
+            else _dt.date.fromisoformat(str(v)[:10])
+        )
+        doy = d.timetuple().tm_yday
+        if f.length == 5:
+            if not (1970 <= d.year <= 2069):
+                raise ValueError(
+                    f"year {d.year} outside the YYDDD century window "
+                    f"(1970-2069) for field {f.name}"
+                )
+            s = f"{d.year % 100:02d}{doy:03d}"
+        else:
+            s = f"{d.year:04d}{doy:03d}"
     else:
         s = str(v).ljust(f.length)
     if len(s) > f.length:

@@ -82,3 +82,44 @@ def test_ebcdic_streaming_tail(spark, tmp_path):
     ).collect()
     assert len(rows) == 25
     assert rows[0].n_name.startswith("NATION")
+
+
+def test_julian_decode_encode_roundtrip():
+    """YYDDD/YYYYDDD kernel: round trip, windowed century bounds,
+    leap-aware DDD validation, permissive nulling."""
+    import datetime as dt
+
+    import numpy as np
+    import pytest
+
+    from hadoop_fixedlengthinputformat_spark.sources.layout import (
+        decode_field,
+        encode_rows,
+        parse_layout,
+    )
+
+    fields = parse_layout("j5:0:5:julian,j7:5:7:julian", 12)
+    dates = [
+        dt.date(1992, 1, 1), dt.date(1996, 2, 29), dt.date(1998, 12, 31),
+        dt.date(2024, 7, 4), dt.date(1970, 1, 1), dt.date(2069, 12, 31),
+    ]
+    payload = encode_rows([{"j5": d, "j7": d} for d in dates], fields, 12)
+    mat = np.frombuffer(payload, dtype=np.uint8).reshape(len(dates), 12)
+    for f in fields:
+        assert [v.as_py() for v in decode_field(mat, f)] == dates
+    # 1995 is not a leap year: DDD=366 must failfast / null permissively
+    bad = np.frombuffer(b"95366" + b"1995366", dtype=np.uint8).reshape(1, 12)
+    with pytest.raises(ValueError, match="day-of-year"):
+        decode_field(bad, fields[0])
+    assert decode_field(bad, fields[1], permissive=True)[0].as_py() is None
+    # century window edges: 70 -> 1970, 69 -> 2069
+    m = np.frombuffer(b"70001" + b"1970001", dtype=np.uint8).reshape(1, 12)
+    assert decode_field(m, fields[0])[0].as_py() == dt.date(1970, 1, 1)
+    m = np.frombuffer(b"69365" + b"2069365", dtype=np.uint8).reshape(1, 12)
+    assert decode_field(m, fields[0])[0].as_py() == dt.date(2069, 12, 31)
+    # encode refuses years outside the YYDDD window
+    with pytest.raises(ValueError, match="century window"):
+        encode_rows([{"j5": dt.date(1969, 12, 31), "j7": dt.date(1969, 12, 31)}], fields, 12)
+    # width validation
+    with pytest.raises(ValueError, match="julian is 5"):
+        parse_layout("x:0:6:julian", 6)
