@@ -20,11 +20,33 @@ import numpy as np
 _INT_RE = re.compile(rb"^ *[+-]?[0-9]+ *$")
 _DBL_RE = re.compile(rb"^ *[+-]?([0-9]+\.[0-9]*|\.[0-9]+) *$")
 _DATE_RE = re.compile(rb"^ *[0-9]{4}-[0-9]{2}-[0-9]{2} *$")
+_JUL7_RE = re.compile(rb"^ *[0-9]{7} *$")
+
+
+def _looks_julian7(vals: list[bytes]) -> bool:
+    """Conservative YYYYDDD sniff (width-7 only — 5-digit YYDDD is
+    indistinguishable from a plain int, so it is never inferred): every
+    value must parse with year 1950-2049 and a leap-aware day-of-year,
+    and at least one DDD must exceed 31 (otherwise an id sequence or a
+    truncated YYYYMMDD is the likelier reading)."""
+    saw_big_ddd = False
+    for v in vals:
+        if not _JUL7_RE.match(v):
+            return False
+        t = v.strip()
+        year, ddd = int(t[:4]), int(t[4:])
+        leap = year % 4 == 0 and (year % 100 != 0 or year % 400 == 0)
+        if not (1950 <= year <= 2049 and 1 <= ddd <= 365 + leap):
+            return False
+        saw_big_ddd = saw_big_ddd or ddd > 31
+    return saw_big_ddd
 
 
 def _classify(vals: list[bytes], width: int) -> str:
     if all(_DATE_RE.match(v) for v in vals):
         return "date"
+    if width == 7 and _looks_julian7(vals):
+        return "julian"
     if all(_INT_RE.match(v) for v in vals):
         return "int" if width <= 9 else "long"
     if all(_DBL_RE.match(v) or _INT_RE.match(v) for v in vals):

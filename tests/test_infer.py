@@ -75,3 +75,23 @@ def test_infer_from_gzip_head(tmp_path):
         f.write(_sample(rows, 8))
     spec = infer_layout_from_file(path, 8)
     assert spec.split(",")[0] == "c0:0:3:int"
+
+
+def test_infer_julian7_conservative():
+    """Width-7 YYYYDDD columns infer as julian only under the strict
+    sniff: plausible years, leap-aware DDD, and at least one DDD > 31
+    (a low-DDD-only column stays int — id sequences/truncated YYYYMMDD
+    are likelier); 5-wide YYDDD is never inferred (ambiguous int)."""
+    from hadoop_fixedlengthinputformat_spark.sources.infer import infer_layout
+
+    recs = b"".join(
+        f"{k:03d} {1992 + k % 5:04d}{40 + k:03d} {k:05d}".encode()
+        for k in range(30)
+    )
+    spec = infer_layout(recs, 17)
+    assert ":4:7:julian" in spec, spec
+    assert spec.split(",")[2].endswith(":int"), spec  # 5-digit stays int
+    # all-DDD<=31 column must NOT infer julian
+    recs2 = b"".join(f"{k:03d} {2024001 + k:07d}".encode() for k in range(30))
+    spec2 = infer_layout(recs2, 11)
+    assert "julian" not in spec2, spec2
