@@ -53,76 +53,19 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # CASTing the oracle sums AS BIGINT + the tests/test_oracle_types.py
 # gate.
 #
-# ROUND 7 WINDOW (this list's first 50), per VERDICT r6 #1/#2: the two
-# r6 reds re-graded first (llm_embedding_quantize's array output is now
-# array_join'd; agg_approx_distinct is re-shaped to exact counts +
-# boolean accuracy gates), then the head of the 90-name never-graded
-# backlog in its established order — the VBS spanned-record pair, the
-# streaming family, RECFM=FBA/VBA, the AWS tape + GDG flagships, and
-# the first half of the stats family.
+# ROUND 8 WINDOW (this list's first 50), per VERDICT r7 #1: the r7
+# window went 50/50 green, so every formerly-listed name drops out of
+# GRADE_ORDER (green names fall back to registration order — re-grading
+# them wastes slots, gated by test_window_regrades_only_known_reds).
+# What remains is exactly the 54-name never-graded backlog: the second
+# half of the stats family, the varlen D/DB pair, sorted scan/sink,
+# tolerance asof, zonedl, then the 13 ops that gained oracles in round
+# 7 (sketch gates, ANN structural gates, multimodal
+# construction-predicted fixtures, BPE invariants, watermark exact
+# oracle) — first-ever driver evidence for them.  Positions 51-54 are
+# the r9 window head (VERDICT r7 #4): after this round they are the
+# ONLY queries never driver-graded.
 GRADE_ORDER: tuple[str, ...] = (
-    # 1-2: red re-grades (both were harness-shape, not wrong answers)
-    "llm_embedding_quantize",
-    "agg_approx_distinct",
-    # 3-18: VBS pair, scalar/agg leftovers, streaming family
-    "scan_varlen_vbs",
-    "sink_varlen_vbs",
-    "llm_mix_weights",
-    "llm_ccnet_bucket",
-    "fn_trig",
-    "agg_mode",
-    "stream_varlen_tail",
-    "stream_sliding_window",
-    "stream_session_window",
-    "stream_fixedlen_tail",
-    "stream_custom_stateful",
-    "stream_fixedlen_partitioned",
-    "stream_stream_join",
-    "stream_foreach_batch",
-    "stream_fixedlen_sink",
-    "stream_vbs_tail",
-    # round-5 session-2 widening: RECFM=FBA carriage control + the
-    # RefinedWeb line-level dedup (all exact-SQL oracles)
-    "scan_fixedlen_asa",
-    "sink_fixedlen_asa",
-    "scan_varlen_vba",
-    "llm_line_dedup",
-    "llm_span_corruption",
-    "llm_ngram_novelty",
-    "join_fuzzy_string",
-    "agg_moments",
-    # AWS virtual-tape source (RECFM=U block-is-record + FB deblocking)
-    "scan_awstape",
-    "scan_awstape_fb",
-    "sink_awstape",
-    "sink_awstape_labeled",
-    "stream_awstape_tail",
-    "sql_awstape_view",
-    # GDG relative-generation resolution over fixedlen members
-    "scan_fixedlen_gdg",
-    "scan_fixedlen_gdg_all",
-    "maintain_gdg_roll",
-    "llm_vocab_ids",
-    "merge_upsert",
-    "agg_weighted_median",
-    "fn_ip",
-    "ts_pattern_match",
-    "agg_gini",
-    "agg_ttest",
-    "scan_fixedlen_cond88",
-    "agg_chisq",
-    "llm_dsir_resample",
-    "ts_pattern_count",
-    "scan_varlen_d",
-    "sink_varlen_d",
-    "limit_offset",
-    "agg_spearman",
-    # ---- ROUND 8 WINDOW (51+): remaining never-graded backlog (the
-    # second half of the stats family, the varlen D/DB pair, sorted
-    # scan/sink, tolerance asof, zonedl), then the 13 ops that gained
-    # oracles in round 7 (sketch gates, ANN structural gates,
-    # multimodal construction-predicted fixtures, BPE invariants,
-    # watermark exact oracle) — first-ever driver evidence for them ----
     "agg_mannwhitney",
     "agg_ks_test",
     "maintain_gdg_expire",

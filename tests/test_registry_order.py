@@ -23,14 +23,21 @@ def test_grade_order_applied_and_complete():
     assert names[: len(registry.GRADE_ORDER)] == list(registry.GRADE_ORDER)
 
 
-def test_round7_window_composition():
+def test_round8_window_composition():
     registry.load_all()
     window = list(registry.QUERIES)[:50]
-    # the two r6 reds re-graded first (VERDICT r6 #1/#2)
-    assert window[:2] == ["llm_embedding_quantize", "agg_approx_distinct"]
-    # then the head of the never-graded backlog, in its established order
-    assert window[2:4] == ["scan_varlen_vbs", "sink_varlen_vbs"]
-    assert window[49] == "agg_spearman"
+    # the 54-name never-graded backlog heads the order (VERDICT r7 #1);
+    # r7's fully-green window dropped out of GRADE_ORDER entirely
+    assert window[:2] == ["agg_mannwhitney", "agg_ks_test"]
+    assert window[49] == "mm_image_resize"
+    # positions 51-54 = the r9 window head (VERDICT r7 #4): the only
+    # queries left with no driver grade after this round
+    assert list(registry.QUERIES)[50:54] == [
+        "llm_repeated_ngrams",
+        "agg_count_min",
+        "stream_approx_distinct",
+        "scan_fixedlen_julian",
+    ]
     # every window query has a full SQL oracle (strongest driver signal)
     missing = [n for n in window if n not in registry.ORACLES]
     assert not missing, f"window queries without oracle: {missing}"
