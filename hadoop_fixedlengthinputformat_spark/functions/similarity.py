@@ -371,7 +371,7 @@ def kmeans_train(
             )
             .select("_id", F.col("best.cluster").alias("cluster"), F.col("best.v").alias("v"))
         )
-        centroids = (
+        recomputed = (
             assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
             .groupBy("cluster", "pos")
             .agg(F.avg(F.col("x").cast("double")).alias("cx"))
@@ -379,6 +379,19 @@ def kmeans_train(
             .agg(F.array_sort(F.collect_list(F.struct("pos", "cx"))).alias("pcs"))
             .select(
                 "cluster", F.transform("pcs", lambda s: s.cx).alias("centroid")
+            )
+        )
+        # a cluster that empties during an iteration vanishes from the
+        # recompute groupBy — carry its previous centroid so the model
+        # (and the k-row output contract) never loses a cluster
+        # (ADVICE r7).  `centroids` has k rows by induction, so the
+        # left join restores exactly k.
+        centroids = (
+            centroids.select("cluster", F.col("centroid").alias("_prev"))
+            .join(recomputed, "cluster", "left")
+            .select(
+                "cluster",
+                F.coalesce("centroid", "_prev").alias("centroid"),
             )
             .localCheckpoint(eager=True)
         )
@@ -430,8 +443,9 @@ def cosine_dup_pairs(
 KNN_GATE_ORACLE = """
     SELECT DISTINCT vec_id AS probe_id,
            true AS nonempty, true AS at_most_k, true AS no_self,
-           true AS neighbors_distinct, true AS ranks_contiguous,
-           true AS order_ok, true AS cosines_exact
+           true AS neighbors_in_corpus, true AS neighbors_distinct,
+           true AS ranks_contiguous, true AS order_ok,
+           true AS cosines_exact
     FROM embeddings WHERE vec_id BETWEEN 1 AND 5
 """
 
@@ -461,11 +475,17 @@ def knn_structural_gates(
       ranks_contiguous   rnk is exactly 1..n
       order_ok           snapped cosine non-increasing in rnk (snap is
                          monotone, so the raw ordering can only tie)
+      neighbors_in_corpus every (probe_id, neighbor_id) resolves to a
+                         corpus vector — LEFT joins keep a fabricated
+                         id as an explicit red gate instead of letting
+                         an inner join silently shrink n (ADVICE r7)
       cosines_exact      every reported cosine equals the exact
                          recomputed snap(cos(probe_vec, cand_vec), 4)
                          — joins back to the corpus by id; duplicate
                          ids on a hostile roll are absorbed with
-                         bool_or over the candidate vector matches
+                         bool_or over the candidate vector matches; a
+                         NULL cosine (or a join miss) folds to FALSE,
+                         never to a vacuous pass
 
     One row per DISTINCT probe id (right join onto the probe set, so a
     probe the ANN path dropped entirely still surfaces, with
@@ -478,16 +498,25 @@ def knn_structural_gates(
     nv = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv")
     )
-    # per-row exactness: bool_or across duplicate-id vector candidates
+    # per-row exactness: bool_or across duplicate-id vector candidates.
+    # LEFT joins from the result side: a result row is never dropped —
+    # a miss shows as NULL _pv/_nv and fails in_corpus/cos_ok below.
     row_ok = (
-        result.join(pv, "probe_id")
-        .join(nv, "neighbor_id")
+        result.join(pv, "probe_id", "left")
+        .join(nv, "neighbor_id", "left")
         .groupBy("probe_id", "neighbor_id", "cosine", "rnk")
         .agg(
             F.max(
-                (snap(cosine(F.col("_pv"), F.col("_nv")), 4)
-                 == F.col("cosine")).cast("int")
-            ).alias("cos_ok")
+                F.coalesce(
+                    snap(cosine(F.col("_pv"), F.col("_nv")), 4)
+                    == F.col("cosine"),
+                    F.lit(False),
+                ).cast("int")
+            ).alias("cos_ok"),
+            F.max(
+                (F.col("_pv").isNotNull() & F.col("_nv").isNotNull())
+                .cast("int")
+            ).alias("in_corpus"),
         )
     )
     w = Window.partitionBy("probe_id").orderBy("rnk")
@@ -509,11 +538,13 @@ def knn_structural_gates(
             "ranks_contiguous"
         ),
         F.min(
-            F.when(F.col("prev_cos").isNull(), 1)
+            F.when(F.col("cosine").isNull(), 0)
+            .when(F.col("prev_cos").isNull(), 1)
             .when(F.col("prev_cos") >= F.col("cosine"), 1)
             .otherwise(0)
         ).alias("_order_ok"),
         F.min("cos_ok").alias("_cos_exact"),
+        F.min("in_corpus").alias("_in_corpus"),
     )
     probe_ids = probes.select(
         F.col(id_col).alias("probe_id")
@@ -523,6 +554,9 @@ def knn_structural_gates(
         F.coalesce(F.col("n") >= 1, F.lit(False)).alias("nonempty"),
         F.coalesce("at_most_k", F.lit(True)).alias("at_most_k"),
         F.coalesce(F.col("_no_self") == 1, F.lit(True)).alias("no_self"),
+        F.coalesce(F.col("_in_corpus") == 1, F.lit(True)).alias(
+            "neighbors_in_corpus"
+        ),
         F.coalesce("neighbors_distinct", F.lit(True)).alias(
             "neighbors_distinct"
         ),

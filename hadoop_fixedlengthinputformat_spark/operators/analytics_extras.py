@@ -471,7 +471,8 @@ def ts_pattern_count(spark: SparkSession, sf_dir: str) -> DataFrame:
            true AS est_within_eps,
            true AS sketch_linear
     FROM lineitem GROUP BY l_suppkey
-    QUALIFY ROW_NUMBER() OVER (ORDER BY count(*) DESC, l_suppkey ASC) <= 10
+    QUALIFY ROW_NUMBER() OVER (
+        ORDER BY count(*) DESC, l_suppkey ASC NULLS FIRST) <= 10
     """,
 )
 def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -546,7 +547,7 @@ def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = (
         li.groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("exact_cnt"))
-        .orderBy(F.desc("exact_cnt"), F.asc("l_suppkey"))
+        .orderBy(F.desc("exact_cnt"), F.asc_nulls_first("l_suppkey"))
         .limit(10)
     )
     # probe each top key against the sketch: est = min over rows of

@@ -398,11 +398,21 @@ def decode_field(mat: np.ndarray, f: FieldSpec, permissive: bool = False) -> pa.
         w = f.length
         year_s = pc.utf8_slice_codeunits(trimmed, 0, w - 3)
         ddd_s = pc.utf8_slice_codeunits(trimmed, w - 3, w)
-        if permissive:
-            # regex guaranteed digits; exact-width check
-            len_ok = pc.equal(pc.utf8_length(trimmed), w)
-            year_s = pc.if_else(len_ok, year_s, pa.scalar(None, pa.string()))
-            ddd_s = pc.if_else(len_ok, ddd_s, pa.scalar(None, pa.string()))
+        # exact-width check in BOTH modes: an under-width digit run
+        # (e.g. '1234' in a 5-byte field) would otherwise silently
+        # mis-slice into (year='1', ddd='234') instead of honoring
+        # the failfast contract every other numeric branch keeps
+        len_ok = pc.equal(pc.utf8_length(trimmed), w)
+        short = pc.and_kleene(pc.is_valid(trimmed), pc.invert(len_ok))
+        if not permissive and pc.any(pc.fill_null(short, False)).as_py():
+            raise ValueError(
+                f"fixedlen: julian value narrower than field width {w} in "
+                f"field {f.name!r} (e.g. "
+                f"{trimmed.filter(pc.fill_null(short, False))[0].as_py()!r}); "
+                "use mode=permissive to null malformed values"
+            )
+        year_s = pc.if_else(len_ok, year_s, pa.scalar(None, pa.string()))
+        ddd_s = pc.if_else(len_ok, ddd_s, pa.scalar(None, pa.string()))
         year = pc.cast(year_s, pa.int32())  # failfast: raises on garbage
         ddd = pc.cast(ddd_s, pa.int32())
         if w == 5:

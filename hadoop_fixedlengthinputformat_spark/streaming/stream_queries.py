@@ -587,9 +587,11 @@ def stream_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-specific, so the output carries the batch-exact per-window
     distinct (oracle-checkable) plus a <=5% accuracy boolean computed
     by joining the streaming estimates back to the batch exacts
-    (lgConfigK=12 ~ 0.8% rsd — wide headroom).  The streaming side
-    must produce exactly the batch window set or the inner join +
-    row-count check fails — window coverage is part of the gate."""
+    (lgConfigK=12 ~ 0.8% rsd — wide headroom).  Window coverage is
+    enforced by the FULL join: a window missing from either side
+    surfaces as a row with NULL est/exact_users, which fails the
+    null-intolerant est_within_5pct gate (and, for a streaming-only
+    window, adds a row the oracle's window set cannot match)."""
     src = _read_stream(spark, _events_stream_dir(spark, sf_dir, False))
     agg = src.groupBy(F.window("ts", "1 hour")).agg(
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")

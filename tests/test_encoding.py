@@ -123,3 +123,14 @@ def test_julian_decode_encode_roundtrip():
     # width validation
     with pytest.raises(ValueError, match="julian is 5"):
         parse_layout("x:0:6:julian", 6)
+    # under-width digit run (ADVICE r7, medium): ' 1234' in a 5-byte
+    # field and ' 95366 ' in the 7-byte field must FAILFAST, not
+    # silently mis-slice into (year='1', ddd='234') / (9536, 6)
+    m = np.frombuffer(b" 1234" + b" 95366 ", dtype=np.uint8).reshape(1, 12)
+    with pytest.raises(ValueError, match="narrower than field width"):
+        decode_field(m, fields[0])
+    with pytest.raises(ValueError, match="narrower than field width"):
+        decode_field(m, fields[1])
+    # permissive keeps nulling under-width values
+    assert decode_field(m, fields[0], permissive=True)[0].as_py() is None
+    assert decode_field(m, fields[1], permissive=True)[0].as_py() is None

@@ -88,6 +88,41 @@ def test_knn_ivf_matches_bruteforce_on_planted(spark):
     assert ivf[0].neighbor_id == 100  # planted copy shares the probe's bucket
 
 
+def test_knn_structural_gates_fail_on_malformed_results(spark):
+    """ADVICE r7: the gates must go RED on fabricated/corrupt results —
+    a neighbor id absent from the corpus must fail neighbors_in_corpus
+    (not silently shrink n via an inner join), and a NULL cosine must
+    fail cosines_exact (not pass through a NULL comparison)."""
+    emb = _embeddings(spark)
+    probes = emb.filter(F.col("vec_id") == 1)
+    good = similarity.knn_cosine_bruteforce(emb, probes, k=3)
+    gates_ok = similarity.knn_structural_gates(emb, good, probes, k=3)
+    row = gates_ok.collect()[0]
+    assert row.neighbors_in_corpus and row.cosines_exact
+    # fabricate a neighbor id that does not exist in the corpus
+    fabricated = good.withColumn(
+        "neighbor_id",
+        F.when(F.col("rnk") == 2, F.lit(999999)).otherwise(
+            F.col("neighbor_id")
+        ),
+    )
+    row = similarity.knn_structural_gates(
+        emb, fabricated, probes, k=3
+    ).collect()[0]
+    assert not row.neighbors_in_corpus
+    assert not row.cosines_exact  # the fabricated row's cosine can't verify
+    # NULL cosine must fold to an explicit red, not a vacuous pass
+    nulled = good.withColumn(
+        "cosine",
+        F.when(F.col("rnk") == 2, F.lit(None).cast("double")).otherwise(
+            F.col("cosine")
+        ),
+    )
+    row = similarity.knn_structural_gates(emb, nulled, probes, k=3).collect()[0]
+    assert not row.cosines_exact
+    assert not row.order_ok
+
+
 def test_cosine_dup_pairs_finds_planted(spark):
     emb = _embeddings(spark)
     pairs = similarity.cosine_dup_pairs(emb, threshold=0.9, window=200).collect()
@@ -255,6 +290,28 @@ def test_kmeans_recovers_planted_clusters(spark):
     assert sizes == [10, 11, 12]
     again = similarity.kmeans_train(emb, k=3, iters=3).collect()
     assert sorted(map(str, out)) == sorted(map(str, again))
+
+
+def test_kmeans_empty_cluster_keeps_k_rows(spark):
+    """ADVICE r7: duplicate init vectors make one cluster empty on the
+    first Lloyd iteration (assignment tiebreaks to the lower cluster
+    id).  The trainer must still return exactly k rows, carrying the
+    emptied cluster's previous centroid with n_members=0."""
+    import numpy as np
+
+    # ALL vectors identical -> both init centroids identical -> every
+    # point ties and goes to cluster 0 in every iteration; cluster 1
+    # stays empty to the end and must survive via the carried centroid
+    base = np.full(8, 5.0)
+    rows = [(i, base.tolist()) for i in range(12)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.kmeans_train(emb, k=2, iters=3).collect()
+    assert sorted(r.cluster for r in out) == [0, 1]
+    by_cluster = {r.cluster: r for r in out}
+    assert by_cluster[1].n_members == 0
+    # the emptied cluster keeps a real (previous) centroid, not NULL
+    assert by_cluster[1].centroid is not None
+    assert len(by_cluster[1].centroid) == 8
 
 
 def test_knn_ivf_dim_agnostic(spark):
