@@ -13,8 +13,14 @@ expressed against ``l_shipdate``), no ``c_phone`` (Q22 country code is
 fixed-width source runs downstream.
 
 Scale shapes (see plans/NOTES.md shuffle inventory):
-  * every dimension side is broadcast (customer/supplier/part/nation);
-    the single fact shuffle is on the join key of lineitem⋈orders.
+  * broadcast HINTS only on bounded sides: nation/region (25/5 rows at
+    every SF) and global one-row aggregates (q11's thr, q15's best,
+    q22's avg_bal).  customer/supplier/part GROW with scale factor, so
+    they carry NO hint — AQE broadcasts them while they fit
+    autoBroadcastJoinThreshold and falls back to shuffle joins at
+    100x, where a forced hint would OOM the driver (VERDICT r7 #2;
+    pinned by test_tpch_hints_never_broadcast_sf_scaling_tables).
+    The single fact shuffle is on the join key of lineitem⋈orders.
   * Q4/Q21 EXISTS / NOT EXISTS legs are orderkey-equi semi/anti joins —
     lineitem co-partitions on l_orderkey across all legs, so AQE reuses
     the exchange rather than re-shuffling per leg.
@@ -169,8 +175,8 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
         .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
         .filter(pair)
@@ -230,10 +236,10 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     sums = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
         .join(F.broadcast(r), F.col("n1_region") == r.r_regionkey)
         .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
@@ -301,9 +307,9 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_retailprice"), 2
     ) * money_units(F.col("l_quantity"), 2)
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select(
             F.col("n_name").alias("nation"),
@@ -414,7 +420,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     best = revenue.agg(F.max("total_revenue").alias("best_rev"))
     return (
         revenue.join(F.broadcast(best), F.col("total_revenue") == F.col("best_rev"))
-        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .join(s, F.col("supplier_no") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -439,7 +445,7 @@ def tpch_q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -473,7 +479,7 @@ def tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     by float error; the price sum is exact cents too."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
-    brand_li = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    brand_li = li.join(p, li.l_partkey == p.p_partkey)
     part_stats = (
         brand_li.groupBy(F.col("l_partkey").alias("pa_key"))
         .agg(
@@ -482,7 +488,7 @@ def tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        brand_li.join(F.broadcast(part_stats), F.col("l_partkey") == F.col("pa_key"))
+        brand_li.join(part_stats, F.col("l_partkey") == F.col("pa_key"))
         .filter(
             5 * money_units(F.col("l_quantity"), 2) * F.col("n_li")
             < F.col("s_units")
@@ -540,7 +546,7 @@ def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(_rev_sum().alias("revenue"))
     )
@@ -586,7 +592,7 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     l3 = li.select("l_orderkey", "l_suppkey", "l_shipdate").alias("l3")
     base = (
         l1.join(o, F.col("l1.l_orderkey") == o.o_orderkey)
-        .join(F.broadcast(s), F.col("l1.l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l1.l_suppkey") == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
     )
     with_other = base.join(
@@ -658,7 +664,7 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    eur_cost = cost.join(F.broadcast(eur), cost.l_suppkey == eur.s_suppkey)
+    eur_cost = cost.join(eur, cost.l_suppkey == eur.s_suppkey)
     best = eur_cost.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
         F.min("unit_cost").alias("min_cost")
     )
@@ -671,7 +677,7 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (eur_cost.l_partkey == best.b_partkey)
             & (eur_cost.unit_cost == best.min_cost),
         )
-        .join(F.broadcast(p), eur_cost.l_partkey == p.p_partkey)
+        .join(p, eur_cost.l_partkey == p.p_partkey)
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "unit_cost")
     )
 
@@ -710,7 +716,7 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
     supp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
     val = (
-        li.join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
+        li.join(supp, li.l_suppkey == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(
             F.sum(
@@ -782,7 +788,7 @@ def tpch_q20_excess_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per.join(tot, per.l_partkey == tot.t_partkey)
         .filter(10 * F.col("supp_units") > 3 * F.col("part_units"))
-        .join(F.broadcast(p), per.l_partkey == p.p_partkey)
+        .join(p, per.l_partkey == p.p_partkey)
         .join(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey),
               per.l_suppkey == s.s_suppkey)
         .select("s_suppkey", "s_name")

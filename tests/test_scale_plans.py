@@ -941,3 +941,81 @@ def test_count_min_sketch_build_partial_agg(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "partial_count" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def _hinted_subtrees(df):
+    """Yield (hint_line, subtree_lines) for every ResolvedHint in the
+    analyzed logical plan, using tree-prefix depth to bound subtrees."""
+    text = df._jdf.queryExecution().analyzed().toString()
+    lines = text.splitlines()
+
+    def depth(line):
+        return len(re.match(r"^[\s:+\-]*", line).group(0))
+
+    for i, line in enumerate(lines):
+        if "ResolvedHint" not in line:
+            continue
+        d = depth(line)
+        sub = []
+        for nxt in lines[i + 1 :]:
+            if depth(nxt) <= d:
+                break
+            sub.append(nxt)
+        yield line, sub
+
+
+def _is_global_aggregate(line):
+    """Logical Aggregate prints ONE top-level bracket list when global
+    (`Aggregate [max(x) AS y#1]`) and TWO when grouped
+    (`Aggregate [k#0], [k#0, sum(x)...]`)."""
+    m = re.search(r"Aggregate \[", line)
+    if not m:
+        return False
+    # after the first top-level list closes, a grouped agg continues ", ["
+    idx = m.end()
+    depth_b = 1
+    while depth_b and idx < len(line):
+        if line[idx] == "[":
+            depth_b += 1
+        elif line[idx] == "]":
+            depth_b -= 1
+        idx += 1
+    return not line[idx:].lstrip().startswith(", [")
+
+
+def test_tpch_hints_never_broadcast_sf_scaling_tables(spark):
+    """VERDICT r7 #2: a forced broadcast hint overrides
+    autoBroadcastJoinThreshold unconditionally, so no TPC-H query may
+    hint customer/supplier/part (or any SF-scaling intermediate) — at
+    100x those become multi-GB driver collects.  Hints are allowed only
+    on (a) bounded dimensions (nation/region — 25/5 rows at every SF)
+    or (b) subtrees whose ROOT is a global one-row aggregate (scalar
+    thresholds like q11's thr, q15's best, q22's avg_bal).  AQE picks
+    broadcast for the un-hinted small sides at test scale on its own
+    (pinned by test_aqe_flips_smj_to_broadcast_when_side_shrinks)."""
+    from hadoop_fixedlengthinputformat_spark.operators import (
+        tpch_composites as tc,
+        tpch_suite as ts,
+    )
+
+    queries = [
+        getattr(m, n)
+        for m in (tc, ts)
+        for n in dir(m)
+        if n.startswith("tpch_q")
+    ]
+    assert len(queries) == 21  # q1 lives in aggregates.py as agg_groupby_hash
+    scaling_cols = re.compile(
+        r"Relation ?\[[^\]]*\b(c_custkey|s_suppkey|p_partkey|l_orderkey|o_orderkey)#"
+    )
+    for fn in queries:
+        df = fn(spark, "/root/testdata/sf0.001")
+        for hint, sub in _hinted_subtrees(df):
+            root = sub[0] if sub else ""
+            if _is_global_aggregate(root):
+                continue  # scalar threshold: one row regardless of SF
+            offending = [l for l in sub if scaling_cols.search(l)]
+            assert not offending, (
+                f"{fn.__name__} hints a broadcast over an SF-scaling "
+                f"relation:\n{hint}\n" + "\n".join(offending)
+            )
