@@ -37,23 +37,37 @@ def _events_stream_dir(spark: SparkSession, sf_dir: str, with_late: bool) -> str
     clones shifted 30 minutes earlier (FIXTURES.md §D late-data fixture).
     """
     tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|late={with_late}|v3"
+        f"{os.path.abspath(sf_dir)}|late={with_late}|v4"
         f"|{fixture_gen.source_stamp(sf_dir)}".encode()
     ).hexdigest()[:12]
     out = os.path.join(tempfile.gettempdir(), f"flif_stream_{tag}")
     done = os.path.join(out, "_DONE")
     if os.path.exists(done):
         return out
-    ev = load_table(spark, sf_dir, "events").orderBy("ts", "event_id")
-    rows = ev.collect()
     os.makedirs(out, exist_ok=True)
-    schema = ev.schema
-    chunk_size = (len(rows) + N_CHUNKS - 1) // N_CHUNKS
+    # distributed chunking (VERDICT r7 #3 — no full-table collect):
+    # range-partition on (ts, event_id) into N_CHUNKS ordered slices,
+    # checkpoint once, write each slice as its own micro-batch dir
+    # sequentially (ascending mtimes keep FileStreamSource replay
+    # order).  Every downstream streaming query is chunk-boundary
+    # agnostic (final-state/complete-mode results over the full data);
+    # the one boundary-sensitive fixture — the late chunk — is built
+    # separately below.
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .repartitionByRange(N_CHUNKS, "ts", "event_id")
+        .sortWithinPartitions("ts", "event_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
     for i in range(N_CHUNKS):
-        chunk = rows[i * chunk_size : (i + 1) * chunk_size]
-        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(out, f"chunk-{i}"))
+        (
+            ev.where(F.col("_pid") == i)
+            .drop("_pid")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, f"chunk-{i}"))
+        )
     if with_late:
         # replay the 20 OLDEST events (by ts): their shifted stamps sit
         # at the very bottom of the range, far below the late-event

@@ -80,6 +80,14 @@ def configure(spark: SparkSession) -> SparkSession:
     # let the fixedlen reader's pushFilters run (off by default in 4.1);
     # with it disabled Spark refuses any reader that implements the hook
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    # allow a join to ride a SUBSET of its keys' partitioning: a side
+    # hashpartitioned on user_id co-locates (user_id, bucket) groups
+    # too, so e.g. ts_gap_fill's grid⋈hourly join and its downstream
+    # user_id window share ONE exchange instead of re-shuffling the
+    # grid twice (the default `true` forces both SMJ children onto ALL
+    # join keys).  Purely a physical-planning choice — AQE still splits
+    # skewed partitions (plans/NOTES.md round-8).
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
     _ship_package(spark)
     return spark
 

@@ -1019,3 +1019,35 @@ def test_tpch_hints_never_broadcast_sf_scaling_tables(spark):
                 f"{fn.__name__} hints a broadcast over an SF-scaling "
                 f"relation:\n{hint}\n" + "\n".join(offending)
             )
+
+
+def test_gap_fill_grid_never_shuffles(spark):
+    """ts_gap_fill (VERDICT r7 polish): the hourly table repartitions
+    onto user_id ONCE; the span agg, the grid explode, the grid⋈hourly
+    join (subset co-partitioning via
+    requireAllClusterKeysForCoPartition=false), and the forward-fill
+    window must all ride it.  With broadcast disabled (the 100x shape)
+    there must be NO exchange above the join — in particular the grid,
+    the largest intermediate, never crosses the wire."""
+    from hadoop_fixedlengthinputformat_spark.operators.timeseries import (
+        ts_gap_fill,
+    )
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = ts_gap_fill(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    lines = plan.splitlines()
+    win = next(i for i, l in enumerate(lines) if "Window [last(" in l)
+    join = next(i for i, l in enumerate(lines) if "SortMergeJoin" in l)
+    assert win < join
+    between = [l for l in lines[win:join] if "Exchange" in l]
+    assert between == [], f"exchange between window and join: {between}"
+    # the grid branch (Generate ... explode(sequence)) has no exchange
+    # between the join and the span agg's repartition
+    gen = next(i for i, l in enumerate(lines) if "Generate explode" in l)
+    grid_ex = [l for l in lines[join:gen] if "Exchange" in l]
+    assert grid_ex == [], f"grid side re-shuffled: {grid_ex}"
