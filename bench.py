@@ -57,6 +57,15 @@ HEADLINE = [
     "subq_scalar_select",      # decorrelated correlated subquery
     "ts_gap_fill",             # grid expansion + forward-fill window
     "llm_centroid_per_label",  # posexplode vector mean
+    # round-8 additions (VERDICT r7 #6): one representative per
+    # post-session-1 family, so perf regressions in the newer 200 ops
+    # surface round-over-round.  Baselines = first measurement at
+    # introduction (BASELINE.md protocol, round-8 table).
+    "pipeline_tape_to_corpus",  # tape scan -> clean -> dedup composite
+    "scan_varlen_vbs",          # RDW/BDW spanned-record reassembly
+    "agg_count_min",            # mergeable sketch build + probe join
+    "llm_repeated_ngrams",      # n-gram explode + digest-only shuffles
+    "llm_line_dedup",           # line-level corpus dedup
 ]
 
 
