@@ -107,10 +107,17 @@ def knn_cosine_lsh(
     k: int = 10,
     bits: int = 8,
     dim: int = 64,
+    radius: int = 2,
 ) -> DataFrame:
     """Approximate top-k: candidates limited to corpus vectors whose sign-LSH
-    signature is within Hamming distance 1 of the probe's (bucket join on
-    signature; probes explode their (bits+1)-signature neighborhood)."""
+    signature is within Hamming distance ``radius`` of the probe's (bucket
+    join on signature; probes explode their sum(C(bits, 0..radius))-signature
+    neighborhood — multiprobe LSH).  Expected probe fraction on
+    UNSTRUCTURED data is that same sum / 2^bits; on clustered data the
+    bucket holds the true neighbors and recall decouples from the
+    fraction (measured curves: plans/NOTES.md round-8 ANN sweep)."""
+    from itertools import combinations
+
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cand_vec"),
@@ -121,10 +128,14 @@ def knn_cosine_lsh(
         F.col(vec_col).alias("probe_vec"),
         sign_lsh_signature(F.col(vec_col), bits, dim).alias("psig"),
     )
-    # probe-side signature neighborhood: exact sig + each 1-bit flip
+    # probe-side signature neighborhood: every mask of <= radius flips
+    masks = [
+        sum(1 << b for b in bs)
+        for r in range(radius + 1)
+        for bs in combinations(range(bits), r)
+    ]
     flips = F.array(
-        F.col("psig"),
-        *[F.col("psig").bitwiseXOR(F.lit(1 << b)) for b in range(bits)],
+        *[F.col("psig").bitwiseXOR(F.lit(m)) for m in masks]
     )
     p_exp = p.select(
         "probe_id", "probe_vec", F.explode(flips).alias("sig")

@@ -386,3 +386,62 @@ def test_url_dedup_merges_utm_variants(spark, sf_dir):
     id_groups = [r for r in rows if "?id=" in r.url]
     assert id_groups, "synthesized query variants missing"
     assert all(r.n_docs >= 2 for r in id_groups)
+
+
+def test_ann_defaults_hit_recall_on_clustered_data(spark):
+    """VERDICT r7 #5: the tuned recall/cost point, pinned on a SEEDED
+    planted-cluster corpus (10 Gaussian clusters, 2000 x 64, spread
+    0.25 — deterministic, so immune to the unplanted-roll flakiness
+    that bans recall gates in driver oracles).  Full sweep:
+    tools/ann_sweep.py + plans/NOTES.md round-8 ANN table.
+
+      ivf nprobe=3 (default): recall@10 0.972 at 30% probe fraction
+      lsh bits=8 radius=3:    recall@10 0.800 at 36% probe fraction
+      lsh default (radius=2): the balanced point, 0.494 at 14.5%
+
+    On UNSTRUCTURED rolls recall ~ probe fraction for every ANN (no
+    structure to exploit — information-theoretic, not a bug)."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    n, dim, n_clusters, spread = 2000, 64, 10, 0.25
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = rng.randint(0, n_clusters, n)
+    V = centers[labels] + spread * rng.standard_normal((n, dim))
+    emb = spark.createDataFrame(
+        [
+            (int(i), V[i].astype(float).tolist(), int(labels[i]))
+            for i in range(n)
+        ],
+        "vec_id long, embedding array<double>, label int",
+    ).cache()
+
+    k, n_probes = 10, 50
+    probe_ids = list(range(n_probes))
+    probes = emb.filter(F.col("vec_id") < n_probes)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    gt = {}
+    for pid in probe_ids:
+        s = Vn @ Vn[pid]
+        s[pid] = -2
+        gt[pid] = set(int(x) for x in np.argsort(-s)[:k])
+
+    def recall(res):
+        got = {}
+        for r in res.collect():
+            got.setdefault(r.probe_id, set()).add(r.neighbor_id)
+        return float(
+            np.mean([len(got.get(p, set()) & gt[p]) / k for p in probe_ids])
+        )
+
+    ivf = recall(similarity.knn_cosine_ivf(emb, probes, k=k, nprobe=3))
+    assert ivf >= 0.9, f"ivf nprobe=3 recall {ivf}"
+    lsh3 = recall(
+        similarity.knn_cosine_lsh(emb, probes, k=k, bits=8, radius=3)
+    )
+    assert lsh3 >= 0.75, f"lsh radius=3 recall {lsh3}"
+    # the cheap default still beats its probe fraction by ~3x
+    lsh2 = recall(similarity.knn_cosine_lsh(emb, probes, k=k))
+    assert lsh2 >= 0.4, f"lsh default recall {lsh2}"
+    emb.unpersist()
