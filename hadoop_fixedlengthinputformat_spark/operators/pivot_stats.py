@@ -482,7 +482,8 @@ _KURT = snap_sql("(c / (CAST(a AS DOUBLE) * a)) - 3", 4)
                    - (CAST(4 AS DOUBLE) * n * n * s1 * s3)
                    + (CAST(6 AS DOUBLE) * n * s1 * s1 * s2)
                    - (CAST(3 AS DOUBLE) * s1 * s1 * s1 * s1) AS c
-        FROM (SELECT *, n*s2 - s1*s1 AS a FROM g)
+        FROM (SELECT *, n*CAST(s2 AS HUGEINT) - CAST(s1 AS HUGEINT)*s1 AS a
+              FROM g)
     )
     SELECT l_returnflag, n AS n_rows,
            {_SKEW} + 0 AS skew_q,
@@ -505,8 +506,12 @@ def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles in merge order.  sqrt outputs snapped to 8 decimals, final
     ratios snapped to 4 (+0 clears IEEE -0.0).  One map-side-combined
     groupBy — the same single-exchange shape as agg_stats.  Overflow
-    budget: qi ≤ 50 ⇒ S₄ ≤ 6.25e6·n, int64-safe past 1e11 rows/group;
-    larger domains re-unit qi first."""
+    budget (re-derived by the round-8 sf1 soak): the variance term
+    a = n·S₂−S₁² is DECIMAL(38,0)/HUGEINT — its old int64 form grew
+    as 2500n² (measured 3.3e15 at a 2M-row sf1 group) and would have
+    wrapped/raised at ~6e7 rows/group; exact past 1e17 now.  The int64
+    power sums bind next: qi ≤ 50 ⇒ S₄ ≤ 6.25e6·n, safe past 1e11
+    rows/group; larger domains re-unit qi first."""
     li = load_table(spark, sf_dir, "lineitem")
     qi = F.floor(F.col("l_quantity")).cast("long")
     base = li.where(F.col("l_quantity").isNotNull()).select(
@@ -523,7 +528,11 @@ def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = g.select(
         "l_returnflag",
         "n",
-        (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).alias("a"),
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("s2")
+            - F.col("s1").cast("decimal(38,0)")
+            * F.col("s1").cast("decimal(38,0)")
+        ).alias("a"),
         (
             F.col("n").cast("double") * F.col("n") * F.col("s3")
             - F.lit(3.0) * F.col("n") * F.col("s1") * F.col("s2")
@@ -714,8 +723,8 @@ _T_STAT = snap_sql(
     ),
     v AS (
         SELECT na, s1a, nr, s1r,
-               CAST(na * s2a - s1a * s1a AS BIGINT) AS va,
-               CAST(nr * s2r - s1r * s1r AS BIGINT) AS vr
+               na * CAST(s2a AS HUGEINT) - CAST(s1a AS HUGEINT) * s1a AS va,
+               nr * CAST(s2r AS HUGEINT) - CAST(s1r AS HUGEINT) * s1r AS vr
         FROM g
     )
     SELECT na AS n_a, nr AS n_r, {_T_STAT} + 0 AS t_stat
@@ -730,8 +739,11 @@ def agg_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     then the Welch formula n·S₂−S₁² / (n²(n−1)) per class evaluated in
     an identically-parenthesized double tree on both engines (sqrt
     snapped to 8, statistic to 4 — the agg_moments discipline).
-    Overflow: S₂ ≤ 2500·n, va ≤ 2500·n² — int64-safe past 1e7 rows per
-    class; re-unit beyond (documented budget)."""
+    Overflow budget (re-derived by the round-8 sf1 soak): va ≤ 2500·n²
+    is DECIMAL(38,0)/HUGEINT (its int64 form, measured 8.0e14 at sf1's
+    2M-row class, would have wrapped/raised at ~6e7 rows/class) — exact
+    past 1e17 rows; the int64 sums bind next at S₂ ≤ 2500·n → ~3.7e15
+    rows/class."""
     li = load_table(spark, sf_dir, "lineitem")
     base = li.where(
         F.col("l_quantity").isNotNull()
@@ -755,10 +767,13 @@ def agg_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt("A", "na"), side("A", q, "s1a"), side("A", q * q, "s2a"),
         cnt("R", "nr"), side("R", q, "s1r"), side("R", q * q, "s2r"),
     )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     v = g.select(
         "na", "s1a", "nr", "s1r",
-        (F.col("na") * F.col("s2a") - F.col("s1a") * F.col("s1a")).alias("va"),
-        (F.col("nr") * F.col("s2r") - F.col("s1r") * F.col("s1r")).alias("vr"),
+        (dec(F.col("na")) * F.col("s2a")
+         - dec(F.col("s1a")) * dec(F.col("s1a"))).alias("va"),
+        (dec(F.col("nr")) * F.col("s2r")
+         - dec(F.col("s1r")) * dec(F.col("s1r"))).alias("vr"),
     )
     return v.where(
         (F.col("na") >= 2) & (F.col("nr") >= 2)
@@ -859,12 +874,23 @@ def agg_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Spearman rho from exact integer midranks: with x = 2*midrank (always
 # an integer: 2*min_rank + ties - 1), the Pearson identity
 # (n*Sxy - Sx*Sy) / (sqrt(n*Sxx - Sx^2) * sqrt(n*Syy - Sy^2)) runs on
-# exact int64 sums; only the two sqrts and the final ratio are doubles
-# (snapped 8 / 4, identical trees).
-_SP_DA = snap_sql("sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)", 8)
-_SP_DB = snap_sql("sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)", 8)
+# exact sums; only the two sqrts and the final ratio are doubles
+# (snapped 8 / 4, identical trees).  Every operand of every product is
+# cast to DOUBLE first (the round-7 _corr_expr rule): the sf1 soak
+# measured n*sxx at 2.1e25 = 2.3e6 x int64 max for a 2M-row group, so
+# any int64 product here — including the old n*sxx > sx*sx degeneracy
+# guard — wraps on Spark and raises on DuckDB from ~2.3e5 rows/group.
+_SP_DA = snap_sql(
+    "sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))", 8
+)
+_SP_DB = snap_sql(
+    "sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))", 8
+)
 _SP_RHO = snap_sql(
-    f"(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+    f"(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    f" - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
     f" / (({_SP_DA}) * ({_SP_DB}))", 4
 )
 
@@ -890,14 +916,16 @@ _SP_RHO = snap_sql(
     ),
     g AS (
         SELECT flag, CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-               CAST(SUM(x * x) AS BIGINT) AS sxx,
-               CAST(SUM(y * y) AS BIGINT) AS syy,
-               CAST(SUM(x * y) AS BIGINT) AS sxy
+               SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx,
+               SUM(CAST(y AS HUGEINT) * y) AS syy,
+               SUM(CAST(x AS HUGEINT) * y) AS sxy,
+               MAX(x) AS mxx, MIN(x) AS mnx,
+               MAX(y) AS mxy, MIN(y) AS mny
         FROM ranked GROUP BY flag
     )
     SELECT flag, n AS n_rows, {_SP_RHO} + 0 AS rho
-    FROM g WHERE n >= 2 AND n * sxx > sx * sx AND n * syy > sy * sy
+    FROM g WHERE n >= 2 AND mxx > mnx AND mxy > mny
     """,
 )
 def agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -909,9 +937,15 @@ def agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     trees both engines.  Built-in corr() on ranks is NOT cross-engine
     comparable (double accumulation in merge order).  Shuffle shape:
     rank windows + the tie counts reuse one flag partitioning, then a
-    map-side-combined groupBy on the same key.  Overflow budget:
-    Σx·y ≤ 4n³ — int64-safe to ~1.3M rows/group; re-unit ranks beyond
-    (the agg_moments rule).  Degenerate (constant) columns yield no
+    map-side-combined groupBy on the same key.  Overflow budget
+    (re-derived by the round-8 sf1 soak, which caught the original
+    int64 sums at 1.16x int64 max for a 2M-row group): per-row rank
+    products are DECIMAL(38,0) on Spark / HUGEINT on DuckDB, so
+    Σx·y ≤ 4n³ binds at the decimal38 ceiling — exact to ~2.9e11
+    rows/group, past the ~1.3e11 a 100 TB lineitem implies.  The
+    degeneracy guard is max(rank) > min(rank) (exactly variance > 0,
+    no products at all — the old n·sxx > sx² quartic wrapped/raised
+    from ~2.3e5 rows/group).  Degenerate (constant) columns yield no
     row, not a division by zero."""
     li = load_table(spark, sf_dir, "lineitem")
     base = li.where(
@@ -936,18 +970,25 @@ def agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.count(F.lit(1)).over(Window.partitionBy("flag", "p")) - 1
         ).alias("y"),
     )
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
     g = ranked.groupBy("flag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x")) * F.col("x")).alias("sxx"),
+        F.sum(dec(F.col("y")) * F.col("y")).alias("syy"),
+        F.sum(dec(F.col("x")) * F.col("y")).alias("sxy"),
+        F.max("x").alias("mxx"),
+        F.min("x").alias("mnx"),
+        F.max("y").alias("mxy"),
+        F.min("y").alias("mny"),
     )
     return g.where(
         (F.col("n") >= 2)
-        & (F.col("n") * F.col("sxx") > F.col("sx") * F.col("sx"))
-        & (F.col("n") * F.col("syy") > F.col("sy") * F.col("sy"))
+        & (F.col("mxx") > F.col("mnx"))
+        & (F.col("mxy") > F.col("mny"))
     ).select(
         "flag",
         F.col("n").alias("n_rows"),
@@ -989,19 +1030,20 @@ _MW_Z = snap_sql(
         FROM per
     ),
     s AS (
-        SELECT CAST(SUM(cnta * (2 * less + cnt + 1)) AS BIGINT) AS r2a,
+        SELECT SUM(CAST(cnta AS HUGEINT) * (2 * less + cnt + 1)) AS r2a,
                CAST(SUM(cnta) AS BIGINT) AS na,
                CAST(SUM(cnt) AS BIGINT) AS nn,
-               CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tsum,
+               SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS tsum,
                CAST(COUNT(*) AS BIGINT) AS ndist
         FROM cum
     ),
     u AS (
         SELECT na, nn - na AS nb, nn, tsum,
-               r2a - na * (na + 1) AS u2
+               r2a - na * (CAST(na AS HUGEINT) + 1) AS u2
         FROM s
     )
-    SELECT na AS n_a, nb AS n_r, u2 AS u2, {_MW_Z} + 0 AS z_stat
+    SELECT na AS n_a, nb AS n_r, CAST(u2 AS BIGINT) AS u2,
+           {_MW_Z} + 0 AS z_stat
     FROM u, (SELECT ndist FROM s) d
     WHERE na >= 1 AND nb >= 1 AND d.ndist >= 2
     """,
@@ -1017,8 +1059,12 @@ def agg_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     correction — stated, same on both sides).  The midrank table is
     |distinct values| rows, so the running-sum window is tiny at any
     corpus size.  Degenerate inputs (one class empty, all values tied)
-    yield no row.  Overflow: Σ t³ ≤ N³ — int64-safe to ~2M pooled
-    rows; re-unit beyond (the agg_moments rule)."""
+    yield no row.  Overflow budget (re-derived by the round-8 sf1
+    soak, which measured tsum = 2.7e16 at 4M pooled rows — the old
+    int64 Σt³ would have wrapped/raised from ~2.8e7 pooled at 50
+    distinct values): tsum, r2a and u2 are DECIMAL(38,0)/HUGEINT, so
+    the binder is now the exposed BIGINT u2 output column (u2 ~ N²/4,
+    exact to ~6e9 pooled rows); internals are exact past 1e12."""
     li = load_table(spark, sf_dir, "lineitem")
     base = li.where(
         F.col("l_quantity").isNotNull()
@@ -1037,14 +1083,15 @@ def agg_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qi", "cnt", "cnta",
         F.coalesce(F.sum("cnt").over(wrun), F.lit(0)).alias("less"),
     )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     s = cum.agg(
         F.sum(
-            F.col("cnta") * (2 * F.col("less") + F.col("cnt") + 1)
+            dec(F.col("cnta")) * (2 * F.col("less") + F.col("cnt") + 1)
         ).alias("r2a"),
         F.sum("cnta").alias("na"),
         F.sum("cnt").alias("nn"),
         F.sum(
-            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+            dec(F.col("cnt")) * F.col("cnt") * F.col("cnt") - F.col("cnt")
         ).alias("tsum"),
         F.count(F.lit(1)).alias("ndist"),
     )
@@ -1054,14 +1101,16 @@ def agg_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nn",
         "tsum",
         "ndist",
-        (F.col("r2a") - F.col("na") * (F.col("na") + 1)).alias("u2"),
+        (
+            F.col("r2a") - dec(F.col("na")) * (dec(F.col("na")) + 1)
+        ).alias("u2"),
     )
     return u.where(
         (F.col("na") >= 1) & (F.col("nb") >= 1) & (F.col("ndist") >= 2)
     ).select(
         F.col("na").alias("n_a"),
         F.col("nb").alias("n_r"),
-        "u2",
+        F.col("u2").cast("long").alias("u2"),
         (F.expr(_MW_Z) + F.lit(0.0)).alias("z_stat"),
     )
 
@@ -1261,12 +1310,12 @@ _KW_H = snap_sql(
         FROM per
     ),
     s AS (
-        SELECT CAST(SUM(ca * (2 * less + cnt + 1)) AS BIGINT) AS r2a,
-               CAST(SUM(cn * (2 * less + cnt + 1)) AS BIGINT) AS r2n,
-               CAST(SUM(cr * (2 * less + cnt + 1)) AS BIGINT) AS r2r,
+        SELECT SUM(CAST(ca AS HUGEINT) * (2 * less + cnt + 1)) AS r2a,
+               SUM(CAST(cn AS HUGEINT) * (2 * less + cnt + 1)) AS r2n,
+               SUM(CAST(cr AS HUGEINT) * (2 * less + cnt + 1)) AS r2r,
                CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cn) AS BIGINT) AS nb,
                CAST(SUM(cr) AS BIGINT) AS nc, CAST(SUM(cnt) AS BIGINT) AS nn,
-               CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tsum,
+               SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS tsum,
                CAST(COUNT(*) AS BIGINT) AS ndist
         FROM cum
     )
@@ -1282,7 +1331,11 @@ def agg_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-order double tree shared verbatim with the oracle (3 classes
     = 3 explicit terms, never a SUM over double terms).  The midrank
     table is |distinct values| rows; degenerate inputs (an empty class,
-    all values tied) yield no row."""
+    all values tied) yield no row.  Overflow budget (round-8 sf1 soak,
+    which measured tsum = 9.0e16 at 6M pooled rows — int64 Σt³ would
+    have wrapped/raised from ~2.8e7 pooled): tsum and the doubled rank
+    sums are DECIMAL(38,0)/HUGEINT, exact past 1e12 pooled rows; no
+    big-integer column is exposed in the output."""
     li = load_table(spark, sf_dir, "lineitem")
     base = li.where(
         F.col("l_quantity").isNotNull()
@@ -1306,14 +1359,15 @@ def agg_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "*", F.coalesce(F.sum("cnt").over(wrun), F.lit(0)).alias("less")
     )
     mid = 2 * F.col("less") + F.col("cnt") + 1
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     s = cum.agg(
-        F.sum(F.col("ca") * mid).alias("r2a"),
-        F.sum(F.col("cn") * mid).alias("r2n"),
-        F.sum(F.col("cr") * mid).alias("r2r"),
+        F.sum(dec(F.col("ca")) * mid).alias("r2a"),
+        F.sum(dec(F.col("cn")) * mid).alias("r2n"),
+        F.sum(dec(F.col("cr")) * mid).alias("r2r"),
         F.sum("ca").alias("na"), F.sum("cn").alias("nb"),
         F.sum("cr").alias("nc"), F.sum("cnt").alias("nn"),
         F.sum(
-            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+            dec(F.col("cnt")) * F.col("cnt") * F.col("cnt") - F.col("cnt")
         ).alias("tsum"),
         F.count(F.lit(1)).alias("ndist"),
     )
@@ -1361,7 +1415,8 @@ _JB = snap_sql(
                    - (CAST(4 AS DOUBLE) * n * n * s1 * s3)
                    + (CAST(6 AS DOUBLE) * n * s1 * s1 * s2)
                    - (CAST(3 AS DOUBLE) * s1 * s1 * s1 * s1) AS c
-        FROM (SELECT *, n*s2 - s1*s1 AS a FROM g)
+        FROM (SELECT *, n*CAST(s2 AS HUGEINT) - CAST(s1 AS HUGEINT)*s1 AS a
+              FROM g)
     )
     SELECT l_returnflag, n AS n_rows, {_JB} + 0 AS jb_stat
     FROM m WHERE n >= 2 AND a > 0
@@ -1390,7 +1445,11 @@ def agg_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = g.select(
         "l_returnflag",
         "n",
-        (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).alias("a"),
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("s2")
+            - F.col("s1").cast("decimal(38,0)")
+            * F.col("s1").cast("decimal(38,0)")
+        ).alias("a"),
         (
             F.col("n").cast("double") * F.col("n") * F.col("s3")
             - F.lit(3.0) * F.col("n") * F.col("s1") * F.col("s2")

@@ -10,6 +10,14 @@ balances) — so the full parity suite can run on two independent rolls
 before the driver sees the code.
 
     python tests/gen_testdata.py /tmp/alt_testdata [seed]
+    python tests/gen_testdata.py /tmp/sf1_soak 1 --scale 1000   # sf1 shape
+
+``--scale N`` multiplies the sf0.001 row counts (default 10 = the
+driver's sf0.01 shape; 1000 = sf1: lineitem 6M / orders 1.5M /
+events 1M).  The large-scale rolls exist to soak the exact-integer
+statistics recipes against their documented int64 budgets (VERDICT r7
+#9) — overflow cliffs like agg_cohens_d's n·S₂ at ~7e4 rows/class are
+invisible at sf0.01.
 
 Never writes to /root/testdata (read-only driver property).
 """
@@ -58,7 +66,10 @@ def gen(
     nulls: bool = False,
     ties: bool = False,
     flat_emb: bool = False,
+    scale: int = SCALE,
 ) -> None:
+    global SCALE
+    SCALE = scale
     rng = np.random.RandomState(seed)
     os.makedirs(out, exist_ok=True)
 
@@ -285,15 +296,22 @@ def gen(
 
 if __name__ == "__main__":
     flags = {"--ns-events", "--ns-dates", "--nulls", "--ties", "--flat-emb"}
-    args = [a for a in sys.argv[1:] if a not in flags]
+    argv = sys.argv[1:]
+    scale = SCALE
+    if "--scale" in argv:
+        i = argv.index("--scale")
+        scale = int(argv[i + 1])
+        del argv[i : i + 2]
+    args = [a for a in argv if a not in flags]
     out = args[0] if args else "/tmp/alt_testdata"
     seed = int(args[1]) if len(args) > 1 else 20260813
     gen(
         out,
         seed,
-        ns_events="--ns-events" in sys.argv,
-        ns_dates="--ns-dates" in sys.argv,
-        nulls="--nulls" in sys.argv,
-        ties="--ties" in sys.argv,
-        flat_emb="--flat-emb" in sys.argv,
+        ns_events="--ns-events" in argv,
+        ns_dates="--ns-dates" in argv,
+        nulls="--nulls" in argv,
+        ties="--ties" in argv,
+        flat_emb="--flat-emb" in argv,
+        scale=scale,
     )

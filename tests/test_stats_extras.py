@@ -258,3 +258,117 @@ def test_count_min_exact_on_collision_free_input(spark, tmp_path):
     for k, r in got.items():
         assert r.exact_cnt == k + 1
         assert r.est_ge_exact and r.est_within_eps and r.sketch_linear, r
+
+
+def test_spearman_past_int64_guard_cliff(spark):
+    """Round-8 sf1 soak finding: the old degeneracy guard
+    n*sxx > sx*sx multiplied int64 power sums that grow ~4n^4 — DuckDB
+    raised "Overflow in multiplication of INT64" and Spark wrapped from
+    ~2.3e5 rows/group, i.e. ALREADY at sf0.1 (measured n*sxx = 2.1e21
+    there).  The guard is now max(rank) > min(rank) (exact, unbounded)
+    and the sums are DECIMAL(38,0)/HUGEINT.  Run the full query at
+    sf0.1 and pin rho per flag against a numpy midrank Pearson."""
+    import numpy as np
+
+    from hadoop_fixedlengthinputformat_spark.operators.pivot_stats import (
+        agg_spearman,
+    )
+
+    sf_dir = "/root/testdata/sf0.1"
+    if not os.path.exists(f"{sf_dir}/lineitem.parquet"):
+        pytest.skip("sf0.1 fixture not present")
+    cols = pq.read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    ).to_pydict()
+    by: dict[str, list[tuple[int, int]]] = {}
+    for f, q, p in zip(
+        cols["l_returnflag"], cols["l_quantity"], cols["l_extendedprice"]
+    ):
+        if f is not None and q is not None and p is not None:
+            by.setdefault(f, []).append(
+                (int(math.floor(q)), int(math.floor(p)))
+            )
+
+    def midranks_x2(vals: list[int]) -> np.ndarray:
+        # x = 2*midrank = 2*min_rank + ties - 1, exact integers
+        order = np.argsort(np.array(vals, dtype=np.int64), kind="stable")
+        arr = np.array(vals, dtype=np.int64)[order]
+        x = np.empty(len(arr), dtype=np.float64)
+        i = 0
+        while i < len(arr):
+            j = i
+            while j < len(arr) and arr[j] == arr[i]:
+                j += 1
+            x[i:j] = 2 * (i + 1) + (j - i) - 1
+            i = j
+        out = np.empty(len(arr), dtype=np.float64)
+        out[order] = x
+        return out
+
+    got = {r.flag: r for r in agg_spearman(spark, sf_dir).collect()}
+    cliff_hit = False
+    for flag, pairs in by.items():
+        qs = [q for q, _ in pairs]
+        ps = [p for _, p in pairs]
+        n = len(pairs)
+        x = midranks_x2(qs)
+        # exact object-int check that the OLD guard product overflows
+        sxx_obj = sum(int(v) ** 2 for v in x.astype(np.int64).tolist())
+        if n * sxx_obj > 2**63 - 1:
+            cliff_hit = True
+        y = midranks_x2(ps)
+        rho_ref = np.corrcoef(x, y)[0, 1]
+        r = got[flag]
+        assert r.n_rows == n
+        assert abs(r.rho - rho_ref) < TOL, (flag, r.rho, rho_ref)
+    assert cliff_hit, "fixture no longer exercises the old guard cliff"
+
+
+def test_mannwhitney_past_int64_tsum_cliff(spark, tmp_path):
+    """Round-8 sf1 soak finding: tsum = sum(t^3 - t) over per-value tie
+    counts grows ~N^3/ndist^2 — the old int64 sum wrapped (Spark) /
+    raised (DuckDB) from ~2.8e7 pooled rows at the fixture's 50
+    distinct quantities.  Plant TWO values with 1.75M rows each so one
+    per-row t^3 term alone exceeds int64, and pin U and z against an
+    exact big-int Python reference.  (agg_kruskal shares the identical
+    tsum machinery — one planted fixture covers the construction.)"""
+    import numpy as np
+    import pyarrow as pa
+
+    from hadoop_fixedlengthinputformat_spark.operators.pivot_stats import (
+        agg_mannwhitney,
+    )
+
+    t1, t2 = 2_200_000, 2_200_000  # t^3 = 1.06e19 > int64 max per term
+    a1, a2 = 1_200_000, 900_000  # class-A rows per value
+    qty = np.concatenate([np.full(t1, 1.0), np.full(t2, 2.0)])
+    flag = np.concatenate([
+        np.where(np.arange(t1) < a1, "A", "R"),
+        np.where(np.arange(t2) < a2, "A", "R"),
+    ])
+    out = tmp_path / "li"
+    out.mkdir()
+    pq.write_table(
+        pa.table({"l_quantity": qty, "l_returnflag": flag}),
+        str(out / "lineitem.parquet"),
+    )
+
+    # exact integer reference (python ints never overflow)
+    tsum = (t1**3 - t1) + (t2**3 - t2)
+    assert max(t1**3, t2**3) > 2**63 - 1, "fixture must exceed int64/term"
+    na, nn = a1 + a2, t1 + t2
+    nb = nn - na
+    r2a = a1 * (2 * 0 + t1 + 1) + a2 * (2 * t1 + t2 + 1)
+    u2 = r2a - na * (na + 1)
+    var = math.sqrt(
+        (na * nb / 12.0) * ((nn + 1.0) - tsum / (nn * (nn - 1.0)))
+    )
+    z_ref = (u2 - float(na) * nb) / (2.0 * var)
+
+    rows = agg_mannwhitney(spark, str(out)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_a, r.n_r) == (na, nb)
+    assert r.u2 == u2
+    assert abs(r.z_stat - z_ref) < TOL
