@@ -505,12 +505,14 @@ _AC_R = snap_sql(
                CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
                CAST(SUM(x * x) AS BIGINT) AS sxx,
                CAST(SUM(y * y) AS BIGINT) AS syy,
-               CAST(SUM(x * y) AS BIGINT) AS sxy
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               MAX(x) AS mxx, MIN(x) AS mnx,
+               MAX(y) AS mxy, MIN(y) AS mny
         FROM pairs WHERE y IS NOT NULL GROUP BY user_id
     )
     SELECT user_id, n AS n_pairs, {_AC_R} + 0 AS acf1
     FROM g
-    WHERE n >= 2 AND n * sxx > sx * sx AND n * syy > sy * sy
+    WHERE n >= 2 AND mxx > mnx AND mxy > mny
     """,
 )
 def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -520,7 +522,11 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ts, event_id, x) so duplicate-id rolls pair identically); only
     the two snapped sqrts and the final ratio touch doubles, identical
     trees both engines.  One user-keyed lag window + a groupBy on the
-    same key.  Constant or too-short series yield no row, not ÷0."""
+    same key.  Constant or too-short series yield no row, not ÷0.
+    Overflow budget (round-8 sf1 soak sweep): the degeneracy guard is
+    max > min (the old n·sxx > sx² int64 products grew ~1.1e5·n² and
+    would wrap/raise from ~2.9e6 pairs/user); the int64 sums bind next
+    at sxx ≤ 1.1e5·n → ~8e13 pairs/user."""
     ev = load_table(spark, sf_dir, "events").where(
         F.col("ts").isNotNull()
         & F.col("value").isNotNull()
@@ -544,11 +550,15 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.sum(F.col("y") * F.col("y")).alias("syy"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.max("x").alias("mxx"),
+        F.min("x").alias("mnx"),
+        F.max("y").alias("mxy"),
+        F.min("y").alias("mny"),
     )
     return g.where(
         (F.col("n") >= 2)
-        & (F.col("n") * F.col("sxx") > F.col("sx") * F.col("sx"))
-        & (F.col("n") * F.col("syy") > F.col("sy") * F.col("sy"))
+        & (F.col("mxx") > F.col("mnx"))
+        & (F.col("mxy") > F.col("mny"))
     ).select(
         "user_id",
         F.col("n").alias("n_pairs"),
