@@ -880,17 +880,25 @@ def agg_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # measured n*sxx at 2.1e25 = 2.3e6 x int64 max for a 2M-row group, so
 # any int64 product here — including the old n*sxx > sx*sx degeneracy
 # guard — wraps on Spark and raises on DuckDB from ~2.3e5 rows/group.
+# snap() magnitude rule: ranks grow with n, so n·sxx−sx² = n²·σ²ₓ is
+# ~n⁴/3 — NORMALIZE by n⁴ before snapping (sqrt gives σₓ/n ≤ 0.58,
+# bounded at any corpus size; the sf1 soak caught the un-normalized
+# sqrt at 2.2e12, past snap-8's ~9.2e10 Spark-floor saturation).
+_SP_N2 = "(CAST(n AS DOUBLE) * n)"
 _SP_DA = snap_sql(
-    "sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
-    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))", 8
+    f"sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    f" - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    f" / ({_SP_N2} * {_SP_N2}))", 8
 )
 _SP_DB = snap_sql(
-    "sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
-    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))", 8
+    f"sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+    f" - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+    f" / ({_SP_N2} * {_SP_N2}))", 8
 )
 _SP_RHO = snap_sql(
-    f"(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    f"((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
     f" - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    f" / ({_SP_N2} * {_SP_N2}))"
     f" / (({_SP_DA}) * ({_SP_DB}))", 4
 )
 
@@ -996,15 +1004,23 @@ def agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Mann-Whitney z from exact int64 rank sums: 2U = 2R_A - nA(nA+1) is
+# Mann-Whitney z from exact big-int rank sums: 2U = 2R_A - nA(nA+1) is
 # integer-exact via per-value midranks, and the tie-corrected variance
 # uses the exact tie sum T = sum(t^3 - t).  One shared double tree.
+# snap() magnitude rule: the raw sd grows ~nn^1.5/7 and would saturate
+# Spark's snap-8 floor from ~7.4e7 pooled rows, so the SNAPPED sd is
+# normalized by nn^1.5 — sqrt((na/nn)(nb/nn)/12 · ((nn+1)−T)/nn) ≤ ~0.3
+# at any corpus size — and z recovers the scale via one final
+# sqrt(nn) factor (z itself grows only as sqrt(nn)·effect, far under
+# the snap-4 ceiling for any real data).
 _MW_VAR = snap_sql(
-    "sqrt((CAST(na AS DOUBLE) * nb / 12.0)"
-    " * ((nn + 1.0) - tsum / (CAST(nn AS DOUBLE) * (nn - 1.0))))", 8
+    "sqrt(((CAST(na AS DOUBLE) / nn) * (CAST(nb AS DOUBLE) / nn) / 12.0)"
+    " * (((nn + 1.0) - tsum / (CAST(nn AS DOUBLE) * (nn - 1.0))) / nn))", 8
 )
 _MW_Z = snap_sql(
-    f"(CAST(u2 AS DOUBLE) - CAST(na AS DOUBLE) * nb) / (2.0 * ({_MW_VAR}))", 4
+    f"((CAST(u2 AS DOUBLE) - CAST(na AS DOUBLE) * nb)"
+    f" / (CAST(nn AS DOUBLE) * nn))"
+    f" / (2.0 * ({_MW_VAR})) * sqrt(CAST(nn AS DOUBLE))", 4
 )
 
 

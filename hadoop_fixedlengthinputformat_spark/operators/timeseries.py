@@ -476,10 +476,21 @@ from hadoop_fixedlengthinputformat_spark.functions.num import (
     snap_sql,
 )
 
-_AC_DA = snap_sql("sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)", 8)
-_AC_DB = snap_sql("sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)", 8)
+# snap() magnitude rule: n·sxx−sx² = n²·σ² grows with the series, so
+# the SNAPPED sds are normalized by n² first (σ is in bounded data
+# units — the un-normalized sqrt would saturate Spark's snap-8 floor
+# from ~1e9 pairs/user); the n² factors cancel exactly in the ratio.
+_AC_N2 = "(CAST(n AS DOUBLE) * n)"
+_AC_DA = snap_sql(
+    f"sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+    f" / {_AC_N2})", 8
+)
+_AC_DB = snap_sql(
+    f"sqrt((CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)"
+    f" / {_AC_N2})", 8
+)
 _AC_R = snap_sql(
-    f"(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+    f"((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / {_AC_N2})"
     f" / (({_AC_DA}) * ({_AC_DB}))", 4
 )
 
