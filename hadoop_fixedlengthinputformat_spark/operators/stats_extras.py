@@ -543,3 +543,119 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.expr(snap_sql("med", 4)) + F.lit(0.0)).alias("sen_slope"),
         )
     )
+
+
+_TS_RECENT_K = 64  # bounded look-back window per user
+
+
+@query(
+    "ts_theil_sen_recent",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+               CAST(round(value * 100, 0) AS BIGINT) AS y,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts) DESC,
+                                           event_id DESC) AS rrn
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+              AND event_id IS NOT NULL
+    ),
+    recent AS (SELECT user_id, t, y FROM ev WHERE rrn <= {_TS_RECENT_K}),
+    slopes AS (
+        SELECT a.user_id,
+               CAST((b.y - a.y) * 86400 AS DOUBLE) / (b.t - a.t) AS slope
+        FROM recent a JOIN recent b
+          ON a.user_id = b.user_id AND a.t < b.t
+    ),
+    per AS (
+        SELECT user_id, slope, CAST(count(*) AS BIGINT) AS cnt
+        FROM slopes GROUP BY user_id, slope
+    ),
+    cum AS (
+        SELECT user_id, slope,
+               CAST(SUM(cnt) OVER (PARTITION BY user_id
+                                   ORDER BY slope) AS BIGINT) AS cw,
+               CAST(SUM(cnt) OVER (PARTITION BY user_id)
+                    AS BIGINT) AS total
+        FROM per
+    )
+    SELECT user_id, total AS n_pairs,
+           {snap_sql('MIN(slope)', 4)} + 0 AS sen_slope
+    FROM cum WHERE 2 * cw >= total
+    GROUP BY user_id, total
+    """,
+)
+def ts_theil_sen_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen trend slope over each user's MOST RECENT 64 events —
+    the bounded-by-construction companion the round-8 sf1 soak showed
+    ts_theil_sen needs at scale: the full-history estimator is O(k²)
+    pairs per user and sound only while per-user history is bounded
+    (the soak's fixed-15-user roll implies ~2.2e9 pairs/user at sf1),
+    whereas capping the look-back at K=64 via one ROW_NUMBER window
+    bounds every user at ≤ 2,016 pairs REGARDLESS of corpus size — the
+    recency-trend monitor a quality pipeline actually runs.  Same
+    exact arithmetic as ts_theil_sen (exact int64 cents / int64
+    seconds per slope, per-value-collapse LOWER median, slope snapped
+    to 4); the recency filter's total order (ts DESC, event_id DESC)
+    keeps duplicate-timestamp rolls deterministic.  Shuffle shape: ONE
+    user_id exchange shared by the recency window, the pair self-join
+    and the median windows (same-key reuse); same-timestamp pairs are
+    excluded so no ÷0 and no -0.0."""
+    ev = load_table(spark, sf_dir, "events")
+    recent = (
+        ev.where(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+            & F.col("event_id").isNotNull()
+        )
+        .select(
+            "user_id",
+            F.col("ts").cast("timestamp").cast("long").alias("t"),
+            money_units(F.col("value"), 2).alias("y"),
+            F.row_number()
+            .over(
+                Window.partitionBy("user_id").orderBy(
+                    F.desc("ts"), F.desc("event_id")
+                )
+            )
+            .alias("rrn"),
+        )
+        .where(F.col("rrn") <= _TS_RECENT_K)
+        .drop("rrn")
+    )
+    a = recent.alias("a")
+    b = recent.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.t") < F.col("b.t")),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        (
+            ((F.col("b.y") - F.col("a.y")) * 86400).cast("double")
+            / (F.col("b.t") - F.col("a.t"))
+        ).alias("slope"),
+    )
+    per = slopes.groupBy("user_id", "slope").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_run = Window.partitionBy("user_id").orderBy("slope")
+    w_all = Window.partitionBy("user_id")
+    cum = per.select(
+        "user_id",
+        "slope",
+        F.sum("cnt").over(w_run).alias("cw"),
+        F.sum("cnt").over(w_all).alias("total"),
+    )
+    return (
+        cum.where(2 * F.col("cw") >= F.col("total"))
+        .groupBy("user_id", "total")
+        .agg(F.min("slope").alias("med"))
+        .select(
+            "user_id",
+            F.col("total").alias("n_pairs"),
+            (F.expr(snap_sql("med", 4)) + F.lit(0.0)).alias("sen_slope"),
+        )
+    )

@@ -126,6 +126,9 @@ GRADE_ORDER: tuple[str, ...] = (
     "agg_count_min",
     "stream_approx_distinct",
     "scan_fixedlen_julian",
+    # round-8 widening: the bounded-look-back Theil-Sen the sf1 soak
+    # showed the full-history estimator needs at scale
+    "ts_theil_sen_recent",
 )
 
 

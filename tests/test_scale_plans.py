@@ -1051,3 +1051,37 @@ def test_gap_fill_grid_never_shuffles(spark):
     gen = next(i for i, l in enumerate(lines) if "Generate explode" in l)
     grid_ex = [l for l in lines[join:gen] if "Exchange" in l]
     assert grid_ex == [], f"grid side re-shuffled: {grid_ex}"
+
+
+def test_theil_sen_recent_limits_before_shuffle(spark):
+    """ts_theil_sen_recent (round-8): the recency cap must be applied
+    MAP-SIDE — Spark's WindowGroupLimit(Partial) keeps each task's
+    top-64 rows per user below the exchange, so the shuffle carries
+    <= 64*users*tasks rows regardless of corpus size (the whole point
+    of the bounded-look-back variant).  Also: no exchange above the
+    pair join — the join, rank windows and median groupBy all reuse
+    the user_id partitioning."""
+    from hadoop_fixedlengthinputformat_spark.operators.stats_extras import (
+        ts_theil_sen_recent,
+    )
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = ts_theil_sen_recent(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    lines = plan.splitlines()
+    # every exchange must have a Partial WindowGroupLimit beneath it
+    ex_idx = [i for i, l in enumerate(lines) if "Exchange hashpartitioning" in l]
+    assert ex_idx, "expected user_id exchanges"
+    for i in ex_idx:
+        below = "\n".join(lines[i:i + 4])
+        assert "WindowGroupLimit" in below and "Partial" in below, (
+            f"exchange at line {i} not fed by a map-side group limit:\n{below}"
+        )
+    # no exchange above the pair join
+    join = next(i for i, l in enumerate(lines) if "SortMergeJoin" in l)
+    above = [l for l in lines[:join] if "Exchange" in l]
+    assert above == [], f"exchange above the pair join: {above}"
