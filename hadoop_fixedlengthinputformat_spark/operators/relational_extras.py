@@ -71,10 +71,17 @@ def cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Declared through ``spark.sql`` so Catalyst's UnionLoop execution
     runs the fixpoint: the recursive leg is a pure filtered projection
-    (frontier shrinks 10x per step, terminates in ceil(log10(maxkey))
-    iterations — 6 steps at 100 TB key ranges), and the only join is the
-    final root-name lookup, which AQE turns into a broadcast.  Integer
-    arithmetic only — ``DIV`` on both engines, nothing to snap."""
+    terminating in ceil(log10(maxkey)) iterations (6-9 levels at any
+    realistic key range — far under cteRecursionLevelLimit=100), and
+    the only join is the final root-name lookup, which AQE turns into
+    a broadcast.  Integer arithmetic only — ``DIV`` on both engines,
+    nothing to snap.  The TOTAL row count across iterations is
+    n·avg_depth ≈ n·log10(maxkey) — it scales with the input, so the
+    default spark.sql.cteRecursionRowLimit=1e6 (a constant safety net,
+    hit at sf1's 200k parts x ~5.3 avg depth in the round-8 soak) is
+    lifted here: the LEVEL limit is the correct unbounded-recursion
+    guard for a fixpoint whose depth, not width, is the invariant."""
+    spark.conf.set("spark.sql.cteRecursionRowLimit", "-1")
     load_table(spark, sf_dir, "part").createOrReplaceTempView("rx_part")
     return spark.sql(
         """
