@@ -58,12 +58,13 @@ def _tok(col: str = "text"):
         FROM bi GROUP BY 1, 2
     ),
     tot AS (
-        SELECT (SELECT sum(c) FROM uc) AS n_uni,
-               (SELECT sum(c_xy) FROM bc_all) AS n_bi
+        SELECT CAST((SELECT sum(c) FROM uc) AS BIGINT) AS n_uni,
+               CAST((SELECT sum(c_xy) FROM bc_all) AS BIGINT) AS n_bi
     )
     SELECT b.w1, b.w2, b.c_xy,
-           CAST(b.c_xy * t.n_uni * t.n_uni AS DOUBLE)
-               / (t.n_bi * u1.c * u2.c) AS lift
+           ((CAST(b.c_xy AS DOUBLE) / t.n_bi)
+            * (CAST(t.n_uni AS DOUBLE) / u1.c))
+               * (CAST(t.n_uni AS DOUBLE) / u2.c) AS lift
     FROM bc_all b
     CROSS JOIN tot t
     JOIN uc u1 ON u1.w = b.w1
@@ -73,19 +74,23 @@ def _tok(col: str = "text"):
 )
 def llm_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining: for every bigram with corpus frequency >= 5,
-    the PMI lift  P(xy) / (P(x)·P(y))  =  c_xy·N² / (B·c_x·c_y).
+    the PMI lift  P(xy) / (P(x)·P(y))  =  (c_xy/B)·(N/c_x)·(N/c_y).
 
-    The value is ranked in EXACT integer space — the numerator and
-    denominator are int64 products of counts, and the one double
-    division happens on bit-identical integers, so no ln() snap is
-    needed (exp(PMI) is a monotone transform of PMI; consumers
-    thresholding on PMI threshold on lift instead).  Plan: one explode +
-    two groupBys for the count tables; the unigram table is vocabulary-
+    Every operand is an int64 COUNT cast to double individually, and
+    the three exactly-rounded divisions + two multiplications run in
+    ONE pinned order shared verbatim with the oracle — bit-identical
+    without snapping (exp(PMI) is a monotone transform of PMI;
+    consumers thresholding on PMI threshold on lift instead).  The
+    round-8 sf1 soak retired two earlier formulations here: the
+    original int64 product c_xy·N² overflowed at a 3e7-token corpus
+    (Spark ANSI raised ARITHMETIC_OVERFLOW), and the DECIMAL/HUGEINT
+    repair exposed a 1-ulp seam between Spark's Decimal→double and
+    DuckDB's HUGEINT→double casts on >2^63 values — factored counts
+    never leave int64, at ANY corpus size.  Plan: one explode + two
+    groupBys for the count tables; the unigram table is vocabulary-
     sized, so BOTH count joins broadcast, and the scalar totals ride a
     broadcast nested loop of one row — the corpus itself is read once
-    and never re-shuffled.  int64 headroom: c_xy·N² < 2^63 up to ~4e18,
-    i.e. N ~ 1.5e6-token corpora per exact unit; beyond that lift the
-    numerator into DECIMAL(38,0) (DuckDB already promotes to HUGEINT)."""
+    and never re-shuffled."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", _tok().alias("t"))
     uni = tok.select(F.explode("t").alias("w"))
@@ -127,8 +132,11 @@ def llm_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w2",
             "c_xy",
             (
-                (F.col("c_xy") * F.col("n_uni") * F.col("n_uni")).cast("double")
-                / (F.col("n_bi") * F.col("c1") * F.col("c2"))
+                (
+                    (F.col("c_xy").cast("double") / F.col("n_bi"))
+                    * (F.col("n_uni").cast("double") / F.col("c1"))
+                )
+                * (F.col("n_uni").cast("double") / F.col("c2"))
             ).alias("lift"),
         )
     )
