@@ -53,83 +53,82 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # CASTing the oracle sums AS BIGINT + the tests/test_oracle_types.py
 # gate.
 #
-# ROUND 8 WINDOW (this list's first 50), per VERDICT r7 #1: the r7
-# window went 50/50 green, so every formerly-listed name drops out of
-# GRADE_ORDER (green names fall back to registration order — re-grading
-# them wastes slots, gated by test_window_regrades_only_known_reds).
-# What remains is exactly the 54-name never-graded backlog: the second
-# half of the stats family, the varlen D/DB pair, sorted scan/sink,
-# tolerance asof, zonedl, then the 13 ops that gained oracles in round
-# 7 (sketch gates, ANN structural gates, multimodal
-# construction-predicted fixtures, BPE invariants, watermark exact
-# oracle) — first-ever driver evidence for them.  Positions 51-54 are
-# the r9 window head (VERDICT r7 #4): after this round they are the
-# ONLY queries never driver-graded.
+# ROUND 9 WINDOW (this list's first 50), per VERDICT r8 #1/#5.  Two
+# goals: (a) close ever-graded coverage to 340/340 — the 5 names the r8
+# round left as the only never-driver-graded queries lead the window;
+# (b) start the rolling FRESHNESS RE-GRADE policy (VERDICT r8 #5): 186
+# of the current greens date from r1–r4, before the round-5/6/7/8
+# determinism rule waves, so each window back-fills its free slots with
+# the OLDEST-grade greens.  Staleness rule (enforced by
+# tests/test_registry_order.py::test_window_regrades_only_known_reds):
+# a green may re-enter the window once its last grade is >= 5 rounds
+# behind the upcoming round.  At r9 that admits the r1 vintage (48
+# names); this window takes 45 of them (the relational core: filters,
+# joins, aggregates, windows, setops, subqueries), leaving 3 r1 + the
+# r2 vintage for the r10 window.  Every op therefore re-proves itself
+# under the current determinism rules within ~4 windows.
 GRADE_ORDER: tuple[str, ...] = (
-    "agg_mannwhitney",
-    "agg_ks_test",
-    "maintain_gdg_expire",
-    "ts_cusum_changepoint",
-    "scan_fixedlen_redefines",
-    "ts_autocorr",
-    "agg_cramers_v",
-    "join_asof_forward",
-    "pipeline_tape_to_corpus",
-    "agg_kruskal",
-    "agg_jarque_bera",
-    # round-6 widening: the fixed-class ANOVA family + info/DQ stats
-    "agg_anova",
-    "agg_levene",
-    "agg_entropy",
-    "agg_benford",
-    "ts_bollinger",
-    "ts_rsi",
-    "llm_zipf_fit",
-    "llm_dedup_bloom",
-    "scan_varlen_db",
-    "sink_varlen_db",
-    "scan_fixedlen_sorted",
-    "sink_fixedlen_sorted",
-    "agg_hhi",
-    "ts_dow_profile",
-    "llm_hash_features",
-    "llm_quality_classifier",
-    "ts_survival_km",
-    "llm_length_histogram",
-    "join_asof_tolerance",
-    "fn_uuid",
-    "dq_freshness",
-    # round-6 session-2 widening: association/agreement/effect-size
-    # statistics (exact-integer recipes)
-    "agg_cohen_kappa",
-    "agg_kendall_tau",
-    "agg_cohens_d",
-    "agg_corr_matrix",
-    "ts_theil_sen",
-    "scan_fixedlen_zonedl",
-    # the formerly rows-only ops, driver-gradeable since round 7
-    # (VERDICT r6 #2/#3 recipes — see each query's docstring)
-    "stream_watermark_late_drop",
-    "agg_hll_mergeable",
-    "llm_tokenizer_apply",
-    "mm_video_frames",
-    "llm_bpe_train",
-    "llm_kmeans_train",
-    "llm_knn_ivf",
-    "llm_knn_pq",
-    "llm_cosine_lsh",
-    "mm_image_features",
-    "mm_audio_frames",
-    "mm_image_resize",
-    # round-7 widening (r9 window candidates)
+    # --- never-driver-graded backlog (VERDICT r8 #1) ---
     "llm_repeated_ngrams",
     "agg_count_min",
     "stream_approx_distinct",
     "scan_fixedlen_julian",
-    # round-8 widening: the bounded-look-back Theil-Sen the sf1 soak
-    # showed the full-history estimator needs at scale
     "ts_theil_sen_recent",
+    # --- r1-vintage freshness re-grades (VERDICT r8 #5) ---
+    "agg_global",
+    "agg_groupby_hash",
+    "agg_count_distinct",
+    "agg_distinct_rows",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_having",
+    "filter_compare",
+    "filter_between_and",
+    "filter_in_or_not",
+    "filter_null",
+    "filter_like",
+    "proj_select",
+    "join_inner_hash",
+    "join_left_outer",
+    "join_right_outer",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "join_cross",
+    "join_theta_range",
+    "join_sort_merge",
+    "join_asof",
+    "join_skew_salted",
+    "join_bucketed",
+    "join_null_safe",
+    "limit_topk",
+    "sort_multi_key",
+    "set_union_all",
+    "set_union_distinct",
+    "set_intersect",
+    "set_except",
+    "set_except_all",
+    "set_intersect_all",
+    "subq_scalar_where",
+    "subq_in_where",
+    "subq_exists_correlated",
+    "subq_not_exists",
+    "topk_per_group",
+    "win_row_number",
+    "win_rank_dense",
+    "win_lag_lead",
+    "win_running_sum",
+    "win_range_frame",
+    "win_ntile_first_last",
+    "win_cume_dist",
+    "win_range_interval",
 )
+# The window is GRADE_ORDER[:50]: the 5-name backlog + 45 vintage
+# re-grades.  GRADE_ORDER[50:53] (win_ntile_first_last, win_cume_dist,
+# win_range_interval) are the r10 window head; the r2 vintage (fn_*
+# scalar family, scans/sinks, LLM head — 46 names) fills the rest of
+# r10 under the same staleness rule.
 
 
 def _reorder() -> None:

@@ -23,20 +23,27 @@ def test_grade_order_applied_and_complete():
     assert names[: len(registry.GRADE_ORDER)] == list(registry.GRADE_ORDER)
 
 
-def test_round8_window_composition():
+def test_round9_window_composition():
     registry.load_all()
     window = list(registry.QUERIES)[:50]
-    # the 54-name never-graded backlog heads the order (VERDICT r7 #1);
-    # r7's fully-green window dropped out of GRADE_ORDER entirely
-    assert window[:2] == ["agg_mannwhitney", "agg_ks_test"]
-    assert window[49] == "mm_image_resize"
-    # positions 51-54 = the r9 window head (VERDICT r7 #4): the only
-    # queries left with no driver grade after this round
-    assert list(registry.QUERIES)[50:54] == [
+    # the 5 never-driver-graded queries lead (VERDICT r8 #1), closing
+    # ever-graded coverage to 340/340
+    assert window[:5] == [
         "llm_repeated_ngrams",
         "agg_count_min",
         "stream_approx_distinct",
         "scan_fixedlen_julian",
+        "ts_theil_sen_recent",
+    ]
+    # the other 45 slots are r1-vintage freshness re-grades (VERDICT
+    # r8 #5) — relational core, windows, setops, subqueries
+    assert window[5] == "agg_global"
+    assert window[49] == "win_range_frame"
+    # positions 51-53 = the r10 window head: the 3 remaining r1 names
+    assert list(registry.QUERIES)[50:53] == [
+        "win_ntile_first_last",
+        "win_cume_dist",
+        "win_range_interval",
     ]
     # every window query has a full SQL oracle (strongest driver signal)
     missing = [n for n in window if n not in registry.ORACLES]
@@ -52,17 +59,25 @@ def test_no_query_is_oracle_less():
     assert not missing, f"oracle-less queries: {missing}"
 
 
-def test_window_regrades_only_known_reds():
-    """No slot in the 50-query window may re-grade an already-green
-    query (each round's window should carry maximum fresh signal).
-    Derived from the committed CORRECTNESS_r*.json artifacts rather
-    than a hand-kept list."""
+def test_window_regrades_only_known_reds_or_stale_greens():
+    """No slot in the 50-query window may re-grade a FRESH green (each
+    round's window should carry maximum signal).  Valid slots: never
+    graded, last grade red, or a STALE green — last graded >= 5 rounds
+    behind the upcoming round (the VERDICT r8 #5 freshness policy:
+    every op re-proves itself under the current determinism rules
+    within ~4 windows).  Derived from the committed
+    CORRECTNESS_r*.json artifacts rather than a hand-kept list."""
     registry.load_all()
     window = list(registry.QUERIES)[:50]
     graded: dict[str, bool] = {}
+    last_round: dict[str, int] = {}
+    max_round = 0
     for fname in sorted(os.listdir(REPO)):
-        if not re.fullmatch(r"CORRECTNESS_r\d+\.json", fname):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", fname)
+        if not m:
             continue
+        rnd = int(m.group(1))
+        max_round = max(max_round, rnd)
         with open(os.path.join(REPO, fname)) as f:
             for name, v in json.load(f).items():
                 ok = (
@@ -71,9 +86,16 @@ def test_window_regrades_only_known_reds():
                     and v.get("hash_match") in (True, None)
                     and not v.get("err")
                 )
-                graded[name] = bool(ok)
-    wasted = [n for n in window if graded.get(n) is True]
-    assert not wasted, f"window wastes slots on greens: {wasted}"
+                if last_round.get(name, -1) <= rnd:
+                    graded[name] = bool(ok)
+                    last_round[name] = rnd
+    upcoming = max_round + 1
+    wasted = [
+        n
+        for n in window
+        if graded.get(n) is True and upcoming - last_round[n] < 5
+    ]
+    assert not wasted, f"window wastes slots on fresh greens: {wasted}"
 
 
 def test_grade_order_names_all_registered():
