@@ -509,7 +509,10 @@ def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget (re-derived by the round-8 sf1 soak): the variance term
     a = n·S₂−S₁² is DECIMAL(38,0)/HUGEINT — its old int64 form grew
     as 2500n² (measured 3.3e15 at a 2M-row sf1 group) and would have
-    wrapped/raised at ~6e7 rows/group; exact past 1e17 now.  The int64
+    wrapped/raised at ~6e7 rows/group; the sum stays exact past 1e17
+    now, but past a's 2^63 crossing (~6e7 rows/group) its →double
+    conversion is snap-absorbed rather than bit-exact (the 1-ulp
+    Decimal-vs-HUGEINT seam, ADVICE r8).  The int64
     power sums bind next: qi ≤ 50 ⇒ S₄ ≤ 6.25e6·n, safe past 1e11
     rows/group; larger domains re-unit qi first."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -741,9 +744,11 @@ def agg_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapped to 8, statistic to 4 — the agg_moments discipline).
     Overflow budget (re-derived by the round-8 sf1 soak): va ≤ 2500·n²
     is DECIMAL(38,0)/HUGEINT (its int64 form, measured 8.0e14 at sf1's
-    2M-row class, would have wrapped/raised at ~6e7 rows/class) — exact
-    past 1e17 rows; the int64 sums bind next at S₂ ≤ 2500·n → ~3.7e15
-    rows/class."""
+    2M-row class, would have wrapped/raised at ~6e7 rows/class) — the
+    sum stays exact past 1e17 rows, snap-absorbed (not bit-exact) past
+    va's 2^63 crossing at ~6e7 rows/class (the 1-ulp Decimal-vs-HUGEINT
+    →double seam, ADVICE r8); the int64 sums bind next at
+    S₂ ≤ 2500·n → ~3.7e15 rows/class."""
     li = load_table(spark, sf_dir, "lineitem")
     base = li.where(
         F.col("l_quantity").isNotNull()
@@ -949,8 +954,14 @@ def agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     (re-derived by the round-8 sf1 soak, which caught the original
     int64 sums at 1.16x int64 max for a 2M-row group): per-row rank
     products are DECIMAL(38,0) on Spark / HUGEINT on DuckDB, so
-    Σx·y ≤ 4n³ binds at the decimal38 ceiling — exact to ~2.9e11
-    rows/group, past the ~1.3e11 a 100 TB lineitem implies.  The
+    Σx·y ≤ 4n³ binds at the decimal38 ceiling — ~2.9e11 rows/group,
+    past the ~1.3e11 a 100 TB lineitem implies.  Cross-engine caveat
+    (ADVICE r8): the sums themselves stay exact, but once one crosses
+    2^63 (sxx/syy/sxy from ~1.3e6 rows/group) the Decimal(38)→double
+    vs HUGEINT→double conversion inside the compared tree can differ
+    by 1 ulp — n⁴-normalization + snap absorbs that (a flip needs the
+    snapped value within ~1e-8 of a boundary), so past the crossing
+    the budget is SNAP-ABSORBED, not bit-exact.  The
     degeneracy guard is max(rank) > min(rank) (exactly variance > 0,
     no products at all — the old n·sxx > sx² quartic wrapped/raised
     from ~2.3e5 rows/group).  Degenerate (constant) columns yield no
@@ -1080,7 +1091,10 @@ def agg_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64 Σt³ would have wrapped/raised from ~2.8e7 pooled at 50
     distinct values): tsum, r2a and u2 are DECIMAL(38,0)/HUGEINT, so
     the binder is now the exposed BIGINT u2 output column (u2 ~ N²/4,
-    exact to ~6e9 pooled rows); internals are exact past 1e12."""
+    exact to ~6e9 pooled rows); internal sums stay exact past 1e12,
+    snap-absorbed (not bit-exact) in the compared double tree past
+    their 2^63 crossing at ~2.8e7 pooled rows (the 1-ulp
+    Decimal-vs-HUGEINT →double seam, ADVICE r8)."""
     li = load_table(spark, sf_dir, "lineitem")
     base = li.where(
         F.col("l_quantity").isNotNull()
@@ -1350,8 +1364,11 @@ def agg_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
     all values tied) yield no row.  Overflow budget (round-8 sf1 soak,
     which measured tsum = 9.0e16 at 6M pooled rows — int64 Σt³ would
     have wrapped/raised from ~2.8e7 pooled): tsum and the doubled rank
-    sums are DECIMAL(38,0)/HUGEINT, exact past 1e12 pooled rows; no
-    big-integer column is exposed in the output."""
+    sums are DECIMAL(38,0)/HUGEINT, exact past 1e12 pooled rows
+    (snap-absorbed, not bit-exact, in the compared double tree past
+    their 2^63 crossing ~2.8e7 pooled — the 1-ulp Decimal-vs-HUGEINT
+    →double seam, ADVICE r8); no big-integer column is exposed in the
+    output."""
     li = load_table(spark, sf_dir, "lineitem")
     base = li.where(
         F.col("l_quantity").isNotNull()

@@ -79,26 +79,40 @@ def cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     n·avg_depth ≈ n·log10(maxkey) — it scales with the input, so the
     default spark.sql.cteRecursionRowLimit=1e6 (a constant safety net,
     hit at sf1's 200k parts x ~5.3 avg depth in the round-8 soak) is
-    lifted here: the LEVEL limit is the correct unbounded-recursion
-    guard for a fixpoint whose depth, not width, is the invariant."""
+    lifted for THIS query only: the LEVEL limit is the correct
+    unbounded-recursion guard for a fixpoint whose depth, not width,
+    is the invariant.  The row-limit conf is read at EXECUTION time
+    (probed round 9: a DF built under one value runs under the live
+    value), so the fixpoint is materialized via localCheckpoint before
+    the prior limit is restored in the finally — the shared session
+    keeps its runaway-recursion safety net for every other query
+    (ADVICE r8), and the checkpointed result is |part| rows, bounded
+    by construction."""
+    prev = spark.conf.get("spark.sql.cteRecursionRowLimit", None)
     spark.conf.set("spark.sql.cteRecursionRowLimit", "-1")
-    load_table(spark, sf_dir, "part").createOrReplaceTempView("rx_part")
-    return spark.sql(
-        """
-        WITH RECURSIVE anc AS (
-            SELECT p_partkey AS part, p_partkey AS node, 0 AS depth
-            FROM rx_part
-            UNION ALL
-            SELECT part, node DIV 10, depth + 1 FROM anc WHERE node >= 10
-        ),
-        walked AS (
-            SELECT part, max(depth) AS depth, min(node) AS root
-            FROM anc GROUP BY part
-        )
-        SELECT w.part, w.depth, w.root, p.p_name AS root_name
-        FROM walked w JOIN rx_part p ON p.p_partkey = w.root
-        """
-    )
+    try:
+        load_table(spark, sf_dir, "part").createOrReplaceTempView("rx_part")
+        return spark.sql(
+            """
+            WITH RECURSIVE anc AS (
+                SELECT p_partkey AS part, p_partkey AS node, 0 AS depth
+                FROM rx_part
+                UNION ALL
+                SELECT part, node DIV 10, depth + 1 FROM anc WHERE node >= 10
+            ),
+            walked AS (
+                SELECT part, max(depth) AS depth, min(node) AS root
+                FROM anc GROUP BY part
+            )
+            SELECT w.part, w.depth, w.root, p.p_name AS root_name
+            FROM walked w JOIN rx_part p ON p.p_partkey = w.root
+            """
+        ).localCheckpoint(eager=True)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.cteRecursionRowLimit")
+        else:
+            spark.conf.set("spark.sql.cteRecursionRowLimit", prev)
 
 
 # --------------------------------------------------------------------------

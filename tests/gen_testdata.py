@@ -68,8 +68,6 @@ def gen(
     flat_emb: bool = False,
     scale: int = SCALE,
 ) -> None:
-    global SCALE
-    SCALE = scale
     rng = np.random.RandomState(seed)
     os.makedirs(out, exist_ok=True)
 
@@ -87,7 +85,7 @@ def gen(
         "n_regionkey": pa.array([i % 5 for i in range(25)], pa.int32()),
     }))
 
-    n_supp = 10 * SCALE
+    n_supp = 10 * scale
     write("supplier", pa.table({
         "s_suppkey": pa.array(range(1, n_supp + 1), pa.int64()),
         "s_name": [f"Supplier#{i:09d}" for i in range(1, n_supp + 1)],
@@ -95,7 +93,7 @@ def gen(
         "s_acctbal": _dec2(rng, -999.99, 9999.99, n_supp),
     }))
 
-    n_cust = 150 * SCALE
+    n_cust = 150 * scale
     bal = _dec2(rng, -999.99, 9999.99, n_cust)
     # adversarial: exact boundary balances the rounding sweeps care about
     bal[: 6] = [0.0, 500.0, -0.01, 499.99, 500.01, 2.5]
@@ -110,7 +108,7 @@ def gen(
     # p_type/p_brand/p_name follow the driver's compact domains (p_type is
     # a single word <=8 chars — the implied-decimal fixture layout packs it
     # into an 8-byte field; names include 'gear' for the q9/q20 filters)
-    n_part = 200 * SCALE
+    n_part = 200 * scale
     adjs = np.array(["old", "small", "cold", "hot", "blue", "red", "big"])
     nouns = np.array(["ring", "anvil", "plate", "gear", "bolt", "rod"])
     write("part", pa.table({
@@ -131,7 +129,7 @@ def gen(
         "p_retailprice": _dec2(rng, 900, 2000, n_part),
     }))
 
-    n_ord = 1500 * SCALE
+    n_ord = 1500 * scale
     base = np.datetime64("1995-01-01")
     odates = base + rng.randint(0, 2500, n_ord).astype("timedelta64[D]")
     o_custkey = rng.randint(1, n_cust + 1, n_ord).tolist()
@@ -152,7 +150,7 @@ def gen(
         "o_orderpriority": o_prio,
     }))
 
-    n_li = 6000 * SCALE
+    n_li = 6000 * scale
     lkeys = rng.randint(1, n_ord + 1, n_li)
     lkeys.sort()
     linenum = np.ones(n_li, dtype=np.int32)
@@ -177,7 +175,7 @@ def gen(
         "l_shipdate": _ts_ns(sdates) if ns_dates else _ts_us(sdates),
     }))
 
-    n_ev = 1000 * SCALE
+    n_ev = 1000 * scale
     ev_ts = (
         np.datetime64("2024-01-01T00:00:00", "us")
         + rng.randint(0, 30 * 24 * 3600 * 10**6, n_ev).astype("timedelta64[us]")
@@ -204,7 +202,7 @@ def gen(
         "props": props,
     }))
 
-    n_doc = 500 * SCALE
+    n_doc = 500 * scale
     texts = []
     for i in range(n_doc):
         n_words = rng.randint(8, 111)
@@ -271,7 +269,7 @@ def gen(
         ),
     }))
 
-    n_vec = 500 * SCALE
+    n_vec = 500 * scale
     emb = rng.standard_normal((n_vec, 64)).astype(np.float32)
     # planted near-duplicates for the cosine-dup family
     for j in range(0, 40, 4):

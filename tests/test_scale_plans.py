@@ -1053,22 +1053,22 @@ def test_gap_fill_grid_never_shuffles(spark):
     assert grid_ex == [], f"grid side re-shuffled: {grid_ex}"
 
 
-def test_theil_sen_recent_limits_before_shuffle(spark):
-    """ts_theil_sen_recent (round-8): the recency cap must be applied
-    MAP-SIDE — Spark's WindowGroupLimit(Partial) keeps each task's
-    top-64 rows per user below the exchange, so the shuffle carries
-    <= 64*users*tasks rows regardless of corpus size (the whole point
-    of the bounded-look-back variant).  Also: no exchange above the
-    pair join — the join, rank windows and median groupBy all reuse
-    the user_id partitioning."""
-    from hadoop_fixedlengthinputformat_spark.operators.stats_extras import (
-        ts_theil_sen_recent,
-    )
+@pytest.mark.parametrize("variant", ["ts_theil_sen", "ts_theil_sen_recent"])
+def test_theil_sen_limits_before_shuffle(spark, variant):
+    """BOTH Theil–Sen variants (round-9: they share the K-bounded
+    builder, K=256 full / K=64 recent): the look-back cap must be
+    applied MAP-SIDE — Spark's WindowGroupLimit(Partial) keeps each
+    task's top-K rows per user below the exchange, so the shuffle
+    carries <= K*users*tasks rows regardless of corpus size (the whole
+    point of the bounded-look-back construction, VERDICT r8 #2).
+    Also: no exchange above the pair join — the join, rank windows and
+    median groupBy all reuse the user_id partitioning."""
+    from hadoop_fixedlengthinputformat_spark.operators import stats_extras
 
     saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        df = ts_theil_sen_recent(spark, "/root/testdata/sf0.001")
+        df = getattr(stats_extras, variant)(spark, "/root/testdata/sf0.001")
         plan = df._jdf.queryExecution().executedPlan().toString()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)

@@ -329,7 +329,7 @@ def test_mannwhitney_past_int64_tsum_cliff(spark, tmp_path):
     """Round-8 sf1 soak finding: tsum = sum(t^3 - t) over per-value tie
     counts grows ~N^3/ndist^2 — the old int64 sum wrapped (Spark) /
     raised (DuckDB) from ~2.8e7 pooled rows at the fixture's 50
-    distinct quantities.  Plant TWO values with 1.75M rows each so one
+    distinct quantities.  Plant TWO values with 2.2M rows each so one
     per-row t^3 term alone exceeds int64, and pin U and z against an
     exact big-int Python reference.  (agg_kruskal shares the identical
     tsum machinery — one planted fixture covers the construction.)"""
