@@ -66,6 +66,11 @@ HEADLINE = [
     "agg_count_min",            # mergeable sketch build + probe join
     "llm_repeated_ngrams",      # n-gram explode + digest-only shuffles
     "llm_line_dedup",           # line-level corpus dedup
+    # round-9 addition (VERDICT r8 #6): the graded set had no
+    # stats-family op; agg_spearman is the r8 HUGEINT-reworked
+    # exact-midrank path (rank windows + map-side-combined groupBy).
+    # Baseline = first measurement at introduction (BASELINE.md).
+    "agg_spearman",
 ]
 
 

@@ -223,6 +223,84 @@ def test_available_now_resumes_from_checkpoint(spark, tmp_path):
     assert spark.read.parquet(target).select("event_id").distinct().count() == 300
 
 
+def test_directory_stream_crash_midbatch_under_concurrent_growth(spark, tmp_path):
+    """Chaos restart (VERDICT r8 #9): kill the partitionedStream
+    directory query MID-BATCH — after the sink wrote batch 0 but
+    before the checkpoint commit — then grow the directory (append to
+    a known file + drop a new file) while the query is down.  The
+    first restart must replay batch 0 with the SAME offset range the
+    offsets WAL pinned — NOT the grown files (so an idempotent
+    per-batch-id overwrite sink yields no duplicates, and uncommitted
+    work is never silently widened); Python streaming sources run
+    availableNow as single-batch execution, so the growth is the NEXT
+    run's batch 1.  Exactly-once end to end across crash + 2 restarts."""
+    from hadoop_fixedlengthinputformat_spark.sources import fixedlen
+
+    fixedlen.register(spark)
+    src = str(tmp_path / "csrc")
+    os.makedirs(src)
+    rec = lambda i: f"{i:08d}".encode()  # noqa: E731
+    with open(os.path.join(src, "a.fixed"), "wb") as f:
+        f.write(b"".join(rec(i) for i in range(10)))
+    with open(os.path.join(src, "b.fixed"), "wb") as f:
+        f.write(b"".join(rec(i) for i in range(100, 105)))
+
+    out = str(tmp_path / "cout")
+    ckpt = str(tmp_path / "cckpt")
+    crashes = []
+
+    def run(poison: bool):
+        def sink(batch_df, batch_id):
+            # idempotent sink: batch-id-keyed overwrite, the pattern
+            # the engine's own fixedlen sink uses for replay safety
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(out, f"batch={batch_id}")
+            )
+            if poison and not crashes:
+                crashes.append(batch_id)
+                raise RuntimeError("injected mid-batch crash")
+
+        q = (
+            spark.readStream.format("fixedlen")
+            .option("recordLength", "8")
+            .option("layout", "v:0:8:int")
+            .option("partitionedStream", "true")
+            .option("includeOffset", "false")
+            .load(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+            assert not poison, "poisoned run should have crashed"
+        except Exception:
+            assert poison, "clean run crashed"
+
+    run(poison=True)
+    assert crashes == [0]
+    # the query is down with batch 0 sunk but uncommitted; the
+    # directory grows concurrently
+    with open(os.path.join(src, "a.fixed"), "ab") as f:
+        f.write(b"".join(rec(i) for i in range(10, 13)))
+    with open(os.path.join(src, "c.fixed"), "wb") as f:
+        f.write(b"".join(rec(i) for i in range(200, 203)))
+
+    run(poison=False)
+    # replay is pinned to the WAL offsets: EXACTLY the pre-crash 15
+    # records, none of the growth leaks into the replayed batch
+    vals1 = sorted(r.v for r in spark.read.parquet(out).select("v").collect())
+    assert vals1 == sorted(list(range(10)) + list(range(100, 105)))
+
+    run(poison=False)  # next trigger: the growth arrives as batch 1
+    vals2 = sorted(r.v for r in spark.read.parquet(out).select("v").collect())
+    want = sorted(
+        list(range(13)) + list(range(100, 105)) + list(range(200, 203))
+    )
+    assert vals2 == want  # every record exactly once, growth included
+
+
 def test_directory_stream_picks_up_new_files_and_appends(spark, tmp_path):
     """Directory streaming (partitionedStream over a dir): run 1 ingests
     the initial files; run 2 with the same checkpoint processes ONLY the
