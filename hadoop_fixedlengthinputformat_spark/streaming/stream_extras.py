@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from hadoop_fixedlengthinputformat_spark.registry import query
 from hadoop_fixedlengthinputformat_spark.sources import fixedlen, fixture_gen
 from hadoop_fixedlengthinputformat_spark.streaming.stream_queries import (
+    _drain_to_table,
     _run_to_table,
 )
 from hadoop_fixedlengthinputformat_spark.tables import configure
@@ -91,7 +92,7 @@ def stream_varlen_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "n_chars",
         F.length("record_tail").cast("long").alias("tail_bytes"),
     )
-    return _run_to_table(out, "append")
+    return _drain_to_table(out, "append")
 
 
 @query(
@@ -133,7 +134,7 @@ def stream_vbs_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "n_chars",
         F.length("record_tail").cast("long").alias("tail_bytes"),
     )
-    return _run_to_table(out, "append")
+    return _drain_to_table(out, "append")
 
 
 @query(
@@ -173,4 +174,4 @@ def stream_awstape_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "n_chars",
         F.length("record_tail").cast("long").alias("tail_bytes"),
     )
-    return _run_to_table(out, "append")
+    return _drain_to_table(out, "append")

@@ -122,6 +122,37 @@ def _run_to_table(stream_df: DataFrame, mode: str) -> DataFrame:
     return spark.table(name)
 
 
+def _drain_to_table(stream_df: DataFrame, mode: str) -> DataFrame:
+    """Drain the FULL backlog through repeated micro-batches into a
+    memory sink; return the final table.
+
+    Needed by the tail family (round-9 sf1 soak find): their
+    SimpleDataSourceStreamReader caps every micro-batch at
+    READ_CHUNK_TARGET (16 MB — the ADVICE r3 rule that stops a large
+    backlog from materializing as ONE driver-side list), but Spark runs
+    availableNow on Python sources as a SINGLE-batch fallback, so at
+    sf1 (10x file sizes) `_run_to_table` silently truncated the ingest
+    to the first capped batch.  Default-trigger micro-batches +
+    ``processAllAvailable()`` exercise the real multi-batch admission
+    path and terminate once the (static) file is fully drained."""
+    spark = stream_df.sparkSession
+    name = f"flif_mem_{uuid.uuid4().hex[:10]}"
+    ckpt = os.path.join(tempfile.gettempdir(), f"flif_ckpt_{uuid.uuid4().hex[:10]}")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    q.awaitTermination()
+    return spark.table(name)
+
+
 @query(
     "stream_tumbling_window",
     oracle="""

@@ -357,3 +357,51 @@ def test_directory_stream_picks_up_new_files_and_appends(spark, tmp_path):
         list(range(13)) + list(range(100, 105))
         + list(range(200, 203)) + list(range(300, 302))
     )
+
+
+def test_varlen_tail_drains_backlog_larger_than_batch_cap(spark, tmp_path):
+    """Round-9 sf1 soak regression: the tail readers cap each
+    micro-batch at READ_CHUNK_TARGET (16 MB), and Spark runs
+    availableNow on Python sources as a SINGLE-batch fallback — so a
+    backlog bigger than one cap silently truncated (sf1 ingested
+    48,571 of 500,000 records).  Pin the fix: a >16 MB RDW file must
+    ingest COMPLETELY through the multi-batch drain
+    (processAllAvailable), i.e. strictly more than one capped batch."""
+    import struct
+
+    from hadoop_fixedlengthinputformat_spark.sources import varlen
+    from hadoop_fixedlengthinputformat_spark.sources.fixture_gen import (
+        RDW_PREFIX_LAYOUT,
+        RDW_PREFIX_LEN,
+    )
+    from hadoop_fixedlengthinputformat_spark.streaming.stream_queries import (
+        _drain_to_table,
+    )
+
+    varlen.register(spark)
+    path = str(tmp_path / "big.rdw")
+    n, tail_len = 40_000, 500  # ~21 MB total: > one 16 MB batch cap
+    with open(path, "wb") as f:
+        chunks = []
+        for i in range(n):
+            prefix = (
+                f"{i:08d}" + "en" + "src000" + f"{tail_len:06d}"
+            ).encode()
+            assert len(prefix) == RDW_PREFIX_LEN
+            tail = bytes([65 + i % 26]) * tail_len
+            rec = struct.pack(
+                ">HH", 4 + RDW_PREFIX_LEN + len(tail), 0
+            ) + prefix + tail
+            chunks.append(rec)
+        f.write(b"".join(chunks))
+
+    src = (
+        spark.readStream.format("varlen")
+        .option("prefixLength", str(RDW_PREFIX_LEN))
+        .option("layout", RDW_PREFIX_LAYOUT)
+        .option("includeOffset", "false")
+        .load(path)
+    )
+    out = _drain_to_table(src.select("doc_id"), "append")
+    assert out.count() == n
+    assert out.select("doc_id").distinct().count() == n
