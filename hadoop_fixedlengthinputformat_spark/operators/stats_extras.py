@@ -610,3 +610,120 @@ def ts_theil_sen_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same plan, arithmetic and determinism story as ts_theil_sen (the
     shared _theil_sen_df builder) — only the look-back cap differs."""
     return _theil_sen_df(spark, sf_dir, _TS_RECENT_K)
+
+
+# Mutual information from exact counts, by the entropy identity
+# MI = H(X) + H(Y) - H(X,Y) = ln N + (slxy - slx - sly) / (N * 1e8),
+# where sl* are exact int64 sums of c * round(ln(c) * 1e8) over the
+# DISTINCT class counts (the agg_entropy / llm_lm_score transcendental
+# rule: one ln per distinct count, snapped straight to integer units,
+# so merge order can never move a sum).  Theil's uncertainty
+# coefficient U(flag|status) = MI / H(flag) rides the same sums.
+_MI_RAW = (
+    "floor(ln(CAST(n AS DOUBLE)) * 100000000.0 + 0.5) / 100000000.0"
+    " + (CAST(slxy AS DOUBLE) - CAST(slx AS DOUBLE) - CAST(sly AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * 100000000.0)"
+)
+_MI_HX_RAW = (
+    "floor(ln(CAST(n AS DOUBLE)) * 100000000.0 + 0.5) / 100000000.0"
+    " - CAST(slx AS DOUBLE) / (CAST(n AS DOUBLE) * 100000000.0)"
+)
+_MI_NATS = snap_sql(_MI_RAW, 4)
+_MI_THEIL_U = snap_sql(f"({_MI_RAW}) / ({_MI_HX_RAW})", 4)
+_LN8_INT = "CAST(floor(ln(CAST({v} AS DOUBLE)) * 100000000.0 + 0.5) AS BIGINT)"
+
+
+@query(
+    "agg_mutual_info",
+    oracle=f"""
+    WITH cells AS (
+        SELECT l_returnflag AS flag, l_linestatus AS st,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM lineitem
+        WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+        GROUP BY flag, st
+    ),
+    xy AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+               CAST(SUM(cnt * {_LN8_INT.format(v='cnt')}) AS BIGINT) AS slxy
+        FROM cells
+    ),
+    xs AS (SELECT CAST(SUM(cnt) AS BIGINT) AS cx FROM cells GROUP BY flag),
+    x AS (
+        SELECT CAST(count(*) AS BIGINT) AS dx,
+               CAST(SUM(cx * {_LN8_INT.format(v='cx')}) AS BIGINT) AS slx
+        FROM xs
+    ),
+    ys AS (SELECT CAST(SUM(cnt) AS BIGINT) AS cy FROM cells GROUP BY st),
+    y AS (
+        SELECT CAST(count(*) AS BIGINT) AS dy,
+               CAST(SUM(cy * {_LN8_INT.format(v='cy')}) AS BIGINT) AS sly
+        FROM ys
+    )
+    SELECT n AS n_rows, {_MI_NATS} + 0 AS mi_nats,
+           {_MI_THEIL_U} + 0 AS theil_u
+    FROM xy, x, y WHERE dx > 1 AND dy > 1
+    """,
+)
+def agg_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) between return flag and line status,
+    plus Theil's uncertainty coefficient U(flag|status) = MI/H(flag) —
+    the categorical-association pair a curation dashboard runs next to
+    cramers_v/entropy.  Exact-count recipe: MI = H(X)+H(Y)-H(XY)
+    collapses to ln N + (slxy - slx - sly)/(N*1e8) where each sl* is an
+    exact int64 sum of c * round(ln(c)*1e8) over DISTINCT class counts
+    (one transcendental per distinct count, snapped straight to integer
+    units — the agg_entropy rule), so every aggregate is
+    merge-order-free and the only shared double trees are the final MI
+    and U combinations (snapped to 4, +0 clearing -0.0).  Degenerate
+    marginals (a single flag or a single status) yield no row — U is
+    undefined at H(flag)=0 and MI is identically 0.  Shuffle shape: ONE
+    map-side-combined (flag, status) groupBy collapses the corpus to
+    <= |flags|*|statuses| cells; every later aggregate runs on that
+    cell table (broadcast 1-row joins).  Overflow budget: sl* <=
+    N*ln(N)*1e8 — int64-exact to ~4e9 rows, then the sums (not the
+    snapped lns) need DECIMAL(38,0)/HUGEINT."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = (
+        li.where(
+            F.col("l_returnflag").isNotNull()
+            & F.col("l_linestatus").isNotNull()
+        )
+        .groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_linestatus").alias("st"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+    def ln8(col: str):
+        return F.floor(
+            F.log(F.col(col).cast("double")) * 100000000.0 + 0.5
+        ).cast("long")
+
+    xy = cells.agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("cnt") * ln8("cnt")).alias("slxy"),
+    )
+    x = (
+        cells.groupBy("flag")
+        .agg(F.sum("cnt").alias("cx"))
+        .agg(
+            F.count(F.lit(1)).alias("dx"),
+            F.sum(F.col("cx") * ln8("cx")).alias("slx"),
+        )
+    )
+    y = (
+        cells.groupBy("st")
+        .agg(F.sum("cnt").alias("cy"))
+        .agg(
+            F.count(F.lit(1)).alias("dy"),
+            F.sum(F.col("cy") * ln8("cy")).alias("sly"),
+        )
+    )
+    j = xy.crossJoin(F.broadcast(x)).crossJoin(F.broadcast(y))
+    return j.where((F.col("dx") > 1) & (F.col("dy") > 1)).select(
+        F.col("n").alias("n_rows"),
+        (F.expr(_MI_NATS) + F.lit(0.0)).alias("mi_nats"),
+        (F.expr(_MI_THEIL_U) + F.lit(0.0)).alias("theil_u"),
+    )

@@ -372,3 +372,43 @@ def test_mannwhitney_past_int64_tsum_cliff(spark, tmp_path):
     assert (r.n_a, r.n_r) == (na, nb)
     assert r.u2 == u2
     assert abs(r.z_stat - z_ref) < TOL
+
+
+def test_mutual_info_matches_direct_formula(spark, sf_dir):
+    """Pin agg_mutual_info against a direct float MI/U computation from
+    the raw contingency table (math.log, no snapping) — parity can't
+    see a wrong formula both engines agree on (CLAUDE.md rule)."""
+    from collections import Counter
+
+    from hadoop_fixedlengthinputformat_spark.operators.stats_extras import (
+        agg_mutual_info,
+    )
+
+    rows = pq.read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus"],
+    ).to_pylist()
+    cells = Counter(
+        (r["l_returnflag"], r["l_linestatus"])
+        for r in rows
+        if r["l_returnflag"] is not None and r["l_linestatus"] is not None
+    )
+    n = sum(cells.values())
+    cx = Counter()
+    cy = Counter()
+    for (x, y), c in cells.items():
+        cx[x] += c
+        cy[y] += c
+    mi = sum(
+        (c / n) * math.log(c * n / (cx[x] * cy[y]))
+        for (x, y), c in cells.items()
+    )
+    hx = -sum((c / n) * math.log(c / n) for c in cx.values())
+    got = agg_mutual_info(spark, sf_dir).collect()
+    if len(cx) < 2 or len(cy) < 2:
+        assert got == []
+        return
+    assert len(got) == 1
+    assert got[0].n_rows == n
+    assert abs(got[0].mi_nats - mi) < TOL
+    assert abs(got[0].theil_u - mi / hx) < TOL
