@@ -971,3 +971,104 @@ def ts_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CASE WHEN dead > 0 THEN 0.0 ELSE {_KM_S} + 0 END"
         ).alias("survival"),
     )
+
+
+# Seasonal decomposition, additive MA form: residual-from-trend stays
+# EXACT by scaling through the frame width — r9 = 9*vc - S9 where S9 is
+# the centered 9-row frame sum (ONE evaluation order, merge-order-free)
+# — so the per-(user, hour) seasonal index is an exact int64 sum
+# divided once: sr / (9 * n).  Zero transcendentals, zero snapped
+# intermediates.
+_SEAS = snap_sql("CAST(sr AS DOUBLE) / (9.0 * n)", 4)
+
+
+@query(
+    "ts_seasonal_hour",
+    oracle=f"""
+    WITH base AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id,
+               CAST(round(value * 100, 0) AS BIGINT) AS vc
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL
+              AND user_id IS NOT NULL AND event_id IS NOT NULL
+    ),
+    fr AS (
+        SELECT user_id, us, vc,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n9,
+               CAST(SUM(vc) OVER w AS BIGINT) AS s9
+        FROM base
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id, vc
+                     ROWS BETWEEN 4 PRECEDING AND 4 FOLLOWING)
+    ),
+    res AS (
+        SELECT user_id,
+               (us // 1000000) % 86400 // 3600 AS hour_of_day,
+               9 * vc - s9 AS r9
+        FROM fr WHERE n9 = 9
+    ),
+    g AS (
+        SELECT user_id, hour_of_day, CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(r9) AS BIGINT) AS sr
+        FROM res GROUP BY user_id, hour_of_day
+    )
+    SELECT user_id, CAST(hour_of_day AS BIGINT) AS hour_of_day,
+           n AS n_frames, {_SEAS} + 0 AS seasonal_cents
+    FROM g
+    """,
+)
+def ts_seasonal_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition by hour of day: detrend each
+    user's event values with a CENTERED 9-row moving average, then
+    average the residuals per (user, hour-of-day) — the
+    classical-decomposition seasonal index a telemetry pipeline uses to
+    normalize diurnal load before anomaly scoring.  Exactness trick:
+    instead of the per-row double residual vc − S9/9 (whose per-group
+    SUM would be merge-order-unpinned), the residual is scaled through
+    the frame width — r9 = 9·vc − S9 is EXACT int64 (a ROWS-frame sum
+    has one evaluation order), the per-bucket Σr9 is an exact int64
+    aggregate, and the index is ONE double division Σr9/(9·n), snapped
+    to 4 (+0 clears -0.0).  Hour-of-day comes from pure epoch integer
+    arithmetic ((us // 1e6) % 86400 // 3600) — the round-6
+    calendar-seam rule, no engine hour()/TZ involvement.  Total frame
+    order (us, event_id, vc) pins frames under duplicate-id rolls;
+    partial edge frames (n9 < 9) are excluded on both sides.  Shuffle
+    shape: ONE user_id exchange feeds the frame window, then a
+    map-side-combined (user, hour) groupBy over |users|·24 output
+    groups.  Overflow: |r9| ≤ 9·5e4 cents ⇒ Σr9 int64-exact past 2e13
+    rows/user-hour."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull()
+    ).select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        money_units(F.col("value"), 2).alias("vc"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id", "vc")
+        .rowsBetween(-4, 4)
+    )
+    fr = ev.select(
+        "user_id", "us", "vc",
+        F.count(F.lit(1)).over(w).alias("n9"),
+        F.sum("vc").over(w).alias("s9"),
+    )
+    res = fr.where(F.col("n9") == 9).select(
+        "user_id",
+        F.expr("(us div 1000000) % 86400 div 3600").alias("hour_of_day"),
+        (9 * F.col("vc") - F.col("s9")).alias("r9"),
+    )
+    g = res.groupBy("user_id", "hour_of_day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r9").alias("sr"),
+    )
+    return g.select(
+        "user_id",
+        F.col("hour_of_day").cast("long").alias("hour_of_day"),
+        F.col("n").alias("n_frames"),
+        (F.expr(_SEAS) + F.lit(0.0)).alias("seasonal_cents"),
+    )

@@ -412,3 +412,49 @@ def test_mutual_info_matches_direct_formula(spark, sf_dir):
     assert got[0].n_rows == n
     assert abs(got[0].mi_nats - mi) < TOL
     assert abs(got[0].theil_u - mi / hx) < TOL
+
+
+def test_seasonal_hour_matches_reference(spark, sf_dir):
+    """Pin ts_seasonal_hour against a direct python reimplementation
+    (centered 9-row MA residuals averaged per hour bucket)."""
+    from collections import defaultdict
+    from datetime import timezone
+
+    from hadoop_fixedlengthinputformat_spark.operators.timeseries import (
+        ts_seasonal_hour,
+    )
+
+    rows = pq.read_table(f"{sf_dir}/events.parquet").to_pylist()
+    by_user: dict[int, list[tuple[int, int, int]]] = {}
+    for r in rows:
+        if (
+            r["user_id"] is not None
+            and r["ts"] is not None
+            and r["value"] is not None
+            and r["event_id"] is not None
+        ):
+            ts = r["ts"].replace(tzinfo=timezone.utc)
+            us = int(ts.timestamp() * 1_000_000)
+            by_user.setdefault(r["user_id"], []).append(
+                (us, r["event_id"], round(r["value"] * 100))
+            )
+    want: dict[tuple[int, int], tuple[int, int]] = {}
+    acc: dict[tuple[int, int], list[int]] = defaultdict(list)
+    for uid, pts in by_user.items():
+        pts.sort()
+        vals = [v for _, _, v in pts]
+        for i in range(4, len(pts) - 4):
+            s9 = sum(vals[i - 4 : i + 5])
+            r9 = 9 * vals[i] - s9
+            hod = (pts[i][0] // 1_000_000) % 86400 // 3600
+            acc[(uid, hod)].append(r9)
+    for k, rs in acc.items():
+        want[k] = (len(rs), sum(rs))
+    got = {
+        (r.user_id, r.hour_of_day): r
+        for r in ts_seasonal_hour(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for k, (n, sr) in want.items():
+        assert got[k].n_frames == n
+        assert abs(got[k].seasonal_cents - sr / (9 * n)) < TOL
