@@ -72,7 +72,14 @@ def gen(
     os.makedirs(out, exist_ok=True)
 
     def write(name, table):
-        pq.write_table(table, os.path.join(out, f"{name}.parquet"))
+        # cap row groups at 50k rows: pyarrow's 1Mi-row default makes a
+        # 500k-row sf1 table ONE unsplittable row group, serializing
+        # every scan onto a single task (round-9 scaling audit — the
+        # grade-scale dirs are unaffected, they fit one group anyway)
+        pq.write_table(
+            table, os.path.join(out, f"{name}.parquet"),
+            row_group_size=50_000,
+        )
 
     # region / nation
     write("region", pa.table({
