@@ -556,3 +556,42 @@ def sink_fixedlen_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_name",
         F.round("c_acctbal", 4).alias("acctbal"),
     )
+
+
+@query(
+    "sink_fixedlen_xz",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def sink_fixedlen_xz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xz/LZMA round trip through the sink+source (option
+    compression=xz) — the third codec of the generic stdlib-stream
+    layer, previously covered on the READ side only
+    (scan_fixedlen_* accept .xz members; the reference rejects all
+    compressed input, FixedLengthRecordReader.java:148-152).  xz
+    members carry no timestamps, so the written bytes are
+    deterministic without the gzip mtime=0 trick; whole-file
+    partitions on re-read with EOF alignment validation.  Same
+    many-moderate-parts scale guidance as sink_fixedlen_gzip."""
+    configure(spark)
+    fixedlen.register(spark)
+    record_length, spec, _ = fixture_gen.LAYOUTS["nation"]
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    out = os.path.join(tempfile.gettempdir(), "flif_sink_fixedlen_xz")
+    (
+        n.coalesce(1)
+        .write.format("fixedlen")
+        .option("recordLength", str(record_length))
+        .option("layout", spec)
+        .option("compression", "xz")
+        .mode("overwrite")
+        .save(out)
+    )
+    return (
+        spark.read.format("fixedlen")
+        .option("recordLength", str(record_length))
+        .option("layout", spec)
+        .option("includeOffset", "false")
+        .load(out)
+    )
