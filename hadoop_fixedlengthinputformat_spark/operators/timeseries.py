@@ -1072,3 +1072,68 @@ def ts_seasonal_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_frames"),
         (F.expr(_SEAS) + F.lit(0.0)).alias("seasonal_cents"),
     )
+
+
+@query(
+    "ts_peak_detect",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id,
+               CAST(round(value * 100, 0) AS BIGINT) AS vc
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL
+              AND user_id IS NOT NULL AND event_id IS NOT NULL
+    ),
+    lagged AS (
+        SELECT user_id, us, event_id, vc,
+               LAG(vc) OVER w AS prev, LEAD(vc) OVER w AS nxt
+        FROM base
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id, vc)
+    )
+    SELECT user_id, us, event_id, vc AS peak_cents,
+           vc - prev AS rise_cents, vc - nxt AS fall_cents
+    FROM lagged
+    WHERE prev IS NOT NULL AND nxt IS NOT NULL
+          AND vc > prev AND vc > nxt
+    """,
+)
+def ts_peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-maximum (peak) detection over each user's event series —
+    the spike-finding primitive under alerting and burst analysis: a
+    row is a peak iff its value strictly exceeds BOTH neighbors in the
+    user's time order.  Pure integer arithmetic end to end (cents via
+    round-to-int64, strict > comparisons, exact rise/fall deltas) —
+    zero doubles, zero snapping, the strongest cross-engine form.
+    Total neighbor order (us, event_id, vc) pins lag/lead under
+    duplicate-(ts,event_id) rolls; series endpoints (no neighbor on one
+    side) are never peaks on either engine.  Shuffle shape: ONE
+    user_id exchange, one window pass, a row-local filter — no second
+    exchange, output is the peak subset only."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull()
+    ).select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        money_units(F.col("value"), 2).alias("vc"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id", "vc")
+    lagged = ev.select(
+        "user_id", "us", "event_id", "vc",
+        F.lag("vc").over(w).alias("prev"),
+        F.lead("vc").over(w).alias("nxt"),
+    )
+    return lagged.where(
+        F.col("prev").isNotNull()
+        & F.col("nxt").isNotNull()
+        & (F.col("vc") > F.col("prev"))
+        & (F.col("vc") > F.col("nxt"))
+    ).select(
+        "user_id", "us", "event_id",
+        F.col("vc").alias("peak_cents"),
+        (F.col("vc") - F.col("prev")).alias("rise_cents"),
+        (F.col("vc") - F.col("nxt")).alias("fall_cents"),
+    )
