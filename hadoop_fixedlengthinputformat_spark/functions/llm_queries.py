@@ -862,6 +862,65 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_image_phash",
+    oracle="""
+    WITH ids AS (
+        SELECT DISTINCT doc_id FROM documents
+        WHERE doc_id IS NOT NULL AND doc_id < 100
+    ),
+    p AS (SELECT doc_id, doc_id % 50 AS k FROM ids)
+    SELECT a.doc_id, true AS well_formed,
+           (SELECT MIN(b.doc_id) FROM p b
+            WHERE b.k = a.k AND b.doc_id <> a.doc_id) AS partner_doc_id
+    FROM p a
+    """,
+)
+def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup detection by 64-bit perceptual dHash over REAL
+    decoded pixels: grayscale -> 9x8 nearest-neighbor downsample ->
+    adjacent-cell comparison (pure numpy in mapInPandas — see
+    multimodal.dhash64), then the same digest-keyed bucket join the
+    text dedup family uses: only (doc_id, 16-char hash) ever leaves the
+    task, the pixels never shuffle, and near-dup partners are found by
+    grouping on the hash.
+
+    Driver-gradeable by CONSTRUCTION-PLANTED duplicates (the mm_*
+    fixture pattern): every distinct doc_id < 100 gets a payload seeded
+    by doc_id % 50 with a constant text component, so ids k and k+50
+    carry IDENTICAL images — the hash join must pair exactly those
+    (partner = the other distinct id with the same id % 50, predicted
+    arithmetically by the oracle), while the ~50 distinct payloads must
+    NOT collide (md5-chain pixels: 64-bit collision odds ~1e-16; a
+    degenerate kernel that hashes everything alike fuses the groups and
+    reds the partner column instantly).  Unpaired ids (absent twin on
+    small/NULL rolls) yield partner NULL on both sides.  Kernel pinned
+    against an independent pure-python dHash in tests/test_llm.py."""
+    d = load_table(spark, sf_dir, "documents")
+    ids = (
+        d.where(F.col("doc_id").isNotNull() & (F.col("doc_id") < 100))
+        .select("doc_id")
+        .distinct()
+    )
+    media = multimodal.attach_twin_media(ids, mod=50)
+    hashed = multimodal.dhash_images(media)
+    a = hashed.alias("a")
+    b = hashed.alias("b")
+    paired = a.join(
+        b,
+        (F.col("a.phash") == F.col("b.phash"))
+        & (F.col("a.doc_id") != F.col("b.doc_id")),
+        "left",
+    ).groupBy(F.col("a.doc_id").alias("doc_id"), F.col("a.phash")).agg(
+        F.min(F.col("b.doc_id")).alias("partner_doc_id")
+    )
+    return paired.select(
+        "doc_id",
+        (F.length("phash") == 16).alias("well_formed"),
+        "partner_doc_id",
+    )
+
+
+@query(
     "llm_incremental_dedup",
     oracle="""
     SELECT doc_id, md5(text) AS text_md5

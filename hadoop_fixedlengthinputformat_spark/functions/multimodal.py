@@ -445,3 +445,55 @@ def sample_video_frames(
             )
 
     return df.select(id_col, "media").mapInPandas(sample, VIDEO_FRAME_SCHEMA)
+
+
+def dhash64(img: np.ndarray) -> int | None:
+    """64-bit difference hash (dHash): grayscale, nearest-neighbor
+    downsample to 9x8, compare horizontally adjacent cells — the
+    classic perceptual fingerprint for image near-dup detection.
+    Pure numpy; None for undecodable input."""
+    if img is None or img.ndim != 3 or img.shape[0] < 1 or img.shape[1] < 1:
+        return None
+    gray = img.astype(np.float64).mean(axis=2)
+    small = resize_nn(gray[:, :, None], 9, 8)[:, :, 0]
+    bits = (small[:, 1:] > small[:, :-1]).astype(np.uint64).ravel()
+    val = np.uint64(0)
+    for b in bits:
+        val = (val << np.uint64(1)) | b
+    return int(val)
+
+
+def dhash_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas stage: decode each image payload (PPM/BMP) and emit
+    its dHash as a 16-char hex digest; undecodable payloads quarantine
+    with a NULL hash.  Only (id, 16-byte digest) leaves the task — the
+    pixel data never shuffles, so the downstream near-dup bucket join
+    is digest-keyed exactly like the text dedup family."""
+    schema = f"{id_col} bigint, phash string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for payload in pdf["media"]:
+                h = dhash64(decode_image(payload))
+                hashes.append(None if h is None else f"{h:016x}")
+            yield pd.DataFrame({id_col: pdf[id_col], "phash": hashes})
+
+    return df.mapInPandas(run, schema)
+
+
+def attach_twin_media(
+    df: DataFrame, id_col: str = "doc_id", mod: int = 50
+) -> DataFrame:
+    """Planted-duplicate variant of attach_media: the payload is seeded
+    by ``id % mod`` with a constant text component, so ids k and
+    k + mod carry IDENTICAL images — the construction-predicted fixture
+    mm_image_phash's near-dup join is graded against."""
+
+    @F.pandas_udf("binary")
+    def mk(doc_id: pd.Series) -> pd.Series:
+        return pd.Series(
+            [ppm_payload(int(i) % mod, "") for i in doc_id]
+        )
+
+    return df.withColumn("media", mk(F.col(id_col)))

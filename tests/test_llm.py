@@ -445,3 +445,48 @@ def test_ann_defaults_hit_recall_on_clustered_data(spark):
     lsh2 = recall(similarity.knn_cosine_lsh(emb, probes, k=k))
     assert lsh2 >= 0.4, f"lsh default recall {lsh2}"
     emb.unpersist()
+
+
+def test_dhash64_matches_independent_reimplementation():
+    """Pin multimodal.dhash64 bit-for-bit against a from-scratch pure
+    python dHash (grayscale -> 9x8 NN downsample -> adjacent compare) —
+    the parity gate only checks the planted-pair structure, not the
+    hash algebra itself."""
+    import numpy as np
+
+    from hadoop_fixedlengthinputformat_spark.functions import multimodal as mm
+
+    for seed, w, h in ((b"a", 12, 10), (b"b", 9, 8), (b"c", 40, 23)):
+        img = np.frombuffer(
+            mm._det_bytes(seed, w * h * 3), dtype=np.uint8
+        ).reshape(h, w, 3)
+        g = [
+            [sum(int(c) for c in img[y][x]) / 3 for x in range(w)]
+            for y in range(h)
+        ]
+        yi = [(y * h) // 8 for y in range(8)]
+        xi = [(x * w) // 9 for x in range(9)]
+        small = [[g[yy][xx] for xx in xi] for yy in yi]
+        val = 0
+        for row in small:
+            for x in range(8):
+                val = (val << 1) | (1 if row[x + 1] > row[x] else 0)
+        assert mm.dhash64(img) == val
+    # quarantine path: undecodable input hashes to None
+    assert mm.dhash64(None) is None
+
+
+def test_image_phash_plants_pair_exactly(spark):
+    """The planted twin (id % 50) must be the ONLY partner each id
+    finds, and the ~50 distinct payloads must produce 50 distinct
+    hashes (collision-free kernel)."""
+    from hadoop_fixedlengthinputformat_spark.functions.llm_queries import (
+        mm_image_phash,
+    )
+
+    rows = mm_image_phash(spark, "/root/testdata/sf0.001").collect()
+    assert rows and all(r.well_formed for r in rows)
+    ids = {r.doc_id for r in rows}
+    for r in rows:
+        want = r.doc_id % 50 + (0 if r.doc_id >= 50 else 50)
+        assert r.partner_doc_id == (want if want in ids else None)
