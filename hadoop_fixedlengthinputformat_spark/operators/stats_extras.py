@@ -684,6 +684,10 @@ def agg_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     N*ln(N)*1e8 — int64-exact to ~4e9 rows, then the sums (not the
     snapped lns) need DECIMAL(38,0)/HUGEINT."""
     li = load_table(spark, sf_dir, "lineitem")
+    # localCheckpoint the cell table: three aggregates consume it, and
+    # without it Spark recomputes the corpus scan + (flag, status)
+    # shuffle once PER consumer (plan-audited round 9) — the cells are
+    # <= |flags|*|statuses| rows, so materializing is free
     cells = (
         li.where(
             F.col("l_returnflag").isNotNull()
@@ -694,6 +698,7 @@ def agg_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_linestatus").alias("st"),
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
     )
 
     def ln8(col: str):

@@ -1085,3 +1085,60 @@ def test_theil_sen_limits_before_shuffle(spark, variant):
     join = next(i for i, l in enumerate(lines) if "SortMergeJoin" in l)
     above = [l for l in lines[:join] if "Exchange" in l]
     assert above == [], f"exchange above the pair join: {above}"
+
+
+def test_seasonal_hour_single_exchange(spark):
+    """ts_seasonal_hour (round-9): ONE user_id exchange must feed both
+    the centered-frame window AND the (user, hour) groupBy — the
+    final aggregate reuses the window's partitioning (subset
+    co-partitioning), and the partial aggregate is map-side."""
+    from hadoop_fixedlengthinputformat_spark.operators.timeseries import (
+        ts_seasonal_hour,
+    )
+
+    plan = (
+        ts_seasonal_hour(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    lines = plan.splitlines()
+    ex = [l for l in lines if "Exchange" in l]
+    assert len(ex) == 1 and "user_id" in ex[0], ex
+    assert any("partial_sum(r9" in l for l in lines), "no map-side partial"
+
+
+def test_peak_detect_single_exchange(spark):
+    """ts_peak_detect (round-9): one user_id exchange, one window pass,
+    row-local filter — no second exchange anywhere."""
+    from hadoop_fixedlengthinputformat_spark.operators.timeseries import (
+        ts_peak_detect,
+    )
+
+    plan = (
+        ts_peak_detect(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    ex = [l for l in plan.splitlines() if "Exchange" in l]
+    assert len(ex) == 1 and "user_id" in ex[0], ex
+
+
+def test_mutual_info_scans_corpus_once(spark):
+    """agg_mutual_info (round-9): the corpus collapses to the cell
+    table ONCE (localCheckpoint) — exactly one (flag, status) exchange
+    and one lineitem scan in the whole plan; the three downstream
+    aggregates run on the checkpointed cells."""
+    from hadoop_fixedlengthinputformat_spark.operators.stats_extras import (
+        agg_mutual_info,
+    )
+
+    plan = (
+        agg_mutual_info(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    lines = plan.splitlines()
+    cell_ex = [l for l in lines if "Exchange hashpartitioning" in l
+               and "returnflag" in l]
+    scans = [l for l in lines if "Scan " in l and "lineitem" in l]
+    assert cell_ex == [] and scans == [], (
+        f"corpus recomputed downstream of the checkpoint: "
+        f"{cell_ex or scans}"
+    )
