@@ -450,8 +450,10 @@ def sample_video_frames(
 def dhash64(img: np.ndarray) -> int | None:
     """64-bit difference hash (dHash): grayscale, nearest-neighbor
     downsample to 9x8, compare horizontally adjacent cells — the
-    classic perceptual fingerprint for image near-dup detection.
-    Pure numpy; None for undecodable input."""
+    classic perceptual fingerprint for image near-dup detection
+    (public algorithm, popularized by Krawetz's "Kind of Like That"
+    write-up of the pHash family).  Pure numpy; None for undecodable
+    input."""
     if img is None or img.ndim != 3 or img.shape[0] < 1 or img.shape[1] < 1:
         return None
     gray = img.astype(np.float64).mean(axis=2)
