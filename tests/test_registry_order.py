@@ -66,7 +66,15 @@ def test_window_regrades_only_known_reds_or_stale_greens():
     behind the upcoming round (the VERDICT r8 #5 freshness policy:
     every op re-proves itself under the current determinism rules
     within ~4 windows).  Derived from the committed
-    CORRECTNESS_r*.json artifacts rather than a hand-kept list."""
+    CORRECTNESS_r*.json artifacts rather than a hand-kept list.
+
+    An artifact whose key set equals the CURRENT window is this
+    window's own grade (the driver writes it mid-round, before the
+    next rotation can exist) and does not count against the window —
+    otherwise this test red-lights by design every time a window goes
+    green, which burned a pytest-green bar in rounds 7 AND 8.  The
+    alarm still fires whenever a NEWLY composed window wastes slots on
+    fresh greens from previous windows."""
     registry.load_all()
     window = list(registry.QUERIES)[:50]
     graded: dict[str, bool] = {}
@@ -77,18 +85,21 @@ def test_window_regrades_only_known_reds_or_stale_greens():
         if not m:
             continue
         rnd = int(m.group(1))
-        max_round = max(max_round, rnd)
         with open(os.path.join(REPO, fname)) as f:
-            for name, v in json.load(f).items():
-                ok = (
-                    v.get("rows_match")
-                    and v.get("schema_match")
-                    and v.get("hash_match") in (True, None)
-                    and not v.get("err")
-                )
-                if last_round.get(name, -1) <= rnd:
-                    graded[name] = bool(ok)
-                    last_round[name] = rnd
+            results = json.load(f)
+        if set(results) == set(window):
+            continue  # this window's own grade — not a rotation signal
+        max_round = max(max_round, rnd)
+        for name, v in results.items():
+            ok = (
+                v.get("rows_match")
+                and v.get("schema_match")
+                and v.get("hash_match") in (True, None)
+                and not v.get("err")
+            )
+            if last_round.get(name, -1) <= rnd:
+                graded[name] = bool(ok)
+                last_round[name] = rnd
     upcoming = max_round + 1
     wasted = [
         n
