@@ -732,3 +732,184 @@ def agg_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.expr(_MI_NATS) + F.lit(0.0)).alias("mi_nats"),
         (F.expr(_MI_THEIL_U) + F.lit(0.0)).alias("theil_u"),
     )
+
+
+@query(
+    "agg_percentile_exact",
+    oracle="""
+    WITH base AS (
+        SELECT l_returnflag AS flag,
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS pc
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+    ),
+    per AS (
+        SELECT flag, pc, CAST(count(*) AS BIGINT) AS cnt
+        FROM base GROUP BY flag, pc
+    ),
+    cum AS (
+        SELECT flag, pc,
+               CAST(SUM(cnt) OVER (PARTITION BY flag
+                                   ORDER BY pc) AS BIGINT) AS cw,
+               CAST(SUM(cnt) OVER (PARTITION BY flag)
+                    AS BIGINT) AS n
+        FROM per
+    )
+    SELECT flag, n AS n_rows,
+           MIN(CASE WHEN 100 * cw >= 50 * n THEN pc END) AS p50_cents,
+           MIN(CASE WHEN 100 * cw >= 90 * n THEN pc END) AS p90_cents,
+           MIN(CASE WHEN 100 * cw >= 99 * n THEN pc END) AS p99_cents
+    FROM cum GROUP BY flag, n
+    """,
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p50/p90/p99 of revenue cents per return flag — the
+    integer-rank companion to agg_approx_percentile: the p-th
+    percentile is the smallest value whose running count reaches
+    ceil(p/100 * n), selected with the pure-integer predicate
+    100*cw >= p*n (the agg_weighted_median collapse construction — no
+    interpolation, no doubles anywhere, so nothing to snap).  All
+    three percentiles read off ONE running-count window via
+    conditional MINs.  Shuffle shape: one map-side-combined (flag,
+    value) groupBy collapses the corpus to |distinct cents| rows per
+    group, then a flag-keyed window over the collapsed rows and a
+    tiny final groupBy.  Overflow: 100*cw <= 100n — int64 to ~9e16
+    rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.where(
+        F.col("l_extendedprice").isNotNull()
+        & F.col("l_returnflag").isNotNull()
+    ).select(
+        F.col("l_returnflag").alias("flag"),
+        money_units(F.col("l_extendedprice"), 2).alias("pc"),
+    )
+    per = base.groupBy("flag", "pc").agg(F.count(F.lit(1)).alias("cnt"))
+    w_run = Window.partitionBy("flag").orderBy("pc")
+    w_all = Window.partitionBy("flag")
+    cum = per.select(
+        "flag", "pc",
+        F.sum("cnt").over(w_run).alias("cw"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+
+    def pick(p: int, name: str):
+        return F.min(
+            F.when(100 * F.col("cw") >= p * F.col("n"), F.col("pc"))
+        ).alias(name)
+
+    return (
+        cum.groupBy("flag", "n")
+        .agg(pick(50, "p50_cents"), pick(90, "p90_cents"),
+             pick(99, "p99_cents"))
+        .select(
+            "flag", F.col("n").alias("n_rows"),
+            "p50_cents", "p90_cents", "p99_cents",
+        )
+    )
+
+
+@query(
+    "ts_mad_outliers",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, CAST(round(value * 100, 0) AS BIGINT) AS vc
+        FROM events
+        WHERE user_id IS NOT NULL AND value IS NOT NULL
+    ),
+    per AS (
+        SELECT user_id, vc, CAST(count(*) AS BIGINT) AS cnt
+        FROM base GROUP BY user_id, vc
+    ),
+    cum AS (
+        SELECT user_id, vc,
+               CAST(SUM(cnt) OVER (PARTITION BY user_id
+                                   ORDER BY vc) AS BIGINT) AS cw,
+               CAST(SUM(cnt) OVER (PARTITION BY user_id)
+                    AS BIGINT) AS n
+        FROM per
+    ),
+    med AS (
+        SELECT user_id, MIN(vc) AS med, n
+        FROM cum WHERE 2 * cw >= n GROUP BY user_id, n
+    ),
+    dev AS (
+        SELECT b.user_id, abs(b.vc - m.med) AS d, m.med, m.n
+        FROM base b JOIN med m ON m.user_id = b.user_id
+    ),
+    dper AS (
+        SELECT user_id, d, med, n, CAST(count(*) AS BIGINT) AS cnt
+        FROM dev GROUP BY user_id, d, med, n
+    ),
+    dcum AS (
+        SELECT user_id, d, med, n,
+               CAST(SUM(cnt) OVER (PARTITION BY user_id
+                                   ORDER BY d) AS BIGINT) AS cw
+        FROM dper
+    ),
+    mad AS (
+        SELECT user_id, MIN(d) AS mad, med, n
+        FROM dcum WHERE 2 * cw >= n GROUP BY user_id, med, n
+    )
+    SELECT v.user_id, m.n AS n_rows, m.med AS med_cents,
+           m.mad AS mad_cents,
+           CAST(count(*) FILTER (abs(v.vc - m.med) > 3 * m.mad)
+                AS BIGINT) AS n_outliers
+    FROM base v JOIN mad m ON m.user_id = v.user_id
+    GROUP BY v.user_id, m.n, m.med, m.mad
+    """,
+)
+def ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation robust outlier census per user — the
+    quality-monitoring primitive that survives the heavy tails z-scores
+    choke on.  EXACT int64 end to end: cent values, LOWER median via
+    the per-value-collapse running-count construction, absolute
+    deviations (ints), LOWER median of deviations (MAD, same
+    construction), and the outlier predicate |v - med| > 3*MAD — zero
+    doubles anywhere, nothing to snap (ties make MAD=0 degrade
+    gracefully: any deviating row is then an outlier, identically on
+    both engines).  Shuffle shape: two collapse rounds — each is a
+    map-side-combined (user, value) groupBy to |distinct values| rows
+    + a user-keyed window — plus broadcast-sized med/mad join backs
+    (|users| rows); the raw table never self-joins.  Overflow: counts
+    only — int64-trivial."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.where(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    ).select("user_id", money_units(F.col("value"), 2).alias("vc"))
+
+    def lower_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        per = df.groupBy("user_id", col).agg(F.count(F.lit(1)).alias("cnt"))
+        w_run = Window.partitionBy("user_id").orderBy(col)
+        w_all = Window.partitionBy("user_id")
+        cum = per.select(
+            "user_id", col,
+            F.sum("cnt").over(w_run).alias("cw"),
+            F.sum("cnt").over(w_all).alias("n"),
+        )
+        return (
+            cum.where(2 * F.col("cw") >= F.col("n"))
+            .groupBy("user_id", "n")
+            .agg(F.min(col).alias(out))
+        )
+
+    med = lower_median(base, "vc", "med")
+    dev = base.join(F.broadcast(med.select("user_id", "med")), "user_id").select(
+        "user_id", "med", F.abs(F.col("vc") - F.col("med")).alias("d")
+    )
+    mad = lower_median(dev, "d", "mad").select("user_id", "mad")
+    joined = base.join(
+        F.broadcast(med), "user_id"
+    ).join(F.broadcast(mad), "user_id")
+    return joined.groupBy("user_id", "n", "med", "mad").agg(
+        F.sum(
+            F.when(
+                F.abs(F.col("vc") - F.col("med")) > 3 * F.col("mad"), 1
+            ).otherwise(0)
+        ).cast("long").alias("n_outliers")
+    ).select(
+        "user_id",
+        F.col("n").alias("n_rows"),
+        F.col("med").alias("med_cents"),
+        F.col("mad").alias("mad_cents"),
+        "n_outliers",
+    )

@@ -458,3 +458,63 @@ def test_seasonal_hour_matches_reference(spark, sf_dir):
     for k, (n, sr) in want.items():
         assert got[k].n_frames == n
         assert abs(got[k].seasonal_cents - sr / (9 * n)) < TOL
+
+
+def test_percentile_exact_matches_reference(spark, sf_dir):
+    """Pin agg_percentile_exact against a direct sorted-list lower
+    percentile (smallest value at running-count >= ceil(p/100 * n))."""
+    from hadoop_fixedlengthinputformat_spark.operators.stats_extras import (
+        agg_percentile_exact,
+    )
+
+    rows = pq.read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice"],
+    ).to_pylist()
+    by: dict[str, list[int]] = {}
+    for r in rows:
+        if r["l_extendedprice"] is not None and r["l_returnflag"] is not None:
+            by.setdefault(r["l_returnflag"], []).append(
+                round(r["l_extendedprice"] * 100)
+            )
+    got = {r.flag: r for r in agg_percentile_exact(spark, sf_dir).collect()}
+    assert set(got) == set(by)
+    for flag, vals in by.items():
+        vals.sort()
+        n = len(vals)
+        r = got[flag]
+        assert r.n_rows == n
+        for p, col in ((50, r.p50_cents), (90, r.p90_cents), (99, r.p99_cents)):
+            idx = -(-p * n // 100) - 1  # ceil(p*n/100), 1-based -> 0-based
+            assert col == vals[idx], (flag, p)
+
+
+def test_mad_outliers_matches_reference(spark, sf_dir):
+    """Pin ts_mad_outliers against a direct lower-median / MAD / census
+    computation in pure python."""
+    from hadoop_fixedlengthinputformat_spark.operators.stats_extras import (
+        ts_mad_outliers,
+    )
+
+    rows = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+    ).to_pylist()
+    by: dict[int, list[int]] = {}
+    for r in rows:
+        if r["user_id"] is not None and r["value"] is not None:
+            by.setdefault(r["user_id"], []).append(round(r["value"] * 100))
+
+    def lower_median(vals: list[int]) -> int:
+        vals = sorted(vals)
+        return vals[(len(vals) - 1) // 2]
+
+    got = {r.user_id: r for r in ts_mad_outliers(spark, sf_dir).collect()}
+    assert set(got) == set(by)
+    for uid, vals in by.items():
+        med = lower_median(vals)
+        mad = lower_median([abs(v - med) for v in vals])
+        outl = sum(1 for v in vals if abs(v - med) > 3 * mad)
+        r = got[uid]
+        assert (r.n_rows, r.med_cents, r.mad_cents, r.n_outliers) == (
+            len(vals), med, mad, outl
+        ), uid
