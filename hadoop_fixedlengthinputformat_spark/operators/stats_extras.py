@@ -870,8 +870,13 @@ def ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines).  Shuffle shape: two collapse rounds — each is a
     map-side-combined (user, value) groupBy to |distinct values| rows
     + a user-keyed window — plus broadcast-sized med/mad join backs
-    (|users| rows); the raw table never self-joins.  Overflow: counts
-    only — int64-trivial."""
+    (|users| rows, localCheckpointed so their window chains compute
+    once); the raw table never self-joins and its rows never shuffle
+    (all join backs broadcast).  The pruned (user_id, value) corpus is
+    scanned once per stage (3x) — the inherent cost of
+    median-of-deviations without caching; persist the 2-column
+    projection first if scans dominate at the target scale.  Overflow:
+    counts only — int64-trivial."""
     ev = load_table(spark, sf_dir, "events")
     base = ev.where(
         F.col("user_id").isNotNull() & F.col("value").isNotNull()
@@ -892,11 +897,15 @@ def ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min(col).alias(out))
         )
 
-    med = lower_median(base, "vc", "med")
+    med = lower_median(base, "vc", "med").localCheckpoint(eager=True)
     dev = base.join(F.broadcast(med.select("user_id", "med")), "user_id").select(
         "user_id", "med", F.abs(F.col("vc") - F.col("med")).alias("d")
     )
-    mad = lower_median(dev, "d", "mad").select("user_id", "mad")
+    mad = (
+        lower_median(dev, "d", "mad")
+        .select("user_id", "mad")
+        .localCheckpoint(eager=True)
+    )
     joined = base.join(
         F.broadcast(med), "user_id"
     ).join(F.broadcast(mad), "user_id")
