@@ -1142,3 +1142,44 @@ def test_mutual_info_scans_corpus_once(spark):
         f"corpus recomputed downstream of the checkpoint: "
         f"{cell_ex or scans}"
     )
+
+
+def test_percentile_exact_two_exchanges(spark):
+    """agg_percentile_exact (round-9): one (flag, value) collapse
+    exchange + one flag-keyed window exchange — nothing else, and the
+    collapse must be map-side combined."""
+    from hadoop_fixedlengthinputformat_spark.operators.stats_extras import (
+        agg_percentile_exact,
+    )
+
+    plan = (
+        agg_percentile_exact(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    ex = [l for l in plan.splitlines() if "Exchange" in l]
+    assert len(ex) == 2, ex
+    assert "partial_count" in plan, "collapse not map-side combined"
+
+
+def test_mad_outliers_raw_rows_never_shuffle(spark):
+    """ts_mad_outliers (round-9): every exchange must carry either a
+    collapsed (user, value) table or a post-partial-aggregate census —
+    the raw corpus joins med/mad via BROADCAST only, so no exchange may
+    sit directly above an events scan."""
+    from hadoop_fixedlengthinputformat_spark.operators.stats_extras import (
+        ts_mad_outliers,
+    )
+
+    plan = (
+        ts_mad_outliers(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    lines = plan.splitlines()
+    for i, l in enumerate(lines):
+        if "Exchange hashpartitioning" not in l:
+            continue
+        below = "\n".join(lines[i : i + 6])
+        assert "HashAggregate" in below and "partial" in below, (
+            f"exchange without a map-side partial beneath it:\n{below}"
+        )
+    assert "SortMergeJoin" not in plan, "med/mad join back not broadcast"
