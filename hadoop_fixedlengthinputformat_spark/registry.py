@@ -53,82 +53,87 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # CASTing the oracle sums AS BIGINT + the tests/test_oracle_types.py
 # gate.
 #
-# ROUND 9 WINDOW (this list's first 50), per VERDICT r8 #1/#5.  Two
-# goals: (a) close ever-graded coverage to 340/340 — the 5 names the r8
-# round left as the only never-driver-graded queries lead the window;
-# (b) start the rolling FRESHNESS RE-GRADE policy (VERDICT r8 #5): 186
-# of the current greens date from r1–r4, before the round-5/6/7/8
-# determinism rule waves, so each window back-fills its free slots with
-# the OLDEST-grade greens.  Staleness rule (enforced by
-# tests/test_registry_order.py::test_window_regrades_only_known_reds):
-# a green may re-enter the window once its last grade is >= 5 rounds
-# behind the upcoming round.  At r9 that admits the r1 vintage (48
-# names); this window takes 45 of them (the relational core: filters,
-# joins, aggregates, windows, setops, subqueries), leaving 3 r1 + the
-# r2 vintage for the r10 window.  Every op therefore re-proves itself
-# under the current determinism rules within ~4 windows.
+# ROUND 10 WINDOW (this list's first 50), per VERDICT r9 #1 and the
+# r9 ADVICE.  Composition: (a) the 7 round-9 additions that have never
+# been driver-graded lead the window (ADVICE: they are the new
+# never-graded backlog and must come ahead of vintage re-grades);
+# (b) the 3 remaining r1-vintage names (win_ntile_first_last,
+# win_cume_dist, win_range_interval) close the r1 ladder; (c) 40 of the
+# 46 r2-vintage stale greens fill the rest — the fn_* scalar family
+# (20), the r2 scans/sinks (17), and the dedup core of the r2 LLM head
+# (llm_exact_dedup, llm_minhash_near_dedup, llm_dup_clusters).
+#
+# R11 WINDOW PLAN (VERDICT r9 #6 — keep the rotation mechanical): the
+# 6 deferred r2 LLM names (llm_contamination_check, llm_knn_cosine,
+# llm_ngram_jaccard, llm_pii_redact, llm_repetition_score,
+# llm_stratified_sample) lead, then the r3 vintage (48 names: TPC-H
+# suite, encoding/skip scans, UDF surface — all stale at r11 since
+# 11-3 >= 5) takes 44 slots; the remaining 4 r3 names plus the r4
+# vintage (44 names) compose r12.  Staleness rule (enforced by
+# tests/test_registry_order.py::test_window_regrades_only_known_reds
+# _or_stale_greens): a green may re-enter the window once its last
+# grade is >= 5 rounds behind the upcoming round.
 GRADE_ORDER: tuple[str, ...] = (
-    # --- never-driver-graded backlog (VERDICT r8 #1) ---
-    "llm_repeated_ngrams",
-    "agg_count_min",
-    "stream_approx_distinct",
-    "scan_fixedlen_julian",
-    "ts_theil_sen_recent",
-    # --- r1-vintage freshness re-grades (VERDICT r8 #5) ---
-    "agg_global",
-    "agg_groupby_hash",
-    "agg_count_distinct",
-    "agg_distinct_rows",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_having",
-    "filter_compare",
-    "filter_between_and",
-    "filter_in_or_not",
-    "filter_null",
-    "filter_like",
-    "proj_select",
-    "join_inner_hash",
-    "join_left_outer",
-    "join_right_outer",
-    "join_full_outer",
-    "join_semi",
-    "join_anti",
-    "join_cross",
-    "join_theta_range",
-    "join_sort_merge",
-    "join_asof",
-    "join_skew_salted",
-    "join_bucketed",
-    "join_null_safe",
-    "limit_topk",
-    "sort_multi_key",
-    "set_union_all",
-    "set_union_distinct",
-    "set_intersect",
-    "set_except",
-    "set_except_all",
-    "set_intersect_all",
-    "subq_scalar_where",
-    "subq_in_where",
-    "subq_exists_correlated",
-    "subq_not_exists",
-    "topk_per_group",
-    "win_row_number",
-    "win_rank_dense",
-    "win_lag_lead",
-    "win_running_sum",
-    "win_range_frame",
+    # --- never-driver-graded r9 additions (VERDICT r9 #1, ADVICE #2) ---
+    "sink_fixedlen_xz",
+    "mm_image_phash",
+    "ts_seasonal_hour",
+    "ts_peak_detect",
+    "agg_mutual_info",
+    "agg_percentile_exact",
+    "ts_mad_outliers",
+    # --- last 3 r1-vintage freshness re-grades ---
     "win_ntile_first_last",
     "win_cume_dist",
     "win_range_interval",
+    # --- r2-vintage freshness re-grades: fn_* scalar family (20) ---
+    "fn_string",
+    "fn_date",
+    "fn_conditional",
+    "fn_cast",
+    "fn_array",
+    "fn_explode",
+    "fn_map",
+    "fn_json",
+    "fn_regex",
+    "fn_struct",
+    "fn_sequence",
+    "fn_bitwise",
+    "fn_hash",
+    "fn_string_extras",
+    "fn_array_lambda",
+    "fn_struct_withfield",
+    "fn_format",
+    "fn_variant",
+    "fn_sql_udf",
+    "fn_xml",
+    # --- r2-vintage: scans/sinks (17) ---
+    "scan_fixedlen",
+    "scan_fixedlen_wide",
+    "scan_fixedlen_key_offset",
+    "scan_fixedlen_key_slice",
+    "scan_parquet",
+    "sink_parquet",
+    "sink_fixedlen",
+    "scan_fixedlen_gzip",
+    "sink_csv",
+    "sink_json",
+    "scan_binary_records_rdd",
+    "sink_orc",
+    "sink_parquet_partitioned",
+    "scan_fixedlen_pushdown",
+    "scan_fixedlen_pruned",
+    "scan_fixedlen_directory",
+    "sink_fixedlen_gzip",
+    # --- r2-vintage: LLM dedup core (3 of 9; rest lead r11) ---
+    "llm_exact_dedup",
+    "llm_minhash_near_dedup",
+    "llm_dup_clusters",
 )
-# The window is GRADE_ORDER[:50]: the 5-name backlog + 45 vintage
-# re-grades.  GRADE_ORDER[50:53] (win_ntile_first_last, win_cume_dist,
-# win_range_interval) are the r10 window head; the r2 vintage (fn_*
-# scalar family, scans/sinks, LLM head — 46 names) fills the rest of
-# r10 under the same staleness rule.
+# The window is GRADE_ORDER[:50] = 7 never-graded + 3 r1 + 40 r2
+# re-grades.  After r10, never-driver-graded coverage is 347/347 and
+# the oldest remaining vintages are the 6 deferred r2 LLM names and
+# the r3 block (see R11 WINDOW PLAN above).
 
 
 def _reorder() -> None:

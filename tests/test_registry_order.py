@@ -23,28 +23,30 @@ def test_grade_order_applied_and_complete():
     assert names[: len(registry.GRADE_ORDER)] == list(registry.GRADE_ORDER)
 
 
-def test_round9_window_composition():
+def test_round10_window_composition():
     registry.load_all()
     window = list(registry.QUERIES)[:50]
-    # the 5 never-driver-graded queries lead (VERDICT r8 #1), closing
-    # ever-graded coverage to 340/340
-    assert window[:5] == [
-        "llm_repeated_ngrams",
-        "agg_count_min",
-        "stream_approx_distinct",
-        "scan_fixedlen_julian",
-        "ts_theil_sen_recent",
+    # the 7 never-driver-graded r9 additions lead (VERDICT r9 #1,
+    # ADVICE #2), closing ever-graded coverage to 347/347
+    assert window[:7] == [
+        "sink_fixedlen_xz",
+        "mm_image_phash",
+        "ts_seasonal_hour",
+        "ts_peak_detect",
+        "agg_mutual_info",
+        "agg_percentile_exact",
+        "ts_mad_outliers",
     ]
-    # the other 45 slots are r1-vintage freshness re-grades (VERDICT
-    # r8 #5) — relational core, windows, setops, subqueries
-    assert window[5] == "agg_global"
-    assert window[49] == "win_range_frame"
-    # positions 51-53 = the r10 window head: the 3 remaining r1 names
-    assert list(registry.QUERIES)[50:53] == [
+    # then the 3 remaining r1-vintage names, closing the r1 ladder
+    assert window[7:10] == [
         "win_ntile_first_last",
         "win_cume_dist",
         "win_range_interval",
     ]
+    # the other 40 slots are r2-vintage freshness re-grades: fn_*
+    # scalar family, scans/sinks, LLM dedup core
+    assert window[10] == "fn_string"
+    assert window[49] == "llm_dup_clusters"
     # every window query has a full SQL oracle (strongest driver signal)
     missing = [n for n in window if n not in registry.ORACLES]
     assert not missing, f"window queries without oracle: {missing}"
