@@ -88,9 +88,10 @@ def llm_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's HUGEINT→double casts on >2^63 values — factored counts
     never leave int64, at ANY corpus size.  Plan: one explode + two
     groupBys for the count tables; the unigram table is vocabulary-
-    sized, so BOTH count joins broadcast, and the scalar totals ride a
-    broadcast nested loop of one row — the corpus itself is read once
-    and never re-shuffled."""
+    sized, so AQE broadcasts both count joins from their shuffle-stage
+    stats (unhinted — Heaps-bounded, not provably capped), and the
+    scalar totals ride a broadcast nested loop of one row — the corpus
+    itself is read once and never re-shuffled."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", _tok().alias("t"))
     uni = tok.select(F.explode("t").alias("w"))
@@ -120,8 +121,14 @@ def llm_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_uni = uc.agg(F.sum("c").alias("n_uni"))
     n_bi = bc_all.agg(F.sum("c_xy").alias("n_bi"))
     bc = bc_all.filter(F.col("c_xy") >= 5)
-    u1 = F.broadcast(uc.select(F.col("w").alias("w1"), F.col("c").alias("c1")))
-    u2 = F.broadcast(uc.select(F.col("w").alias("w2"), F.col("c").alias("c2")))
+    # The unigram tables are Heaps-bounded for natural language but not
+    # provably capped (adversarial token soups grow them with the
+    # corpus), so they carry NO forced broadcast hint (VERDICT r9 #3):
+    # AQE broadcasts them from the groupBy stage stats while they fit
+    # and degrades to a shuffle join instead of an OOM when they don't.
+    # Only the two 1-row scalar totals keep hints (provably capped).
+    u1 = uc.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uc.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
     return (
         bc.join(u1, "w1")
         .join(u2, "w2")
@@ -398,8 +405,9 @@ def llm_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     to 4.  ln is evaluated per DISTINCT (bigram, unigram) count pair,
     so ulp-straddle exposure is vocabulary-sized, not corpus-sized (the
     llm_bm25 idf recipe).  Plan: bigram/unigram/vocab tables are
-    vocabulary-sized → all three joins broadcast; the corpus shuffles
-    once, on doc_id, for the final mean."""
+    vocabulary-sized → AQE broadcasts all three joins while they fit
+    (count tables unhinted; the 1-row vocab keeps its hint); the
+    corpus shuffles once, on doc_id, for the final mean."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", _tok().alias("t"))
     uc = (
@@ -427,11 +435,12 @@ def llm_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split("bg", " ").getItem(1).alias("w2"),
     )
     bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    # bc/uc are Heaps-bounded but not provably capped — no forced
+    # broadcast hints (VERDICT r9 #3); AQE broadcasts from the groupBy
+    # stage stats while small.  vocab is a 1-row aggregate: hint kept.
     terms = (
-        bi.join(F.broadcast(bc), ["w1", "w2"])
-        .join(
-            F.broadcast(uc.select(F.col("w").alias("w1"), "c")), "w1"
-        )
+        bi.join(bc, ["w1", "w2"])
+        .join(uc.select(F.col("w").alias("w1"), "c"), "w1")
         .crossJoin(F.broadcast(vocab))
         .select(
             "doc_id",

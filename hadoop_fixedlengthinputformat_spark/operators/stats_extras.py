@@ -869,10 +869,15 @@ def ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     gracefully: any deviating row is then an outlier, identically on
     both engines).  Shuffle shape: two collapse rounds — each is a
     map-side-combined (user, value) groupBy to |distinct values| rows
-    + a user-keyed window — plus broadcast-sized med/mad join backs
-    (|users| rows, localCheckpointed so their window chains compute
-    once); the raw table never self-joins and its rows never shuffle
-    (all join backs broadcast).  The pruned (user_id, value) corpus is
+    + a user-keyed window — plus med/mad join backs (|users| rows,
+    localCheckpointed so their window chains compute once).  The
+    join-back tables grow with user cardinality, NOT with SF, so they
+    carry no broadcast hint: AQE picks broadcast-hash while they fit
+    (it does at grade scale — plan-pinned) and degrades to a shuffle
+    join instead of an executor OOM when |users| outgrows the
+    threshold (VERDICT r9 #2; same rule as the r8 sweep of SF-growing
+    tables, gated by tests/test_scale_plans.py).  The pruned
+    (user_id, value) corpus is
     scanned once per stage (3x) — the inherent cost of
     median-of-deviations without caching; persist the 2-column
     projection first if scans dominate at the target scale.  Overflow:
@@ -898,7 +903,7 @@ def ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     med = lower_median(base, "vc", "med").localCheckpoint(eager=True)
-    dev = base.join(F.broadcast(med.select("user_id", "med")), "user_id").select(
+    dev = base.join(med.select("user_id", "med"), "user_id").select(
         "user_id", "med", F.abs(F.col("vc") - F.col("med")).alias("d")
     )
     mad = (
@@ -906,9 +911,7 @@ def ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "mad")
         .localCheckpoint(eager=True)
     )
-    joined = base.join(
-        F.broadcast(med), "user_id"
-    ).join(F.broadcast(mad), "user_id")
+    joined = base.join(med, "user_id").join(mad, "user_id")
     return joined.groupBy("user_id", "n", "med", "mad").agg(
         F.sum(
             F.when(
