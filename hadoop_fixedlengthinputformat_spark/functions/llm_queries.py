@@ -913,9 +913,16 @@ def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy(F.col("a.doc_id").alias("doc_id"), F.col("a.phash")).agg(
         F.min(F.col("b.doc_id")).alias("partner_doc_id")
     )
+    # phash IS NULL (undecodable payload) must surface as an explicit
+    # false, not a NULL: dhash_images emits NULL hashes on quarantine
+    # and a NULL row also silently drops out of the hash self-join, so
+    # length(phash)==16 alone would hide a decode regression as an
+    # oracle mismatch instead of a red boolean (ADVICE r9 #3).
     return paired.select(
         "doc_id",
-        (F.length("phash") == 16).alias("well_formed"),
+        (F.col("phash").isNotNull() & (F.length("phash") == 16)).alias(
+            "well_formed"
+        ),
         "partner_doc_id",
     )
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -118,7 +119,12 @@ def _run_to_table(stream_df: DataFrame, mode: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        # memory-sink rows live in the session, not the checkpoint —
+        # remove it so repeated runs don't litter tempdir (ADVICE r9 #4)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 
@@ -149,7 +155,13 @@ def _drain_to_table(stream_df: DataFrame, mode: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        # the drain variant commits one checkpoint entry per capped
+        # micro-batch — even more litter than _run_to_table's; the
+        # memory table survives removal (ADVICE r9 #4)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 

@@ -518,3 +518,101 @@ def test_mad_outliers_matches_reference(spark, sf_dir):
         assert (r.n_rows, r.med_cents, r.mad_cents, r.n_outliers) == (
             len(vals), med, mad, outl
         ), uid
+
+
+def test_theil_sen_cap_binds_planted_fixture(spark, tmp_path):
+    """ADVICE r9 #1: at driver scales no user exceeds K=256 events, so
+    the recency-selection path (rrn <= K over the ts DESC, event_id
+    DESC, y DESC total order) was never reference-pinned for
+    ts_theil_sen — parity cannot catch a wrong selection both the Spark
+    code and its generated oracle share.  Plant one user with 300
+    events (cap binds for K=256 AND K=64), duplicate timestamps at the
+    boundary (tiebreak decides membership), a second user under both
+    caps, and null-field rows that every filter must drop; pin BOTH
+    variants against an independently-written capped pure-Python
+    reference."""
+    import datetime as dt
+
+    from hadoop_fixedlengthinputformat_spark.operators.stats_extras import (
+        ts_theil_sen_recent,
+    )
+
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    # user 1: 300 events over 150 DISTINCT hourly timestamps (2 events
+    # per stamp, distinct event_id/value) — K=256 cuts mid-history and,
+    # with duplicated stamps, the boundary row is tiebreak-decided
+    for i in range(300):
+        rows.append(
+            (
+                1000 + i,  # event_id
+                base + dt.timedelta(hours=i // 2),
+                1,  # user_id
+                "click",
+                ((i * 37) % 997) / 100.0,
+                None,
+            )
+        )
+    # user 2: 80 events, distinct stamps — K=256 never binds, K=64 does
+    for i in range(80):
+        rows.append(
+            (
+                2000 + i,
+                base + dt.timedelta(hours=3 * i),
+                2,
+                "view",
+                ((i * 53) % 499) / 100.0,
+                None,
+            )
+        )
+    # null-field rows: each filter must drop exactly these
+    rows.append((None, base, 1, "x", 1.0, None))
+    rows.append((3000, None, 1, "x", 1.0, None))
+    rows.append((3001, base, None, "x", 1.0, None))
+    rows.append((3002, base, 1, "x", None, None))
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    out = str(tmp_path / "planted")
+    df.coalesce(1).write.parquet(out + "/events.parquet")
+
+    def capped_ref(k: int) -> dict[int, tuple[int, float]]:
+        by_user: dict[int, list[tuple[int, int, int]]] = {}
+        for eid, ts, uid, _et, val, _p in rows:
+            if eid is None or ts is None or uid is None or val is None:
+                continue
+            t = int(ts.replace(tzinfo=dt.timezone.utc).timestamp())
+            by_user.setdefault(uid, []).append((t, eid, round(val * 100)))
+        expect: dict[int, tuple[int, float]] = {}
+        for uid, pts in by_user.items():
+            recent = sorted(pts, key=lambda r: (-r[0], -r[1], -r[2]))[:k]
+            slopes = [
+                (y2 - y1) * 86400 / (t2 - t1)
+                for (t1, _e1, y1) in recent
+                for (t2, _e2, y2) in recent
+                if t2 > t1
+            ]
+            if not slopes:
+                continue
+            slopes.sort()
+            med = slopes[(len(slopes) - 1) // 2]
+            expect[uid] = (
+                len(slopes),
+                math.floor(med * 10000 + 0.5) / 10000 + 0.0,
+            )
+        return expect
+
+    for fn, k in ((ts_theil_sen, 256), (ts_theil_sen_recent, 64)):
+        expect = capped_ref(k)
+        got = {r.user_id: r for r in fn(spark, out).collect()}
+        assert set(got) == set(expect), (fn.__name__, set(got), set(expect))
+        for uid, (n, med) in expect.items():
+            assert got[uid].n_pairs == n, (fn.__name__, uid)
+            assert abs(got[uid].sen_slope - med) < 1e-9, (fn.__name__, uid)
+    # sanity: the cap actually bound — user 1 has 300 > 256 events, so
+    # its K=256 pair count must be that of EXACTLY 256 kept events over
+    # 128 distinct stamps (2 per stamp: 4 same-stamp pairs excluded per
+    # stamp-pair... computed from the reference, not a formula)
+    assert capped_ref(256)[1][0] < capped_ref(10**9)[1][0]
