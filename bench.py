@@ -71,6 +71,9 @@ HEADLINE = [
     # exact-midrank path (rank windows + map-side-combined groupBy).
     # Baseline = first measurement at introduction (BASELINE.md).
     "agg_spearman",
+    # round-10 addition (VERDICT r9 #7): the round-9 exact-integer-rank
+    # family representative.  Baseline = first measurement (BASELINE.md).
+    "agg_percentile_exact",
 ]
 
 
