@@ -405,3 +405,212 @@ def test_varlen_tail_drains_backlog_larger_than_batch_cap(spark, tmp_path):
     out = _drain_to_table(src.select("doc_id"), "append")
     assert out.count() == n
     assert out.select("doc_id").distinct().count() == n
+
+
+# ---------------------------------------------------------------------------
+# Round-10 (VERDICT r9 #8): property-test the tail-family drain beyond the
+# single >cap fixture — randomized file-growth schedules (append sizes,
+# record sizes, crash points) against the real streaming admission path,
+# asserting exactly-once record sets for every tail container format.
+# ---------------------------------------------------------------------------
+
+import random
+import struct
+
+from hadoop_fixedlengthinputformat_spark.sources.fixture_gen import (
+    RDW_PREFIX_LAYOUT,
+    RDW_PREFIX_LEN,
+)
+
+
+def _tail_prefix(doc_id: int, tail_len: int) -> bytes:
+    p = (f"{doc_id:08d}" + "en" + "src000" + f"{tail_len:06d}").encode()
+    assert len(p) == RDW_PREFIX_LEN
+    return p
+
+
+def _rdw_append(recs) -> bytes:
+    """RECFM=V: each record is >HH(total,0) + prefix + tail."""
+    out = bytearray()
+    for doc_id, tail in recs:
+        out += struct.pack(">HH", 4 + RDW_PREFIX_LEN + len(tail), 0)
+        out += _tail_prefix(doc_id, len(tail)) + tail
+    return bytes(out)
+
+
+def _vbs_append(recs, block_size=512, seg_cap=124) -> bytes:
+    """RECFM=VBS: split each record into SDW segments (codes 0/1/3/2),
+    pack greedily into BDW blocks; every append ends on a block
+    boundary so concatenated appends form one valid spanned file.
+    Written independently of fixture_gen's encoder on purpose (an
+    encoder bug shared with the fixture would hide)."""
+    segs: list[bytes] = []
+    for doc_id, tail in recs:
+        payload = _tail_prefix(doc_id, len(tail)) + tail
+        pieces = [
+            payload[i : i + seg_cap] for i in range(0, len(payload), seg_cap)
+        ]
+        for j, p in enumerate(pieces):
+            first, last = j == 0, j == len(pieces) - 1
+            code = 0 if first and last else 1 if first else 2 if last else 3
+            segs.append(struct.pack(">HBB", 4 + len(p), code, 0) + p)
+    blocks, block = bytearray(), bytearray()
+    for s in segs:
+        if 4 + len(block) + len(s) > block_size:
+            blocks += struct.pack(">HH", 4 + len(block), 0) + block
+            block = bytearray()
+        block += s
+    if block:
+        blocks += struct.pack(">HH", 4 + len(block), 0) + block
+    return bytes(blocks)
+
+
+class _AwsAppender:
+    """RECFM=U AWS chains; the backspace-chain value (prev chunk length)
+    threads across appends, so growth must come through ONE appender."""
+
+    def __init__(self, chunk: int = 100):
+        self.prev = 0
+        self.chunk = chunk
+
+    def append(self, recs) -> bytes:
+        out = bytearray()
+        for doc_id, tail in recs:
+            block = _tail_prefix(doc_id, len(tail)) + tail
+            view = memoryview(block)
+            first = True
+            while True:
+                take = min(len(view), self.chunk)
+                piece = bytes(view[:take])
+                view = view[take:]
+                last = len(view) == 0
+                flags1 = (0x80 if first else 0) | (0x20 if last else 0)
+                out += struct.pack("<HHBB", len(piece), self.prev, flags1, 0)
+                out += piece
+                self.prev = len(piece)
+                first = False
+                if last:
+                    break
+        return bytes(out)
+
+    def close(self) -> bytes:
+        return struct.pack("<HHBB", 0, self.prev, 0x40, 0) + struct.pack(
+            "<HHBB", 0, 0, 0x40, 0
+        )
+
+
+def _drive_tail_schedule(spark, tmp_path, fmt: str, seed: int) -> None:
+    """Grow a tail file through a seed-randomized append schedule with
+    one crash (stop + same-checkpoint restart) at a random point —
+    possibly mid-batch, that's the point — and assert the drained
+    output is EXACTLY the appended record set, once each."""
+    from hadoop_fixedlengthinputformat_spark.sources import awstape, varlen
+    from hadoop_fixedlengthinputformat_spark.tables import configure
+
+    configure(spark)
+    varlen.register(spark)
+    awstape.register(spark)
+    rng = random.Random(seed)
+    doc, appends = 0, []
+    for _ in range(5):
+        recs = []
+        for _ in range(rng.randint(1, 40)):
+            tail = bytes([rng.randrange(65, 91)]) * rng.randint(5, 2000)
+            recs.append((doc, tail))
+            doc += 1
+        appends.append(recs)
+    crash_after = rng.randrange(len(appends))
+
+    aws = _AwsAppender()
+    enc = {
+        "v": _rdw_append,
+        "vbs": _vbs_append,
+        "awstape": aws.append,
+    }[fmt]
+    tmp_path.mkdir(parents=True, exist_ok=True)
+    path = str(tmp_path / f"grow-{fmt}-{seed}.bin")
+    open(path, "wb").close()
+    out_dir = tmp_path / "out"
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        if fmt == "awstape":
+            src = (
+                spark.readStream.format("awstape")
+                .option("prefixLength", str(RDW_PREFIX_LEN))
+                .option("layout", RDW_PREFIX_LAYOUT)
+                .option("includeOffset", "false")
+                .load(path)
+            )
+        else:
+            rs = spark.readStream.format("varlen").option(
+                "prefixLength", str(RDW_PREFIX_LEN)
+            ).option("layout", RDW_PREFIX_LAYOUT).option(
+                "includeOffset", "false"
+            )
+            if fmt == "vbs":
+                rs = rs.option("recfm", "vbs")
+            src = rs.load(path)
+        sel = src.select(
+            "doc_id", F.length("record_tail").cast("long").alias("tail_bytes")
+        )
+
+        def sink(batch_df, batch_id):
+            # overwrite per batch id = idempotent under crash replay
+            batch_df.write.mode("overwrite").parquet(
+                str(out_dir / f"batch-{batch_id}")
+            )
+
+        return (
+            sel.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    try:
+        for i, recs in enumerate(appends):
+            with open(path, "ab") as f:
+                f.write(enc(recs))
+            if i == crash_after:
+                q.stop()  # possibly mid-batch: the uncommitted batch
+                q.awaitTermination()  # must replay identically on restart
+                q = start()
+            else:
+                q.processAllAvailable()
+        if fmt == "awstape":
+            with open(path, "ab") as f:
+                f.write(aws.close())
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    import glob as _glob
+
+    parts = sorted(_glob.glob(str(out_dir / "batch-*")))
+    got = spark.read.parquet(*parts).collect() if parts else []
+    expected = {
+        (doc_id, len(tail)) for recs in appends for doc_id, tail in recs
+    }
+    got_pairs = [(r.doc_id, r.tail_bytes) for r in got]
+    assert len(got_pairs) == len(expected), (
+        f"{fmt} seed {seed}: {len(got_pairs)} rows != "
+        f"{len(expected)} appended (crash after append {crash_after})"
+    )
+    assert set(got_pairs) == expected
+
+
+def test_tail_drain_exactly_once_random_growth_v(spark, tmp_path):
+    for seed in (11, 12):
+        _drive_tail_schedule(spark, tmp_path / f"s{seed}", "v", seed)
+
+
+def test_tail_drain_exactly_once_random_growth_vbs(spark, tmp_path):
+    for seed in (21, 22):
+        _drive_tail_schedule(spark, tmp_path / f"s{seed}", "vbs", seed)
+
+
+def test_tail_drain_exactly_once_random_growth_awstape(spark, tmp_path):
+    for seed in (31, 32):
+        _drive_tail_schedule(spark, tmp_path / f"s{seed}", "awstape", seed)
