@@ -543,10 +543,14 @@ def llm_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory-bound scale path (codes are m ints/vector; raw floats move
     only for shortlist survivors).  Graded via the structural gates
     (see llm_knn_ivf); recall vs brute force asserted in
-    tests/test_llm.py."""
+    tests/test_llm.py.  rerank=30 per the round-10 sf1 soak: at 500k
+    uniform 64-dim vectors the default 3*k ADC shortlist gave recall
+    0.06; 30*k recovers 0.28 (IVF-level) at NO wall-time cost — the
+    shortlist is still only 300 exact-cosine rows per probe at any
+    corpus size (plans/NOTES.md round-10 ANN table)."""
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id").between(1, 5))
-    res = similarity.knn_l2_pq(emb, probes, k=10)
+    res = similarity.knn_l2_pq(emb, probes, k=10, rerank=30)
     return similarity.knn_structural_gates(emb, res, probes, k=10)
 
 
