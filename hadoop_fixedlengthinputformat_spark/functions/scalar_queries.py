@@ -765,3 +765,87 @@ def fn_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
             | ((F.col("p1") == 192) & (F.col("p2") == 168))
         ).alias("is_private"),
     )
+
+
+@query(
+    "fn_geo",
+    oracle="""
+    WITH pts AS (
+        SELECT c_custkey,
+               CAST(c_custkey % 120 AS DOUBLE) - 60.0 + 0.25 AS lat1,
+               CAST(c_custkey % 360 AS DOUBLE) - 180.0 + 0.25 AS lon1,
+               CAST((c_nationkey * 7) % 120 AS DOUBLE) - 60.0 AS lat2,
+               CAST((c_nationkey * 13) % 360 AS DOUBLE) - 180.0 AS lon2
+        FROM customer
+        WHERE c_custkey IS NOT NULL AND c_nationkey IS NOT NULL
+    ),
+    t AS (
+        SELECT c_custkey, lat1, lon1, lat2, lon2,
+               floor(sin(radians((lat2 - lat1) / 2.0)) * 100000000 + 0.5)
+                   / 100000000 AS s_dlat,
+               floor(sin(radians((lon2 - lon1) / 2.0)) * 100000000 + 0.5)
+                   / 100000000 AS s_dlon,
+               floor(cos(radians(lat1)) * 100000000 + 0.5)
+                   / 100000000 AS c1,
+               floor(cos(radians(lat2)) * 100000000 + 0.5)
+                   / 100000000 AS c2
+        FROM pts
+    ),
+    h AS (
+        SELECT c_custkey, lat1, lon1, lat2, lon2,
+               floor(sqrt(s_dlat * s_dlat + (c1 * c2)
+                          * (s_dlon * s_dlon)) * 100000000 + 0.5)
+                   / 100000000 AS root
+        FROM t
+    )
+    SELECT c_custkey,
+           floor((12742.0
+                  * (floor(asin(CASE WHEN root > 1.0 THEN 1.0
+                                     ELSE root END) * 100000000 + 0.5)
+                     / 100000000)) * 10000 + 0.5) / 10000 + 0
+               AS hav_km,
+           (lat2 BETWEEN lat1 - 30.0 AND lat1 + 30.0)
+               AND (lon2 BETWEEN lon1 - 45.0 AND lon1 + 45.0) AS in_bbox
+    FROM h
+    """,
+)
+def fn_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geospatial scalar family: great-circle (haversine) distance and a
+    bounding-box predicate over key-derived coordinates (the tables
+    carry no geo columns, so both engines synthesize identical exact
+    doubles from integer keys).  Transcendental determinism follows the
+    fn_trig rule with one addition: haversine COMPOSES transcendentals
+    (sin → sqrt → asin), so every stage snaps to 8 decimals before
+    feeding the next — sin half-angles, cosines, the sqrt, and the
+    asin — making the intermediate values bit-identical on both
+    engines rather than hoping four chained ulp errors cancel.  The
+    root is clamped to 1.0 before asin (antipodal rounding overflow).
+    2R = 12742 km; final distance snapped to 4.  The bbox predicate
+    compares exact integer-derived doubles — no snapping needed.
+    Single projection, zero exchanges; at 100 TB this is a codegen
+    row-expression scan."""
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_custkey").isNotNull() & F.col("c_nationkey").isNotNull()
+    )
+    lat1 = (F.col("c_custkey") % 120).cast("double") - 60.0 + 0.25
+    lon1 = (F.col("c_custkey") % 360).cast("double") - 180.0 + 0.25
+    lat2 = ((F.col("c_nationkey") * 7) % 120).cast("double") - 60.0
+    lon2 = ((F.col("c_nationkey") * 13) % 360).cast("double") - 180.0
+    s_dlat = snap(F.sin(F.radians((lat2 - lat1) / 2.0)), 8)
+    s_dlon = snap(F.sin(F.radians((lon2 - lon1) / 2.0)), 8)
+    c1 = snap(F.cos(F.radians(lat1)), 8)
+    c2 = snap(F.cos(F.radians(lat2)), 8)
+    root = snap(
+        F.sqrt(s_dlat * s_dlat + (c1 * c2) * (s_dlon * s_dlon)), 8
+    )
+    hav = 12742.0 * snap(
+        F.asin(F.when(root > 1.0, F.lit(1.0)).otherwise(root)), 8
+    )
+    return c.select(
+        "c_custkey",
+        (snap(hav, 4) + F.lit(0.0)).alias("hav_km"),
+        (
+            lat2.between(lat1 - 30.0, lat1 + 30.0)
+            & lon2.between(lon1 - 45.0, lon1 + 45.0)
+        ).alias("in_bbox"),
+    )

@@ -925,3 +925,118 @@ def ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mad").alias("mad_cents"),
         "n_outliers",
     )
+
+
+@query(
+    "agg_winsorized_mean",
+    oracle="""
+    WITH base AS (
+        SELECT l_returnflag AS flag,
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS pc
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+    ),
+    per AS (
+        SELECT flag, pc, CAST(count(*) AS BIGINT) AS cnt
+        FROM base GROUP BY flag, pc
+    ),
+    cum AS (
+        SELECT flag, pc, cnt,
+               CAST(SUM(cnt) OVER (PARTITION BY flag
+                                   ORDER BY pc) AS BIGINT) AS cw,
+               CAST(SUM(cnt) OVER (PARTITION BY flag)
+                    AS BIGINT) AS n
+        FROM per
+    ),
+    thr AS (
+        SELECT flag, n,
+               MIN(CASE WHEN 100 * cw >= 10 * n THEN pc END) AS lo,
+               MIN(CASE WHEN 100 * cw >= 90 * n THEN pc END) AS hi
+        FROM cum GROUP BY flag, n
+    ),
+    s AS (
+        SELECT p.flag, t.n, t.lo, t.hi,
+               CAST(SUM(p.cnt * CASE WHEN p.pc < t.lo THEN t.lo
+                                     WHEN p.pc > t.hi THEN t.hi
+                                     ELSE p.pc END) AS BIGINT) AS wsum
+        FROM per p JOIN thr t ON t.flag = p.flag
+        GROUP BY p.flag, t.n, t.lo, t.hi
+    )
+    SELECT flag, n AS n_rows, lo AS lo_cents, hi AS hi_cents,
+           floor(CAST(wsum AS DOUBLE) / CAST(n AS DOUBLE) * 10000 + 0.5)
+               / 10000 + 0 AS wmean_cents
+    FROM s
+    """,
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean of revenue cents per return flag — the robust
+    location estimator curation pipelines prefer over trimming when the
+    sample count must stay constant: values below the exact p10 are
+    clamped UP to it and values above the exact p90 clamped DOWN, then
+    the plain mean.  Thresholds come from the agg_percentile_exact
+    integer-rank construction (smallest value whose running count
+    reaches ceil(p/100*n), pure-integer predicate 100*cw >= p*n);
+    the clamped sum is evaluated on the COLLAPSED (flag, value, cnt)
+    table — Σ cnt·clamp(pc) — so both the thresholds and the sum reuse
+    one flag partitioning and the corpus is read once.  Exact int64 end
+    to end; the only double is the final mean division, snapped to 4
+    (+0 clears -0.0).  Overflow budget: Σ cnt·pc ≤ n·max_cents ~ 1e7
+    cents · 6e9 rows (sf1000) = 6e16 < 2^63.  Shuffle shape: one
+    map-side-combined (flag, pc) groupBy, one flag window, and a
+    |flags|-row threshold join-back that AQE broadcasts (unhinted —
+    the r10 hint rule; it is flag-cardinality, provably tiny here but
+    the rule is uniform)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.where(
+        F.col("l_extendedprice").isNotNull()
+        & F.col("l_returnflag").isNotNull()
+    ).select(
+        F.col("l_returnflag").alias("flag"),
+        money_units(F.col("l_extendedprice"), 2).alias("pc"),
+    )
+    per = base.groupBy("flag", "pc").agg(F.count(F.lit(1)).alias("cnt"))
+    w_run = Window.partitionBy("flag").orderBy("pc")
+    w_all = Window.partitionBy("flag")
+    cum = per.select(
+        "flag", "pc", "cnt",
+        F.sum("cnt").over(w_run).alias("cw"),
+        F.sum("cnt").over(w_all).alias("n"),
+    ).localCheckpoint(eager=True)  # per/cum consumed twice (thresholds + sum)
+    thr = (
+        cum.groupBy("flag", "n")
+        .agg(
+            F.min(
+                F.when(100 * F.col("cw") >= 10 * F.col("n"), F.col("pc"))
+            ).alias("lo"),
+            F.min(
+                F.when(100 * F.col("cw") >= 90 * F.col("n"), F.col("pc"))
+            ).alias("hi"),
+        )
+    )
+    clamped = cum.select("flag", "pc", "cnt").join(thr, "flag").select(
+        "flag", "n", "lo", "hi",
+        (
+            F.col("cnt")
+            * F.when(F.col("pc") < F.col("lo"), F.col("lo"))
+            .when(F.col("pc") > F.col("hi"), F.col("hi"))
+            .otherwise(F.col("pc"))
+        ).alias("term"),
+    )
+    return (
+        clamped.groupBy("flag", "n", "lo", "hi")
+        .agg(F.sum("term").alias("wsum"))
+        .select(
+            "flag",
+            F.col("n").alias("n_rows"),
+            F.col("lo").alias("lo_cents"),
+            F.col("hi").alias("hi_cents"),
+            (
+                F.expr(
+                    snap_sql(
+                        "CAST(wsum AS DOUBLE) / CAST(n AS DOUBLE)", 4
+                    )
+                )
+                + F.lit(0.0)
+            ).alias("wmean_cents"),
+        )
+    )

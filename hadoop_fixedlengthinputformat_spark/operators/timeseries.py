@@ -1137,3 +1137,104 @@ def ts_peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vc") - F.col("prev")).alias("rise_cents"),
         (F.col("vc") - F.col("nxt")).alias("fall_cents"),
     )
+
+
+# Rolling OLS trend: with the regressor re-based to the frame (x' =
+# 0..23 inside every FULL 24-row frame), Σx' = 276 and Σx'² = 4324 are
+# CONSTANTS, so the least-squares denominator 24·4324 − 276² = 27600
+# is a compile-time integer and the numerator stays an exact int64
+# combination of two frame sums — zero transcendentals, one double
+# division at the end.
+_RSLOPE = snap_sql("CAST(slope_num AS DOUBLE) / 27600.0", 4)
+
+
+@query(
+    "ts_rolling_slope",
+    oracle=f"""
+    WITH base AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id,
+               CAST(round(value * 100, 0) AS BIGINT) AS vc
+        FROM events
+        WHERE event_type = 'purchase' AND ts IS NOT NULL
+              AND value IS NOT NULL AND user_id IS NOT NULL
+              AND event_id IS NOT NULL
+    ),
+    rn AS (
+        SELECT user_id, us, event_id, vc,
+               CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY us, event_id, vc) AS BIGINT) AS rn
+        FROM base
+    ),
+    fr AS (
+        SELECT user_id, us, event_id, vc, rn,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n24,
+               CAST(SUM(vc) OVER w AS BIGINT) AS sy,
+               CAST(SUM(rn * vc) OVER w AS BIGINT) AS sxy_raw
+        FROM rn
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id, vc
+                     ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, us, event_id, vc,
+           CAST(24 * (sxy_raw - (rn - 23) * sy) - 276 * sy AS BIGINT)
+               AS slope_num,
+           {_RSLOPE} + 0 AS slope_cents_per_step
+    FROM fr WHERE n24 = 24
+    """,
+)
+def ts_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling least-squares trend slope (cents per event step) over
+    each user's last 24 purchases — the windowed drift detector that
+    complements ts_theil_sen's robust global slope.  The regressor is
+    the IN-FRAME index x' = 0..23 (re-based from the per-user row
+    number by the frame's first rank rn−23), so Σx' = 276 and
+    Σx'² = 4324 are constants, the OLS denominator n·Σx'²−(Σx')² =
+    27600 is compile-time, and the numerator 24·Σx'y − 276·Σy reduces
+    to two exact int64 ROWS-frame sums (merge-order-free, one
+    evaluation order) — the ts_bollinger discipline with the rank
+    algebra of agg_spearman.  slope_num is exposed as exact BIGINT;
+    the per-step slope is ONE double division snapped to 4 (+0 clears
+    -0.0).  Total order (us, event_id, vc) pins frames on duplicate-id
+    rolls; partial leading frames are excluded on both sides.  ONE
+    user-keyed exchange shared by the rank and frame windows (same
+    partitioning, one sort).  Overflow: Σrn·vc over a 24-frame ≤
+    24·n_user·5e4 ⇒ int64 holds past 7e12 events/user; the re-based
+    numerator itself is ≤ 24·23·5e4."""
+    ev = load_table(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase")
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull()
+    ).select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        money_units(F.col("value"), 2).alias("vc"),
+    )
+    w_rank = Window.partitionBy("user_id").orderBy("us", "event_id", "vc")
+    rn = ev.select(
+        "user_id", "us", "event_id", "vc",
+        F.row_number().over(w_rank).cast("long").alias("rn"),
+    )
+    # frame window orders by the SAME total-order keys as the rank
+    # window (rn order ≡ (us, event_id, vc) order by construction), so
+    # Spark reuses one sort instead of re-sorting by rn
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id", "vc")
+        .rowsBetween(-23, 0)
+    )
+    fr = rn.select(
+        "user_id", "us", "event_id", "vc", "rn",
+        F.count(F.lit(1)).over(w).alias("n24"),
+        F.sum("vc").over(w).alias("sy"),
+        F.sum(F.col("rn") * F.col("vc")).over(w).alias("sxy_raw"),
+    )
+    return fr.where(F.col("n24") == 24).select(
+        "user_id", "us", "event_id", "vc",
+        (
+            24 * (F.col("sxy_raw") - (F.col("rn") - 23) * F.col("sy"))
+            - 276 * F.col("sy")
+        ).cast("long").alias("slope_num"),
+        (F.expr(_RSLOPE) + F.lit(0.0)).alias("slope_cents_per_step"),
+    )

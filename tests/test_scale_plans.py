@@ -1209,3 +1209,63 @@ def test_mad_outliers_raw_rows_never_shuffle(spark):
             or "Scan ExistingRDD" in below
         ), f"raw corpus shuffles beneath an exchange:\n{below}"
         assert "FileScan parquet" not in below, below
+
+
+def test_winsorized_mean_one_corpus_exchange_and_broadcast_joinback(spark):
+    """agg_winsorized_mean (round-10): the corpus collapses through ONE
+    map-side-combined (flag, value) groupBy (inside the checkpointed
+    cum table); the visible plan shows only the |flags|-row threshold
+    aggregate exchange and an AQE-chosen broadcast join back — never a
+    SortMergeJoin, never a second corpus shuffle, and no forced hint
+    (the r10 hint rule)."""
+    from hadoop_fixedlengthinputformat_spark.operators.stats_extras import (
+        agg_winsorized_mean,
+    )
+
+    df = agg_winsorized_mean(spark, "/root/testdata/sf0.001")
+    assert "ResolvedHint" not in df._jdf.queryExecution().analyzed().toString()
+    df.collect()
+    plan = (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "FileScan parquet" not in plan  # corpus enters via checkpoint
+
+
+def test_rolling_slope_single_sort_single_exchange(spark):
+    """ts_rolling_slope (round-10): the rank window and the 24-row frame
+    window must share ONE user_id exchange AND one sort (the frame
+    window orders by the same total-order keys, so no rn re-sort)."""
+    from hadoop_fixedlengthinputformat_spark.operators.timeseries import (
+        ts_rolling_slope,
+    )
+
+    df = ts_rolling_slope(spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert sum(1 for l in plan.splitlines() if " Sort " in l) == 1, plan
+    assert (
+        sum(1 for l in plan.splitlines() if "Exchange hash" in l) == 1
+    ), plan
+
+
+def test_fn_geo_zero_exchange_codegen(spark):
+    """fn_geo (round-10): pure row-expression scan — zero exchanges,
+    whole-stage codegen, no UDF."""
+    from hadoop_fixedlengthinputformat_spark.functions.scalar_queries import (
+        fn_geo,
+    )
+
+    plan = (
+        fn_geo(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+    # '*(N)' operator prefixes are executedPlan's whole-stage-codegen marks
+    assert plan.lstrip().startswith("*("), plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -616,3 +616,123 @@ def test_theil_sen_cap_binds_planted_fixture(spark, tmp_path):
     # 128 distinct stamps (2 per stamp: 4 same-stamp pairs excluded per
     # stamp-pair... computed from the reference, not a formula)
     assert capped_ref(256)[1][0] < capped_ref(10**9)[1][0]
+
+
+def test_winsorized_mean_matches_pure_python(spark, sf_dir):
+    """agg_winsorized_mean vs an independently-written reference:
+    thresholds by the ceil-rank rule, clamp, plain mean (parity alone
+    can't catch a formula both engines share — the agg_moments rule)."""
+    from hadoop_fixedlengthinputformat_spark.operators.stats_extras import (
+        agg_winsorized_mean,
+    )
+
+    rows = pq.read_table(f"{sf_dir}/lineitem.parquet").to_pylist()
+    by: dict[str, list[int]] = {}
+    for r in rows:
+        if r["l_extendedprice"] is not None and r["l_returnflag"] is not None:
+            by.setdefault(r["l_returnflag"], []).append(
+                round(r["l_extendedprice"] * 100)
+            )
+    got = {r.flag: r for r in agg_winsorized_mean(spark, sf_dir).collect()}
+    assert set(got) == set(by)
+    for flag, vals in by.items():
+        vals.sort()
+        n = len(vals)
+        # smallest value whose 1-based rank reaches ceil(p/100 * n)
+        lo = vals[-(-10 * n // 100) - 1]
+        hi = vals[-(-90 * n // 100) - 1]
+        wmean = sum(min(max(v, lo), hi) for v in vals) / n
+        r = got[flag]
+        assert r.n_rows == n and r.lo_cents == lo and r.hi_cents == hi
+        assert abs(r.wmean_cents - wmean) < TOL
+
+
+def test_rolling_slope_matches_numpy(spark, sf_dir):
+    """ts_rolling_slope vs numpy.polyfit over each full 24-frame of the
+    SAME totally-ordered per-user purchase stream."""
+    import numpy as np
+
+    from hadoop_fixedlengthinputformat_spark.operators.timeseries import (
+        ts_rolling_slope,
+    )
+
+    rows = pq.read_table(f"{sf_dir}/events.parquet").to_pylist()
+    from datetime import timezone
+
+    by: dict[int, list[tuple[int, int, int]]] = {}
+    for r in rows:
+        if (
+            r["event_type"] == "purchase"
+            and r["ts"] is not None
+            and r["value"] is not None
+            and r["user_id"] is not None
+            and r["event_id"] is not None
+        ):
+            us = int(
+                r["ts"].replace(tzinfo=timezone.utc).timestamp() * 1_000_000
+            )
+            by.setdefault(r["user_id"], []).append(
+                (us, r["event_id"], round(r["value"] * 100))
+            )
+    expect: dict[tuple, float] = {}
+    for uid, pts in by.items():
+        pts.sort()
+        for t in range(23, len(pts)):
+            ys = np.array([pts[i][2] for i in range(t - 23, t + 1)])
+            slope = np.polyfit(np.arange(24.0), ys.astype(float), 1)[0]
+            expect[(uid, pts[t][0], pts[t][1])] = slope
+    got = {
+        (r.user_id, r.us, r.event_id): r
+        for r in ts_rolling_slope(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expect)
+    for key, slope in expect.items():
+        assert abs(got[key].slope_cents_per_step - slope) < TOL
+        # the exact integer numerator agrees with the double slope
+        assert abs(got[key].slope_num / 27600.0 - slope) < 1e-6
+
+
+def test_fn_geo_matches_pure_python_haversine(spark, sf_dir):
+    """fn_geo vs an independently-written haversine: (a) with the SAME
+    8-decimal stage snaps -> must agree to 1e-9 (validates formula,
+    constants, and snap chain), (b) against the UNSNAPPED textbook
+    haversine -> within 1 km (the snap chain's worst case is the
+    asin derivative blow-up near antipodal pairs)."""
+    from hadoop_fixedlengthinputformat_spark.functions.scalar_queries import (
+        fn_geo,
+    )
+
+    def s8(x):
+        return math.floor(x * 1e8 + 0.5) / 1e8
+
+    rows = pq.read_table(f"{sf_dir}/customer.parquet").to_pylist()
+    got = {r.c_custkey: r for r in fn_geo(spark, sf_dir).collect()}
+    for r in rows:
+        ck, nk = r["c_custkey"], r["c_nationkey"]
+        if ck is None or nk is None:
+            continue
+        lat1 = float(ck % 120) - 60.0 + 0.25
+        lon1 = float(ck % 360) - 180.0 + 0.25
+        lat2 = float((nk * 7) % 120) - 60.0
+        lon2 = float((nk * 13) % 360) - 180.0
+        sdlat = s8(math.sin(math.radians((lat2 - lat1) / 2.0)))
+        sdlon = s8(math.sin(math.radians((lon2 - lon1) / 2.0)))
+        c1 = s8(math.cos(math.radians(lat1)))
+        c2 = s8(math.cos(math.radians(lat2)))
+        root = s8(math.sqrt(sdlat * sdlat + (c1 * c2) * (sdlon * sdlon)))
+        hav = 12742.0 * s8(math.asin(min(root, 1.0)))
+        hav = math.floor(hav * 10000 + 0.5) / 10000 + 0.0
+        g = got[ck]
+        assert abs(g.hav_km - hav) < 1e-9, (ck, g.hav_km, hav)
+        # textbook unsnapped haversine sanity
+        a = (
+            math.sin(math.radians((lat2 - lat1) / 2)) ** 2
+            + math.cos(math.radians(lat1))
+            * math.cos(math.radians(lat2))
+            * math.sin(math.radians((lon2 - lon1) / 2)) ** 2
+        )
+        ref = 12742.0 * math.asin(min(1.0, math.sqrt(a)))
+        assert abs(g.hav_km - ref) < 1.0, (ck, g.hav_km, ref)
+        assert g.in_bbox == (
+            abs(lat2 - lat1) <= 30.0 and abs(lon2 - lon1) <= 45.0
+        )
