@@ -310,11 +310,13 @@ def ngram_jaccard_pairs(
     )
     if max_doc_freq is not None:
         freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
-        # broadcast the DROP side (tiny by construction: at most
-        # total_occurrences / cap tokens can exceed the cap); never
-        # broadcast the keep-side vocabulary
+        # the DROP side is small (at most total_occurrences / cap
+        # tokens can exceed the cap) but that bound GROWS with the
+        # corpus, so no forced hint (the r10 rule): AQE broadcasts it
+        # from the groupBy stage stats while it fits; never broadcast
+        # the keep-side vocabulary
         drop = freq.filter(F.col("_df") > max_doc_freq).select("tok")
-        toks = toks.join(F.broadcast(drop), "tok", "left_anti")
+        toks = toks.join(drop, "tok", "left_anti")
     tok_df = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_df"))
     ranked = toks.join(tok_df, "tok")  # 1-to-many on tok: no pair blowup
     docs = ranked.groupBy(F.col(id_col), *[F.col(c) for c in block_cols]).agg(

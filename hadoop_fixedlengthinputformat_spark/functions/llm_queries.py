@@ -1438,7 +1438,8 @@ def llm_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     score is bit-identical across engines (libm log is not correctly
     rounded and differs between JVM and C).  Two hash aggregations (tf,
     df) + a df-keyed join + per-doc WindowGroupLimit top-k; the df table
-    is |vocab| rows — broadcast at any corpus scale; ranking identical
+    is |vocab| rows — unhinted (Heaps-bounded, not provably capped; AQE
+    broadcasts it while it fits, per the r10 rule); ranking identical
     to log-idf since log is monotone."""
     from pyspark.sql import Window
 
@@ -1449,9 +1450,11 @@ def llm_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    # df_t is vocabulary-sized (Heaps-bounded, not provably capped) —
+    # unhinted per the r10 rule; AQE broadcasts it while it fits
     df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     scored = (
-        tf.join(F.broadcast(df_t), "tok")
+        tf.join(df_t, "tok")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

@@ -448,8 +448,11 @@ def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_mktsegment") != F.col("new_segment"))
         .select("c_custkey", "new_segment")
     )
+    # the changed-key set is an SF-growing customer slice (~10% of the
+    # table) — no forced hint (the r8/r10 rule); AQE broadcasts it at
+    # small SF and degrades to a shuffle join instead of an OOM at 100x
     marked = c.join(
-        F.broadcast(changed.withColumn("_chg", F.lit(True))),
+        changed.withColumn("_chg", F.lit(True)),
         "c_custkey",
         "left",
     )
