@@ -21,6 +21,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from hadoop_fixedlengthinputformat_spark.functions.num import snap_sql
 from hadoop_fixedlengthinputformat_spark.registry import query
 from hadoop_fixedlengthinputformat_spark.tables import load_table
 
@@ -186,4 +187,96 @@ def llm_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         (((F.col("s") - 1) / 150).cast("int")).alias("chunk_idx"),
         chunk.alias("chunk"),
         F.length(chunk).alias("chunk_len"),
+    )
+
+
+# Flesch readability: every count is a pure length-difference integer
+# (engine-identical BY CONSTRUCTION — no regex-count, no split-array
+# semantics); the two ratios and the affine combination are ONE double
+# tree shared verbatim with the oracle.  Run counting: replacing each
+# [.!?]+ / vowel run with a single char and with '' makes
+# (len_single − len_removed) = #runs exactly, on both regex engines
+# (DuckDB needs the 'g' flag; Spark replaces globally by default).
+_READ_R1 = (
+    "(CAST(n_words AS DOUBLE) / CAST(greatest(n_sents, 1) AS DOUBLE))"
+)
+_READ_R2 = (
+    "(CAST(n_syll AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE))"
+)
+_READ_FRE = snap_sql(
+    f"206.835 - 1.015 * {_READ_R1} - 84.6 * {_READ_R2}", 4
+)
+_READ_FKGL = snap_sql(
+    f"0.39 * {_READ_R1} + 11.8 * {_READ_R2} - 15.59", 4
+)
+
+
+@query(
+    "llm_readability",
+    oracle=f"""
+    WITH c AS (
+        SELECT doc_id,
+               length(text) - length(replace(text, ' ', '')) + 1
+                   AS n_words,
+               length(regexp_replace(text, '[.!?]+', '.', 'g'))
+                   - length(regexp_replace(text, '[.!?]+', '', 'g'))
+                   AS n_sents,
+               length(regexp_replace(text, '[aeiouyAEIOUY]+', 'a', 'g'))
+                   - length(regexp_replace(text, '[aeiouyAEIOUY]+', '', 'g'))
+                   AS n_syll
+        FROM documents
+        WHERE text IS NOT NULL AND length(text) > 0
+    )
+    SELECT doc_id, n_words, n_sents, n_syll,
+           {_READ_FRE} + 0 AS flesch_ease,
+           {_READ_FKGL} + 0 AS fk_grade
+    FROM c
+    """,
+)
+def llm_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease and Flesch–Kincaid grade level per document —
+    the classical readability gate curation pipelines run next to
+    llm_quality_score (Gopher-style filters drop the unreadable tails
+    on exactly these two scores).  Words come from the length-difference
+    whitespace count (the repo-wide n_ws_tokens definition); sentences
+    and syllables are RUN counts of [.!?]+ / vowel groups via the
+    replace-run-with-one-char-minus-remove-runs identity — all three
+    are exact integers with no regex-count or split-array seam (vowel
+    class spells out both cases, so no lower() unicode divergence).
+    Syllable ≈ vowel-group is the standard public approximation; the
+    contract is the deterministic count, not linguistic truth (the
+    llm_lang_id precedent).  The two ratios (greatest(x,1) ANSI ÷0
+    denominators) and the affine Flesch trees are shared verbatim with
+    the oracle, snapped to 4 (+0 clears -0.0); W/S ≤ n_chars is bounded
+    by document size, never corpus size, so snapping is magnitude-safe.
+    Empty/NULL text is excluded on BOTH sides (round-4 per-char rule).
+    Pure row expressions — zero exchanges, whole-stage codegen, scales
+    at scan speed."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    c = d.select(
+        "doc_id",
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            + 1
+        ).alias("n_words"),
+        (
+            F.length(F.regexp_replace(F.col("text"), r"[.!?]+", "."))
+            - F.length(F.regexp_replace(F.col("text"), r"[.!?]+", ""))
+        ).alias("n_sents"),
+        (
+            F.length(
+                F.regexp_replace(F.col("text"), r"[aeiouyAEIOUY]+", "a")
+            )
+            - F.length(
+                F.regexp_replace(F.col("text"), r"[aeiouyAEIOUY]+", "")
+            )
+        ).alias("n_syll"),
+    )
+    return c.select(
+        "doc_id", "n_words", "n_sents", "n_syll",
+        (F.expr(_READ_FRE) + F.lit(0.0)).alias("flesch_ease"),
+        (F.expr(_READ_FKGL) + F.lit(0.0)).alias("fk_grade"),
     )

@@ -586,3 +586,224 @@ def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("lin") == 1).alias("sketch_linear"),
         )
     )
+
+
+@query(
+    "graph_degree_stats",
+    oracle="""
+    WITH bip AS (
+        SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+        FROM lineitem
+        WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+    ),
+    deg AS (
+        SELECT p, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM bip GROUP BY p
+    ),
+    hist AS (
+        SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_parts
+        FROM deg GROUP BY degree
+    )
+    SELECT degree, n_parts,
+           floor(CAST(n_parts AS DOUBLE)
+                 / CAST(SUM(n_parts) OVER () AS DOUBLE) * 10000 + 0.5)
+               / 10000 + 0 AS share
+    FROM hist
+    """,
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the part–supplier bipartite graph: for
+    every part, its supplier degree (distinct suppliers that ever
+    shipped it), then the histogram of degrees with each bucket's
+    share — the first question asked of any graph before running
+    anything iterative on it (skew census: a power-law tail here is
+    what forces salting/orientation downstream).  Exact integers end
+    to end (distinct pair collapse → two counts); the share is one
+    double division over a |degrees|-row aggregate, snapped to 4 (+0).
+    Shuffle shape: the distinct collapses (part, supp) map-side and
+    shuffles ONE row per distinct pair; the part groupBy reuses the
+    hash space; the histogram exchange is |degrees| rows and its
+    unpartitioned total-window runs on an aggregate-sized single
+    partition — never on corpus-sized data."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_partkey").isNotNull() & F.col("l_suppkey").isNotNull()
+    )
+    bip = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    deg = bip.groupBy("p").agg(F.count(F.lit(1)).alias("degree"))
+    hist = deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_parts"))
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
+    return hist.select(
+        "degree",
+        "n_parts",
+        (
+            F.floor(
+                F.col("n_parts").cast("double")
+                / F.sum("n_parts").over(w_all).cast("double")
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+            + F.lit(0.0)
+        ).alias("share"),
+    )
+
+
+@query(
+    "graph_triangles",
+    oracle="""
+    WITH po AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+    ),
+    support AS (
+        SELECT a.p AS u, b.p AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM po a JOIN po b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p
+    ),
+    e AS (SELECT u, v FROM support WHERE cnt >= 2),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+        GROUP BY node
+    ),
+    eo AS (
+        SELECT CASE WHEN du.d <= dv.d THEN e.u ELSE e.v END AS s,
+               CASE WHEN du.d <= dv.d THEN dv.d ELSE du.d END AS dd,
+               CASE WHEN du.d <= dv.d THEN e.v ELSE e.u END AS t
+        FROM e
+        JOIN deg du ON du.node = e.u
+        JOIN deg dv ON dv.node = e.v
+    ),
+    tri AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM eo e1
+        JOIN eo e2 ON e1.s = e2.s
+             AND (e1.dd < e2.dd OR (e1.dd = e2.dd AND e1.t < e2.t))
+        JOIN eo e3 ON e3.s = e1.t AND e3.t = e2.t
+    ),
+    gstats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM((d * (d - 1)) // 2) AS BIGINT) AS n_wedges
+        FROM deg
+    ),
+    estats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e)
+    SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           floor(3.0 * CAST(n_triangles AS DOUBLE)
+                 / CAST(greatest(n_wedges, 1) AS DOUBLE) * 10000 + 0.5)
+               / 10000 + 0 AS clustering
+    FROM gstats, estats, tri
+    """,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count + global clustering coefficient of the
+    part co-purchase graph (edge = two parts co-ordered in >= 2
+    distinct orders).  The scalable construction end to end:
+
+    * EDGES — pair generation self-joins the distinct (order, part)
+      projection on the order key; TPC-H orders carry <= 7 lines so
+      the per-key fan-out is a CONSTANT <= 21 pairs, and the support
+      threshold (>= 2 co-orders) keeps the edge set sparse at every
+      scale (random co-occurrence thins as the part universe grows).
+    * ORIENTATION — each undirected edge is directed from the lower
+      (degree, id) endpoint to the higher (the public node-iterator++
+      / Schank–Wagner discipline, i.e. the MapReduce triangle-counting
+      formulation of Suri–Vassilvitskii): every triangle is counted
+      exactly once from its minimum-degree vertex and the wedge-join
+      fan-out per node drops from deg² to out-deg² with out-deg
+      <= O(sqrt(m)) — THE skew bound that makes the wedge join safe on
+      power-law graphs at 100 TB.
+    * COUNT — wedges (s -> a, s -> b with a before b in orientation
+      order) equi-join the oriented edge list for the closing edge;
+      all joins are key-hash equi-joins, no broadcast hints (AQE
+      broadcasts the aggregate-sized sides when small).
+
+    Exact integers throughout; the clustering coefficient
+    3T / sum(C(deg,2)) is one double division of int64-exact casts,
+    snapped to 4 (+0), bounded in [0,1].  Overflow budget: sum of
+    d*(d-1)/2 <= m * max_deg <= m^1.5 — int64 past 4e12 edges."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
+    )
+    po = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = po.alias("a"), po.alias("b")
+    support = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    e = support.where(F.col("cnt") >= 2).select("u", "v")
+    # edge list consumed four times (deg, orientation, wedge x2): cut
+    # lineage once so the pair join never recomputes
+    e = e.localCheckpoint(eager=True)
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    eo = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(F.col("du") <= F.col("dv"), F.col("u"))
+            .otherwise(F.col("v"))
+            .alias("s"),
+            F.when(F.col("du") <= F.col("dv"), F.col("dv"))
+            .otherwise(F.col("du"))
+            .alias("dd"),
+            F.when(F.col("du") <= F.col("dv"), F.col("v"))
+            .otherwise(F.col("u"))
+            .alias("t"),
+        )
+        .localCheckpoint(eager=True)  # consumed three times below
+    )
+    e1 = eo.select(
+        F.col("s"), F.col("dd").alias("dd1"), F.col("t").alias("t1")
+    )
+    e2 = eo.select(
+        F.col("s"), F.col("dd").alias("dd2"), F.col("t").alias("t2")
+    )
+    wedges = e1.join(e2, "s").where(
+        (F.col("dd1") < F.col("dd2"))
+        | ((F.col("dd1") == F.col("dd2")) & (F.col("t1") < F.col("t2")))
+    )
+    closing = eo.select(
+        F.col("s").alias("t1"), F.col("t").alias("t2")
+    )
+    tri = wedges.join(closing, ["t1", "t2"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    gstats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        # (d*(d-1)) div 2 is exact int64 per node BEFORE the sum — no
+        # double division ever touches the wedge census
+        F.sum(F.expr("(d * (d - 1)) div 2")).alias("n_wedges"),
+    )
+    estats = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        gstats.crossJoin(estats)
+        .crossJoin(tri)
+        .select(
+            "n_nodes", "n_edges", "n_wedges", "n_triangles",
+            (
+                F.floor(
+                    3.0
+                    * F.col("n_triangles").cast("double")
+                    / F.greatest(F.col("n_wedges"), F.lit(1)).cast("double")
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+                + F.lit(0.0)
+            ).alias("clustering"),
+        )
+    )

@@ -1040,3 +1040,113 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("wmean_cents"),
         )
     )
+
+
+# Wald–Wolfowitz runs test: R, n1, n2 are exact int64; mu/sigma/z are
+# ONE shared double tree where every cast starts from an int64-exact
+# value (the round-8 rule: the 2·n1·n2 product is formed in DOUBLE, so
+# there is no int64 product cliff).  sigma ~ sqrt(n)/2 stays below the
+# snap-8 magnitude cliff (9.2e10) until ~3e22 rows/user.
+_RUNS_P = "(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))"
+_RUNS_MU = f"(1.0 + {_RUNS_P} / CAST(n AS DOUBLE))"
+_RUNS_SIG = snap_sql(
+    f"sqrt(({_RUNS_P} * ({_RUNS_P} - CAST(n AS DOUBLE)))"
+    f" / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+    f" * (CAST(n AS DOUBLE) - 1.0)))", 8
+)
+_RUNS_Z = snap_sql(
+    f"(CAST(runs AS DOUBLE) - {_RUNS_MU}) / ({_RUNS_SIG})", 4
+)
+
+
+@query(
+    "agg_runs_test",
+    oracle=f"""
+    WITH base AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x
+        FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
+              AND event_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    lagged AS (
+        SELECT user_id, x,
+               LAG(x) OVER (PARTITION BY user_id
+                            ORDER BY us, event_id, event_type) AS prev
+        FROM base
+    ),
+    g AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS n1,
+               CAST(COUNT(*) - SUM(x) AS BIGINT) AS n2,
+               CAST(1 + SUM(CASE WHEN prev IS NOT NULL AND x <> prev
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS runs
+        FROM lagged GROUP BY user_id
+    )
+    SELECT user_id, n AS n_rows, n1 AS n_pos, runs,
+           {_RUNS_Z} + 0 AS z
+    FROM g
+    WHERE n1 >= 1 AND n2 >= 1
+          AND 2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+              > CAST(n AS DOUBLE)
+    """,
+)
+def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test for randomness of each user's
+    purchase / non-purchase event sequence: R = 1 + #sign-changes, and
+    z = (R − μ)/σ with μ = 1 + 2n₁n₂/n and
+    σ² = 2n₁n₂(2n₁n₂ − n)/(n²(n − 1)) — the is-this-user's-behavior-
+    bursty diagnostic a curation dashboard runs next to ts_autocorr.
+    R, n₁, n₂ are EXACT int64 (a lag compare summed per user); the
+    2n₁n₂ product is formed in DOUBLE from int64-exact casts (round-8:
+    never multiply int64 counts into int64 products), μ/σ/z are one
+    double tree shared verbatim with the oracle (sqrt snapped to 8,
+    z to 4, +0 clears -0.0).  Degenerate sequences (single class, or
+    n₁ = n₂ = 1 where σ = 0) are excluded by the same predicate on
+    BOTH sides.  Total order (us, event_id, event_type) pins the lag
+    pairing on duplicate-id rolls — rows tying on all three keys carry
+    the same classification, so swap order cannot change R.  ONE
+    user-keyed exchange shared by the lag window and the groupBy."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    ).select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("x"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id", "event_type")
+    lagged = ev.select("user_id", "x", F.lag("x").over(w).alias("prev"))
+    g = lagged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("x")).alias("n2"),
+        (
+            1
+            + F.sum(
+                F.when(
+                    F.col("prev").isNotNull()
+                    & (F.col("x") != F.col("prev")),
+                    1,
+                ).otherwise(0)
+            )
+        ).alias("runs"),
+    )
+    return g.where(
+        (F.col("n1") >= 1)
+        & (F.col("n2") >= 1)
+        & (
+            2.0 * F.col("n1").cast("double") * F.col("n2").cast("double")
+            > F.col("n").cast("double")
+        )
+    ).select(
+        "user_id",
+        F.col("n").alias("n_rows"),
+        F.col("n1").alias("n_pos"),
+        "runs",
+        (F.expr(_RUNS_Z) + F.lit(0.0)).alias("z"),
+    )

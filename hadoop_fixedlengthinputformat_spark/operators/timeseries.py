@@ -1238,3 +1238,253 @@ def ts_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("slope_num"),
         (F.expr(_RSLOPE) + F.lit(0.0)).alias("slope_cents_per_step"),
     )
+
+
+# Durbin–Watson: DW = n·Σ(Δv)² / (n·Σv² − (Σv)²).  Numerator and the
+# variance discriminant are exact int64 sums; the ratio is ONE shared
+# double tree whose every cast starts from an int64-exact value (the
+# _AC_R discipline).  DW ∈ [0,4] is bounded, so snap-4 is magnitude-safe.
+_DW_EXPR = snap_sql(
+    "(CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * svv - CAST(sv AS DOUBLE) * sv)", 4
+)
+
+
+@query(
+    "ts_durbin_watson",
+    oracle=f"""
+    WITH base AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id,
+               CAST(round(value * 100, 0) AS BIGINT) AS vc
+        FROM events
+        WHERE event_type = 'purchase' AND ts IS NOT NULL
+              AND value IS NOT NULL AND user_id IS NOT NULL
+              AND event_id IS NOT NULL
+    ),
+    pairs AS (
+        SELECT user_id, vc,
+               vc - LAG(vc) OVER (PARTITION BY user_id
+                                  ORDER BY us, event_id, vc) AS d
+        FROM base
+    ),
+    g AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(vc) AS BIGINT) AS sv,
+               CAST(SUM(vc * vc) AS BIGINT) AS svv,
+               CAST(SUM(d * d) AS BIGINT) AS sdd,
+               MAX(vc) AS mx, MIN(vc) AS mn
+        FROM pairs GROUP BY user_id
+    )
+    SELECT user_id, n AS n_rows, sdd AS sq_diff_sum,
+           {_DW_EXPR} + 0 AS dw
+    FROM g WHERE n >= 2 AND mx > mn
+    """,
+)
+def ts_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin–Watson serial-correlation statistic per user purchase
+    series — the classical is-the-noise-autocorrelated test (DW ≈ 2 ⇒
+    independent, → 0 ⇒ positive, → 4 ⇒ negative serial correlation).
+    Centering cancels in the first difference (Δ(v − v̄) = Δv), so
+    DW = Σ(Δv)² / Σ(v − v̄)² cross-multiplies to
+    n·Σ(Δv)² / (n·Σv² − (Σv)²): numerator and discriminant are EXACT
+    int64 sums over cent units; the single double tree is shared
+    verbatim with the oracle and every cast starts from an int64-exact
+    value (round-8 rule), snapped to 4 (+0 clears -0.0).  Degeneracy
+    guard is max > min, never integer products.  One user-keyed lag
+    window + a groupBy on the same key — ONE exchange, raw events never
+    shuffle twice.  Overflow budget: vc ≤ ~4e4 cents ⇒ Σvc² ≤ 1.6e9·n
+    (int64 to ~5.7e9 rows/user), ΣΔ² ≤ 6.4e9·n; the n·sums land in
+    DOUBLE, not int64, so there is no product cliff."""
+    ev = load_table(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase")
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull()
+    ).select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        money_units(F.col("value"), 2).alias("vc"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id", "vc")
+    pairs = ev.select(
+        "user_id", "vc", (F.col("vc") - F.lag("vc").over(w)).alias("d")
+    )
+    g = pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vc").alias("sv"),
+        F.sum(F.col("vc") * F.col("vc")).alias("svv"),
+        F.sum(F.col("d") * F.col("d")).alias("sdd"),
+        F.max("vc").alias("mx"),
+        F.min("vc").alias("mn"),
+    )
+    return g.where((F.col("n") >= 2) & (F.col("mx") > F.col("mn"))).select(
+        "user_id",
+        F.col("n").alias("n_rows"),
+        F.col("sdd").alias("sq_diff_sum"),
+        (F.expr(_DW_EXPR) + F.lit(0.0)).alias("dw"),
+    )
+
+
+# Stochastic oscillator %K over the last 14 purchases: frame min/max are
+# exact integers, %K is one double division of int64-exact casts.
+_STOCH_K = snap_sql(
+    "100.0 * CAST(vc - lo14 AS DOUBLE) / CAST(hi14 - lo14 AS DOUBLE)", 4
+)
+
+
+@query(
+    "ts_stochastic_osc",
+    oracle=f"""
+    WITH base AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id,
+               CAST(round(value * 100, 0) AS BIGINT) AS vc
+        FROM events
+        WHERE event_type = 'purchase' AND ts IS NOT NULL
+              AND value IS NOT NULL AND user_id IS NOT NULL
+              AND event_id IS NOT NULL
+    ),
+    fr AS (
+        SELECT user_id, us, event_id, vc,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n14,
+               MIN(vc) OVER w AS lo14,
+               MAX(vc) OVER w AS hi14
+        FROM base
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id, vc
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, us, event_id, vc, lo14 AS lo14_cents,
+           hi14 AS hi14_cents, {_STOCH_K} + 0 AS pct_k
+    FROM fr WHERE n14 = 14 AND hi14 > lo14
+    """,
+)
+def ts_stochastic_osc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic oscillator %K = 100·(v − min₁₄)/(max₁₄ − min₁₄) over
+    each user's last 14 purchases — the where-in-the-recent-range
+    momentum gauge complementing ts_bollinger's dispersion bands.
+    Frame min/max/count are exact integers over a ROWS frame (one
+    evaluation order, merge-order-free); %K is ONE double division of
+    int64-exact casts, snapped to 4 (+0 clears -0.0) and bounded in
+    [0,100] so snap is magnitude-safe at any corpus size.  Partial
+    leading frames and flat frames (hi = lo, the ANSI ÷0 seam) are
+    excluded by integer predicates on BOTH sides.  Total order
+    (us, event_id, vc) pins frames on duplicate-id rolls.  ONE
+    user-keyed exchange; the frame window is the only sort."""
+    ev = load_table(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase")
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull()
+    ).select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        money_units(F.col("value"), 2).alias("vc"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id", "vc")
+        .rowsBetween(-13, 0)
+    )
+    fr = ev.select(
+        "user_id", "us", "event_id", "vc",
+        F.count(F.lit(1)).over(w).alias("n14"),
+        F.min("vc").over(w).alias("lo14"),
+        F.max("vc").over(w).alias("hi14"),
+    )
+    return fr.where(
+        (F.col("n14") == 14) & (F.col("hi14") > F.col("lo14"))
+    ).select(
+        "user_id", "us", "event_id", "vc",
+        F.col("lo14").alias("lo14_cents"),
+        F.col("hi14").alias("hi14_cents"),
+        (F.expr(_STOCH_K) + F.lit(0.0)).alias("pct_k"),
+    )
+
+
+# Max drawdown: running peak and drawdown are exact integers; the
+# per-row fraction is one division with a greatest(peak,1) denominator
+# (round-4 ANSI ÷0 rule), snapped to 8 BEFORE the max (selection over
+# identical bits), final snap to 4.
+_DD_FRAC = snap_sql(
+    "CAST(dd AS DOUBLE) / CAST(greatest(peak, 1) AS DOUBLE)", 8
+)
+
+
+@query(
+    "ts_max_drawdown",
+    oracle=f"""
+    WITH base AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id,
+               CAST(round(value * 100, 0) AS BIGINT) AS vc
+        FROM events
+        WHERE event_type = 'purchase' AND ts IS NOT NULL
+              AND value IS NOT NULL AND user_id IS NOT NULL
+              AND event_id IS NOT NULL
+    ),
+    run AS (
+        SELECT user_id, vc,
+               MAX(vc) OVER (PARTITION BY user_id
+                             ORDER BY us, event_id, vc
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS peak
+        FROM base
+    ),
+    dd AS (
+        SELECT user_id, vc, peak, peak - vc AS dd,
+               {_DD_FRAC} AS frac
+        FROM run
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MAX(peak) AS peak_cents, MAX(dd) AS max_dd_cents,
+           floor(MAX(frac) * 10000 + 0.5) / 10000 + 0 AS max_dd_frac
+    FROM dd GROUP BY user_id
+    """,
+)
+def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user purchase series: running peak (ROWS
+    unbounded-preceding max, exact int64), per-row drawdown
+    dd = peak − v, and the per-user max of both the cent drawdown and
+    the drawdown FRACTION dd/peak.  The fraction is the only double —
+    one division with a greatest(peak,1) denominator, snapped to 8
+    per-row BEFORE the max (max is selection, so identical bits
+    survive aggregation on both engines), final snap to 4 (+0 clears
+    -0.0); the fraction is bounded in [0,1] so snapping is
+    magnitude-safe.  Total order (us, event_id, vc) pins the running
+    peak on duplicate-id rolls.  ONE user-keyed exchange shared by the
+    window and the groupBy."""
+    ev = load_table(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase")
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull()
+    ).select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        money_units(F.col("value"), 2).alias("vc"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id", "vc")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = ev.select(
+        "user_id", "vc", F.max("vc").over(w).alias("peak")
+    )
+    dd = run.select(
+        "user_id", "vc", "peak",
+        (F.col("peak") - F.col("vc")).alias("dd"),
+    ).withColumn("frac", F.expr(_DD_FRAC))
+    return dd.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max("peak").alias("peak_cents"),
+        F.max("dd").alias("max_dd_cents"),
+        (
+            F.floor(F.max("frac") * 10000 + F.lit(0.5)) / 10000
+            + F.lit(0.0)
+        ).alias("max_dd_frac"),
+    )

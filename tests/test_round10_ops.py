@@ -1,0 +1,246 @@
+"""Independent reference pins for the round-10 second-wave operators.
+
+Parity (Spark vs DuckDB) cannot see a wrong formula both engines agree
+on (the agg_moments lesson) — each operator here is re-derived from the
+raw parquet with a brute-force pure-Python/numpy implementation and
+compared within snap tolerance.
+"""
+
+from __future__ import annotations
+
+import itertools
+import math
+import re
+from datetime import timezone
+
+import pyarrow.parquet as pq
+
+from hadoop_fixedlengthinputformat_spark.operators.timeseries import (
+    ts_durbin_watson,
+    ts_max_drawdown,
+    ts_stochastic_osc,
+)
+from hadoop_fixedlengthinputformat_spark.operators.stats_extras import (
+    agg_runs_test,
+)
+from hadoop_fixedlengthinputformat_spark.operators.analytics_extras import (
+    graph_degree_stats,
+    graph_triangles,
+)
+from hadoop_fixedlengthinputformat_spark.functions.quality_extras import (
+    llm_readability,
+)
+
+TOL = 2e-4  # both sides snap to 4 decimals
+
+
+def _purchase_series(sf_dir: str) -> dict[int, list[int]]:
+    """Per-user cent series in the engine's total order (us, event_id, vc)."""
+    rows = pq.read_table(f"{sf_dir}/events.parquet").to_pylist()
+    by: dict[int, list[tuple[int, int, int]]] = {}
+    for r in rows:
+        if (
+            r["event_type"] == "purchase"
+            and r["ts"] is not None
+            and r["value"] is not None
+            and r["user_id"] is not None
+            and r["event_id"] is not None
+        ):
+            us = int(
+                r["ts"].replace(tzinfo=timezone.utc).timestamp() * 1_000_000
+            )
+            by.setdefault(r["user_id"], []).append(
+                (us, r["event_id"], round(r["value"] * 100))
+            )
+    return {u: [t[2] for t in sorted(pts)] for u, pts in by.items()}
+
+
+def test_durbin_watson_matches_bruteforce(spark, sf_dir):
+    series = _purchase_series(sf_dir)
+    expect: dict[int, tuple[int, float]] = {}
+    for uid, vs in series.items():
+        n = len(vs)
+        if n < 2 or max(vs) == min(vs):
+            continue
+        mean = sum(vs) / n
+        num = sum((vs[i] - vs[i - 1]) ** 2 for i in range(1, n))
+        den = sum((v - mean) ** 2 for v in vs)
+        expect[uid] = (num, num / den)
+    assert len(expect) > 5
+    got = {r.user_id: r for r in ts_durbin_watson(spark, sf_dir).collect()}
+    assert set(got) == set(expect)
+    for uid, (sdd, dw) in expect.items():
+        assert got[uid].sq_diff_sum == sdd
+        assert abs(got[uid].dw - dw) < TOL
+        assert got[uid].n_rows == len(series[uid])
+
+
+def test_stochastic_osc_matches_bruteforce(spark, sf_dir):
+    series = _purchase_series(sf_dir)
+    expect: dict[tuple[int, int], float] = {}
+    for uid, vs in series.items():
+        for t in range(13, len(vs)):
+            frame = vs[t - 13 : t + 1]
+            lo, hi = min(frame), max(frame)
+            if hi > lo:
+                expect[(uid, t)] = 100.0 * (vs[t] - lo) / (hi - lo)
+    assert expect  # 8 users at sf0.001 carry >= 14 purchases
+    got = ts_stochastic_osc(spark, sf_dir).collect()
+    assert len(got) == len(expect)
+    # re-key Spark rows back to frame indices through the sorted series
+    rows = sorted(got, key=lambda r: (r.user_id, r.us, r.event_id, r.vc))
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for uid, rs in by_user.items():
+        vs = series[uid]
+        idx = [t for t in range(13, len(vs)) if (uid, t) in expect]
+        assert len(rs) == len(idx)
+        for r, t in zip(rs, idx):
+            assert r.vc == vs[t]
+            assert r.lo14_cents == min(vs[t - 13 : t + 1])
+            assert r.hi14_cents == max(vs[t - 13 : t + 1])
+            assert abs(r.pct_k - expect[(uid, t)]) < TOL
+
+
+def test_max_drawdown_matches_bruteforce(spark, sf_dir):
+    series = _purchase_series(sf_dir)
+    got = {r.user_id: r for r in ts_max_drawdown(spark, sf_dir).collect()}
+    assert set(got) == set(series)
+    for uid, vs in series.items():
+        peak, max_dd, max_frac = 0, 0, 0.0
+        for v in vs:
+            peak = max(peak, v)
+            dd = peak - v
+            max_dd = max(max_dd, dd)
+            max_frac = max(max_frac, dd / max(peak, 1))
+        r = got[uid]
+        assert r.n_rows == len(vs)
+        assert r.peak_cents == max(vs)
+        assert r.max_dd_cents == max_dd
+        assert abs(r.max_dd_frac - max_frac) < TOL
+
+
+def test_runs_test_matches_bruteforce(spark, sf_dir):
+    rows = pq.read_table(f"{sf_dir}/events.parquet").to_pylist()
+    by: dict[int, list[tuple[int, int, str]]] = {}
+    for r in rows:
+        if (
+            r["ts"] is not None
+            and r["user_id"] is not None
+            and r["event_id"] is not None
+            and r["event_type"] is not None
+        ):
+            us = int(
+                r["ts"].replace(tzinfo=timezone.utc).timestamp() * 1_000_000
+            )
+            by.setdefault(r["user_id"], []).append(
+                (us, r["event_id"], r["event_type"])
+            )
+    expect: dict[int, tuple[int, int, int, float]] = {}
+    for uid, pts in by.items():
+        pts.sort()
+        xs = [1 if t[2] == "purchase" else 0 for t in pts]
+        n, n1 = len(xs), sum(xs)
+        n2 = n - n1
+        if n1 < 1 or n2 < 1 or 2.0 * n1 * n2 <= n:
+            continue
+        runs = 1 + sum(1 for i in range(1, n) if xs[i] != xs[i - 1])
+        mu = 1 + 2.0 * n1 * n2 / n
+        var = (2.0 * n1 * n2 * (2.0 * n1 * n2 - n)) / (n * n * (n - 1.0))
+        z = (runs - mu) / math.sqrt(var)
+        expect[uid] = (n, n1, runs, z)
+    assert len(expect) > 5
+    got = {r.user_id: r for r in agg_runs_test(spark, sf_dir).collect()}
+    assert set(got) == set(expect)
+    for uid, (n, n1, runs, z) in expect.items():
+        r = got[uid]
+        assert (r.n_rows, r.n_pos, r.runs) == (n, n1, runs)
+        assert abs(r.z - z) < TOL
+
+
+def test_readability_matches_bruteforce(spark, sf_dir):
+    rows = pq.read_table(f"{sf_dir}/documents.parquet").to_pylist()
+    got = [
+        (r.doc_id, r.n_words, r.n_sents, r.n_syll, r.flesch_ease, r.fk_grade)
+        for r in llm_readability(spark, sf_dir).collect()
+    ]
+    expect = []
+    for r in rows:
+        t = r["text"]
+        if t is None or len(t) == 0:
+            continue
+        words = len(t) - len(t.replace(" ", "")) + 1
+        sents = len(re.findall(r"[.!?]+", t))
+        syll = len(re.findall(r"[aeiouyAEIOUY]+", t))
+        r1 = words / max(sents, 1)
+        r2 = syll / max(words, 1)
+        fre = 206.835 - 1.015 * r1 - 84.6 * r2
+        fkgl = 0.39 * r1 + 11.8 * r2 - 15.59
+        expect.append((r["doc_id"], words, sents, syll, fre, fkgl))
+    assert len(got) == len(expect) and expect
+    for g, e in zip(sorted(got), sorted(expect)):
+        assert g[:4] == e[:4]
+        assert abs(g[4] - e[4]) < TOL
+        assert abs(g[5] - e[5]) < TOL
+
+
+def _bip_edges(sf_dir):
+    rows = pq.read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey"],
+    ).to_pylist()
+    return rows
+
+
+def test_degree_stats_matches_bruteforce(spark, sf_dir):
+    rows = _bip_edges(sf_dir)
+    pairs = {
+        (r["l_partkey"], r["l_suppkey"])
+        for r in rows
+        if r["l_partkey"] is not None and r["l_suppkey"] is not None
+    }
+    deg: dict[int, int] = {}
+    for p, _s in pairs:
+        deg[p] = deg.get(p, 0) + 1
+    hist: dict[int, int] = {}
+    for d in deg.values():
+        hist[d] = hist.get(d, 0) + 1
+    total = sum(hist.values())
+    got = {r.degree: r for r in graph_degree_stats(spark, sf_dir).collect()}
+    assert set(got) == set(hist)
+    for d, n in hist.items():
+        assert got[d].n_parts == n
+        assert abs(got[d].share - n / total) < TOL
+
+
+def test_triangles_matches_bruteforce(spark, sf_dir):
+    rows = _bip_edges(sf_dir)
+    by_order: dict[int, set[int]] = {}
+    for r in rows:
+        if r["l_orderkey"] is not None and r["l_partkey"] is not None:
+            by_order.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    support: dict[tuple[int, int], int] = {}
+    for parts in by_order.values():
+        for u, v in itertools.combinations(sorted(parts), 2):
+            support[(u, v)] = support.get((u, v), 0) + 1
+    edges = {e for e, c in support.items() if c >= 2}
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    tri = 0
+    for u, v in edges:
+        tri += len(adj[u] & adj[v])
+    tri //= 3  # each triangle seen once per edge
+    assert edges, 'support-2 edge set must be non-empty at sf0.001'
+    wedges = sum(len(ns) * (len(ns) - 1) // 2 for ns in adj.values())
+    got = graph_triangles(spark, sf_dir).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.n_nodes == len(adj)
+    assert r.n_edges == len(edges)
+    assert r.n_wedges == wedges
+    assert r.n_triangles == tri
+    expected_cc = 3.0 * tri / max(wedges, 1)
+    assert abs(r.clustering - expected_cc) < TOL
