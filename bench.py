@@ -74,6 +74,10 @@ HEADLINE = [
     # round-10 addition (VERDICT r9 #7): the round-9 exact-integer-rank
     # family representative.  Baseline = first measurement (BASELINE.md).
     "agg_percentile_exact",
+    # round-10 second-wave family representative: degree-oriented
+    # triangle counting (support-thresholded edges, wedge equi-joins,
+    # checkpointed edge list).  Baseline = first measurement (BASELINE.md).
+    "graph_triangles",
 ]
 
 

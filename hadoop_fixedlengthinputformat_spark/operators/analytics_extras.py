@@ -655,23 +655,23 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "graph_triangles",
     oracle="""
-    WITH po AS (
+    WITH po AS MATERIALIZED (
         SELECT DISTINCT l_orderkey AS o, l_partkey AS p
         FROM lineitem
         WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
     ),
-    support AS (
+    support AS MATERIALIZED (
         SELECT a.p AS u, b.p AS v, CAST(COUNT(*) AS BIGINT) AS cnt
         FROM po a JOIN po b ON a.o = b.o AND a.p < b.p
         GROUP BY a.p, b.p
     ),
-    e AS (SELECT u, v FROM support WHERE cnt >= 2),
-    deg AS (
+    e AS MATERIALIZED (SELECT u, v FROM support WHERE cnt >= 2),
+    deg AS MATERIALIZED (
         SELECT node, CAST(COUNT(*) AS BIGINT) AS d
         FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
         GROUP BY node
     ),
-    eo AS (
+    eo AS MATERIALIZED (
         SELECT CASE WHEN du.d <= dv.d THEN e.u ELSE e.v END AS s,
                CASE WHEN du.d <= dv.d THEN dv.d ELSE du.d END AS dd,
                CASE WHEN du.d <= dv.d THEN e.v ELSE e.u END AS t
@@ -679,19 +679,19 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN deg du ON du.node = e.u
         JOIN deg dv ON dv.node = e.v
     ),
-    tri AS (
+    tri AS MATERIALIZED (
         SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
         FROM eo e1
         JOIN eo e2 ON e1.s = e2.s
              AND (e1.dd < e2.dd OR (e1.dd = e2.dd AND e1.t < e2.t))
         JOIN eo e3 ON e3.s = e1.t AND e3.t = e2.t
     ),
-    gstats AS (
+    gstats AS MATERIALIZED (
         SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
                CAST(SUM((d * (d - 1)) // 2) AS BIGINT) AS n_wedges
         FROM deg
     ),
-    estats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e)
+    estats AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e)
     SELECT n_nodes, n_edges, n_wedges, n_triangles,
            floor(3.0 * CAST(n_triangles AS DOUBLE)
                  / CAST(greatest(n_wedges, 1) AS DOUBLE) * 10000 + 0.5)
@@ -807,3 +807,122 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering"),
         )
     )
+
+
+@query(
+    "graph_kcore_peel",
+    oracle="""
+    WITH po AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+    ),
+    support AS MATERIALIZED (
+        SELECT a.p AS u, b.p AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM po a JOIN po b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p
+    ),
+    e0 AS MATERIALIZED (SELECT u, v FROM support WHERE cnt >= 2),
+    d1 AS MATERIALIZED (SELECT node, COUNT(*) AS d FROM (
+               SELECT u AS node FROM e0 UNION ALL SELECT v AS node FROM e0)
+           GROUP BY node),
+    a1 AS MATERIALIZED (SELECT node FROM d1 WHERE d >= 3),
+    e1 AS MATERIALIZED (SELECT u, v FROM e0
+           WHERE u IN (SELECT node FROM a1) AND v IN (SELECT node FROM a1)),
+    d2 AS MATERIALIZED (SELECT node, COUNT(*) AS d FROM (
+               SELECT u AS node FROM e1 UNION ALL SELECT v AS node FROM e1)
+           GROUP BY node),
+    a2 AS MATERIALIZED (SELECT node FROM d2 WHERE d >= 3),
+    e2 AS MATERIALIZED (SELECT u, v FROM e1
+           WHERE u IN (SELECT node FROM a2) AND v IN (SELECT node FROM a2)),
+    d3 AS MATERIALIZED (SELECT node, COUNT(*) AS d FROM (
+               SELECT u AS node FROM e2 UNION ALL SELECT v AS node FROM e2)
+           GROUP BY node),
+    a3 AS MATERIALIZED (SELECT node FROM d3 WHERE d >= 3),
+    e3 AS MATERIALIZED (SELECT u, v FROM e2
+           WHERE u IN (SELECT node FROM a3) AND v IN (SELECT node FROM a3)),
+    d4 AS MATERIALIZED (SELECT node, COUNT(*) AS d FROM (
+               SELECT u AS node FROM e3 UNION ALL SELECT v AS node FROM e3)
+           GROUP BY node),
+    a4 AS MATERIALIZED (SELECT node FROM d4 WHERE d >= 3),
+    e4 AS (SELECT u, v FROM e3
+           WHERE u IN (SELECT node FROM a4) AND v IN (SELECT node FROM a4))
+    SELECT 0 AS round,
+           CAST((SELECT COUNT(*) FROM d1) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM e0) AS BIGINT) AS n_edges
+    UNION ALL SELECT 1, CAST((SELECT COUNT(*) FROM a1) AS BIGINT),
+                        CAST((SELECT COUNT(*) FROM e1) AS BIGINT)
+    UNION ALL SELECT 2, CAST((SELECT COUNT(*) FROM a2) AS BIGINT),
+                        CAST((SELECT COUNT(*) FROM e2) AS BIGINT)
+    UNION ALL SELECT 3, CAST((SELECT COUNT(*) FROM a3) AS BIGINT),
+                        CAST((SELECT COUNT(*) FROM e3) AS BIGINT)
+    UNION ALL SELECT 4, CAST((SELECT COUNT(*) FROM a4) AS BIGINT),
+                        CAST((SELECT COUNT(*) FROM e4) AS BIGINT)
+    """,
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four synchronized 3-core peeling rounds over the part
+    co-purchase graph (same support-thresholded edges as
+    graph_triangles): each round recomputes degrees on the surviving
+    subgraph and drops nodes with degree < 3 — the Pregel-style
+    distributed k-core schedule (one degree aggregation + two
+    semi-joins per round, every step an equi-join on the node key).
+    The FIXED round count is the cross-engine-deterministic contract:
+    the true k-core is the fixpoint of this exact iteration, and a
+    bounded unrolling is what ANSI SQL can express (recursive CTEs
+    append, they cannot delete) — the same bounded-iteration
+    convention as graph_pagerank's fixed damping rounds.  Output is
+    the per-round (nodes, edges) census — the curve a capacity planner
+    reads before running the full peel.  Exact integers only.  Scale:
+    the edge list is support-thresholded (sparse at every corpus
+    size); each round's exchanges carry only edge/node keys, and the
+    shrinking survivor sets are localCheckpointed so no round replays
+    the pair join."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
+    )
+    po = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = po.alias("a"), po.alias("b")
+    support = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    e = support.where(F.col("cnt") >= 2).select("u", "v")
+    e = e.localCheckpoint(eager=True)
+
+    def degrees(edges: DataFrame) -> DataFrame:
+        return (
+            edges.select(F.col("u").alias("node"))
+            .unionAll(edges.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+
+    rounds = []
+    d = degrees(e)
+    rounds.append(
+        d.agg(F.count(F.lit(1)).alias("n_nodes")).crossJoin(
+            e.agg(F.count(F.lit(1)).alias("n_edges"))
+        ).select(F.lit(0).alias("round"), "n_nodes", "n_edges")
+    )
+    cur = e
+    for r in range(1, 5):
+        alive = degrees(cur).where(F.col("d") >= 3).select("node")
+        cur = (
+            cur.join(alive.withColumnRenamed("node", "u"), "u", "semi")
+            .join(alive.withColumnRenamed("node", "v"), "v", "semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        rounds.append(
+            alive.agg(F.count(F.lit(1)).alias("n_nodes")).crossJoin(
+                cur.agg(F.count(F.lit(1)).alias("n_edges"))
+            ).select(F.lit(r).alias("round"), "n_nodes", "n_edges")
+        )
+    out = rounds[0]
+    for rdf in rounds[1:]:
+        out = out.unionAll(rdf)
+    return out

@@ -1150,3 +1150,246 @@ def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "runs",
         (F.expr(_RUNS_Z) + F.lit(0.0)).alias("z"),
     )
+
+
+@query(
+    "agg_iqr_outliers",
+    oracle="""
+    WITH base AS (
+        SELECT l_returnflag AS flag,
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS pc
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+    ),
+    per AS (
+        SELECT flag, pc, CAST(count(*) AS BIGINT) AS cnt
+        FROM base GROUP BY flag, pc
+    ),
+    cum AS (
+        SELECT flag, pc, cnt,
+               CAST(SUM(cnt) OVER (PARTITION BY flag
+                                   ORDER BY pc) AS BIGINT) AS cw,
+               CAST(SUM(cnt) OVER (PARTITION BY flag)
+                    AS BIGINT) AS n
+        FROM per
+    ),
+    q AS (
+        SELECT flag, n,
+               MIN(CASE WHEN 4 * cw >= n THEN pc END) AS q1,
+               MIN(CASE WHEN 4 * cw >= 3 * n THEN pc END) AS q3
+        FROM cum GROUP BY flag, n
+    ),
+    census AS (
+        SELECT p.flag, q.n, q.q1, q.q3,
+               CAST(SUM(CASE WHEN 2 * p.pc < 2 * q.q1 - 3 * (q.q3 - q.q1)
+                             THEN p.cnt ELSE 0 END) AS BIGINT) AS n_low,
+               CAST(SUM(CASE WHEN 2 * p.pc > 2 * q.q3 + 3 * (q.q3 - q.q1)
+                             THEN p.cnt ELSE 0 END) AS BIGINT) AS n_high
+        FROM per p JOIN q ON q.flag = p.flag
+        GROUP BY p.flag, q.n, q.q1, q.q3
+    )
+    SELECT flag, n AS n_rows, q1 AS q1_cents, q3 AS q3_cents,
+           n_low, n_high
+    FROM census
+    """,
+)
+def agg_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier census per return flag — the boxplot rule
+    (beyond q1 − 1.5·IQR / q3 + 1.5·IQR) that data-quality dashboards
+    run before trusting a mean.  ZERO floating point anywhere: exact
+    lower quartiles via the integer-rank predicate (4·cw ≥ n /
+    4·cw ≥ 3n, the agg_percentile_exact construction), and the
+    half-unit fence compare doubles both sides — 2·pc vs 2·q1 − 3·IQR
+    — so the 1.5 factor never leaves int64 (the agg_ks_test
+    cross-multiplication discipline).  The census evaluates on the
+    COLLAPSED (flag, value, cnt) table (Σ cnt·predicate), so the
+    corpus is read once and shuffles once.  Shuffle shape: one
+    map-side-combined (flag, pc) groupBy, one flag window, and a
+    |flags|-row quartile join-back that AQE broadcasts (unhinted —
+    the r10 hint rule).  Overflow: 2·pc ≤ 2e7, 2q1+3·IQR ≤ 1e8 —
+    nowhere near the cliff."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.where(
+        F.col("l_extendedprice").isNotNull()
+        & F.col("l_returnflag").isNotNull()
+    ).select(
+        F.col("l_returnflag").alias("flag"),
+        money_units(F.col("l_extendedprice"), 2).alias("pc"),
+    )
+    per = base.groupBy("flag", "pc").agg(F.count(F.lit(1)).alias("cnt"))
+    w_run = Window.partitionBy("flag").orderBy("pc")
+    w_all = Window.partitionBy("flag")
+    cum = per.select(
+        "flag", "pc", "cnt",
+        F.sum("cnt").over(w_run).alias("cw"),
+        F.sum("cnt").over(w_all).alias("n"),
+    ).localCheckpoint(eager=True)  # consumed twice (quartiles + census)
+    q = cum.groupBy("flag", "n").agg(
+        F.min(
+            F.when(4 * F.col("cw") >= F.col("n"), F.col("pc"))
+        ).alias("q1"),
+        F.min(
+            F.when(4 * F.col("cw") >= 3 * F.col("n"), F.col("pc"))
+        ).alias("q3"),
+    )
+    census = (
+        cum.select("flag", "pc", "cnt")
+        .join(q, "flag")
+        .groupBy("flag", "n", "q1", "q3")
+        .agg(
+            F.sum(
+                F.when(
+                    2 * F.col("pc")
+                    < 2 * F.col("q1") - 3 * (F.col("q3") - F.col("q1")),
+                    F.col("cnt"),
+                ).otherwise(0)
+            ).alias("n_low"),
+            F.sum(
+                F.when(
+                    2 * F.col("pc")
+                    > 2 * F.col("q3") + 3 * (F.col("q3") - F.col("q1")),
+                    F.col("cnt"),
+                ).otherwise(0)
+            ).alias("n_high"),
+        )
+    )
+    return census.select(
+        "flag",
+        F.col("n").alias("n_rows"),
+        F.col("q1").alias("q1_cents"),
+        F.col("q3").alias("q3_cents"),
+        "n_low",
+        "n_high",
+    )
+
+
+# Wilcoxon signed-rank z from exact integers: w2 = 2W+ via the
+# 2·midrank = 2·|smaller| + ties + 1 identity (always integer), and
+# 16·variance = (2n(n+1)(2n+1) − Σ(t³−t)) / 3 — so
+# z = (2·w2 − n(n+1)) / sqrt((2n(n+1)(2n+1) − tsum) / 3), one double
+# tree whose casts start from exact sums (sqrt snap 8, z snap 4).
+_WSR_DEN = snap_sql(
+    "sqrt((2.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)"
+    " * (2.0 * CAST(n AS DOUBLE) + 1.0) - CAST(tsum AS DOUBLE)) / 3.0)", 8
+)
+_WSR_Z = snap_sql(
+    f"(2.0 * CAST(w2 AS DOUBLE)"
+    f" - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) / ({_WSR_DEN})", 4
+)
+
+
+@query(
+    "agg_wilcoxon_signed_rank",
+    oracle=f"""
+    WITH base AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id,
+               CAST(round(value * 100, 0) AS BIGINT) AS vc
+        FROM events
+        WHERE event_type = 'purchase' AND ts IS NOT NULL
+              AND value IS NOT NULL AND user_id IS NOT NULL
+              AND event_id IS NOT NULL
+    ),
+    diffs AS (
+        SELECT user_id,
+               vc - LAG(vc) OVER (PARTITION BY user_id
+                                  ORDER BY us, event_id, vc) AS d
+        FROM base
+    ),
+    nz AS (
+        SELECT user_id, abs(d) AS ad, (d > 0) AS pos
+        FROM diffs WHERE d IS NOT NULL AND d <> 0
+    ),
+    per AS (
+        SELECT user_id, ad, CAST(count(*) AS BIGINT) AS cnt,
+               CAST(count(*) FILTER (pos) AS BIGINT) AS cntp
+        FROM nz GROUP BY user_id, ad
+    ),
+    cum AS (
+        SELECT user_id, ad, cnt, cntp,
+               CAST(COALESCE(SUM(cnt) OVER (PARTITION BY user_id
+                        ORDER BY ad
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) AS less
+        FROM per
+    ),
+    g AS (
+        SELECT user_id,
+               CAST(SUM(CAST(cntp AS HUGEINT)
+                        * (2 * less + cnt + 1)) AS BIGINT) AS w2,
+               CAST(SUM(cnt) AS BIGINT) AS n,
+               CAST(SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt)
+                    AS BIGINT) AS tsum
+        FROM cum GROUP BY user_id
+    )
+    SELECT user_id, n AS n_pairs, w2, {_WSR_Z} + 0 AS z
+    FROM g WHERE n >= 2
+    """,
+)
+def agg_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on each user's consecutive purchase
+    differences — the nonparametric is-spend-drifting test (paired
+    companion to agg_mannwhitney's two-sample U): zero differences
+    dropped (the textbook convention, same predicate both sides),
+    |d| midranks via 2·midrank = 2·|smaller| + ties + 1 (always
+    integer), so w2 = 2W⁺ = Σ 2·midrank over positive differences is
+    EXACT, as is the tie sum Σ(t³−t); z evaluates
+    (2w2 − n(n+1)) / sqrt((2n(n+1)(2n+1) − tsum)/3) in ONE shared
+    double tree (sqrt snap 8, z snap 4, +0).  Signed-rank variance
+    can never be tie-killed (all-tied gives 3n(n+1)² > 0), so the
+    only guard is n ≥ 2.  Internal rank/tie sums go DECIMAL(38,0)/
+    HUGEINT (the agg_stats pattern); exposed w2 ≤ n(n+1) binds the
+    BIGINT output at ~3e9 pairs/user, tsum's double cast is
+    snap-absorbed past its 2^63 crossing (~2.1e6 tied pairs at one
+    value — the ADVICE r8 1-ulp seam note).  Shuffle shape: raw
+    events shuffle ONCE (user lag window); the (user,|d|) collapse
+    and the per-user midrank window exchange only collapsed
+    |user × distinct-|d|| partial rows."""
+    ev = load_table(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase")
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull()
+    ).select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        money_units(F.col("value"), 2).alias("vc"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id", "vc")
+    diffs = ev.select(
+        "user_id", (F.col("vc") - F.lag("vc").over(w)).alias("d")
+    )
+    nz = diffs.where(F.col("d").isNotNull() & (F.col("d") != 0)).select(
+        "user_id", F.abs("d").alias("ad"), (F.col("d") > 0).alias("pos")
+    )
+    per = nz.groupBy("user_id", "ad").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("long")
+        .alias("cntp"),
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ad")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = per.select(
+        "user_id", "ad", "cnt", "cntp",
+        F.coalesce(F.sum("cnt").over(wrun), F.lit(0)).alias("less"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    g = cum.groupBy("user_id").agg(
+        F.sum(dec(F.col("cntp")) * (2 * F.col("less") + F.col("cnt") + 1))
+        .cast("long")
+        .alias("w2"),
+        F.sum("cnt").alias("n"),
+        F.sum(dec(F.col("cnt")) * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("long")
+        .alias("tsum"),
+    )
+    return g.where(F.col("n") >= 2).select(
+        "user_id",
+        F.col("n").alias("n_pairs"),
+        "w2",
+        (F.expr(_WSR_Z) + F.lit(0.0)).alias("z"),
+    )

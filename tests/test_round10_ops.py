@@ -244,3 +244,119 @@ def test_triangles_matches_bruteforce(spark, sf_dir):
     assert r.n_triangles == tri
     expected_cc = 3.0 * tri / max(wedges, 1)
     assert abs(r.clustering - expected_cc) < TOL
+
+
+def test_iqr_outliers_matches_bruteforce(spark, sf_dir):
+    from hadoop_fixedlengthinputformat_spark.operators.stats_extras import (
+        agg_iqr_outliers,
+    )
+
+    rows = pq.read_table(f"{sf_dir}/lineitem.parquet").to_pylist()
+    by: dict[str, list[int]] = {}
+    for r in rows:
+        if r["l_extendedprice"] is not None and r["l_returnflag"] is not None:
+            by.setdefault(r["l_returnflag"], []).append(
+                round(r["l_extendedprice"] * 100)
+            )
+    got = {r.flag: r for r in agg_iqr_outliers(spark, sf_dir).collect()}
+    assert set(got) == set(by)
+    for flag, vs in by.items():
+        vs.sort()
+        n = len(vs)
+        # lower quartile = smallest value whose running count reaches
+        # ceil(p*n) — index ceil(p*n)-1
+        q1 = vs[-(-n // 4) - 1]
+        q3 = vs[-(-3 * n // 4) - 1]
+        iqr = q3 - q1
+        n_low = sum(1 for v in vs if 2 * v < 2 * q1 - 3 * iqr)
+        n_high = sum(1 for v in vs if 2 * v > 2 * q3 + 3 * iqr)
+        r = got[flag]
+        assert (r.n_rows, r.q1_cents, r.q3_cents) == (n, q1, q3)
+        assert (r.n_low, r.n_high) == (n_low, n_high)
+
+
+def test_wilcoxon_signed_rank_matches_bruteforce(spark, sf_dir):
+    from hadoop_fixedlengthinputformat_spark.operators.stats_extras import (
+        agg_wilcoxon_signed_rank,
+    )
+
+    series = _purchase_series(sf_dir)
+    expect: dict[int, tuple[int, int, float]] = {}
+    for uid, vs in series.items():
+        ds = [vs[i] - vs[i - 1] for i in range(1, len(vs))]
+        ds = [d for d in ds if d != 0]
+        n = len(ds)
+        if n < 2:
+            continue
+        # midranks of |d|
+        order = sorted(range(n), key=lambda i: abs(ds[i]))
+        ranks = [0.0] * n
+        i = 0
+        while i < n:
+            j = i
+            while j < n and abs(ds[order[j]]) == abs(ds[order[i]]):
+                j += 1
+            mid = (i + 1 + j) / 2.0  # average of ranks i+1..j
+            for t in range(i, j):
+                ranks[order[t]] = mid
+            i = j
+        w_plus = sum(r for r, d in zip(ranks, ds) if d > 0)
+        mu = n * (n + 1) / 4.0
+        # tie-corrected variance
+        from collections import Counter
+
+        ties = Counter(abs(d) for d in ds)
+        tsum = sum(t**3 - t for t in ties.values())
+        var = n * (n + 1) * (2 * n + 1) / 24.0 - tsum / 48.0
+        z = (w_plus - mu) / math.sqrt(var)
+        expect[uid] = (n, round(2 * w_plus), z)
+    assert len(expect) > 5
+    got = {
+        r.user_id: r
+        for r in agg_wilcoxon_signed_rank(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expect)
+    for uid, (n, w2, z) in expect.items():
+        r = got[uid]
+        assert (r.n_pairs, r.w2) == (n, w2)
+        assert abs(r.z - z) < TOL
+
+
+def test_kcore_peel_matches_bruteforce(spark, sf_dir):
+    from hadoop_fixedlengthinputformat_spark.operators.analytics_extras import (
+        graph_kcore_peel,
+    )
+
+    rows = _bip_edges(sf_dir)
+    by_order: dict[int, set[int]] = {}
+    for r in rows:
+        if r["l_orderkey"] is not None and r["l_partkey"] is not None:
+            by_order.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    support: dict[tuple[int, int], int] = {}
+    for parts in by_order.values():
+        for u, v in itertools.combinations(sorted(parts), 2):
+            support[(u, v)] = support.get((u, v), 0) + 1
+    edges = {e for e, c in support.items() if c >= 2}
+    assert edges
+
+    def degs(es):
+        d: dict[int, int] = {}
+        for u, v in es:
+            d[u] = d.get(u, 0) + 1
+            d[v] = d.get(v, 0) + 1
+        return d
+
+    expect = []
+    cur = edges
+    d = degs(cur)
+    expect.append((0, len(d), len(cur)))
+    for rnd in range(1, 5):
+        d = degs(cur)
+        alive = {n for n, k in d.items() if k >= 3}
+        cur = {(u, v) for u, v in cur if u in alive and v in alive}
+        expect.append((rnd, len(alive), len(cur)))
+    got = sorted(
+        (r.round, r.n_nodes, r.n_edges)
+        for r in graph_kcore_peel(spark, sf_dir).collect()
+    )
+    assert got == expect

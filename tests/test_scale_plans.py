@@ -1385,3 +1385,66 @@ def test_graph_triangles_no_forced_broadcast_and_pruned_scan(spark):
     ).select("l_orderkey", "l_partkey").distinct()
     scan = li._jdf.queryExecution().executedPlan().toString()
     assert "l_extendedprice" not in scan  # pruned to the 2 used columns
+
+
+def test_iqr_outliers_one_corpus_exchange_unhinted(spark):
+    """agg_iqr_outliers (round-10 second wave): one map-side-combined
+    (flag, value) corpus groupBy inside the checkpointed cum table; no
+    forced hints; the quartile join-back broadcasts via AQE."""
+    from hadoop_fixedlengthinputformat_spark.operators.stats_extras import (
+        agg_iqr_outliers,
+    )
+
+    df = agg_iqr_outliers(spark, "/root/testdata/sf0.001")
+    assert "ResolvedHint" not in df._jdf.queryExecution().analyzed().toString()
+    df.collect()
+    plan = (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "FileScan parquet" not in plan  # corpus enters via checkpoint
+
+
+def test_wilcoxon_raw_events_shuffle_once(spark):
+    """agg_wilcoxon_signed_rank (round-10 second wave): raw events
+    shuffle exactly ONCE (the user lag window); the (user,|d|) collapse
+    and midrank window exchanges carry only collapsed partial rows
+    (map-side HashAggregate beneath them)."""
+    from hadoop_fixedlengthinputformat_spark.operators.stats_extras import (
+        agg_wilcoxon_signed_rank,
+    )
+
+    df = agg_wilcoxon_signed_rank(spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    lines = plan.splitlines()
+    scans_under_exchange = 0
+    for i, l in enumerate(lines):
+        if "Exchange hashpartitioning" in l:
+            below = "\n".join(lines[i : i + 4])
+            if "FileScan parquet" in below or "Scan parquet" in below:
+                scans_under_exchange += 1
+    assert scans_under_exchange <= 1, plan
+
+
+def test_kcore_peel_no_hints_and_checkpointed_rounds(spark):
+    """graph_kcore_peel (round-10 second wave): no forced hints; every
+    peel round consumes the PREVIOUS round's checkpointed edge set
+    (Scan ExistingRDD), so no round replays the pair join."""
+    from hadoop_fixedlengthinputformat_spark.operators.analytics_extras import (
+        graph_kcore_peel,
+    )
+
+    df = graph_kcore_peel(spark, "/root/testdata/sf0.001")
+    assert "ResolvedHint" not in df._jdf.queryExecution().analyzed().toString()
+    rows = df.collect()
+    assert len(rows) == 5
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the visible plan must read only checkpointed RDDs, never parquet
+    assert "FileScan parquet" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
