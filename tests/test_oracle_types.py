@@ -82,3 +82,32 @@ def test_no_engine_divergent_oracle_output_types(con):
         "(CAST AS BIGINT/DOUBLE/TIMESTAMP on the oracle side): "
         f"{offenders}"
     )
+
+
+def test_no_oracle_cte_scan_explosion(con):
+    """Round-10 rule (CLAUDE.md): DuckDB 1.0 inlines CTEs per reference,
+    so an oracle whose CTEs chain AND are referenced repeatedly
+    re-evaluates base scans combinatorially — graph_kcore_peel's
+    unrolled peel re-ran its pair join 2^4 times (invisible at sf0.01,
+    a >15-min hang at sf1) until its CTEs went MATERIALIZED.  Gate:
+    no oracle plan may contain more than 16 parquet scans (the current
+    honest maximum — TPC-H multi-table joins plus bounded reuse);
+    exponential re-inlining blows past any fixed bound immediately."""
+    registry.load_all()
+    offenders: dict[str, int] = {}
+    for name, sql in registry.ORACLES.items():
+        try:
+            plan = "\n".join(
+                str(r[-1]) for r in con.execute("EXPLAIN " + sql).fetchall()
+            )
+        except Exception as exc:  # noqa: BLE001
+            if "No files found" in str(exc) or "does not exist" in str(exc):
+                continue
+            raise
+        nscan = plan.count("READ_PARQUET") + plan.count("PARQUET_SCAN")
+        if nscan > 16:
+            offenders[name] = nscan
+    assert not offenders, (
+        "oracle CTE re-inlining explosion — add AS MATERIALIZED to "
+        f"multiply-referenced CTEs: {offenders}"
+    )
