@@ -21,6 +21,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from hadoop_fixedlengthinputformat_spark.functions import text
 from hadoop_fixedlengthinputformat_spark.functions.num import snap_sql
 from hadoop_fixedlengthinputformat_spark.registry import query
 from hadoop_fixedlengthinputformat_spark.tables import load_table
@@ -279,4 +280,85 @@ def llm_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_words", "n_sents", "n_syll",
         (F.expr(_READ_FRE) + F.lit(0.0)).alias("flesch_ease"),
         (F.expr(_READ_FKGL) + F.lit(0.0)).alias("fk_grade"),
+    )
+
+
+_CONF_RECALL = snap_sql(
+    "CAST(n_docs AS DOUBLE) / CAST(n_actual AS DOUBLE)", 4
+)
+_CONF_PREC = snap_sql(
+    "CAST(n_docs AS DOUBLE) / CAST(n_pred AS DOUBLE)", 4
+)
+
+
+@query(
+    "llm_lang_confusion",
+    oracle=f"""
+    WITH pred AS (
+        SELECT lang AS actual_lang,
+               CASE WHEN vr < 0.20 THEN 'zh'
+                    WHEN vr < 0.24 THEN 'de'
+                    WHEN vr < 0.28 THEN 'en'
+                    WHEN vr < 0.32 THEN 'es'
+                    ELSE 'fr' END AS predicted_lang
+        FROM (
+            SELECT lang,
+                   len(regexp_replace(lower(text), '[^aeiou]', '', 'g'))
+                       / greatest(len(text), 1) AS vr
+            FROM documents WHERE lang IS NOT NULL
+        )
+    ),
+    cells AS (
+        SELECT actual_lang, predicted_lang,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM pred GROUP BY actual_lang, predicted_lang
+    )
+    SELECT actual_lang, predicted_lang, n_docs,
+           {_CONF_RECALL} + 0 AS recall,
+           {_CONF_PREC} + 0 AS precision
+    FROM (
+        SELECT actual_lang, predicted_lang, n_docs,
+               CAST(SUM(n_docs) OVER (PARTITION BY actual_lang)
+                    AS BIGINT) AS n_actual,
+               CAST(SUM(n_docs) OVER (PARTITION BY predicted_lang)
+                    AS BIGINT) AS n_pred
+        FROM cells
+    )
+    """,
+)
+def llm_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix with per-class recall and
+    precision — the evaluation half of llm_lang_id (the classifier
+    eval every curation pipeline runs before trusting a lang filter).
+    Prediction semantics are REUSED verbatim from llm_lang_id
+    (text.lang_id_heuristic; NULL text falls through to the ELSE
+    class — stated, same CASE both sides); NULL actual labels are
+    excluded on both sides.  Counts are exact; recall/precision are
+    single divisions of int64-exact casts over the |langs|²-cell
+    aggregate, snapped to 4 (+0).  Shuffle shape: ONE
+    map-side-combined (actual, predicted) groupBy; the two class
+    windows run on the ≤|langs|² cell table — never on the corpus."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("lang").isNotNull()
+    )
+    pred = d.select(
+        F.col("lang").alias("actual_lang"),
+        text.lang_id_heuristic("text").alias("predicted_lang"),
+    )
+    cells = pred.groupBy("actual_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    from pyspark.sql import Window
+
+    w_a = Window.partitionBy("actual_lang")
+    w_p = Window.partitionBy("predicted_lang")
+    sized = cells.select(
+        "actual_lang", "predicted_lang", "n_docs",
+        F.sum("n_docs").over(w_a).alias("n_actual"),
+        F.sum("n_docs").over(w_p).alias("n_pred"),
+    )
+    return sized.select(
+        "actual_lang", "predicted_lang", "n_docs",
+        (F.expr(_CONF_RECALL) + F.lit(0.0)).alias("recall"),
+        (F.expr(_CONF_PREC) + F.lit(0.0)).alias("precision"),
     )

@@ -13,6 +13,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from hadoop_fixedlengthinputformat_spark.functions.num import snap_sql
 from hadoop_fixedlengthinputformat_spark.registry import query
 from hadoop_fixedlengthinputformat_spark.tables import load_table
 
@@ -926,3 +927,159 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for rdf in rounds[1:]:
         out = out.unionAll(rdf)
     return out
+
+
+_CN_JACC = snap_sql(
+    "CAST(common AS DOUBLE) / CAST(du + dv - common AS DOUBLE)", 4
+)
+# the oracle-side twin names the joined tables explicitly (lateral
+# output-alias reuse differs across engines)
+_CN_JACC_ORACLE = snap_sql(
+    "CAST(COALESCE(c.common, 0) AS DOUBLE)"
+    " / CAST(du.d + dv.d - COALESCE(c.common, 0) AS DOUBLE)", 4
+)
+
+
+@query(
+    "graph_common_neighbors",
+    oracle=f"""
+    WITH po AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+    ),
+    support AS MATERIALIZED (
+        SELECT a.p AS u, b.p AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM po a JOIN po b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p
+    ),
+    e AS MATERIALIZED (SELECT u, v FROM support WHERE cnt >= 2),
+    deg AS MATERIALIZED (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+        GROUP BY node
+    ),
+    eo AS MATERIALIZED (
+        SELECT CASE WHEN du.d <= dv.d THEN e.u ELSE e.v END AS s,
+               CASE WHEN du.d <= dv.d THEN dv.d ELSE du.d END AS dd,
+               CASE WHEN du.d <= dv.d THEN e.v ELSE e.u END AS t
+        FROM e
+        JOIN deg du ON du.node = e.u
+        JOIN deg dv ON dv.node = e.v
+    ),
+    tri AS MATERIALIZED (
+        SELECT e1.s AS x, e1.t AS y, e2.t AS z
+        FROM eo e1
+        JOIN eo e2 ON e1.s = e2.s
+             AND (e1.dd < e2.dd OR (e1.dd = e2.dd AND e1.t < e2.t))
+        JOIN eo e3 ON e3.s = e1.t AND e3.t = e2.t
+    ),
+    contrib AS MATERIALIZED (
+        SELECT least(x, y) AS u, greatest(x, y) AS v FROM tri
+        UNION ALL SELECT least(x, z), greatest(x, z) FROM tri
+        UNION ALL SELECT least(y, z), greatest(y, z) FROM tri
+    ),
+    common_cnt AS MATERIALIZED (
+        SELECT u, v, CAST(COUNT(*) AS BIGINT) AS common
+        FROM contrib GROUP BY u, v
+    )
+    SELECT e.u, e.v, du.d AS du, dv.d AS dv,
+           COALESCE(c.common, 0) AS common,
+           {_CN_JACC_ORACLE} + 0 AS jaccard
+    FROM e
+    JOIN deg du ON du.node = e.u
+    JOIN deg dv ON dv.node = e.v
+    LEFT JOIN common_cnt c ON c.u = e.u AND c.v = e.v
+    """,
+)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge common-neighbor count and neighborhood Jaccard over the
+    co-purchase graph — THE classical link-prediction / community
+    features, computed the skew-safe way: common(u,v) = triangles
+    through the edge, enumerated with the SAME degree-oriented wedge
+    join as graph_triangles (fan-out ≤ out-deg² with out-deg O(√m)),
+    then each triangle contributes to its three canonical (min,max)
+    edges and a groupBy sums contributions.  Jaccard uses the stated
+    convention |N(u)∩N(v)| / (deg(u)+deg(v)−common) on closed
+    neighborhood sizes — one double division of int64-exact casts,
+    snapped to 4 (+0), bounded in [0,1].  Zero-triangle edges appear
+    with common = 0 via the left join (COALESCE'd on both sides,
+    round-4 rule).  All equi-joins, no hints; the edge list and
+    triangle table are localCheckpointed (each consumed 3+ times)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
+    )
+    po = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = po.alias("a"), po.alias("b")
+    support = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    e = support.where(F.col("cnt") >= 2).select("u", "v")
+    e = e.localCheckpoint(eager=True)
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=True)  # consumed 3x (orientation + 2 joins)
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    eo = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(F.col("du") <= F.col("dv"), F.col("u"))
+            .otherwise(F.col("v"))
+            .alias("s"),
+            F.when(F.col("du") <= F.col("dv"), F.col("dv"))
+            .otherwise(F.col("du"))
+            .alias("dd"),
+            F.when(F.col("du") <= F.col("dv"), F.col("v"))
+            .otherwise(F.col("u"))
+            .alias("t"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    e1 = eo.select(F.col("s"), F.col("dd").alias("dd1"), F.col("t").alias("t1"))
+    e2 = eo.select(F.col("s"), F.col("dd").alias("dd2"), F.col("t").alias("t2"))
+    closing = eo.select(F.col("s").alias("t1"), F.col("t").alias("t2"))
+    tri = (
+        e1.join(e2, "s")
+        .where(
+            (F.col("dd1") < F.col("dd2"))
+            | ((F.col("dd1") == F.col("dd2")) & (F.col("t1") < F.col("t2")))
+        )
+        .join(closing, ["t1", "t2"])
+        .select(F.col("s").alias("x"), F.col("t1").alias("y"), F.col("t2").alias("z"))
+        .localCheckpoint(eager=True)  # consumed 3x (one per edge of the triangle)
+    )
+    contrib = (
+        tri.select(F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v"))
+        .unionAll(
+            tri.select(F.least("x", "z").alias("u"), F.greatest("x", "z").alias("v"))
+        )
+        .unionAll(
+            tri.select(F.least("y", "z").alias("u"), F.greatest("y", "z").alias("v"))
+        )
+    )
+    common_cnt = contrib.groupBy("u", "v").agg(
+        F.count(F.lit(1)).alias("common")
+    )
+    out = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .join(common_cnt, ["u", "v"], "left")
+        .select(
+            "u", "v", "du", "dv",
+            F.coalesce(F.col("common"), F.lit(0)).alias("common"),
+        )
+    )
+    return out.select(
+        "u", "v", "du", "dv", "common",
+        (F.expr(_CN_JACC) + F.lit(0.0)).alias("jaccard"),
+    )

@@ -1488,3 +1488,100 @@ def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("max_dd_frac"),
     )
+
+
+@query(
+    "ts_sma_crossover",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id,
+               CAST(round(value * 100, 0) AS BIGINT) AS vc
+        FROM events
+        WHERE event_type = 'purchase' AND ts IS NOT NULL
+              AND value IS NOT NULL AND user_id IS NOT NULL
+              AND event_id IS NOT NULL
+    ),
+    fr AS (
+        SELECT user_id, us, event_id, vc,
+               CAST(COUNT(*) OVER w10 AS BIGINT) AS n10,
+               CAST(SUM(vc) OVER w3 AS BIGINT) AS s3,
+               CAST(SUM(vc) OVER w10 AS BIGINT) AS s10
+        FROM base
+        WINDOW w3 AS (PARTITION BY user_id ORDER BY us, event_id, vc
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+               w10 AS (PARTITION BY user_id ORDER BY us, event_id, vc
+                       ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    ),
+    sig AS (
+        SELECT user_id, us, event_id, vc, s3, s10,
+               CASE WHEN 10 * s3 > 3 * s10 THEN 1
+                    WHEN 10 * s3 < 3 * s10 THEN -1 ELSE 0 END AS side,
+               LAG(CASE WHEN 10 * s3 > 3 * s10 THEN 1
+                        WHEN 10 * s3 < 3 * s10 THEN -1 ELSE 0 END)
+                   OVER (PARTITION BY user_id
+                         ORDER BY us, event_id, vc) AS prev_side
+        FROM fr WHERE n10 = 10
+    )
+    SELECT user_id, us, event_id, vc, s3, s10,
+           CASE WHEN side = 1 THEN 'golden' ELSE 'death' END AS cross_type
+    FROM sig
+    WHERE prev_side IS NOT NULL AND side <> 0 AND prev_side <> side
+          AND prev_side <> 0
+    """,
+)
+def ts_sma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-average crossover detector (golden/death cross of the
+    3- vs 10-purchase simple averages) per user — the classical trend
+    signal, with ZERO floating point: avg₃ vs avg₁₀ cross-multiplies
+    to 10·s3 vs 3·s10, side ∈ {−1,0,+1} is an
+    integer CASE, and a crossover is a lag-compare sign flip — every
+    predicate exact int64 on both engines.  Ties (10·s3 = 3·s10) are a
+    NEUTRAL side that ends a streak without emitting a cross (stated
+    convention, same CASE both sides; a cross requires prev and cur
+    strictly opposite non-zero sides).  Frames shorter than 10 are
+    excluded by the integer n10 predicate.  The two frame sums and the
+    lag share ONE user-keyed exchange and ONE sort (identical
+    partition + order keys).  Overflow: 3·s10 ≤ 30·vc_max ~ 1.2e6 —
+    nowhere near any cliff."""
+    ev = load_table(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase")
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull()
+    ).select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        money_units(F.col("value"), 2).alias("vc"),
+    )
+    order = ["us", "event_id", "vc"]
+    w3 = Window.partitionBy("user_id").orderBy(*order).rowsBetween(-2, 0)
+    w10 = Window.partitionBy("user_id").orderBy(*order).rowsBetween(-9, 0)
+    fr = ev.select(
+        "user_id", "us", "event_id", "vc",
+        F.count(F.lit(1)).over(w10).alias("n10"),
+        F.sum("vc").over(w3).alias("s3"),
+        F.sum("vc").over(w10).alias("s10"),
+    )
+    side = (
+        F.when(10 * F.col("s3") > 3 * F.col("s10"), 1)
+        .when(10 * F.col("s3") < 3 * F.col("s10"), -1)
+        .otherwise(0)
+    )
+    w_lag = Window.partitionBy("user_id").orderBy(*order)
+    sig = fr.where(F.col("n10") == 10).select(
+        "user_id", "us", "event_id", "vc", "s3", "s10",
+        side.alias("side"),
+        F.lag(side).over(w_lag).alias("prev_side"),
+    )
+    return sig.where(
+        F.col("prev_side").isNotNull()
+        & (F.col("side") != 0)
+        & (F.col("prev_side") != 0)
+        & (F.col("prev_side") != F.col("side"))
+    ).select(
+        "user_id", "us", "event_id", "vc", "s3", "s10",
+        F.when(F.col("side") == 1, "golden").otherwise("death")
+        .alias("cross_type"),
+    )

@@ -360,3 +360,109 @@ def test_kcore_peel_matches_bruteforce(spark, sf_dir):
         for r in graph_kcore_peel(spark, sf_dir).collect()
     )
     assert got == expect
+
+
+def test_sma_crossover_matches_bruteforce(spark, sf_dir):
+    from hadoop_fixedlengthinputformat_spark.operators.timeseries import (
+        ts_sma_crossover,
+    )
+
+    series = _purchase_series(sf_dir)
+    expect = []
+    for uid, vs in series.items():
+        sides = []
+        for t in range(9, len(vs)):
+            s3 = sum(vs[t - 2 : t + 1])
+            s10 = sum(vs[t - 9 : t + 1])
+            side = (
+                1 if 10 * s3 > 3 * s10 else (-1 if 10 * s3 < 3 * s10 else 0)
+            )
+            sides.append((t, s3, s10, side))
+        for i in range(1, len(sides)):
+            t, s3, s10, side = sides[i]
+            prev = sides[i - 1][3]
+            if side != 0 and prev != 0 and prev != side:
+                expect.append(
+                    (uid, vs[t], s3, s10, "golden" if side == 1 else "death")
+                )
+    got = sorted(
+        (r.user_id, r.vc, r.s3, r.s10, r.cross_type)
+        for r in ts_sma_crossover(spark, sf_dir).collect()
+    )
+    assert got == sorted(expect)
+    assert got  # 15 crosses at sf0.001 (non-vacuous)
+
+
+def test_lang_confusion_matches_bruteforce(spark, sf_dir):
+    from hadoop_fixedlengthinputformat_spark.functions.quality_extras import (
+        llm_lang_confusion,
+    )
+
+    rows = pq.read_table(f"{sf_dir}/documents.parquet").to_pylist()
+    cells: dict[tuple[str, str], int] = {}
+    for r in rows:
+        if r["lang"] is None:
+            continue
+        t = r["text"]
+        if t is None:
+            vr = None
+        else:
+            low = t.lower()
+            vr = sum(1 for ch in low if ch in "aeiou") / max(len(t), 1)
+        if vr is not None and vr < 0.20:
+            p = "zh"
+        elif vr is not None and vr < 0.24:
+            p = "de"
+        elif vr is not None and vr < 0.28:
+            p = "en"
+        elif vr is not None and vr < 0.32:
+            p = "es"
+        else:
+            p = "fr"  # incl. NULL text falling through every WHEN
+        cells[(r["lang"], p)] = cells.get((r["lang"], p), 0) + 1
+    n_actual: dict[str, int] = {}
+    n_pred: dict[str, int] = {}
+    for (a, p), n in cells.items():
+        n_actual[a] = n_actual.get(a, 0) + n
+        n_pred[p] = n_pred.get(p, 0) + n
+    got = {
+        (r.actual_lang, r.predicted_lang): r
+        for r in llm_lang_confusion(spark, sf_dir).collect()
+    }
+    assert set(got) == set(cells)
+    for key, n in cells.items():
+        r = got[key]
+        assert r.n_docs == n
+        assert abs(r.recall - n / n_actual[key[0]]) < TOL
+        assert abs(r.precision - n / n_pred[key[1]]) < TOL
+
+
+def test_common_neighbors_matches_bruteforce(spark, sf_dir):
+    from hadoop_fixedlengthinputformat_spark.operators.analytics_extras import (
+        graph_common_neighbors,
+    )
+
+    rows = _bip_edges(sf_dir)
+    by_order: dict[int, set[int]] = {}
+    for r in rows:
+        if r["l_orderkey"] is not None and r["l_partkey"] is not None:
+            by_order.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    support: dict[tuple[int, int], int] = {}
+    for parts in by_order.values():
+        for u, v in itertools.combinations(sorted(parts), 2):
+            support[(u, v)] = support.get((u, v), 0) + 1
+    edges = {e for e, c in support.items() if c >= 2}
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    got = {
+        (r.u, r.v): r for r in graph_common_neighbors(spark, sf_dir).collect()
+    }
+    assert set(got) == edges
+    for u, v in edges:
+        common = len(adj[u] & adj[v])
+        du, dv = len(adj[u]), len(adj[v])
+        r = got[(u, v)]
+        assert (r.du, r.dv, r.common) == (du, dv, common)
+        assert abs(r.jaccard - common / (du + dv - common)) < TOL

@@ -1448,3 +1448,63 @@ def test_kcore_peel_no_hints_and_checkpointed_rounds(spark):
     # the visible plan must read only checkpointed RDDs, never parquet
     assert "FileScan parquet" not in plan, plan
     assert "Scan ExistingRDD" in plan, plan
+
+
+def test_sma_crossover_single_sort_single_exchange(spark):
+    """ts_sma_crossover (round-10 second wave): both frame sums and the
+    side lag share ONE user_id exchange and ONE sort (identical
+    partition + order keys across all three windows)."""
+    from hadoop_fixedlengthinputformat_spark.operators.timeseries import (
+        ts_sma_crossover,
+    )
+
+    df = ts_sma_crossover(spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert sum(1 for l in plan.splitlines() if " Sort " in l) == 1, plan
+    assert (
+        sum(1 for l in plan.splitlines() if "Exchange hash" in l) == 1
+    ), plan
+
+
+def test_lang_confusion_corpus_aggregates_before_windows(spark):
+    """llm_lang_confusion (round-10 second wave): the corpus collapses
+    through ONE map-side-combined (actual, predicted) groupBy; the two
+    class windows run on the <= |langs|^2 cell table (every window
+    exchange sits above a partial HashAggregate, never a parquet
+    scan)."""
+    from hadoop_fixedlengthinputformat_spark.functions.quality_extras import (
+        llm_lang_confusion,
+    )
+
+    df = llm_lang_confusion(spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    lines = plan.splitlines()
+    for i, l in enumerate(lines):
+        if "Exchange hashpartitioning" in l:
+            below = "\n".join(lines[i : i + 4])
+            assert "FileScan parquet" not in below, below
+
+
+def test_common_neighbors_checkpointed_no_hints(spark):
+    """graph_common_neighbors (round-10 second wave): no forced hints;
+    the visible plan consumes checkpointed edge/triangle RDDs, never a
+    parquet re-scan."""
+    from hadoop_fixedlengthinputformat_spark.operators.analytics_extras import (
+        graph_common_neighbors,
+    )
+
+    df = graph_common_neighbors(spark, "/root/testdata/sf0.001")
+    assert "ResolvedHint" not in df._jdf.queryExecution().analyzed().toString()
+    rows = df.collect()
+    assert len(rows) > 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan parquet" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
