@@ -113,6 +113,23 @@ def soak_ann(spark, sf_dir: str) -> dict:
     return res
 
 
+def soak_queries(spark, sf_dir: str, names: list[str]) -> dict:
+    """Generic registered-query timing soak: warm once, then time one
+    build+count (build included so eager localCheckpoints are paid in
+    the measurement — the round-10 lesson).  Correctness at the large
+    roll stays `python tests/parity.py <sf_dir> <names>`."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    res: dict = {"family": "queries", "sf_dir": sf_dir}
+    for n in names:
+        qs[n](spark, sf_dir).count()  # warm the scan + JIT
+        t0 = time.perf_counter()
+        c = qs[n](spark, sf_dir).count()
+        res[n] = {"sec": round(time.perf_counter() - t0, 2), "rows": c}
+    return res
+
+
 def main() -> None:
     from hadoop_fixedlengthinputformat_spark.tables import get_session
 
@@ -126,6 +143,9 @@ def main() -> None:
         print(json.dumps(soak_mm(spark, sf_dir)))
     if which in ("ann", "all"):
         print(json.dumps(soak_ann(spark, sf_dir)))
+    if which not in ("mm", "ann", "all"):
+        # anything else = comma-separated registered query names
+        print(json.dumps(soak_queries(spark, sf_dir, which.split(","))))
 
 
 if __name__ == "__main__":
