@@ -702,3 +702,117 @@ def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("global_s") - F.col("latest_s")).alias("staleness_s"),
         ((F.col("global_s") - F.col("latest_s")) > 86400).alias("is_stale"),
     )
+
+
+_DRIFT_RATE = "CAST({n} AS DOUBLE) / CAST(greatest({d}, 1) AS DOUBLE)"
+_DRIFT_MEAN = snap_sql(
+    "CAST(sum_{h} AS DOUBLE) / CAST(greatest(n_val_{h}, 1) AS DOUBLE)", 4
+)
+
+
+@query(
+    "dq_drift",
+    oracle=f"""
+    WITH span AS (
+        SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi
+        FROM events WHERE ts IS NOT NULL
+    ),
+    tagged AS (
+        SELECT e.event_type,
+               CASE WHEN epoch_us(e.ts) * 2 <= s.lo + s.hi
+                    THEN 0 ELSE 1 END AS half,
+               e.value
+        FROM events e, span s
+        WHERE e.ts IS NOT NULL AND e.event_type IS NOT NULL
+    ),
+    per AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_b,
+               CAST(SUM(CASE WHEN half = 0 AND value IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_val_a,
+               CAST(SUM(CASE WHEN half = 1 AND value IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_val_b,
+               CAST(SUM(CASE WHEN half = 0
+                             THEN CAST(round(value * 100, 0) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS sum_a,
+               CAST(SUM(CASE WHEN half = 1
+                             THEN CAST(round(value * 100, 0) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS sum_b
+        FROM tagged GROUP BY event_type
+    )
+    SELECT event_type, n_a, n_b, n_val_a, n_val_b,
+           floor(({_DRIFT_RATE.format(n="n_val_a", d="n_a")}) * 10000
+                 + 0.5) / 10000 + 0 AS val_rate_a,
+           floor(({_DRIFT_RATE.format(n="n_val_b", d="n_b")}) * 10000
+                 + 0.5) / 10000 + 0 AS val_rate_b,
+           {_DRIFT_MEAN.format(h="a")} + 0 AS mean_cents_a,
+           {_DRIFT_MEAN.format(h="b")} + 0 AS mean_cents_b
+    FROM per
+    """,
+)
+def dq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal drift audit: the stream is split at the epoch MIDPOINT
+    of its observed span (integer compare 2·t ≤ lo + hi — no division,
+    no median machinery) and each event type's volume, value-presence
+    rate, and mean cent value are profiled in BOTH halves side by
+    side — the schema/content-drift check a pipeline runs before
+    trusting "same as last month" (the dq_audit / dq_freshness
+    companion).  Counts and cent sums are exact int64; the two rates
+    and two means are single divisions with greatest(x,1) denominators
+    (round-4 ANSI ÷0 rule), snapped to 4 (+0); means are per-row-unit
+    bounded so snapping is magnitude-safe.  Shuffle shape: one 1-row
+    global span aggregate joined in (AQE broadcast, unhinted), then
+    ONE map-side-combined event_type groupBy — the corpus shuffles
+    once, as |types| conditional-sum partials."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    ).select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "value",
+    )
+    span = ev.agg(
+        F.min("us").alias("lo"), F.max("us").alias("hi")
+    )
+    tagged = ev.crossJoin(span).select(
+        "event_type",
+        F.when(2 * F.col("us") <= F.col("lo") + F.col("hi"), 0)
+        .otherwise(1)
+        .alias("half"),
+        "value",
+    )
+    vc = money_units(F.col("value"), 2)
+    per = tagged.groupBy("event_type").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(
+            F.when((F.col("half") == 0) & F.col("value").isNotNull(), 1)
+            .otherwise(0)
+        ).alias("n_val_a"),
+        F.sum(
+            F.when((F.col("half") == 1) & F.col("value").isNotNull(), 1)
+            .otherwise(0)
+        ).alias("n_val_b"),
+        F.sum(F.when(F.col("half") == 0, vc).otherwise(0)).alias("sum_a"),
+        F.sum(F.when(F.col("half") == 1, vc).otherwise(0)).alias("sum_b"),
+    )
+    rate = lambda n, d: (  # noqa: E731
+        F.floor(
+            F.col(n).cast("double")
+            / F.greatest(F.col(d), F.lit(1)).cast("double")
+            * 10000
+            + F.lit(0.5)
+        )
+        / 10000
+        + F.lit(0.0)
+    )
+    return per.select(
+        "event_type", "n_a", "n_b", "n_val_a", "n_val_b",
+        rate("n_val_a", "n_a").alias("val_rate_a"),
+        rate("n_val_b", "n_b").alias("val_rate_b"),
+        (F.expr(_DRIFT_MEAN.format(h="a")) + F.lit(0.0)).alias("mean_cents_a"),
+        (F.expr(_DRIFT_MEAN.format(h="b")) + F.lit(0.0)).alias("mean_cents_b"),
+    )

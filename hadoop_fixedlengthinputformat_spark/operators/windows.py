@@ -305,3 +305,84 @@ def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
         """
     )
+
+
+@query(
+    "win_islands",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id,
+               CAST(round(value * 100, 0) AS BIGINT) AS vc
+        FROM events
+        WHERE event_type = 'purchase' AND ts IS NOT NULL
+              AND value IS NOT NULL AND user_id IS NOT NULL
+              AND event_id IS NOT NULL
+    ),
+    marked AS (
+        SELECT user_id, us, event_id, vc,
+               CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY us, event_id, vc) AS BIGINT) AS rn,
+               CASE WHEN vc >= 5000 THEN 1 ELSE 0 END AS hi
+        FROM base
+    ),
+    hi_only AS (
+        SELECT user_id, us, event_id, vc, rn,
+               rn - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY us, event_id, vc) AS BIGINT) AS island
+        FROM marked WHERE hi = 1
+    )
+    SELECT user_id, island AS island_key,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(rn) AS start_rn, MAX(rn) AS end_rn,
+           CAST(SUM(vc) AS BIGINT) AS island_cents,
+           MAX(vc) AS peak_cents
+    FROM hi_only
+    GROUP BY user_id, island
+    HAVING COUNT(*) >= 2
+    """,
+)
+def win_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE high-value
+    purchases (>= 50.00) per user, via the classical rn − rn'
+    difference technique — rows in one unbroken run share
+    (global row_number − within-predicate row_number), which is the
+    island key.  The canonical streak/outage/uptime SQL pattern, all
+    exact integers (count, span, cent sum, peak per island; islands
+    shorter than 2 dropped by an integer HAVING on both sides).
+    Total order (us, event_id, vc) pins both rank windows on
+    duplicate-id rolls.  ONE user-keyed exchange: both row_number
+    windows and the island groupBy share the user partitioning (the
+    second window sorts the filtered subset in place — no new
+    exchange; plan-pinned)."""
+    ev = load_table(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase")
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull()
+    ).select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        (F.round(F.col("value") * 100, 0)).cast("long").alias("vc"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id", "vc")
+    marked = ev.select(
+        "user_id", "us", "event_id", "vc",
+        F.row_number().over(w).cast("long").alias("rn"),
+    ).where(F.col("vc") >= 5000)
+    hi = marked.select(
+        "user_id", "vc", "rn",
+        (F.col("rn") - F.row_number().over(w).cast("long")).alias("island"),
+    )
+    return (
+        hi.groupBy("user_id", F.col("island").alias("island_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("rn").alias("start_rn"),
+            F.max("rn").alias("end_rn"),
+            F.sum("vc").alias("island_cents"),
+            F.max("vc").alias("peak_cents"),
+        )
+        .where(F.col("n_events") >= 2)
+    )

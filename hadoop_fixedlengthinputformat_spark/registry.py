@@ -64,18 +64,19 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # (llm_exact_dedup, llm_minhash_near_dedup, llm_dup_clusters).
 #
 # R11 WINDOW PLAN (VERDICT r9 #6 — keep the rotation mechanical): the
-# never-driver-graded backlog leads (the ADVICE r9 #2 rule): the 16
+# never-driver-graded backlog leads (the ADVICE r9 #2 rule): the 19
 # round-10 additions (agg_winsorized_mean, fn_geo, ts_rolling_slope,
 # then the second wave: ts_durbin_watson, ts_stochastic_osc,
 # ts_max_drawdown, agg_runs_test, llm_readability, graph_degree_stats,
 # graph_triangles, agg_iqr_outliers, agg_wilcoxon_signed_rank,
 # graph_kcore_peel, ts_sma_crossover, llm_lang_confusion,
-# graph_common_neighbors), then the 6 deferred r2 LLM names
-# (llm_contamination_check, llm_knn_cosine, llm_ngram_jaccard,
-# llm_pii_redact, llm_repetition_score, llm_stratified_sample), then
-# the r3 vintage (TPC-H suite, encoding/skip scans, UDF surface — all
-# stale at r11 since 11-3 >= 5) fills the remaining 28 slots; the
-# rest of r3 plus the r4 vintage (44 names) compose r12.  Staleness rule (enforced by
+# graph_common_neighbors, win_islands, ts_rolling_median, dq_drift),
+# then the 6 deferred r2 LLM names (llm_contamination_check,
+# llm_knn_cosine, llm_ngram_jaccard, llm_pii_redact,
+# llm_repetition_score, llm_stratified_sample), then the r3 vintage
+# (TPC-H suite, encoding/skip scans, UDF surface — all stale at r11
+# since 11-3 >= 5) fills the remaining 25 slots; the rest of r3 plus
+# the r4 vintage (44 names) compose r12.  Staleness rule (enforced by
 # tests/test_registry_order.py::test_window_regrades_only_known_reds
 # _or_stale_greens): a green may re-enter the window once its last
 # grade is >= 5 rounds behind the upcoming round.

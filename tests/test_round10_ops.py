@@ -466,3 +466,96 @@ def test_common_neighbors_matches_bruteforce(spark, sf_dir):
         r = got[(u, v)]
         assert (r.du, r.dv, r.common) == (du, dv, common)
         assert abs(r.jaccard - common / (du + dv - common)) < TOL
+
+
+def test_islands_matches_bruteforce(spark, sf_dir):
+    from hadoop_fixedlengthinputformat_spark.operators.windows import (
+        win_islands,
+    )
+
+    series = _purchase_series(sf_dir)
+    expect = []
+    for uid, vs in series.items():
+        run = []
+        for i, v in enumerate(vs):
+            if v >= 5000:
+                run.append((i + 1, v))  # rn is 1-based
+            else:
+                if len(run) >= 2:
+                    expect.append(
+                        (uid, len(run), run[0][0], run[-1][0],
+                         sum(r[1] for r in run), max(r[1] for r in run))
+                    )
+                run = []
+        if len(run) >= 2:
+            expect.append(
+                (uid, len(run), run[0][0], run[-1][0],
+                 sum(r[1] for r in run), max(r[1] for r in run))
+            )
+    got = sorted(
+        (r.user_id, r.n_events, r.start_rn, r.end_rn, r.island_cents,
+         r.peak_cents)
+        for r in win_islands(spark, sf_dir).collect()
+    )
+    assert got == sorted(expect)
+    assert got  # 17 islands at sf0.001
+
+
+def test_rolling_median_matches_bruteforce(spark, sf_dir):
+    from hadoop_fixedlengthinputformat_spark.operators.timeseries import (
+        ts_rolling_median,
+    )
+
+    series = _purchase_series(sf_dir)
+    expect = {}
+    for uid, vs in series.items():
+        for t in range(14, len(vs)):
+            frame = sorted(vs[t - 14 : t + 1])
+            expect[(uid, t)] = frame[7]  # exact 8th smallest of 15
+    assert expect
+    got = ts_rolling_median(spark, sf_dir).collect()
+    assert len(got) == len(expect)
+    by_user: dict[int, list] = {}
+    for r in sorted(got, key=lambda r: (r.user_id, r.us, r.event_id, r.vc)):
+        by_user.setdefault(r.user_id, []).append(r)
+    for uid, rs in by_user.items():
+        vs = series[uid]
+        for r, t in zip(rs, range(14, len(vs))):
+            assert r.vc == vs[t]
+            assert r.med15 == expect[(uid, t)]
+
+
+def test_dq_drift_matches_bruteforce(spark, sf_dir):
+    from hadoop_fixedlengthinputformat_spark.operators.relational_extras import (
+        dq_drift,
+    )
+
+    rows = pq.read_table(f"{sf_dir}/events.parquet").to_pylist()
+    evs = [
+        (
+            r["event_type"],
+            int(r["ts"].replace(tzinfo=timezone.utc).timestamp() * 1e6),
+            r["value"],
+        )
+        for r in rows
+        if r["ts"] is not None and r["event_type"] is not None
+    ]
+    lo = min(t for _, t, _ in evs)
+    hi = max(t for _, t, _ in evs)
+    agg: dict[str, list[int]] = {}
+    for et, t, v in evs:
+        a = agg.setdefault(et, [0, 0, 0, 0, 0, 0])
+        h = 0 if 2 * t <= lo + hi else 1
+        a[h] += 1
+        if v is not None:
+            a[2 + h] += 1
+            a[4 + h] += round(v * 100)
+    got = {r.event_type: r for r in dq_drift(spark, sf_dir).collect()}
+    assert set(got) == set(agg)
+    for et, (na, nb, nva, nvb, sa, sb) in agg.items():
+        r = got[et]
+        assert (r.n_a, r.n_b, r.n_val_a, r.n_val_b) == (na, nb, nva, nvb)
+        assert abs(r.val_rate_a - nva / max(na, 1)) < TOL
+        assert abs(r.val_rate_b - nvb / max(nb, 1)) < TOL
+        assert abs(r.mean_cents_a - sa / max(nva, 1)) < TOL
+        assert abs(r.mean_cents_b - sb / max(nvb, 1)) < TOL

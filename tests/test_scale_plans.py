@@ -1508,3 +1508,67 @@ def test_common_neighbors_checkpointed_no_hints(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "FileScan parquet" not in plan, plan
     assert "Scan ExistingRDD" in plan, plan
+
+
+def test_islands_single_exchange(spark):
+    """win_islands (round-10 second wave): both rank windows and the
+    island groupBy share ONE user_id exchange (the second window sorts
+    the filtered subset in place)."""
+    from hadoop_fixedlengthinputformat_spark.operators.windows import (
+        win_islands,
+    )
+
+    df = win_islands(spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert (
+        sum(1 for l in plan.splitlines() if "Exchange hash" in l) == 1
+    ), plan
+
+
+def test_rolling_median_single_sort_single_exchange(spark):
+    """ts_rolling_median (round-10 second wave): the collect+sort frame
+    median is ONE window — one user exchange, one sort, no join, no
+    Python."""
+    from hadoop_fixedlengthinputformat_spark.operators.timeseries import (
+        ts_rolling_median,
+    )
+
+    df = ts_rolling_median(spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert sum(1 for l in plan.splitlines() if " Sort " in l) == 1, plan
+    assert (
+        sum(1 for l in plan.splitlines() if "Exchange hash" in l) == 1
+    ), plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dq_drift_one_corpus_exchange_broadcast_span(spark):
+    """dq_drift (round-10 second wave): the 1-row span joins via AQE
+    broadcast (unhinted), and the corpus shuffles once as |types|
+    conditional-sum partials (map-side HashAggregate under the one
+    hash exchange)."""
+    from hadoop_fixedlengthinputformat_spark.operators.relational_extras import (
+        dq_drift,
+    )
+
+    df = dq_drift(spark, "/root/testdata/sf0.001")
+    assert "ResolvedHint" not in df._jdf.queryExecution().analyzed().toString()
+    df.collect()
+    plan = (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    lines = plan.splitlines()
+    hashex = [i for i, l in enumerate(lines) if "Exchange hashpartitioning" in l]
+    assert len(hashex) == 1, plan
+    below = "\n".join(lines[hashex[0] : hashex[0] + 4])
+    assert "HashAggregate" in below and "partial" in below.lower(), below
