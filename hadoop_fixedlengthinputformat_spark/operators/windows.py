@@ -16,6 +16,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from hadoop_fixedlengthinputformat_spark.functions.num import money_units
 from hadoop_fixedlengthinputformat_spark.registry import query
 from hadoop_fixedlengthinputformat_spark.tables import load_table
 
@@ -350,10 +351,17 @@ def win_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integers (count, span, cent sum, peak per island; islands
     shorter than 2 dropped by an integer HAVING on both sides).
     Total order (us, event_id, vc) pins both rank windows on
-    duplicate-id rolls.  ONE user-keyed exchange: both row_number
-    windows and the island groupBy share the user partitioning (the
-    second window sorts the filtered subset in place — no new
-    exchange; plan-pinned)."""
+    duplicate-id rolls.  Rows tying on ALL of (us, event_id, vc) are
+    IDENTICAL in every column this query reads, so whichever intra-tie
+    order each engine picks, the rn sequence assigns the same rn
+    VALUES to the same row CONTENTS and the rn − rn' difference (both
+    windows ordered by the same key over nested row sets) yields the
+    same island partition of identical rows — the same
+    identical-row-invariance argument as agg_runs_test (ADVICE r10
+    asked for this to be stated).  ONE user-keyed exchange: both
+    row_number windows and the island groupBy share the user
+    partitioning (the second window sorts the filtered subset in
+    place — no new exchange; plan-pinned)."""
     ev = load_table(spark, sf_dir, "events").where(
         (F.col("event_type") == "purchase")
         & F.col("ts").isNotNull()
@@ -364,7 +372,7 @@ def win_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
         "event_id",
-        (F.round(F.col("value") * 100, 0)).cast("long").alias("vc"),
+        money_units(F.col("value"), 2).alias("vc"),
     )
     w = Window.partitionBy("user_id").orderBy("us", "event_id", "vc")
     marked = ev.select(

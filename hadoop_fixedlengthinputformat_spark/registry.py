@@ -63,84 +63,94 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # (20), the r2 scans/sinks (17), and the dedup core of the r2 LLM head
 # (llm_exact_dedup, llm_minhash_near_dedup, llm_dup_clusters).
 #
-# R11 WINDOW PLAN (VERDICT r9 #6 — keep the rotation mechanical): the
-# never-driver-graded backlog leads (the ADVICE r9 #2 rule): the 19
-# round-10 additions (agg_winsorized_mean, fn_geo, ts_rolling_slope,
-# then the second wave: ts_durbin_watson, ts_stochastic_osc,
-# ts_max_drawdown, agg_runs_test, llm_readability, graph_degree_stats,
-# graph_triangles, agg_iqr_outliers, agg_wilcoxon_signed_rank,
-# graph_kcore_peel, ts_sma_crossover, llm_lang_confusion,
-# graph_common_neighbors, win_islands, ts_rolling_median, dq_drift),
-# then the 6 deferred r2 LLM names (llm_contamination_check,
-# llm_knn_cosine, llm_ngram_jaccard, llm_pii_redact,
-# llm_repetition_score, llm_stratified_sample), then the r3 vintage
-# (TPC-H suite, encoding/skip scans, UDF surface — all stale at r11
-# since 11-3 >= 5) fills the remaining 25 slots; the rest of r3 plus
-# the r4 vintage (44 names) compose r12.  Staleness rule (enforced by
-# tests/test_registry_order.py::test_window_regrades_only_known_reds
-# _or_stale_greens): a green may re-enter the window once its last
-# grade is >= 5 rounds behind the upcoming round.
+# ROUND 11 WINDOW (this list's first 50), per VERDICT r10 #1 — the
+# composition planned last round, applied verbatim: (a) the 19
+# round-10 additions that have never been driver-graded lead (the
+# ADVICE r9 #2 rule: never-graded backlog ahead of vintage re-grades);
+# (b) the 6 deferred r2 LLM names close the r2 ladder; (c) 25
+# r3-vintage stale greens fill the rest — the 20 r3 TPC-H queries
+# (q12 is r6 vintage and stays out) plus the 5-query UDF surface.
+# After r11, ever-driver-graded coverage closes to 366/366.
+#
+# R12 WINDOW PLAN (VERDICT r10 #8 — keep the rotation mechanical):
+# the never-graded backlog (any round-11 additions) leads, then the
+# remaining 23 r3-vintage names — tpch_q12_priority_shipping is r6,
+# so the r3 tail is: fn_epoch, fn_math, join_interval_bucketed,
+# maintain_fixedlen_analyze, maintain_fixedlen_compact, merge_scd2,
+# pipeline_fixedlen_composite, scan_fixedlen_binint,
+# scan_fixedlen_corrupt_quarantine, scan_fixedlen_ebcdic,
+# scan_fixedlen_hive_partitioned, scan_fixedlen_implied,
+# scan_fixedlen_linesep, scan_fixedlen_multitype,
+# scan_fixedlen_observed, scan_fixedlen_occurs, scan_fixedlen_packed,
+# scan_fixedlen_skiprecs, scan_fixedlen_stats_pruned,
+# scan_fixedlen_zoned, sink_fixedlen_ebcdic, sql_fixedlen_view,
+# stream_fixedlen_directory (23) — then r4-vintage names (44 total,
+# oldest-first) fill the remaining slots; the r4 tail plus the r6
+# vintage (stale at r13 since 13-6 >= 5, ~60 names) compose r13.
+# Staleness rule (enforced by tests/test_registry_order.py::
+# test_window_regrades_only_known_reds_or_stale_greens): a green may
+# re-enter the window once its last grade is >= 5 rounds behind the
+# upcoming round.
 GRADE_ORDER: tuple[str, ...] = (
-    # --- never-driver-graded r9 additions (VERDICT r9 #1, ADVICE #2) ---
-    "sink_fixedlen_xz",
-    "mm_image_phash",
-    "ts_seasonal_hour",
-    "ts_peak_detect",
-    "agg_mutual_info",
-    "agg_percentile_exact",
-    "ts_mad_outliers",
-    # --- last 3 r1-vintage freshness re-grades ---
-    "win_ntile_first_last",
-    "win_cume_dist",
-    "win_range_interval",
-    # --- r2-vintage freshness re-grades: fn_* scalar family (20) ---
-    "fn_string",
-    "fn_date",
-    "fn_conditional",
-    "fn_cast",
-    "fn_array",
-    "fn_explode",
-    "fn_map",
-    "fn_json",
-    "fn_regex",
-    "fn_struct",
-    "fn_sequence",
-    "fn_bitwise",
-    "fn_hash",
-    "fn_string_extras",
-    "fn_array_lambda",
-    "fn_struct_withfield",
-    "fn_format",
-    "fn_variant",
-    "fn_sql_udf",
-    "fn_xml",
-    # --- r2-vintage: scans/sinks (17) ---
-    "scan_fixedlen",
-    "scan_fixedlen_wide",
-    "scan_fixedlen_key_offset",
-    "scan_fixedlen_key_slice",
-    "scan_parquet",
-    "sink_parquet",
-    "sink_fixedlen",
-    "scan_fixedlen_gzip",
-    "sink_csv",
-    "sink_json",
-    "scan_binary_records_rdd",
-    "sink_orc",
-    "sink_parquet_partitioned",
-    "scan_fixedlen_pushdown",
-    "scan_fixedlen_pruned",
-    "scan_fixedlen_directory",
-    "sink_fixedlen_gzip",
-    # --- r2-vintage: LLM dedup core (3 of 9; rest lead r11) ---
-    "llm_exact_dedup",
-    "llm_minhash_near_dedup",
-    "llm_dup_clusters",
+    # --- never-driver-graded r10 additions (VERDICT r10 #1) ---
+    "agg_winsorized_mean",
+    "fn_geo",
+    "ts_rolling_slope",
+    "ts_durbin_watson",
+    "ts_stochastic_osc",
+    "ts_max_drawdown",
+    "agg_runs_test",
+    "llm_readability",
+    "graph_degree_stats",
+    "graph_triangles",
+    "agg_iqr_outliers",
+    "agg_wilcoxon_signed_rank",
+    "graph_kcore_peel",
+    "ts_sma_crossover",
+    "llm_lang_confusion",
+    "graph_common_neighbors",
+    "win_islands",
+    "ts_rolling_median",
+    "dq_drift",
+    # --- the 6 deferred r2 LLM names (close the r2 ladder) ---
+    "llm_contamination_check",
+    "llm_knn_cosine",
+    "llm_ngram_jaccard",
+    "llm_pii_redact",
+    "llm_repetition_score",
+    "llm_stratified_sample",
+    # --- r3-vintage freshness re-grades: TPC-H suite (20; q12 is r6) ---
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_parts",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_count",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_orders",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_excess_share",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_global_sales",
+    # --- r3-vintage: the UDF surface (5) ---
+    "udf_scalar_pandas",
+    "udf_arrow_scalar",
+    "udaf_grouped_agg",
+    "udtf_fixed_decode",
+    "udf_grouped_map",
 )
-# The window is GRADE_ORDER[:50] = 7 never-graded + 3 r1 + 40 r2
-# re-grades.  After r10, never-driver-graded coverage is 347/347 and
-# the oldest remaining vintages are the 6 deferred r2 LLM names and
-# the r3 block (see R11 WINDOW PLAN above).
+# The window is GRADE_ORDER[:50] = 19 never-graded + 6 r2 + 25 r3
+# re-grades.  After r11, never-driver-graded coverage is 366/366 and
+# the oldest remaining vintages are the r3 tail and the r4 block
+# (see R12 WINDOW PLAN above).
 
 
 def _reorder() -> None:

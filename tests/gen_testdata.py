@@ -299,24 +299,51 @@ def gen(
     print(f"wrote alt testdata (seed={seed}) to {out}")
 
 
-if __name__ == "__main__":
+USAGE = (
+    "usage: python tests/gen_testdata.py [OUT_DIR] [SEED] "
+    "[--scale N] [--ns-events] [--ns-dates] [--nulls] [--ties] "
+    "[--flat-emb]"
+)
+
+
+def parse_argv(argv: list) -> dict:
+    """Parse the CLI.  Any unrecognized ``-``-prefixed token is an
+    ERROR, never an output path — round 10 committed a 4.3 MB parquet
+    directory literally named ``--help/`` because a typo'd flag fell
+    through to the positional OUT_DIR slot (VERDICT r10 finding #1)."""
     flags = {"--ns-events", "--ns-dates", "--nulls", "--ties", "--flat-emb"}
-    argv = sys.argv[1:]
+    argv = list(argv)
     scale = SCALE
     if "--scale" in argv:
         i = argv.index("--scale")
         scale = int(argv[i + 1])
         del argv[i : i + 2]
+    opts = {f.lstrip("-").replace("-", "_"): (f in argv) for f in flags}
     args = [a for a in argv if a not in flags]
-    out = args[0] if args else "/tmp/alt_testdata"
-    seed = int(args[1]) if len(args) > 1 else 20260813
+    bad = [a for a in args if a.startswith("-")]
+    if bad:
+        raise SystemExit(
+            f"unrecognized option(s): {' '.join(bad)}\n{USAGE}"
+        )
+    return {
+        "out": args[0] if args else "/tmp/alt_testdata",
+        "seed": int(args[1]) if len(args) > 1 else 20260813,
+        "scale": scale,
+        **opts,
+    }
+
+
+if __name__ == "__main__":
+    if "--help" in sys.argv or "-h" in sys.argv:
+        raise SystemExit(USAGE)
+    p = parse_argv(sys.argv[1:])
     gen(
-        out,
-        seed,
-        ns_events="--ns-events" in argv,
-        ns_dates="--ns-dates" in argv,
-        nulls="--nulls" in argv,
-        ties="--ties" in argv,
-        flat_emb="--flat-emb" in argv,
-        scale=scale,
+        p["out"],
+        p["seed"],
+        ns_events=p["ns_events"],
+        ns_dates=p["ns_dates"],
+        nulls=p["nulls"],
+        ties=p["ties"],
+        flat_emb=p["flat_emb"],
+        scale=p["scale"],
     )

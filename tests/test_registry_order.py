@@ -23,30 +23,28 @@ def test_grade_order_applied_and_complete():
     assert names[: len(registry.GRADE_ORDER)] == list(registry.GRADE_ORDER)
 
 
-def test_round10_window_composition():
+def test_round11_window_composition():
     registry.load_all()
     window = list(registry.QUERIES)[:50]
-    # the 7 never-driver-graded r9 additions lead (VERDICT r9 #1,
-    # ADVICE #2), closing ever-graded coverage to 347/347
-    assert window[:7] == [
-        "sink_fixedlen_xz",
-        "mm_image_phash",
-        "ts_seasonal_hour",
-        "ts_peak_detect",
-        "agg_mutual_info",
-        "agg_percentile_exact",
-        "ts_mad_outliers",
+    # the 19 never-driver-graded r10 additions lead (VERDICT r10 #1),
+    # closing ever-graded coverage to 366/366
+    assert window[0] == "agg_winsorized_mean"
+    assert window[18] == "dq_drift"
+    # then the 6 deferred r2 LLM names, closing the r2 ladder
+    assert window[19:25] == [
+        "llm_contamination_check",
+        "llm_knn_cosine",
+        "llm_ngram_jaccard",
+        "llm_pii_redact",
+        "llm_repetition_score",
+        "llm_stratified_sample",
     ]
-    # then the 3 remaining r1-vintage names, closing the r1 ladder
-    assert window[7:10] == [
-        "win_ntile_first_last",
-        "win_cume_dist",
-        "win_range_interval",
-    ]
-    # the other 40 slots are r2-vintage freshness re-grades: fn_*
-    # scalar family, scans/sinks, LLM dedup core
-    assert window[10] == "fn_string"
-    assert window[49] == "llm_dup_clusters"
+    # the other 25 slots are r3-vintage freshness re-grades: the 20 r3
+    # TPC-H queries (q12 is r6 vintage) and the 5-query UDF surface
+    assert window[25] == "tpch_q2_min_cost_supplier"
+    assert window[44] == "tpch_q22_global_sales"
+    assert window[49] == "udf_grouped_map"
+    assert "tpch_q12_priority_shipping" not in window
     # every window query has a full SQL oracle (strongest driver signal)
     missing = [n for n in window if n not in registry.ORACLES]
     assert not missing, f"window queries without oracle: {missing}"

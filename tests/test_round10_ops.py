@@ -108,7 +108,10 @@ def test_max_drawdown_matches_bruteforce(spark, sf_dir):
     got = {r.user_id: r for r in ts_max_drawdown(spark, sf_dir).collect()}
     assert set(got) == set(series)
     for uid, vs in series.items():
-        peak, max_dd, max_frac = 0, 0, 0.0
+        # peak starts from the FIRST element, matching the engine's
+        # running max (an init of 0 would silently assume non-negative
+        # cents and disagree on a negative-first-purchase roll)
+        peak, max_dd, max_frac = vs[0], 0, 0.0
         for v in vs:
             peak = max(peak, v)
             dd = peak - v

@@ -135,6 +135,28 @@ def main() -> None:
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
     which = sys.argv[2] if len(sys.argv) > 2 else "all"
+    if sf_dir.startswith("-"):
+        raise SystemExit(
+            f"sf_dir looks like an option, not a path: {sf_dir!r}\n"
+            "usage: python tools/soak_sf1.py [SF_DIR] [mm|ann|all|q1,q2,...]"
+        )
+    names: list = []
+    if which not in ("mm", "ann", "all"):
+        # anything else = comma-separated registered query names;
+        # validate against the registry UP FRONT so a typo of
+        # mm/ann/all fails with a clear message, not a KeyError
+        # mid-soak (ADVICE r10)
+        import __spark_entry__ as entry_mod
+
+        names = [n for n in which.split(",") if n]
+        unknown = sorted(set(names) - set(entry_mod.queries()))
+        if unknown:
+            raise SystemExit(
+                f"unknown query name(s): {', '.join(unknown)} — "
+                "expected 'mm', 'ann', 'all', or a comma-separated "
+                "list of registered query names (see "
+                "__spark_entry__.queries())"
+            )
     spark = get_session("soak-sf1", cpus=int(os.environ.get(
         "SPARK_GRAFT_CPUS", "32"
     )))
@@ -143,9 +165,8 @@ def main() -> None:
         print(json.dumps(soak_mm(spark, sf_dir)))
     if which in ("ann", "all"):
         print(json.dumps(soak_ann(spark, sf_dir)))
-    if which not in ("mm", "ann", "all"):
-        # anything else = comma-separated registered query names
-        print(json.dumps(soak_queries(spark, sf_dir, which.split(","))))
+    if names:
+        print(json.dumps(soak_queries(spark, sf_dir, names)))
 
 
 if __name__ == "__main__":
