@@ -78,7 +78,55 @@ HEADLINE = [
     # triangle counting (support-thresholded edges, wedge equi-joins,
     # checkpointed edge list).  Baseline = first measurement (BASELINE.md).
     "graph_triangles",
+    # round-11 addition (VERDICT r10 #3): the heaviest round-10
+    # second-wave op at sf1 (7.7 s, 3.1x at 10x input — the worst soak
+    # ratio of the round-10 tables, hence the one to watch).  Baseline
+    # = first measurement (BASELINE.md, round-11 table).
+    "agg_iqr_outliers",
 ]
+
+# Per-query baseline: (seconds, machine_factor at measurement), from
+# BASELINE.md.  BASELINE rows were recorded on boxes ranging mf
+# 0.64-1.0 while benches run at 0.78-0.82, so RAW ratios inherit ~20%
+# box swing (VERDICT r10 #4: the r10 "1.62x worst case" was mostly
+# calibration).  The 2x gate therefore evaluates on normalized values:
+# (sec / run_mf) vs (baseline_sec / baseline_mf).  Session-1 rows were
+# measured on the machine that DEFINES the calibration reference
+# (CALIBRATION_REF_SEC), i.e. mf 1.0.
+BASELINES: dict[str, tuple[float, float]] = {
+    # session-1 original 13 (mf 1.0 by construction)
+    "scan_fixedlen_wide": (0.68, 1.0),
+    "agg_groupby_hash": (0.96, 1.0),
+    "join_inner_hash": (0.51, 1.0),
+    "join_sort_merge": (0.45, 1.0),
+    "join_asof": (0.59, 1.0),
+    "win_running_sum": (0.33, 1.0),
+    "topk_per_group": (0.31, 1.0),
+    "udf_scalar_pandas": (0.53, 1.0),
+    "llm_exact_dedup": (0.19, 1.0),
+    "llm_minhash_near_dedup": (3.03, 1.0),
+    "llm_knn_cosine": (0.57, 1.0),
+    "llm_text_stats": (0.16, 1.0),
+    "llm_quality_score": (0.52, 1.0),
+    # session-1 late additions (mf 1.0)
+    "tpch_q5_local_supplier": (0.68, 1.0),
+    "subq_scalar_select": (0.25, 1.0),
+    "ts_gap_fill": (0.86, 1.0),
+    "llm_centroid_per_label": (0.16, 1.0),
+    # round-8 additions (measured at mf 0.686)
+    "pipeline_tape_to_corpus": (0.66, 0.686),
+    "scan_varlen_vbs": (0.51, 0.686),
+    "agg_count_min": (0.91, 0.686),
+    "llm_repeated_ngrams": (2.35, 0.686),
+    "llm_line_dedup": (1.07, 0.686),
+    # round-9 addition (mf 0.714)
+    "agg_spearman": (1.65, 0.714),
+    # round-10 additions (mf 0.663 / 0.640)
+    "agg_percentile_exact": (1.40, 0.663),
+    "graph_triangles": (2.46, 0.640),
+    # round-11 addition (mf 0.763 — BASELINE.md round-11 table)
+    "agg_iqr_outliers": (2.108, 0.763),
+}
 
 
 def force(df) -> None:
@@ -162,6 +210,21 @@ def main() -> None:
     cal_py = calibration_py(spark)
     machine_factor = round(cal / CALIBRATION_REF_SEC, 3)
     total = round(sum(timings.values()), 3)
+    mf = max(machine_factor, 1e-9)
+    # Machine-factor-normalized comparison (VERDICT r10 #4): each
+    # query's wall time divided by THIS run's machine factor, compared
+    # against its baseline divided by the baseline's machine factor.
+    # The 2x gate evaluates on these ratios, not raw seconds.
+    normalized = {n: round(v / mf, 3) for n, v in timings.items()}
+    ratios = {
+        n: round(normalized[n] / (BASELINES[n][0] / BASELINES[n][1]), 3)
+        for n in timings
+        if n in BASELINES
+    }
+    base_norm_total = sum(
+        BASELINES[n][0] / BASELINES[n][1] for n in timings if n in BASELINES
+    )
+    norm_total = round(sum(normalized.values()), 3)
     print(
         json.dumps(
             {
@@ -178,7 +241,17 @@ def main() -> None:
                 # produced BASELINE.md; divide per-query times by it
                 # before comparing against baseline
                 "machine_factor": machine_factor,
-                "normalized_total_sec": round(total / max(machine_factor, 1e-9), 3),
+                "normalized_total_sec": norm_total,
+                # per-query sec / machine_factor (comparable across boxes)
+                "normalized_queries": normalized,
+                # normalized-vs-normalized per-query ratio against the
+                # BASELINE.md row (recorded with ITS machine factor);
+                # the 2x gate reads these
+                "vs_baseline_normalized": ratios,
+                "baseline_normalized_total_sec": round(base_norm_total, 3),
+                "vs_baseline_normalized_total": round(
+                    norm_total / max(base_norm_total, 1e-9), 3
+                ),
             }
         )
     )

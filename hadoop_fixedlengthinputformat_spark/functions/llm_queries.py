@@ -54,7 +54,7 @@ def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM toks
         )
     ),
-    sig AS (
+    sig AS MATERIALIZED (
         SELECT doc_id,
                min(md5('0' || shingle)) AS mh_0, min(md5('1' || shingle)) AS mh_1,
                min(md5('2' || shingle)) AS mh_2, min(md5('3' || shingle)) AS mh_3,
@@ -62,7 +62,7 @@ def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                min(md5('6' || shingle)) AS mh_6, min(md5('7' || shingle)) AS mh_7
         FROM shingles GROUP BY doc_id
     ),
-    bands AS (
+    bands AS MATERIALIZED (
         SELECT doc_id, 0 AS band_idx, mh_0 || '|' || mh_1 AS band_val FROM sig
         UNION ALL SELECT doc_id, 1, mh_2 || '|' || mh_3 FROM sig
         UNION ALL SELECT doc_id, 2, mh_4 || '|' || mh_5 FROM sig
@@ -146,7 +146,7 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM toks
         )
     ),
-    sig AS (
+    sig AS MATERIALIZED (
         SELECT doc_id,
                min(md5('0' || shingle)) AS mh_0, min(md5('1' || shingle)) AS mh_1,
                min(md5('2' || shingle)) AS mh_2, min(md5('3' || shingle)) AS mh_3,
@@ -154,19 +154,19 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                min(md5('6' || shingle)) AS mh_6, min(md5('7' || shingle)) AS mh_7
         FROM shingles GROUP BY doc_id
     ),
-    bands AS (
+    bands AS MATERIALIZED (
         SELECT doc_id, 0 AS band_idx, mh_0 || '|' || mh_1 AS band_val FROM sig
         UNION ALL SELECT doc_id, 1, mh_2 || '|' || mh_3 FROM sig
         UNION ALL SELECT doc_id, 2, mh_4 || '|' || mh_5 FROM sig
         UNION ALL SELECT doc_id, 3, mh_6 || '|' || mh_7 FROM sig
     ),
-    pairs AS (
+    pairs AS MATERIALIZED (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
           ON a.band_idx = b.band_idx AND a.band_val = b.band_val
         WHERE a.doc_id < b.doc_id
     ),
-    sym AS (
+    sym AS MATERIALIZED (
         SELECT doc_a AS a, doc_b AS b FROM pairs
         UNION ALL SELECT doc_b, doc_a FROM pairs
     ),
@@ -1023,7 +1023,7 @@ _MINHASH_CANDIDATES_SQL = """
             FROM toks
         )
     ),
-    sig AS (
+    sig AS MATERIALIZED (
         SELECT doc_id,
                min(md5('0' || shingle)) AS mh_0, min(md5('1' || shingle)) AS mh_1,
                min(md5('2' || shingle)) AS mh_2, min(md5('3' || shingle)) AS mh_3,
@@ -1031,13 +1031,13 @@ _MINHASH_CANDIDATES_SQL = """
                min(md5('6' || shingle)) AS mh_6, min(md5('7' || shingle)) AS mh_7
         FROM shingles GROUP BY doc_id
     ),
-    bands AS (
+    bands AS MATERIALIZED (
         SELECT doc_id, 0 AS band_idx, mh_0 || '|' || mh_1 AS band_val FROM sig
         UNION ALL SELECT doc_id, 1, mh_2 || '|' || mh_3 FROM sig
         UNION ALL SELECT doc_id, 2, mh_4 || '|' || mh_5 FROM sig
         UNION ALL SELECT doc_id, 3, mh_6 || '|' || mh_7 FROM sig
     ),
-    cand AS (
+    cand AS MATERIALIZED (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
           ON a.band_idx = b.band_idx AND a.band_val = b.band_val
@@ -1262,7 +1262,7 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_MINHASH_CANDIDATES_SQL.replace("WITH toks", "WITH RECURSIVE toks")
     + """
     ,
-    sym AS (
+    sym AS MATERIALIZED (
         SELECT doc_a AS a, doc_b AS b FROM cand
         UNION ALL SELECT doc_b, doc_a FROM cand
     ),

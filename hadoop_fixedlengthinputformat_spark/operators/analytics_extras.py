@@ -181,17 +181,17 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PAGERANK_ORACLE = """
-WITH edges0 AS (
+WITH edges0 AS MATERIALIZED (
     SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
                     's' || CAST(l.l_suppkey AS VARCHAR) AS dst
     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 ),
-edges AS (
+edges AS MATERIALIZED (
     SELECT src, dst FROM edges0
     UNION ALL
     SELECT dst AS src, src AS dst FROM edges0
 ),
-deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY 1),
+deg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY 1),
 r0 AS (SELECT node, CAST(100000000 AS BIGINT) AS r FROM deg),
 it1 AS (
     SELECT e.dst AS node, 15000000 + (SUM(r.r // g.d) * 85) // 100 AS r
