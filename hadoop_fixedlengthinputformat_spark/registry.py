@@ -241,6 +241,7 @@ def load_all() -> None:
         tape_queries,
     )
     from hadoop_fixedlengthinputformat_spark.operators import (  # noqa: F401
+        robust_stats,
         stats_extras,
     )
 

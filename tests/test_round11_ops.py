@@ -7,11 +7,40 @@ brute-force pure-Python implementation and compared exactly.
 
 from __future__ import annotations
 
+import math
+
 import pyarrow.parquet as pq
 
 from hadoop_fixedlengthinputformat_spark.operators.analytics_extras import (
     graph_kcore_converged,
 )
+from hadoop_fixedlengthinputformat_spark.operators.robust_stats import (
+    agg_bartlett,
+    agg_bowley_skew,
+    agg_brown_forsythe,
+    agg_geometric_mean,
+    agg_trimmed_mean,
+)
+
+TOL = 2e-4  # both sides snap to 4 decimals
+
+
+def _price_groups(sf_dir: str, unit: str) -> dict[str, list[int]]:
+    """Per-flag extendedprice series: cents (round) or dollars (floor)."""
+    rows = pq.read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice"],
+    ).to_pylist()
+    by: dict[str, list[int]] = {}
+    for r in rows:
+        if r["l_returnflag"] is not None and r["l_extendedprice"] is not None:
+            v = (
+                round(r["l_extendedprice"] * 100)
+                if unit == "cents"
+                else math.floor(r["l_extendedprice"])
+            )
+            by.setdefault(r["l_returnflag"], []).append(v)
+    return by
 
 
 def _copurchase_edges(sf_dir: str) -> set[tuple[int, int]]:
@@ -73,3 +102,123 @@ def test_kcore_converged_is_a_fixpoint_beyond_four_rounds(spark, sf_dir):
     fix = _kcore(edges, 3)
     again = _kcore(fix, 3)
     assert again == fix
+
+
+def test_trimmed_mean_matches_bruteforce(spark, sf_dir):
+    groups = _price_groups(sf_dir, "cents")
+    got = {r.flag: r for r in agg_trimmed_mean(spark, sf_dir).collect()}
+    for flag, vs in groups.items():
+        vs = sorted(vs)
+        n = len(vs)
+        k = n // 10
+        if n - 2 * k <= 0:
+            assert flag not in got
+            continue
+        kept = vs[k : n - k]
+        r = got[flag]
+        assert r.n_rows == n and r.n_trim_each_side == k
+        assert abs(r.tmean_cents - sum(kept) / len(kept)) < TOL
+
+
+def test_geometric_mean_matches_bruteforce(spark, sf_dir):
+    groups = _price_groups(sf_dir, "cents")
+    got = {r.flag: r for r in agg_geometric_mean(spark, sf_dir).collect()}
+    for flag, vs in groups.items():
+        vs = [v for v in vs if v > 0]
+        if not vs:
+            continue
+        r = got[flag]
+        assert r.n_rows == len(vs)
+        gm = math.exp(sum(math.log(v) for v in vs) / len(vs))
+        # engine uses per-value ln snapped to 1e-8 units: tolerance is
+        # the snap noise plus the final 4-decimal snap
+        assert abs(r.gmean_cents - gm) / gm < 1e-6
+
+
+def _exact_quartile(vs_sorted, p, n):
+    # smallest value whose running count reaches ceil(p*n/100)
+    import bisect
+
+    target = -(-p * n // 100)  # ceil
+    return vs_sorted[target - 1]
+
+
+def test_bowley_skew_matches_bruteforce(spark, sf_dir):
+    groups = _price_groups(sf_dir, "cents")
+    got = {r.flag: r for r in agg_bowley_skew(spark, sf_dir).collect()}
+    for flag, vs in groups.items():
+        vs = sorted(vs)
+        n = len(vs)
+        q1 = _exact_quartile(vs, 25, n)
+        q2 = _exact_quartile(vs, 50, n)
+        q3 = _exact_quartile(vs, 75, n)
+        if q3 - q1 <= 0:
+            assert flag not in got
+            continue
+        r = got[flag]
+        assert (r.q1_cents, r.q2_cents, r.q3_cents) == (q1, q2, q3)
+        assert r.skew_num == q3 + q1 - 2 * q2
+        assert r.skew_den == q3 - q1
+        assert abs(r.bowley - (q3 + q1 - 2 * q2) / (q3 - q1)) < TOL
+
+
+def test_bartlett_matches_bruteforce(spark, sf_dir):
+    groups = _price_groups(sf_dir, "dollars")
+    rows = agg_bartlett(spark, sf_dir).collect()
+    ns = {f: len(v) for f, v in groups.items() if f in "ANR"}
+    var = {
+        f: (len(v) * sum(x * x for x in v) - sum(v) ** 2)
+        / (len(v) * (len(v) - 1))
+        for f, v in groups.items()
+        if f in "ANR" and len(v) > 1
+    }
+    if len(var) < 3 or any(v <= 0 for v in var.values()):
+        assert rows == []
+        return
+    N = sum(ns.values())
+    k = 3
+    sp2 = sum((ns[f] - 1) * var[f] for f in "ANR") / (N - k)
+    M = (N - k) * math.log(sp2) - sum(
+        (ns[f] - 1) * math.log(var[f]) for f in "ANR"
+    )
+    C = 1 + (sum(1 / (ns[f] - 1) for f in "ANR") - 1 / (N - k)) / (3 * (k - 1))
+    r = rows[0]
+    assert r.n_rows == N and (r.n_a, r.n_n, r.n_r) == (
+        ns["A"],
+        ns["N"],
+        ns["R"],
+    )
+    assert abs(r.bartlett_stat - M / C) < max(TOL, abs(M / C) * 1e-6)
+
+
+def test_brown_forsythe_matches_bruteforce(spark, sf_dir):
+    groups = {
+        f: sorted(v)
+        for f, v in _price_groups(sf_dir, "dollars").items()
+        if f in "ANR"
+    }
+    rows = agg_brown_forsythe(spark, sf_dir).collect()
+    med = {}
+    for f, vs in groups.items():
+        n = len(vs)
+        # lower median: smallest value whose running count reaches
+        # ceil(n/2) (2*cw >= n)
+        med[f] = vs[-(-n // 2) - 1]
+    z = {f: [abs(x - med[f]) for x in vs] for f, vs in groups.items()}
+    ns = {f: len(v) for f, v in z.items()}
+    if len(ns) < 3 or any(n <= 1 for n in ns.values()):
+        assert rows == []
+        return
+    N = sum(ns.values())
+    s = {f: sum(v) for f, v in z.items()}
+    ss = {f: sum(x * x for x in v) for f, v in z.items()}
+    bg = sum(s[f] ** 2 / ns[f] for f in "ANR")
+    num = bg - sum(s.values()) ** 2 / N
+    den = sum(ss.values()) - bg
+    if den <= 0:
+        assert rows == []
+        return
+    f_stat = (num / 2) / (den / (N - 3))
+    r = rows[0]
+    assert r.n_rows == N
+    assert abs(r.bf_stat - f_stat) < max(TOL, abs(f_stat) * 1e-6)
