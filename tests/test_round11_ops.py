@@ -222,3 +222,59 @@ def test_brown_forsythe_matches_bruteforce(spark, sf_dir):
     r = rows[0]
     assert r.n_rows == N
     assert abs(r.bf_stat - f_stat) < max(TOL, abs(f_stat) * 1e-6)
+
+
+def test_assortativity_matches_bruteforce(spark, sf_dir):
+    from hadoop_fixedlengthinputformat_spark.operators.analytics_extras import (
+        graph_assortativity,
+    )
+
+    edges = _copurchase_edges(sf_dir)
+    deg: dict[int, int] = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    xs, ys = [], []
+    for u, v in edges:
+        xs += [deg[u], deg[v]]
+        ys += [deg[v], deg[u]]
+    rows = graph_assortativity(spark, sf_dir).collect()
+    m = len(xs)
+    sx, sxx = sum(xs), sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    den = m * sxx - sx * sx
+    if den <= 0:
+        assert rows == []
+        return
+    r_ref = (m * sxy - sx * sx) / den
+    r = rows[0]
+    assert r.n_edges == len(edges)
+    assert (r.sx, r.sxx, r.sxy) == (sx, sxx, sxy)
+    assert abs(r.assortativity - r_ref) < TOL
+
+
+def test_local_clustering_matches_bruteforce(spark, sf_dir):
+    from hadoop_fixedlengthinputformat_spark.operators.analytics_extras import (
+        graph_local_clustering,
+    )
+
+    edges = _copurchase_edges(sf_dir)
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    got = {r.node: r for r in graph_local_clustering(spark, sf_dir).collect()}
+    expect_nodes = {n for n, nb in adj.items() if len(nb) >= 2}
+    assert set(got) == expect_nodes
+    for n in expect_nodes:
+        nb = adj[n]
+        d = len(nb)
+        tri = sum(
+            1
+            for a in nb
+            for b in nb
+            if a < b and b in adj.get(a, ())
+        )
+        r = got[n]
+        assert r.d == d and r.n_tri == tri
+        assert abs(r.local_cc - 2 * tri / (d * (d - 1))) < TOL
