@@ -1652,3 +1652,262 @@ def ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fr.where(F.col("n15") == 15).select(
         "user_id", "us", "event_id", "vc", "med15"
     )
+
+
+@query(
+    "ts_turning_points",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id,
+               CAST(round(value * 100, 0) AS BIGINT) AS vc
+        FROM events
+        WHERE event_type = 'purchase' AND ts IS NOT NULL
+              AND value IS NOT NULL AND user_id IS NOT NULL
+              AND event_id IS NOT NULL
+    ),
+    nb AS (
+        SELECT user_id, vc,
+               LAG(vc) OVER w AS pv,
+               LEAD(vc) OVER w AS nx
+        FROM base
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id, vc)
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN pv < vc AND nx < vc THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_peaks,
+           CAST(SUM(CASE WHEN pv > vc AND nx > vc THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_valleys,
+           CAST(SUM(CASE WHEN (pv < vc AND nx < vc)
+                           OR (pv > vc AND nx > vc)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_turning
+    FROM nb
+    GROUP BY user_id
+    HAVING COUNT(*) >= 3
+    """,
+)
+def ts_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turning-point census per user — counts of STRICT local maxima
+    (prev < x > next) and minima (prev > x < next) in the purchase
+    cent series, the classical nonparametric volatility/randomness
+    census (an i.i.d. series has ~2(n−2)/3 turning points).  Exact
+    integers end to end: cents comparisons and conditional counts
+    only, no floating point anywhere.  Plateau members are NOT turning
+    points (strict inequalities both sides — the convention stated so
+    ties can't fragment differently per engine; rows tying on the full
+    (us, event_id, vc) order key are identical, so lag/lead values are
+    invariant to intra-tie order).  One user-keyed window + groupBy
+    sharing the same partitioning — a single exchange."""
+    ev = load_table(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase")
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull()
+    ).select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        money_units(F.col("value"), 2).alias("vc"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id", "vc")
+    nb = ev.select(
+        "user_id", "vc",
+        F.lag("vc").over(w).alias("pv"),
+        F.lead("vc").over(w).alias("nx"),
+    )
+    peak = (F.col("pv") < F.col("vc")) & (F.col("nx") < F.col("vc"))
+    valley = (F.col("pv") > F.col("vc")) & (F.col("nx") > F.col("vc"))
+
+    def cnt(cond, name):
+        return F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0))).cast(
+            "long"
+        ).alias(name)
+
+    return (
+        nb.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            cnt(peak, "n_peaks"),
+            cnt(valley, "n_valleys"),
+            cnt(peak | valley, "n_turning"),
+        )
+        .where(F.col("n_events") >= 3)
+    )
+
+
+_VWAP = snap_sql("CAST(spq AS DOUBLE) / CAST(sq AS DOUBLE)", 4)
+
+
+@query(
+    "ts_vwap",
+    oracle=f"""
+    WITH base AS (
+        SELECT CAST(floor(epoch(l_shipdate)) AS BIGINT) // 86400 // 7
+                   AS wk,
+               CAST(floor(l_quantity) AS BIGINT) AS q,
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS pc
+        FROM lineitem
+        WHERE l_shipdate IS NOT NULL AND l_quantity IS NOT NULL
+              AND l_extendedprice IS NOT NULL AND l_quantity > 0
+    ),
+    g AS (
+        SELECT wk, CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(q) AS BIGINT) AS sq,
+               CAST(SUM(pc * q) AS BIGINT) AS spq
+        FROM base GROUP BY wk
+    )
+    SELECT wk, n_lines, sq AS sum_qty, spq AS sum_price_qty,
+           {_VWAP} + 0 AS vwap_cents
+    FROM g
+    """,
+)
+def ts_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted average price per ship WEEK — the canonical
+    market/throughput downsample: Σ(price·qty)/Σ(qty) with price in
+    exact cents and quantity floored to exact units.  The week bucket
+    is PURE EPOCH ARITHMETIC (epoch_seconds // 86400 // 7 — the
+    ts_dow_profile rule: calendar week functions disagree on week
+    start across engines, integer division has no seam; UTC pin makes
+    the day boundary identical).  Numerator and denominator are
+    EXPOSED as exact BIGINTs; the VWAP itself is one snapped division.
+    Overflow: Σ pc·q ≤ 5e8/row → int64-safe to ~1.8e10 rows,
+    documented.  ONE map-side-combined groupBy — the corpus collapses
+    to |weeks| rows before the exchange."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").isNotNull()
+        & F.col("l_quantity").isNotNull()
+        & F.col("l_extendedprice").isNotNull()
+        & (F.col("l_quantity") > 0)
+    ).select(
+        F.expr(
+            "CAST(floor(CAST(CAST(l_shipdate AS TIMESTAMP) AS DOUBLE))"
+            " AS BIGINT) div 86400 div 7"
+        ).alias("wk"),
+        F.floor("l_quantity").cast("long").alias("q"),
+        money_units(F.col("l_extendedprice"), 2).alias("pc"),
+    )
+    g = li.groupBy("wk").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("q").alias("sq"),
+        F.sum(F.col("pc") * F.col("q")).alias("spq"),
+    )
+    return g.select(
+        "wk",
+        "n_lines",
+        F.col("sq").alias("sum_qty"),
+        F.col("spq").alias("sum_price_qty"),
+        (F.expr(_VWAP) + F.lit(0.0)).alias("vwap_cents"),
+    )
+
+
+_ATR = snap_sql("CAST(trsum AS DOUBLE) / CAST(nw AS DOUBLE)", 4)
+
+
+@query(
+    "ts_atr",
+    oracle=f"""
+    WITH base AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id,
+               CAST(round(value * 100, 0) AS BIGINT) AS vc
+        FROM events
+        WHERE event_type = 'purchase' AND ts IS NOT NULL
+              AND value IS NOT NULL AND user_id IS NOT NULL
+              AND event_id IS NOT NULL
+    ),
+    bars AS (
+        SELECT user_id, us // 86400000000 AS day,
+               MAX(vc) AS hi, MIN(vc) AS lo,
+               arg_max(vc, printf('%020d%012d', us, event_id)) AS cl
+        FROM base GROUP BY user_id, us // 86400000000
+    ),
+    tr AS (
+        SELECT user_id, day, hi, lo, cl,
+               CAST(CASE WHEN pc IS NULL THEN hi - lo
+                    ELSE greatest(hi - lo, abs(hi - pc), abs(lo - pc))
+                    END AS BIGINT) AS tr
+        FROM (
+            SELECT user_id, day, hi, lo, cl,
+                   LAG(cl) OVER (PARTITION BY user_id ORDER BY day) AS pc
+            FROM bars
+        )
+    ),
+    win AS (
+        SELECT user_id, day, tr,
+               CAST(SUM(tr) OVER w AS BIGINT) AS trsum,
+               CAST(COUNT(*) OVER w AS BIGINT) AS nw
+        FROM tr
+        WINDOW w AS (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, day, tr AS tr_cents, nw AS n_bars,
+           {_ATR} + 0 AS atr_cents
+    FROM win
+    """,
+)
+def ts_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average True Range (Wilder's volatility measure, simple-mean
+    variant) over per-user DAILY purchase bars: true range =
+    max(hi−lo, |hi−prev_close|, |lo−prev_close|) in exact cents (first
+    bar: hi−lo), averaged over a ROWS 13-preceding window — a
+    ROWS-frame int64 sum (merge-order-free, the round-6 rolling rule)
+    with one snapped division.  Bars come from one (user, day) groupBy
+    with the ts_ohlc determinism discipline: the close picks max_by on
+    a zero-padded (us, event_id) string key — a total order identical
+    in both engines; the day bucket is pure epoch integer division.
+    Shuffle shape: one (user, day) map-side-combined groupBy, then a
+    user-keyed window — bars, not raw events, cross the second
+    exchange."""
+    ev = load_table(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase")
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull()
+    ).select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        money_units(F.col("value"), 2).alias("vc"),
+    )
+    key = F.format_string("%020d%012d", F.col("us"), F.col("event_id"))
+    bars = ev.groupBy(
+        "user_id", F.expr("us div 86400000000").alias("day")
+    ).agg(
+        F.max("vc").alias("hi"),
+        F.min("vc").alias("lo"),
+        F.max_by("vc", key).alias("cl"),
+    )
+    wd = Window.partitionBy("user_id").orderBy("day")
+    tr = bars.select(
+        "user_id", "day", "hi", "lo", "cl",
+        F.lag("cl").over(wd).alias("pc"),
+    ).select(
+        "user_id", "day",
+        F.when(
+            F.col("pc").isNull(), F.col("hi") - F.col("lo")
+        ).otherwise(
+            F.greatest(
+                F.col("hi") - F.col("lo"),
+                F.abs(F.col("hi") - F.col("pc")),
+                F.abs(F.col("lo") - F.col("pc")),
+            )
+        ).cast("long").alias("tr"),
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(-13, Window.currentRow)
+    )
+    win = tr.select(
+        "user_id", "day", "tr",
+        F.sum("tr").over(wf).alias("trsum"),
+        F.count(F.lit(1)).over(wf).alias("nw"),
+    )
+    return win.select(
+        "user_id",
+        "day",
+        F.col("tr").alias("tr_cents"),
+        F.col("nw").alias("n_bars"),
+        (F.expr(_ATR) + F.lit(0.0)).alias("atr_cents"),
+    )

@@ -278,3 +278,130 @@ def test_local_clustering_matches_bruteforce(spark, sf_dir):
         r = got[n]
         assert r.d == d and r.n_tri == tri
         assert abs(r.local_cc - 2 * tri / (d * (d - 1))) < TOL
+
+
+def _purchase_rows(sf_dir):
+    """(user_id -> ordered [(us, event_id, vc)]) purchase tuples."""
+    from datetime import timezone
+
+    rows = pq.read_table(f"{sf_dir}/events.parquet").to_pylist()
+    by: dict[int, list[tuple[int, int, int]]] = {}
+    for r in rows:
+        if (
+            r["event_type"] == "purchase"
+            and r["ts"] is not None
+            and r["value"] is not None
+            and r["user_id"] is not None
+            and r["event_id"] is not None
+        ):
+            us = int(
+                r["ts"].replace(tzinfo=timezone.utc).timestamp() * 1_000_000
+            )
+            by.setdefault(r["user_id"], []).append(
+                (us, r["event_id"], round(r["value"] * 100))
+            )
+    return {u: sorted(pts) for u, pts in by.items()}
+
+
+def test_turning_points_matches_bruteforce(spark, sf_dir):
+    from hadoop_fixedlengthinputformat_spark.operators.timeseries import (
+        ts_turning_points,
+    )
+
+    series = {u: [t[2] for t in pts] for u, pts in _purchase_rows(sf_dir).items()}
+    got = {r.user_id: r for r in ts_turning_points(spark, sf_dir).collect()}
+    assert set(got) == {u for u, vs in series.items() if len(vs) >= 3}
+    for u, vs in series.items():
+        if len(vs) < 3:
+            continue
+        peaks = sum(
+            1
+            for i in range(1, len(vs) - 1)
+            if vs[i - 1] < vs[i] > vs[i + 1]
+        )
+        valleys = sum(
+            1
+            for i in range(1, len(vs) - 1)
+            if vs[i - 1] > vs[i] < vs[i + 1]
+        )
+        r = got[u]
+        assert r.n_events == len(vs)
+        assert (r.n_peaks, r.n_valleys, r.n_turning) == (
+            peaks,
+            valleys,
+            peaks + valleys,
+        )
+
+
+def test_vwap_matches_bruteforce(spark, sf_dir):
+    from hadoop_fixedlengthinputformat_spark.operators.timeseries import (
+        ts_vwap,
+    )
+
+    rows = pq.read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_quantity", "l_extendedprice"],
+    ).to_pylist()
+    from datetime import timezone
+
+    agg: dict[int, list[int]] = {}
+    for r in rows:
+        if (
+            r["l_shipdate"] is not None
+            and r["l_quantity"] is not None
+            and r["l_extendedprice"] is not None
+            and r["l_quantity"] > 0
+        ):
+            ep = int(r["l_shipdate"].replace(tzinfo=timezone.utc).timestamp())
+            wk = ep // 86400 // 7
+            q = math.floor(r["l_quantity"])
+            pc = round(r["l_extendedprice"] * 100)
+            cur = agg.setdefault(wk, [0, 0, 0])
+            cur[0] += 1
+            cur[1] += q
+            cur[2] += pc * q
+    got = {r.wk: r for r in ts_vwap(spark, sf_dir).collect()}
+    assert set(got) == set(agg)
+    for wk, (n, sq, spq) in agg.items():
+        r = got[wk]
+        assert (r.n_lines, r.sum_qty, r.sum_price_qty) == (n, sq, spq)
+        assert abs(r.vwap_cents - spq / sq) < TOL
+
+
+def test_atr_matches_bruteforce(spark, sf_dir):
+    from hadoop_fixedlengthinputformat_spark.operators.timeseries import (
+        ts_atr,
+    )
+
+    by = _purchase_rows(sf_dir)
+    expect = {}
+    for u, pts in by.items():
+        bars: dict[int, list] = {}
+        for us, eid, vc in pts:
+            day = us // 86_400_000_000
+            b = bars.setdefault(day, [vc, vc, None, None])
+            b[0] = max(b[0], vc)
+            b[1] = min(b[1], vc)
+            b[3] = (us, eid, vc)  # pts sorted: last tuple is the close
+        days = sorted(bars)
+        prev_cl = None
+        trs = []
+        for d in days:
+            hi, lo, _, close = bars[d]
+            cl = close[2]
+            tr = (
+                hi - lo
+                if prev_cl is None
+                else max(hi - lo, abs(hi - prev_cl), abs(lo - prev_cl))
+            )
+            trs.append(tr)
+            prev_cl = cl
+        for i, d in enumerate(days):
+            w = trs[max(0, i - 13) : i + 1]
+            expect[(u, d)] = (trs[i], len(w), sum(w) / len(w))
+    got = {(r.user_id, r.day): r for r in ts_atr(spark, sf_dir).collect()}
+    assert set(got) == set(expect)
+    for k, (tr, nb, atr) in expect.items():
+        r = got[k]
+        assert (r.tr_cents, r.n_bars) == (tr, nb)
+        assert abs(r.atr_cents - atr) < TOL
