@@ -362,3 +362,121 @@ def llm_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.expr(_CONF_RECALL) + F.lit(0.0)).alias("recall"),
         (F.expr(_CONF_PREC) + F.lit(0.0)).alias("precision"),
     )
+
+
+_TTR = snap_sql("CAST(n_distinct AS DOUBLE) / CAST(n_tok AS DOUBLE)", 4)
+
+
+@query(
+    "llm_type_token_ratio",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, tok FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+            WHERE text IS NOT NULL AND length(text) > 0
+        ) WHERE tok <> ''
+    ),
+    g AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+               CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct
+        FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, n_tok, n_distinct, {_TTR} + 0 AS ttr
+    FROM g
+    """,
+)
+def llm_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio per document — distinct words / total words,
+    the classical lexical-diversity score curation pipelines threshold
+    next to llm_repetition_score (low TTR = template/boilerplate).
+    Both counts come from the SAME construction both sides: split on
+    single spaces (both engines keep interior/trailing empties
+    identically), explode, and drop empty tokens explicitly — never
+    an array-length seam (the CLAUDE round-3 token rule).  Duplicate
+    doc_ids merge by the groupBy(doc_id) convention (round-4 rule) —
+    deterministic on dup-id rolls; empty/NULL text is excluded both
+    sides, and all-space texts drop out (zero tokens) identically.
+    Exact int64 counts exposed; one snapped division.  Shuffle shape:
+    the explode stays in the scan stage; one map-side partial
+    (doc_id, tok) dedup feeds the per-doc count — tokens, not text,
+    cross the exchange."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), " ", -1)).alias("tok"),
+    ).where(F.col("tok") != "")
+    g = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.count_distinct(F.col("tok")).alias("n_distinct"),
+    )
+    return g.select(
+        "doc_id",
+        "n_tok",
+        "n_distinct",
+        (F.expr(_TTR) + F.lit(0.0)).alias("ttr"),
+    )
+
+
+_HAPAX = snap_sql(
+    "CAST(n_hapax AS DOUBLE) / CAST(n_distinct AS DOUBLE)", 4
+)
+
+
+@query(
+    "llm_hapax_ratio",
+    oracle=f"""
+    WITH toks AS (
+        SELECT tok FROM (
+            SELECT unnest(string_split(text, ' ')) AS tok
+            FROM documents
+            WHERE text IS NOT NULL AND length(text) > 0
+        ) WHERE tok <> ''
+    ),
+    tf AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+        FROM toks GROUP BY tok
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(SUM(cnt) AS BIGINT) AS n_total,
+               CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hapax
+        FROM tf
+    )
+    SELECT n_total, n_distinct, n_hapax, {_HAPAX} + 0 AS hapax_share
+    FROM s WHERE n_distinct > 0
+    """,
+)
+def llm_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus hapax-legomena share — the fraction of the vocabulary
+    appearing exactly once, the Zipf-tail health check a corpus card
+    reports next to llm_zipf_fit (a crashed hapax share flags
+    boilerplate-flooded or deduplication-starved corpora).  Same
+    empty-token/empty-text discipline as llm_type_token_ratio; the
+    corpus collapses to a (token, count) table in one map-side-combined
+    groupBy (tokens cross the exchange once, text never does), then a
+    1-row exact-integer census.  Exact BIGINTs exposed; one snapped
+    division; empty vocabulary emits no row both sides."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    toks = d.select(
+        F.explode(F.split(F.col("text"), " ", -1)).alias("tok")
+    ).where(F.col("tok") != "")
+    tf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    s = tf.agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum("cnt").alias("n_total"),
+        F.sum(
+            F.when(F.col("cnt") == 1, F.lit(1)).otherwise(F.lit(0))
+        ).cast("long").alias("n_hapax"),
+    )
+    return s.where(F.col("n_distinct") > 0).select(
+        "n_total",
+        "n_distinct",
+        "n_hapax",
+        (F.expr(_HAPAX) + F.lit(0.0)).alias("hapax_share"),
+    )

@@ -816,3 +816,94 @@ def dq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.expr(_DRIFT_MEAN.format(h="a")) + F.lit(0.0)).alias("mean_cents_a"),
         (F.expr(_DRIFT_MEAN.format(h="b")) + F.lit(0.0)).alias("mean_cents_b"),
     )
+
+
+@query(
+    "dq_referential",
+    oracle="""
+    SELECT 'lineitem' AS child_table, 'l_orderkey->orders' AS fk,
+           CAST((SELECT count(*) FROM lineitem
+                 WHERE l_orderkey IS NOT NULL) AS BIGINT) AS n_child_rows,
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS (
+                     SELECT 1 FROM orders o
+                     WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+               AS n_orphans
+    UNION ALL
+    SELECT 'lineitem', 'l_partkey->part',
+           CAST((SELECT count(*) FROM lineitem
+                 WHERE l_partkey IS NOT NULL) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE l.l_partkey IS NOT NULL AND NOT EXISTS (
+                     SELECT 1 FROM part p
+                     WHERE p.p_partkey = l.l_partkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem', 'l_suppkey->supplier',
+           CAST((SELECT count(*) FROM lineitem
+                 WHERE l_suppkey IS NOT NULL) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE l.l_suppkey IS NOT NULL AND NOT EXISTS (
+                     SELECT 1 FROM supplier s
+                     WHERE s.s_suppkey = l.l_suppkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'orders', 'o_custkey->customer',
+           CAST((SELECT count(*) FROM orders
+                 WHERE o_custkey IS NOT NULL) AS BIGINT),
+           CAST((SELECT count(*) FROM orders o
+                 WHERE o.o_custkey IS NOT NULL AND NOT EXISTS (
+                     SELECT 1 FROM customer c
+                     WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    """,
+)
+def dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity census over the star schema's four FK
+    edges (lineitem→orders/part/supplier, orders→customer): per edge,
+    the non-NULL child count and the ORPHAN count (children whose key
+    has no parent) — the first dashboard a warehouse DQ suite runs,
+    completing the dq_ family next to dq_audit/dq_freshness/dq_drift.
+    Exact integers only.  Each orphan count is an ids-only LEFT ANTI
+    join: the child side projects to its 8-byte key before the
+    exchange and the parent key set is dimension-sized (AQE broadcasts
+    the small side unhinted — the r10 hint rule; at 100 TB the
+    lineitem→orders edge degrades gracefully to a key-hash shuffle of
+    ids, never of payloads).  NULL FKs are EXCLUDED from both counts
+    (a NULL key is a completeness finding for dq_audit, not a
+    referential orphan — and NOT IN's NULL semantics would otherwise
+    diverge; the oracle uses NOT EXISTS for the same reason)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+
+    def edge(child, fk_col, parent, pk_col, child_name, fk_label):
+        keys = child.where(F.col(fk_col).isNotNull()).select(
+            F.col(fk_col).alias("k")
+        )
+        pk = parent.select(F.col(pk_col).alias("k"))
+        n = keys.agg(F.count(F.lit(1)).alias("n_child_rows"))
+        orph = keys.join(pk, "k", "left_anti").agg(
+            F.count(F.lit(1)).alias("n_orphans")
+        )
+        return n.crossJoin(orph).select(
+            F.lit(child_name).alias("child_table"),
+            F.lit(fk_label).alias("fk"),
+            "n_child_rows",
+            "n_orphans",
+        )
+
+    out = edge(li, "l_orderkey", orders, "o_orderkey", "lineitem",
+               "l_orderkey->orders")
+    out = out.unionAll(
+        edge(li, "l_partkey", part, "p_partkey", "lineitem",
+             "l_partkey->part")
+    )
+    out = out.unionAll(
+        edge(li, "l_suppkey", supplier, "s_suppkey", "lineitem",
+             "l_suppkey->supplier")
+    )
+    out = out.unionAll(
+        edge(orders, "o_custkey", customer, "c_custkey", "orders",
+             "o_custkey->customer")
+    )
+    return out

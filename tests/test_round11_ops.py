@@ -405,3 +405,79 @@ def test_atr_matches_bruteforce(spark, sf_dir):
         r = got[k]
         assert (r.tr_cents, r.n_bars) == (tr, nb)
         assert abs(r.atr_cents - atr) < TOL
+
+
+def test_type_token_and_hapax_match_bruteforce(spark, sf_dir):
+    from hadoop_fixedlengthinputformat_spark.functions.quality_extras import (
+        llm_hapax_ratio,
+        llm_type_token_ratio,
+    )
+
+    rows = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pylist()
+    per: dict[int, list[str]] = {}
+    tf: dict[str, int] = {}
+    for r in rows:
+        if r["text"] is None or len(r["text"]) == 0:
+            continue
+        toks = [t for t in r["text"].split(" ") if t != ""]
+        if toks:
+            per.setdefault(r["doc_id"], []).extend(toks)
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+    got = {r.doc_id: r for r in llm_type_token_ratio(spark, sf_dir).collect()}
+    assert set(got) == set(per)
+    for d, toks in per.items():
+        r = got[d]
+        assert (r.n_tok, r.n_distinct) == (len(toks), len(set(toks)))
+        assert abs(r.ttr - len(set(toks)) / len(toks)) < TOL
+    h = llm_hapax_ratio(spark, sf_dir).collect()
+    if not tf:
+        assert h == []
+        return
+    hap = sum(1 for c in tf.values() if c == 1)
+    r = h[0]
+    assert (r.n_total, r.n_distinct, r.n_hapax) == (
+        sum(tf.values()),
+        len(tf),
+        hap,
+    )
+    assert abs(r.hapax_share - hap / len(tf)) < TOL
+
+
+def test_dq_referential_matches_bruteforce(spark, sf_dir):
+    from hadoop_fixedlengthinputformat_spark.operators.relational_extras import (
+        dq_referential,
+    )
+
+    def col(tbl, c):
+        return pq.read_table(f"{sf_dir}/{tbl}.parquet", columns=[c])[c].to_pylist()
+
+    cases = {
+        ("lineitem", "l_orderkey->orders"): (
+            col("lineitem", "l_orderkey"),
+            set(col("orders", "o_orderkey")),
+        ),
+        ("lineitem", "l_partkey->part"): (
+            col("lineitem", "l_partkey"),
+            set(col("part", "p_partkey")),
+        ),
+        ("lineitem", "l_suppkey->supplier"): (
+            col("lineitem", "l_suppkey"),
+            set(col("supplier", "s_suppkey")),
+        ),
+        ("orders", "o_custkey->customer"): (
+            col("orders", "o_custkey"),
+            set(col("customer", "c_custkey")),
+        ),
+    }
+    got = {
+        (r.child_table, r.fk): r for r in dq_referential(spark, sf_dir).collect()
+    }
+    assert set(got) == set(cases)
+    for k, (children, parents) in cases.items():
+        nn = [c for c in children if c is not None]
+        r = got[k]
+        assert r.n_child_rows == len(nn)
+        assert r.n_orphans == sum(1 for c in nn if c not in parents)
