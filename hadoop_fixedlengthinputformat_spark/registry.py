@@ -73,8 +73,12 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # After r11, ever-driver-graded coverage closes to 366/366.
 #
 # R12 WINDOW PLAN (VERDICT r10 #8 — keep the rotation mechanical):
-# the never-graded backlog (any round-11 additions) leads, then the
-# remaining 23 r3-vintage names — tpch_q12_priority_shipping is r6,
+# the never-graded backlog leads — the 14 round-11 additions
+# (graph_kcore_converged, agg_trimmed_mean, agg_geometric_mean,
+# agg_bowley_skew, agg_bartlett, agg_brown_forsythe,
+# graph_assortativity, graph_local_clustering, ts_turning_points,
+# ts_vwap, ts_atr, llm_type_token_ratio, llm_hapax_ratio,
+# dq_referential) — then the remaining 23 r3-vintage names — tpch_q12_priority_shipping is r6,
 # so the r3 tail is: fn_epoch, fn_math, join_interval_bucketed,
 # maintain_fixedlen_analyze, maintain_fixedlen_compact, merge_scd2,
 # pipeline_fixedlen_composite, scan_fixedlen_binint,
@@ -85,8 +89,8 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # scan_fixedlen_skiprecs, scan_fixedlen_stats_pruned,
 # scan_fixedlen_zoned, sink_fixedlen_ebcdic, sql_fixedlen_view,
 # stream_fixedlen_directory (23) — then r4-vintage names (44 total,
-# oldest-first) fill the remaining slots; the r4 tail plus the r6
-# vintage (stale at r13 since 13-6 >= 5, ~60 names) compose r13.
+# oldest-first) fill the remaining 13 slots; the r4 tail (31) plus
+# the r6 vintage (stale at r13 since 13-6 >= 5) compose r13.
 # Staleness rule (enforced by tests/test_registry_order.py::
 # test_window_regrades_only_known_reds_or_stale_greens): a green may
 # re-enter the window once its last grade is >= 5 rounds behind the

@@ -1572,3 +1572,202 @@ def test_dq_drift_one_corpus_exchange_broadcast_span(spark):
     assert len(hashex) == 1, plan
     below = "\n".join(lines[hashex[0] : hashex[0] + 4])
     assert "HashAggregate" in below and "partial" in below.lower(), below
+
+
+def _final_plan(df):
+    df.collect()
+    return (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+
+
+def _hashex(plan):
+    return sum(1 for l in plan.splitlines() if "Exchange hashpartitioning" in l)
+
+
+def _no_python(plan):
+    return "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_trimmed_mean_collapse_then_flag_window(spark):
+    """agg_trimmed_mean (round 11): one (flag,pc) collapse exchange +
+    one flag window exchange, a single sort, no join, no Python — the
+    winsorized plan skeleton."""
+    from hadoop_fixedlengthinputformat_spark.operators.robust_stats import (
+        agg_trimmed_mean,
+    )
+
+    plan = _final_plan(agg_trimmed_mean(spark, "/root/testdata/sf0.001"))
+    assert _hashex(plan) == 2, plan
+    assert sum(1 for l in plan.splitlines() if " Sort " in l) == 1, plan
+    assert _no_python(plan)
+
+
+def test_geometric_mean_two_collapse_exchanges_no_sort(spark):
+    """agg_geometric_mean (round 11): (flag,pc) collapse + |flags|
+    aggregate — two hash exchanges, zero sorts (no window at all)."""
+    from hadoop_fixedlengthinputformat_spark.operators.robust_stats import (
+        agg_geometric_mean,
+    )
+
+    plan = _final_plan(agg_geometric_mean(spark, "/root/testdata/sf0.001"))
+    assert _hashex(plan) == 2, plan
+    assert sum(1 for l in plan.splitlines() if " Sort " in l) == 0, plan
+    assert _no_python(plan)
+
+
+def test_bartlett_zero_hash_exchange_single_row(spark):
+    """agg_bartlett (round 11): the flag domain is pivoted into ONE
+    conditional-aggregate row — no hash exchange anywhere, just the
+    partial->final single-partition collapse."""
+    from hadoop_fixedlengthinputformat_spark.operators.robust_stats import (
+        agg_bartlett,
+    )
+
+    df = agg_bartlett(spark, "/root/testdata/sf0.001")
+    assert "ResolvedHint" not in df._jdf.queryExecution().analyzed().toString()
+    plan = _final_plan(df)
+    assert _hashex(plan) == 0, plan
+    assert _no_python(plan)
+
+
+def test_brown_forsythe_median_plan_plus_broadcast_joinback(spark):
+    """agg_brown_forsythe (round 11): median pass = collapse + flag
+    window (two hash exchanges, one sort); the |flags|-row median
+    join-back must be an UNHINTED AQE broadcast."""
+    from hadoop_fixedlengthinputformat_spark.operators.robust_stats import (
+        agg_brown_forsythe,
+    )
+
+    df = agg_brown_forsythe(spark, "/root/testdata/sf0.001")
+    assert "ResolvedHint" not in df._jdf.queryExecution().analyzed().toString()
+    plan = _final_plan(df)
+    assert _hashex(plan) == 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert _no_python(plan)
+
+
+def test_assortativity_id_joins_one_row_out(spark):
+    """graph_assortativity (round 11): degree table joins back over
+    node keys (AQE broadcasts the small sides, unhinted), one 1-row
+    aggregate, no Python."""
+    from hadoop_fixedlengthinputformat_spark.operators.analytics_extras import (
+        graph_assortativity,
+    )
+
+    df = graph_assortativity(spark, "/root/testdata/sf0.001")
+    assert "ResolvedHint" not in df._jdf.queryExecution().analyzed().toString()
+    plan = _final_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert _no_python(plan)
+
+
+def test_local_clustering_checkpointed_no_hints(spark):
+    """graph_local_clustering (round 11): the oriented-edge wedge join
+    runs on localCheckpointed RDDs (no parquet rescan in the visible
+    plan) with zero forced hints."""
+    from hadoop_fixedlengthinputformat_spark.operators.analytics_extras import (
+        graph_local_clustering,
+    )
+
+    df = graph_local_clustering(spark, "/root/testdata/sf0.001")
+    assert "ResolvedHint" not in df._jdf.queryExecution().analyzed().toString()
+    plan = _final_plan(df)
+    assert "Scan parquet" not in plan, plan
+    assert _no_python(plan)
+
+
+def test_turning_points_single_exchange(spark):
+    """ts_turning_points (round 11): lag/lead window and the user
+    groupBy share ONE user_id exchange."""
+    from hadoop_fixedlengthinputformat_spark.operators.timeseries import (
+        ts_turning_points,
+    )
+
+    plan = _final_plan(ts_turning_points(spark, "/root/testdata/sf0.001"))
+    assert _hashex(plan) == 1, plan
+    assert sum(1 for l in plan.splitlines() if " Sort " in l) == 1, plan
+    assert _no_python(plan)
+
+
+def test_vwap_single_collapse_exchange(spark):
+    """ts_vwap (round 11): ONE map-side-combined week groupBy — a
+    single hash exchange, no sort, partial aggregate below it."""
+    from hadoop_fixedlengthinputformat_spark.operators.timeseries import (
+        ts_vwap,
+    )
+
+    plan = _final_plan(ts_vwap(spark, "/root/testdata/sf0.001"))
+    lines = plan.splitlines()
+    hashex = [i for i, l in enumerate(lines) if "Exchange hashpartitioning" in l]
+    assert len(hashex) == 1, plan
+    below = "\n".join(lines[hashex[0] : hashex[0] + 4])
+    assert "HashAggregate" in below and "partial" in below.lower(), below
+    assert sum(1 for l in lines if " Sort " in l) == 0, plan
+
+
+def test_atr_bars_cross_second_exchange(spark):
+    """ts_atr (round 11): raw events shuffle once into (user,day) bars;
+    only bars cross the second (user window) exchange."""
+    from hadoop_fixedlengthinputformat_spark.operators.timeseries import (
+        ts_atr,
+    )
+
+    plan = _final_plan(ts_atr(spark, "/root/testdata/sf0.001"))
+    assert _hashex(plan) == 2, plan
+    assert _no_python(plan)
+
+
+def test_type_token_ratio_tokens_not_text_shuffle(spark):
+    """llm_type_token_ratio (round 11): the explode stays in the scan
+    stage; shuffles carry (doc_id, tok) partials — two hash exchanges
+    (tok dedup partial + per-doc count), no sort, no Python."""
+    from hadoop_fixedlengthinputformat_spark.functions.quality_extras import (
+        llm_type_token_ratio,
+    )
+
+    plan = _final_plan(llm_type_token_ratio(spark, "/root/testdata/sf0.001"))
+    assert _hashex(plan) <= 2, plan
+    assert _no_python(plan)
+
+
+def test_hapax_single_token_exchange(spark):
+    """llm_hapax_ratio (round 11): one map-side-combined token groupBy
+    then the 1-row census — a single hash exchange."""
+    from hadoop_fixedlengthinputformat_spark.functions.quality_extras import (
+        llm_hapax_ratio,
+    )
+
+    plan = _final_plan(llm_hapax_ratio(spark, "/root/testdata/sf0.001"))
+    assert _hashex(plan) == 1, plan
+    assert _no_python(plan)
+
+
+def test_dq_referential_broadcast_antijoins_no_hash_exchange(spark):
+    """dq_referential (round 11): every orphan census is an ids-only
+    anti-join whose parent side AQE broadcasts (unhinted) — zero hash
+    exchanges in the whole four-edge union."""
+    from hadoop_fixedlengthinputformat_spark.operators.relational_extras import (
+        dq_referential,
+    )
+
+    df = dq_referential(spark, "/root/testdata/sf0.001")
+    assert "ResolvedHint" not in df._jdf.queryExecution().analyzed().toString()
+    plan = _final_plan(df)
+    assert _hashex(plan) == 0, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_kcore_converged_checkpointed_rounds_no_hints(spark):
+    """graph_kcore_converged (round 11): after the pair join is
+    checkpointed, no peel round rescans parquet and no hints exist."""
+    from hadoop_fixedlengthinputformat_spark.operators.analytics_extras import (
+        graph_kcore_converged,
+    )
+
+    df = graph_kcore_converged(spark, "/root/testdata/sf0.001")
+    assert "ResolvedHint" not in df._jdf.queryExecution().analyzed().toString()
+    plan = _final_plan(df)
+    assert "Scan parquet" not in plan, plan
+    assert _no_python(plan)
