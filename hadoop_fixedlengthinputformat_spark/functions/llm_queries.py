@@ -85,7 +85,7 @@ def llm_minhash_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "llm_ngram_jaccard",
     oracle="""
-    WITH canon AS (
+    WITH canon AS MATERIALIZED (
         -- one deterministic representative row per doc_id: duplicate ids
         -- would otherwise inflate the per-doc token sizes across blocks
         SELECT doc_id, lang, source, text FROM (
@@ -97,13 +97,17 @@ def llm_minhash_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents WHERE text IS NOT NULL
         ) WHERE rn = 1
     ),
-    toks AS (
+    toks AS MATERIALIZED (
+        -- referenced 3x (sizes + self-join twice): MATERIALIZED per the
+        -- round-10 CTE re-inlining rule, found live by the round-11 sf1
+        -- oracle soak (the canon window re-ran 3x without it)
         SELECT DISTINCT doc_id, lang, source, tok FROM (
             SELECT doc_id, lang, source, unnest(string_split(text, ' ')) AS tok
             FROM canon
         )
     ),
-    sizes AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id),
+    sizes AS MATERIALIZED (
+        SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id),
     shared AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
         FROM toks a JOIN toks b
@@ -127,7 +131,16 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     result set is provably identical to the oracle's naive all-shared-
     token formulation — scale-safe without a semantics-changing DF cap.
     Input is canonicalized to one row per doc_id (dedup.canonical_docs)
-    so duplicate ids can't straddle blocking keys."""
+    so duplicate ids can't straddle blocking keys.
+
+    Oracle scale note (round-11 sf1 soak): this is the registry's one
+    DELIBERATELY quadratic oracle — the all-shared-token self-join
+    costs Σ_token C(count,2), measured 0.11 s at sf0.01 (driver grade
+    scale), 1.75 s at sf0.1, >600 s at 500k docs — that curve is the
+    exact reason the SPARK side uses prefix filtering, and replacing
+    the oracle with the same trick would destroy its independence.
+    CTEs are MATERIALIZED (toks was re-inlined 3x) so the oracle's
+    cost is the join itself, nothing else."""
     d = dedup.canonical_docs(load_table(spark, sf_dir, "documents"))
     return dedup.ngram_jaccard_pairs(d, "doc_id", threshold=0.6)
 
@@ -205,18 +218,22 @@ def llm_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "llm_repetition_score",
     oracle="""
-    WITH g AS (
-        SELECT doc_id,
-               (SELECT count(*) FROM unnest(generate_series(
-                    1, greatest(len(string_split(text, ' ')) - 2, 1))))
-                   AS total_3g,
-               (SELECT count(DISTINCT array_to_string(
-                        (string_split(text, ' '))[i:i+2], ' '))
-                FROM unnest(generate_series(
-                    1, greatest(len(string_split(text, ' ')) - 2, 1))) AS u(i))
-                   AS distinct_3g
+    WITH s AS MATERIALIZED (
+        -- split ONCE per row: the previous correlated form re-ran
+        -- string_split per 3-gram position (O(len^2) per doc — 149 s
+        -- at sf1, found by the round-11 oracle soak; value-identical)
+        SELECT doc_id, string_split(text, ' ') AS t
         FROM documents
         WHERE length(text) > 0
+    ),
+    g AS (
+        SELECT doc_id,
+               greatest(len(t) - 2, 1) AS total_3g,
+               (SELECT count(DISTINCT array_to_string(t[i:i+2], ' '))
+                FROM unnest(generate_series(
+                    1, greatest(len(t) - 2, 1))) AS u(i))
+                   AS distinct_3g
+        FROM s
     )
     SELECT doc_id,
            floor((1 - CAST(distinct_3g AS DOUBLE) / total_3g) * 10000 + 0.5)
