@@ -551,3 +551,66 @@ def agg_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nr").alias("n_r"),
         (F.expr(_BF_STAT) + F.lit(0.0)).alias("bf_stat"),
     )
+
+
+_CV_SD = snap_sql(
+    "sqrt((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)"
+    " / (CAST(n AS DOUBLE) * n))",
+    8,
+)
+_CV = snap_sql(
+    f"({_CV_SD}) / (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))", 4
+)
+
+
+@query(
+    "agg_coeff_variation",
+    oracle=f"""
+    WITH base AS (
+        SELECT l_returnflag AS flag,
+               CAST(floor(l_extendedprice) AS BIGINT) AS d
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+    ),
+    g AS (
+        SELECT flag, CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(d) AS BIGINT) AS s1,
+               CAST(SUM(d * d) AS BIGINT) AS s2
+        FROM base GROUP BY flag
+    )
+    SELECT flag, n AS n_rows, s1 AS sum_dollars, s2 AS sumsq_dollars,
+           {_CV} + 0 AS cv
+    FROM g WHERE n > 1 AND s1 > 0
+    """,
+)
+def agg_coeff_variation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coefficient of variation (sd/mean, population sd) of extended
+    price per return flag — the unit-free dispersion number a DQ
+    dashboard tracks per segment.  Exact int64 (n, Σd, Σd²) in whole
+    dollars (the agg_cohens_d squared-unit budget: Σd² ≤ 6e16 at
+    sf1000); the variance term n·S₂−S₁² is formed in DOUBLE
+    (_corr_expr rule), sd snaps to 8 before the division, cv to 4
+    (+0).  The exact sums are EXPOSED.  Gates: n>1 and S₁>0 (cv is
+    undefined at mean 0; prices are positive so this only excludes
+    degenerate rolls) — identical both sides.  ONE map-side-combined
+    groupBy, |flags| rows out."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.where(
+        F.col("l_extendedprice").isNotNull()
+        & F.col("l_returnflag").isNotNull()
+    ).select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor("l_extendedprice").cast("long").alias("d"),
+    )
+    g = base.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("d").alias("s1"),
+        F.sum(F.col("d") * F.col("d")).alias("s2"),
+    )
+    return g.where((F.col("n") > 1) & (F.col("s1") > 0)).select(
+        "flag",
+        F.col("n").alias("n_rows"),
+        F.col("s1").alias("sum_dollars"),
+        F.col("s2").alias("sumsq_dollars"),
+        (F.expr(_CV) + F.lit(0.0)).alias("cv"),
+    )

@@ -1911,3 +1911,80 @@ def ts_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nw").alias("n_bars"),
         (F.expr(_ATR) + F.lit(0.0)).alias("atr_cents"),
     )
+
+
+@query(
+    "ts_obv",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id,
+               CAST(round(value * 100, 0) AS BIGINT) AS vc
+        FROM events
+        WHERE event_type = 'purchase' AND ts IS NOT NULL
+              AND value IS NOT NULL AND user_id IS NOT NULL
+              AND event_id IS NOT NULL
+    ),
+    d AS (
+        SELECT user_id, us, event_id, vc,
+               CAST(CASE WHEN pv IS NULL THEN 0
+                    WHEN vc > pv THEN vc
+                    WHEN vc < pv THEN -vc
+                    ELSE 0 END AS BIGINT) AS step
+        FROM (
+            SELECT user_id, us, event_id, vc,
+                   LAG(vc) OVER w AS pv
+            FROM base
+            WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id, vc)
+        )
+    )
+    SELECT user_id, us, event_id, vc,
+           CAST(SUM(step) OVER (PARTITION BY user_id
+                ORDER BY us, event_id, vc
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS obv_cents
+    FROM d
+    """,
+)
+def ts_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-balance volume (value-weighted direction variant) per user:
+    the running sum of +vc on an up-move, −vc on a down-move, 0 on a
+    flat — the classical accumulation/distribution momentum line,
+    here over purchase cents.  Exact int64 end to end: the step is an
+    integer CASE on a lag comparison and the accumulator is a
+    ROWS-frame running sum (single evaluation order — the round-6
+    merge-order-free frame rule).  First row steps 0 (no prior).
+    Rows tying on the full (us, event_id, vc) order key are identical,
+    so lag and the running sum are invariant to intra-tie order.
+    Overflow: Σ|vc| ≤ 1e7 · per-user history — int64-safe to ~1e11
+    purchases/user.  ONE user-keyed exchange shared by the lag window
+    and the running sum (same partition + order)."""
+    ev = load_table(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase")
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull()
+    ).select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        money_units(F.col("value"), 2).alias("vc"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id", "vc")
+    d = ev.select(
+        "user_id", "us", "event_id", "vc",
+        F.lag("vc").over(w).alias("pv"),
+    ).select(
+        "user_id", "us", "event_id", "vc",
+        F.when(F.col("pv").isNull(), F.lit(0))
+        .when(F.col("vc") > F.col("pv"), F.col("vc"))
+        .when(F.col("vc") < F.col("pv"), -F.col("vc"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("step"),
+    )
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return d.select(
+        "user_id", "us", "event_id", "vc",
+        F.sum("step").over(wr).alias("obv_cents"),
+    )

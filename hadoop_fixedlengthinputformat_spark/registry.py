@@ -73,12 +73,13 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # After r11, ever-driver-graded coverage closes to 366/366.
 #
 # R12 WINDOW PLAN (VERDICT r10 #8 — keep the rotation mechanical):
-# the never-graded backlog leads — the 14 round-11 additions
+# the never-graded backlog leads — the 16 round-11 additions
 # (graph_kcore_converged, agg_trimmed_mean, agg_geometric_mean,
 # agg_bowley_skew, agg_bartlett, agg_brown_forsythe,
 # graph_assortativity, graph_local_clustering, ts_turning_points,
-# ts_vwap, ts_atr, llm_type_token_ratio, llm_hapax_ratio,
-# dq_referential) — then the remaining 23 r3-vintage names — tpch_q12_priority_shipping is r6,
+# ts_vwap, ts_atr, ts_obv, llm_type_token_ratio,
+# llm_hapax_ratio, dq_referential, agg_coeff_variation) — then the
+# remaining 23 r3-vintage names — tpch_q12_priority_shipping is r6,
 # so the r3 tail is: fn_epoch, fn_math, join_interval_bucketed,
 # maintain_fixedlen_analyze, maintain_fixedlen_compact, merge_scd2,
 # pipeline_fixedlen_composite, scan_fixedlen_binint,
@@ -89,7 +90,7 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # scan_fixedlen_skiprecs, scan_fixedlen_stats_pruned,
 # scan_fixedlen_zoned, sink_fixedlen_ebcdic, sql_fixedlen_view,
 # stream_fixedlen_directory (23) — then r4-vintage names (44 total,
-# oldest-first) fill the remaining 13 slots; the r4 tail (31) plus
+# oldest-first) fill the remaining 11 slots; the r4 tail (33) plus
 # the r6 vintage (stale at r13 since 13-6 >= 5) compose r13.
 # Staleness rule (enforced by tests/test_registry_order.py::
 # test_window_regrades_only_known_reds_or_stale_greens): a green may

@@ -481,3 +481,43 @@ def test_dq_referential_matches_bruteforce(spark, sf_dir):
         r = got[k]
         assert r.n_child_rows == len(nn)
         assert r.n_orphans == sum(1 for c in nn if c not in parents)
+
+
+def test_coeff_variation_matches_bruteforce(spark, sf_dir):
+    from hadoop_fixedlengthinputformat_spark.operators.robust_stats import (
+        agg_coeff_variation,
+    )
+
+    groups = _price_groups(sf_dir, "dollars")
+    got = {r.flag: r for r in agg_coeff_variation(spark, sf_dir).collect()}
+    for flag, vs in groups.items():
+        n, s1, s2 = len(vs), sum(vs), sum(x * x for x in vs)
+        if n <= 1 or s1 <= 0:
+            assert flag not in got
+            continue
+        r = got[flag]
+        assert (r.n_rows, r.sum_dollars, r.sumsq_dollars) == (n, s1, s2)
+        sd = math.sqrt((n * s2 - s1 * s1) / (n * n))
+        assert abs(r.cv - sd / (s1 / n)) < max(TOL, abs(sd / (s1 / n)) * 1e-6)
+
+
+def test_obv_matches_bruteforce(spark, sf_dir):
+    from hadoop_fixedlengthinputformat_spark.operators.timeseries import (
+        ts_obv,
+    )
+
+    by = _purchase_rows(sf_dir)
+    got: dict = {}
+    for r in ts_obv(spark, sf_dir).collect():
+        got.setdefault(r.user_id, {})[(r.us, r.event_id, r.vc)] = r.obv_cents
+    assert set(got) == set(by)
+    for u, pts in by.items():
+        obv, prev = 0, None
+        for us, eid, vc in pts:
+            if prev is not None:
+                if vc > prev:
+                    obv += vc
+                elif vc < prev:
+                    obv -= vc
+            prev = vc
+            assert got[u][(us, eid, vc)] == obv

@@ -1771,3 +1771,33 @@ def test_kcore_converged_checkpointed_rounds_no_hints(spark):
     plan = _final_plan(df)
     assert "Scan parquet" not in plan, plan
     assert _no_python(plan)
+
+
+def test_coeff_variation_single_collapse(spark):
+    """agg_coeff_variation (round 11): one map-side-combined flag
+    groupBy — a single hash exchange with a partial aggregate below,
+    no sort, no Python."""
+    from hadoop_fixedlengthinputformat_spark.operators.robust_stats import (
+        agg_coeff_variation,
+    )
+
+    plan = _final_plan(agg_coeff_variation(spark, "/root/testdata/sf0.001"))
+    lines = plan.splitlines()
+    hashex = [i for i, l in enumerate(lines) if "Exchange hashpartitioning" in l]
+    assert len(hashex) == 1, plan
+    below = "\n".join(lines[hashex[0] : hashex[0] + 4])
+    assert "HashAggregate" in below and "partial" in below.lower(), below
+    assert _no_python(plan)
+
+
+def test_obv_single_exchange_shared_window(spark):
+    """ts_obv (round 11): the lag window and the running sum share ONE
+    user exchange and ONE sort (same partition + order key)."""
+    from hadoop_fixedlengthinputformat_spark.operators.timeseries import (
+        ts_obv,
+    )
+
+    plan = _final_plan(ts_obv(spark, "/root/testdata/sf0.001"))
+    assert _hashex(plan) == 1, plan
+    assert sum(1 for l in plan.splitlines() if " Sort " in l) == 1, plan
+    assert _no_python(plan)
