@@ -419,28 +419,151 @@ def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_simhash",
     oracle="""
     WITH toks AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-        FROM documents
+        -- md5 hoisted to ONE call per token (the round-11 oracle-soak
+        -- rule: the correlated form re-hashed per hex position), and
+        -- the 60 bit-votes are PIVOTED into one aggregate instead of a
+        -- 60x row explosion
+        SELECT doc_id, md5(tok) AS h16 FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        )
     ),
-    hashed AS (
+    hashed AS MATERIALIZED (
         SELECT doc_id,
                (SELECT sum(
-                    (strpos('0123456789abcdef', substr(md5(tok), i, 1))
+                    (strpos('0123456789abcdef', substr(h16, i, 1))
                      - 1)::BIGINT << (4 * (15 - i)))
                 FROM generate_series(1, 15) t(i)) AS h
         FROM toks
     ),
     votes AS (
-        SELECT doc_id, b.b,
-               sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
-        FROM hashed, generate_series(0, 59) b(b)
-        GROUP BY doc_id, b.b
+        SELECT doc_id,
+               sum(CASE WHEN (h >> 0) & 1 = 1 THEN 1 ELSE -1 END) AS v0,
+               sum(CASE WHEN (h >> 1) & 1 = 1 THEN 1 ELSE -1 END) AS v1,
+               sum(CASE WHEN (h >> 2) & 1 = 1 THEN 1 ELSE -1 END) AS v2,
+               sum(CASE WHEN (h >> 3) & 1 = 1 THEN 1 ELSE -1 END) AS v3,
+               sum(CASE WHEN (h >> 4) & 1 = 1 THEN 1 ELSE -1 END) AS v4,
+               sum(CASE WHEN (h >> 5) & 1 = 1 THEN 1 ELSE -1 END) AS v5,
+               sum(CASE WHEN (h >> 6) & 1 = 1 THEN 1 ELSE -1 END) AS v6,
+               sum(CASE WHEN (h >> 7) & 1 = 1 THEN 1 ELSE -1 END) AS v7,
+               sum(CASE WHEN (h >> 8) & 1 = 1 THEN 1 ELSE -1 END) AS v8,
+               sum(CASE WHEN (h >> 9) & 1 = 1 THEN 1 ELSE -1 END) AS v9,
+               sum(CASE WHEN (h >> 10) & 1 = 1 THEN 1 ELSE -1 END) AS v10,
+               sum(CASE WHEN (h >> 11) & 1 = 1 THEN 1 ELSE -1 END) AS v11,
+               sum(CASE WHEN (h >> 12) & 1 = 1 THEN 1 ELSE -1 END) AS v12,
+               sum(CASE WHEN (h >> 13) & 1 = 1 THEN 1 ELSE -1 END) AS v13,
+               sum(CASE WHEN (h >> 14) & 1 = 1 THEN 1 ELSE -1 END) AS v14,
+               sum(CASE WHEN (h >> 15) & 1 = 1 THEN 1 ELSE -1 END) AS v15,
+               sum(CASE WHEN (h >> 16) & 1 = 1 THEN 1 ELSE -1 END) AS v16,
+               sum(CASE WHEN (h >> 17) & 1 = 1 THEN 1 ELSE -1 END) AS v17,
+               sum(CASE WHEN (h >> 18) & 1 = 1 THEN 1 ELSE -1 END) AS v18,
+               sum(CASE WHEN (h >> 19) & 1 = 1 THEN 1 ELSE -1 END) AS v19,
+               sum(CASE WHEN (h >> 20) & 1 = 1 THEN 1 ELSE -1 END) AS v20,
+               sum(CASE WHEN (h >> 21) & 1 = 1 THEN 1 ELSE -1 END) AS v21,
+               sum(CASE WHEN (h >> 22) & 1 = 1 THEN 1 ELSE -1 END) AS v22,
+               sum(CASE WHEN (h >> 23) & 1 = 1 THEN 1 ELSE -1 END) AS v23,
+               sum(CASE WHEN (h >> 24) & 1 = 1 THEN 1 ELSE -1 END) AS v24,
+               sum(CASE WHEN (h >> 25) & 1 = 1 THEN 1 ELSE -1 END) AS v25,
+               sum(CASE WHEN (h >> 26) & 1 = 1 THEN 1 ELSE -1 END) AS v26,
+               sum(CASE WHEN (h >> 27) & 1 = 1 THEN 1 ELSE -1 END) AS v27,
+               sum(CASE WHEN (h >> 28) & 1 = 1 THEN 1 ELSE -1 END) AS v28,
+               sum(CASE WHEN (h >> 29) & 1 = 1 THEN 1 ELSE -1 END) AS v29,
+               sum(CASE WHEN (h >> 30) & 1 = 1 THEN 1 ELSE -1 END) AS v30,
+               sum(CASE WHEN (h >> 31) & 1 = 1 THEN 1 ELSE -1 END) AS v31,
+               sum(CASE WHEN (h >> 32) & 1 = 1 THEN 1 ELSE -1 END) AS v32,
+               sum(CASE WHEN (h >> 33) & 1 = 1 THEN 1 ELSE -1 END) AS v33,
+               sum(CASE WHEN (h >> 34) & 1 = 1 THEN 1 ELSE -1 END) AS v34,
+               sum(CASE WHEN (h >> 35) & 1 = 1 THEN 1 ELSE -1 END) AS v35,
+               sum(CASE WHEN (h >> 36) & 1 = 1 THEN 1 ELSE -1 END) AS v36,
+               sum(CASE WHEN (h >> 37) & 1 = 1 THEN 1 ELSE -1 END) AS v37,
+               sum(CASE WHEN (h >> 38) & 1 = 1 THEN 1 ELSE -1 END) AS v38,
+               sum(CASE WHEN (h >> 39) & 1 = 1 THEN 1 ELSE -1 END) AS v39,
+               sum(CASE WHEN (h >> 40) & 1 = 1 THEN 1 ELSE -1 END) AS v40,
+               sum(CASE WHEN (h >> 41) & 1 = 1 THEN 1 ELSE -1 END) AS v41,
+               sum(CASE WHEN (h >> 42) & 1 = 1 THEN 1 ELSE -1 END) AS v42,
+               sum(CASE WHEN (h >> 43) & 1 = 1 THEN 1 ELSE -1 END) AS v43,
+               sum(CASE WHEN (h >> 44) & 1 = 1 THEN 1 ELSE -1 END) AS v44,
+               sum(CASE WHEN (h >> 45) & 1 = 1 THEN 1 ELSE -1 END) AS v45,
+               sum(CASE WHEN (h >> 46) & 1 = 1 THEN 1 ELSE -1 END) AS v46,
+               sum(CASE WHEN (h >> 47) & 1 = 1 THEN 1 ELSE -1 END) AS v47,
+               sum(CASE WHEN (h >> 48) & 1 = 1 THEN 1 ELSE -1 END) AS v48,
+               sum(CASE WHEN (h >> 49) & 1 = 1 THEN 1 ELSE -1 END) AS v49,
+               sum(CASE WHEN (h >> 50) & 1 = 1 THEN 1 ELSE -1 END) AS v50,
+               sum(CASE WHEN (h >> 51) & 1 = 1 THEN 1 ELSE -1 END) AS v51,
+               sum(CASE WHEN (h >> 52) & 1 = 1 THEN 1 ELSE -1 END) AS v52,
+               sum(CASE WHEN (h >> 53) & 1 = 1 THEN 1 ELSE -1 END) AS v53,
+               sum(CASE WHEN (h >> 54) & 1 = 1 THEN 1 ELSE -1 END) AS v54,
+               sum(CASE WHEN (h >> 55) & 1 = 1 THEN 1 ELSE -1 END) AS v55,
+               sum(CASE WHEN (h >> 56) & 1 = 1 THEN 1 ELSE -1 END) AS v56,
+               sum(CASE WHEN (h >> 57) & 1 = 1 THEN 1 ELSE -1 END) AS v57,
+               sum(CASE WHEN (h >> 58) & 1 = 1 THEN 1 ELSE -1 END) AS v58,
+               sum(CASE WHEN (h >> 59) & 1 = 1 THEN 1 ELSE -1 END) AS v59
+        FROM hashed
+        GROUP BY doc_id
     )
     SELECT doc_id,
-           CAST(sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END)
+           CAST((CASE WHEN v0 > 0 THEN 1::BIGINT << 0 ELSE 0 END)
+           + (CASE WHEN v1 > 0 THEN 1::BIGINT << 1 ELSE 0 END)
+           + (CASE WHEN v2 > 0 THEN 1::BIGINT << 2 ELSE 0 END)
+           + (CASE WHEN v3 > 0 THEN 1::BIGINT << 3 ELSE 0 END)
+           + (CASE WHEN v4 > 0 THEN 1::BIGINT << 4 ELSE 0 END)
+           + (CASE WHEN v5 > 0 THEN 1::BIGINT << 5 ELSE 0 END)
+           + (CASE WHEN v6 > 0 THEN 1::BIGINT << 6 ELSE 0 END)
+           + (CASE WHEN v7 > 0 THEN 1::BIGINT << 7 ELSE 0 END)
+           + (CASE WHEN v8 > 0 THEN 1::BIGINT << 8 ELSE 0 END)
+           + (CASE WHEN v9 > 0 THEN 1::BIGINT << 9 ELSE 0 END)
+           + (CASE WHEN v10 > 0 THEN 1::BIGINT << 10 ELSE 0 END)
+           + (CASE WHEN v11 > 0 THEN 1::BIGINT << 11 ELSE 0 END)
+           + (CASE WHEN v12 > 0 THEN 1::BIGINT << 12 ELSE 0 END)
+           + (CASE WHEN v13 > 0 THEN 1::BIGINT << 13 ELSE 0 END)
+           + (CASE WHEN v14 > 0 THEN 1::BIGINT << 14 ELSE 0 END)
+           + (CASE WHEN v15 > 0 THEN 1::BIGINT << 15 ELSE 0 END)
+           + (CASE WHEN v16 > 0 THEN 1::BIGINT << 16 ELSE 0 END)
+           + (CASE WHEN v17 > 0 THEN 1::BIGINT << 17 ELSE 0 END)
+           + (CASE WHEN v18 > 0 THEN 1::BIGINT << 18 ELSE 0 END)
+           + (CASE WHEN v19 > 0 THEN 1::BIGINT << 19 ELSE 0 END)
+           + (CASE WHEN v20 > 0 THEN 1::BIGINT << 20 ELSE 0 END)
+           + (CASE WHEN v21 > 0 THEN 1::BIGINT << 21 ELSE 0 END)
+           + (CASE WHEN v22 > 0 THEN 1::BIGINT << 22 ELSE 0 END)
+           + (CASE WHEN v23 > 0 THEN 1::BIGINT << 23 ELSE 0 END)
+           + (CASE WHEN v24 > 0 THEN 1::BIGINT << 24 ELSE 0 END)
+           + (CASE WHEN v25 > 0 THEN 1::BIGINT << 25 ELSE 0 END)
+           + (CASE WHEN v26 > 0 THEN 1::BIGINT << 26 ELSE 0 END)
+           + (CASE WHEN v27 > 0 THEN 1::BIGINT << 27 ELSE 0 END)
+           + (CASE WHEN v28 > 0 THEN 1::BIGINT << 28 ELSE 0 END)
+           + (CASE WHEN v29 > 0 THEN 1::BIGINT << 29 ELSE 0 END)
+           + (CASE WHEN v30 > 0 THEN 1::BIGINT << 30 ELSE 0 END)
+           + (CASE WHEN v31 > 0 THEN 1::BIGINT << 31 ELSE 0 END)
+           + (CASE WHEN v32 > 0 THEN 1::BIGINT << 32 ELSE 0 END)
+           + (CASE WHEN v33 > 0 THEN 1::BIGINT << 33 ELSE 0 END)
+           + (CASE WHEN v34 > 0 THEN 1::BIGINT << 34 ELSE 0 END)
+           + (CASE WHEN v35 > 0 THEN 1::BIGINT << 35 ELSE 0 END)
+           + (CASE WHEN v36 > 0 THEN 1::BIGINT << 36 ELSE 0 END)
+           + (CASE WHEN v37 > 0 THEN 1::BIGINT << 37 ELSE 0 END)
+           + (CASE WHEN v38 > 0 THEN 1::BIGINT << 38 ELSE 0 END)
+           + (CASE WHEN v39 > 0 THEN 1::BIGINT << 39 ELSE 0 END)
+           + (CASE WHEN v40 > 0 THEN 1::BIGINT << 40 ELSE 0 END)
+           + (CASE WHEN v41 > 0 THEN 1::BIGINT << 41 ELSE 0 END)
+           + (CASE WHEN v42 > 0 THEN 1::BIGINT << 42 ELSE 0 END)
+           + (CASE WHEN v43 > 0 THEN 1::BIGINT << 43 ELSE 0 END)
+           + (CASE WHEN v44 > 0 THEN 1::BIGINT << 44 ELSE 0 END)
+           + (CASE WHEN v45 > 0 THEN 1::BIGINT << 45 ELSE 0 END)
+           + (CASE WHEN v46 > 0 THEN 1::BIGINT << 46 ELSE 0 END)
+           + (CASE WHEN v47 > 0 THEN 1::BIGINT << 47 ELSE 0 END)
+           + (CASE WHEN v48 > 0 THEN 1::BIGINT << 48 ELSE 0 END)
+           + (CASE WHEN v49 > 0 THEN 1::BIGINT << 49 ELSE 0 END)
+           + (CASE WHEN v50 > 0 THEN 1::BIGINT << 50 ELSE 0 END)
+           + (CASE WHEN v51 > 0 THEN 1::BIGINT << 51 ELSE 0 END)
+           + (CASE WHEN v52 > 0 THEN 1::BIGINT << 52 ELSE 0 END)
+           + (CASE WHEN v53 > 0 THEN 1::BIGINT << 53 ELSE 0 END)
+           + (CASE WHEN v54 > 0 THEN 1::BIGINT << 54 ELSE 0 END)
+           + (CASE WHEN v55 > 0 THEN 1::BIGINT << 55 ELSE 0 END)
+           + (CASE WHEN v56 > 0 THEN 1::BIGINT << 56 ELSE 0 END)
+           + (CASE WHEN v57 > 0 THEN 1::BIGINT << 57 ELSE 0 END)
+           + (CASE WHEN v58 > 0 THEN 1::BIGINT << 58 ELSE 0 END)
+           + (CASE WHEN v59 > 0 THEN 1::BIGINT << 59 ELSE 0 END)
                 AS BIGINT) AS simhash
     FROM votes
-    GROUP BY doc_id
     """,
 )
 def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -288,7 +288,11 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ts_ewma",
     oracle="""
-    WITH RECURSIVE seq AS (
+    WITH RECURSIVE seq AS MATERIALIZED (
+        -- MATERIALIZED (round-11 oracle soak): referenced by the base
+        -- AND the recursive term, so DuckDB 1.0 re-inlined this full
+        -- corpus window into EVERY recursion step — max-history
+        -- re-evaluations of a 1M-row window = a >180 s hang at sf1
         SELECT user_id, value,
                row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
         FROM events
