@@ -72,7 +72,8 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # (q12 is r6 vintage and stays out) plus the 5-query UDF surface.
 # After r11, ever-driver-graded coverage closes to 366/366.
 #
-# R12 WINDOW PLAN (VERDICT r10 #8 — keep the rotation mechanical):
+# ROUND 12 WINDOW (this list's first 50), per VERDICT r11 #1 — the
+# composition planned last round, applied verbatim:
 # the never-graded backlog leads — the 16 round-11 additions
 # (graph_kcore_converged, agg_trimmed_mean, agg_geometric_mean,
 # agg_bowley_skew, agg_bartlett, agg_brown_forsythe,
@@ -97,65 +98,78 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # re-enter the window once its last grade is >= 5 rounds behind the
 # upcoming round.
 GRADE_ORDER: tuple[str, ...] = (
-    # --- never-driver-graded r10 additions (VERDICT r10 #1) ---
-    "agg_winsorized_mean",
-    "fn_geo",
-    "ts_rolling_slope",
-    "ts_durbin_watson",
-    "ts_stochastic_osc",
-    "ts_max_drawdown",
-    "agg_runs_test",
-    "llm_readability",
-    "graph_degree_stats",
-    "graph_triangles",
-    "agg_iqr_outliers",
-    "agg_wilcoxon_signed_rank",
-    "graph_kcore_peel",
-    "ts_sma_crossover",
-    "llm_lang_confusion",
-    "graph_common_neighbors",
-    "win_islands",
-    "ts_rolling_median",
-    "dq_drift",
-    # --- the 6 deferred r2 LLM names (close the r2 ladder) ---
-    "llm_contamination_check",
-    "llm_knn_cosine",
-    "llm_ngram_jaccard",
-    "llm_pii_redact",
-    "llm_repetition_score",
-    "llm_stratified_sample",
-    # --- r3-vintage freshness re-grades: TPC-H suite (20; q12 is r6) ---
-    "tpch_q2_min_cost_supplier",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_parts",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_count",
-    "tpch_q17_small_quantity",
-    "tpch_q18_large_orders",
-    "tpch_q19_discounted_revenue",
-    "tpch_q20_excess_share",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_global_sales",
-    # --- r3-vintage: the UDF surface (5) ---
-    "udf_scalar_pandas",
-    "udf_arrow_scalar",
-    "udaf_grouped_agg",
-    "udtf_fixed_decode",
-    "udf_grouped_map",
+    # --- never-driver-graded r11 additions (VERDICT r11 #1) ---
+    "graph_kcore_converged",
+    "agg_trimmed_mean",
+    "agg_geometric_mean",
+    "agg_bowley_skew",
+    "agg_bartlett",
+    "agg_brown_forsythe",
+    "graph_assortativity",
+    "graph_local_clustering",
+    "ts_turning_points",
+    "ts_vwap",
+    "ts_atr",
+    "ts_obv",
+    "llm_type_token_ratio",
+    "llm_hapax_ratio",
+    "dq_referential",
+    "agg_coeff_variation",
+    # --- r3-vintage freshness re-grades (23: everything last graded r3) ---
+    "fn_epoch",
+    "fn_math",
+    "join_interval_bucketed",
+    "maintain_fixedlen_analyze",
+    "maintain_fixedlen_compact",
+    "merge_scd2",
+    "pipeline_fixedlen_composite",
+    "scan_fixedlen_binint",
+    "scan_fixedlen_corrupt_quarantine",
+    "scan_fixedlen_ebcdic",
+    "scan_fixedlen_hive_partitioned",
+    "scan_fixedlen_implied",
+    "scan_fixedlen_linesep",
+    "scan_fixedlen_multitype",
+    "scan_fixedlen_observed",
+    "scan_fixedlen_occurs",
+    "scan_fixedlen_packed",
+    "scan_fixedlen_skiprecs",
+    "scan_fixedlen_stats_pruned",
+    "scan_fixedlen_zoned",
+    "sink_fixedlen_ebcdic",
+    "sql_fixedlen_view",
+    "stream_fixedlen_directory",
+    # --- r4-vintage re-grades, oldest-first (11 of 44; tail -> r13) ---
+    "proj_compute",
+    "diag_documents_identity",
+    "llm_token_count",
+    "diag_q12_filter_only",
+    "diag_lineitem_ts_epoch",
+    "diag_orders_ts_epoch",
+    "subq_scalar_select",
+    "join_lateral",
+    "pivot_segment",
+    "unpivot_measures",
+    "agg_stats",
 )
-# The window is GRADE_ORDER[:50] = 19 never-graded + 6 r2 + 25 r3
-# re-grades.  After r11, never-driver-graded coverage is 366/366 and
-# the oldest remaining vintages are the r3 tail and the r4 block
-# (see R12 WINDOW PLAN above).
+# The window is GRADE_ORDER[:50] = 16 never-graded r11 additions + 23
+# r3-vintage + 11 r4-vintage heads.  After r12, ever-driver-graded
+# coverage closes to 382/382 of the r11 contract and the oldest
+# remaining vintages are the r4 tail (33) and the r6 block.
+#
+# R13 WINDOW PLAN (keep the rotation mechanical): any never-graded
+# round-12 additions lead, then the 33-name r4 tail (oldest-first:
+# agg_percentile, agg_string_agg, agg_min_max_by, agg_bool_bit,
+# agg_count_if, agg_collect_set, agg_product, agg_regression,
+# ts_gap_fill, ts_interpolate, ts_ewma, ts_ohlc, fn_url,
+# llm_text_stats, llm_lang_id, llm_quality_score, llm_fingerprint,
+# llm_multimodal_cols, llm_centroid_per_label, llm_incremental_dedup,
+# llm_pipeline_clean, llm_gopher_filters, llm_topk_ngrams,
+# llm_semdedup, llm_dedup_apply, llm_minhash_jaccard_est,
+# llm_curriculum_mix, llm_tfidf_topterms, llm_near_dup_verified,
+# llm_embedding_cosine_dup, llm_bm25, llm_char_entropy,
+# llm_centroid_outliers), then r6-vintage heads (stale since
+# 13-6 >= 5) fill the rest.
 
 
 def _reorder() -> None:

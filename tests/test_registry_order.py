@@ -23,27 +23,20 @@ def test_grade_order_applied_and_complete():
     assert names[: len(registry.GRADE_ORDER)] == list(registry.GRADE_ORDER)
 
 
-def test_round11_window_composition():
+def test_round12_window_composition():
     registry.load_all()
     window = list(registry.QUERIES)[:50]
-    # the 19 never-driver-graded r10 additions lead (VERDICT r10 #1),
-    # closing ever-graded coverage to 366/366
-    assert window[0] == "agg_winsorized_mean"
-    assert window[18] == "dq_drift"
-    # then the 6 deferred r2 LLM names, closing the r2 ladder
-    assert window[19:25] == [
-        "llm_contamination_check",
-        "llm_knn_cosine",
-        "llm_ngram_jaccard",
-        "llm_pii_redact",
-        "llm_repetition_score",
-        "llm_stratified_sample",
-    ]
-    # the other 25 slots are r3-vintage freshness re-grades: the 20 r3
-    # TPC-H queries (q12 is r6 vintage) and the 5-query UDF surface
-    assert window[25] == "tpch_q2_min_cost_supplier"
-    assert window[44] == "tpch_q22_global_sales"
-    assert window[49] == "udf_grouped_map"
+    # the 16 never-driver-graded r11 additions lead (VERDICT r11 #1),
+    # closing ever-graded coverage to 382/382 of the r11 contract
+    assert window[0] == "graph_kcore_converged"
+    assert window[15] == "agg_coeff_variation"
+    # then the 23 r3-vintage freshness re-grades (everything whose last
+    # grade is r3 — tpch_q12_priority_shipping is r6 vintage)
+    assert window[16] == "fn_epoch"
+    assert window[38] == "stream_fixedlen_directory"
+    # then the 11 oldest r4-vintage names
+    assert window[39] == "proj_compute"
+    assert window[49] == "agg_stats"
     assert "tpch_q12_priority_shipping" not in window
     # every window query has a full SQL oracle (strongest driver signal)
     missing = [n for n in window if n not in registry.ORACLES]
