@@ -1801,3 +1801,23 @@ def test_obv_single_exchange_shared_window(spark):
     assert _hashex(plan) == 1, plan
     assert sum(1 for l in plan.splitlines() if " Sort " in l) == 1, plan
     assert _no_python(plan)
+
+
+def test_exact_dedup_shuffles_digest_not_text(spark):
+    """llm_exact_dedup (VERDICT r11 #3): the groupBy exchange must be
+    keyed on the map-side md5 digest, never the raw document text — at
+    100 TB a text-keyed shuffle ships the corpus.  Mirrors the dedup
+    `_spread` no-raw-text rule (dedup.py)."""
+    from hadoop_fixedlengthinputformat_spark.functions.llm_queries import (
+        llm_exact_dedup,
+    )
+
+    df = llm_exact_dedup(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)#", plan)
+    assert keys and set(keys) == {"text_md5"}, plan
+    # the exchange's output schema must not carry the text column either
+    ex_lines = [l for l in plan.splitlines() if "Exchange" in l]
+    assert ex_lines and all("text#" not in l for l in ex_lines), ex_lines
+    # partial aggregation (map-side combine) still engages
+    assert "partial_count" in plan or "partial" in plan.lower(), plan
