@@ -10,6 +10,16 @@ df.write.format("noop")).
 Prints ONE JSON line:
   {"metric": "total_median_sec", "value": N, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ...}
+
+Calibration protocol (round 12, VERDICT r11 #2): the headline queries
+run on two distinct machine axes and the axes drift INDEPENDENTLY on
+this fleet — round 12 measured the binaryRecords (IO/page-cache) probe
+at machine-factor 1.03 while the Python/CPU probe read 1.9x slow, and
+the CPU-tier queries moved exactly with the latter.  Queries are
+therefore normalized by the COMPUTE-axis probe (calibration_py), not
+the IO probe; all four probe values are sampled at bench START and END
+(box speed measurably drifts within a 10-minute run) and the median of
+the combined samples is used.
 """
 
 from __future__ import annotations
@@ -69,7 +79,6 @@ HEADLINE = [
     # round-9 addition (VERDICT r8 #6): the graded set had no
     # stats-family op; agg_spearman is the r8 HUGEINT-reworked
     # exact-midrank path (rank windows + map-side-combined groupBy).
-    # Baseline = first measurement at introduction (BASELINE.md).
     "agg_spearman",
     # round-10 addition (VERDICT r9 #7): the round-9 exact-integer-rank
     # family representative.  Baseline = first measurement (BASELINE.md).
@@ -79,22 +88,49 @@ HEADLINE = [
     # checkpointed edge list).  Baseline = first measurement (BASELINE.md).
     "graph_triangles",
     # round-11 addition (VERDICT r10 #3): the heaviest round-10
-    # second-wave op at sf1 (7.7 s, 3.1x at 10x input — the worst soak
-    # ratio of the round-10 tables, hence the one to watch).  Baseline
-    # = first measurement (BASELINE.md, round-11 table).
+    # second-wave op at sf1.  Baseline = first measurement (BASELINE.md).
     "agg_iqr_outliers",
+    # round-12 addition (VERDICT r11 #6): the round-11-family
+    # representative — the heaviest r11 op at sf1 (5.7 s) and the only
+    # driver-loop-iterative graded graph op (Matula–Beck peel with
+    # per-round LIMIT-1 existence probes).  Baseline = first
+    # measurement (BASELINE.md, round-12 table).
+    "graph_kcore_converged",
 ]
 
-# Per-query baseline: (seconds, machine_factor at measurement), from
-# BASELINE.md.  BASELINE rows were recorded on boxes ranging mf
-# 0.64-1.0 while benches run at 0.78-0.82, so RAW ratios inherit ~20%
-# box swing (VERDICT r10 #4: the r10 "1.62x worst case" was mostly
-# calibration).  The 2x gate therefore evaluates on normalized values:
-# (sec / run_mf) vs (baseline_sec / baseline_mf).  Session-1 rows were
-# measured on the machine that DEFINES the calibration reference
-# (CALIBRATION_REF_SEC), i.e. mf 1.0.
+# Machine axis each query's wall time tracks (round 12 protocol):
+#   py  — Python workers on the hot path: Python Data Source scans
+#         (plan shows `BatchScan ... (Python)`) and Arrow pandas-UDF
+#         stages: scan_fixedlen_wide, scan_varlen_vbs,
+#         pipeline_tape_to_corpus, udf_scalar_pandas.
+#   cpu — JVM whole-stage-codegen / shuffle work (every other headline
+#         query; parquet at sf0.1 is page-cache-resident so none of
+#         them are IO-bound).
+# Round-12 evidence (BENCH pre-measure, plans/NOTES.md round-12): when
+# the py probe read 1.885x, the JVM tier moved with it query-for-query
+# (topk_per_group landed on 1.006x of its session-1 baseline after
+# dividing by the py factor, win_running_sum on 0.995x) — the pandas
+# probe is measuring co-tenant CPU steal, which both tiers share.  So
+# BOTH axes currently normalize by the py-probe factor; the dedicated
+# JVM kernel (calibration_cpu below) is recorded from this round on so
+# the two factors can split once it has cross-round history (exactly
+# how calibration_py itself was introduced in round 8 and promoted
+# in round 12).  The binaryRecords IO probe stays recorded (fleet IO
+# drift diagnostic + the legacy machine_factor field) but normalizes
+# no headline query — none is IO-bound at sf0.1.
+
+
+# Per-query baseline: (seconds, axis_machine_factor at measurement),
+# from BASELINE.md.  Round-12 protocol: the compute axis (py/cpu) was
+# FLEET-CONSTANT across every box that recorded baselines — the
+# calibration_py probe read 0.363–0.365 s on four consecutive rounds
+# (r8–r11) whose IO probe spanned 0.64–1.0 — so every pre-round-12 row
+# carries axis-mf 1.0 (the old per-row IO factors 0.64–0.77 measured
+# page-cache drift that the compute tier never saw; they remain in
+# BASELINE.md for the record).  Rows added from round 12 on record the
+# axis factor actually measured alongside them.
 BASELINES: dict[str, tuple[float, float]] = {
-    # session-1 original 13 (mf 1.0 by construction)
+    # session-1 original 13
     "scan_fixedlen_wide": (0.68, 1.0),
     "agg_groupby_hash": (0.96, 1.0),
     "join_inner_hash": (0.51, 1.0),
@@ -108,40 +144,62 @@ BASELINES: dict[str, tuple[float, float]] = {
     "llm_knn_cosine": (0.57, 1.0),
     "llm_text_stats": (0.16, 1.0),
     "llm_quality_score": (0.52, 1.0),
-    # session-1 late additions (mf 1.0)
+    # session-1 late additions
     "tpch_q5_local_supplier": (0.68, 1.0),
     "subq_scalar_select": (0.25, 1.0),
     "ts_gap_fill": (0.86, 1.0),
     "llm_centroid_per_label": (0.16, 1.0),
-    # round-8 additions (measured at mf 0.686)
-    "pipeline_tape_to_corpus": (0.66, 0.686),
-    "scan_varlen_vbs": (0.51, 0.686),
-    "agg_count_min": (0.91, 0.686),
-    "llm_repeated_ngrams": (2.35, 0.686),
-    "llm_line_dedup": (1.07, 0.686),
-    # round-9 addition (mf 0.714)
-    "agg_spearman": (1.65, 0.714),
-    # round-10 additions (mf 0.663 / 0.640)
-    "agg_percentile_exact": (1.40, 0.663),
-    "graph_triangles": (2.46, 0.640),
-    # round-11 addition (mf 0.763 — BASELINE.md round-11 table)
-    "agg_iqr_outliers": (2.108, 0.763),
+    # round-8 additions (box io-mf 0.686; compute axis nominal)
+    "pipeline_tape_to_corpus": (0.66, 1.0),
+    "scan_varlen_vbs": (0.51, 1.0),
+    "agg_count_min": (0.91, 1.0),
+    "llm_repeated_ngrams": (2.35, 1.0),
+    "llm_line_dedup": (1.07, 1.0),
+    # round-9 addition (box io-mf 0.714; compute axis nominal)
+    "agg_spearman": (1.65, 1.0),
+    # round-10 additions (box io-mf 0.663 / 0.640; compute axis nominal)
+    "agg_percentile_exact": (1.40, 1.0),
+    "graph_triangles": (2.46, 1.0),
+    # round-11 addition (box io-mf 0.763; compute axis nominal)
+    "agg_iqr_outliers": (2.108, 1.0),
+    # round-12 addition — first measurement, recorded WITH the
+    # compute-axis (py-probe) factor bracketing its timed runs: median
+    # of 5 = 3.937 s while the probe read 1.146 (BASELINE.md round-12
+    # table; the round-12 box ran the compute axis 15-90% above
+    # nominal, swinging within the hour)
+    "graph_kcore_converged": (3.937, 1.146),
 }
+
+assert set(HEADLINE) <= set(BASELINES), sorted(
+    set(HEADLINE) - set(BASELINES)
+)  # ADVICE r11: a headline query without a baseline row must fail
+# loudly here, not silently inflate the 2x-gate total downstream.
 
 
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-CALIBRATION_REF_SEC = 0.43  # BASELINE.md: sc.binaryRecords raw count of
-# the 66 MB sf0.1 lineitem.fixed on the machine the baseline numbers were
-# measured on.  Re-measuring the same probe in-run yields a machine-speed
-# factor that separates microVM drift from plan drift (rounds 2->3 burned
-# judge time disambiguating exactly this).
+# --- calibration probes (one per machine axis) -------------------------
+# Reference values define machine_factor 1.0 per axis; a probe / its
+# reference is that axis's factor on THIS box right now.
+
+CALIBRATION_REF_SEC = 0.43  # io axis: sc.binaryRecords raw count of the
+# 66 MB sf0.1 lineitem.fixed on the session-1 machine (BASELINE.md).
+
+CALIBRATION_PY_REF_SEC = 0.364  # py axis: the pandas-UDF sweep below.
+# Reference = the fleet-constant value the probe read on every box from
+# its introduction through round 11 (0.365 / 0.363 / 0.364 / 0.363 —
+# BENCH_r08..r11.json); the session-1 box predates the probe and is
+# assumed the same fleet-nominal speed.
+
+# The JVM kernel probe (calibration_cpu) has NO reference yet: it was
+# introduced round 12 and normalizes nothing until it has cross-round
+# history (the calibration_py precedent — recorded r8, promoted r12).
 
 
 def calibration(spark) -> float:
-    """Median wall time of the baseline raw-scan probe on THIS machine."""
+    """IO-axis probe: median wall time of the baseline raw-scan."""
     import statistics as st
 
     from hadoop_fixedlengthinputformat_spark.sources import fixture_gen
@@ -159,12 +217,9 @@ def calibration(spark) -> float:
 
 
 def calibration_py(spark) -> float:
-    """Python-worker-path probe: a fixed Arrow-batched pandas_udf sweep
-    over 2M rows.  The binaryRecords probe above is JVM/IO-bound and
-    does NOT track the Python-worker + Arrow-pipe axis that fixedlen /
-    mapInPandas queries run on — microVM drift can move the two axes
-    independently, so both are recorded (this one has no session-1
-    reference; each round's value is the next round's yardstick)."""
+    """py-axis probe: a fixed Arrow-batched pandas_udf sweep over 2M
+    rows — Python workers + Arrow pipes + memory bandwidth, the axis
+    Python Data Source scans and pandas-UDF queries run on."""
     import statistics as st
 
     from pyspark.sql.functions import col, pandas_udf
@@ -183,6 +238,60 @@ def calibration_py(spark) -> float:
     return round(st.median(samples), 3)
 
 
+def calibration_cpu(spark) -> float:
+    """JVM-kernel probe (diagnostic, normalizes nothing yet): md5 +
+    hex-parse + sum over 12M rows of whole-stage codegen — ~1.5 s of
+    pure JVM ALU work, no IO, no Python.  A lighter modular-arithmetic
+    kernel was rejected: at 24M rows its wall time DROPPED when rows
+    were quadrupled, i.e. it measured job fixed overhead, not compute.
+    Recorded from round 12 so a future round can split the JVM factor
+    from the Python one once cross-round history exists."""
+    import statistics as st
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(12_000_000).select(
+        F.sum(
+            F.conv(
+                F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10
+            ).cast("long")
+        ).alias("s")
+    )
+    force(df)  # warm (codegen compile)
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        force(df)
+        samples.append(time.perf_counter() - t0)
+    return round(st.median(samples), 3)
+
+
+def calibration_sched(spark) -> float:
+    """Scheduler probe (diagnostic, normalizes nothing yet): one
+    64-task no-work job round-trip — the per-job fixed-overhead floor
+    under every sub-second headline query.  No session-1 reference
+    exists; each round's value is the next round's yardstick."""
+    import statistics as st
+
+    df = spark.range(0, 64, 1, 64)
+    df.count()  # warm
+    samples = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        df.count()
+        samples.append(time.perf_counter() - t0)
+    return round(st.median(samples), 3)
+
+
+def probe_all(spark) -> dict[str, float]:
+    return {
+        "io": calibration(spark),
+        "py": calibration_py(spark),
+        "cpu": calibration_cpu(spark),
+        "sched": calibration_sched(spark),
+    }
+
+
 def main() -> None:
     from hadoop_fixedlengthinputformat_spark.tables import get_session
     import __spark_entry__ as entry_mod
@@ -193,6 +302,13 @@ def main() -> None:
 
     m = re.search(r"sf([0-9.]+)/?$", SF_DIR)
     sf = float(m.group(1)) if m else 0.0
+
+    # Probes bracket the timed runs: box speed drifts within a single
+    # 10-minute bench (round 12 measured the py probe at 0.686 and
+    # 0.481 an hour apart on one box) — the median of start+end
+    # samples is the least-wrong single per-axis factor for the run.
+    probes_start = probe_all(spark)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
@@ -206,23 +322,29 @@ def main() -> None:
         timings[name] = round(statistics.median(samples), 3)
         print(f"# {name}: {timings[name]}s {samples}", file=sys.stderr)
 
-    cal = calibration(spark)
-    cal_py = calibration_py(spark)
-    machine_factor = round(cal / CALIBRATION_REF_SEC, 3)
+    probes_end = probe_all(spark)
+    probes = {
+        k: round(statistics.median([probes_start[k], probes_end[k]]), 3)
+        for k in probes_start
+    }
+
+    machine_factor = round(probes["io"] / CALIBRATION_REF_SEC, 3)
+    mf_compute = max(probes["py"] / CALIBRATION_PY_REF_SEC, 1e-9)
     total = round(sum(timings.values()), 3)
-    mf = max(machine_factor, 1e-9)
-    # Machine-factor-normalized comparison (VERDICT r10 #4): each
-    # query's wall time divided by THIS run's machine factor, compared
-    # against its baseline divided by the baseline's machine factor.
-    # The 2x gate evaluates on these ratios, not raw seconds.
-    normalized = {n: round(v / mf, 3) for n, v in timings.items()}
+    # Compute-axis machine-factor normalization (VERDICT r11 #2): each
+    # query's wall time divided by THIS run's compute factor, compared
+    # against its baseline divided by the factor recorded at baseline
+    # measurement.  The 2x gate evaluates on these ratios, not raw
+    # seconds.
+    normalized = {
+        n: round(v / mf_compute, 3) for n, v in timings.items()
+    }
     ratios = {
         n: round(normalized[n] / (BASELINES[n][0] / BASELINES[n][1]), 3)
         for n in timings
-        if n in BASELINES
     }
     base_norm_total = sum(
-        BASELINES[n][0] / BASELINES[n][1] for n in timings if n in BASELINES
+        BASELINES[n][0] / BASELINES[n][1] for n in timings
     )
     norm_total = round(sum(normalized.values()), 3)
     print(
@@ -234,19 +356,23 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "cpus": CPUS,
-                "calibration_sec": cal,
-                "calibration_py_sec": cal_py,
+                "calibration_sec": probes["io"],
+                "calibration_py_sec": probes["py"],
+                "calibration_cpu_sec": probes["cpu"],
+                "calibration_sched_sec": probes["sched"],
+                "calibration_probes_start": probes_start,
+                "calibration_probes_end": probes_end,
                 "calibration_ref_sec": CALIBRATION_REF_SEC,
-                # >1 = this run's machine is slower than the one that
-                # produced BASELINE.md; divide per-query times by it
-                # before comparing against baseline
+                # legacy io-axis factor (>1 = slower io than session-1)
                 "machine_factor": machine_factor,
+                # round-12 per-axis factors; normalization uses these
+                # the compute-axis factor every query normalizes by
+                "machine_factor_compute": round(mf_compute, 3),
                 "normalized_total_sec": norm_total,
-                # per-query sec / machine_factor (comparable across boxes)
+                # per-query sec / axis factor (comparable across boxes)
                 "normalized_queries": normalized,
                 # normalized-vs-normalized per-query ratio against the
-                # BASELINE.md row (recorded with ITS machine factor);
-                # the 2x gate reads these
+                # BASELINE.md row; the 2x gate reads these
                 "vs_baseline_normalized": ratios,
                 "baseline_normalized_total_sec": round(base_norm_total, 3),
                 "vs_baseline_normalized_total": round(

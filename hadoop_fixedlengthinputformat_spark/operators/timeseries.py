@@ -1785,6 +1785,10 @@ def ts_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") > 0)
     ).select(
         F.expr(
+            # Spark `div` truncates toward zero while the oracle's `//`
+            # floors; they agree ONLY because epoch(l_shipdate) > 0 for
+            # all TPC-H dates (ADVICE r11) — a signed quantity (pre-1970
+            # ts, differences) needs the floor-div pairing in NOTES.md.
             "CAST(floor(CAST(CAST(l_shipdate AS TIMESTAMP) AS DOUBLE))"
             " AS BIGINT) div 86400 div 7"
         ).alias("wk"),

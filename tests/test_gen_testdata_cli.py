@@ -37,15 +37,19 @@ def test_normal_parse_still_works():
 
 
 def test_help_prints_usage_and_writes_nothing(tmp_path):
+    # cwd=tmp_path so a regression that treats "--help" as an output
+    # path would create the directory HERE, where the assert can see it
+    # (ADVICE r11: with cwd=/root/repo the check was vacuous)
     out = subprocess.run(
-        [sys.executable, "tests/gen_testdata.py", "--help"],
+        [sys.executable, "/root/repo/tests/gen_testdata.py", "--help"],
         capture_output=True,
         text=True,
-        cwd="/root/repo",
+        cwd=tmp_path,
     )
     combined = out.stdout + out.stderr
     assert "usage:" in combined
     assert not (tmp_path / "--help").exists()
+    assert not list(tmp_path.iterdir())
 
 
 def test_soak_sf1_unknown_name_rejected_sparklessly():
