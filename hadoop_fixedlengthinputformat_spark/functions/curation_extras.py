@@ -895,3 +895,73 @@ def llm_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("ntok").alias("sum_tokens"),
     )
+
+
+@query(
+    "llm_tokenizer_fertility",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1)
+                AS BIGINT) AS sum_ws_tokens,
+           true AS bpe_ge_words,
+           true AS bpe_le_word_chars
+    FROM documents
+    WHERE text IS NOT NULL
+    GROUP BY lang
+    """,
+)
+def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per language: the BPE-tokens-per-word
+    ratio tokenizer evaluations report (high fertility on a language =
+    the vocabulary underserves it), aggregated from the SAME
+    llm_bpe_train merge table llm_tokenizer_apply uses (memoized — the
+    corpus pays training once per app).  Graded with the
+    tokenizer_apply contract: the exposed exact columns are the
+    SQL-expressible halves (per-lang doc count and whitespace-token
+    sum via the sanctioned length-difference identity, text.n_ws_tokens
+    — CLAUDE.md token-count rule), while the data-dependent BPE sums
+    grade as per-lang invariant gates that hold on ANY corpus and any
+    merge table: Σ n_bpe ≥ Σ words (a word is ≥ 1 token) and
+    Σ n_bpe ≤ Σ word chars (merges only shrink the char start state).
+    Wordless languages pass the gates vacuously via the left join
+    (COALESCE'd both sides).  Shuffle shape: one distinct-word encode
+    (Heaps-law bounded) + one broadcast word→count join + one lang
+    groupBy; NULL lang groups as its own key on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    merges = _bpe_merges_cached(spark, sf_dir, d, n_merges=8)
+    base = d.where(F.col("text").isNotNull())
+    exact = base.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(text.n_ws_tokens("text")).alias("sum_ws_tokens"),
+    )
+    doc_words = base.select(
+        "lang",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    enc = doc_words.select("word").distinct().select(
+        "word", text.char_toks_expr("word").alias("toks")
+    )
+    for a, b in merges:
+        enc = enc.select("word", text.merge_pair_expr(a, b).alias("toks"))
+    enc = enc.select("word", F.size("toks").alias("n_toks"))
+    per_lang = (
+        doc_words.join(F.broadcast(enc), "word")
+        .groupBy("lang")
+        .agg(
+            F.sum("n_toks").alias("bpe_sum"),
+            F.count(F.lit(1)).alias("word_sum"),
+            F.sum(F.length("word")).alias("char_sum"),
+        )
+    )
+    return exact.join(per_lang, ["lang"], "left").select(
+        "lang",
+        "n_docs",
+        "sum_ws_tokens",
+        F.coalesce(F.col("bpe_sum") >= F.col("word_sum"), F.lit(True)).alias(
+            "bpe_ge_words"
+        ),
+        F.coalesce(F.col("bpe_sum") <= F.col("char_sum"), F.lit(True)).alias(
+            "bpe_le_word_chars"
+        ),
+    )

@@ -1171,7 +1171,10 @@ _MINHASH_CANDIDATES_SQL = """
     WITH toks AS (
         SELECT doc_id, string_split(text, ' ') AS t FROM documents
     ),
-    shingles AS (
+    shingles AS MATERIALIZED (
+        -- MATERIALIZED (round 12): llm_minhash_containment references
+        -- this a second time (set sizes) — the round-10 rule: DuckDB
+        -- 1.0 re-inlines any CTE referenced 2+ times per reference
         SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
         FROM (
             SELECT doc_id, t,
@@ -1184,7 +1187,8 @@ _MINHASH_CANDIDATES_SQL = """
                min(md5('0' || shingle)) AS mh_0, min(md5('1' || shingle)) AS mh_1,
                min(md5('2' || shingle)) AS mh_2, min(md5('3' || shingle)) AS mh_3,
                min(md5('4' || shingle)) AS mh_4, min(md5('5' || shingle)) AS mh_5,
-               min(md5('6' || shingle)) AS mh_6, min(md5('7' || shingle)) AS mh_7
+               min(md5('6' || shingle)) AS mh_6, min(md5('7' || shingle)) AS mh_7,
+               CAST(COUNT(*) AS BIGINT) AS sz
         FROM shingles GROUP BY doc_id
     ),
     bands AS MATERIALIZED (
@@ -1701,4 +1705,102 @@ def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "width",
         "height",
         (F.abs(F.col("mean_luma") - 0.5) <= 0.15).alias("luma_in_range"),
+    )
+
+
+_CONTAIN = "floor((CAST(cont_num AS DOUBLE) / CAST(cont_den AS DOUBLE)) * 10000 + 0.5) / 10000"
+
+
+@query(
+    "llm_minhash_containment",
+    oracle=_MINHASH_CANDIDATES_SQL.rstrip()
+    + """,
+    scored AS (
+        -- set sizes ride the sig CTE (round-12: a separate sizes CTE
+        -- meant 2 extra 4M-pair joins at sf1 — the sig rows already
+        -- group the exact shingle sets being sized)
+        SELECT c.doc_a, c.doc_b, sa.sz AS size_a, sb.sz AS size_b,
+               CAST((sa.mh_0 = sb.mh_0)::INT + (sa.mh_1 = sb.mh_1)::INT
+                  + (sa.mh_2 = sb.mh_2)::INT + (sa.mh_3 = sb.mh_3)::INT
+                  + (sa.mh_4 = sb.mh_4)::INT + (sa.mh_5 = sb.mh_5)::INT
+                  + (sa.mh_6 = sb.mh_6)::INT + (sa.mh_7 = sb.mh_7)::INT
+                 AS BIGINT) AS k_match
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.doc_a
+        JOIN sig sb ON sb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, size_a, size_b, k_match,
+           CAST(k_match * (size_a + size_b) AS BIGINT) AS cont_num,
+           CAST((8 + k_match) * size_a AS BIGINT) AS cont_den,
+           """
+    + _CONTAIN
+    + """ + 0 AS est_containment
+    FROM scored
+    """,
+)
+def llm_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash CONTAINMENT estimator for every LSH candidate pair: how
+    much of doc_a's shingle set lives inside doc_b — the asymmetric
+    dedup signal (quote/superset detection) Jaccard can't give.  From
+    the Jaccard identity |∩| = J·(|A|+|B|)/(1+J) with J estimated as
+    k/8 matching signature components, the containment
+    |∩|/|A| = k·(|A|+|B|) / ((8+k)·|A|) is a PURE INTEGER fraction of
+    the exact distinct-shingle set sizes — numerator and denominator
+    are EXPOSED exact int64s (the agg_cohen_kappa convention) and the
+    convenience ratio is one snapped division.  Shuffle shape: the
+    signature/LSH pipeline is llm_minhash_near_dedup's (digest-only
+    exchanges, candidates only within buckets); set sizes ride the
+    same shingle explode as a second map-side-combined groupBy; all
+    joins are id-keyed."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = dedup.minhash_signature(d, "doc_id")
+    cand = dedup.lsh_candidate_pairs(sig, "doc_id")
+    dd = d.filter(F.col("text").isNotNull())
+    sizes = (
+        dd.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(dedup.word_shingles(dd))
+            ).alias("shingle"),
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh_{i}").alias(f"a{i}") for i in range(8)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh_{i}").alias(f"b{i}") for i in range(8)],
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b"))
+    k_match = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(8)
+    ).cast("long")
+    scored = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "size_a",
+            "size_b",
+            k_match.alias("k_match"),
+        )
+    )
+    return scored.select(
+        "doc_a",
+        "doc_b",
+        "size_a",
+        "size_b",
+        "k_match",
+        (F.col("k_match") * (F.col("size_a") + F.col("size_b"))).alias(
+            "cont_num"
+        ),
+        ((F.lit(8) + F.col("k_match")) * F.col("size_a")).alias("cont_den"),
+        (F.expr(_CONTAIN) + F.lit(0.0)).alias("est_containment"),
     )

@@ -1464,3 +1464,344 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "u", "v", "du", "dv", "common",
         (F.expr(_CN_JACC) + F.lit(0.0)).alias("jaccard"),
     )
+
+
+# --- round-12 additions: link-prediction scores + global transitivity ---
+# Same co-purchase graph and degree-oriented triangle enumeration as
+# graph_triangles / graph_common_neighbors (cited there; Schank–Wagner
+# orientation bounds the wedge fan-out by the O(sqrt m) out-degree).
+
+# Adamic–Adar / resource-allocation contributions in integer 1e-8
+# units: the witness degree d >= 2 by construction (it is adjacent to
+# both endpoints), ln snaps to 8 before the reciprocal, and the floor
+# lands an identical int64 on both engines — so the per-edge sums are
+# exact and merge-order-free.  Budget: each unit <= 1e8/ln 2 ~ 1.44e8,
+# so an edge tolerates ~6e10 witnesses — unreachable.
+_AA_UNIT = (
+    "CAST(floor(100000000.0 / "
+    "(floor(ln(CAST({d} AS DOUBLE)) * 100000000.0 + 0.5) / 100000000.0)"
+    " + 0.5) AS BIGINT)"
+)
+_RA_UNIT = "CAST(floor(100000000.0 / CAST({d} AS DOUBLE) + 0.5) AS BIGINT)"
+_AA_VAL = snap_sql("CAST(aa_units AS DOUBLE) / 100000000.0", 4)
+_RA_VAL = snap_sql("CAST(ra_units AS DOUBLE) / 100000000.0", 4)
+
+
+@query(
+    "graph_adamic_adar",
+    oracle=f"""
+    WITH po AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+    ),
+    support AS MATERIALIZED (
+        SELECT a.p AS u, b.p AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM po a JOIN po b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p
+    ),
+    e AS MATERIALIZED (SELECT u, v FROM support WHERE cnt >= 2),
+    deg AS MATERIALIZED (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+        GROUP BY node
+    ),
+    eo AS MATERIALIZED (
+        SELECT CASE WHEN du.d <= dv.d THEN e.u ELSE e.v END AS s,
+               CASE WHEN du.d <= dv.d THEN dv.d ELSE du.d END AS dd,
+               CASE WHEN du.d <= dv.d THEN e.v ELSE e.u END AS t
+        FROM e
+        JOIN deg du ON du.node = e.u
+        JOIN deg dv ON dv.node = e.v
+    ),
+    tri AS MATERIALIZED (
+        SELECT e1.s AS x, e1.t AS y, e2.t AS z
+        FROM eo e1
+        JOIN eo e2 ON e1.s = e2.s
+             AND (e1.dd < e2.dd OR (e1.dd = e2.dd AND e1.t < e2.t))
+        JOIN eo e3 ON e3.s = e1.t AND e3.t = e2.t
+    ),
+    wit AS MATERIALIZED (
+        SELECT least(x, y) AS u, greatest(x, y) AS v, z AS w FROM tri
+        UNION ALL SELECT least(x, z), greatest(x, z), y FROM tri
+        UNION ALL SELECT least(y, z), greatest(y, z), x FROM tri
+    ),
+    scored AS (
+        SELECT wit.u, wit.v,
+               CAST(COUNT(*) AS BIGINT) AS common,
+               CAST(SUM({_AA_UNIT.format(d='dw.d')}) AS BIGINT) AS aa_units,
+               CAST(SUM({_RA_UNIT.format(d='dw.d')}) AS BIGINT) AS ra_units
+        FROM wit JOIN deg dw ON dw.node = wit.w
+        GROUP BY wit.u, wit.v
+    )
+    SELECT e.u, e.v,
+           COALESCE(s.common, 0) AS common,
+           CAST(du.d * dv.d AS BIGINT) AS pref_attach,
+           COALESCE(s.aa_units, 0) AS aa_units,
+           COALESCE(s.ra_units, 0) AS ra_units,
+           {_AA_VAL.replace('aa_units', 'COALESCE(s.aa_units, 0)')} + 0
+               AS adamic_adar,
+           {_RA_VAL.replace('ra_units', 'COALESCE(s.ra_units, 0)')} + 0
+               AS resource_alloc
+    FROM e
+    JOIN deg du ON du.node = e.u
+    JOIN deg dv ON dv.node = e.v
+    LEFT JOIN scored s ON s.u = e.u AND s.v = e.v
+    """,
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge link-prediction scores over the co-purchase graph: the
+    three classical neighborhood indices — Adamic–Adar
+    Σ_w 1/ln(deg w), resource allocation Σ_w 1/deg w, and preferential
+    attachment deg(u)·deg(v) — beside the raw common-neighbor count
+    (graph_common_neighbors owns Jaccard).  Triangles are enumerated
+    ONCE with the degree-oriented wedge join (graph_triangles
+    machinery, O(sqrt m) fan-out bound); each triangle then WITNESSES
+    its three edges with the opposite vertex, whose degree converts to
+    exact integer 1e-8 AA/RA units (ln snapped to 8 first; witness
+    degree ≥ 2 by construction so ln > 0) — the per-edge sums are
+    exact int64, merge-order-free, and EXPOSED beside the snapped
+    convenience doubles.  Zero-triangle edges appear with 0 scores via
+    the left join (COALESCE'd both sides).  Shuffle shape: identical
+    to graph_common_neighbors plus one broadcast-sized degree join on
+    the witness column; edge list, degrees, and triangles are
+    localCheckpointed (each consumed ≥ 2x)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
+    )
+    po = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = po.alias("a"), po.alias("b")
+    support = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    e = support.where(F.col("cnt") >= 2).select("u", "v")
+    e = e.localCheckpoint(eager=True)
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=True)  # consumed 4x (orientation, u, v, witness)
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    eo = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(F.col("du") <= F.col("dv"), F.col("u"))
+            .otherwise(F.col("v"))
+            .alias("s"),
+            F.when(F.col("du") <= F.col("dv"), F.col("dv"))
+            .otherwise(F.col("du"))
+            .alias("dd"),
+            F.when(F.col("du") <= F.col("dv"), F.col("v"))
+            .otherwise(F.col("u"))
+            .alias("t"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    e1 = eo.select(F.col("s"), F.col("dd").alias("dd1"), F.col("t").alias("t1"))
+    e2 = eo.select(F.col("s"), F.col("dd").alias("dd2"), F.col("t").alias("t2"))
+    closing = eo.select(F.col("s").alias("t1"), F.col("t").alias("t2"))
+    tri = (
+        e1.join(e2, "s")
+        .where(
+            (F.col("dd1") < F.col("dd2"))
+            | ((F.col("dd1") == F.col("dd2")) & (F.col("t1") < F.col("t2")))
+        )
+        .join(closing, ["t1", "t2"])
+        .select(F.col("s").alias("x"), F.col("t1").alias("y"), F.col("t2").alias("z"))
+        .localCheckpoint(eager=True)  # consumed 3x (one witness per edge)
+    )
+    wit = (
+        tri.select(
+            F.least("x", "y").alias("u"),
+            F.greatest("x", "y").alias("v"),
+            F.col("z").alias("w"),
+        )
+        .unionAll(
+            tri.select(
+                F.least("x", "z").alias("u"),
+                F.greatest("x", "z").alias("v"),
+                F.col("y").alias("w"),
+            )
+        )
+        .unionAll(
+            tri.select(
+                F.least("y", "z").alias("u"),
+                F.greatest("y", "z").alias("v"),
+                F.col("x").alias("w"),
+            )
+        )
+    )
+    dw = deg.select(F.col("node").alias("w"), F.col("d").alias("wd"))
+    scored = (
+        wit.join(dw, "w")
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.sum(F.expr(_AA_UNIT.format(d="wd"))).alias("aa_units"),
+            F.sum(F.expr(_RA_UNIT.format(d="wd"))).alias("ra_units"),
+        )
+    )
+    out = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .join(scored, ["u", "v"], "left")
+        .select(
+            "u",
+            "v",
+            F.coalesce(F.col("common"), F.lit(0)).alias("common"),
+            (F.col("du") * F.col("dv")).alias("pref_attach"),
+            F.coalesce(F.col("aa_units"), F.lit(0)).alias("aa_units"),
+            F.coalesce(F.col("ra_units"), F.lit(0)).alias("ra_units"),
+        )
+    )
+    return out.select(
+        "u",
+        "v",
+        "common",
+        "pref_attach",
+        "aa_units",
+        "ra_units",
+        (F.expr(_AA_VAL) + F.lit(0.0)).alias("adamic_adar"),
+        (F.expr(_RA_VAL) + F.lit(0.0)).alias("resource_alloc"),
+    )
+
+
+_TRANSITIVITY = snap_sql(
+    "3.0 * CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)", 4
+)
+
+
+@query(
+    "graph_transitivity",
+    oracle=f"""
+    WITH po AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+    ),
+    support AS MATERIALIZED (
+        SELECT a.p AS u, b.p AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM po a JOIN po b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p
+    ),
+    e AS MATERIALIZED (SELECT u, v FROM support WHERE cnt >= 2),
+    deg AS MATERIALIZED (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+        GROUP BY node
+    ),
+    eo AS MATERIALIZED (
+        SELECT CASE WHEN du.d <= dv.d THEN e.u ELSE e.v END AS s,
+               CASE WHEN du.d <= dv.d THEN dv.d ELSE du.d END AS dd,
+               CASE WHEN du.d <= dv.d THEN e.v ELSE e.u END AS t
+        FROM e
+        JOIN deg du ON du.node = e.u
+        JOIN deg dv ON dv.node = e.v
+    ),
+    tcnt AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM eo e1
+        JOIN eo e2 ON e1.s = e2.s
+             AND (e1.dd < e2.dd OR (e1.dd = e2.dd AND e1.t < e2.t))
+        JOIN eo e3 ON e3.s = e1.t AND e3.t = e2.t
+    ),
+    gstat AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(d * (d - 1)) AS BIGINT) // 2 AS n_wedges
+        FROM deg
+    ),
+    ecnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e)
+    SELECT n_nodes, n_edges, n_triangles, n_wedges,
+           {_TRANSITIVITY} + 0 AS transitivity
+    FROM gstat, ecnt, tcnt
+    WHERE n_wedges > 0
+    """,
+)
+def graph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global transitivity (the graph-level clustering coefficient):
+    3·triangles / wedges over the co-purchase graph, where wedges =
+    Σ_v d(d−1)/2 — the one-number cohesion summary next to the
+    per-node graph_local_clustering.  Triangle count reuses the
+    degree-oriented wedge join verbatim (graph_triangles); wedges is a
+    pure integer aggregate of the degree table (budget: d ≤ 2e5 →
+    d² ≤ 4e10, Σ over nodes exact).  Counts are EXPOSED exact; the
+    ratio is one snapped division (+0).  Shuffle shape: the triangle
+    pipeline collapses to ONE row — a count, not a materialized
+    triangle list; the n·(n−1)/2 halving uses integer div (operands
+    nonnegative, `div`/`//` agree)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
+    )
+    po = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = po.alias("a"), po.alias("b")
+    support = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    e = support.where(F.col("cnt") >= 2).select("u", "v")
+    e = e.localCheckpoint(eager=True)
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    eo = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(F.col("du") <= F.col("dv"), F.col("u"))
+            .otherwise(F.col("v"))
+            .alias("s"),
+            F.when(F.col("du") <= F.col("dv"), F.col("dv"))
+            .otherwise(F.col("du"))
+            .alias("dd"),
+            F.when(F.col("du") <= F.col("dv"), F.col("v"))
+            .otherwise(F.col("u"))
+            .alias("t"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    e1 = eo.select(F.col("s"), F.col("dd").alias("dd1"), F.col("t").alias("t1"))
+    e2 = eo.select(F.col("s"), F.col("dd").alias("dd2"), F.col("t").alias("t2"))
+    closing = eo.select(F.col("s").alias("t1"), F.col("t").alias("t2"))
+    tcnt = (
+        e1.join(e2, "s")
+        .where(
+            (F.col("dd1") < F.col("dd2"))
+            | ((F.col("dd1") == F.col("dd2")) & (F.col("t1") < F.col("t2")))
+        )
+        .join(closing, ["t1", "t2"])
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    gstat = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.expr("CAST(SUM(d * (d - 1)) AS BIGINT) div 2").alias("n_wedges"),
+    )
+    ecnt = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        gstat.crossJoin(F.broadcast(ecnt))
+        .crossJoin(F.broadcast(tcnt))
+        .where(F.col("n_wedges") > 0)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            (F.expr(_TRANSITIVITY) + F.lit(0.0)).alias("transitivity"),
+        )
+    )

@@ -288,22 +288,114 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ts_ewma",
     oracle="""
-    WITH RECURSIVE seq AS MATERIALIZED (
-        -- MATERIALIZED (round-11 oracle soak): referenced by the base
-        -- AND the recursive term, so DuckDB 1.0 re-inlined this full
-        -- corpus window into EVERY recursion step — max-history
-        -- re-evaluations of a 1M-row window = a >180 s hang at sf1
-        SELECT user_id, value,
-               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-        FROM events
+    WITH RECURSIVE chunks AS MATERIALIZED (
+        -- round-12 sf1 soak rework (plans/NOTES.md round-12 has the
+        -- full five-formulation story): the corpus has FEW users with
+        -- VERY LONG histories (15 x 67k at sf1), the recurrence is
+        -- inherently sequential, and a DuckDB recursive CTE rebuilds
+        -- its join hash table (the whole ~8 MB chunk payload) EVERY
+        -- level — so oracle cost = levels x corpus.  32-element chunks
+        -- are list-aggregated straight from the row table (window rank
+        -- -> groupBy, linear; never materialize a full history list);
+        -- each level joins ONLY its own chunk row and advances 32
+        -- steps via an unrolled nested expression with the identical
+        -- float op order of the 1-step recurrence — bit-identical to
+        -- the Spark numpy loop.  32 is the fastest feasible chunk:
+        -- the binder rejects nesting past ~60, the parser past ~250,
+        -- and a list_reduce prefix-fold variant (no nesting) measured
+        -- 2x slower (564 s vs 281 s at sf1).  An input-scaling
+        -- sequential recursion: HEAVY_CAPS-annotated in
+        -- tools/soak_oracles.py; the Spark applyInPandas side is the
+        -- linear scale path.
+        SELECT user_id, CAST((rn - 1) // 32 AS BIGINT) AS ci,
+               list(value ORDER BY rn) AS cxs,
+               CAST(MAX(n) AS BIGINT) AS n
+        FROM (
+            SELECT user_id, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn,
+                   count(*) OVER (PARTITION BY user_id) AS n
+            FROM events
+        )
+        GROUP BY user_id, ci
     ),
     ew AS (
-        SELECT user_id, rn, value AS y FROM seq WHERE rn = 1
+        SELECT c.user_id, CAST(0 AS BIGINT) AS rn0, u.j AS j, u.y AS y, c.n
+        FROM chunks c,
+             unnest([{'j': 1, 'y': c.cxs[1]},
+               {'j': 2, 'y': (0.5*c.cxs[2]+0.5*c.cxs[1])},
+               {'j': 3, 'y': (0.5*c.cxs[3]+0.5*(0.5*c.cxs[2]+0.5*c.cxs[1]))},
+               {'j': 4, 'y': (0.5*c.cxs[4]+0.5*(0.5*c.cxs[3]+0.5*(0.5*c.cxs[2]+0.5*c.cxs[1])))},
+               {'j': 5, 'y': (0.5*c.cxs[5]+0.5*(0.5*c.cxs[4]+0.5*(0.5*c.cxs[3]+0.5*(0.5*c.cxs[2]+0.5*c.cxs[1]))))},
+               {'j': 6, 'y': (0.5*c.cxs[6]+0.5*(0.5*c.cxs[5]+0.5*(0.5*c.cxs[4]+0.5*(0.5*c.cxs[3]+0.5*(0.5*c.cxs[2]+0.5*c.cxs[1])))))},
+               {'j': 7, 'y': (0.5*c.cxs[7]+0.5*(0.5*c.cxs[6]+0.5*(0.5*c.cxs[5]+0.5*(0.5*c.cxs[4]+0.5*(0.5*c.cxs[3]+0.5*(0.5*c.cxs[2]+0.5*c.cxs[1]))))))},
+               {'j': 8, 'y': (0.5*c.cxs[8]+0.5*(0.5*c.cxs[7]+0.5*(0.5*c.cxs[6]+0.5*(0.5*c.cxs[5]+0.5*(0.5*c.cxs[4]+0.5*(0.5*c.cxs[3]+0.5*(0.5*c.cxs[2]+0.5*c.cxs[1])))))))},
+               {'j': 9, 'y': (0.5*c.cxs[9]+0.5*(0.5*c.cxs[8]+0.5*(0.5*c.cxs[7]+0.5*(0.5*c.cxs[6]+0.5*(0.5*c.cxs[5]+0.5*(0.5*c.cxs[4]+0.5*(0.5*c.cxs[3]+0.5*(0.5*c.cxs[2]+0.5*c.cxs[1]))))))))},
+               {'j': 10, 'y': (0.5*c.cxs[10]+0.5*(0.5*c.cxs[9]+0.5*(0.5*c.cxs[8]+0.5*(0.5*c.cxs[7]+0.5*(0.5*c.cxs[6]+0.5*(0.5*c.cxs[5]+0.5*(0.5*c.cxs[4]+0.5*(0.5*c.cxs[3]+0.5*(0.5*c.cxs[2]+0.5*c.cxs[1])))))))))},
+               {'j': 11, 'y': (0.5*c.cxs[11]+0.5*(0.5*c.cxs[10]+0.5*(0.5*c.cxs[9]+0.5*(0.5*c.cxs[8]+0.5*(0.5*c.cxs[7]+0.5*(0.5*c.cxs[6]+0.5*(0.5*c.cxs[5]+0.5*(0.5*c.cxs[4]+0.5*(0.5*c.cxs[3]+0.5*(0.5*c.cxs[2]+0.5*c.cxs[1]))))))))))},
+               {'j': 12, 'y': (0.5*c.cxs[12]+0.5*(0.5*c.cxs[11]+0.5*(0.5*c.cxs[10]+0.5*(0.5*c.cxs[9]+0.5*(0.5*c.cxs[8]+0.5*(0.5*c.cxs[7]+0.5*(0.5*c.cxs[6]+0.5*(0.5*c.cxs[5]+0.5*(0.5*c.cxs[4]+0.5*(0.5*c.cxs[3]+0.5*(0.5*c.cxs[2]+0.5*c.cxs[1])))))))))))},
+               {'j': 13, 'y': (0.5*c.cxs[13]+0.5*(0.5*c.cxs[12]+0.5*(0.5*c.cxs[11]+0.5*(0.5*c.cxs[10]+0.5*(0.5*c.cxs[9]+0.5*(0.5*c.cxs[8]+0.5*(0.5*c.cxs[7]+0.5*(0.5*c.cxs[6]+0.5*(0.5*c.cxs[5]+0.5*(0.5*c.cxs[4]+0.5*(0.5*c.cxs[3]+0.5*(0.5*c.cxs[2]+0.5*c.cxs[1]))))))))))))},
+               {'j': 14, 'y': (0.5*c.cxs[14]+0.5*(0.5*c.cxs[13]+0.5*(0.5*c.cxs[12]+0.5*(0.5*c.cxs[11]+0.5*(0.5*c.cxs[10]+0.5*(0.5*c.cxs[9]+0.5*(0.5*c.cxs[8]+0.5*(0.5*c.cxs[7]+0.5*(0.5*c.cxs[6]+0.5*(0.5*c.cxs[5]+0.5*(0.5*c.cxs[4]+0.5*(0.5*c.cxs[3]+0.5*(0.5*c.cxs[2]+0.5*c.cxs[1])))))))))))))},
+               {'j': 15, 'y': (0.5*c.cxs[15]+0.5*(0.5*c.cxs[14]+0.5*(0.5*c.cxs[13]+0.5*(0.5*c.cxs[12]+0.5*(0.5*c.cxs[11]+0.5*(0.5*c.cxs[10]+0.5*(0.5*c.cxs[9]+0.5*(0.5*c.cxs[8]+0.5*(0.5*c.cxs[7]+0.5*(0.5*c.cxs[6]+0.5*(0.5*c.cxs[5]+0.5*(0.5*c.cxs[4]+0.5*(0.5*c.cxs[3]+0.5*(0.5*c.cxs[2]+0.5*c.cxs[1]))))))))))))))},
+               {'j': 16, 'y': (0.5*c.cxs[16]+0.5*(0.5*c.cxs[15]+0.5*(0.5*c.cxs[14]+0.5*(0.5*c.cxs[13]+0.5*(0.5*c.cxs[12]+0.5*(0.5*c.cxs[11]+0.5*(0.5*c.cxs[10]+0.5*(0.5*c.cxs[9]+0.5*(0.5*c.cxs[8]+0.5*(0.5*c.cxs[7]+0.5*(0.5*c.cxs[6]+0.5*(0.5*c.cxs[5]+0.5*(0.5*c.cxs[4]+0.5*(0.5*c.cxs[3]+0.5*(0.5*c.cxs[2]+0.5*c.cxs[1])))))))))))))))},
+               {'j': 17, 'y': (0.5*c.cxs[17]+0.5*(0.5*c.cxs[16]+0.5*(0.5*c.cxs[15]+0.5*(0.5*c.cxs[14]+0.5*(0.5*c.cxs[13]+0.5*(0.5*c.cxs[12]+0.5*(0.5*c.cxs[11]+0.5*(0.5*c.cxs[10]+0.5*(0.5*c.cxs[9]+0.5*(0.5*c.cxs[8]+0.5*(0.5*c.cxs[7]+0.5*(0.5*c.cxs[6]+0.5*(0.5*c.cxs[5]+0.5*(0.5*c.cxs[4]+0.5*(0.5*c.cxs[3]+0.5*(0.5*c.cxs[2]+0.5*c.cxs[1]))))))))))))))))},
+               {'j': 18, 'y': (0.5*c.cxs[18]+0.5*(0.5*c.cxs[17]+0.5*(0.5*c.cxs[16]+0.5*(0.5*c.cxs[15]+0.5*(0.5*c.cxs[14]+0.5*(0.5*c.cxs[13]+0.5*(0.5*c.cxs[12]+0.5*(0.5*c.cxs[11]+0.5*(0.5*c.cxs[10]+0.5*(0.5*c.cxs[9]+0.5*(0.5*c.cxs[8]+0.5*(0.5*c.cxs[7]+0.5*(0.5*c.cxs[6]+0.5*(0.5*c.cxs[5]+0.5*(0.5*c.cxs[4]+0.5*(0.5*c.cxs[3]+0.5*(0.5*c.cxs[2]+0.5*c.cxs[1])))))))))))))))))},
+               {'j': 19, 'y': (0.5*c.cxs[19]+0.5*(0.5*c.cxs[18]+0.5*(0.5*c.cxs[17]+0.5*(0.5*c.cxs[16]+0.5*(0.5*c.cxs[15]+0.5*(0.5*c.cxs[14]+0.5*(0.5*c.cxs[13]+0.5*(0.5*c.cxs[12]+0.5*(0.5*c.cxs[11]+0.5*(0.5*c.cxs[10]+0.5*(0.5*c.cxs[9]+0.5*(0.5*c.cxs[8]+0.5*(0.5*c.cxs[7]+0.5*(0.5*c.cxs[6]+0.5*(0.5*c.cxs[5]+0.5*(0.5*c.cxs[4]+0.5*(0.5*c.cxs[3]+0.5*(0.5*c.cxs[2]+0.5*c.cxs[1]))))))))))))))))))},
+               {'j': 20, 'y': (0.5*c.cxs[20]+0.5*(0.5*c.cxs[19]+0.5*(0.5*c.cxs[18]+0.5*(0.5*c.cxs[17]+0.5*(0.5*c.cxs[16]+0.5*(0.5*c.cxs[15]+0.5*(0.5*c.cxs[14]+0.5*(0.5*c.cxs[13]+0.5*(0.5*c.cxs[12]+0.5*(0.5*c.cxs[11]+0.5*(0.5*c.cxs[10]+0.5*(0.5*c.cxs[9]+0.5*(0.5*c.cxs[8]+0.5*(0.5*c.cxs[7]+0.5*(0.5*c.cxs[6]+0.5*(0.5*c.cxs[5]+0.5*(0.5*c.cxs[4]+0.5*(0.5*c.cxs[3]+0.5*(0.5*c.cxs[2]+0.5*c.cxs[1])))))))))))))))))))},
+               {'j': 21, 'y': (0.5*c.cxs[21]+0.5*(0.5*c.cxs[20]+0.5*(0.5*c.cxs[19]+0.5*(0.5*c.cxs[18]+0.5*(0.5*c.cxs[17]+0.5*(0.5*c.cxs[16]+0.5*(0.5*c.cxs[15]+0.5*(0.5*c.cxs[14]+0.5*(0.5*c.cxs[13]+0.5*(0.5*c.cxs[12]+0.5*(0.5*c.cxs[11]+0.5*(0.5*c.cxs[10]+0.5*(0.5*c.cxs[9]+0.5*(0.5*c.cxs[8]+0.5*(0.5*c.cxs[7]+0.5*(0.5*c.cxs[6]+0.5*(0.5*c.cxs[5]+0.5*(0.5*c.cxs[4]+0.5*(0.5*c.cxs[3]+0.5*(0.5*c.cxs[2]+0.5*c.cxs[1]))))))))))))))))))))},
+               {'j': 22, 'y': (0.5*c.cxs[22]+0.5*(0.5*c.cxs[21]+0.5*(0.5*c.cxs[20]+0.5*(0.5*c.cxs[19]+0.5*(0.5*c.cxs[18]+0.5*(0.5*c.cxs[17]+0.5*(0.5*c.cxs[16]+0.5*(0.5*c.cxs[15]+0.5*(0.5*c.cxs[14]+0.5*(0.5*c.cxs[13]+0.5*(0.5*c.cxs[12]+0.5*(0.5*c.cxs[11]+0.5*(0.5*c.cxs[10]+0.5*(0.5*c.cxs[9]+0.5*(0.5*c.cxs[8]+0.5*(0.5*c.cxs[7]+0.5*(0.5*c.cxs[6]+0.5*(0.5*c.cxs[5]+0.5*(0.5*c.cxs[4]+0.5*(0.5*c.cxs[3]+0.5*(0.5*c.cxs[2]+0.5*c.cxs[1])))))))))))))))))))))},
+               {'j': 23, 'y': (0.5*c.cxs[23]+0.5*(0.5*c.cxs[22]+0.5*(0.5*c.cxs[21]+0.5*(0.5*c.cxs[20]+0.5*(0.5*c.cxs[19]+0.5*(0.5*c.cxs[18]+0.5*(0.5*c.cxs[17]+0.5*(0.5*c.cxs[16]+0.5*(0.5*c.cxs[15]+0.5*(0.5*c.cxs[14]+0.5*(0.5*c.cxs[13]+0.5*(0.5*c.cxs[12]+0.5*(0.5*c.cxs[11]+0.5*(0.5*c.cxs[10]+0.5*(0.5*c.cxs[9]+0.5*(0.5*c.cxs[8]+0.5*(0.5*c.cxs[7]+0.5*(0.5*c.cxs[6]+0.5*(0.5*c.cxs[5]+0.5*(0.5*c.cxs[4]+0.5*(0.5*c.cxs[3]+0.5*(0.5*c.cxs[2]+0.5*c.cxs[1]))))))))))))))))))))))},
+               {'j': 24, 'y': (0.5*c.cxs[24]+0.5*(0.5*c.cxs[23]+0.5*(0.5*c.cxs[22]+0.5*(0.5*c.cxs[21]+0.5*(0.5*c.cxs[20]+0.5*(0.5*c.cxs[19]+0.5*(0.5*c.cxs[18]+0.5*(0.5*c.cxs[17]+0.5*(0.5*c.cxs[16]+0.5*(0.5*c.cxs[15]+0.5*(0.5*c.cxs[14]+0.5*(0.5*c.cxs[13]+0.5*(0.5*c.cxs[12]+0.5*(0.5*c.cxs[11]+0.5*(0.5*c.cxs[10]+0.5*(0.5*c.cxs[9]+0.5*(0.5*c.cxs[8]+0.5*(0.5*c.cxs[7]+0.5*(0.5*c.cxs[6]+0.5*(0.5*c.cxs[5]+0.5*(0.5*c.cxs[4]+0.5*(0.5*c.cxs[3]+0.5*(0.5*c.cxs[2]+0.5*c.cxs[1])))))))))))))))))))))))},
+               {'j': 25, 'y': (0.5*c.cxs[25]+0.5*(0.5*c.cxs[24]+0.5*(0.5*c.cxs[23]+0.5*(0.5*c.cxs[22]+0.5*(0.5*c.cxs[21]+0.5*(0.5*c.cxs[20]+0.5*(0.5*c.cxs[19]+0.5*(0.5*c.cxs[18]+0.5*(0.5*c.cxs[17]+0.5*(0.5*c.cxs[16]+0.5*(0.5*c.cxs[15]+0.5*(0.5*c.cxs[14]+0.5*(0.5*c.cxs[13]+0.5*(0.5*c.cxs[12]+0.5*(0.5*c.cxs[11]+0.5*(0.5*c.cxs[10]+0.5*(0.5*c.cxs[9]+0.5*(0.5*c.cxs[8]+0.5*(0.5*c.cxs[7]+0.5*(0.5*c.cxs[6]+0.5*(0.5*c.cxs[5]+0.5*(0.5*c.cxs[4]+0.5*(0.5*c.cxs[3]+0.5*(0.5*c.cxs[2]+0.5*c.cxs[1]))))))))))))))))))))))))},
+               {'j': 26, 'y': (0.5*c.cxs[26]+0.5*(0.5*c.cxs[25]+0.5*(0.5*c.cxs[24]+0.5*(0.5*c.cxs[23]+0.5*(0.5*c.cxs[22]+0.5*(0.5*c.cxs[21]+0.5*(0.5*c.cxs[20]+0.5*(0.5*c.cxs[19]+0.5*(0.5*c.cxs[18]+0.5*(0.5*c.cxs[17]+0.5*(0.5*c.cxs[16]+0.5*(0.5*c.cxs[15]+0.5*(0.5*c.cxs[14]+0.5*(0.5*c.cxs[13]+0.5*(0.5*c.cxs[12]+0.5*(0.5*c.cxs[11]+0.5*(0.5*c.cxs[10]+0.5*(0.5*c.cxs[9]+0.5*(0.5*c.cxs[8]+0.5*(0.5*c.cxs[7]+0.5*(0.5*c.cxs[6]+0.5*(0.5*c.cxs[5]+0.5*(0.5*c.cxs[4]+0.5*(0.5*c.cxs[3]+0.5*(0.5*c.cxs[2]+0.5*c.cxs[1])))))))))))))))))))))))))},
+               {'j': 27, 'y': (0.5*c.cxs[27]+0.5*(0.5*c.cxs[26]+0.5*(0.5*c.cxs[25]+0.5*(0.5*c.cxs[24]+0.5*(0.5*c.cxs[23]+0.5*(0.5*c.cxs[22]+0.5*(0.5*c.cxs[21]+0.5*(0.5*c.cxs[20]+0.5*(0.5*c.cxs[19]+0.5*(0.5*c.cxs[18]+0.5*(0.5*c.cxs[17]+0.5*(0.5*c.cxs[16]+0.5*(0.5*c.cxs[15]+0.5*(0.5*c.cxs[14]+0.5*(0.5*c.cxs[13]+0.5*(0.5*c.cxs[12]+0.5*(0.5*c.cxs[11]+0.5*(0.5*c.cxs[10]+0.5*(0.5*c.cxs[9]+0.5*(0.5*c.cxs[8]+0.5*(0.5*c.cxs[7]+0.5*(0.5*c.cxs[6]+0.5*(0.5*c.cxs[5]+0.5*(0.5*c.cxs[4]+0.5*(0.5*c.cxs[3]+0.5*(0.5*c.cxs[2]+0.5*c.cxs[1]))))))))))))))))))))))))))},
+               {'j': 28, 'y': (0.5*c.cxs[28]+0.5*(0.5*c.cxs[27]+0.5*(0.5*c.cxs[26]+0.5*(0.5*c.cxs[25]+0.5*(0.5*c.cxs[24]+0.5*(0.5*c.cxs[23]+0.5*(0.5*c.cxs[22]+0.5*(0.5*c.cxs[21]+0.5*(0.5*c.cxs[20]+0.5*(0.5*c.cxs[19]+0.5*(0.5*c.cxs[18]+0.5*(0.5*c.cxs[17]+0.5*(0.5*c.cxs[16]+0.5*(0.5*c.cxs[15]+0.5*(0.5*c.cxs[14]+0.5*(0.5*c.cxs[13]+0.5*(0.5*c.cxs[12]+0.5*(0.5*c.cxs[11]+0.5*(0.5*c.cxs[10]+0.5*(0.5*c.cxs[9]+0.5*(0.5*c.cxs[8]+0.5*(0.5*c.cxs[7]+0.5*(0.5*c.cxs[6]+0.5*(0.5*c.cxs[5]+0.5*(0.5*c.cxs[4]+0.5*(0.5*c.cxs[3]+0.5*(0.5*c.cxs[2]+0.5*c.cxs[1])))))))))))))))))))))))))))},
+               {'j': 29, 'y': (0.5*c.cxs[29]+0.5*(0.5*c.cxs[28]+0.5*(0.5*c.cxs[27]+0.5*(0.5*c.cxs[26]+0.5*(0.5*c.cxs[25]+0.5*(0.5*c.cxs[24]+0.5*(0.5*c.cxs[23]+0.5*(0.5*c.cxs[22]+0.5*(0.5*c.cxs[21]+0.5*(0.5*c.cxs[20]+0.5*(0.5*c.cxs[19]+0.5*(0.5*c.cxs[18]+0.5*(0.5*c.cxs[17]+0.5*(0.5*c.cxs[16]+0.5*(0.5*c.cxs[15]+0.5*(0.5*c.cxs[14]+0.5*(0.5*c.cxs[13]+0.5*(0.5*c.cxs[12]+0.5*(0.5*c.cxs[11]+0.5*(0.5*c.cxs[10]+0.5*(0.5*c.cxs[9]+0.5*(0.5*c.cxs[8]+0.5*(0.5*c.cxs[7]+0.5*(0.5*c.cxs[6]+0.5*(0.5*c.cxs[5]+0.5*(0.5*c.cxs[4]+0.5*(0.5*c.cxs[3]+0.5*(0.5*c.cxs[2]+0.5*c.cxs[1]))))))))))))))))))))))))))))},
+               {'j': 30, 'y': (0.5*c.cxs[30]+0.5*(0.5*c.cxs[29]+0.5*(0.5*c.cxs[28]+0.5*(0.5*c.cxs[27]+0.5*(0.5*c.cxs[26]+0.5*(0.5*c.cxs[25]+0.5*(0.5*c.cxs[24]+0.5*(0.5*c.cxs[23]+0.5*(0.5*c.cxs[22]+0.5*(0.5*c.cxs[21]+0.5*(0.5*c.cxs[20]+0.5*(0.5*c.cxs[19]+0.5*(0.5*c.cxs[18]+0.5*(0.5*c.cxs[17]+0.5*(0.5*c.cxs[16]+0.5*(0.5*c.cxs[15]+0.5*(0.5*c.cxs[14]+0.5*(0.5*c.cxs[13]+0.5*(0.5*c.cxs[12]+0.5*(0.5*c.cxs[11]+0.5*(0.5*c.cxs[10]+0.5*(0.5*c.cxs[9]+0.5*(0.5*c.cxs[8]+0.5*(0.5*c.cxs[7]+0.5*(0.5*c.cxs[6]+0.5*(0.5*c.cxs[5]+0.5*(0.5*c.cxs[4]+0.5*(0.5*c.cxs[3]+0.5*(0.5*c.cxs[2]+0.5*c.cxs[1])))))))))))))))))))))))))))))},
+               {'j': 31, 'y': (0.5*c.cxs[31]+0.5*(0.5*c.cxs[30]+0.5*(0.5*c.cxs[29]+0.5*(0.5*c.cxs[28]+0.5*(0.5*c.cxs[27]+0.5*(0.5*c.cxs[26]+0.5*(0.5*c.cxs[25]+0.5*(0.5*c.cxs[24]+0.5*(0.5*c.cxs[23]+0.5*(0.5*c.cxs[22]+0.5*(0.5*c.cxs[21]+0.5*(0.5*c.cxs[20]+0.5*(0.5*c.cxs[19]+0.5*(0.5*c.cxs[18]+0.5*(0.5*c.cxs[17]+0.5*(0.5*c.cxs[16]+0.5*(0.5*c.cxs[15]+0.5*(0.5*c.cxs[14]+0.5*(0.5*c.cxs[13]+0.5*(0.5*c.cxs[12]+0.5*(0.5*c.cxs[11]+0.5*(0.5*c.cxs[10]+0.5*(0.5*c.cxs[9]+0.5*(0.5*c.cxs[8]+0.5*(0.5*c.cxs[7]+0.5*(0.5*c.cxs[6]+0.5*(0.5*c.cxs[5]+0.5*(0.5*c.cxs[4]+0.5*(0.5*c.cxs[3]+0.5*(0.5*c.cxs[2]+0.5*c.cxs[1]))))))))))))))))))))))))))))))},
+               {'j': 32, 'y': (0.5*c.cxs[32]+0.5*(0.5*c.cxs[31]+0.5*(0.5*c.cxs[30]+0.5*(0.5*c.cxs[29]+0.5*(0.5*c.cxs[28]+0.5*(0.5*c.cxs[27]+0.5*(0.5*c.cxs[26]+0.5*(0.5*c.cxs[25]+0.5*(0.5*c.cxs[24]+0.5*(0.5*c.cxs[23]+0.5*(0.5*c.cxs[22]+0.5*(0.5*c.cxs[21]+0.5*(0.5*c.cxs[20]+0.5*(0.5*c.cxs[19]+0.5*(0.5*c.cxs[18]+0.5*(0.5*c.cxs[17]+0.5*(0.5*c.cxs[16]+0.5*(0.5*c.cxs[15]+0.5*(0.5*c.cxs[14]+0.5*(0.5*c.cxs[13]+0.5*(0.5*c.cxs[12]+0.5*(0.5*c.cxs[11]+0.5*(0.5*c.cxs[10]+0.5*(0.5*c.cxs[9]+0.5*(0.5*c.cxs[8]+0.5*(0.5*c.cxs[7]+0.5*(0.5*c.cxs[6]+0.5*(0.5*c.cxs[5]+0.5*(0.5*c.cxs[4]+0.5*(0.5*c.cxs[3]+0.5*(0.5*c.cxs[2]+0.5*c.cxs[1])))))))))))))))))))))))))))))))}]) AS t(u)
+        WHERE c.ci = 0 AND u.j <= c.n
         UNION ALL
-        SELECT s.user_id, s.rn, 0.5 * s.value + 0.5 * e.y
-        FROM seq s JOIN ew e ON s.user_id = e.user_id AND s.rn = e.rn + 1
+        SELECT e.user_id, e.rn0 + 32, u.j, u.y, e.n
+        FROM ew e
+        JOIN chunks c ON c.user_id = e.user_id
+             AND c.ci = (e.rn0 + 32) // 32,
+             unnest([{'j': 1, 'y': (0.5*c.cxs[1]+0.5*e.y)},
+               {'j': 2, 'y': (0.5*c.cxs[2]+0.5*(0.5*c.cxs[1]+0.5*e.y))},
+               {'j': 3, 'y': (0.5*c.cxs[3]+0.5*(0.5*c.cxs[2]+0.5*(0.5*c.cxs[1]+0.5*e.y)))},
+               {'j': 4, 'y': (0.5*c.cxs[4]+0.5*(0.5*c.cxs[3]+0.5*(0.5*c.cxs[2]+0.5*(0.5*c.cxs[1]+0.5*e.y))))},
+               {'j': 5, 'y': (0.5*c.cxs[5]+0.5*(0.5*c.cxs[4]+0.5*(0.5*c.cxs[3]+0.5*(0.5*c.cxs[2]+0.5*(0.5*c.cxs[1]+0.5*e.y)))))},
+               {'j': 6, 'y': (0.5*c.cxs[6]+0.5*(0.5*c.cxs[5]+0.5*(0.5*c.cxs[4]+0.5*(0.5*c.cxs[3]+0.5*(0.5*c.cxs[2]+0.5*(0.5*c.cxs[1]+0.5*e.y))))))},
+               {'j': 7, 'y': (0.5*c.cxs[7]+0.5*(0.5*c.cxs[6]+0.5*(0.5*c.cxs[5]+0.5*(0.5*c.cxs[4]+0.5*(0.5*c.cxs[3]+0.5*(0.5*c.cxs[2]+0.5*(0.5*c.cxs[1]+0.5*e.y)))))))},
+               {'j': 8, 'y': (0.5*c.cxs[8]+0.5*(0.5*c.cxs[7]+0.5*(0.5*c.cxs[6]+0.5*(0.5*c.cxs[5]+0.5*(0.5*c.cxs[4]+0.5*(0.5*c.cxs[3]+0.5*(0.5*c.cxs[2]+0.5*(0.5*c.cxs[1]+0.5*e.y))))))))},
+               {'j': 9, 'y': (0.5*c.cxs[9]+0.5*(0.5*c.cxs[8]+0.5*(0.5*c.cxs[7]+0.5*(0.5*c.cxs[6]+0.5*(0.5*c.cxs[5]+0.5*(0.5*c.cxs[4]+0.5*(0.5*c.cxs[3]+0.5*(0.5*c.cxs[2]+0.5*(0.5*c.cxs[1]+0.5*e.y)))))))))},
+               {'j': 10, 'y': (0.5*c.cxs[10]+0.5*(0.5*c.cxs[9]+0.5*(0.5*c.cxs[8]+0.5*(0.5*c.cxs[7]+0.5*(0.5*c.cxs[6]+0.5*(0.5*c.cxs[5]+0.5*(0.5*c.cxs[4]+0.5*(0.5*c.cxs[3]+0.5*(0.5*c.cxs[2]+0.5*(0.5*c.cxs[1]+0.5*e.y))))))))))},
+               {'j': 11, 'y': (0.5*c.cxs[11]+0.5*(0.5*c.cxs[10]+0.5*(0.5*c.cxs[9]+0.5*(0.5*c.cxs[8]+0.5*(0.5*c.cxs[7]+0.5*(0.5*c.cxs[6]+0.5*(0.5*c.cxs[5]+0.5*(0.5*c.cxs[4]+0.5*(0.5*c.cxs[3]+0.5*(0.5*c.cxs[2]+0.5*(0.5*c.cxs[1]+0.5*e.y)))))))))))},
+               {'j': 12, 'y': (0.5*c.cxs[12]+0.5*(0.5*c.cxs[11]+0.5*(0.5*c.cxs[10]+0.5*(0.5*c.cxs[9]+0.5*(0.5*c.cxs[8]+0.5*(0.5*c.cxs[7]+0.5*(0.5*c.cxs[6]+0.5*(0.5*c.cxs[5]+0.5*(0.5*c.cxs[4]+0.5*(0.5*c.cxs[3]+0.5*(0.5*c.cxs[2]+0.5*(0.5*c.cxs[1]+0.5*e.y))))))))))))},
+               {'j': 13, 'y': (0.5*c.cxs[13]+0.5*(0.5*c.cxs[12]+0.5*(0.5*c.cxs[11]+0.5*(0.5*c.cxs[10]+0.5*(0.5*c.cxs[9]+0.5*(0.5*c.cxs[8]+0.5*(0.5*c.cxs[7]+0.5*(0.5*c.cxs[6]+0.5*(0.5*c.cxs[5]+0.5*(0.5*c.cxs[4]+0.5*(0.5*c.cxs[3]+0.5*(0.5*c.cxs[2]+0.5*(0.5*c.cxs[1]+0.5*e.y)))))))))))))},
+               {'j': 14, 'y': (0.5*c.cxs[14]+0.5*(0.5*c.cxs[13]+0.5*(0.5*c.cxs[12]+0.5*(0.5*c.cxs[11]+0.5*(0.5*c.cxs[10]+0.5*(0.5*c.cxs[9]+0.5*(0.5*c.cxs[8]+0.5*(0.5*c.cxs[7]+0.5*(0.5*c.cxs[6]+0.5*(0.5*c.cxs[5]+0.5*(0.5*c.cxs[4]+0.5*(0.5*c.cxs[3]+0.5*(0.5*c.cxs[2]+0.5*(0.5*c.cxs[1]+0.5*e.y))))))))))))))},
+               {'j': 15, 'y': (0.5*c.cxs[15]+0.5*(0.5*c.cxs[14]+0.5*(0.5*c.cxs[13]+0.5*(0.5*c.cxs[12]+0.5*(0.5*c.cxs[11]+0.5*(0.5*c.cxs[10]+0.5*(0.5*c.cxs[9]+0.5*(0.5*c.cxs[8]+0.5*(0.5*c.cxs[7]+0.5*(0.5*c.cxs[6]+0.5*(0.5*c.cxs[5]+0.5*(0.5*c.cxs[4]+0.5*(0.5*c.cxs[3]+0.5*(0.5*c.cxs[2]+0.5*(0.5*c.cxs[1]+0.5*e.y)))))))))))))))},
+               {'j': 16, 'y': (0.5*c.cxs[16]+0.5*(0.5*c.cxs[15]+0.5*(0.5*c.cxs[14]+0.5*(0.5*c.cxs[13]+0.5*(0.5*c.cxs[12]+0.5*(0.5*c.cxs[11]+0.5*(0.5*c.cxs[10]+0.5*(0.5*c.cxs[9]+0.5*(0.5*c.cxs[8]+0.5*(0.5*c.cxs[7]+0.5*(0.5*c.cxs[6]+0.5*(0.5*c.cxs[5]+0.5*(0.5*c.cxs[4]+0.5*(0.5*c.cxs[3]+0.5*(0.5*c.cxs[2]+0.5*(0.5*c.cxs[1]+0.5*e.y))))))))))))))))},
+               {'j': 17, 'y': (0.5*c.cxs[17]+0.5*(0.5*c.cxs[16]+0.5*(0.5*c.cxs[15]+0.5*(0.5*c.cxs[14]+0.5*(0.5*c.cxs[13]+0.5*(0.5*c.cxs[12]+0.5*(0.5*c.cxs[11]+0.5*(0.5*c.cxs[10]+0.5*(0.5*c.cxs[9]+0.5*(0.5*c.cxs[8]+0.5*(0.5*c.cxs[7]+0.5*(0.5*c.cxs[6]+0.5*(0.5*c.cxs[5]+0.5*(0.5*c.cxs[4]+0.5*(0.5*c.cxs[3]+0.5*(0.5*c.cxs[2]+0.5*(0.5*c.cxs[1]+0.5*e.y)))))))))))))))))},
+               {'j': 18, 'y': (0.5*c.cxs[18]+0.5*(0.5*c.cxs[17]+0.5*(0.5*c.cxs[16]+0.5*(0.5*c.cxs[15]+0.5*(0.5*c.cxs[14]+0.5*(0.5*c.cxs[13]+0.5*(0.5*c.cxs[12]+0.5*(0.5*c.cxs[11]+0.5*(0.5*c.cxs[10]+0.5*(0.5*c.cxs[9]+0.5*(0.5*c.cxs[8]+0.5*(0.5*c.cxs[7]+0.5*(0.5*c.cxs[6]+0.5*(0.5*c.cxs[5]+0.5*(0.5*c.cxs[4]+0.5*(0.5*c.cxs[3]+0.5*(0.5*c.cxs[2]+0.5*(0.5*c.cxs[1]+0.5*e.y))))))))))))))))))},
+               {'j': 19, 'y': (0.5*c.cxs[19]+0.5*(0.5*c.cxs[18]+0.5*(0.5*c.cxs[17]+0.5*(0.5*c.cxs[16]+0.5*(0.5*c.cxs[15]+0.5*(0.5*c.cxs[14]+0.5*(0.5*c.cxs[13]+0.5*(0.5*c.cxs[12]+0.5*(0.5*c.cxs[11]+0.5*(0.5*c.cxs[10]+0.5*(0.5*c.cxs[9]+0.5*(0.5*c.cxs[8]+0.5*(0.5*c.cxs[7]+0.5*(0.5*c.cxs[6]+0.5*(0.5*c.cxs[5]+0.5*(0.5*c.cxs[4]+0.5*(0.5*c.cxs[3]+0.5*(0.5*c.cxs[2]+0.5*(0.5*c.cxs[1]+0.5*e.y)))))))))))))))))))},
+               {'j': 20, 'y': (0.5*c.cxs[20]+0.5*(0.5*c.cxs[19]+0.5*(0.5*c.cxs[18]+0.5*(0.5*c.cxs[17]+0.5*(0.5*c.cxs[16]+0.5*(0.5*c.cxs[15]+0.5*(0.5*c.cxs[14]+0.5*(0.5*c.cxs[13]+0.5*(0.5*c.cxs[12]+0.5*(0.5*c.cxs[11]+0.5*(0.5*c.cxs[10]+0.5*(0.5*c.cxs[9]+0.5*(0.5*c.cxs[8]+0.5*(0.5*c.cxs[7]+0.5*(0.5*c.cxs[6]+0.5*(0.5*c.cxs[5]+0.5*(0.5*c.cxs[4]+0.5*(0.5*c.cxs[3]+0.5*(0.5*c.cxs[2]+0.5*(0.5*c.cxs[1]+0.5*e.y))))))))))))))))))))},
+               {'j': 21, 'y': (0.5*c.cxs[21]+0.5*(0.5*c.cxs[20]+0.5*(0.5*c.cxs[19]+0.5*(0.5*c.cxs[18]+0.5*(0.5*c.cxs[17]+0.5*(0.5*c.cxs[16]+0.5*(0.5*c.cxs[15]+0.5*(0.5*c.cxs[14]+0.5*(0.5*c.cxs[13]+0.5*(0.5*c.cxs[12]+0.5*(0.5*c.cxs[11]+0.5*(0.5*c.cxs[10]+0.5*(0.5*c.cxs[9]+0.5*(0.5*c.cxs[8]+0.5*(0.5*c.cxs[7]+0.5*(0.5*c.cxs[6]+0.5*(0.5*c.cxs[5]+0.5*(0.5*c.cxs[4]+0.5*(0.5*c.cxs[3]+0.5*(0.5*c.cxs[2]+0.5*(0.5*c.cxs[1]+0.5*e.y)))))))))))))))))))))},
+               {'j': 22, 'y': (0.5*c.cxs[22]+0.5*(0.5*c.cxs[21]+0.5*(0.5*c.cxs[20]+0.5*(0.5*c.cxs[19]+0.5*(0.5*c.cxs[18]+0.5*(0.5*c.cxs[17]+0.5*(0.5*c.cxs[16]+0.5*(0.5*c.cxs[15]+0.5*(0.5*c.cxs[14]+0.5*(0.5*c.cxs[13]+0.5*(0.5*c.cxs[12]+0.5*(0.5*c.cxs[11]+0.5*(0.5*c.cxs[10]+0.5*(0.5*c.cxs[9]+0.5*(0.5*c.cxs[8]+0.5*(0.5*c.cxs[7]+0.5*(0.5*c.cxs[6]+0.5*(0.5*c.cxs[5]+0.5*(0.5*c.cxs[4]+0.5*(0.5*c.cxs[3]+0.5*(0.5*c.cxs[2]+0.5*(0.5*c.cxs[1]+0.5*e.y))))))))))))))))))))))},
+               {'j': 23, 'y': (0.5*c.cxs[23]+0.5*(0.5*c.cxs[22]+0.5*(0.5*c.cxs[21]+0.5*(0.5*c.cxs[20]+0.5*(0.5*c.cxs[19]+0.5*(0.5*c.cxs[18]+0.5*(0.5*c.cxs[17]+0.5*(0.5*c.cxs[16]+0.5*(0.5*c.cxs[15]+0.5*(0.5*c.cxs[14]+0.5*(0.5*c.cxs[13]+0.5*(0.5*c.cxs[12]+0.5*(0.5*c.cxs[11]+0.5*(0.5*c.cxs[10]+0.5*(0.5*c.cxs[9]+0.5*(0.5*c.cxs[8]+0.5*(0.5*c.cxs[7]+0.5*(0.5*c.cxs[6]+0.5*(0.5*c.cxs[5]+0.5*(0.5*c.cxs[4]+0.5*(0.5*c.cxs[3]+0.5*(0.5*c.cxs[2]+0.5*(0.5*c.cxs[1]+0.5*e.y)))))))))))))))))))))))},
+               {'j': 24, 'y': (0.5*c.cxs[24]+0.5*(0.5*c.cxs[23]+0.5*(0.5*c.cxs[22]+0.5*(0.5*c.cxs[21]+0.5*(0.5*c.cxs[20]+0.5*(0.5*c.cxs[19]+0.5*(0.5*c.cxs[18]+0.5*(0.5*c.cxs[17]+0.5*(0.5*c.cxs[16]+0.5*(0.5*c.cxs[15]+0.5*(0.5*c.cxs[14]+0.5*(0.5*c.cxs[13]+0.5*(0.5*c.cxs[12]+0.5*(0.5*c.cxs[11]+0.5*(0.5*c.cxs[10]+0.5*(0.5*c.cxs[9]+0.5*(0.5*c.cxs[8]+0.5*(0.5*c.cxs[7]+0.5*(0.5*c.cxs[6]+0.5*(0.5*c.cxs[5]+0.5*(0.5*c.cxs[4]+0.5*(0.5*c.cxs[3]+0.5*(0.5*c.cxs[2]+0.5*(0.5*c.cxs[1]+0.5*e.y))))))))))))))))))))))))},
+               {'j': 25, 'y': (0.5*c.cxs[25]+0.5*(0.5*c.cxs[24]+0.5*(0.5*c.cxs[23]+0.5*(0.5*c.cxs[22]+0.5*(0.5*c.cxs[21]+0.5*(0.5*c.cxs[20]+0.5*(0.5*c.cxs[19]+0.5*(0.5*c.cxs[18]+0.5*(0.5*c.cxs[17]+0.5*(0.5*c.cxs[16]+0.5*(0.5*c.cxs[15]+0.5*(0.5*c.cxs[14]+0.5*(0.5*c.cxs[13]+0.5*(0.5*c.cxs[12]+0.5*(0.5*c.cxs[11]+0.5*(0.5*c.cxs[10]+0.5*(0.5*c.cxs[9]+0.5*(0.5*c.cxs[8]+0.5*(0.5*c.cxs[7]+0.5*(0.5*c.cxs[6]+0.5*(0.5*c.cxs[5]+0.5*(0.5*c.cxs[4]+0.5*(0.5*c.cxs[3]+0.5*(0.5*c.cxs[2]+0.5*(0.5*c.cxs[1]+0.5*e.y)))))))))))))))))))))))))},
+               {'j': 26, 'y': (0.5*c.cxs[26]+0.5*(0.5*c.cxs[25]+0.5*(0.5*c.cxs[24]+0.5*(0.5*c.cxs[23]+0.5*(0.5*c.cxs[22]+0.5*(0.5*c.cxs[21]+0.5*(0.5*c.cxs[20]+0.5*(0.5*c.cxs[19]+0.5*(0.5*c.cxs[18]+0.5*(0.5*c.cxs[17]+0.5*(0.5*c.cxs[16]+0.5*(0.5*c.cxs[15]+0.5*(0.5*c.cxs[14]+0.5*(0.5*c.cxs[13]+0.5*(0.5*c.cxs[12]+0.5*(0.5*c.cxs[11]+0.5*(0.5*c.cxs[10]+0.5*(0.5*c.cxs[9]+0.5*(0.5*c.cxs[8]+0.5*(0.5*c.cxs[7]+0.5*(0.5*c.cxs[6]+0.5*(0.5*c.cxs[5]+0.5*(0.5*c.cxs[4]+0.5*(0.5*c.cxs[3]+0.5*(0.5*c.cxs[2]+0.5*(0.5*c.cxs[1]+0.5*e.y))))))))))))))))))))))))))},
+               {'j': 27, 'y': (0.5*c.cxs[27]+0.5*(0.5*c.cxs[26]+0.5*(0.5*c.cxs[25]+0.5*(0.5*c.cxs[24]+0.5*(0.5*c.cxs[23]+0.5*(0.5*c.cxs[22]+0.5*(0.5*c.cxs[21]+0.5*(0.5*c.cxs[20]+0.5*(0.5*c.cxs[19]+0.5*(0.5*c.cxs[18]+0.5*(0.5*c.cxs[17]+0.5*(0.5*c.cxs[16]+0.5*(0.5*c.cxs[15]+0.5*(0.5*c.cxs[14]+0.5*(0.5*c.cxs[13]+0.5*(0.5*c.cxs[12]+0.5*(0.5*c.cxs[11]+0.5*(0.5*c.cxs[10]+0.5*(0.5*c.cxs[9]+0.5*(0.5*c.cxs[8]+0.5*(0.5*c.cxs[7]+0.5*(0.5*c.cxs[6]+0.5*(0.5*c.cxs[5]+0.5*(0.5*c.cxs[4]+0.5*(0.5*c.cxs[3]+0.5*(0.5*c.cxs[2]+0.5*(0.5*c.cxs[1]+0.5*e.y)))))))))))))))))))))))))))},
+               {'j': 28, 'y': (0.5*c.cxs[28]+0.5*(0.5*c.cxs[27]+0.5*(0.5*c.cxs[26]+0.5*(0.5*c.cxs[25]+0.5*(0.5*c.cxs[24]+0.5*(0.5*c.cxs[23]+0.5*(0.5*c.cxs[22]+0.5*(0.5*c.cxs[21]+0.5*(0.5*c.cxs[20]+0.5*(0.5*c.cxs[19]+0.5*(0.5*c.cxs[18]+0.5*(0.5*c.cxs[17]+0.5*(0.5*c.cxs[16]+0.5*(0.5*c.cxs[15]+0.5*(0.5*c.cxs[14]+0.5*(0.5*c.cxs[13]+0.5*(0.5*c.cxs[12]+0.5*(0.5*c.cxs[11]+0.5*(0.5*c.cxs[10]+0.5*(0.5*c.cxs[9]+0.5*(0.5*c.cxs[8]+0.5*(0.5*c.cxs[7]+0.5*(0.5*c.cxs[6]+0.5*(0.5*c.cxs[5]+0.5*(0.5*c.cxs[4]+0.5*(0.5*c.cxs[3]+0.5*(0.5*c.cxs[2]+0.5*(0.5*c.cxs[1]+0.5*e.y))))))))))))))))))))))))))))},
+               {'j': 29, 'y': (0.5*c.cxs[29]+0.5*(0.5*c.cxs[28]+0.5*(0.5*c.cxs[27]+0.5*(0.5*c.cxs[26]+0.5*(0.5*c.cxs[25]+0.5*(0.5*c.cxs[24]+0.5*(0.5*c.cxs[23]+0.5*(0.5*c.cxs[22]+0.5*(0.5*c.cxs[21]+0.5*(0.5*c.cxs[20]+0.5*(0.5*c.cxs[19]+0.5*(0.5*c.cxs[18]+0.5*(0.5*c.cxs[17]+0.5*(0.5*c.cxs[16]+0.5*(0.5*c.cxs[15]+0.5*(0.5*c.cxs[14]+0.5*(0.5*c.cxs[13]+0.5*(0.5*c.cxs[12]+0.5*(0.5*c.cxs[11]+0.5*(0.5*c.cxs[10]+0.5*(0.5*c.cxs[9]+0.5*(0.5*c.cxs[8]+0.5*(0.5*c.cxs[7]+0.5*(0.5*c.cxs[6]+0.5*(0.5*c.cxs[5]+0.5*(0.5*c.cxs[4]+0.5*(0.5*c.cxs[3]+0.5*(0.5*c.cxs[2]+0.5*(0.5*c.cxs[1]+0.5*e.y)))))))))))))))))))))))))))))},
+               {'j': 30, 'y': (0.5*c.cxs[30]+0.5*(0.5*c.cxs[29]+0.5*(0.5*c.cxs[28]+0.5*(0.5*c.cxs[27]+0.5*(0.5*c.cxs[26]+0.5*(0.5*c.cxs[25]+0.5*(0.5*c.cxs[24]+0.5*(0.5*c.cxs[23]+0.5*(0.5*c.cxs[22]+0.5*(0.5*c.cxs[21]+0.5*(0.5*c.cxs[20]+0.5*(0.5*c.cxs[19]+0.5*(0.5*c.cxs[18]+0.5*(0.5*c.cxs[17]+0.5*(0.5*c.cxs[16]+0.5*(0.5*c.cxs[15]+0.5*(0.5*c.cxs[14]+0.5*(0.5*c.cxs[13]+0.5*(0.5*c.cxs[12]+0.5*(0.5*c.cxs[11]+0.5*(0.5*c.cxs[10]+0.5*(0.5*c.cxs[9]+0.5*(0.5*c.cxs[8]+0.5*(0.5*c.cxs[7]+0.5*(0.5*c.cxs[6]+0.5*(0.5*c.cxs[5]+0.5*(0.5*c.cxs[4]+0.5*(0.5*c.cxs[3]+0.5*(0.5*c.cxs[2]+0.5*(0.5*c.cxs[1]+0.5*e.y))))))))))))))))))))))))))))))},
+               {'j': 31, 'y': (0.5*c.cxs[31]+0.5*(0.5*c.cxs[30]+0.5*(0.5*c.cxs[29]+0.5*(0.5*c.cxs[28]+0.5*(0.5*c.cxs[27]+0.5*(0.5*c.cxs[26]+0.5*(0.5*c.cxs[25]+0.5*(0.5*c.cxs[24]+0.5*(0.5*c.cxs[23]+0.5*(0.5*c.cxs[22]+0.5*(0.5*c.cxs[21]+0.5*(0.5*c.cxs[20]+0.5*(0.5*c.cxs[19]+0.5*(0.5*c.cxs[18]+0.5*(0.5*c.cxs[17]+0.5*(0.5*c.cxs[16]+0.5*(0.5*c.cxs[15]+0.5*(0.5*c.cxs[14]+0.5*(0.5*c.cxs[13]+0.5*(0.5*c.cxs[12]+0.5*(0.5*c.cxs[11]+0.5*(0.5*c.cxs[10]+0.5*(0.5*c.cxs[9]+0.5*(0.5*c.cxs[8]+0.5*(0.5*c.cxs[7]+0.5*(0.5*c.cxs[6]+0.5*(0.5*c.cxs[5]+0.5*(0.5*c.cxs[4]+0.5*(0.5*c.cxs[3]+0.5*(0.5*c.cxs[2]+0.5*(0.5*c.cxs[1]+0.5*e.y)))))))))))))))))))))))))))))))},
+               {'j': 32, 'y': (0.5*c.cxs[32]+0.5*(0.5*c.cxs[31]+0.5*(0.5*c.cxs[30]+0.5*(0.5*c.cxs[29]+0.5*(0.5*c.cxs[28]+0.5*(0.5*c.cxs[27]+0.5*(0.5*c.cxs[26]+0.5*(0.5*c.cxs[25]+0.5*(0.5*c.cxs[24]+0.5*(0.5*c.cxs[23]+0.5*(0.5*c.cxs[22]+0.5*(0.5*c.cxs[21]+0.5*(0.5*c.cxs[20]+0.5*(0.5*c.cxs[19]+0.5*(0.5*c.cxs[18]+0.5*(0.5*c.cxs[17]+0.5*(0.5*c.cxs[16]+0.5*(0.5*c.cxs[15]+0.5*(0.5*c.cxs[14]+0.5*(0.5*c.cxs[13]+0.5*(0.5*c.cxs[12]+0.5*(0.5*c.cxs[11]+0.5*(0.5*c.cxs[10]+0.5*(0.5*c.cxs[9]+0.5*(0.5*c.cxs[8]+0.5*(0.5*c.cxs[7]+0.5*(0.5*c.cxs[6]+0.5*(0.5*c.cxs[5]+0.5*(0.5*c.cxs[4]+0.5*(0.5*c.cxs[3]+0.5*(0.5*c.cxs[2]+0.5*(0.5*c.cxs[1]+0.5*e.y))))))))))))))))))))))))))))))))}]) AS t(u)
+        WHERE e.j = 32 AND e.rn0 + 32 + u.j <= e.n
     )
-    SELECT user_id, rn, floor(y * 10000 + 0.5) / 10000 AS ewma
+    SELECT user_id, CAST(rn0 + j AS BIGINT) AS rn,
+           floor(y * 10000 + 0.5) / 10000 AS ewma
     FROM ew
     """,
 )
@@ -1995,4 +2087,233 @@ def ts_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "user_id", "us", "event_id", "vc",
         F.sum("step").over(wr).alias("obv_cents"),
+    )
+
+
+# --- round-12 additions: seasonality strength + cross-correlation -------
+# Both collapse the corpus to a bounded |days| table in ONE map-side-
+# combined groupBy (the time span is fixed — days do NOT grow with
+# scale factor; per-day mass does), so everything after the collapse
+# is constant-cost at any corpus size.
+
+# eta² = SSB/SST over the 7 epoch-day-mod-7 buckets, evaluated in ONE
+# explicitly parenthesized double tree from exact int64 power sums
+# (the agg_bartlett pivot pattern: the |groups| dimension is
+# conditional-aggregated into one row, so no cross-row double sum
+# exists).  Terms for empty buckets contribute 0 via the n>0 guards.
+_SEAS_GTERM = "(CASE WHEN n{g} > 0 THEN (CAST(s{g} AS DOUBLE) * s{g}) / CAST(n{g} AS DOUBLE) ELSE 0.0 END)"
+_SEAS_BETWEEN = "(" + " + ".join(_SEAS_GTERM.format(g=g) for g in range(7)) + ")"
+_SEAS_N = "(CAST(n0+n1+n2+n3+n4+n5+n6 AS DOUBLE))"
+_SEAS_S = "(CAST(s0+s1+s2+s3+s4+s5+s6 AS DOUBLE))"
+_SEAS_SS = "(CAST(ss0+ss1+ss2+ss3+ss4+ss5+ss6 AS DOUBLE))"
+_SEAS_MEANSQ = f"(({_SEAS_S} * {_SEAS_S}) / {_SEAS_N})"
+_SEAS_ETA2 = None  # assembled below (needs snap_sql import at module top)
+
+
+def _seas_eta2_expr() -> str:
+    from hadoop_fixedlengthinputformat_spark.functions.num import snap_sql as _s
+
+    return _s(
+        f"({_SEAS_BETWEEN} - {_SEAS_MEANSQ}) / ({_SEAS_SS} - {_SEAS_MEANSQ})",
+        4,
+    )
+
+
+def _seas_oracle() -> str:
+    gsel = []
+    for g in range(7):
+        gsel.append(
+            f"CAST(SUM(CASE WHEN dow = {g} THEN 1 ELSE 0 END) AS BIGINT) AS n{g},\n"
+            f"               CAST(SUM(CASE WHEN dow = {g} THEN y ELSE 0 END) AS BIGINT) AS s{g},\n"
+            f"               CAST(SUM(CASE WHEN dow = {g} THEN y * y ELSE 0 END) AS BIGINT) AS ss{g}"
+        )
+    cols = ",\n               ".join(gsel)
+    eta = _seas_eta2_expr()
+    return f"""
+    WITH daily AS MATERIALIZED (
+        SELECT CAST(floor(epoch(l_shipdate)) AS BIGINT) // 86400 AS day,
+               CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+                    AS BIGINT) // 10000000 AS y
+        FROM lineitem
+        WHERE l_shipdate IS NOT NULL AND l_extendedprice IS NOT NULL
+              AND l_discount IS NOT NULL
+        GROUP BY 1
+    ),
+    tagged AS (SELECT day % 7 AS dow, y FROM daily),
+    piv AS (
+        SELECT {cols}
+        FROM tagged
+    )
+    SELECT CAST(n0+n1+n2+n3+n4+n5+n6 AS BIGINT) AS n_days,
+           {eta} + 0 AS eta2_dow,
+           ({eta}) > 0.2 AS is_seasonal
+    FROM piv
+    WHERE ({_SEAS_SS} - {_SEAS_MEANSQ}) > 0
+    """
+
+
+@query("ts_seasonality_strength", oracle=_seas_oracle())
+def ts_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-seasonality strength of daily shipped revenue: the
+    one-way eta² (SSB/SST) of daily revenue across the 7 epoch-day
+    mod-7 buckets — the variance share a weekly cycle explains, the
+    seasonality test run before choosing a rollup grain.  Buckets are
+    day % 7 on the EPOCH day number, not a calendar weekday (the
+    ts_dow_profile rule: week-start conventions differ across engines;
+    mod-7 on an integer has no seam).  Daily revenue is exact integer
+    kilodollar units (revenue micro-units div 1e7 — re-united so
+    Σ y² ≤ ~4e13 at sf1, int64-safe to sf1000, documented); the 7
+    buckets pivot into ONE row by conditional aggregation (the
+    agg_bartlett shape), so eta² is a single identically parenthesized
+    double tree over exact int64 sums, snapped to 4 (+0).  Shuffle
+    shape: one map-side-combined day collapse (|days| is FIXED by the
+    data's time span), a 7-bucket pivot to 1 row — corpus read once."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").isNotNull()
+        & F.col("l_extendedprice").isNotNull()
+        & F.col("l_discount").isNotNull()
+    ).select(
+        F.expr(
+            "CAST(floor(CAST(CAST(l_shipdate AS TIMESTAMP) AS DOUBLE))"
+            " AS BIGINT) div 86400"
+        ).alias("day"),
+        (
+            money_units(F.col("l_extendedprice"), 2)
+            * (F.lit(100) - money_units(F.col("l_discount"), 2))
+        ).alias("units"),
+    )
+    daily = li.groupBy("day").agg(
+        F.expr("CAST(SUM(units) AS BIGINT) div 10000000").alias("y")
+    )
+    tagged = daily.select((F.col("day") % 7).alias("dow"), "y")
+    aggs = []
+    for g in range(7):
+        aggs.append(
+            F.sum(F.when(F.col("dow") == g, 1).otherwise(0))
+            .cast("long").alias(f"n{g}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("dow") == g, F.col("y")).otherwise(0))
+            .cast("long").alias(f"s{g}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(F.col("dow") == g, F.col("y") * F.col("y")).otherwise(0)
+            ).cast("long").alias(f"ss{g}")
+        )
+    piv = tagged.agg(*aggs)
+    eta = _seas_eta2_expr()
+    return piv.where(
+        F.expr(f"({_SEAS_SS} - {_SEAS_MEANSQ}) > 0")
+    ).select(
+        F.expr("CAST(n0+n1+n2+n3+n4+n5+n6 AS BIGINT)").alias("n_days"),
+        (F.expr(eta) + F.lit(0.0)).alias("eta2_dow"),
+        F.expr(f"({eta}) > 0.2").alias("is_seasonal"),
+    )
+
+
+def _lag_corr_oracle() -> str:
+    from hadoop_fixedlengthinputformat_spark.operators.stats_extras import (
+        _corr_expr,
+    )
+
+    corr = _corr_expr("sx", "sy", "sxx", "syy", "sxy")
+    return f"""
+    WITH od AS MATERIALIZED (
+        SELECT CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day,
+               CAST(count(*) AS BIGINT) AS oc
+        FROM orders WHERE o_orderdate IS NOT NULL
+        GROUP BY 1
+    ),
+    ld AS MATERIALIZED (
+        SELECT CAST(floor(epoch(l_shipdate)) AS BIGINT) // 86400 AS day,
+               CAST(count(*) AS BIGINT) AS lc
+        FROM lineitem WHERE l_shipdate IS NOT NULL
+        GROUP BY 1
+    ),
+    lags AS (SELECT unnest(generate_series(0, 5)) AS lag),
+    j AS (
+        SELECT lags.lag, od.oc AS x, ld.lc AS y
+        FROM lags
+        JOIN od ON true
+        JOIN ld ON ld.day = od.day + lags.lag
+    ),
+    s AS (
+        SELECT lag, CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM j GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, n AS n_days,
+           {corr} + 0 AS corr
+    FROM s
+    WHERE n >= 2 AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+    """
+
+
+@query("ts_lag_corr", oracle=_lag_corr_oracle())
+def ts_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation of daily order volume against daily shipment
+    volume at lags 0–5 days — the lead/lag discovery a pipeline runs
+    before aligning two event streams.  Both series collapse to exact
+    int64 counts per epoch day (|days| fixed by the time span); each
+    lag joins the order grid to the shipment grid shifted by k (an
+    equi-join on day + k against the 6-row broadcast lag table), and
+    Pearson r evaluates per lag from exact power sums in the
+    _corr_expr DOUBLE convention (stats_extras: the n·S₂ products live
+    in doubles, sqrt snaps to 8, r snaps to 4).  Budget: daily counts
+    ≤ ~1e5 at sf1000 → Σx² ≤ 2.4e13, exact.  Degenerate (constant)
+    series emit no row — the integer variance guard is identical both
+    sides."""
+    from hadoop_fixedlengthinputformat_spark.operators.stats_extras import (
+        _corr_expr,
+    )
+
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").isNotNull()
+    )
+    od = o.groupBy(
+        F.expr(
+            "CAST(floor(CAST(CAST(o_orderdate AS TIMESTAMP) AS DOUBLE))"
+            " AS BIGINT) div 86400"
+        ).alias("day")
+    ).agg(F.count(F.lit(1)).alias("oc"))
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").isNotNull()
+    )
+    ld = li.groupBy(
+        F.expr(
+            "CAST(floor(CAST(CAST(l_shipdate AS TIMESTAMP) AS DOUBLE))"
+            " AS BIGINT) div 86400"
+        ).alias("day")
+    ).agg(F.count(F.lit(1)).alias("lc"))
+    lags = od.sparkSession.range(0, 6).select(F.col("id").alias("lag"))
+    j = (
+        od.crossJoin(F.broadcast(lags))
+        .join(
+            ld.select(F.col("day").alias("lday"), "lc"),
+            F.expr("lday = day + lag"),
+        )
+        .select("lag", F.col("oc").alias("x"), F.col("lc").alias("y"))
+    )
+    s = j.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    corr = _corr_expr("sx", "sy", "sxx", "syy", "sxy")
+    return s.where(
+        (F.col("n") >= 2)
+        & (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+        & (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") > 0)
+    ).select(
+        F.col("lag").alias("lag"),
+        F.col("n").alias("n_days"),
+        (F.expr(corr) + F.lit(0.0)).alias("corr"),
     )

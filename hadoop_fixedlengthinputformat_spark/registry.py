@@ -263,5 +263,9 @@ def load_all() -> None:
         robust_stats,
         stats_extras,
     )
+    from hadoop_fixedlengthinputformat_spark.operators import (  # noqa: F401
+        dq_suite,
+        inequality,
+    )
 
     _reorder()

@@ -72,6 +72,13 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("functions/similarity.py", "p"): "fixed",  # probe set
     ("functions/similarity.py", "p_exp"): "fixed",  # probes x multiprobe
     ("functions/similarity.py", "centroids"): "fixed",  # k rows
+    # round-12 additions
+    ("operators/dq_suite.py", "med"): "1row",
+    ("operators/dq_suite.py", "mad"): "1row",
+    ("operators/inequality.py", "deciles"): "fixed",  # 10 rows
+    ("operators/timeseries.py", "lags"): "fixed",  # 6 lag rows
+    ("operators/analytics_extras.py", "ecnt"): "1row",
+    ("operators/analytics_extras.py", "tcnt"): "1row",
     ("functions/similarity.py", "shortlist"): "fixed",  # probes x nprobe
     ("functions/similarity.py", "codebook"): "fixed",  # m x 2^nbits
     ("functions/similarity.py", "dtable"): "fixed",  # probes x m x 2^nbits

@@ -1821,3 +1821,91 @@ def test_exact_dedup_shuffles_digest_not_text(spark):
     assert ex_lines and all("text#" not in l for l in ex_lines), ex_lines
     # partial aggregation (map-side combine) still engages
     assert "partial_count" in plan or "partial" in plan.lower(), plan
+
+
+def test_theil_index_two_collapse_exchanges(spark):
+    """agg_theil_index (round 12): one (priority, value) collapse
+    exchange + one priority aggregate exchange, both map-side combined;
+    no join, no window, no Python — the agg_geometric_mean skeleton."""
+    from hadoop_fixedlengthinputformat_spark.operators.inequality import (
+        agg_theil_index,
+    )
+
+    plan = _final_plan(agg_theil_index(spark, "/root/testdata/sf0.001"))
+    assert _hashex(plan) == 2, plan
+    assert "partial" in plan.lower(), plan
+    assert "Join" not in plan, plan
+    assert _no_python(plan)
+
+
+def test_lorenz_deciles_single_window_exchange_broadcast_deciles(spark):
+    """agg_lorenz_deciles (round 12): rank + running sum + totals share
+    ONE priority-keyed window exchange; the 10-row decile table joins
+    as a broadcast — never a shuffle join."""
+    from hadoop_fixedlengthinputformat_spark.operators.inequality import (
+        agg_lorenz_deciles,
+    )
+
+    plan = _final_plan(agg_lorenz_deciles(spark, "/root/testdata/sf0.001"))
+    assert _hashex(plan) == 1, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    assert _no_python(plan)
+
+
+def test_pareto_cover_collapse_then_flag_window(spark):
+    """win_pareto_cover (round 12): one (flag, suppkey) collapse
+    exchange + one flag window exchange feeding rank/running-sum/
+    totals, then the final flag aggregate reuses the window
+    partitioning — no third exchange, no Python."""
+    from hadoop_fixedlengthinputformat_spark.operators.inequality import (
+        win_pareto_cover,
+    )
+
+    plan = _final_plan(win_pareto_cover(spark, "/root/testdata/sf0.001"))
+    assert _hashex(plan) <= 3, plan
+    assert "Join" not in plan, plan
+    assert _no_python(plan)
+
+
+def test_dq_reconciliation_keyed_join_no_corpus_broadcast(spark):
+    """dq_reconciliation (round 12): lineitem collapses to |orders|
+    rows map-side BEFORE the order-key equi-join; neither corpus side
+    carries a broadcast hint (AQE may still pick one at tiny SF, but
+    never a nested-loop/cartesian)."""
+    from hadoop_fixedlengthinputformat_spark.operators.dq_suite import (
+        dq_reconciliation,
+    )
+
+    plan = _final_plan(dq_reconciliation(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "partial_sum" in plan, plan
+    assert _no_python(plan)
+
+
+def test_lag_corr_day_collapses_before_bounded_join(spark):
+    """ts_lag_corr (round 12): both corpora collapse to |days| rows in
+    map-side-combined groupBys BEFORE the 6x lag join; the lag table is
+    broadcast; the final per-lag aggregate is map-side combined."""
+    from hadoop_fixedlengthinputformat_spark.operators.timeseries import (
+        ts_lag_corr,
+    )
+
+    plan = _final_plan(ts_lag_corr(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("partial_count") >= 2, plan
+    assert _no_python(plan)
+
+
+def test_transitivity_no_cartesian_ends_in_count(spark):
+    """graph_transitivity (round 12): the wedge join pipeline must stay
+    all-equi-join (no cartesian/nested-loop over edges) and collapse to
+    a count — no triangle list materializes in the final stage."""
+    from hadoop_fixedlengthinputformat_spark.operators.analytics_extras import (
+        graph_transitivity,
+    )
+
+    plan = _final_plan(graph_transitivity(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan, plan
+    assert _no_python(plan)

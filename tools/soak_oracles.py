@@ -26,6 +26,34 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TIMEOUT = int(os.environ.get("ORACLE_SOAK_TIMEOUT", "180"))
 
+# Documented-heavy oracles (VERDICT r11 #8): per-name wall caps for
+# oracles whose sf1 cost is measured, understood, and inherent — so a
+# future densified roll cannot flip them into false-positive timeouts.
+# Each entry cites the measured figure and the def-site/NOTES.md
+# rationale.  These caps apply only when they EXCEED the global
+# timeout (an operator regression must still fail the soak).
+HEAVY_CAPS: dict[str, int] = {
+    # 5e5 * 60 bit-vote conditional sums over the (doc, token)
+    # occurrence table; md5 now runs once per DISTINCT token (round-12
+    # rewrite) but the vote aggregation is inherent.  Measured 176 s
+    # at sf1 on a 1.5x-slow box (plans/NOTES.md round-12).
+    "llm_simhash": 400,
+    # Inherently sequential per-user recurrence over 15 users x 67k
+    # events at sf1: a DuckDB recursive CTE rebuilds its join hash
+    # table every level, so EVERY bit-identical SQL replication is
+    # levels x corpus (five formulations measured, plans/NOTES.md
+    # round-12; the best — 32-step unrolled chunks — is 281 s at
+    # sf1).  The Spark applyInPandas side is the linear path.
+    "ts_ewma": 600,
+    # The LSH pair-scoring family joins the signature table onto ~4M
+    # candidate pairs at sf1 (planted dup groups densify 100x there);
+    # measured 151 s (jaccard_est) / ~170 s (containment) — inherent
+    # to scoring every candidate, and the pair count is roll-density
+    # dependent (plans/NOTES.md round-12).
+    "llm_minhash_jaccard_est": 400,
+    "llm_minhash_containment": 400,
+}
+
 _CHILD = r"""
 import json, sys, time
 import duckdb
@@ -73,17 +101,18 @@ def main() -> None:
     out: dict = {"family": "oracles", "sf_dir": sf_dir, "timeout_s": TIMEOUT}
     for name in names:
         child = _CHILD % {"repo": REPO, "sf": sf_dir, "name": name}
+        cap = max(TIMEOUT, HEAVY_CAPS.get(name, 0))
         t0 = time.perf_counter()
         try:
             r = subprocess.run(
                 [sys.executable, "-c", child],
                 capture_output=True,
                 text=True,
-                timeout=TIMEOUT,
+                timeout=cap,
             )
         except subprocess.TimeoutExpired:
             out[name] = "TIMEOUT"
-            print(f"# {name}: TIMEOUT >{TIMEOUT}s", file=sys.stderr)
+            print(f"# {name}: TIMEOUT >{cap}s", file=sys.stderr)
             continue
         if r.returncode != 0:
             out[name] = f"ERROR: {r.stderr.strip()[-300:]}"
