@@ -1753,37 +1753,46 @@ def llm_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     same shingle explode as a second map-side-combined groupBy; all
     joins are id-keyed."""
     d = load_table(spark, sf_dir, "documents")
-    sig = dedup.minhash_signature(d, "doc_id")
-    cand = dedup.lsh_candidate_pairs(sig, "doc_id")
     dd = d.filter(F.col("text").isNotNull())
-    sizes = (
-        dd.select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(dedup.word_shingles(dd))
-            ).alias("shingle"),
-        )
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("sz"))
+    dd = dedup._spread(dd, "doc_id")
+    # ONE shingle explode feeds signature AND set size (count rides the
+    # same map-side-combined groupBy), localCheckpointed because it is
+    # consumed three times (both pair sides + the LSH band builder) —
+    # without the fused pass the shingle pipeline re-evaluated ~6x and
+    # the sf1 soak read 83 s
+    sh = dd.select(
+        "doc_id",
+        F.explode(F.array_distinct(dedup.word_shingles(dd))).alias("shingle"),
     )
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(
+                    F.concat(F.lit(str(i)), F.col("shingle")).cast("binary")
+                )
+            ).alias(f"mh_{i}")
+            for i in range(8)
+        ],
+        F.count(F.lit(1)).alias("sz"),
+    )
+    sig = sig.localCheckpoint(eager=True)
+    cand = dedup.lsh_candidate_pairs(sig, "doc_id")
     sa = sig.select(
         F.col("doc_id").alias("doc_a"),
+        F.col("sz").alias("size_a"),
         *[F.col(f"mh_{i}").alias(f"a{i}") for i in range(8)],
     )
     sb = sig.select(
         F.col("doc_id").alias("doc_b"),
+        F.col("sz").alias("size_b"),
         *[F.col(f"mh_{i}").alias(f"b{i}") for i in range(8)],
     )
-    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a"))
-    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b"))
     k_match = sum(
         (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(8)
     ).cast("long")
     scored = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .join(za, "doc_a")
-        .join(zb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
