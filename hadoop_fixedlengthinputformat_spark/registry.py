@@ -157,8 +157,15 @@ GRADE_ORDER: tuple[str, ...] = (
 # coverage closes to 382/382 of the r11 contract and the oldest
 # remaining vintages are the r4 tail (33) and the r6 block.
 #
-# R13 WINDOW PLAN (keep the rotation mechanical): any never-graded
-# round-12 additions lead, then the 33-name r4 tail (oldest-first:
+# R13 WINDOW PLAN (keep the rotation mechanical): the never-graded
+# round-12 additions lead (14: dq_accepted_values, dq_null_profile,
+# dq_row_count_anomaly, dq_reconciliation, agg_theil_index,
+# agg_atkinson_index, agg_lorenz_deciles, win_pareto_cover,
+# ts_seasonality_strength, ts_lag_corr, graph_adamic_adar,
+# graph_transitivity, llm_minhash_containment,
+# llm_tokenizer_fertility), then the r4 tail fills the remaining 36
+# slots oldest-first (33 names listed below — the last 3 of the tail
+# plus the r6 vintage compose r14):
 # agg_percentile, agg_string_agg, agg_min_max_by, agg_bool_bit,
 # agg_count_if, agg_collect_set, agg_product, agg_regression,
 # ts_gap_fill, ts_interpolate, ts_ewma, ts_ohlc, fn_url,
