@@ -1763,7 +1763,14 @@ def llm_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = dd.select(
         "doc_id",
         F.explode(F.array_distinct(dedup.word_shingles(dd))).alias("shingle"),
-    )
+    ).distinct()
+    # ^ the pair-level distinct matters on DUPLICATE-doc_id rolls: the
+    # in-array array_distinct dedups per ROW, but a dup id's rows can
+    # repeat a shingle across rows and the size census must count the
+    # per-doc UNION exactly once (the oracle's DISTINCT (doc_id,
+    # shingle)) — found by the round-12 nulls-roll parity sweep.  On
+    # unique-id rolls this is a semantic no-op (per-row arrays are
+    # already distinct), and the signature mins never cared.
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(
