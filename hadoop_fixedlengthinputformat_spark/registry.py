@@ -98,85 +98,75 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # re-enter the window once its last grade is >= 5 rounds behind the
 # upcoming round.
 GRADE_ORDER: tuple[str, ...] = (
-    # --- never-driver-graded r11 additions (VERDICT r11 #1) ---
-    "graph_kcore_converged",
-    "agg_trimmed_mean",
-    "agg_geometric_mean",
-    "agg_bowley_skew",
-    "agg_bartlett",
-    "agg_brown_forsythe",
-    "graph_assortativity",
-    "graph_local_clustering",
-    "ts_turning_points",
-    "ts_vwap",
-    "ts_atr",
-    "ts_obv",
-    "llm_type_token_ratio",
-    "llm_hapax_ratio",
-    "dq_referential",
-    "agg_coeff_variation",
-    # --- r3-vintage freshness re-grades (23: everything last graded r3) ---
-    "fn_epoch",
-    "fn_math",
-    "join_interval_bucketed",
-    "maintain_fixedlen_analyze",
-    "maintain_fixedlen_compact",
-    "merge_scd2",
-    "pipeline_fixedlen_composite",
-    "scan_fixedlen_binint",
-    "scan_fixedlen_corrupt_quarantine",
-    "scan_fixedlen_ebcdic",
-    "scan_fixedlen_hive_partitioned",
-    "scan_fixedlen_implied",
-    "scan_fixedlen_linesep",
-    "scan_fixedlen_multitype",
-    "scan_fixedlen_observed",
-    "scan_fixedlen_occurs",
-    "scan_fixedlen_packed",
-    "scan_fixedlen_skiprecs",
-    "scan_fixedlen_stats_pruned",
-    "scan_fixedlen_zoned",
-    "sink_fixedlen_ebcdic",
-    "sql_fixedlen_view",
-    "stream_fixedlen_directory",
-    # --- r4-vintage re-grades, oldest-first (11 of 44; tail -> r13) ---
-    "proj_compute",
-    "diag_documents_identity",
-    "llm_token_count",
-    "diag_q12_filter_only",
-    "diag_lineitem_ts_epoch",
-    "diag_orders_ts_epoch",
-    "subq_scalar_select",
-    "join_lateral",
-    "pivot_segment",
-    "unpivot_measures",
-    "agg_stats",
+    # --- never-driver-graded r12 additions (VERDICT r12 #1) ---
+    "dq_accepted_values",
+    "dq_null_profile",
+    "dq_row_count_anomaly",
+    "dq_reconciliation",
+    "agg_theil_index",
+    "agg_atkinson_index",
+    "agg_lorenz_deciles",
+    "win_pareto_cover",
+    "ts_seasonality_strength",
+    "ts_lag_corr",
+    "graph_adamic_adar",
+    "graph_transitivity",
+    "llm_minhash_containment",
+    "llm_tokenizer_fertility",
+    # --- r4-vintage re-grades, oldest-first (the full 33-name tail) ---
+    "agg_percentile",
+    "agg_string_agg",
+    "agg_min_max_by",
+    "agg_bool_bit",
+    "agg_count_if",
+    "agg_collect_set",
+    "agg_product",
+    "agg_regression",
+    "ts_gap_fill",
+    "ts_interpolate",
+    "ts_ewma",
+    "ts_ohlc",
+    "fn_url",
+    "llm_text_stats",
+    "llm_lang_id",
+    "llm_quality_score",
+    "llm_fingerprint",
+    "llm_multimodal_cols",
+    "llm_centroid_per_label",
+    "llm_incremental_dedup",
+    "llm_pipeline_clean",
+    "llm_gopher_filters",
+    "llm_topk_ngrams",
+    "llm_semdedup",
+    "llm_dedup_apply",
+    "llm_minhash_jaccard_est",
+    "llm_curriculum_mix",
+    "llm_tfidf_topterms",
+    "llm_near_dup_verified",
+    "llm_embedding_cosine_dup",
+    "llm_bm25",
+    "llm_char_entropy",
+    "llm_centroid_outliers",
+    # --- r6-vintage heads (stale: 13-6 >= 5); tail (46) -> r14 ---
+    "tpch_q12_priority_shipping",
+    "diag_q12_join_only",
+    "llm_seq_packing",
 )
-# The window is GRADE_ORDER[:50] = 16 never-graded r11 additions + 23
-# r3-vintage + 11 r4-vintage heads.  After r12, ever-driver-graded
-# coverage closes to 382/382 of the r11 contract and the oldest
-# remaining vintages are the r4 tail (33) and the r6 block.
+# The window is GRADE_ORDER[:50] = 14 never-graded r12 additions + the
+# entire 33-name r4 tail + 3 r6-vintage heads.  After r13,
+# ever-driver-graded coverage closes to 396/396 of the r12 contract,
+# the r4 vintage is fully retired, and the oldest remaining vintage is
+# the r6 block (46 names after these 3 heads; llm_embedding_quantize
+# was re-graded r10 and is r10-vintage now).
 #
-# R13 WINDOW PLAN (keep the rotation mechanical): the never-graded
-# round-12 additions lead (14: dq_accepted_values, dq_null_profile,
-# dq_row_count_anomaly, dq_reconciliation, agg_theil_index,
-# agg_atkinson_index, agg_lorenz_deciles, win_pareto_cover,
-# ts_seasonality_strength, ts_lag_corr, graph_adamic_adar,
-# graph_transitivity, llm_minhash_containment,
-# llm_tokenizer_fertility), then the r4 tail fills the remaining 36
-# slots oldest-first (33 names listed below — the last 3 of the tail
-# plus the r6 vintage compose r14):
-# agg_percentile, agg_string_agg, agg_min_max_by, agg_bool_bit,
-# agg_count_if, agg_collect_set, agg_product, agg_regression,
-# ts_gap_fill, ts_interpolate, ts_ewma, ts_ohlc, fn_url,
-# llm_text_stats, llm_lang_id, llm_quality_score, llm_fingerprint,
-# llm_multimodal_cols, llm_centroid_per_label, llm_incremental_dedup,
-# llm_pipeline_clean, llm_gopher_filters, llm_topk_ngrams,
-# llm_semdedup, llm_dedup_apply, llm_minhash_jaccard_est,
-# llm_curriculum_mix, llm_tfidf_topterms, llm_near_dup_verified,
-# llm_embedding_cosine_dup, llm_bm25, llm_char_entropy,
-# llm_centroid_outliers), then r6-vintage heads (stale since
-# 13-6 >= 5) fill the rest.
+# R14 WINDOW PLAN (keep the rotation mechanical): any never-graded
+# round-13 additions lead, then the 46-name r6 tail fills the rest
+# oldest-first (CORRECTNESS_r06.json key order, minus the 3 heads
+# graded here and minus llm_embedding_quantize): ts_sessionize,
+# ts_rollup_chain, llm_domain_stats, dq_audit, llm_shard_assign,
+# llm_dataset_card, llm_simhash, ... (see CORRECTNESS_r06.json); any
+# remaining slots go to r7-vintage heads (stale at r14 since
+# 14-7 >= 5, sf1-soaked during r13).
 
 
 def _reorder() -> None:

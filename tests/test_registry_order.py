@@ -23,21 +23,21 @@ def test_grade_order_applied_and_complete():
     assert names[: len(registry.GRADE_ORDER)] == list(registry.GRADE_ORDER)
 
 
-def test_round12_window_composition():
+def test_round13_window_composition():
     registry.load_all()
     window = list(registry.QUERIES)[:50]
-    # the 16 never-driver-graded r11 additions lead (VERDICT r11 #1),
-    # closing ever-graded coverage to 382/382 of the r11 contract
-    assert window[0] == "graph_kcore_converged"
-    assert window[15] == "agg_coeff_variation"
-    # then the 23 r3-vintage freshness re-grades (everything whose last
-    # grade is r3 — tpch_q12_priority_shipping is r6 vintage)
-    assert window[16] == "fn_epoch"
-    assert window[38] == "stream_fixedlen_directory"
-    # then the 11 oldest r4-vintage names
-    assert window[39] == "proj_compute"
-    assert window[49] == "agg_stats"
-    assert "tpch_q12_priority_shipping" not in window
+    # the 14 never-driver-graded r12 additions lead (VERDICT r12 #1),
+    # closing ever-graded coverage to 396/396 of the r12 contract
+    assert window[0] == "dq_accepted_values"
+    assert window[13] == "llm_tokenizer_fertility"
+    # then the entire 33-name r4 tail (oldest vintage, retired here)
+    assert window[14] == "agg_percentile"
+    assert window[46] == "llm_centroid_outliers"
+    # then 3 r6-vintage heads (stale: 13-6 >= 5)
+    assert window[47] == "tpch_q12_priority_shipping"
+    assert window[49] == "llm_seq_packing"
+    # llm_embedding_quantize was re-graded r10 — still fresh, stays out
+    assert "llm_embedding_quantize" not in window
     # every window query has a full SQL oracle (strongest driver signal)
     missing = [n for n in window if n not in registry.ORACLES]
     assert not missing, f"window queries without oracle: {missing}"
