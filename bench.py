@@ -240,8 +240,10 @@ def calibration_py(spark) -> float:
 
 def calibration_cpu(spark) -> float:
     """JVM-kernel probe (diagnostic, normalizes nothing yet): md5 +
-    hex-parse + sum over 12M rows of whole-stage codegen — ~1.5 s of
-    pure JVM ALU work, no IO, no Python.  A lighter modular-arithmetic
+    hex-parse + sum over 12M rows of whole-stage codegen — measured
+    ~0.45-0.5 s of pure JVM ALU work on a nominal box (BENCH_r12.json:
+    0.478 s at compute factor 1.085), no IO, no Python.  A lighter
+    modular-arithmetic
     kernel was rejected: at 24M rows its wall time DROPPED when rows
     were quadrupled, i.e. it measured job fixed overhead, not compute.
     Recorded from round 12 so a future round can split the JVM factor

@@ -53,9 +53,11 @@ def _av_oracle() -> str:
         parts.append(f"""
     SELECT '{name}' AS check_name,
            CAST(count(*) AS BIGINT) AS n_checked,
-           CAST(SUM(CASE WHEN {col} IN ({inlist}) THEN 0 ELSE 1 END)
+           CAST(COALESCE(SUM(CASE WHEN {col} IN ({inlist}) THEN 0 ELSE 1
+                              END), 0)
                 AS BIGINT) AS n_violations,
-           SUM(CASE WHEN {col} IN ({inlist}) THEN 0 ELSE 1 END) = 0
+           COALESCE(SUM(CASE WHEN {col} IN ({inlist}) THEN 0 ELSE 1 END),
+                    0) = 0
                AS passed
     FROM {table} WHERE {col} IS NOT NULL""")
     return "\n    UNION ALL\n".join(parts)
@@ -74,8 +76,13 @@ def dq_accepted_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     outs = []
     for name, table, col, vals in _AV_CHECKS:
         t = load_table(spark, sf_dir, table).where(F.col(col).isNotNull())
-        viol = F.sum(
-            F.when(F.col(col).isin(*vals), F.lit(0)).otherwise(F.lit(1))
+        # COALESCE: SUM over zero rows is NULL on both engines; a check
+        # with no non-NULL rows must pass vacuously (0 violations, true)
+        viol = F.coalesce(
+            F.sum(
+                F.when(F.col(col).isin(*vals), F.lit(0)).otherwise(F.lit(1))
+            ),
+            F.lit(0),
         )
         outs.append(
             t.agg(

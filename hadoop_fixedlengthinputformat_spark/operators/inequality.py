@@ -322,7 +322,12 @@ def win_pareto_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     running sum is fully deterministic; the cover point is the MIN
     rank where 5·cum ≥ 4·total (pure integer predicate), and MIN(cum)
     over qualifying rows equals the running sum AT that rank because
-    the running sum is nondecreasing.  The only double is the final
+    the running sum is nondecreasing.  Overflow budget: per-flag tot
+    is ~2.4e11 at sf1 (3 flags × lineitem revenue units ~7.3e11
+    total), scaling linearly, so 5·tot ≈ 3.6e18 at sf1000 — ~2.5×
+    int64 headroom; safe through sf1000, wraps near sf~2500 (re-unit
+    before comparing, or switch to cum >= ceil(0.8·tot), if a larger
+    corpus is ever targeted).  The only double is the final
     snapped share.  Shuffle shape: one (flag, suppkey) map-side-
     combined collapse, ONE flag-keyed window exchange, a |flags|-row
     aggregate."""

@@ -2163,7 +2163,10 @@ def ts_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts_dow_profile rule: week-start conventions differ across engines;
     mod-7 on an integer has no seam).  Daily revenue is exact integer
     kilodollar units (revenue micro-units div 1e7 — re-united so
-    Σ y² ≤ ~4e13 at sf1, int64-safe to sf1000, documented); the 7
+    Σ y² ≤ ~4e13 at sf1; daily y grows linearly with scale factor
+    while |days| is fixed, so Σ y² grows ~sf² and crosses int64 max
+    (~9.2e18) near sf~480 — int64-safe to ~sf400, NOT sf1000; re-unit
+    y by another 10× if a larger corpus is ever targeted); the 7
     buckets pivot into ONE row by conditional aggregation (the
     agg_bartlett shape), so eta² is a single identically parenthesized
     double tree over exact int64 sums, snapped to 4 (+0).  Shuffle

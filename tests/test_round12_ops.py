@@ -325,10 +325,9 @@ def test_dq_row_count_anomaly_matches_bruteforce(spark, sf_dir):
             daily[math.floor(r["ts"].timestamp()) // 86400] += 1
     cnts = sorted(daily.values())
     n = len(cnts)
-    med = cnts[(n - 1) // 2] if n % 2 == 1 else cnts[n // 2 - 1]
     # integer-rank pick: smallest value whose running count reaches
     # ceil(n/2) — recompute exactly as the operator defines it
-    med = sorted(cnts)[math.ceil(n / 2) - 1]
+    med = cnts[math.ceil(n / 2) - 1]
     devs = sorted(abs(c - med) for c in cnts)
     mad = devs[math.ceil(n / 2) - 1]
     got = {r.day: r for r in dq_row_count_anomaly(spark, sf_dir).collect()}
