@@ -26,32 +26,53 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TIMEOUT = int(os.environ.get("ORACLE_SOAK_TIMEOUT", "180"))
 
-# Documented-heavy oracles (VERDICT r11 #8): per-name wall caps for
-# oracles whose sf1 cost is measured, understood, and inherent — so a
-# future densified roll cannot flip them into false-positive timeouts.
-# Each entry cites the measured figure and the def-site/NOTES.md
-# rationale.  These caps apply only when they EXCEED the global
-# timeout (an operator regression must still fail the soak).
-HEAVY_CAPS: dict[str, int] = {
-    # 5e5 * 60 bit-vote conditional sums over the (doc, token)
-    # occurrence table; md5 now runs once per DISTINCT token (round-12
-    # rewrite) but the vote aggregation is inherent.  Measured 176 s
-    # at sf1 on a 1.5x-slow box (plans/NOTES.md round-12).
-    "llm_simhash": 400,
-    # Inherently sequential per-user recurrence over 15 users x 67k
-    # events at sf1: a DuckDB recursive CTE rebuilds its join hash
-    # table every level, so EVERY bit-identical SQL replication is
-    # levels x corpus (five formulations measured, plans/NOTES.md
-    # round-12; the best — 32-step unrolled chunks — is 281 s at
-    # sf1).  The Spark applyInPandas side is the linear path.
-    "ts_ewma": 600,
-    # The LSH pair-scoring family joins the signature table onto ~4M
-    # candidate pairs at sf1 (planted dup groups densify 100x there);
-    # measured 151 s (jaccard_est) / ~170 s (containment) — inherent
-    # to scoring every candidate, and the pair count is roll-density
-    # dependent (plans/NOTES.md round-12).
-    "llm_minhash_jaccard_est": 400,
-    "llm_minhash_containment": 400,
+# Documented-heavy oracles (VERDICT r11 #8, machine-readable since
+# r13 per VERDICT r12 #4): per-name (wall cap, rationale) for oracles
+# whose sf1 cost is measured, understood, and inherent — so a future
+# densified roll cannot flip them into false-positive timeouts, and a
+# roll that DOES cross a cap fails with the rationale attached to the
+# output rather than buried in NOTES.md prose.  Caps apply only when
+# they EXCEED the global timeout (an operator regression must still
+# fail the soak).  Rule: no UNDOCUMENTED oracle may exceed the 180 s
+# global timeout at sf1 — measuring >180 s means either fixing the
+# oracle or adding a row here with the measured figure.
+HEAVY_CAPS: dict[str, tuple[int, str]] = {
+    "llm_simhash": (400, (
+        "5e5 x 60 bit-vote conditional sums over the (doc, token) "
+        "occurrence table; md5 runs once per DISTINCT token (round-12 "
+        "rewrite) but the vote aggregation is inherent.  Measured "
+        "71.5-176 s at sf1 (fast/1.5x-slow box, plans/NOTES.md "
+        "round-12)."
+    )),
+    "ts_ewma": (600, (
+        "Inherently sequential per-user recurrence over 15 users x "
+        "67k events at sf1: a DuckDB recursive CTE rebuilds its join "
+        "hash table every level, so every bit-identical SQL "
+        "formulation is levels x corpus (five formulations measured, "
+        "plans/NOTES.md round-12; the best - 32-step unrolled chunks "
+        "- is 281 s at sf1).  The Spark applyInPandas side is the "
+        "linear path."
+    )),
+    "llm_minhash_jaccard_est": (400, (
+        "LSH pair-scoring joins the signature table onto ~4M "
+        "candidate pairs at sf1 (planted dup groups densify 100x "
+        "there); measured ~130-151 s - inherent to scoring every "
+        "candidate, and the pair count is roll-density dependent "
+        "(plans/NOTES.md round-12)."
+    )),
+    "llm_minhash_containment": (400, (
+        "Same LSH pair-scoring family as jaccard_est plus the exact "
+        "set-size census; measured ~170 s at sf1 (plans/NOTES.md "
+        "round-12)."
+    )),
+    "llm_winnowing": (300, (
+        "Window-argmin fingerprint selection materializes the full "
+        "per-doc k-gram hash table before the w-window MIN scan; "
+        "measured 98.5 s at sf1 (plans/NOTES.md round-12 "
+        "'llm_winnowing headroom') - the k-gram count scales with "
+        "corpus bytes and a denser documents roll can roughly double "
+        "it, hence 3x headroom."
+    )),
 }
 
 _CHILD = r"""
@@ -101,7 +122,8 @@ def main() -> None:
     out: dict = {"family": "oracles", "sf_dir": sf_dir, "timeout_s": TIMEOUT}
     for name in names:
         child = _CHILD % {"repo": REPO, "sf": sf_dir, "name": name}
-        cap = max(TIMEOUT, HEAVY_CAPS.get(name, 0))
+        heavy_cap, rationale = HEAVY_CAPS.get(name, (0, None))
+        cap = max(TIMEOUT, heavy_cap)
         t0 = time.perf_counter()
         try:
             r = subprocess.run(
@@ -111,8 +133,18 @@ def main() -> None:
                 timeout=cap,
             )
         except subprocess.TimeoutExpired:
-            out[name] = "TIMEOUT"
+            # a documented-heavy oracle that STILL crosses its cap
+            # fails with the measured-cost rationale attached, so the
+            # soak log itself says whether this is a denser-roll cost
+            # scale-up or a genuine oracle regression
+            out[name] = (
+                {"TIMEOUT": cap, "documented_rationale": rationale}
+                if rationale
+                else "TIMEOUT"
+            )
             print(f"# {name}: TIMEOUT >{cap}s", file=sys.stderr)
+            if rationale:
+                print(f"#   documented-heavy: {rationale}", file=sys.stderr)
             continue
         if r.returncode != 0:
             out[name] = f"ERROR: {r.stderr.strip()[-300:]}"
