@@ -157,7 +157,7 @@ GRADE_ORDER: tuple[str, ...] = (
 # ever-driver-graded coverage closes to 396/396 of the r12 contract,
 # the r4 vintage is fully retired, and the oldest remaining vintage is
 # the r6 block (46 names after these 3 heads; llm_embedding_quantize
-# was re-graded r10 and is r10-vintage now).
+# was re-graded r7 and is r7-vintage now).
 #
 # R14 WINDOW PLAN (keep the rotation mechanical): any never-graded
 # round-13 additions lead, then the 46-name r6 tail fills the rest
@@ -166,7 +166,8 @@ GRADE_ORDER: tuple[str, ...] = (
 # ts_rollup_chain, llm_domain_stats, dq_audit, llm_shard_assign,
 # llm_dataset_card, llm_simhash, ... (see CORRECTNESS_r06.json); any
 # remaining slots go to r7-vintage heads (stale at r14 since
-# 14-7 >= 5, sf1-soaked during r13).
+# 14-7 >= 5; the whole r7 block was sf1-soaked 50/50 clean during
+# r13, plans/NOTES.md "Round-13: r7-vintage oracle soak").
 
 
 def _reorder() -> None:

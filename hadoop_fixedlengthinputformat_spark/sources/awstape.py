@@ -70,6 +70,7 @@ import pyarrow as pa
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -822,7 +823,14 @@ class _TCommitMessage(WriterCommitMessage):
 
 class AwsTapeWriter(DataSourceWriter):
     """One ``.aws`` image per input partition, each a complete tape:
-    data blocks, tapemark, end-of-tape tapemark."""
+    data blocks, tapemark, end-of-tape tapemark.
+
+    ``stream_mode`` (set by :class:`AwsTapeStreamWriter`) defers final
+    naming to commit time: parts encode into hidden attempt-unique
+    tmps and the commit message carries the partition id so the
+    streaming sink can promote them to batch-id-keyed names."""
+
+    stream_mode = False
 
     def __init__(self, opts: _TOptions, path: str, overwrite: bool):
         self.opts = opts
@@ -838,10 +846,17 @@ class AwsTapeWriter(DataSourceWriter):
         os.makedirs(self.path, exist_ok=True)
         ctx = TaskContext.get()
         o = self.opts
-        final = os.path.join(
-            self.path, f"part-{ctx.partitionId():05d}-{self.token}.aws"
-        )
-        tmp = f"{final}.tmp-{ctx.taskAttemptId()}"
+        if self.stream_mode:
+            final = None
+            tmp = os.path.join(
+                self.path,
+                f".tmp-stream-{self.token}-{ctx.taskAttemptId()}",
+            )
+        else:
+            final = os.path.join(
+                self.path, f"part-{ctx.partitionId():05d}-{self.token}.aws"
+            )
+            tmp = f"{final}.tmp-{ctx.taskAttemptId()}"
         n = 0
         n_blocks = 0
         prev_len = 0
@@ -959,7 +974,9 @@ class AwsTapeWriter(DataSourceWriter):
         tapemark()
         with open(tmp, "wb") as f:
             f.write(b"".join(out))
-        return _TCommitMessage([(tmp, final)], n)
+        msg = _TCommitMessage([(tmp, final)], n)
+        msg.partition_id = ctx.partitionId()
+        return msg
 
     def commit(self, messages):
         if self.overwrite and os.path.isdir(self.path):
@@ -983,6 +1000,46 @@ class AwsTapeWriter(DataSourceWriter):
                         os.remove(tmp)
 
 
+class AwsTapeStreamWriter(DataSourceStreamWriter):
+    """Streaming AWS-tape SINK, completing the tape source matrix
+    (batch read/write + stream read already exist) and mirroring
+    ``FixedLengthStreamWriter``'s idempotent-replay contract: each
+    micro-batch partition encodes a complete tape image (data blocks,
+    labels if requested, tapemarks) into a hidden attempt-unique tmp
+    via the batch writer in ``stream_mode``; ``commit(messages,
+    batchId)`` promotes them to BATCH-ID-KEYED final names
+    (``batch-{id}-part-{p}.aws``), so a replayed micro-batch after a
+    crash overwrites its own images instead of duplicating records —
+    exactly-once on top of the checkpoint's batch-id replay."""
+
+    def __init__(self, opts: _TOptions, path: str):
+        self._inner = AwsTapeWriter(opts, path, overwrite=False)
+        self._inner.stream_mode = True
+        self.path = path
+
+    def write(self, iterator) -> _TCommitMessage:
+        return self._inner.write(iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            for tmp, _final in m.outputs:
+                final = os.path.join(
+                    self.path,
+                    f"batch-{batchId:08d}-part-{m.partition_id:05d}.aws",
+                )
+                os.replace(tmp, final)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            for tmp, _final in m.outputs:
+                if os.path.exists(tmp):
+                    os.remove(tmp)
+
+
 class AwsTapeDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -1003,6 +1060,11 @@ class AwsTapeDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> AwsTapeWriter:
         return AwsTapeWriter(self.opts, self.path, overwrite)
+
+    def streamWriter(
+        self, schema: StructType, overwrite: bool
+    ) -> AwsTapeStreamWriter:
+        return AwsTapeStreamWriter(self.opts, self.path)
 
     def simpleStreamReader(self, schema: StructType) -> AwsTapeStreamReader:
         if os.path.isdir(self.path):

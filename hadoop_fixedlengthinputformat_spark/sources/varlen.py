@@ -56,6 +56,7 @@ import pyarrow as pa
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -1283,9 +1284,16 @@ class _VCommitMessage(WriterCommitMessage):
 class VarLenWriter(DataSourceWriter):
     """One ``.rdw`` part file per input partition plus (when
     ``indexEvery`` > 0) the record-index sidecar that makes the output
-    splittable — the property foreign V-format files lack."""
+    splittable — the property foreign V-format files lack.
+
+    ``stream_mode`` (set by :class:`VarLenStreamWriter`) defers final
+    naming to commit time: parts encode into hidden attempt-unique
+    tmps and the commit message carries the partition id so the
+    streaming sink can promote them to batch-id-keyed names."""
 
     WRITE_BATCH_ROWS = 10_000
+
+    stream_mode = False
 
     def __init__(self, opts: _VOptions, path: str, overwrite: bool):
         self.opts = opts
@@ -1301,10 +1309,17 @@ class VarLenWriter(DataSourceWriter):
         os.makedirs(self.path, exist_ok=True)
         ctx = TaskContext.get()
         o = self.opts
-        final = os.path.join(
-            self.path, f"part-{ctx.partitionId():05d}-{self.token}.rdw"
-        )
-        tmp = f"{final}.tmp-{ctx.taskAttemptId()}"
+        if self.stream_mode:
+            final = None
+            tmp = os.path.join(
+                self.path,
+                f".tmp-stream-{self.token}-{ctx.taskAttemptId()}",
+            )
+        else:
+            final = os.path.join(
+                self.path, f"part-{ctx.partitionId():05d}-{self.token}.rdw"
+            )
+            tmp = f"{final}.tmp-{ctx.taskAttemptId()}"
         index: list[int] = []
         n = 0
         written = 0
@@ -1530,8 +1545,11 @@ class VarLenWriter(DataSourceWriter):
 
         idx_tmp = idx_final = None
         if o.index_every:
-            idx_final = _index_path(final)
-            idx_tmp = f"{idx_final}.tmp-{ctx.taskAttemptId()}"
+            if self.stream_mode:
+                idx_tmp = f"{tmp}.idx"  # final name chosen at commit
+            else:
+                idx_final = _index_path(final)
+                idx_tmp = f"{idx_final}.tmp-{ctx.taskAttemptId()}"
             with open(idx_tmp, "w") as f:
                 json.dump(
                     {
@@ -1544,7 +1562,9 @@ class VarLenWriter(DataSourceWriter):
                     },
                     f,
                 )
-        return _VCommitMessage([(tmp, final, idx_tmp, idx_final)], n)
+        msg = _VCommitMessage([(tmp, final, idx_tmp, idx_final)], n)
+        msg.partition_id = ctx.partitionId()
+        return msg
 
     def commit(self, messages):
         if self.overwrite and os.path.isdir(self.path):
@@ -1571,6 +1591,51 @@ class VarLenWriter(DataSourceWriter):
                             os.remove(p)
 
 
+class VarLenStreamWriter(DataSourceStreamWriter):
+    """Streaming RDW/variable-length SINK, completing the varlen source
+    matrix (batch read/write + stream read already exist) and mirroring
+    ``FixedLengthStreamWriter``'s idempotent-replay contract: tasks
+    encode into hidden attempt-unique tmps (all recfm variants + the
+    splittability index sidecar, via the batch writer in
+    ``stream_mode``); ``commit(messages, batchId)`` promotes them to
+    BATCH-ID-KEYED final names (``batch-{id}-part-{p}.rdw``), so a
+    replayed micro-batch after a crash overwrites its own files instead
+    of duplicating records — exactly-once on top of the checkpoint's
+    batch-id replay.  Local-FS rename here; on a cluster the same
+    protocol runs against a shared store (same assumption as the batch
+    writer)."""
+
+    def __init__(self, opts: _VOptions, path: str):
+        self._inner = VarLenWriter(opts, path, overwrite=False)
+        self._inner.stream_mode = True
+        self.path = path
+
+    def write(self, iterator) -> _VCommitMessage:
+        return self._inner.write(iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            for tmp, _final, idx_tmp, _idx_final in m.outputs:
+                final = os.path.join(
+                    self.path,
+                    f"batch-{batchId:08d}-part-{m.partition_id:05d}.rdw",
+                )
+                os.replace(tmp, final)
+                if idx_tmp is not None:
+                    os.replace(idx_tmp, _index_path(final))
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            for tmp, _final, idx_tmp, _idx_final in m.outputs:
+                for p in (tmp, idx_tmp):
+                    if p and os.path.exists(p):
+                        os.remove(p)
+
+
 class VarLenDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -1591,6 +1656,11 @@ class VarLenDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> VarLenWriter:
         return VarLenWriter(self.opts, self.path, overwrite)
+
+    def streamWriter(
+        self, schema: StructType, overwrite: bool
+    ) -> VarLenStreamWriter:
+        return VarLenStreamWriter(self.opts, self.path)
 
     def simpleStreamReader(self, schema: StructType) -> VarLenStreamReader:
         if os.path.isdir(self.path) or _codec_of(self.path):

@@ -68,6 +68,125 @@ def test_stream_fixedlen_sink_restart_is_idempotent(spark, tmp_path):
     assert df.select("event_id").distinct().count() == 200
 
 
+def _write_typed_chunk(spark, d, lo, hi):
+    """Chunks with a genuinely variable-length tail column."""
+    (
+        spark.range(lo, hi)
+        .select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % 7).alias("user_id"),
+            F.expr(
+                "repeat(chr(65 + CAST(id % 26 AS INT)),"
+                " CAST(1 + id % 19 AS INT))"
+            ).alias("event_type"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(d, f"chunk-{lo}-{hi}"))
+    )
+
+
+def _sink_restart_roundtrip(spark, tmp_path, fmt: str, extra: dict):
+    """Shared body for the varlen/awstape streaming-sink restart tests:
+    same contract as the fixedlen one — batch-id-keyed names make a
+    replay overwrite its own output; a no-new-data restart adds
+    nothing; a new chunk appends exactly once."""
+    from hadoop_fixedlengthinputformat_spark.sources import awstape, varlen
+
+    varlen.register(spark)
+    awstape.register(spark)
+    src = str(tmp_path / "src")
+    _write_typed_chunk(spark, src, 0, 120)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    layout = "event_id:0:12:long,user_id:12:10:long"
+
+    def opt(x):
+        x = (
+            x.option("prefixLength", "22")
+            .option("layout", layout)
+            .option("tailColumn", "event_type")
+        )
+        for k, v in extra.items():
+            x = x.option(k, v)
+        return x
+
+    def run():
+        q = (
+            opt(
+                spark.readStream.schema(
+                    "event_id long, user_id long, event_type string"
+                )
+                .option("recursiveFileLookup", "true")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src)
+                .writeStream.format(fmt)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start(out)
+        )
+        q.awaitTermination()
+
+    def read_back():
+        return opt(
+            spark.read.format(fmt).option("includeOffset", "false")
+        ).load(out)
+
+    run()
+    assert read_back().count() == 120
+    run()  # restart, no new data
+    assert read_back().count() == 120
+    _write_typed_chunk(spark, src, 120, 200)
+    run()
+    df = read_back()
+    assert df.count() == 200
+    assert df.select("event_id").distinct().count() == 200
+    # the variable tail round-trips byte-exact
+    got = {
+        (r.event_id, bytes(r.event_type).decode())
+        for r in df.select("event_id", "event_type").collect()
+    }
+    want = {(i, chr(65 + i % 26) * (1 + i % 19)) for i in range(200)}
+    assert got == want
+
+
+def test_stream_varlen_sink_restart_is_idempotent(spark, tmp_path):
+    """VERDICT r12 #5: the RDW streaming sink honors the same
+    batch-id-keyed replay contract as the fixedlen one, index sidecars
+    included."""
+    _sink_restart_roundtrip(
+        spark, tmp_path, "varlen", {"indexEvery": "32"}
+    )
+    # every committed part carries its splittability sidecar
+    import glob
+
+    parts = glob.glob(str(tmp_path / "out" / "batch-*.rdw"))
+    assert parts, "no committed rdw parts"
+    for p in parts:
+        assert os.path.exists(p + ".rdx.json"), p
+
+
+def test_stream_varlen_sink_vbs_restart_is_idempotent(spark, tmp_path):
+    """Spanned-blocked (VBS) records through the streaming sink: the
+    recfm matrix the batch writer supports is available to streams."""
+    _sink_restart_roundtrip(
+        spark,
+        tmp_path,
+        "varlen",
+        {"recfm": "vbs", "blockSize": "256", "segmentSize": "64"},
+    )
+
+
+def test_stream_awstape_sink_restart_is_idempotent(spark, tmp_path):
+    """VERDICT r12 #5: the AWS-tape streaming sink — each batch
+    partition a complete tape image — honors the batch-id-keyed replay
+    contract."""
+    _sink_restart_roundtrip(
+        spark, tmp_path, "awstape", {"chunkSize": "64"}
+    )
+
+
 def _write_event_chunk(spark, d, lo, hi):
     """Events with interleaved view/purchase types and close timestamps
     so the 10-minute interval join has matches inside every chunk."""
