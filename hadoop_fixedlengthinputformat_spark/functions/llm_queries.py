@@ -1820,3 +1820,237 @@ def llm_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.lit(8) + F.col("k_match")) * F.col("size_a")).alias("cont_den"),
         (F.expr(_CONTAIN) + F.lit(0.0)).alias("est_containment"),
     )
+
+
+_CORPUS_RELEASE_SQL = """
+    WITH rows0 AS (
+        SELECT doc_id, lang, source,
+               length(text) - length(replace(text, ' ', '')) + 1 AS n_tok,
+               md5(text) AS digest,
+               string_split(text, ' ') AS words,
+               length(replace(text, ' ', '')) AS n_letters
+        FROM documents WHERE text IS NOT NULL
+    ),
+    flags AS (
+        SELECT doc_id, lang, source, n_tok, digest,
+               (n_tok >= 20
+                AND (CAST(n_letters AS DOUBLE) / n_tok) BETWEEN 3 AND 8
+                AND len(list_filter(words,
+                        w -> w IN ('the','a','of','to','and','in','is')))
+                    >= 2
+                AND (CAST(len(list_distinct(words)) AS DOUBLE) / n_tok)
+                    >= 0.5) AS keep
+        FROM rows0
+    ),
+    canon AS (
+        SELECT doc_id, lang, source, n_tok, digest, keep FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                       ORDER BY digest, lang NULLS FIRST,
+                                source NULLS FIRST) AS rn
+            FROM flags
+        ) WHERE rn = 1
+    ),
+    exact AS MATERIALIZED (
+        SELECT doc_id, lang, source, n_tok, digest FROM (
+            SELECT *, row_number() OVER (PARTITION BY digest
+                       ORDER BY doc_id) AS rn
+            FROM canon WHERE keep
+        ) WHERE rn = 1
+    ),
+    toks AS (
+        SELECT e.doc_id, string_split(d.text, ' ') AS t
+        FROM exact e JOIN (SELECT DISTINCT doc_id, text FROM documents) d
+          ON d.doc_id = e.doc_id AND md5(d.text) = e.digest
+    ),
+    shingles AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+        FROM (
+            SELECT doc_id, t,
+                   unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+            FROM toks
+        )
+    ),
+    sig AS MATERIALIZED (
+        SELECT doc_id,
+               min(md5('0' || shingle)) AS mh_0,
+               min(md5('1' || shingle)) AS mh_1,
+               min(md5('2' || shingle)) AS mh_2,
+               min(md5('3' || shingle)) AS mh_3,
+               min(md5('4' || shingle)) AS mh_4,
+               min(md5('5' || shingle)) AS mh_5,
+               min(md5('6' || shingle)) AS mh_6,
+               min(md5('7' || shingle)) AS mh_7
+        FROM shingles GROUP BY doc_id
+    ),
+    bands AS MATERIALIZED (
+        SELECT doc_id, 0 AS band_idx, mh_0 || '|' || mh_1 AS band_val
+        FROM sig
+        UNION ALL SELECT doc_id, 1, mh_2 || '|' || mh_3 FROM sig
+        UNION ALL SELECT doc_id, 2, mh_4 || '|' || mh_5 FROM sig
+        UNION ALL SELECT doc_id, 3, mh_6 || '|' || mh_7 FROM sig
+    ),
+    dropped AS (
+        SELECT DISTINCT b.doc_id
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    ),
+    survivors AS (
+        SELECT e.doc_id, e.lang, e.source, e.n_tok
+        FROM exact e LEFT JOIN dropped x ON e.doc_id = x.doc_id
+        WHERE x.doc_id IS NULL
+    ),
+    rated AS (
+        SELECT doc_id, lang, source, n_tok,
+               least(1.0, (30000.0 * CASE lang WHEN 'en' THEN 0.5
+                                               WHEN 'es' THEN 0.3
+                                               ELSE 0.1 END)
+                     / CAST(sum(n_tok) OVER (PARTITION BY lang) AS BIGINT))
+                   AS rate
+        FROM survivors
+    )
+    SELECT doc_id, lang, source, n_tok,
+           floor(rate * 10000 + 0.5) / 10000 AS rate,
+           ((doc_id * 2654435761) % 65536) < floor(rate * 65536) AS kept,
+           CAST((doc_id * 2654435761) % 4294967296 % 16 AS INTEGER) AS shard
+    FROM rated
+"""
+
+
+@query("pipeline_corpus_release", oracle=_CORPUS_RELEASE_SQL)
+def pipeline_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-release composite (VERDICT r12 #6) — the
+    LLM-pipeline analog of pipeline_tape_to_corpus: Gopher quality
+    gates -> exact dedup apply -> MinHash-LSH near-dedup apply ->
+    curriculum-mix sampling -> shard assignment, composed as ONE
+    DataFrame DAG (no driver loop; one localCheckpoint bounds the
+    shared survivor stage like ts_funnel's).
+
+    Scale shape, stage by stage:
+    - digests, token counts, and every Gopher flag compute MAP-SIDE on
+      the scan; ``text`` is dropped before the first exchange, so NO
+      exchange in the whole plan carries raw text (plan-pinned in
+      tests/test_scale_plans.py) — the pipeline_tape_to_corpus rule;
+    - dup-id canonicalization reuses the content digest as the
+      representative order (canonical_docs semantics without re-keying
+      on text), one doc_id-keyed window exchange;
+    - exact dedup = min-doc_id row_number per digest (digest-keyed
+      exchange, 32-hex + ids only);
+    - near-dedup signatures aggregate per (doc_id, digest) from the
+      same scan — shingles explode map-side, the exchange carries
+      8 md5 partial-mins per doc — then semi-join the exact survivors
+      (8-byte + digest keys).  Drop policy is PAIRWISE-GREEDY: any doc
+      that is the GREATER member of an LSH candidate pair drops (vs
+      llm_dedup_apply's connected-components min-label: the pairwise
+      policy needs no iteration, keeping the composite a single DAG;
+      on chain-shaped clusters it can keep one more member per chain —
+      both are standard, the policy difference is deliberate and
+      documented here);
+    - curriculum rates come from a lang-partitioned window SUM over
+      survivors (no second aggregate subtree, no extra join), keep
+      decisions via the deterministic multiplicative hash
+      (llm_curriculum_mix), shard via the Knuth hash mod 16
+      (llm_shard_assign).
+    Output: every release survivor with its sampling rate, keep
+    decision, and shard — the manifest a release job writes."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    words = F.split(F.col("text"), " ")
+    n_tok = text.n_ws_tokens("text")
+    mwl = F.length(F.translate(F.col("text"), " ", "")) / n_tok
+    stop_hits = F.size(F.filter(words, lambda w: w.isin(*_STOPWORDS)))
+    distinct_ratio = F.size(F.array_distinct(words)) / n_tok
+    keep = (
+        (n_tok >= 20)
+        & (mwl >= 3)
+        & (mwl <= 8)
+        & (stop_hits >= 2)
+        & (distinct_ratio >= 0.5)
+    )
+    rows = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        n_tok.alias("n_tok"),
+        F.md5(F.col("text").cast("binary")).alias("digest"),
+        keep.alias("keep"),
+    )
+    w_id = Window.partitionBy("doc_id").orderBy(
+        F.col("digest").asc(),
+        F.col("lang").asc_nulls_first(),
+        F.col("source").asc_nulls_first(),
+    )
+    canon = (
+        rows.withColumn("_rn", F.row_number().over(w_id))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    w_dig = Window.partitionBy("digest").orderBy(F.col("doc_id").asc())
+    exact = (
+        canon.filter("keep")
+        .drop("keep")
+        .withColumn("_rn", F.row_number().over(w_dig))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        # consumed twice (signature semi-join + final anti-join); the
+        # checkpoint bounds the re-compute to this id/digest table —
+        # ~50 bytes/doc, never text (the MATERIALIZED-CTE twin rule)
+        .localCheckpoint()
+    )
+    # map-side gate replay: docs failing the Gopher rules never reach
+    # the shingle explode (the gate is row-local, so re-evaluating it
+    # here costs nothing and cuts the explode to gated docs only)
+    sh = d.filter(keep).select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("digest"),
+        F.explode(
+            F.array_distinct(dedup.word_shingles(d, "text", 3))
+        ).alias("shingle"),
+    )
+    sig = sh.groupBy("doc_id", "digest").agg(
+        *[
+            F.min(
+                F.md5(
+                    F.concat(F.lit(str(i)), F.col("shingle")).cast("binary")
+                )
+            ).alias(f"mh_{i}")
+            for i in range(8)
+        ]
+    )
+    sig_kept = sig.join(
+        exact.select("doc_id", "digest"), ["doc_id", "digest"]
+    ).drop("digest")
+    pairs = dedup.lsh_candidate_pairs(sig_kept, "doc_id")
+    dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    survivors = exact.join(dropped, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_tok"
+    )
+    weight = (
+        F.when(F.col("lang") == "en", 0.5)
+        .when(F.col("lang") == "es", 0.3)
+        .otherwise(0.1)
+    )
+    lang_toks = F.sum("n_tok").over(Window.partitionBy("lang"))
+    rate = F.least(F.lit(1.0), (30000.0 * weight) / lang_toks)
+    rated = survivors.select(
+        "doc_id", "lang", "source", "n_tok", rate.alias("rate")
+    )
+    return rated.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_tok",
+        (F.floor(F.col("rate") * 10000 + 0.5) / 10000).alias("rate"),
+        (
+            (F.col("doc_id") * F.lit(2654435761)) % 65536
+            < F.floor(F.col("rate") * 65536)
+        ).alias("kept"),
+        (
+            (F.col("doc_id") * F.lit(2654435761))
+            % F.lit(4294967296)
+            % F.lit(16)
+        )
+        .cast("int")
+        .alias("shard"),
+    )

@@ -1909,3 +1909,25 @@ def test_transitivity_no_cartesian_ends_in_count(spark):
     plan = _final_plan(graph_transitivity(spark, "/root/testdata/sf0.001"))
     assert "CartesianProduct" not in plan, plan
     assert _no_python(plan)
+
+
+def test_corpus_release_no_text_on_any_exchange(spark):
+    """pipeline_corpus_release (round 13, VERDICT r12 #6): the whole
+    gates -> exact dedup -> LSH near-dedup -> mix -> shard composite
+    must keep raw text map-side — NO exchange (shuffle or broadcast)
+    may carry the text column; the shingle self-join must reuse its
+    signature exchange; zero Python on the path."""
+    from hadoop_fixedlengthinputformat_spark.functions.llm_queries import (
+        pipeline_corpus_release,
+    )
+
+    df = pipeline_corpus_release(spark, "/root/testdata/sf0.001")
+    plan = _final_plan(df)
+    ex_lines = [l for l in plan.splitlines() if "Exchange" in l]
+    assert ex_lines, plan
+    assert all("text#" not in l for l in ex_lines), ex_lines
+    # the signature table is built once: the LSH band self-join's second
+    # branch must arrive as a ReusedExchange of the (doc_id, digest)
+    # partial-min aggregation, not a recompute
+    assert "ReusedExchange" in plan, plan
+    assert _no_python(plan)
