@@ -574,6 +574,7 @@ def llm_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ranked = head.select(
         "cnt",
+        # windowed input = _ZIPF_HEAD rows (post-limit) — bounded
         F.row_number().over(
             Window.orderBy(F.col("cnt").desc(), "tok")
         ).cast("long").alias("rnk"),

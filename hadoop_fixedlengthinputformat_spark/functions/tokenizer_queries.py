@@ -39,6 +39,7 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     out = text.bpe_train(d, n_merges=8)
+    # windowed input = n_merges = 8 merge rows — bounded
     w = Window.orderBy("rank")
     prev = F.lag("pair_count").over(w)
     return out.select(
@@ -102,6 +103,7 @@ def llm_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("doc_id").alias("n_docs"),
     )
     top = v.orderBy(F.desc("freq"), F.asc("token")).limit(32768)
+    # windowed input = 32768 vocab rows (post-limit) — bounded
     w = Window.orderBy(F.desc("freq"), F.asc("token"))
     return top.select(
         "token",

@@ -257,6 +257,8 @@ def dq_row_count_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         perv = df.groupBy(F.col(col).alias("v")).agg(
             F.count(F.lit(1)).alias("k")
         )
+        # windowed input = |distinct per-day counts| <= |days| (fixed
+        # by the time span) — single-partition is bounded
         w_run = Window.orderBy("v")
         w_all = Window.partitionBy()
         cum = perv.select(

@@ -1108,6 +1108,7 @@ def agg_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("is_a"), F.lit(1)).otherwise(F.lit(0)))
         .cast("long").alias("cnta"),
     )
+    # windowed input = |distinct floor(quantity)| buckets (TPC-H: <=50)
     wrun = Window.orderBy("qi").rowsBetween(Window.unboundedPreceding, -1)
     cum = per.select(
         "qi", "cnt", "cnta",
@@ -1197,6 +1198,7 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~F.col("is_a"), F.lit(1)).otherwise(F.lit(0)))
         .cast("long").alias("cb"),
     )
+    # windowed input = |distinct floor(quantity)| buckets (TPC-H: <=50)
     wrun = Window.orderBy("qi").rangeBetween(Window.unboundedPreceding, 0)
     wall = Window.partitionBy()
     cum = per.select(
@@ -1387,6 +1389,7 @@ def agg_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         ccount("A", "ca"), ccount("N", "cn"), ccount("R", "cr"),
     )
+    # windowed input = |distinct floor(quantity)| buckets (TPC-H: <=50)
     wrun = Window.orderBy("qi").rowsBetween(Window.unboundedPreceding, -1)
     cum = per.select(
         "*", F.coalesce(F.sum("cnt").over(wrun), F.lit(0)).alias("less")

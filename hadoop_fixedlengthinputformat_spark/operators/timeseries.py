@@ -1033,6 +1033,8 @@ def ts_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("a"),
     )
     w_all = Window.partitionBy()
+    # windowed input = |distinct event-time days| cells (fixed by the
+    # data's time span, not corpus size) — single-partition is bounded
     w_prev = Window.orderBy("t_day").rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -1051,6 +1053,7 @@ def ts_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CASE WHEN nr > d THEN {_KM_LN_U} ELSE 0 END").alias("lu"),
         F.expr("CASE WHEN nr = d THEN 1 ELSE 0 END").alias("dies_out"),
     )
+    # same |days|-bounded input as w_prev above
     w_run = Window.orderBy("t_day").rowsBetween(Window.unboundedPreceding, 0)
     cum = evt.select(
         "t_day",

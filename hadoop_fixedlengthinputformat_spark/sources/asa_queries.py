@@ -92,6 +92,8 @@ def scan_fixedlen_asa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("layout", fixture_gen.ASA_LAYOUT)
         .load(path)
     )
+    # windowed input = ONE report file's records (print-report fixture;
+    # unbounded report streams use the seq_packing two-phase prefix sum)
     w_page = Window.orderBy("record_offset").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -136,6 +138,7 @@ def sink_fixedlen_asa(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure(spark)
     fixedlen.register(spark)
     n = load_table(spark, sf_dir, "nation")
+    # windowed input = |nation| = 25 rows — single-partition is bounded
     rn = F.row_number().over(Window.orderBy("n_nationkey")) - 1
     report = (
         n.select(
@@ -219,6 +222,8 @@ def scan_varlen_vba(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("layout", fixture_gen.VBA_PREFIX_LAYOUT)
         .load(path)
     )
+    # windowed input = ONE report file's records (print-report fixture;
+    # unbounded report streams use the seq_packing two-phase prefix sum)
     w_page = Window.orderBy("record_offset").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
