@@ -480,3 +480,62 @@ def llm_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hapax",
         (F.expr(_HAPAX) + F.lit(0.0)).alias("hapax_share"),
     )
+
+
+_SENT_AVG = snap_sql(
+    "CAST(n_tok AS DOUBLE) / CAST(greatest(n_sentences, 1) AS DOUBLE)", 4
+)
+
+
+@query(
+    "llm_sentence_stats",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               length(text) - length(translate(text, '.!?', ''))
+                   AS n_sentences,
+               length(text) - length(replace(text, ' ', '')) + 1 AS n_tok,
+               substring(text, length(text), 1) IN ('.', '!', '?')
+                   AS ends_terminal
+        FROM documents WHERE text IS NOT NULL AND text <> ''
+    )
+    SELECT doc_id, CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_tok AS BIGINT) AS n_tok,
+           {_SENT_AVG} + 0 AS avg_sentence_tokens,
+           ends_terminal
+    FROM base
+    """,
+)
+def llm_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document sentence statistics — the structural half of a
+    quality profile (llm_text_stats owns tokens/chars): sentence count
+    via terminal-punctuation census, average sentence length in
+    whitespace tokens, and whether the document ends on terminal
+    punctuation (the Gopher 'ends mid-sentence' truncation signal).
+    Sentence counting is the length-difference translate trick —
+    engine-identical pure string arithmetic, no regex engine in play
+    (the n_ws_tokens rule).  Pure per-row codegen projection, zero
+    shuffles — scan-speed at any scale.  Empty/NULL text excluded on
+    BOTH sides (round-4 per-char rule); the ratio divides by
+    greatest(n, 1)."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.col("text") != "")
+    )
+    n_sent = (
+        F.length("text") - F.length(F.translate(F.col("text"), ".!?", ""))
+    ).cast("long")
+    n_tok = text.n_ws_tokens("text").cast("long")
+    last_ch = F.substring(F.col("text"), -1, 1)
+    base = d.select(
+        "doc_id",
+        n_sent.alias("n_sentences"),
+        n_tok.alias("n_tok"),
+        last_ch.isin(".", "!", "?").alias("ends_terminal"),
+    )
+    return base.select(
+        "doc_id",
+        "n_sentences",
+        "n_tok",
+        (F.expr(_SENT_AVG) + F.lit(0.0)).alias("avg_sentence_tokens"),
+        "ends_terminal",
+    )

@@ -849,3 +849,81 @@ def fn_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
             & lon2.between(lon1 - 45.0, lon1 + 45.0)
         ).alias("in_bbox"),
     )
+
+
+def _letter_presence_terms(a: str, b: str, op: str) -> str:
+    """SQL for the 26-letter set cardinality shared verbatim by both
+    engines: Σ CASE WHEN contains(a,ch) <op> contains(b,ch) — presence
+    over a FIXED alphabet avoids split-to-char-array semantics, which
+    differ across engines (Spark's split('', ...) emits a trailing
+    empty token; DuckDB's doesn't)."""
+    terms = [
+        f"(CASE WHEN contains({a}, '{c}') {op} contains({b}, '{c}')"
+        f" THEN 1 ELSE 0 END)"
+        for c in "abcdefghijklmnopqrstuvwxyz"
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_SSIM_INTER = _letter_presence_terms("lower(p_name)", "lower(p_type)", "AND")
+_SSIM_UNION = _letter_presence_terms("lower(p_name)", "lower(p_type)", "OR")
+_SSIM_LEV_SIM = (
+    "floor((1.0 - CAST(lev AS DOUBLE)"
+    " / CAST(greatest(length(p_name), length(p_type), 1) AS DOUBLE))"
+    " * 10000 + 0.5) / 10000"
+)
+_SSIM_JAC = (
+    "floor((CAST(inter AS DOUBLE) / CAST(greatest(uni, 1) AS DOUBLE))"
+    " * 10000 + 0.5) / 10000"
+)
+
+
+@query(
+    "fn_string_similarity",
+    oracle=f"""
+    WITH base AS (
+        SELECT p_partkey, p_name, p_type,
+               levenshtein(p_name, p_type) AS lev,
+               CAST({_SSIM_INTER} AS INTEGER) AS inter,
+               CAST({_SSIM_UNION} AS INTEGER) AS uni
+        FROM part
+        WHERE p_name IS NOT NULL AND p_type IS NOT NULL
+    )
+    SELECT p_partkey, lev,
+           {_SSIM_LEV_SIM} + 0 AS lev_sim,
+           inter, uni,
+           {_SSIM_JAC} + 0 AS letter_jaccard
+    FROM base
+    """,
+)
+def fn_string_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise string-similarity metrics between two live columns
+    (part name vs type) — the exact-verify toolkit behind fuzzy joins:
+    Levenshtein distance (native on both engines), its normalized
+    similarity 1 − lev/max(len) and the character-SET Jaccard over the
+    fixed a–z alphabet.  The alphabet formulation is deliberate:
+    26 contains() presence terms are pure codegen and engine-identical,
+    where split-to-char-array semantics differ (Spark's split
+    emits a trailing empty token DuckDB doesn't).  Per-row projection,
+    zero shuffles — streams at scan speed at any scale.  NULL operands
+    excluded on BOTH sides (round-4 per-char rule); ratios divide by
+    greatest(·, 1)."""
+    p = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").isNotNull() & F.col("p_type").isNotNull()
+    )
+    base = p.select(
+        "p_partkey",
+        "p_name",
+        "p_type",
+        F.levenshtein("p_name", "p_type").alias("lev"),
+        F.expr(_SSIM_INTER).cast("int").alias("inter"),
+        F.expr(_SSIM_UNION).cast("int").alias("uni"),
+    )
+    return base.select(
+        "p_partkey",
+        "lev",
+        (F.expr(_SSIM_LEV_SIM) + F.lit(0.0)).alias("lev_sim"),
+        "inter",
+        "uni",
+        (F.expr(_SSIM_JAC) + F.lit(0.0)).alias("letter_jaccard"),
+    )

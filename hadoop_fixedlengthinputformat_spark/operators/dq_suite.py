@@ -369,3 +369,74 @@ def dq_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_mismatch"),
         F.max("adiff").alias("max_abs_diff_micro"),
     )
+
+
+# --- dq_unique_keys -------------------------------------------------------
+# dbt "unique" tests — the fourth member of the declarative quartet
+# (accepted_values / not_null via null_profile / relationships via
+# referential / unique).  documents.doc_id is deliberately in the set:
+# dup-id rolls carry real duplicates, so the check exercises its
+# violation path; the TPC-H keys are honest primary keys.
+
+_UK_CHECKS = (
+    # (check_name, table, key column)
+    ("orders.o_orderkey", "orders", "o_orderkey"),
+    ("part.p_partkey", "part", "p_partkey"),
+    ("customer.c_custkey", "customer", "c_custkey"),
+    ("documents.doc_id", "documents", "doc_id"),
+    ("embeddings.vec_id", "embeddings", "vec_id"),
+)
+
+
+def _uk_oracle() -> str:
+    parts = []
+    for name, table, key in _UK_CHECKS:
+        parts.append(f"""
+    SELECT '{name}' AS check_name,
+           CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(COALESCE(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_dup_keys,
+           COALESCE(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END), 0) = 0
+               AS passed
+    FROM (SELECT {key}, CAST(count(*) AS BIGINT) AS cnt
+          FROM {table} WHERE {key} IS NOT NULL GROUP BY {key})""")
+    return "\n    UNION ALL\n".join(parts)
+
+
+@query("dq_unique_keys", oracle=_uk_oracle())
+def dq_unique_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt-style unique tests: one row per declared key with the
+    non-NULL row count, distinct-key count, number of duplicated keys,
+    and a pass flag.  Each check is a two-level aggregate: the
+    groupBy(key) collapse is map-side combined and its exchange carries
+    (8-byte key, partial count) pairs, then a 1-row rollup — at 100 TB
+    the key collapse IS the canonical dedup-census shuffle and nothing
+    wider moves.  NULL keys are excluded on BOTH sides (dbt semantics:
+    the not-null test owns NULL); empty-check sums COALESCE to 0 so a
+    vacuous check passes (the dq_accepted_values round-13 rule)."""
+    outs = []
+    for name, table, key in _UK_CHECKS:
+        t = load_table(spark, sf_dir, table).where(F.col(key).isNotNull())
+        per = t.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+        one = per.agg(
+            F.coalesce(F.sum("cnt"), F.lit(0)).alias("n_rows"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.coalesce(
+                F.sum(F.when(F.col("cnt") > 1, F.lit(1)).otherwise(F.lit(0))),
+                F.lit(0),
+            ).alias("n_dup_keys"),
+        )
+        outs.append(
+            one.select(
+                F.lit(name).alias("check_name"),
+                "n_rows",
+                "n_distinct",
+                "n_dup_keys",
+                (F.col("n_dup_keys") == 0).alias("passed"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res

@@ -2323,3 +2323,151 @@ def ts_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_days"),
         (F.expr(corr) + F.lit(0.0)).alias("corr"),
     )
+
+
+# Per-user OLS trend + forecast as EXACT INTEGER FRACTIONS (the
+# agg_ks_test cross-multiply discipline): with the regressor re-based
+# to x = day − min(day) per user, slope = (nΣxy − ΣxΣy) / (nΣx² −
+# (Σx)²), intercept = (ΣyΣx² − ΣxΣxy) / den, and forecast(x*+7) =
+# (intercept_num + slope_num·(x*+7)) / den are ratios of int64-exact
+# combinations of raw sums — the re-basing itself is algebraic
+# (Σx = Σd − n·m etc.), so ONE two-level aggregate computes everything
+# with zero windows and zero transcendentals.
+_LRF_SLOPE = snap_sql("CAST(slope_num AS DOUBLE) / CAST(den AS DOUBLE)", 4)
+_LRF_INTERCEPT = snap_sql(
+    "CAST(intercept_num AS DOUBLE) / CAST(den AS DOUBLE)", 4
+)
+_LRF_FC = snap_sql(
+    "CAST(intercept_num + slope_num * (xmax + 7) AS DOUBLE)"
+    " / CAST(den AS DOUBLE)", 4
+)
+
+
+@query(
+    "ts_linreg_forecast",
+    oracle=f"""
+    WITH daily AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+               CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS y
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL
+              AND user_id IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    raw AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MIN(d) AS BIGINT) AS dmin,
+               CAST(MAX(d) AS BIGINT) AS dmax,
+               CAST(SUM(d) AS BIGINT) AS sd,
+               CAST(SUM(d * d) AS BIGINT) AS sdd,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(d * y) AS BIGINT) AS sdy
+        FROM daily GROUP BY user_id
+    ),
+    reb AS (
+        SELECT user_id, n, dmax - dmin AS xmax,
+               sd - n * dmin AS sx,
+               sdd - 2 * dmin * sd + n * dmin * dmin AS sxx,
+               sy,
+               sdy - dmin * sy AS sxy
+        FROM raw WHERE n >= 2 AND dmax > dmin
+    ),
+    fr AS (
+        SELECT user_id, n, xmax,
+               CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+               CAST(sy * sxx - sx * sxy AS BIGINT) AS intercept_num,
+               CAST(n * sxx - sx * sx AS BIGINT) AS den
+        FROM reb
+    )
+    SELECT user_id, n AS n_days, CAST(xmax AS BIGINT) AS x_span,
+           slope_num, intercept_num, den,
+           {_LRF_SLOPE} + 0 AS slope_cents_per_day,
+           {_LRF_INTERCEPT} + 0 AS intercept_cents,
+           {_LRF_FC} + 0 AS forecast_7d_cents
+    FROM fr
+    """,
+)
+def ts_linreg_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS trend over daily activity value (cents vs epoch-day
+    offset) with a 7-day-ahead forecast — the capacity-planning /
+    drift-projection primitive.  Everything is an exact integer
+    fraction: the regressor re-bases to x = d − min(d) ALGEBRAICALLY
+    from raw sums (Σx = Σd − n·m, Σx² = Σd² − 2mΣd + nm², Σxy = Σdy −
+    mΣy), so slope/intercept/forecast numerators and the shared
+    denominator are int64-exact BIGINTs exposed beside the three
+    snapped ratios (one double division each, +0 clears -0.0) — the
+    agg_ks_test zero-float discipline.  Day buckets are epoch integer
+    division (calendar-seam rule); degenerate single-day users are
+    excluded by max(day) > min(day) — a direct value compare, never an
+    integer-product test (round-8 rule).  Shuffle shape: one
+    (user, day) map-side-combined collapse, one |users|-row rollup —
+    the corpus is read once, no windows, no joins.  Overflow budget at
+    sf1 (d ~ 2.06e4, |days|/user ≤ ~400, day-cents ≤ ~1e6):
+    Σd² ≤ 1.7e11, Σdy ≤ 8e12, intercept_num ≤ ~2.6e16 — 300×
+    int64 headroom; daily cents grow linearly with corpus, so
+    intercept_num crosses int64 near ~300× sf1 (re-unit y to dollars
+    past that)."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    day = F.expr(
+        "CAST(floor(CAST(CAST(ts AS TIMESTAMP) AS DOUBLE)) AS BIGINT)"
+        " div 86400"
+    )
+    daily = ev.groupBy(
+        "user_id", day.alias("d")
+    ).agg(F.sum(money_units(F.col("value"), 2)).alias("y"))
+    raw = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("d").alias("dmin"),
+        F.max("d").alias("dmax"),
+        F.sum("d").alias("sd"),
+        F.sum(F.col("d") * F.col("d")).alias("sdd"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("d") * F.col("y")).alias("sdy"),
+    )
+    reb = raw.where(
+        (F.col("n") >= 2) & (F.col("dmax") > F.col("dmin"))
+    ).select(
+        "user_id",
+        "n",
+        (F.col("dmax") - F.col("dmin")).alias("xmax"),
+        (F.col("sd") - F.col("n") * F.col("dmin")).alias("sx"),
+        (
+            F.col("sdd")
+            - 2 * F.col("dmin") * F.col("sd")
+            + F.col("n") * F.col("dmin") * F.col("dmin")
+        ).alias("sxx"),
+        "sy",
+        (F.col("sdy") - F.col("dmin") * F.col("sy")).alias("sxy"),
+    )
+    fr = reb.select(
+        "user_id",
+        "n",
+        "xmax",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("long")
+        .alias("slope_num"),
+        (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy"))
+        .cast("long")
+        .alias("intercept_num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("long")
+        .alias("den"),
+    )
+    return fr.select(
+        "user_id",
+        F.col("n").alias("n_days"),
+        F.col("xmax").cast("long").alias("x_span"),
+        "slope_num",
+        "intercept_num",
+        "den",
+        (F.expr(_LRF_SLOPE) + F.lit(0.0)).alias("slope_cents_per_day"),
+        (F.expr(_LRF_INTERCEPT) + F.lit(0.0)).alias("intercept_cents"),
+        (F.expr(_LRF_FC) + F.lit(0.0)).alias("forecast_7d_cents"),
+    )
