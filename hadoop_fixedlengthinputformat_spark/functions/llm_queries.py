@@ -2054,3 +2054,106 @@ def pipeline_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("shard"),
     )
+
+
+@query(
+    "mm_phash_near_dedup",
+    oracle="""
+    WITH ids AS (
+        SELECT DISTINCT doc_id FROM documents
+        WHERE doc_id IS NOT NULL AND doc_id < 100
+    ),
+    p AS (SELECT doc_id, doc_id % 50 AS k FROM ids)
+    SELECT a.doc_id, true AS well_formed,
+           (SELECT MIN(b.doc_id) FROM p b
+            WHERE b.k = a.k AND b.doc_id <> a.doc_id) AS partner_doc_id,
+           EXISTS(SELECT 1 FROM p b
+                  WHERE b.k = a.k AND b.doc_id <> a.doc_id) AS is_near_dup
+    FROM p a
+    """,
+)
+def mm_phash_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image NEAR-dup detection under perturbation — the scale pattern
+    exact-hash grouping (mm_image_phash) cannot express: twins carry
+    ALMOST-identical pixels (<= 2 dhash bits apart by construction,
+    multimodal.near_twin_payload), so equality grouping finds nothing
+    and the pipeline must band the 64-bit dhash into 4x16-bit LSH
+    buckets (a <= 2-bit difference leaves >= 2 bands intact), join on
+    band equality, and confirm candidates with an exact hamming
+    distance <= 4 computed from the SAME banded 16-bit ints
+    (bit_count(xor) per band — never a 64-bit hex parse, which
+    overflows signed conv; the round-6 md5-hex-slice rule).  Pixels
+    never shuffle: only (doc_id, 16-hex dhash) leaves the decode task,
+    the band exchange carries 4-hex slices, and the hamming filter runs
+    on candidate pairs only — the llm_simhash shape on a multimodal
+    digest.  Distinct base images differ in ~32 bits, so a chance band
+    collision (~7% per roll across the 50x49/2 pairs) is killed by the
+    hamming gate (P[<=4 of 64] ~ 3e-14).  Graded by construction: the
+    planted partner (the other id with the same id % 50) is predicted
+    arithmetically by the oracle; a degenerate kernel that hashes
+    everything alike pairs wrong partners, a broken band join pairs
+    none."""
+    d = load_table(spark, sf_dir, "documents")
+    ids = (
+        d.where(F.col("doc_id").isNotNull() & (F.col("doc_id") < 100))
+        .select("doc_id")
+        .distinct()
+    )
+    media = multimodal.attach_near_twin_media(ids, mod=50)
+    hashed = multimodal.dhash_images(media).localCheckpoint(eager=True)
+    bands = hashed.where(F.col("phash").isNotNull()).select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.substring("phash", 1 + 4 * b, 4).alias("band_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bd"),
+    ).select("doc_id", "phash", "bd.band_idx", "bd.band_val")
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("phash").alias("ph_a"),
+        "band_idx",
+        "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("phash").alias("ph_b"),
+        "band_idx",
+        "band_val",
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "ph_a", "doc_b", "ph_b")
+        .distinct()
+    )
+    ham = sum(
+        F.bit_count(
+            F.conv(F.substring("ph_a", 1 + 4 * i, 4), 16, 10)
+            .cast("int")
+            .bitwiseXOR(
+                F.conv(F.substring("ph_b", 1 + 4 * i, 4), 16, 10).cast("int")
+            )
+        )
+        for i in range(4)
+    )
+    near = (
+        cand.where(ham <= 4)
+        .groupBy(F.col("doc_a").alias("doc_id"))
+        .agg(F.min("doc_b").alias("partner_doc_id"))
+    )
+    return hashed.join(near, "doc_id", "left").select(
+        "doc_id",
+        (F.col("phash").isNotNull() & (F.length("phash") == 16)).alias(
+            "well_formed"
+        ),
+        "partner_doc_id",
+        F.col("partner_doc_id").isNotNull().alias("is_near_dup"),
+    )

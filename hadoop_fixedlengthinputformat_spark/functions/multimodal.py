@@ -499,3 +499,34 @@ def attach_twin_media(
         )
 
     return df.withColumn("media", mk(F.col(id_col)))
+
+
+def near_twin_payload(doc_id: int, mod: int = 50) -> bytes:
+    """attach_near_twin_media's kernel: ids k and k+mod share a base
+    image, but the k+mod copy has pixel (0,0) forced to white.  Under
+    dhash64 that pixel feeds only row-0 grid cells that sample column 0
+    (resize_nn; for the narrowest fixtures cells (0,0) AND (0,1) both
+    sample it) — a contiguous run whose interior comparisons cancel, so
+    twin hashes differ by AT MOST 2 bits by construction, while
+    distinct base images differ in ~32 bits (md5 chains).  That
+    separation is what a hamming-band LSH must resolve."""
+    base = ppm_payload(doc_id % mod, "")
+    if doc_id < mod:
+        return base
+    hdr_end = base.index(b"255\n") + 4
+    return base[:hdr_end] + b"\xff\xff\xff" + base[hdr_end + 3 :]
+
+
+def attach_near_twin_media(
+    df: DataFrame, id_col: str = "doc_id", mod: int = 50
+) -> DataFrame:
+    """Planted NEAR-duplicate variant of attach_twin_media: twins carry
+    almost-identical images (<= 1 dhash bit apart, see
+    near_twin_payload) instead of byte-identical ones — the fixture
+    mm_phash_near_dedup's hamming-banded join is graded against."""
+
+    @F.pandas_udf("binary")
+    def mk(doc_id: pd.Series) -> pd.Series:
+        return pd.Series([near_twin_payload(int(i), mod) for i in doc_id])
+
+    return df.withColumn("media", mk(F.col(id_col)))

@@ -148,3 +148,58 @@ def test_llm_sentence_stats_matches_bruteforce(spark, sf_dir):
             and abs(g.avg_sentence_tokens - n_tok / max(n_sent, 1)) < TOL
             for g in cands
         ), (r["doc_id"], n_sent, n_tok)
+
+
+def test_near_twin_payload_hamming_bound():
+    """The mm_phash_near_dedup fixture invariant: twin images hash
+    within 2 bits (independent pure-python dHash, no numpy), distinct
+    bases stay far apart — the separation the banded join resolves."""
+    from hadoop_fixedlengthinputformat_spark.functions.multimodal import (
+        near_twin_payload,
+    )
+
+    def py_dhash(payload: bytes) -> int:
+        pos = 2
+        vals = []
+        for _ in range(3):
+            while payload[pos : pos + 1].isspace():
+                pos += 1
+            start = pos
+            while not payload[pos : pos + 1].isspace():
+                pos += 1
+            vals.append(int(payload[start:pos]))
+        w, h, _ = vals
+        pix = payload[pos + 1 :]
+        gray = [
+            [
+                (
+                    pix[3 * (r * w + c)]
+                    + pix[3 * (r * w + c) + 1]
+                    + pix[3 * (r * w + c) + 2]
+                )
+                / 3.0
+                for c in range(w)
+            ]
+            for r in range(h)
+        ]
+        small = [
+            [gray[(r * h) // 8][(c * w) // 9] for c in range(9)]
+            for r in range(8)
+        ]
+        val = 0
+        for r in range(8):
+            for c in range(8):
+                val = (val << 1) | (1 if small[r][c + 1] > small[r][c] else 0)
+        return val
+
+    hashes = {i: py_dhash(near_twin_payload(i)) for i in range(100)}
+    for k in range(50):
+        d = bin(hashes[k] ^ hashes[k + 50]).count("1")
+        assert d <= 2, (k, d)
+    # distinct bases are far apart: every cross pair clears the gate
+    far = [
+        bin(hashes[i] ^ hashes[j]).count("1")
+        for i in range(50)
+        for j in range(i + 1, 50)
+    ]
+    assert min(far) > 4
