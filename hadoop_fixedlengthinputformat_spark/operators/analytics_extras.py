@@ -1805,3 +1805,83 @@ def graph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.expr(_TRANSITIVITY) + F.lit(0.0)).alias("transitivity"),
         )
     )
+
+
+@query(
+    "graph_hits",
+    oracle="""
+    WITH e AS MATERIALIZED (
+        SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_custkey IS NOT NULL AND l.l_partkey IS NOT NULL
+    ),
+    h1 AS MATERIALIZED (
+        SELECT c, CAST(COUNT(*) AS BIGINT) AS h FROM e GROUP BY c
+    ),
+    a1 AS MATERIALIZED (
+        SELECT e.p, CAST(SUM(h1.h) AS BIGINT) AS a
+        FROM e JOIN h1 ON h1.c = e.c GROUP BY e.p
+    ),
+    h2 AS MATERIALIZED (
+        SELECT e.c, CAST(SUM(a1.a) AS BIGINT) AS h
+        FROM e JOIN a1 ON a1.p = e.p GROUP BY e.c
+    ),
+    a2 AS (
+        SELECT e.p, CAST(SUM(h2.h) AS BIGINT) AS a
+        FROM e JOIN h2 ON h2.c = e.c GROUP BY e.p
+    )
+    SELECT a1.p AS p_partkey, a1.a AS auth1, a2.a AS auth2
+    FROM a1 JOIN a2 ON a1.p = a2.p
+    """,
+)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg) over the DIRECTED bipartite
+    customer→part purchase graph — the ranking PageRank's undirected
+    trade walk can't express: customers are hubs (good buyers point at
+    good parts), parts are authorities.  Two unrolled iterations in
+    EXACT unnormalized int64 arithmetic (a₀ = 1, h₁ = out-degree,
+    a₁ = Σ h₁, h₂ = Σ a₁, a₂ = Σ h₂): integer sums are merge-order-free
+    — classical float HITS would be roll-sensitive here — and HITS
+    ranking is normalization-invariant, so the unnormalized integers
+    carry the same order.  Per half-iteration: one key join + one
+    map-side-combined groupBy, all exchanges on 8-byte keys (the
+    pagerank Pregel shape); the distinct edge list is built once and
+    localCheckpointed (consumed 4×).  Overflow budget at sf1
+    (deg(c) ≤ ~70, |c per p| ≤ ~60): a₁ ≤ 4e3, h₂ ≤ 3e5, a₂ ≤ 2e7;
+    every hop multiplies by the mean degree (~30-70), so int64 (9.2e18)
+    holds past a₄ even at 1000× — document before unrolling deeper."""
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_custkey").isNotNull()
+    ).select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_partkey").isNotNull()
+    ).select("l_orderkey", "l_partkey")
+    e = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=True)  # consumed 4x (one per half-pass)
+    )
+    h1 = e.groupBy("c").agg(F.count(F.lit(1)).alias("h"))
+    a1 = (
+        e.join(h1, "c")
+        .groupBy("p")
+        .agg(F.sum("h").alias("a"))
+    )
+    h2 = (
+        e.join(a1, "p")
+        .groupBy("c")
+        .agg(F.sum("a").alias("h"))
+    )
+    a2 = (
+        e.join(h2, "c")
+        .groupBy("p")
+        .agg(F.sum("h").alias("a"))
+    )
+    return (
+        a1.select(F.col("p").alias("p_partkey"), F.col("a").alias("auth1"))
+        .join(
+            a2.select(F.col("p").alias("p_partkey"), F.col("a").alias("auth2")),
+            "p_partkey",
+        )
+    )

@@ -2471,3 +2471,183 @@ def ts_linreg_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.expr(_LRF_INTERCEPT) + F.lit(0.0)).alias("intercept_cents"),
         (F.expr(_LRF_FC) + F.lit(0.0)).alias("forecast_7d_cents"),
     )
+
+
+# Backtest of the ts_linreg_forecast model: hold out each user's final
+# 7 days, fit on the rest, score MAE/WAPE on the holdout — with the
+# per-row residual kept EXACT: err·den = y·den − (intercept_num +
+# slope_num·x) is an int64 combination of the exact fraction parts, so
+# Σ|err·den| is merge-order-free and the two metrics are single double
+# divisions of exact integers.
+_BT_MAE = snap_sql(
+    "CAST(sae_num AS DOUBLE) / CAST(n_test * den AS DOUBLE)", 4
+)
+_BT_WAPE = snap_sql(
+    "CAST(sae_num AS DOUBLE) / CAST(greatest(den * say, 1) AS DOUBLE)", 4
+)
+
+
+@query(
+    "ts_backtest_linreg",
+    oracle=f"""
+    WITH daily AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+               CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS y
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL
+              AND user_id IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    mx AS (
+        SELECT user_id, CAST(MAX(d) AS BIGINT) AS dmax
+        FROM daily GROUP BY user_id
+    ),
+    flagged AS MATERIALIZED (
+        SELECT daily.user_id, d, y, d <= mx.dmax - 7 AS is_train
+        FROM daily JOIN mx ON daily.user_id = mx.user_id
+    ),
+    tr AS (
+        SELECT user_id,
+               CAST(COUNT(CASE WHEN is_train THEN 1 END) AS BIGINT) AS n,
+               CAST(MIN(CASE WHEN is_train THEN d END) AS BIGINT) AS dmin,
+               CAST(MAX(CASE WHEN is_train THEN d END) AS BIGINT) AS dmaxtr,
+               CAST(SUM(CASE WHEN is_train THEN d END) AS BIGINT) AS sd,
+               CAST(SUM(CASE WHEN is_train THEN d * d END) AS BIGINT) AS sdd,
+               CAST(SUM(CASE WHEN is_train THEN y END) AS BIGINT) AS sy,
+               CAST(SUM(CASE WHEN is_train THEN d * y END) AS BIGINT) AS sdy
+        FROM flagged GROUP BY user_id
+    ),
+    st AS (
+        SELECT user_id, n, dmin,
+               sd - n * dmin AS sx,
+               sdd - 2 * dmin * sd + n * dmin * dmin AS sxx,
+               sy, sdy - dmin * sy AS sxy
+        FROM tr WHERE n >= 2 AND dmaxtr > dmin
+    ),
+    fr AS MATERIALIZED (
+        SELECT user_id, n AS n_train, dmin,
+               CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+               CAST(sy * sxx - sx * sxy AS BIGINT) AS intercept_num,
+               CAST(n * sxx - sx * sx AS BIGINT) AS den
+        FROM st
+    ),
+    errs AS (
+        SELECT f.user_id, fr.n_train, fr.den,
+               abs(f.y * fr.den
+                   - (fr.intercept_num + fr.slope_num * (f.d - fr.dmin)))
+                   AS e_num,
+               abs(f.y) AS ay
+        FROM flagged f JOIN fr ON fr.user_id = f.user_id
+        WHERE NOT f.is_train
+    ),
+    agg AS (
+        SELECT user_id, n_train, den,
+               CAST(COUNT(*) AS BIGINT) AS n_test,
+               CAST(SUM(e_num) AS BIGINT) AS sae_num,
+               CAST(SUM(ay) AS BIGINT) AS say
+        FROM errs GROUP BY user_id, n_train, den
+    )
+    SELECT user_id, n_train, n_test, den, sae_num, say,
+           {_BT_MAE} + 0 AS mae_cents,
+           {_BT_WAPE} + 0 AS wape
+    FROM agg
+    """,
+)
+def ts_backtest_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast BACKTEST inside the engine: hold out each user's final
+    7 days, refit the ts_linreg_forecast OLS on the remainder, score
+    the holdout with MAE and WAPE — the time-series cross-validation
+    loop a forecasting pipeline runs before trusting a model, with
+    ZERO accumulated floating error: the per-day residual is kept as
+    the exact int64 numerator y·den − (intercept_num + slope_num·x),
+    so Σ|residual| is merge-order-free and each metric is ONE double
+    division of exact integers (snap 4, +0).  Degenerate users (under
+    2 distinct train days) drop on both sides; WAPE divides by
+    greatest(den·Σ|y|, 1).  Shuffle shape: one (user, day) collapse,
+    one |users|-row max table joined back (user-co-partitioned), one
+    conditional-sum train rollup, one test-row join on the same user
+    key, one final rollup — no windows.  Overflow budget at sf1:
+    den ≤ ~2.6e10, |y| ≤ ~1e6 ⇒ e_num ≤ ~2.6e16, Σ over ≤7 test days
+    ≤ 1.8e17 (50× headroom); den·say ≤ 1.8e17 — both grow ~quadratically
+    with corpus, re-unit y past ~5× sf1."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    day = F.expr(
+        "CAST(floor(CAST(CAST(ts AS TIMESTAMP) AS DOUBLE)) AS BIGINT)"
+        " div 86400"
+    )
+    daily = ev.groupBy(
+        "user_id", day.alias("d")
+    ).agg(F.sum(money_units(F.col("value"), 2)).alias("y"))
+    mx = daily.groupBy("user_id").agg(F.max("d").alias("dmax"))
+    flagged = daily.join(mx, "user_id").select(
+        "user_id", "d", "y",
+        (F.col("d") <= F.col("dmax") - 7).alias("is_train"),
+    ).localCheckpoint(eager=False)  # consumed twice (train agg + test join)
+    t = lambda c: F.when(F.col("is_train"), c)  # noqa: E731
+    tr = flagged.groupBy("user_id").agg(
+        F.count(t(F.lit(1))).alias("n"),
+        F.min(t(F.col("d"))).alias("dmin"),
+        F.max(t(F.col("d"))).alias("dmaxtr"),
+        F.sum(t(F.col("d"))).alias("sd"),
+        F.sum(t(F.col("d") * F.col("d"))).alias("sdd"),
+        F.sum(t(F.col("y"))).alias("sy"),
+        F.sum(t(F.col("d") * F.col("y"))).alias("sdy"),
+    )
+    st = tr.where(
+        (F.col("n") >= 2) & (F.col("dmaxtr") > F.col("dmin"))
+    ).select(
+        "user_id", "n", "dmin",
+        (F.col("sd") - F.col("n") * F.col("dmin")).alias("sx"),
+        (
+            F.col("sdd")
+            - 2 * F.col("dmin") * F.col("sd")
+            + F.col("n") * F.col("dmin") * F.col("dmin")
+        ).alias("sxx"),
+        "sy",
+        (F.col("sdy") - F.col("dmin") * F.col("sy")).alias("sxy"),
+    )
+    fr = st.select(
+        "user_id",
+        F.col("n").alias("n_train"),
+        "dmin",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("long")
+        .alias("slope_num"),
+        (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy"))
+        .cast("long")
+        .alias("intercept_num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("long")
+        .alias("den"),
+    )
+    errs = (
+        flagged.where(~F.col("is_train"))
+        .join(fr, "user_id")
+        .select(
+            "user_id", "n_train", "den",
+            F.abs(
+                F.col("y") * F.col("den")
+                - (
+                    F.col("intercept_num")
+                    + F.col("slope_num") * (F.col("d") - F.col("dmin"))
+                )
+            ).alias("e_num"),
+            F.abs(F.col("y")).alias("ay"),
+        )
+    )
+    agg = errs.groupBy("user_id", "n_train", "den").agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum("e_num").alias("sae_num"),
+        F.sum("ay").alias("say"),
+    )
+    return agg.select(
+        "user_id", "n_train", "n_test", "den", "sae_num", "say",
+        (F.expr(_BT_MAE) + F.lit(0.0)).alias("mae_cents"),
+        (F.expr(_BT_WAPE) + F.lit(0.0)).alias("wape"),
+    )

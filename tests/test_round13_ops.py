@@ -203,3 +203,75 @@ def test_near_twin_payload_hamming_bound():
         for j in range(i + 1, 50)
     ]
     assert min(far) > 4
+
+
+def test_graph_hits_matches_bruteforce(spark, sf_dir):
+    from hadoop_fixedlengthinputformat_spark.operators.analytics_extras import (
+        graph_hits,
+    )
+
+    cust = {
+        r["o_orderkey"]: r["o_custkey"]
+        for r in _rows(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+        if r["o_custkey"] is not None
+    }
+    edges = set()
+    for r in _rows(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]):
+        if r["l_partkey"] is None:
+            continue
+        c = cust.get(r["l_orderkey"])
+        if c is not None:
+            edges.add((c, r["l_partkey"]))
+    h1: dict[int, int] = defaultdict(int)
+    for c, p in edges:
+        h1[c] += 1
+    a1: dict[int, int] = defaultdict(int)
+    for c, p in edges:
+        a1[p] += h1[c]
+    h2: dict[int, int] = defaultdict(int)
+    for c, p in edges:
+        h2[c] += a1[p]
+    a2: dict[int, int] = defaultdict(int)
+    for c, p in edges:
+        a2[p] += h2[c]
+    got = {r.p_partkey: r for r in graph_hits(spark, sf_dir).collect()}
+    assert set(got) == set(a1)
+    for p, r in got.items():
+        assert r.auth1 == a1[p] and r.auth2 == a2[p], p
+
+
+def test_ts_backtest_linreg_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from hadoop_fixedlengthinputformat_spark.operators.timeseries import (
+        ts_backtest_linreg,
+    )
+
+    daily: dict[int, dict[int, int]] = defaultdict(lambda: defaultdict(int))
+    for r in _rows(sf_dir, "events", ["user_id", "ts", "value"]):
+        if r["user_id"] is None or r["ts"] is None or r["value"] is None:
+            continue
+        day = math.floor(r["ts"].timestamp()) // 86400
+        daily[r["user_id"]][day] += round(r["value"] * 100)
+    got = {r.user_id: r for r in ts_backtest_linreg(spark, sf_dir).collect()}
+    for u, dd in daily.items():
+        cutoff = max(dd) - 7
+        train = sorted(d for d in dd if d <= cutoff)
+        test = sorted(d for d in dd if d > cutoff)
+        if len(train) < 2 or train[-1] == train[0]:
+            assert u not in got
+            continue
+        assert u in got and test
+        m = train[0]
+        x = np.array([d - m for d in train], dtype=float)
+        y = np.array([dd[d] for d in train], dtype=float)
+        slope, intercept = np.polyfit(x, y, 1)
+        errs = [abs(dd[d] - (intercept + slope * (d - m))) for d in test]
+        g = got[u]
+        assert g.n_train == len(train) and g.n_test == len(test)
+        mae = sum(errs) / len(errs)
+        assert abs(g.mae_cents - mae) < TOL + 1e-6 * abs(mae)
+        say = sum(abs(dd[d]) for d in test)
+        if say:
+            wape = sum(errs) / say
+            assert abs(g.wape - wape) < TOL + 1e-6 * abs(wape)
