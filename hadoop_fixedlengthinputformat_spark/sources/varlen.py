@@ -56,6 +56,7 @@ import pyarrow as pa
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
@@ -1274,6 +1275,70 @@ def build_index(path: str, every: int = 4096, recfm: str = "v") -> dict:
     return payload
 
 
+class VarLenDirectoryStreamReader(DataSourceStreamReader):
+    """Streaming over a DIRECTORY of varlen files with IMMUTABLE-part
+    semantics: each micro-batch admits files that newly APPEARED — the
+    atomic-rename producer contract our own sinks follow (batch and
+    streaming parts are renamed into place complete, never appended),
+    and the landing-zone pattern object stores enforce naturally.  An
+    offset is ``{"files": {path: size-at-admission}}``.  A known file
+    that GREW fails loudly instead of silently misreading: append
+    tailing a varlen container requires the descriptor-word walk the
+    single-file tail readers own (``.load(file)``), because a byte
+    size alone cannot name a record boundary the way fixed-width's
+    ``size − size % rl`` can.  New files plan with the batch splitter
+    (``_plan_file``), so sidecar-indexed parts split record-aligned
+    and decode on executors; compressed members are whole-file units.
+    """
+
+    def __init__(self, opts: _VOptions, path: str):
+        self.opts = opts
+        self.path = path
+
+    def initialOffset(self) -> dict:
+        return {"files": {}}
+
+    def latestOffset(self) -> dict:
+        files: dict[str, int] = {}
+        try:
+            names = _list_files(self.path)
+        except FileNotFoundError:
+            names = []
+        for p in names:
+            files[p] = os.path.getsize(p)
+        return {"files": files}
+
+    def partitions(self, start: dict, end: dict):
+        seen = start.get("files", {})
+        parts: list[VarLenPartition] = []
+        for p, size in end.get("files", {}).items():
+            if p in seen:
+                if size != seen[p]:
+                    raise ValueError(
+                        f"varlen: directory stream member {p!r} grew "
+                        f"({seen[p]} -> {size} bytes); directory streaming "
+                        "admits immutable whole files — tail a growing "
+                        "file with .load(file) instead"
+                    )
+                continue
+            parts.append(VarLenPartition(p, 0, size))
+        planned: list[VarLenPartition] = []
+        for part in parts:
+            planned.extend(_plan_file(part.path, self.opts))
+        return planned or [VarLenPartition("", 0, 0)]
+
+    def read(self, partition: VarLenPartition):
+        if not partition.path:
+            return iter(())
+        return VarLenReader(self.opts, self.path).read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    def stop(self) -> None:
+        pass
+
+
 class _VCommitMessage(WriterCommitMessage):
     def __init__(self, outputs: list[tuple[str, str, str | None, str | None]],
                  n_records: int):
@@ -1661,6 +1726,22 @@ class VarLenDataSource(DataSource):
         self, schema: StructType, overwrite: bool
     ) -> VarLenStreamWriter:
         return VarLenStreamWriter(self.opts, self.path)
+
+    def streamReader(self, schema: StructType) -> VarLenDirectoryStreamReader:
+        # a DIRECTORY streams with immutable-part file-source semantics
+        # (executor-parallel, sidecar-splittable); a single file falls
+        # back to the record-walking tail reader below — Spark only
+        # falls back on PySparkNotImplementedError
+        if not os.path.isdir(self.path):
+            from pyspark.errors import PySparkNotImplementedError
+
+            raise PySparkNotImplementedError(
+                errorClass="NOT_IMPLEMENTED",
+                messageParameters={
+                    "feature": "varlen partitioned stream (single file)"
+                },
+            )
+        return VarLenDirectoryStreamReader(self.opts, self.path)
 
     def simpleStreamReader(self, schema: StructType) -> VarLenStreamReader:
         if os.path.isdir(self.path) or _codec_of(self.path):

@@ -175,3 +175,71 @@ def stream_awstape_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("record_tail").cast("long").alias("tail_bytes"),
     )
     return _drain_to_table(out, "append")
+
+
+@query(
+    "stream_varlen_directory",
+    oracle="""
+    SELECT doc_id, COALESCE(lang, '') AS lang,
+           COALESCE(n_chars, 0) AS n_chars,
+           CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT)
+               AS tail_bytes
+    FROM documents
+    """,
+)
+def stream_varlen_directory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directory ingest streaming for the varlen source (round 13,
+    completing the directory matrix begun by stream_fixedlen_directory):
+    a landing directory of IMMUTABLE RDW parts — the atomic-rename
+    contract our batch and streaming sinks follow — streamed with
+    file-source semantics; each micro-batch admits newly appeared
+    parts, split record-aligned via their index sidecars and decoded
+    on executors (a grown member fails loudly: byte sizes cannot name
+    varlen record boundaries, so append tailing stays with the
+    single-file readers).  availableNow replay of the landing dir must
+    equal the batch table."""
+    import pyspark.sql.functions as F
+
+    from hadoop_fixedlengthinputformat_spark.sources import varlen
+    from hadoop_fixedlengthinputformat_spark.tables import load_table
+
+    configure(spark)
+    varlen.register(spark)
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"flif_vstream_dir_{os.path.basename(os.path.abspath(sf_dir))}"
+        f"_{fixture_gen.source_stamp(sf_dir)}",
+    )
+    if not os.path.isdir(os.path.join(d, "_DONE")):
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.coalesce("lang", F.lit("")).alias("lang"),
+            F.coalesce("source", F.lit("")).alias("source"),
+            F.coalesce(F.col("n_chars"), F.lit(0)).alias("n_chars"),
+            F.coalesce("text", F.lit("")).alias("text"),
+        )
+        (
+            docs.repartition(3)
+            .write.format("varlen")
+            .option("prefixLength", str(fixture_gen.RDW_PREFIX_LEN))
+            .option("layout", fixture_gen.RDW_PREFIX_LAYOUT)
+            .option("tailColumn", "text")
+            .option("indexEvery", "64")
+            .mode("overwrite")
+            .save(d)
+        )
+        os.makedirs(os.path.join(d, "_DONE"), exist_ok=True)
+    src = (
+        spark.readStream.format("varlen")
+        .option("prefixLength", str(fixture_gen.RDW_PREFIX_LEN))
+        .option("layout", fixture_gen.RDW_PREFIX_LAYOUT)
+        .option("includeOffset", "false")
+        .load(d)
+    )
+    out = _run_to_table(src, "append")
+    return out.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.length("record_tail").cast("long").alias("tail_bytes"),
+    )

@@ -733,3 +733,66 @@ def test_tail_drain_exactly_once_random_growth_vbs(spark, tmp_path):
 def test_tail_drain_exactly_once_random_growth_awstape(spark, tmp_path):
     for seed in (31, 32):
         _drive_tail_schedule(spark, tmp_path / f"s{seed}", "awstape", seed)
+
+
+def test_varlen_directory_stream_new_parts_only_and_growth_raises(
+    spark, tmp_path
+):
+    """Round-13 varlen directory streaming: run 1 ingests the initial
+    immutable parts (sidecar-split), run 2 with the same checkpoint
+    processes ONLY a newly dropped part, and a GROWN member fails
+    loudly instead of silently misreading (byte sizes cannot name
+    varlen record boundaries)."""
+    from hadoop_fixedlengthinputformat_spark.sources import varlen
+    from hadoop_fixedlengthinputformat_spark.sources.fixture_gen import (
+        RDW_PREFIX_LAYOUT,
+        RDW_PREFIX_LEN,
+    )
+
+    varlen.register(spark)
+    src = str(tmp_path / "vdir")
+    os.makedirs(src)
+
+    def part(name, ids):
+        with open(os.path.join(src, name), "wb") as f:
+            f.write(_rdw_append([(i, b"T" * (5 + i % 11)) for i in ids]))
+
+    part("part-a.rdw", range(10))
+    part("part-b.rdw", range(100, 115))
+    out = str(tmp_path / "vout")
+    ckpt = str(tmp_path / "vckpt")
+
+    def run():
+        q = (
+            spark.readStream.format("varlen")
+            .option("prefixLength", str(RDW_PREFIX_LEN))
+            .option("layout", RDW_PREFIX_LAYOUT)
+            .option("includeOffset", "false")
+            .load(src)
+            .select("doc_id")
+            .writeStream.format("parquet")
+            .option("checkpointLocation", ckpt)
+            .option("path", out)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    got1 = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert got1 == sorted(list(range(10)) + list(range(100, 115)))
+    run()  # restart, no new files: nothing replays
+    assert spark.read.parquet(out).count() == 25
+    part("part-c.rdw", range(200, 203))
+    run()  # only the new part flows
+    got2 = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert got2 == sorted(
+        list(range(10)) + list(range(100, 115)) + list(range(200, 203))
+    )
+    # growth of a known member must fail loudly, not misread
+    with open(os.path.join(src, "part-a.rdw"), "ab") as f:
+        f.write(_rdw_append([(999, b"XYZ")]))
+    import pytest
+
+    with pytest.raises(Exception, match="grew|immutable|StreamingQuery"):
+        run()
