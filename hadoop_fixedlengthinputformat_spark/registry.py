@@ -159,15 +159,20 @@ GRADE_ORDER: tuple[str, ...] = (
 # the r6 block (46 names after these 3 heads; llm_embedding_quantize
 # was re-graded r7 and is r7-vintage now).
 #
-# R14 WINDOW PLAN (keep the rotation mechanical): any never-graded
-# round-13 additions lead, then the 46-name r6 tail fills the rest
+# R14 WINDOW PLAN (keep the rotation mechanical): the 11 never-graded
+# round-13 additions lead (stream_varlen_sink, stream_awstape_sink,
+# pipeline_corpus_release, dq_unique_keys, ts_linreg_forecast,
+# fn_string_similarity, llm_sentence_stats, mm_phash_near_dedup,
+# graph_hits, ts_backtest_linreg, stream_varlen_directory — all
+# 9-roll parity-green at r13 HEAD, PARITY_ALL_r13.json, and sf1-soaked
+# both sides), then the 46-name r6 tail fills the remaining 39 slots
 # oldest-first (CORRECTNESS_r06.json key order, minus the 3 heads
 # graded here and minus llm_embedding_quantize): ts_sessionize,
 # ts_rollup_chain, llm_domain_stats, dq_audit, llm_shard_assign,
-# llm_dataset_card, llm_simhash, ... (see CORRECTNESS_r06.json); any
-# remaining slots go to r7-vintage heads (stale at r14 since
-# 14-7 >= 5; the whole r7 block was sf1-soaked 50/50 clean during
-# r13, plans/NOTES.md "Round-13: r7-vintage oracle soak").
+# llm_dataset_card, llm_simhash, ... (see CORRECTNESS_r06.json); the
+# last 7 of the r6 tail plus r7-vintage heads compose r15 (the whole
+# r7 block was sf1-soaked 50/50 clean during r13, plans/NOTES.md
+# "Round-13: r7-vintage oracle soak").
 
 
 def _reorder() -> None:
