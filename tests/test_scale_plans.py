@@ -1931,3 +1931,63 @@ def test_corpus_release_no_text_on_any_exchange(spark):
     # partial-min aggregation, not a recompute
     assert "ReusedExchange" in plan, plan
     assert _no_python(plan)
+
+
+def test_linreg_forecast_two_collapse_exchanges(spark):
+    """ts_linreg_forecast (round 13): the algebraic re-basing removes
+    the min-day window entirely — one (user, day) collapse exchange +
+    one user rollup exchange, both map-side combined; no window, no
+    join, no Python."""
+    from hadoop_fixedlengthinputformat_spark.operators.timeseries import (
+        ts_linreg_forecast,
+    )
+
+    plan = _final_plan(ts_linreg_forecast(spark, "/root/testdata/sf0.001"))
+    assert _hashex(plan) == 2, plan
+    assert "partial" in plan.lower(), plan
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert _no_python(plan)
+
+
+def test_dq_unique_keys_two_level_aggregates_no_joins(spark):
+    """dq_unique_keys (round 13): each of the 5 checks is a map-side-
+    combined groupBy(key) + 1-row rollup — exchanges carry 8-byte keys
+    and partial counts, never table rows; no join anywhere."""
+    from hadoop_fixedlengthinputformat_spark.operators.dq_suite import (
+        dq_unique_keys,
+    )
+
+    plan = _final_plan(dq_unique_keys(spark, "/root/testdata/sf0.001"))
+    assert _hashex(plan) <= 10, plan  # <= 2 per check
+    assert "partial" in plan.lower(), plan
+    assert "Join" not in plan, plan
+    assert _no_python(plan)
+
+
+def test_graph_hits_no_cartesian_all_keyed(spark):
+    """graph_hits (round 13): every half-pass is a keyed equi-join +
+    map-side-combined groupBy — no cartesian products, no nested-loop
+    joins, no Python; the checkpointed edge list bounds lineage."""
+    from hadoop_fixedlengthinputformat_spark.operators.analytics_extras import (
+        graph_hits,
+    )
+
+    plan = _final_plan(graph_hits(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "partial" in plan.lower(), plan
+    assert _no_python(plan)
+
+
+def test_backtest_linreg_no_windows(spark):
+    """ts_backtest_linreg (round 13): the holdout split works off a
+    |users|-row max table joined back on the user key — no window
+    operator anywhere, no Python."""
+    from hadoop_fixedlengthinputformat_spark.operators.timeseries import (
+        ts_backtest_linreg,
+    )
+
+    plan = _final_plan(ts_backtest_linreg(spark, "/root/testdata/sf0.001"))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert _no_python(plan)
