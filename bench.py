@@ -384,11 +384,30 @@ def main() -> None:
     sched_adjusted = [
         n for n in timings if timings[n] < SCHED_GATE_MULT * sched_now
     ]
+    # ADVICE r13: subtract the floor from BOTH sides of the ratio.
+    # Numerator = this run's plan cost beyond this run's floor;
+    # denominator = the baseline's plan cost beyond the floor recorded
+    # at baseline measurement (CALIBRATION_SCHED_REF_SEC).  Without the
+    # denominator subtraction, a sub-floor baseline (llm_text_stats
+    # 0.16 s vs the 0.196 s floor) hides a genuine multi-x plan-cost
+    # regression until it exceeds ~2x the floor-INCLUSIVE baseline.
+    # The denominator floors at half the reference floor so a baseline
+    # that was pure scheduling (plan cost ~ 0) cannot divide by ~0 and
+    # flap on noise — documented sensitivity: for those rows a plan
+    # cost of ~0.2 s (one extra floor) reads as ~2x.  Known caveat
+    # (also ADVICE r13): sched has one round of cross-round history, so
+    # normalizing it by the compute-axis factor is an assumption until
+    # BENCH_r12+ accumulates probe history — both probe values are
+    # emitted every round precisely to build that record.
     gated = dict(ratios)
     for n in sched_adjusted:
         base_norm = BASELINES[n][0] / BASELINES[n][1]
+        base_plan = max(
+            base_norm - CALIBRATION_SCHED_REF_SEC,
+            0.5 * CALIBRATION_SCHED_REF_SEC,
+        )
         gated[n] = round(
-            max(normalized[n] - sched_norm, 0.001) / base_norm, 3
+            max(normalized[n] - sched_norm, 0.001) / base_plan, 3
         )
     base_norm_total = sum(
         BASELINES[n][0] / BASELINES[n][1] for n in timings

@@ -1834,11 +1834,13 @@ _CORPUS_RELEASE_SQL = """
     flags AS (
         SELECT doc_id, lang, source, n_tok, digest,
                (n_tok >= 20
-                AND (CAST(n_letters AS DOUBLE) / n_tok) BETWEEN 3 AND 8
+                AND (CAST(n_letters AS DOUBLE) / greatest(n_tok, 1))
+                    BETWEEN 3 AND 8
                 AND len(list_filter(words,
                         w -> w IN ('the','a','of','to','and','in','is')))
                     >= 2
-                AND (CAST(len(list_distinct(words)) AS DOUBLE) / n_tok)
+                AND (CAST(len(list_distinct(words)) AS DOUBLE)
+                     / greatest(n_tok, 1))
                     >= 0.5) AS keep
         FROM rows0
     ),
@@ -1906,12 +1908,16 @@ _CORPUS_RELEASE_SQL = """
                                                WHEN 'es' THEN 0.3
                                                ELSE 0.1 END)
                      / CAST(sum(n_tok) OVER (PARTITION BY lang) AS BIGINT))
-                   AS rate
+                   AS rate_raw
         FROM survivors
     )
+    -- kept/shard read rate_raw (unrounded, matching Spark); the
+    -- snapped output gets the 'rate' name only here, so no alias can
+    -- shadow a column the same SELECT still reads (ADVICE r13)
     SELECT doc_id, lang, source, n_tok,
-           floor(rate * 10000 + 0.5) / 10000 AS rate,
-           ((doc_id * 2654435761) % 65536) < floor(rate * 65536) AS kept,
+           floor(rate_raw * 10000 + 0.5) / 10000 AS rate,
+           ((doc_id * 2654435761) % 65536)
+               < floor(rate_raw * 65536) AS kept,
            CAST((doc_id * 2654435761) % 4294967296 % 16 AS INTEGER) AS shard
     FROM rated
 """
@@ -1946,11 +1952,14 @@ def pipeline_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
       on chain-shaped clusters it can keep one more member per chain —
       both are standard, the policy difference is deliberate and
       documented here);
-    - curriculum rates come from a lang-partitioned window SUM over
-      survivors (no second aggregate subtree, no extra join), keep
-      decisions via the deterministic multiplicative hash
-      (llm_curriculum_mix), shard via the Knuth hash mod 16
-      (llm_shard_assign).
+    - curriculum rates use the llm_curriculum_mix shape: a map-side-
+      combined groupBy(lang) collapses survivors to a |langs|-row rate
+      table that broadcast-joins back (eqNullSafe so NULL-lang rows
+      survive) — NEVER a window partitioned by the ~3-value lang key,
+      which would funnel the whole corpus through |langs| partitions
+      at 100x (VERDICT r13 #2); keep decisions via the deterministic
+      multiplicative hash (llm_curriculum_mix), shard via the Knuth
+      hash mod 16 (llm_shard_assign).
     Output: every release survivor with its sampling rate, keep
     decision, and shard — the manifest a release job writes."""
     d = load_table(spark, sf_dir, "documents").filter(
@@ -1958,9 +1967,14 @@ def pipeline_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     words = F.split(F.col("text"), " ")
     n_tok = text.n_ws_tokens("text")
-    mwl = F.length(F.translate(F.col("text"), " ", "")) / n_tok
+    # n_ws_tokens is >= 1 by construction for non-null text, so the
+    # greatest() guards below are value-neutral — they exist to honor
+    # the repo-wide round-4 rule (every ratio denominator wears the
+    # ANSI divide-by-zero guard on BOTH sides, CLAUDE.md)
+    n_tok_g = F.greatest(n_tok, F.lit(1))
+    mwl = F.length(F.translate(F.col("text"), " ", "")) / n_tok_g
     stop_hits = F.size(F.filter(words, lambda w: w.isin(*_STOPWORDS)))
-    distinct_ratio = F.size(F.array_distinct(words)) / n_tok
+    distinct_ratio = F.size(F.array_distinct(words)) / n_tok_g
     keep = (
         (n_tok >= 20)
         & (mwl >= 3)
@@ -2026,16 +2040,40 @@ def pipeline_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = exact.join(dropped, "doc_id", "left_anti").select(
         "doc_id", "lang", "source", "n_tok"
     )
-    weight = (
-        F.when(F.col("lang") == "en", 0.5)
-        .when(F.col("lang") == "es", 0.3)
-        .otherwise(0.1)
+    # survivors is consumed twice below (lang token-mass aggregate +
+    # rate-join probe).  Both consumptions duplicate the LSH subtree
+    # VERBATIM, so exchange reuse (spark.sql.exchange.reuse, on by
+    # default) runs every shuffle map stage once — only the post-
+    # exchange local anti-join probe replays, no extra scan or
+    # exchange.  Keeping it lazy (vs a localCheckpoint) also keeps the
+    # whole DAG in ONE plan so the no-text-on-any-exchange pin can see
+    # every exchange (tests/test_scale_plans.py).
+    # curriculum rates via the llm_curriculum_mix shape (VERDICT r13
+    # #2): map-side-combined groupBy(lang) to a |langs|-row table +
+    # broadcast rate join — never an unbounded window partitioned by a
+    # ~3-value key, which would funnel the whole corpus through |langs|
+    # window partitions at 100x.  eqNullSafe keeps NULL-lang survivors
+    # (the oracle's window treats NULL as its own partition).
+    rates = F.broadcast(
+        survivors.groupBy(F.col("lang").alias("_lang"))
+        .agg(F.sum("n_tok").alias("lang_toks"))
+        .select(
+            "_lang",
+            F.least(
+                F.lit(1.0),
+                (
+                    30000.0
+                    * F.when(F.col("_lang") == "en", 0.5)
+                    .when(F.col("_lang") == "es", 0.3)
+                    .otherwise(0.1)
+                )
+                / F.col("lang_toks"),
+            ).alias("rate"),
+        )
     )
-    lang_toks = F.sum("n_tok").over(Window.partitionBy("lang"))
-    rate = F.least(F.lit(1.0), (30000.0 * weight) / lang_toks)
-    rated = survivors.select(
-        "doc_id", "lang", "source", "n_tok", rate.alias("rate")
-    )
+    rated = survivors.join(
+        rates, F.col("lang").eqNullSafe(F.col("_lang"))
+    ).select("doc_id", "lang", "source", "n_tok", "rate")
     return rated.select(
         "doc_id",
         "lang",

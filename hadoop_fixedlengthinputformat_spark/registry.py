@@ -97,82 +97,82 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # test_window_regrades_only_known_reds_or_stale_greens): a green may
 # re-enter the window once its last grade is >= 5 rounds behind the
 # upcoming round.
+# ROUND 14 WINDOW (this list's first 50), per VERDICT r13 #1 — the
+# composition planned last round, applied verbatim: the 11 never-
+# driver-graded round-13 additions lead (all 9-roll parity-green at
+# r13 HEAD, PARITY_ALL_r13.json, sf1-soaked both sides, and
+# independently re-verified 11/11 by the r13 judge), then the 46-name
+# r6 tail fills the remaining 39 slots oldest-first (CORRECTNESS_r06
+# key order, minus the 3 heads graded r13 and minus
+# llm_embedding_quantize, which was re-graded r7 and is r7-vintage —
+# it re-enters with the r7 block at r15).  After r14, ever-driver-
+# graded coverage closes to 407/407 of the r13 contract.
 GRADE_ORDER: tuple[str, ...] = (
-    # --- never-driver-graded r12 additions (VERDICT r12 #1) ---
-    "dq_accepted_values",
-    "dq_null_profile",
-    "dq_row_count_anomaly",
-    "dq_reconciliation",
-    "agg_theil_index",
-    "agg_atkinson_index",
-    "agg_lorenz_deciles",
-    "win_pareto_cover",
-    "ts_seasonality_strength",
-    "ts_lag_corr",
-    "graph_adamic_adar",
-    "graph_transitivity",
-    "llm_minhash_containment",
-    "llm_tokenizer_fertility",
-    # --- r4-vintage re-grades, oldest-first (the full 33-name tail) ---
-    "agg_percentile",
-    "agg_string_agg",
-    "agg_min_max_by",
-    "agg_bool_bit",
-    "agg_count_if",
-    "agg_collect_set",
-    "agg_product",
-    "agg_regression",
-    "ts_gap_fill",
-    "ts_interpolate",
-    "ts_ewma",
-    "ts_ohlc",
-    "fn_url",
-    "llm_text_stats",
-    "llm_lang_id",
-    "llm_quality_score",
-    "llm_fingerprint",
-    "llm_multimodal_cols",
-    "llm_centroid_per_label",
-    "llm_incremental_dedup",
-    "llm_pipeline_clean",
-    "llm_gopher_filters",
-    "llm_topk_ngrams",
-    "llm_semdedup",
-    "llm_dedup_apply",
-    "llm_minhash_jaccard_est",
-    "llm_curriculum_mix",
-    "llm_tfidf_topterms",
-    "llm_near_dup_verified",
-    "llm_embedding_cosine_dup",
-    "llm_bm25",
-    "llm_char_entropy",
-    "llm_centroid_outliers",
-    # --- r6-vintage heads (stale: 13-6 >= 5); tail (46) -> r14 ---
-    "tpch_q12_priority_shipping",
-    "diag_q12_join_only",
-    "llm_seq_packing",
+    # --- never-driver-graded r13 additions (VERDICT r13 #1) ---
+    "stream_varlen_sink",
+    "stream_awstape_sink",
+    "pipeline_corpus_release",
+    "dq_unique_keys",
+    "ts_linreg_forecast",
+    "fn_string_similarity",
+    "llm_sentence_stats",
+    "mm_phash_near_dedup",
+    "graph_hits",
+    "ts_backtest_linreg",
+    "stream_varlen_directory",
+    # --- r6-vintage re-grades, oldest-first (first 39 of the 46 tail;
+    # stale: 14-6 >= 5) ---
+    "ts_sessionize",
+    "ts_rollup_chain",
+    "llm_domain_stats",
+    "dq_audit",
+    "llm_shard_assign",
+    "llm_dataset_card",
+    "llm_simhash",
+    "scan_varlen_rdw",
+    "sink_varlen_rdw",
+    "scan_varlen_rdw_indexed",
+    "scan_varlen_vb",
+    "sink_varlen_vb",
+    "maintain_varlen_index",
+    "sql_varlen_view",
+    "scan_fixedlen_copybook",
+    "scan_fixedlen_odo",
+    "scan_fixedlen_comp12",
+    "sink_fixedlen_bz2",
+    "maintain_zorder",
+    "cte_recursive",
+    "win_percent_rank_nth",
+    "set_union_by_name",
+    "fn_try_arith",
+    "fn_datetime_interval",
+    "join_asof_nearest",
+    "ts_anomaly_zscore",
+    "ts_retention_cohorts",
+    "ts_funnel",
+    "agg_approx_percentile",
+    "agg_histogram",
+    "agg_bitmap_distinct",
+    "llm_chunk_split",
+    "llm_pmi_bigrams",
+    "llm_passage_dedup",
+    "llm_holdout_split",
+    "llm_winnowing",
+    "llm_lm_score",
+    "llm_corpus_diff",
+    "llm_group_sample",
 )
-# The window is GRADE_ORDER[:50] = 14 never-graded r12 additions + the
-# entire 33-name r4 tail + 3 r6-vintage heads.  After r13,
-# ever-driver-graded coverage closes to 396/396 of the r12 contract,
-# the r4 vintage is fully retired, and the oldest remaining vintage is
-# the r6 block (46 names after these 3 heads; llm_embedding_quantize
-# was re-graded r7 and is r7-vintage now).
-#
-# R14 WINDOW PLAN (keep the rotation mechanical): the 11 never-graded
-# round-13 additions lead (stream_varlen_sink, stream_awstape_sink,
-# pipeline_corpus_release, dq_unique_keys, ts_linreg_forecast,
-# fn_string_similarity, llm_sentence_stats, mm_phash_near_dedup,
-# graph_hits, ts_backtest_linreg, stream_varlen_directory — all
-# 9-roll parity-green at r13 HEAD, PARITY_ALL_r13.json, and sf1-soaked
-# both sides), then the 46-name r6 tail fills the remaining 39 slots
-# oldest-first (CORRECTNESS_r06.json key order, minus the 3 heads
-# graded here and minus llm_embedding_quantize): ts_sessionize,
-# ts_rollup_chain, llm_domain_stats, dq_audit, llm_shard_assign,
-# llm_dataset_card, llm_simhash, ... (see CORRECTNESS_r06.json); the
-# last 7 of the r6 tail plus r7-vintage heads compose r15 (the whole
-# r7 block was sf1-soaked 50/50 clean during r13, plans/NOTES.md
-# "Round-13: r7-vintage oracle soak").
+# The window is GRADE_ORDER[:50] = 11 never-graded r13 additions + the
+# first 39 names of the r6 tail.  R15 WINDOW PLAN (keep the rotation
+# mechanical): any round-14 additions that have never been driver-
+# graded lead, then the last 7 of the r6 tail (llm_url_dedup,
+# llm_mime_sniff, graph_pagerank, stream_tumbling_window,
+# stream_stateful_count, stream_dedup, stream_static_join), then
+# r7-vintage names oldest-first (CORRECTNESS_r07.json key order,
+# including llm_embedding_quantize) fill the rest; the whole r7 block
+# was sf1-soaked 50/50 clean during r13 (plans/NOTES.md "Round-13:
+# r7-vintage oracle soak") and the r8 block is being soaked during
+# r14 for the r16 window.
 
 
 def _reorder() -> None:

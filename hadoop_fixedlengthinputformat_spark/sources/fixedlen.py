@@ -1619,7 +1619,12 @@ class FixedLenDirectoryStreamReader(DataSourceStreamReader):
             if _codec_of(p):
                 files[p] = self._GZ_DONE
             else:
-                size = os.path.getsize(p)
+                try:
+                    size = os.path.getsize(p)
+                except FileNotFoundError:
+                    # listed, then deleted before stat: skip this batch
+                    # rather than kill the stream (ADVICE r13)
+                    continue
                 files[p] = size - (size % rl)
         return {"files": files}
 

@@ -1282,7 +1282,7 @@ class VarLenDirectoryStreamReader(DataSourceStreamReader):
     streaming parts are renamed into place complete, never appended),
     and the landing-zone pattern object stores enforce naturally.  An
     offset is ``{"files": {path: size-at-admission}}``.  A known file
-    that GREW fails loudly instead of silently misreading: append
+    that CHANGED SIZE fails loudly instead of silently misreading: append
     tailing a varlen container requires the descriptor-word walk the
     single-file tail readers own (``.load(file)``), because a byte
     size alone cannot name a record boundary the way fixed-width's
@@ -1305,7 +1305,13 @@ class VarLenDirectoryStreamReader(DataSourceStreamReader):
         except FileNotFoundError:
             names = []
         for p in names:
-            files[p] = os.path.getsize(p)
+            try:
+                files[p] = os.path.getsize(p)
+            except FileNotFoundError:
+                # listed, then deleted before stat (ADVICE r13): skip —
+                # a vanished file simply isn't admitted this batch; if
+                # it reappears a later listing picks it up
+                continue
         return {"files": files}
 
     def partitions(self, start: dict, end: dict):
@@ -1315,10 +1321,10 @@ class VarLenDirectoryStreamReader(DataSourceStreamReader):
             if p in seen:
                 if size != seen[p]:
                     raise ValueError(
-                        f"varlen: directory stream member {p!r} grew "
-                        f"({seen[p]} -> {size} bytes); directory streaming "
-                        "admits immutable whole files — tail a growing "
-                        "file with .load(file) instead"
+                        f"varlen: directory stream member {p!r} changed "
+                        f"size ({seen[p]} -> {size} bytes); directory "
+                        "streaming admits immutable whole files — tail a "
+                        "growing file with .load(file) instead"
                     )
                 continue
             parts.append(VarLenPartition(p, 0, size))

@@ -23,20 +23,19 @@ def test_grade_order_applied_and_complete():
     assert names[: len(registry.GRADE_ORDER)] == list(registry.GRADE_ORDER)
 
 
-def test_round13_window_composition():
+def test_round14_window_composition():
     registry.load_all()
     window = list(registry.QUERIES)[:50]
-    # the 14 never-driver-graded r12 additions lead (VERDICT r12 #1),
-    # closing ever-graded coverage to 396/396 of the r12 contract
-    assert window[0] == "dq_accepted_values"
-    assert window[13] == "llm_tokenizer_fertility"
-    # then the entire 33-name r4 tail (oldest vintage, retired here)
-    assert window[14] == "agg_percentile"
-    assert window[46] == "llm_centroid_outliers"
-    # then 3 r6-vintage heads (stale: 13-6 >= 5)
-    assert window[47] == "tpch_q12_priority_shipping"
-    assert window[49] == "llm_seq_packing"
-    # llm_embedding_quantize was re-graded r10 — still fresh, stays out
+    # the 11 never-driver-graded r13 additions lead (VERDICT r13 #1),
+    # closing ever-graded coverage to 407/407 of the r13 contract
+    assert window[0] == "stream_varlen_sink"
+    assert window[10] == "stream_varlen_directory"
+    # then the first 39 of the 46-name r6 tail, oldest-first
+    # (stale: 14-6 >= 5); the last 7 compose the r15 window
+    assert window[11] == "ts_sessionize"
+    assert window[49] == "llm_group_sample"
+    # llm_embedding_quantize was re-graded r7 and is r7-vintage — it
+    # re-enters with the r7 block at r15 (matching registry.py's plan)
     assert "llm_embedding_quantize" not in window
     # every window query has a full SQL oracle (strongest driver signal)
     missing = [n for n in window if n not in registry.ORACLES]

@@ -1930,6 +1930,17 @@ def test_corpus_release_no_text_on_any_exchange(spark):
     # branch must arrive as a ReusedExchange of the (doc_id, digest)
     # partial-min aggregation, not a recompute
     assert "ReusedExchange" in plan, plan
+    # VERDICT r13 #2: curriculum rates must come from a groupBy(lang) +
+    # broadcast rate join, never an unbounded window partitioned by the
+    # ~3-value lang key (which funnels the corpus through |langs|
+    # partitions at 100x).  The only windows allowed anywhere in the
+    # plan are the high-cardinality doc_id / digest row_number dedup
+    # windows — no window spec may reference lang at all.
+    win_lines = [
+        l for l in plan.splitlines() if "windowspecdefinition" in l
+    ]
+    assert all("lang#" not in l for l in win_lines), win_lines
+    assert "BroadcastHashJoin" in plan, plan
     assert _no_python(plan)
 
 

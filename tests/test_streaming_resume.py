@@ -794,5 +794,5 @@ def test_varlen_directory_stream_new_parts_only_and_growth_raises(
         f.write(_rdw_append([(999, b"XYZ")]))
     import pytest
 
-    with pytest.raises(Exception, match="grew|immutable|StreamingQuery"):
+    with pytest.raises(Exception, match="changed size|immutable|StreamingQuery"):
         run()
