@@ -2195,3 +2195,185 @@ def mm_phash_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "partner_doc_id",
         F.col("partner_doc_id").isNotNull().alias("is_near_dup"),
     )
+
+
+@query(
+    "mm_audio_fingerprint",
+    oracle="""
+    WITH ids AS (
+        SELECT DISTINCT doc_id FROM documents
+        WHERE doc_id IS NOT NULL AND doc_id < 100
+    ),
+    p AS (SELECT doc_id, doc_id % 50 AS k FROM ids)
+    SELECT a.doc_id, true AS well_formed,
+           (SELECT MIN(b.doc_id) FROM p b
+            WHERE b.k = a.k AND b.doc_id <> a.doc_id) AS partner_doc_id,
+           EXISTS(SELECT 1 FROM p b
+                  WHERE b.k = a.k AND b.doc_id <> a.doc_id) AS is_near_dup
+    FROM p a
+    """,
+)
+def mm_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio NEAR-dup detection (VERDICT r13 #6) — the audio leg of the
+    cross-modal near-dup trio: text has MinHash-LSH
+    (llm_minhash_near_dedup), images have hamming-banded dhash
+    (mm_phash_near_dedup, round 13), and this op applies the identical
+    Spark shape to a per-frame energy-delta fingerprint of the PCM16
+    WAVE kernel (multimodal.afp64: 65 frames, exact int64 energies,
+    bit i = energy[i+1] > energy[i]).  Twins carry ALMOST-identical
+    samples (<= 1 afp64 bit apart by construction,
+    multimodal.near_twin_wav_payload), so equality grouping finds
+    nothing and the pipeline bands the 64-bit fingerprint into 4x16-bit
+    LSH buckets (a <= 1-bit difference leaves >= 3 bands intact), joins
+    on band equality, and confirms candidates with an exact hamming
+    distance <= 4 computed from the SAME banded 16-bit ints
+    (bit_count(xor) per band — never a 64-bit hex parse, which
+    overflows signed conv; the round-6 md5-hex-slice rule).  Samples
+    never shuffle: only (doc_id, 16-hex afp) leaves the decode task,
+    the band exchange carries 4-hex slices, and the hamming filter runs
+    on candidate pairs only.  Distinct base clips differ in ~32 bits
+    (independent md5-chain energies compare like fair coins), so a
+    chance band collision (~7% per roll across the 50x49/2 pairs) is
+    killed by the hamming gate (P[<=4 of 64] ~ 3e-14).  Graded by
+    construction: the planted partner (the other id with the same
+    id % 50) is predicted arithmetically by the oracle; a degenerate
+    kernel that fingerprints everything alike pairs wrong partners, a
+    broken band join pairs none."""
+    d = load_table(spark, sf_dir, "documents")
+    ids = (
+        d.where(F.col("doc_id").isNotNull() & (F.col("doc_id") < 100))
+        .select("doc_id")
+        .distinct()
+    )
+    media = multimodal.attach_near_twin_audio(ids, mod=50)
+    printed = multimodal.fingerprint_audio(media).localCheckpoint(eager=True)
+    bands = printed.where(F.col("afp").isNotNull()).select(
+        "doc_id",
+        "afp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.substring("afp", 1 + 4 * b, 4).alias("band_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bd"),
+    ).select("doc_id", "afp", "bd.band_idx", "bd.band_val")
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("afp").alias("fp_a"),
+        "band_idx",
+        "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("afp").alias("fp_b"),
+        "band_idx",
+        "band_val",
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "fp_a", "doc_b", "fp_b")
+        .distinct()
+    )
+    ham = sum(
+        F.bit_count(
+            F.conv(F.substring("fp_a", 1 + 4 * i, 4), 16, 10)
+            .cast("int")
+            .bitwiseXOR(
+                F.conv(F.substring("fp_b", 1 + 4 * i, 4), 16, 10).cast("int")
+            )
+        )
+        for i in range(4)
+    )
+    near = (
+        cand.where(ham <= 4)
+        .groupBy(F.col("doc_a").alias("doc_id"))
+        .agg(F.min("doc_b").alias("partner_doc_id"))
+    )
+    return printed.join(near, "doc_id", "left").select(
+        "doc_id",
+        (F.col("afp").isNotNull() & (F.length("afp") == 16)).alias(
+            "well_formed"
+        ),
+        "partner_doc_id",
+        F.col("partner_doc_id").isNotNull().alias("is_near_dup"),
+    )
+
+
+@query(
+    "llm_dup_clusters_ls",
+    oracle="""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    shingles AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+        FROM (
+            SELECT doc_id, t,
+                   unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+            FROM toks
+        )
+    ),
+    sig AS MATERIALIZED (
+        SELECT doc_id,
+               min(md5('0' || shingle)) AS mh_0, min(md5('1' || shingle)) AS mh_1,
+               min(md5('2' || shingle)) AS mh_2, min(md5('3' || shingle)) AS mh_3,
+               min(md5('4' || shingle)) AS mh_4, min(md5('5' || shingle)) AS mh_5,
+               min(md5('6' || shingle)) AS mh_6, min(md5('7' || shingle)) AS mh_7
+        FROM shingles GROUP BY doc_id
+    ),
+    bands AS MATERIALIZED (
+        SELECT doc_id, 0 AS band_idx, mh_0 || '|' || mh_1 AS band_val FROM sig
+        UNION ALL SELECT doc_id, 1, mh_2 || '|' || mh_3 FROM sig
+        UNION ALL SELECT doc_id, 2, mh_4 || '|' || mh_5 FROM sig
+        UNION ALL SELECT doc_id, 3, mh_6 || '|' || mh_7 FROM sig
+    ),
+    pairs AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+        WHERE a.doc_id < b.doc_id
+    ),
+    sym AS MATERIALIZED (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+        SELECT DISTINCT a AS node, a AS lbl FROM sym
+        UNION
+        SELECT s.a, r.lbl FROM sym s JOIN reach r ON r.node = s.b
+    ),
+    cc AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node)
+    SELECT node AS doc_id, lbl AS cluster_id,
+           count(*) OVER (PARTITION BY lbl) AS n_members
+    FROM cc
+    """,
+)
+def llm_dup_clusters_ls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """llm_dup_clusters via LARGE-STAR/SMALL-STAR alternation
+    (dedup.connected_components_ls; Kiveris et al. SoCC'14) instead of
+    min-label propagation (VERDICT r13 #7).  Same LSH candidate pairs,
+    same output contract, same recursive-CTE oracle — the difference is
+    the round bound: min-label needs O(diameter) rounds and
+    connected_components' own docstring names chain-shaped clusters as
+    its weakness (a 64-node chain exhausts its 20-round cap); the
+    star alternation converges in O(log n) rounds on the same
+    join+groupBy(min) per-round shape (the long-chain round-count pin
+    lives in tests/test_round14_ops.py).  On real near-dup blobs
+    (diameter 2-4) both are 2-3 rounds; at 100 TB the ls variant is the
+    safe default because cluster shape is input-controlled."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = dedup.minhash_signature(d, "doc_id")
+    pairs = dedup.lsh_candidate_pairs(sig, "doc_id")
+    cc = dedup.connected_components_ls(pairs)
+    w = Window.partitionBy("cluster_id")
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("n_members"),
+    )

@@ -530,3 +530,92 @@ def attach_near_twin_media(
         return pd.Series([near_twin_payload(int(i), mod) for i in doc_id])
 
     return df.withColumn("media", mk(F.col(id_col)))
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprinting (round 14): the audio leg of the near-dup trio —
+# text has MinHash (llm_minhash_near_dedup), images have dhash LSH
+# (mm_phash_near_dedup); this is the same banded-LSH recipe over a
+# per-frame ENERGY-DELTA fingerprint of the PCM16 WAVE kernel.
+
+
+def afp64(samples: np.ndarray | None) -> int | None:
+    """64-bit audio fingerprint: split the PCM16 samples into 65
+    near-equal frames, compute each frame's EXACT integer energy
+    (sum of squares of int16 values — int64-exact: 65 frames of any
+    realistic length stay far below 2^63), and set bit i when
+    energy[i+1] > energy[i] — the dhash64 idea transposed from the
+    pixel grid to the frame axis (per-frame RMS/energy contour, the
+    classic cheap acoustic signature).  Integer comparisons only, so
+    the fingerprint is deterministic on every engine; a perturbation
+    confined to ONE frame flips at most the two bits that compare that
+    frame with its neighbors.  None for undecodable/too-short input."""
+    if samples is None or len(samples) < 65:
+        return None
+    frames = np.array_split(samples.astype(np.int64), 65)
+    energy = np.array([int((f * f).sum()) for f in frames], dtype=object)
+    val = 0
+    for i in range(64):
+        val = (val << 1) | (1 if energy[i + 1] > energy[i] else 0)
+    return val
+
+
+def fingerprint_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas stage: decode each WAV payload and emit its afp64 as
+    a 16-char hex digest; undecodable payloads quarantine with a NULL
+    fingerprint.  Only (id, 16-byte digest) leaves the task — the
+    sample data never shuffles, so the downstream near-dup bucket join
+    is digest-keyed exactly like the text/image dedup family."""
+    schema = f"{id_col} bigint, afp string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf["media"]:
+                h = afp64(
+                    decode_wav_pcm16(bytes(payload))
+                    if payload is not None
+                    else None
+                )
+                out.append(None if h is None else f"{h:016x}")
+            yield pd.DataFrame({id_col: pdf[id_col], "afp": out})
+
+    return df.mapInPandas(run, schema)
+
+
+def near_twin_wav_payload(doc_id: int, mod: int = 50) -> bytes:
+    """attach_near_twin_audio's kernel: ids k and k+mod share base
+    samples (md5 chain seeded by id % mod), but the k+mod copy has its
+    FIRST sample forced to int16 max.  Under afp64 that sample lands in
+    frame 0 only, so just bit 0 (the energy[1] > energy[0] comparison)
+    can flip — twin fingerprints differ by AT MOST 1 bit by
+    construction, while distinct base clips differ in ~32 bits (the
+    per-frame energies of independent md5 chains compare like fair
+    coins).  That separation is what the hamming-band LSH must
+    resolve."""
+    base = wav_payload(doc_id % mod, "", n_samples=260)
+    if doc_id < mod:
+        return base
+    data_at = base.index(b"data") + 8
+    return (
+        base[:data_at]
+        + struct.pack("<h", 32767)
+        + base[data_at + 2 :]
+    )
+
+
+def attach_near_twin_audio(
+    df: DataFrame, id_col: str = "doc_id", mod: int = 50
+) -> DataFrame:
+    """Planted NEAR-duplicate audio fixture: twins carry almost-
+    identical clips (<= 1 afp64 bit apart, see near_twin_wav_payload) —
+    what mm_audio_fingerprint's hamming-banded join is graded
+    against."""
+
+    @F.pandas_udf("binary")
+    def mk(doc_id: pd.Series) -> pd.Series:
+        return pd.Series(
+            [near_twin_wav_payload(int(i), mod) for i in doc_id]
+        )
+
+    return df.withColumn("media", mk(F.col(id_col)))

@@ -1,0 +1,168 @@
+"""Independent reference pins for the round-14 operators.
+
+Parity (Spark vs DuckDB) cannot see a wrong formula both engines agree
+on — each operator is re-derived with a brute-force pure-Python
+implementation and compared exactly (the test_round11/12/13_ops
+pattern)."""
+
+from __future__ import annotations
+
+import struct
+
+
+def _py_afp64(payload: bytes) -> int | None:
+    """Independent afp64: hand-rolled RIFF walk + frame energies, no
+    numpy.  Frame boundaries replicate np.array_split: the first
+    (n % 65) frames carry one extra sample."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, n = 12, len(payload)
+    ok_fmt, data = False, None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt_code, _c, _sr, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            ok_fmt = fmt_code == 1 and bits == 16
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)
+    if not ok_fmt or data is None or len(data) < 2:
+        return None
+    samples = [
+        struct.unpack_from("<h", data, 2 * i)[0]
+        for i in range(len(data) // 2)
+    ]
+    if len(samples) < 65:
+        return None
+    ln = len(samples)
+    base, extra = divmod(ln, 65)
+    energies, at = [], 0
+    for i in range(65):
+        size = base + (1 if i < extra else 0)
+        frame = samples[at : at + size]
+        at += size
+        energies.append(sum(x * x for x in frame))
+    val = 0
+    for i in range(64):
+        val = (val << 1) | (1 if energies[i + 1] > energies[i] else 0)
+    return val
+
+
+def test_afp64_matches_independent_kernel():
+    """The numpy afp64 must agree bit-for-bit with the hand-rolled
+    struct-walk implementation on every fixture payload — a wrong
+    frame split or a float energy would diverge here."""
+    from hadoop_fixedlengthinputformat_spark.functions.multimodal import (
+        afp64,
+        decode_wav_pcm16,
+        near_twin_wav_payload,
+        wav_payload,
+    )
+
+    for i in range(100):
+        p = near_twin_wav_payload(i)
+        assert afp64(decode_wav_pcm16(p)) == _py_afp64(p), i
+    # odd lengths exercise the uneven array_split boundary
+    for ns in (65, 66, 97, 130, 301):
+        p = wav_payload(7, "x", n_samples=ns)
+        assert afp64(decode_wav_pcm16(p)) == _py_afp64(p), ns
+    # too short / undecodable quarantine
+    assert afp64(decode_wav_pcm16(wav_payload(1, "", n_samples=64))) is None
+    assert afp64(None) is None
+
+
+def test_near_twin_wav_hamming_bound():
+    """The mm_audio_fingerprint fixture invariant: twin clips
+    fingerprint within 1 bit (independent kernel), distinct bases stay
+    far apart — the separation the banded join resolves."""
+    from hadoop_fixedlengthinputformat_spark.functions.multimodal import (
+        near_twin_wav_payload,
+    )
+
+    prints = {i: _py_afp64(near_twin_wav_payload(i)) for i in range(100)}
+    assert all(v is not None for v in prints.values())
+    for k in range(50):
+        d = bin(prints[k] ^ prints[k + 50]).count("1")
+        assert d <= 1, (k, d)
+    far = [
+        bin(prints[i] ^ prints[j]).count("1")
+        for i in range(50)
+        for j in range(i + 1, 50)
+    ]
+    assert min(far) > 4
+
+
+def test_mm_audio_fingerprint_pairs_planted_twins(spark, sf_dir):
+    from hadoop_fixedlengthinputformat_spark.functions.llm_queries import (
+        mm_audio_fingerprint,
+    )
+
+    rows = {
+        r["doc_id"]: r
+        for r in mm_audio_fingerprint(spark, sf_dir).collect()
+    }
+    ids = sorted(rows)
+    assert ids and all(rows[i]["well_formed"] for i in ids)
+    for i in ids:
+        partner = min(
+            (j for j in ids if j % 50 == i % 50 and j != i), default=None
+        )
+        assert rows[i]["partner_doc_id"] == partner, (i, rows[i])
+        assert rows[i]["is_near_dup"] == (partner is not None)
+
+
+def test_connected_components_ls_long_chain_log_rounds(spark):
+    """The reason llm_dup_clusters_ls exists: a 64-node CHAIN (diameter
+    63) must resolve to one component in O(log n) star rounds — 8 is a
+    generous bound (~2*log2(64) with slack); min-label propagation
+    would need 63 rounds and exhausts its 20-round cap on this graph."""
+    from hadoop_fixedlengthinputformat_spark.functions.dedup import (
+        connected_components_ls,
+    )
+
+    import pyspark.sql.functions as F
+
+    chain = spark.range(63).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    stats: dict = {}
+    got = connected_components_ls(chain, stats=stats).collect()
+    assert {r.node for r in got} == set(range(64))
+    assert all(r.cluster_id == 0 for r in got)
+    assert stats["rounds"] <= 8, stats
+
+
+def test_connected_components_ls_matches_min_label(spark):
+    """Both CC formulations must produce identical (node, cluster_id)
+    maps on a mixed graph: two blobs, a chain bridging one of them, an
+    isolated pair."""
+    from hadoop_fixedlengthinputformat_spark.functions.dedup import (
+        connected_components,
+        connected_components_ls,
+    )
+
+    pairs = [
+        # blob A: 1-2-3-4 complete-ish
+        (1, 2), (2, 3), (1, 3), (3, 4),
+        # chain off blob A
+        (4, 10), (10, 11), (11, 12),
+        # blob B
+        (20, 21), (21, 22), (20, 22),
+        # isolated pair
+        (30, 31),
+    ]
+    df = spark.createDataFrame(pairs, ["doc_a", "doc_b"])
+    a = {
+        (r.node, r.cluster_id)
+        for r in connected_components(df).collect()
+    }
+    b = {
+        (r.node, r.cluster_id)
+        for r in connected_components_ls(df).collect()
+    }
+    assert a == b
+    assert {c for _, c in b} == {1, 20, 30}
