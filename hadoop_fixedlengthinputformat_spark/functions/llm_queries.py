@@ -2377,3 +2377,38 @@ def llm_dup_clusters_ls(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         F.count(F.lit(1)).over(w).alias("n_members"),
     )
+
+
+@query(
+    "mm_video_scene_cut",
+    oracle="""
+    SELECT doc_id, 8 AS n_frames, 2 AS n_cuts, '3,6' AS cut_frames
+    FROM (SELECT DISTINCT doc_id FROM documents
+          WHERE doc_id IS NOT NULL AND doc_id < 60)
+    """,
+)
+def mm_video_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene-cut detection (round 14) — the temporal analog of
+    the image/audio fingerprint family: walk the concatenated-P6
+    container, compute the EXACT integer sum of absolute pixel
+    differences between consecutive frames, and flag a cut when the
+    mean per-byte delta exceeds a fixed threshold (32/255).  The
+    fixture plants scene structure by construction
+    (multimodal.scene_video_payload: scenes (3,3,2), in-scene frames
+    <= 2 bytes apart, cross-scene frames independent uniform bytes —
+    the threshold sits >= 12 sigma from both populations), so the
+    oracle predicts the cut set arithmetically: every video has 8
+    frames and cuts entering frames 3 and 6.  A degenerate kernel that
+    diffs nothing finds 0 cuts; one that over-fires finds 7; a broken
+    frame walk quarantines (NULL counts) and fails row-match.  Scale
+    shape: the decode task emits (id, 2 ints, a short string) — pixels
+    never shuffle, and there is no exchange at all beyond the scan
+    (per-row mapInPandas)."""
+    d = load_table(spark, sf_dir, "documents")
+    ids = (
+        d.where(F.col("doc_id").isNotNull() & (F.col("doc_id") < 60))
+        .select("doc_id")
+        .distinct()
+    )
+    media = multimodal.attach_scene_video(ids)
+    return multimodal.detect_scene_cuts(media, threshold=32)

@@ -619,3 +619,100 @@ def attach_near_twin_audio(
         )
 
     return df.withColumn("media", mk(F.col(id_col)))
+
+
+# ---------------------------------------------------------------------------
+# Video scene-cut detection (round 14)
+
+
+def scene_video_payload(
+    doc_id: int, scenes: tuple[int, ...] = (3, 3, 2)
+) -> bytes:
+    """Concatenated-P6 video with PLANTED scene structure: each scene
+    draws its base frame from an independent md5 chain, and frames
+    WITHIN a scene perturb at most two bytes of that base (a tiny
+    per-frame wiggle, so consecutive in-scene frames are near- but
+    never byte-identical).  With scenes (3, 3, 2) the 8-frame container
+    has exactly two scene boundaries, entering frames 3 and 6 — the
+    arithmetic the oracle predicts.  Consecutive in-scene frames differ
+    in <= 2 bytes (mean abs pixel delta <= ~2.7 over the smallest
+    8x8x3 frame) while cross-scene frames are independent uniform
+    bytes (mean abs delta ~85.3, sigma of the mean < 4.4): a fixed
+    threshold of 32 sits >= 12 sigma from both populations."""
+    w = 8 + doc_id % 5
+    h = 8 + doc_id % 3
+    out = bytearray()
+    for si, ln in enumerate(scenes):
+        seed = f"scene|{doc_id}|{si}|".encode()
+        base = _det_bytes(seed, w * h * 3)
+        for j in range(ln):
+            frame = bytearray(base)
+            at = j % len(frame)
+            frame[at] = (frame[at] + j) % 256
+            out += f"P6\n{w} {h}\n255\n".encode() + bytes(frame)
+    return bytes(out)
+
+
+def attach_scene_video(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Planted scene-structured video fixture (see scene_video_payload)
+    — what mm_video_scene_cut's threshold detector is graded against."""
+
+    @F.pandas_udf("binary")
+    def mk(doc_id: pd.Series) -> pd.Series:
+        return pd.Series([scene_video_payload(int(i)) for i in doc_id])
+
+    return df.withColumn("media", mk(F.col(id_col)))
+
+
+def detect_scene_cuts(
+    df: DataFrame, id_col: str = "doc_id", threshold: int = 32
+) -> DataFrame:
+    """mapInPandas stage: walk each concatenated-P6 container and flag
+    frame i as a CUT when the exact integer sum of absolute pixel
+    differences to frame i-1 exceeds threshold * n_bytes — pure int64
+    arithmetic (uint8 diffs summed exactly), so the decision is
+    deterministic on every engine and box.  Emits one row per video:
+    (id, n_frames, n_cuts, cut_frames as a comma-joined string — the
+    driver canonicalizer takes no arrays).  Undecodable containers
+    quarantine with NULL features; only (id, counts, short string)
+    leaves the task — pixels never shuffle."""
+    schema = (
+        f"{id_col} bigint, n_frames int, n_cuts int, cut_frames string"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nf, nc, cf = [], [], [], []
+            for doc_id, media in zip(pdf[id_col], pdf["media"]):
+                frames = (
+                    split_video_frames(bytes(media))
+                    if media is not None
+                    else None
+                )
+                ids.append(doc_id)
+                if not frames:
+                    nf.append(None), nc.append(None), cf.append(None)
+                    continue
+                cuts = []
+                for i in range(1, len(frames)):
+                    a = frames[i - 1].astype(np.int64)
+                    b = frames[i].astype(np.int64)
+                    if a.shape != b.shape:
+                        cuts.append(i)  # dimension change = hard cut
+                        continue
+                    sad = int(np.abs(a - b).sum())
+                    if sad > threshold * a.size:
+                        cuts.append(i)
+                nf.append(len(frames))
+                nc.append(len(cuts))
+                cf.append(",".join(str(c) for c in cuts))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_frames": pd.array(nf, dtype="Int32"),
+                    "n_cuts": pd.array(nc, dtype="Int32"),
+                    "cut_frames": cf,
+                }
+            )
+
+    return df.select(id_col, "media").mapInPandas(run, schema)

@@ -440,3 +440,150 @@ def dq_unique_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         res = res.unionAll(o)
     return res
+
+
+# --- dq_psi_drift ---------------------------------------------------------
+# Population Stability Index per event_type between the two epoch-midpoint
+# halves of the stream — THE production ML-monitoring drift metric
+# (dq_drift profiles volume/rate/mean; PSI sees SHAPE changes those
+# summaries miss).  10 fixed 20.00-wide value bins (cents // 2000,
+# clamped to [0, 9] so the top bin is open-ended), Laplace-smoothed:
+#   p_x[k] = (n_x[k] + 1) / (N_x + 10)
+#   PSI    = sum_k (p_b[k] - p_a[k]) * ln(p_b[k] / p_a[k])
+# Determinism (CLAUDE.md stats rules): bin counts are exact int64
+# conditional sums pivoted into COLUMNS by the fixed bin index, so the
+# PSI evaluates as ONE identically-parenthesized scalar tree shared
+# verbatim with the oracle — never a double SUM whose merge order is
+# unpinned; each ln snaps to 8 before any further math; the final PSI
+# snaps to 4 (+0) and the drifted flag compares the SNAPPED value so
+# both engines flip together.  Smoothing keeps every ln finite even
+# when a type is entirely absent from one half ((0+1)/(0+10)).
+
+_PSI_NBINS = 10
+_PSI_WIDTH_CENTS = 2000
+
+
+def _psi_sql() -> str:
+    bin_sums = ",\n               ".join(
+        f"CAST(SUM(CASE WHEN half = 0 AND bin = {k} THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS a_{k},\n               "
+        f"CAST(SUM(CASE WHEN half = 1 AND bin = {k} THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS b_{k}"
+        for k in range(_PSI_NBINS)
+    )
+    def pa(k: int) -> str:
+        return f"(CAST(a_{k} + 1 AS DOUBLE) / (n_a + {_PSI_NBINS}))"
+
+    def pb(k: int) -> str:
+        return f"(CAST(b_{k} + 1 AS DOUBLE) / (n_b + {_PSI_NBINS}))"
+
+    terms = " + ".join(
+        f"(({pb(k)} - {pa(k)})"
+        f" * ({snap_sql(f'ln({pb(k)} / {pa(k)})', 8)}))"
+        for k in range(_PSI_NBINS)
+    )
+    return f"""
+    WITH ev AS (
+        SELECT event_type,
+               epoch_us(ts) AS us,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+        WHERE ts IS NOT NULL AND event_type IS NOT NULL
+          AND value IS NOT NULL
+    ),
+    span AS (SELECT MIN(us) AS lo, MAX(us) AS hi FROM ev),
+    tagged AS (
+        SELECT event_type,
+               CASE WHEN us * 2 <= s.lo + s.hi THEN 0 ELSE 1 END AS half,
+               least({_PSI_NBINS - 1},
+                     greatest(cents, 0) // {_PSI_WIDTH_CENTS}) AS bin
+        FROM ev, span s
+    ),
+    per AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_a,
+               CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_b,
+               {bin_sums}
+        FROM tagged GROUP BY event_type
+    )
+    SELECT event_type, n_a, n_b,
+           {snap_sql(terms, 4)} + 0 AS psi,
+           {snap_sql(terms, 4)} > 0.1 AS drifted
+    FROM per
+    """
+
+
+@query("dq_psi_drift", oracle=_psi_sql())
+def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift check (see block comment above
+    for the formula and determinism recipe).  Shuffle shape: one 1-row
+    global span aggregate joined in (AQE broadcast, unhinted), then ONE
+    map-side-combined event_type groupBy whose exchange carries |types|
+    rows of 22 int64 partials — the corpus shuffles once; the PSI tree
+    is pure scalar math on the collapsed row.  At 100x the bins stay
+    10 and the exchange stays |types| rows."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(
+            F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+            & F.col("value").isNotNull()
+        )
+        .select(
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            money_units(F.col("value"), 2).alias("cents"),
+        )
+    )
+    span = ev.agg(F.min("us").alias("lo"), F.max("us").alias("hi"))
+    tagged = ev.crossJoin(span).select(
+        "event_type",
+        F.when(2 * F.col("us") <= F.col("lo") + F.col("hi"), 0)
+        .otherwise(1)
+        .alias("half"),
+        F.least(
+            F.lit(_PSI_NBINS - 1),
+            F.expr(f"greatest(cents, 0) div {_PSI_WIDTH_CENTS}"),
+        ).alias("bin"),
+    )
+    aggs = [
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n_b"),
+    ]
+    for k in range(_PSI_NBINS):
+        aggs.append(
+            F.sum(
+                F.when((F.col("half") == 0) & (F.col("bin") == k), 1)
+                .otherwise(0)
+            ).alias(f"a_{k}")
+        )
+        aggs.append(
+            F.sum(
+                F.when((F.col("half") == 1) & (F.col("bin") == k), 1)
+                .otherwise(0)
+            ).alias(f"b_{k}")
+        )
+    per = tagged.groupBy("event_type").agg(*aggs)
+
+    def p(side: str, k: int):
+        return (F.col(f"{side}_{k}") + 1).cast("double") / (
+            F.col(f"n_{'a' if side == 'a' else 'b'}") + _PSI_NBINS
+        )
+
+    terms = [
+        (p("b", k) - p("a", k)) * snap(F.log(p("b", k) / p("a", k)), 8)
+        for k in range(_PSI_NBINS)
+    ]
+    psi_raw = terms[0]
+    for t in terms[1:]:
+        psi_raw = psi_raw + t
+    psi = snap(psi_raw, 4)
+    return per.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        (psi + 0).alias("psi"),
+        (psi > 0.1).alias("drifted"),
+    )

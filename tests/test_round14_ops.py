@@ -166,3 +166,55 @@ def test_connected_components_ls_matches_min_label(spark):
     }
     assert a == b
     assert {c for _, c in b} == {1, 20, 30}
+
+
+def test_dq_psi_drift_matches_bruteforce(spark, sf_dir):
+    """PSI re-derived from raw parquet with pure Python + math.log —
+    the same Laplace smoothing and 10-bin layout, but NOT the same
+    snap/pivot machinery (a wrong bin edge, a swapped a/b, or a
+    missing smoothing term diverges here)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from hadoop_fixedlengthinputformat_spark.operators.dq_suite import (
+        dq_psi_drift,
+    )
+
+    rows = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    ).to_pylist()
+    rows = [
+        r
+        for r in rows
+        if r["ts"] is not None
+        and r["event_type"] is not None
+        and r["value"] is not None
+    ]
+    assert rows
+    # integer micros, never float seconds: a row exactly at the span
+    # midpoint must classify identically to the engines' 2*us <= lo+hi
+    times = [int(round(r["ts"].timestamp() * 1_000_000)) for r in rows]
+    lo, hi = min(times), max(times)
+    per: dict = {}
+    for r, t in zip(rows, times):
+        half = 0 if 2 * t <= lo + hi else 1
+        cents = int(round(r["value"] * 100))
+        b = min(9, max(cents, 0) // 2000)
+        st = per.setdefault(r["event_type"], {"n": [0, 0], "bins": {}})
+        st["n"][half] += 1
+        st["bins"][(half, b)] = st["bins"].get((half, b), 0) + 1
+    got = {r["event_type"]: r for r in dq_psi_drift(spark, sf_dir).collect()}
+    assert set(got) == set(per)
+    for et, st in per.items():
+        na, nb = st["n"]
+        psi = 0.0
+        for k in range(10):
+            pa = (st["bins"].get((0, k), 0) + 1) / (na + 10)
+            pb = (st["bins"].get((1, k), 0) + 1) / (nb + 10)
+            psi += (pb - pa) * math.log(pb / pa)
+        g = got[et]
+        assert g["n_a"] == na and g["n_b"] == nb, et
+        assert abs(g["psi"] - psi) < 2e-4, (et, g["psi"], psi)
+        assert g["drifted"] == (g["psi"] > 0.1), et
+        assert g["psi"] >= 0  # PSI is a (pointwise) divergence
