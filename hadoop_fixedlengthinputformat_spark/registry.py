@@ -164,15 +164,18 @@ GRADE_ORDER: tuple[str, ...] = (
 )
 # The window is GRADE_ORDER[:50] = 11 never-graded r13 additions + the
 # first 39 names of the r6 tail.  R15 WINDOW PLAN (keep the rotation
-# mechanical): any round-14 additions that have never been driver-
-# graded lead, then the last 7 of the r6 tail (llm_url_dedup,
-# llm_mime_sniff, graph_pagerank, stream_tumbling_window,
-# stream_stateful_count, stream_dedup, stream_static_join), then
-# r7-vintage names oldest-first (CORRECTNESS_r07.json key order,
-# including llm_embedding_quantize) fill the rest; the whole r7 block
-# was sf1-soaked 50/50 clean during r13 (plans/NOTES.md "Round-13:
-# r7-vintage oracle soak") and the r8 block is being soaked during
-# r14 for the r16 window.
+# mechanical): the 4 never-driver-graded round-14 additions lead
+# (mm_audio_fingerprint, llm_dup_clusters_ls, dq_psi_drift,
+# mm_video_scene_cut — all parity-green at sf0.001+sf0.01 and
+# sf1-soaked, plans/NOTES.md round-14), then the last 7 of the r6
+# tail (llm_url_dedup, llm_mime_sniff, graph_pagerank,
+# stream_tumbling_window, stream_stateful_count, stream_dedup,
+# stream_static_join), then r7-vintage names oldest-first
+# (CORRECTNESS_r07.json key order, including llm_embedding_quantize)
+# fill the remaining 39 slots; the whole r7 block was sf1-soaked
+# 50/50 clean during r13 (plans/NOTES.md "Round-13: r7-vintage oracle
+# soak") and the r8 block was soaked clean during r14 for the r16
+# window (plans/NOTES.md "Round-14: r8-vintage oracle soak").
 
 
 def _reorder() -> None:
