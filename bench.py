@@ -102,6 +102,14 @@ HEADLINE = [
     # LSH-band pipeline under time.  Baseline = first measurement
     # (BASELINE.md, round-13 table).
     "llm_minhash_containment",
+    # round-14 addition (VERDICT r13 #3): the round-13-family
+    # representative — the heaviest r13 op at sf1 (15.5 s) and the
+    # only one exercising the fused gates -> exact dedup -> LSH
+    # near-dedup -> curriculum mix -> shard composite under time,
+    # measured AFTER the r14 curriculum-stage rework (groupBy +
+    # broadcast rate join).  Baseline = first measurement (BASELINE.md,
+    # round-14 table).
+    "pipeline_corpus_release",
 ]
 
 # Machine axis each query's wall time tracks (round 12 protocol):
@@ -179,6 +187,12 @@ BASELINES: dict[str, tuple[float, float]] = {
     # probe swung 0.680 -> 0.439 within the run; BASELINE.md round-13
     # table)
     "llm_minhash_containment": (2.283, 1.536),
+    # round-14 addition — first measurement, probes bracketing
+    # (BASELINE.md round-14 table), taken on a QUIET box (loadavg 0.02
+    # at start; py probe 0.404 -> 0.332, mf 1.011 — the first
+    # fleet-nominal baseline since r11) with the reworked curriculum
+    # stage (groupBy + broadcast rates) in place
+    "pipeline_corpus_release": (1.856, 1.011),
 }
 
 assert set(HEADLINE) <= set(BASELINES), sorted(
