@@ -111,3 +111,127 @@ def llm_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         (F.lit(255) + F.row_number().over(w)).cast("long").alias("token_id"),
     )
+
+
+_VC_KS = (256, 1024, 4096)
+_VC_COV = "floor((CAST(covered_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)) * 10000 + 0.5) / 10000"
+
+
+def _vocab_coverage_sql() -> str:
+    arms = "\n    UNION ALL ".join(
+        f"SELECT {k} AS k, total_tokens, n_types, c_{k} AS covered_tokens,"
+        f" {_VC_COV} + 0 AS coverage"
+        f" FROM (SELECT t.total_tokens, t.n_types, c.c_{k},"
+        f" c.c_{k} AS covered_tokens, t.total_tokens AS tt FROM tot t, cov c)"
+        for k in _VC_KS
+    )
+    covs = ",\n               ".join(
+        f"CAST(sum(CASE WHEN rk <= {k} THEN freq ELSE 0 END) AS BIGINT)"
+        f" AS c_{k}"
+        for k in _VC_KS
+    )
+    return f"""
+    WITH toks AS (
+        SELECT t AS token
+        FROM (
+            SELECT unnest(string_split(text, ' ')) AS t
+            FROM documents WHERE text IS NOT NULL AND text <> ''
+        ) WHERE t <> ''
+    ),
+    v AS MATERIALIZED (
+        SELECT token, CAST(count(*) AS BIGINT) AS freq
+        FROM toks GROUP BY token
+    ),
+    top AS (
+        SELECT freq,
+               ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) AS rk
+        FROM v
+        QUALIFY ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC)
+            <= {max(_VC_KS)}
+    ),
+    tot AS (
+        SELECT CAST(sum(freq) AS BIGINT) AS total_tokens,
+               CAST(count(*) AS BIGINT) AS n_types
+        FROM v
+    ),
+    cov AS (
+        SELECT {covs}
+        FROM top
+    )
+    SELECT k, total_tokens, n_types, covered_tokens, coverage
+    FROM ({arms})
+    WHERE total_tokens > 0
+    """
+
+
+@query("llm_vocab_coverage", oracle=_vocab_coverage_sql())
+def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve (round 14) — the tokenizer-planning
+    companion to llm_vocab_ids: for top-K whitespace vocabularies
+    (K = 256 / 1024 / 4096, freq-desc token-asc total order, the
+    llm_vocab_ids convention), what share of RUNNING tokens each K
+    covers.  This is the curve a team reads before fixing a vocab
+    size: head coverage rises steeply then flattens along Zipf's law
+    (llm_zipf_fit's observation, turned into the planning metric).
+
+    Determinism: frequency sums are exact int64; the K cutoffs use the
+    same deterministic total order both engines agree on; coverage is
+    ONE exact-int division snapped to 4 (+0).  Scale shape: the token
+    census groupBy is Heaps-bounded (|vocab| ~ sqrt(corpus)); the only
+    ordered structure is orderBy().limit(4096) — TakeOrdered with
+    per-partition heads, no full-vocab single-node sort — and the rank
+    window runs over the 4096 survivors only; totals are a 1-row
+    aggregate; the final join is 1x1 broadcast.  Empty/NULL text and
+    empty split tokens excluded on BOTH sides; an empty corpus emits
+    zero rows both sides (total_tokens > 0)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.where(F.col("text").isNotNull() & (F.col("text") != ""))
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .where(F.col("token") != "")
+    )
+    v = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    top = v.orderBy(F.desc("freq"), F.asc("token")).limit(max(_VC_KS))
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    ranked = top.select("freq", F.row_number().over(w).alias("rk"))
+    cov = ranked.agg(
+        *[
+            F.sum(F.when(F.col("rk") <= k, F.col("freq")).otherwise(0))
+            .cast("long")
+            .alias(f"c_{k}")
+            for k in _VC_KS
+        ]
+    )
+    tot = v.agg(
+        F.sum("freq").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    row = cov.crossJoin(tot)
+    arms = [
+        row.select(
+            F.lit(k).alias("k"),
+            "total_tokens",
+            "n_types",
+            F.col(f"c_{k}").alias("covered_tokens"),
+            (
+                F.floor(
+                    (
+                        F.col(f"c_{k}").cast("double")
+                        / F.col("total_tokens").cast("double")
+                    )
+                    * 10000
+                    + 0.5
+                )
+                / 10000
+                + F.lit(0.0)
+            ).alias("coverage"),
+        )
+        for k in _VC_KS
+    ]
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionAll(a)
+    return out.where(F.col("total_tokens") > 0)

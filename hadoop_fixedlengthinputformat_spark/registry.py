@@ -164,10 +164,11 @@ GRADE_ORDER: tuple[str, ...] = (
 )
 # The window is GRADE_ORDER[:50] = 11 never-graded r13 additions + the
 # first 39 names of the r6 tail.  R15 WINDOW PLAN (keep the rotation
-# mechanical): the 4 never-driver-graded round-14 additions lead
+# mechanical): the 5 never-driver-graded round-14 additions lead
 # (mm_audio_fingerprint, llm_dup_clusters_ls, dq_psi_drift,
-# mm_video_scene_cut — all parity-green at sf0.001+sf0.01 and
-# sf1-soaked, plans/NOTES.md round-14), then the last 7 of the r6
+# mm_video_scene_cut, llm_vocab_coverage — all parity-green at
+# sf0.001+sf0.01 and sf1-soaked, plans/NOTES.md round-14), then the
+# last 7 of the r6
 # tail (llm_url_dedup, llm_mime_sniff, graph_pagerank,
 # stream_tumbling_window, stream_stateful_count, stream_dedup,
 # stream_static_join), then r7-vintage names oldest-first

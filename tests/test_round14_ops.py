@@ -218,3 +218,40 @@ def test_dq_psi_drift_matches_bruteforce(spark, sf_dir):
         assert abs(g["psi"] - psi) < 2e-4, (et, g["psi"], psi)
         assert g["drifted"] == (g["psi"] > 0.1), et
         assert g["psi"] >= 0  # PSI is a (pointwise) divergence
+
+
+def test_llm_vocab_coverage_matches_bruteforce(spark, sf_dir):
+    """Coverage curve re-derived with a Counter — a wrong cutoff order,
+    an off-by-one rank, or a double-counted tie diverges here."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from hadoop_fixedlengthinputformat_spark.functions.tokenizer_queries import (
+        llm_vocab_coverage,
+    )
+
+    rows = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    ).to_pylist()
+    c: Counter = Counter()
+    for r in rows:
+        t = r["text"]
+        if t:
+            c.update(tok for tok in t.split(" ") if tok)
+    total = sum(c.values())
+    ordered = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+    got = {r["k"]: r for r in llm_vocab_coverage(spark, sf_dir).collect()}
+    assert set(got) == {256, 1024, 4096}
+    for k, g in got.items():
+        covered = sum(f for _, f in ordered[:k])
+        assert g["total_tokens"] == total
+        assert g["n_types"] == len(c)
+        assert g["covered_tokens"] == covered, (k, g, covered)
+        assert abs(g["coverage"] - covered / total) < 2e-4
+    # the curve is monotone non-decreasing in K
+    assert (
+        got[256]["covered_tokens"]
+        <= got[1024]["covered_tokens"]
+        <= got[4096]["covered_tokens"]
+    )
