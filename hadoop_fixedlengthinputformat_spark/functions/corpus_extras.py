@@ -95,7 +95,16 @@ def llm_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", _tok().alias("t"))
     uni = tok.select(F.explode("t").alias("w"))
-    uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    # count tables are consumed 3x (totals + two join probes) / 2x
+    # (total + filtered join side): localCheckpoint both so the corpus
+    # is read once per census instead of once per consumer (round 14:
+    # 5 documents scans -> 2).  Both tables are count-collapsed —
+    # vocabulary-sized, never corpus-sized.
+    uc = (
+        uni.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     # Guard single-token docs: sequence(1, 0) would DESCEND in Spark.
     bigrams = tok.select(
         F.explode(
@@ -117,6 +126,7 @@ def llm_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c_xy"))
+        .localCheckpoint(eager=False)
     )
     n_uni = uc.agg(F.sum("c").alias("n_uni"))
     n_bi = bc_all.agg(F.sum("c_xy").alias("n_bi"))

@@ -116,11 +116,17 @@ def llm_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice("t", i * _CHUNK + 1, _CHUNK)),
         ).alias("chunks"),
     )
+    # digest-only instance table, consumed twice (boilerplate set +
+    # removal positions): localCheckpoint so the scan + canonical-docs
+    # window + segmentation run ONCE for both consumers instead of
+    # once each (round 14; the llm_repeated_ngrams recipe — documents
+    # parquet passes drop 3 -> 2, the remaining second pass being the
+    # clean-text rebuild that must touch the text anyway)
     hashed = chunked.select(
         "doc_id", F.posexplode("chunks").alias("pos", "chunk")
     ).select(
         "doc_id", "pos", F.md5(F.col("chunk").cast("binary")).alias("h")
-    )
+    ).localCheckpoint(eager=False)
     dups = (
         hashed.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("nd"))

@@ -193,7 +193,16 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(F.split("text", " ")).alias("token"))
         .where(F.col("token") != "")
     )
-    v = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    # Heaps-bounded census, localCheckpointed: it feeds BOTH the top-K
+    # cutoff and the totals, and (round 14) the original
+    # union-of-three-arms re-evaluated the whole subtree per arm — the
+    # executed plan scanned documents SIX times.  Checkpoint + one
+    # stack() generator over the single (cov x tot) row = ONE scan.
+    v = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint(eager=False)
+    )
     top = v.orderBy(F.desc("freq"), F.asc("token")).limit(max(_VC_KS))
     w = Window.orderBy(F.desc("freq"), F.asc("token"))
     ranked = top.select("freq", F.row_number().over(w).alias("rk"))
@@ -210,28 +219,29 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_types"),
     )
     row = cov.crossJoin(tot)
-    arms = [
-        row.select(
-            F.lit(k).alias("k"),
-            "total_tokens",
-            "n_types",
-            F.col(f"c_{k}").alias("covered_tokens"),
-            (
-                F.floor(
-                    (
-                        F.col(f"c_{k}").cast("double")
-                        / F.col("total_tokens").cast("double")
-                    )
-                    * 10000
-                    + 0.5
+    pairs = ", ".join(f"{k}, c_{k}" for k in _VC_KS)
+    expl = row.select(
+        "total_tokens",
+        "n_types",
+        F.expr(
+            f"stack({len(_VC_KS)}, {pairs}) AS (k, covered_tokens)"
+        ),
+    )
+    return expl.select(
+        "k",
+        "total_tokens",
+        "n_types",
+        "covered_tokens",
+        (
+            F.floor(
+                (
+                    F.col("covered_tokens").cast("double")
+                    / F.col("total_tokens").cast("double")
                 )
-                / 10000
-                + F.lit(0.0)
-            ).alias("coverage"),
-        )
-        for k in _VC_KS
-    ]
-    out = arms[0]
-    for a in arms[1:]:
-        out = out.unionAll(a)
-    return out.where(F.col("total_tokens") > 0)
+                * 10000
+                + 0.5
+            )
+            / 10000
+            + F.lit(0.0)
+        ).alias("coverage"),
+    ).where(F.col("total_tokens") > 0)

@@ -502,7 +502,10 @@ def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side combined); estimates for the probe keys join the cells
     by (row, bucket) with the tiny probe side broadcast.  No raw-key
     exchange anywhere except the exact-count verification half, which
-    IS the operator under test's oracle, not its scale path."""
+    IS the operator under test's oracle, not its scale path.  Three
+    lineitem passes total (round 14): full sketch, parity sketch, and
+    the exact top-10 — N reads off the checkpointed sketch (sum of
+    row 0's cells) instead of a fourth scan."""
     W, D = 2048, 4
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_suppkey", "l_orderkey"
@@ -559,7 +562,6 @@ def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pk", "rb.row", "rb.bucket")
         .groupBy("pk", "row", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)
     )
     summed = (
         par_cells.where(F.col("pk").isin(0, 1))
@@ -575,7 +577,10 @@ def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ok").alias("lin"))
     )
 
-    n_total = li.agg(F.count(F.lit(1)).alias("n"))
+    # N = sum of any one hash row's cells (every input row lands in
+    # exactly one cell of row 0) — read it off the checkpointed sketch
+    # instead of a fourth lineitem pass (round 14: 4 -> 3 scans).
+    n_total = full.where(F.col("row") == 0).agg(F.sum("c").alias("n"))
     top = (
         li.groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("exact_cnt"))

@@ -152,14 +152,19 @@ def dq_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias(f"null_{c}")
             )
         one = t.agg(*aggs)
-        for c in cols:
-            outs.append(
-                one.select(
-                    F.lit(f"{table}.{c}").alias("col_name"),
-                    "n_rows",
-                    F.col(f"null_{c}").alias("n_null"),
-                )
-            )
+        # unpivot the single agg row with ONE stack() generator —
+        # the per-column unionAll arms each re-evaluated `one`, so the
+        # executed plan scanned every table once PER COLUMN (9 scans;
+        # round 14 — now exactly one scan per table)
+        pairs = ", ".join(f"'{table}.{c}', null_{c}" for c in cols)
+        outs.append(
+            one.select(
+                "n_rows",
+                F.expr(
+                    f"stack({len(cols)}, {pairs}) AS (col_name, n_null)"
+                ),
+            ).select("col_name", "n_rows", "n_null")
+        )
     res = outs[0]
     for o in outs[1:]:
         res = res.unionAll(o)

@@ -300,22 +300,58 @@ def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("violations").cast("long").alias("violations"),
         )
 
-    dup = o.agg(
-        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("violations")
-    )
-    nulls = o.agg(
-        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias(
-            "violations"
+    # dup + null ride ONE orders aggregate, unpivoted with stack()
+    # (round 14: each unionAll arm re-evaluated its subtree — orders
+    # was scanned once per check)
+    dup_nulls = o.agg(
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("dup_v"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("null_v"),
+    ).select(
+        F.expr(
+            "stack(2, 'dup_orderkey', dup_v, 'null_custkey', null_v)"
+            " AS (check_name, violations)"
         )
-    )
+    ).select("check_name", F.col("violations").cast("long").alias("violations"))
     orphan_o = (
         o.join(c, o.o_custkey == c.c_custkey, "left_anti")
         .agg(F.count(F.lit(1)).alias("violations"))
     )
-    orphan_l = (
-        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
-        .agg(F.count(F.lit(1)).alias("violations"))
+    # orphan_lineitem + ship_before_order share ONE left-outer join
+    # (round 14; was a LeftAnti join + a separate inner join, i.e. two
+    # full lineitem->orders joins).  A non-null marker on the orders
+    # side makes the equivalence exact even under duplicate orderkeys:
+    # no-match rows (marker NULL) are precisely the anti-join rows, and
+    # matched rows are precisely the inner-join rows (k matches emit k
+    # rows in both formulations).
+    lo = li.select("l_orderkey", "l_shipdate").join(
+        o.select("o_orderkey", "o_orderdate", F.lit(1).alias("_m")),
+        li.l_orderkey == o.o_orderkey,
+        "left_outer",
     )
+    orphan_ship = lo.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("_m").isNull(), 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("orphan_v"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("l_shipdate") < F.col("o_orderdate"), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("ship_v"),
+    ).select(
+        F.expr(
+            "stack(2, 'orphan_lineitem_orderkey', orphan_v,"
+            " 'ship_before_order', ship_v) AS (check_name, violations)"
+        )
+    ).select("check_name", F.col("violations").cast("long").alias("violations"))
     bad_disc = li.agg(
         F.sum(
             F.when(
@@ -323,21 +359,11 @@ def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("violations")
     )
-    ship = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .agg(
-            F.sum(
-                F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1).otherwise(0)
-            ).alias("violations")
-        )
-    )
     return (
-        named("dup_orderkey", dup)
-        .unionByName(named("null_custkey", nulls))
+        dup_nulls
         .unionByName(named("orphan_order_custkey", orphan_o))
-        .unionByName(named("orphan_lineitem_orderkey", orphan_l))
+        .unionByName(orphan_ship)
         .unionByName(named("bad_discount", bad_disc))
-        .unionByName(named("ship_before_order", ship))
     )
 
 
@@ -876,34 +902,67 @@ def dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = load_table(spark, sf_dir, "supplier")
     customer = load_table(spark, sf_dir, "customer")
 
-    def edge(child, fk_col, parent, pk_col, child_name, fk_label):
-        keys = child.where(F.col(fk_col).isNotNull()).select(
-            F.col(fk_col).alias("k")
-        )
-        pk = parent.select(F.col(pk_col).alias("k"))
-        n = keys.agg(F.count(F.lit(1)).alias("n_child_rows"))
-        orph = keys.join(pk, "k", "left_anti").agg(
-            F.count(F.lit(1)).alias("n_orphans")
-        )
-        return n.crossJoin(orph).select(
-            F.lit(child_name).alias("child_table"),
-            F.lit(fk_label).alias("fk"),
-            "n_child_rows",
-            "n_orphans",
+    # Round 14: each edge used to run a count scan + an anti-join scan
+    # of its child (12 scans across the 4 edges).  Now every child is
+    # scanned ONCE: the child rides a left-outer join per edge against
+    # the DISTINCT parent key set (distinct makes the equivalence exact
+    # under duplicate parent keys — each child row still appears
+    # exactly once), a non-null marker identifies matches, and one
+    # aggregate computes all of the child's edge counts, unpivoted
+    # with stack().  NULL FKs never match and are excluded by the
+    # conditional sums, exactly as the NOT-EXISTS oracle does.
+    def pset(parent, pk_col, marker):
+        return (
+            parent.select(F.col(pk_col)).distinct()
+            .withColumn(marker, F.lit(1))
         )
 
-    out = edge(li, "l_orderkey", orders, "o_orderkey", "lineitem",
-               "l_orderkey->orders")
-    out = out.unionAll(
-        edge(li, "l_partkey", part, "p_partkey", "lineitem",
-             "l_partkey->part")
+    li_joined = (
+        li.select("l_orderkey", "l_partkey", "l_suppkey")
+        .join(pset(orders, "o_orderkey", "_mo"),
+              F.col("l_orderkey") == F.col("o_orderkey"), "left_outer")
+        .join(pset(part, "p_partkey", "_mp"),
+              F.col("l_partkey") == F.col("p_partkey"), "left_outer")
+        .join(pset(supplier, "s_suppkey", "_ms"),
+              F.col("l_suppkey") == F.col("s_suppkey"), "left_outer")
     )
-    out = out.unionAll(
-        edge(li, "l_suppkey", supplier, "s_suppkey", "lineitem",
-             "l_suppkey->supplier")
+
+    def counts(fk_col, marker, n_name, o_name):
+        nn = F.col(fk_col).isNotNull()
+        return [
+            F.coalesce(F.sum(F.when(nn, 1).otherwise(0)), F.lit(0))
+            .cast("long").alias(n_name),
+            F.coalesce(
+                F.sum(
+                    F.when(nn & F.col(marker).isNull(), 1).otherwise(0)
+                ),
+                F.lit(0),
+            ).cast("long").alias(o_name),
+        ]
+
+    li_rows = li_joined.agg(
+        *counts("l_orderkey", "_mo", "n_o", "or_o"),
+        *counts("l_partkey", "_mp", "n_p", "or_p"),
+        *counts("l_suppkey", "_ms", "n_s", "or_s"),
+    ).select(
+        F.expr(
+            "stack(3,"
+            " 'lineitem', 'l_orderkey->orders', n_o, or_o,"
+            " 'lineitem', 'l_partkey->part', n_p, or_p,"
+            " 'lineitem', 'l_suppkey->supplier', n_s, or_s)"
+            " AS (child_table, fk, n_child_rows, n_orphans)"
+        )
     )
-    out = out.unionAll(
-        edge(orders, "o_custkey", customer, "c_custkey", "orders",
-             "o_custkey->customer")
+    o_rows = (
+        orders.select("o_custkey")
+        .join(pset(customer, "c_custkey", "_mc"),
+              F.col("o_custkey") == F.col("c_custkey"), "left_outer")
+        .agg(*counts("o_custkey", "_mc", "n_c", "or_c"))
+        .select(
+            F.lit("orders").alias("child_table"),
+            F.lit("o_custkey->customer").alias("fk"),
+            F.col("n_c").alias("n_child_rows"),
+            F.col("or_c").alias("n_orphans"),
+        )
     )
-    return out
+    return li_rows.unionAll(o_rows)

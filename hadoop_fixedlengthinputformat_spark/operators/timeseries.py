@@ -52,19 +52,26 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the last observed hourly sum (`last(..., ignorenulls=True)` over
     an unbounded-preceding window).
 
-    Exchange shape (VERDICT r7 polish): exactly TWO exchanges at any
-    scale — the map-side-combined raw-event agg onto (user_id, bucket),
-    then ONE repartition of the small hourly table onto user_id that
-    the span agg, the grid⋈hourly join (hashpartitioning(user_id)
-    satisfies ClusteredDistribution([user_id, bucket])), and the
-    forward-fill window all ride.  Without it the grid re-shuffled for
-    the join and again for the window."""
+    Exchange shape (round 14 rework — the r7 "two exchanges" shape had
+    silently become TWO RAW SCANS: the hourly table feeds both the span
+    agg and the join probe, and column pruning narrows the span branch,
+    so Spark planned the events scan + aggregate TWICE instead of
+    sharing the subtree).  The hourly aggregate is localCheckpointed —
+    raw events are scanned ONCE and only the |users x hours| aggregate
+    materializes; the span agg re-keys it onto user_id (aggregate-sized
+    exchange), and the grid explode, the grid⋈hourly join
+    (hashpartitioning(user_id) satisfies
+    ClusteredDistribution([user_id, bucket]) via
+    requireAllClusterKeysForCoPartition=false) and the forward-fill
+    window all ride that partitioning — the grid, the largest
+    intermediate, never crosses the wire (pinned in
+    tests/test_scale_plans.py)."""
     ev = load_table(spark, sf_dir, "events")
     b = (
         ev.groupBy(
             "user_id", F.date_trunc("hour", "ts").alias("bucket")
         ).agg(F.round(F.sum("value"), 4).alias("hr_sum"))
-        .repartition("user_id")
+        .localCheckpoint(eager=False)
     )
     spans = b.groupBy("user_id").agg(
         F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
@@ -234,17 +241,29 @@ def ts_rollup_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear interpolation of missing hourly buckets between each user's
     prev/next observed values (gap_fill's forward-fill upgraded to a
-    two-sided anchor).  Same scale shape as ts_gap_fill: both exchanges
-    ride pre-aggregated data, and the two anchor windows share the
-    (user_id, bucket) sort — one window exchange, two passes.  The
-    interpolation arithmetic runs the SAME IEEE ops on both engines
-    (anchors are already-rounded sums, the time fraction is a
-    bigint/bigint divide), so values are bit-identical without a final
-    rounding; `+ 0` normalizes a possible -0.0 anchor."""
+    two-sided anchor).
+
+    Round-14 rework, measured at sf0.1 (12-38 s -> ~1 s):
+    (1) the next-anchor pass used `first_value ... ROWS BETWEEN CURRENT
+    ROW AND UNBOUNDED FOLLOWING` — Spark's UnboundedFollowing frame
+    re-scans the remainder of the partition PER ROW (O(rows x gap run
+    length), quadratic on sparse grids), so it is re-expressed as the
+    exactly-equivalent `last_value ... IGNORE NULLS` over the SAME rows
+    ordered bucket-DESC with a running UNBOUNDED PRECEDING frame (O(n)
+    incremental state; one extra sort, no extra exchange — grid buckets
+    are unique per user so the reversal is deterministic); (2) the
+    hourly aggregate is localCheckpointed (the ts_gap_fill round-14
+    fix: the span branch and the join probe otherwise each re-scan raw
+    events).  The interpolation arithmetic runs the SAME IEEE ops on
+    both engines (anchors are already-rounded sums, the time fraction
+    is a bigint/bigint divide), so values are bit-identical without a
+    final rounding; `+ 0` normalizes a possible -0.0 anchor."""
     ev = load_table(spark, sf_dir, "events")
     b = ev.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("bucket")
-    ).agg(F.round(F.sum("value"), 4).alias("hr_sum"))
+    ).agg(F.round(F.sum("value"), 4).alias("hr_sum")).localCheckpoint(
+        eager=False
+    )
     spans = b.groupBy("user_id").agg(
         F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
     )
@@ -260,10 +279,13 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w_next = (
+    # next-anchor: identical row set to (CURRENT ROW .. UNBOUNDED
+    # FOLLOWING) on the ascending order, evaluated as a running frame
+    # on the descending order
+    w_next_rev = (
         Window.partitionBy("user_id")
-        .orderBy("bucket")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.desc("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     obs_bucket = F.when(F.col("hr_sum").isNotNull(), F.col("bucket"))
     anchored = g.select(
@@ -271,8 +293,8 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         F.last(obs_bucket, ignorenulls=True).over(w_prev).alias("pt"),
         F.last("hr_sum", ignorenulls=True).over(w_prev).alias("pv"),
-        F.first(obs_bucket, ignorenulls=True).over(w_next).alias("nt"),
-        F.first("hr_sum", ignorenulls=True).over(w_next).alias("nv"),
+        F.last(obs_bucket, ignorenulls=True).over(w_next_rev).alias("nt"),
+        F.last("hr_sum", ignorenulls=True).over(w_next_rev).alias("nv"),
     )
     frac = (F.unix_timestamp("bucket") - F.unix_timestamp("pt")) / (
         F.unix_timestamp("nt") - F.unix_timestamp("pt")
