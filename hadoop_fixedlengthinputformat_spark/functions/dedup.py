@@ -304,10 +304,13 @@ def ngram_jaccard_pairs(
     ``max_doc_freq`` optionally ALSO drops tokens above an absolute doc
     frequency (approximate mode; changes semantics — off by default).
     """
+    # consumed twice (global token-df census + the ranked re-join):
+    # localCheckpoint so the canonicalization window + tokenize explode
+    # run once, not once per consumer (round 14)
     toks = _spread(df, id_col).select(
         F.col(id_col), *[F.col(c) for c in block_cols],
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
-    )
+    ).localCheckpoint(eager=False)
     if max_doc_freq is not None:
         freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
         # the DROP side is small (at most total_occurrences / cap
@@ -326,13 +329,15 @@ def ngram_jaccard_pairs(
     # in t*n (a too-SHORT prefix can miss pairs; longer is always safe)
     n = F.size("arr")
     plen = n - F.ceil(n * threshold - 1e-9) + 1
+    # consumed twice (both sides of the prefix self-join): checkpoint
+    # so the df-rank join + per-doc collect run once (round 14)
     docs = docs.select(
         F.col(id_col),
         *[F.col(c) for c in block_cols],
         n.alias("n_tok"),
         F.transform("arr", lambda s: s["tok"]).alias("toks"),
         F.transform(F.slice("arr", 1, plen), lambda s: s["tok"]).alias("prefix"),
-    )
+    ).localCheckpoint(eager=False)
     pa = docs.select(
         F.col(id_col).alias("doc_a"), *[F.col(c) for c in block_cols],
         F.col("n_tok").alias("na"), F.col("toks").alias("toks_a"),

@@ -1480,7 +1480,12 @@ def llm_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     Signature join on candidate ids only; k/8 rational arithmetic, so
     the estimate is bit-identical in both engines."""
     d = load_table(spark, sf_dir, "documents")
-    sig = dedup.minhash_signature(d, "doc_id")
+    # sig is consumed 3x here (the band self-join + both probe sides):
+    # localCheckpoint so the shingle explode + 8x md5 census runs once
+    # (round 14; 4 documents scans -> 1).  Local to THIS query — the
+    # other minhash consumers keep the lazy subtree so their
+    # no-text-on-exchange plan pins still see it.
+    sig = dedup.minhash_signature(d, "doc_id").localCheckpoint(eager=False)
     cand = dedup.lsh_candidate_pairs(sig, "doc_id")
     sa = sig.select(
         F.col("doc_id").alias("doc_a"), *[F.col(f"mh_{i}").alias(f"a{i}") for i in range(8)]

@@ -481,7 +481,10 @@ def dhash_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 hashes.append(None if h is None else f"{h:016x}")
             yield pd.DataFrame({id_col: pdf[id_col], "phash": hashes})
 
-    return df.mapInPandas(run, schema)
+    # project first: mapInPandas is opaque to column pruning, so any
+    # extra caller columns would cross the Arrow boundary (guide rule;
+    # the other kernels in this module already do this)
+    return df.select(id_col, "media").mapInPandas(run, schema)
 
 
 def attach_twin_media(
@@ -580,7 +583,8 @@ def fingerprint_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 out.append(None if h is None else f"{h:016x}")
             yield pd.DataFrame({id_col: pdf[id_col], "afp": out})
 
-    return df.mapInPandas(run, schema)
+    # project first (column-pruning insurance — see dhash_images)
+    return df.select(id_col, "media").mapInPandas(run, schema)
 
 
 def near_twin_wav_payload(doc_id: int, mod: int = 50) -> bytes:

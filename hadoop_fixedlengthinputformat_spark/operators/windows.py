@@ -174,6 +174,14 @@ def win_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_acctbal", "c_mktsegment"
     )
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # NOT checkpointed (round-14 optimization pass finding): the three
+    # consumers (ranked / counts / total) duplicate this subtree in the
+    # initial plan, but the range exchange is identical across them, so
+    # runtime ReusedExchange collapses the scan+shuffle to ONE execution
+    # — pinned by test_ntile_has_no_unpartitioned_window, which also
+    # guards the determinism the pid<->offset arithmetic relies on.  A
+    # localCheckpoint here would only add a materialization layer and
+    # hide the pinned structure.
     ranged = c.repartitionByRange(nparts, "c_acctbal", "c_custkey").withColumn(
         "pid", F.spark_partition_id()
     )
