@@ -148,10 +148,12 @@ def test_tpch_q6_has_no_exchange(spark):
 
 
 def test_ts_interpolate_windows_share_one_sort(spark):
-    """Both anchor windows (prev via last, next via first) order by the
-    same (user_id, bucket) — the plan must contain at most one
-    (user_id)-keyed exchange feeding the window stack, not one per
-    window direction."""
+    """Both anchor windows (prev: bucket-ASC running frame; next:
+    bucket-DESC running frame — the round-14 rework that replaced the
+    quadratic UNBOUNDED FOLLOWING frame) partition by user_id — the
+    plan must contain at most one (user_id)-keyed exchange feeding the
+    window stack (direction changes cost a re-sort, never a
+    re-shuffle)."""
     from hadoop_fixedlengthinputformat_spark.operators.timeseries import (
         ts_interpolate,
     )
@@ -1745,9 +1747,14 @@ def test_hapax_single_token_exchange(spark):
 
 
 def test_dq_referential_broadcast_antijoins_no_hash_exchange(spark):
-    """dq_referential (round 11): every orphan census is an ids-only
-    anti-join whose parent side AQE broadcasts (unhinted) — zero hash
-    exchanges in the whole four-edge union."""
+    """dq_referential (round 14 rework; round-11 pin updated): each
+    CHILD is scanned once and rides left-outer joins against DISTINCT
+    parent key sets (was: a count scan + an anti-join scan per edge —
+    12 scans).  The only hash exchanges allowed are the parent-key
+    distincts — ids-only, map-side combined, parent-sized; the child
+    side must never hash-exchange (locally the distinct parent sets
+    broadcast unhinted, at 100x the orders edge degrades to an id-hash
+    shuffle exactly like the old anti-join did)."""
     from hadoop_fixedlengthinputformat_spark.operators.relational_extras import (
         dq_referential,
     )
@@ -1755,8 +1762,17 @@ def test_dq_referential_broadcast_antijoins_no_hash_exchange(spark):
     df = dq_referential(spark, "/root/testdata/sf0.001")
     assert "ResolvedHint" not in df._jdf.queryExecution().analyzed().toString()
     plan = _final_plan(df)
-    assert _hashex(plan) == 0, plan
+    parent_keys = ("o_orderkey", "p_partkey", "s_suppkey", "c_custkey")
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert any(k in line for k in parent_keys), (
+                f"non-parent-key hash exchange (child side shuffled?):"
+                f"\n{line}\n{plan}"
+            )
+    assert _hashex(plan) <= 4, plan
     assert "BroadcastHashJoin" in plan, plan
+    # one scan per table role: lineitem must appear exactly once
+    assert plan.count("lineitem.parquet") == 1, plan
 
 
 def test_kcore_converged_checkpointed_rounds_no_hints(spark):
