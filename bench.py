@@ -11,6 +11,28 @@ Prints ONE JSON line:
   {"metric": "total_median_sec", "value": N, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ...}
 
+Round-15 output contract (VERDICT r14 #2 — the r13 round-over-round
+record silently vanished because the one-line JSON outgrew the
+driver's 2000-char tail buffer and arrived truncated mid-JSON): the
+stdout line is now CAPPED — metric/value/unit/queries/sf/cpus plus a
+few scalar factors, compact separators, asserted < 1900 chars — and
+every per-query diagnostic dict (normalized values, vs-baseline
+ratios, the gated/strict gate dicts, probe brackets) moves to a
+sidecar written next to this file (BENCH_DETAIL.json, override with
+$BENCH_DETAIL_PATH) and is also echoed to stderr.  Nothing about the
+timed region, the normalization, or the gate FORMULA changed — the
+same numbers are computed, they just live in the sidecar.
+
+Optional sf1 leg (VERDICT r14 #1): when $SPARK_GRAFT_SF1_DIR is set
+and exists, the heavy-representative set SF1_HEADLINE additionally
+runs there (1 warm-up + median of $BENCH_SF1_RUNS, default 3, same
+noop-sink methodology) after the sf0.1 loop; per-query seconds land
+in the sidecar's "sf1" block and only the total rides the stdout
+line.  Opt-in by env — NOT auto-detected — so the driver's own
+bench invocations (including the reduced-core scaling run) keep
+their historical wall-clock envelope and round-over-round
+comparability.
+
 Calibration protocol (round 12, VERDICT r11 #2): the headline queries
 run on two distinct machine axes and the axes drift INDEPENDENTLY on
 this fleet — round 12 measured the binaryRecords (IO/page-cache) probe
@@ -200,6 +222,31 @@ assert set(HEADLINE) <= set(BASELINES), sorted(
 )  # ADVICE r11: a headline query without a baseline row must fail
 # loudly here, not silently inflate the 2x-gate total downstream.
 
+# --- sf1 leg (VERDICT r14 #1) -------------------------------------------
+# The sf0.1 bench is scheduling-floor-bound for most rows (12 of 29 ran
+# as fast on 8 cores as 32 in PERF_r14's scaling block), so shuffle /
+# multi-scan / codec claims need a leg where data cost dominates.  The
+# 8 heavy representatives VERDICT r14 named, run at $SPARK_GRAFT_SF1_DIR
+# when set (generate with `python tests/gen_testdata.py /tmp/sf1 1
+# --scale 1000`).  Baselines: first measurement (BASELINE.md round-15
+# table) with the compute-axis probe factor bracketing the runs.
+SF1_HEADLINE = [
+    "llm_ngram_jaccard",
+    "dq_referential",
+    "ts_interpolate",
+    "agg_count_min",
+    "llm_minhash_near_dedup",
+    "tpch_q2_min_cost_supplier",
+    "pipeline_corpus_release",
+    "stream_custom_stateful",
+]
+SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "")
+SF1_RUNS = int(os.environ.get("BENCH_SF1_RUNS", "3"))
+# First-measurement sf1 baselines (round 15, BASELINE.md): (seconds,
+# compute-axis factor at measurement).  Populated from the first
+# committed sf1 run; queries without a row grade as "new".
+SF1_BASELINES: dict[str, tuple[float, float]] = {}
+
 
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -354,6 +401,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
+        spark.sparkContext.setJobDescription(f"bench: {name}")
         for _ in range(WARMUPS):  # warm-up (also materializes fixtures)
             force(fn(spark, SF_DIR))
         samples = []
@@ -363,6 +411,27 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 3)
         print(f"# {name}: {timings[name]}s {samples}", file=sys.stderr)
+    spark.sparkContext.setJobDescription(None)
+
+    # Optional sf1 leg — same methodology (noop sink, warm-up, median),
+    # timed inside the probe bracket so the compute factor covers it.
+    sf1_timings: dict[str, float] = {}
+    if SF1_DIR and os.path.isdir(SF1_DIR):
+        for name in SF1_HEADLINE:
+            fn = qs[name]
+            spark.sparkContext.setJobDescription(f"bench sf1: {name}")
+            force(fn(spark, SF1_DIR))  # single warm-up at sf1
+            samples = []
+            for _ in range(SF1_RUNS):
+                t0 = time.perf_counter()
+                force(fn(spark, SF1_DIR))
+                samples.append(time.perf_counter() - t0)
+            sf1_timings[name] = round(statistics.median(samples), 3)
+            print(
+                f"# sf1 {name}: {sf1_timings[name]}s {samples}",
+                file=sys.stderr,
+            )
+        spark.sparkContext.setJobDescription(None)
 
     probes_end = probe_all(spark)
     probes = {
@@ -434,52 +503,102 @@ def main() -> None:
         BASELINES[n][0] / BASELINES[n][1] for n in timings
     )
     norm_total = round(sum(normalized.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_median_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "cpus": CPUS,
-                "calibration_sec": probes["io"],
-                "calibration_py_sec": probes["py"],
-                "calibration_cpu_sec": probes["cpu"],
-                "calibration_sched_sec": probes["sched"],
-                "calibration_probes_start": probes_start,
-                "calibration_probes_end": probes_end,
-                "calibration_ref_sec": CALIBRATION_REF_SEC,
-                # legacy io-axis factor (>1 = slower io than session-1)
-                "machine_factor": machine_factor,
-                # round-12 per-axis factors; normalization uses these
-                # the compute-axis factor every query normalizes by
-                "machine_factor_compute": round(mf_compute, 3),
-                "normalized_total_sec": norm_total,
-                # per-query sec / axis factor (comparable across boxes)
-                "normalized_queries": normalized,
-                # normalized-vs-normalized per-query ratio against the
-                # BASELINE.md row (raw — diagnostic since round 13)
-                "vs_baseline_normalized": ratios,
-                # round-13 gate dict: sub-floor rows (absolute median
-                # < 3x sched probe) grade floor-subtracted, everything
-                # else raw.  THE 2x GATE READS THIS, not the raw dict.
-                "vs_baseline_gated": gated,
-                # round-14 diagnostic (ADVICE r13): the both-sides
-                # floor-subtracted ratio — recorded for cross-round
-                # history, NOT the breach gate (measured to flap ~2.4x
-                # on 0.2 s box noise over 0.16 s baselines; see the
-                # disposition comment above)
-                "vs_baseline_gated_strict": gated_strict,
-                "sched_adjusted_queries": sched_adjusted,
-                "calibration_sched_ref_sec": CALIBRATION_SCHED_REF_SEC,
-                "baseline_normalized_total_sec": round(base_norm_total, 3),
-                "vs_baseline_normalized_total": round(
-                    norm_total / max(base_norm_total, 1e-9), 3
-                ),
-            }
-        )
+
+    # --- sf1 leg post-processing (same normalization protocol) ---------
+    sf1_block: dict[str, object] = {}
+    if sf1_timings:
+        sf1_norm = {
+            n: round(v / mf_compute, 3) for n, v in sf1_timings.items()
+        }
+        sf1_ratios = {
+            n: round(
+                sf1_norm[n] / (SF1_BASELINES[n][0] / SF1_BASELINES[n][1]),
+                3,
+            )
+            for n in sf1_timings
+            if n in SF1_BASELINES
+        }
+        sf1_block = {
+            "sf1_dir": SF1_DIR,
+            "runs": SF1_RUNS,
+            "queries": sf1_timings,
+            "total_median_sec": round(sum(sf1_timings.values()), 3),
+            "normalized_queries": sf1_norm,
+            "vs_baseline_normalized": sf1_ratios,
+            "new_queries": sorted(
+                n for n in sf1_timings if n not in SF1_BASELINES
+            ),
+        }
+
+    # --- emit: capped stdout line + full-detail sidecar (VERDICT r14
+    # #2; see the module docstring's round-15 output contract) ---------
+    line_obj: dict[str, object] = {
+        "metric": "total_median_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": CPUS,
+        "machine_factor_compute": round(mf_compute, 3),
+        "normalized_total_sec": norm_total,
+        "baseline_normalized_total_sec": round(base_norm_total, 3),
+        "vs_baseline_normalized_total": round(
+            norm_total / max(base_norm_total, 1e-9), 3
+        ),
+    }
+    if sf1_block:
+        line_obj["sf1_total_median_sec"] = sf1_block["total_median_sec"]
+    detail_path = os.environ.get(
+        "BENCH_DETAIL_PATH",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_DETAIL.json"),
     )
+    line_obj["detail_file"] = os.path.basename(detail_path)
+    detail = dict(line_obj)
+    detail.update(
+        {
+            "calibration_sec": probes["io"],
+            "calibration_py_sec": probes["py"],
+            "calibration_cpu_sec": probes["cpu"],
+            "calibration_sched_sec": probes["sched"],
+            "calibration_probes_start": probes_start,
+            "calibration_probes_end": probes_end,
+            "calibration_ref_sec": CALIBRATION_REF_SEC,
+            # legacy io-axis factor (>1 = slower io than session-1)
+            "machine_factor": machine_factor,
+            # per-query sec / axis factor (comparable across boxes)
+            "normalized_queries": normalized,
+            # normalized-vs-normalized per-query ratio against the
+            # BASELINE.md row (raw — diagnostic since round 13)
+            "vs_baseline_normalized": ratios,
+            # round-13 gate dict: sub-floor rows (absolute median
+            # < 3x sched probe) grade floor-subtracted, everything
+            # else raw.  THE 2x GATE READS THIS, not the raw dict.
+            "vs_baseline_gated": gated,
+            # round-14 diagnostic (ADVICE r13): the both-sides
+            # floor-subtracted ratio — recorded for cross-round
+            # history, NOT the breach gate (measured to flap ~2.4x
+            # on 0.2 s box noise over 0.16 s baselines; see the
+            # disposition comment above)
+            "vs_baseline_gated_strict": gated_strict,
+            "sched_adjusted_queries": sched_adjusted,
+            "calibration_sched_ref_sec": CALIBRATION_SCHED_REF_SEC,
+        }
+    )
+    if sf1_block:
+        detail["sf1"] = sf1_block
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=False)
+    print("# detail: " + json.dumps(detail, separators=(",", ":")),
+          file=sys.stderr)
+    line = json.dumps(line_obj, separators=(",", ":"))
+    # The driver's tail buffer holds 2000 chars (BENCH_r13's line
+    # outgrew it and the round-over-round record silently vanished);
+    # fail loudly here LONG before that can happen again.
+    assert len(line) < 1900, (
+        f"stdout line {len(line)} chars — move fields to the sidecar"
+    )
+    print(line)
 
 
 if __name__ == "__main__":

@@ -107,76 +107,82 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # llm_embedding_quantize, which was re-graded r7 and is r7-vintage —
 # it re-enters with the r7 block at r15).  After r14, ever-driver-
 # graded coverage closes to 407/407 of the r13 contract.
-GRADE_ORDER: tuple[str, ...] = (
-    # --- never-driver-graded r13 additions (VERDICT r13 #1) ---
-    "stream_varlen_sink",
-    "stream_awstape_sink",
-    "pipeline_corpus_release",
-    "dq_unique_keys",
-    "ts_linreg_forecast",
-    "fn_string_similarity",
-    "llm_sentence_stats",
-    "mm_phash_near_dedup",
-    "graph_hits",
-    "ts_backtest_linreg",
-    "stream_varlen_directory",
-    # --- r6-vintage re-grades, oldest-first (first 39 of the 46 tail;
-    # stale: 14-6 >= 5) ---
-    "ts_sessionize",
-    "ts_rollup_chain",
-    "llm_domain_stats",
-    "dq_audit",
-    "llm_shard_assign",
-    "llm_dataset_card",
-    "llm_simhash",
-    "scan_varlen_rdw",
-    "sink_varlen_rdw",
-    "scan_varlen_rdw_indexed",
-    "scan_varlen_vb",
-    "sink_varlen_vb",
-    "maintain_varlen_index",
-    "sql_varlen_view",
-    "scan_fixedlen_copybook",
-    "scan_fixedlen_odo",
-    "scan_fixedlen_comp12",
-    "sink_fixedlen_bz2",
-    "maintain_zorder",
-    "cte_recursive",
-    "win_percent_rank_nth",
-    "set_union_by_name",
-    "fn_try_arith",
-    "fn_datetime_interval",
-    "join_asof_nearest",
-    "ts_anomaly_zscore",
-    "ts_retention_cohorts",
-    "ts_funnel",
-    "agg_approx_percentile",
-    "agg_histogram",
-    "agg_bitmap_distinct",
-    "llm_chunk_split",
-    "llm_pmi_bigrams",
-    "llm_passage_dedup",
-    "llm_holdout_split",
-    "llm_winnowing",
-    "llm_lm_score",
-    "llm_corpus_diff",
-    "llm_group_sample",
-)
-# The window is GRADE_ORDER[:50] = 11 never-graded r13 additions + the
-# first 39 names of the r6 tail.  R15 WINDOW PLAN (keep the rotation
-# mechanical): the 5 never-driver-graded round-14 additions lead
-# (mm_audio_fingerprint, llm_dup_clusters_ls, dq_psi_drift,
-# mm_video_scene_cut, llm_vocab_coverage — all parity-green at
+# ROUND 15 WINDOW (this list's first 50), per VERDICT r14 #9 — the
+# composition planned last round, applied verbatim: the 5 never-
+# driver-graded round-14 additions lead (all parity-green at
 # sf0.001+sf0.01 and sf1-soaked, plans/NOTES.md round-14), then the
-# last 7 of the r6
-# tail (llm_url_dedup, llm_mime_sniff, graph_pagerank,
-# stream_tumbling_window, stream_stateful_count, stream_dedup,
-# stream_static_join), then r7-vintage names oldest-first
-# (CORRECTNESS_r07.json key order, including llm_embedding_quantize)
-# fill the remaining 39 slots; the whole r7 block was sf1-soaked
-# 50/50 clean during r13 (plans/NOTES.md "Round-13: r7-vintage oracle
-# soak") and the r8 block was soaked clean during r14 for the r16
-# window (plans/NOTES.md "Round-14: r8-vintage oracle soak").
+# last 7 of the 46-name r6 tail close the r6 ladder, then r7-vintage
+# names oldest-first (CORRECTNESS_r07.json key order, including
+# llm_embedding_quantize, which was re-graded r7 and skipped the r14
+# window for exactly this slot) fill the remaining 38 slots; the
+# whole r7 block was sf1-soaked 50/50 clean during r13
+# (plans/NOTES.md "Round-13: r7-vintage oracle soak").
+GRADE_ORDER: tuple[str, ...] = (
+    # --- never-driver-graded r14 additions (VERDICT r14 #9) ---
+    "mm_audio_fingerprint",
+    "llm_dup_clusters_ls",
+    "dq_psi_drift",
+    "mm_video_scene_cut",
+    "llm_vocab_coverage",
+    # --- last 7 of the r6 tail, closing the r6 ladder (stale: 15-6) ---
+    "llm_url_dedup",
+    "llm_mime_sniff",
+    "graph_pagerank",
+    "stream_tumbling_window",
+    "stream_stateful_count",
+    "stream_dedup",
+    "stream_static_join",
+    # --- r7-vintage re-grades, oldest-first (first 38 of
+    # CORRECTNESS_r07.json key order; stale: 15-7 >= 5) ---
+    "llm_embedding_quantize",
+    "agg_approx_distinct",
+    "scan_varlen_vbs",
+    "sink_varlen_vbs",
+    "llm_mix_weights",
+    "llm_ccnet_bucket",
+    "fn_trig",
+    "agg_mode",
+    "stream_varlen_tail",
+    "stream_sliding_window",
+    "stream_session_window",
+    "stream_fixedlen_tail",
+    "stream_custom_stateful",
+    "stream_fixedlen_partitioned",
+    "stream_stream_join",
+    "stream_foreach_batch",
+    "stream_fixedlen_sink",
+    "stream_vbs_tail",
+    "scan_fixedlen_asa",
+    "sink_fixedlen_asa",
+    "scan_varlen_vba",
+    "llm_line_dedup",
+    "llm_span_corruption",
+    "llm_ngram_novelty",
+    "join_fuzzy_string",
+    "agg_moments",
+    "scan_awstape",
+    "scan_awstape_fb",
+    "sink_awstape",
+    "sink_awstape_labeled",
+    "stream_awstape_tail",
+    "sql_awstape_view",
+    "scan_fixedlen_gdg",
+    "scan_fixedlen_gdg_all",
+    "maintain_gdg_roll",
+    "llm_vocab_ids",
+    "merge_upsert",
+    "agg_weighted_median",
+)
+# The window is GRADE_ORDER[:50] = 5 never-graded r14 additions + the
+# last 7 r6-tail names + the first 38 of the r7 vintage.  R16 WINDOW
+# PLAN (keep the rotation mechanical): the remaining 12 r7-vintage
+# names lead (fn_ip, ts_pattern_match, agg_gini, agg_ttest,
+# scan_fixedlen_cond88, agg_chisq, llm_dsir_resample, ts_pattern_count,
+# scan_varlen_d, sink_varlen_d, limit_offset, agg_spearman — all
+# stale by r16: 16-7), then r8-vintage names oldest-first
+# (CORRECTNESS_r08.json key order) fill the remaining 38 slots; the
+# r8 block was sf1-soaked clean during r14 for exactly this window
+# (plans/NOTES.md "Round-14: r8-vintage oracle soak").
 
 
 def _reorder() -> None:

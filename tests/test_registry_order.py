@@ -23,20 +23,20 @@ def test_grade_order_applied_and_complete():
     assert names[: len(registry.GRADE_ORDER)] == list(registry.GRADE_ORDER)
 
 
-def test_round14_window_composition():
+def test_round15_window_composition():
     registry.load_all()
     window = list(registry.QUERIES)[:50]
-    # the 11 never-driver-graded r13 additions lead (VERDICT r13 #1),
-    # closing ever-graded coverage to 407/407 of the r13 contract
-    assert window[0] == "stream_varlen_sink"
-    assert window[10] == "stream_varlen_directory"
-    # then the first 39 of the 46-name r6 tail, oldest-first
-    # (stale: 14-6 >= 5); the last 7 compose the r15 window
-    assert window[11] == "ts_sessionize"
-    assert window[49] == "llm_group_sample"
-    # llm_embedding_quantize was re-graded r7 and is r7-vintage — it
-    # re-enters with the r7 block at r15 (matching registry.py's plan)
-    assert "llm_embedding_quantize" not in window
+    # the 5 never-driver-graded r14 additions lead (VERDICT r14 #9)
+    assert window[0] == "mm_audio_fingerprint"
+    assert window[4] == "llm_vocab_coverage"
+    # then the last 7 of the r6 tail, closing the r6 ladder
+    assert window[5] == "llm_url_dedup"
+    assert window[11] == "stream_static_join"
+    # then the first 38 r7-vintage names (CORRECTNESS_r07.json key
+    # order), led by llm_embedding_quantize, which skipped the r14
+    # window for exactly this slot (stale: 15-7 >= 5)
+    assert window[12] == "llm_embedding_quantize"
+    assert window[49] == "agg_weighted_median"
     # every window query has a full SQL oracle (strongest driver signal)
     missing = [n for n in window if n not in registry.ORACLES]
     assert not missing, f"window queries without oracle: {missing}"

@@ -49,6 +49,22 @@ def main() -> None:
     sf_dir, out_path = sys.argv[2], sys.argv[3]
     names = sys.argv[4:]
 
+    # ADVICE r14: collect() below pulls each query's FULL result set to
+    # the driver (the only way to finalize the adaptive plan on the
+    # DF's own QueryExecution — a noop write executes a separate QE, a
+    # limit changes the plan).  That is safe only on the small
+    # correctness fixtures; wide-output registry queries at sf0.1+ risk
+    # driver OOM in a diagnostic that only needs the plan.  Guard:
+    # refuse big SF dirs unless explicitly forced.
+    if "--force-big-sf" in names:
+        names.remove("--force-big-sf")
+    elif not re.search(r"sf0\.0\d+/?$", sf_dir):
+        sys.exit(
+            f"executed_audit is an sf0.001/sf0.01-only diagnostic "
+            f"(collect() materializes full results on the driver); got "
+            f"{sf_dir!r} — pass --force-big-sf to override"
+        )
+
     from hadoop_fixedlengthinputformat_spark.tables import get_session
     from hadoop_fixedlengthinputformat_spark import registry
 
