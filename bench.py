@@ -230,8 +230,20 @@ assert set(HEADLINE) <= set(BASELINES), sorted(
 # when set (generate with `python tests/gen_testdata.py /tmp/sf1 1
 # --scale 1000`).  Baselines: first measurement (BASELINE.md round-15
 # table) with the compute-axis probe factor bracketing the runs.
+# llm_ngram_jaccard (VERDICT r14's first pick) was measured and REMOVED
+# from this set in round 15: the synthetic corpus draws document text
+# from a ~31-token vocabulary, so at sf1 (500k docs, ~5k per
+# (lang,source) block) 56% OF ALL IN-BLOCK PAIRS genuinely qualify at
+# jaccard >= 0.6 — 7.17M result rows were counted in ONE block (DuckDB,
+# OPTIMIZATION_r15.md), ~700M corpus-wide.  The OUTPUT is quadratic in
+# SF by data construction; no exact algorithm can emit it in bench
+# time (the first sf1 attempt filled the disk with 80 GB of spill).
+# llm_minhash_containment represents the dedup-join family instead —
+# its signatures hash word SHINGLES (sequence n-grams, a combinatorial
+# space), so candidate pairs stay sparse on the same corpus and the
+# r12 soak already measured it feasible at sf1.
 SF1_HEADLINE = [
-    "llm_ngram_jaccard",
+    "llm_minhash_containment",
     "dq_referential",
     "ts_interpolate",
     "agg_count_min",

@@ -338,14 +338,25 @@ def ngram_jaccard_pairs(
         F.transform("arr", lambda s: s["tok"]).alias("toks"),
         F.transform(F.slice("arr", 1, plen), lambda s: s["tok"]).alias("prefix"),
     ).localCheckpoint(eager=False)
+    # Round-15 (guide §2.3/§8, found by the first sf1 bench leg): the
+    # prefix join used to carry BOTH full token arrays on its exploded
+    # sides — every doc's whole token list duplicated once per prefix
+    # token and shuffled, ~80 GB of sort spill at 500k docs (the run
+    # filled the disk).  The join only needs to DECIDE candidacy, so it
+    # ships (doc, block, n, tok) rows — a few dozen bytes each — and
+    # the surviving pairs fetch the two arrays afterwards by doc-keyed
+    # joins (docs is checkpointed above, so the fetch re-reads the
+    # materialized table, not the corpus).  Semantics identical: docs
+    # has one row per (id, block), so each cand row resolves to exactly
+    # the arrays the old code carried through the join.
     pa = docs.select(
         F.col(id_col).alias("doc_a"), *[F.col(c) for c in block_cols],
-        F.col("n_tok").alias("na"), F.col("toks").alias("toks_a"),
+        F.col("n_tok").alias("na"),
         F.explode("prefix").alias("tok"),
     )
     pb = docs.select(
         F.col(id_col).alias("doc_b"), *[F.col(c) for c in block_cols],
-        F.col("n_tok").alias("nb"), F.col("toks").alias("toks_b"),
+        F.col("n_tok").alias("nb"),
         F.explode("prefix").alias("tok"),
     )
     cand = (
@@ -356,14 +367,25 @@ def ngram_jaccard_pairs(
             F.least("na", "nb")
             >= F.greatest("na", "nb") * threshold - F.lit(1e-9)
         )
-        .select("doc_a", "doc_b", "na", "nb", "toks_a", "toks_b")
+        .select("doc_a", "doc_b", *block_cols, "na", "nb")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    jac = cand.withColumn(
-        "shared", F.size(F.array_intersect("toks_a", "toks_b"))
-    ).withColumn(
-        "jaccard",
-        F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")),
+    fetch_a = docs.select(
+        F.col(id_col).alias("doc_a"), *[F.col(c) for c in block_cols],
+        F.col("toks").alias("toks_a"),
+    )
+    fetch_b = docs.select(
+        F.col(id_col).alias("doc_b"), *[F.col(c) for c in block_cols],
+        F.col("toks").alias("toks_b"),
+    )
+    jac = (
+        cand.join(fetch_a, ["doc_a", *block_cols])
+        .join(fetch_b, ["doc_b", *block_cols])
+        .withColumn("shared", F.size(F.array_intersect("toks_a", "toks_b")))
+        .withColumn(
+            "jaccard",
+            F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")),
+        )
     )
     # floor(x*1e4+0.5)/1e4, not round(): same IEEE ops as the DuckDB
     # oracle, bit-identical on boundary doubles (see projection_filter.py)

@@ -948,9 +948,18 @@ def agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64 and merge-order-free; only the two sqrts (snapped to 8) and
     the final ratio (snapped to 4) touch doubles, on identical operand
     trees both engines.  Built-in corr() on ranks is NOT cross-engine
-    comparable (double accumulation in merge order).  Shuffle shape:
-    rank windows + the tie counts reuse one flag partitioning, then a
-    map-side-combined groupBy on the same key.  Overflow budget
+    comparable (double accumulation in merge order).  Shuffle shape
+    (round-15 rework, VERDICT r14 #4 — the old per-row rank windows ran
+    3 tasks total at any core count): ONE map-side-combined
+    (flag, q, p) pair-count groupBy is the only corpus-sized exchange
+    (checkpointed — three consumers); midranks derive from the pair
+    table per VALUE (flag-partitioned running windows over DISTINCT
+    values only — domain-bounded) and broadcast back onto it, so the
+    rank stage parallelizes across the pair-hash partitions.  The
+    per-value x is the identical integer the row window produced:
+    rank = cw − cnt + 1 ⇒ x = 2·cw − cnt + 1, and every power sum
+    re-weights by the pair count (sum over rows == sum over pairs).
+    Overflow budget
     (re-derived by the round-8 sf1 soak, which caught the original
     int64 sums at 1.16x int64 max for a 2M-row group): per-row rank
     products are DECIMAL(38,0) on Spark / HUGEINT on DuckDB, so
@@ -976,29 +985,64 @@ def agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor("l_quantity").cast("long").alias("q"),
         F.floor("l_extendedprice").cast("long").alias("p"),
     )
-    wq = Window.partitionBy("flag").orderBy("q")
-    wp = Window.partitionBy("flag").orderBy("p")
-    ranked = base.select(
-        "flag",
-        (
-            2 * F.rank().over(wq).cast("long")
-            + F.count(F.lit(1)).over(Window.partitionBy("flag", "q")) - 1
-        ).alias("x"),
-        (
-            2 * F.rank().over(wp).cast("long")
-            + F.count(F.lit(1)).over(Window.partitionBy("flag", "p")) - 1
-        ).alias("y"),
+    # Round-15 rank-stage parallelization (VERDICT r14 #4): the r8-r14
+    # shape ranked every ROW with two flag-partitioned windows — 3
+    # tasks total at any core count and any SF (PERF_r14 scaling block:
+    # 8v32 ratio ~1.19).  Midranks depend only on the VALUE, so the
+    # corpus collapses first to (flag, q, p) pair counts in ONE
+    # map-side-combined groupBy (the only corpus-sized exchange), the
+    # per-value rank tables derive from the pair table (tiny windows
+    # over distinct values — quantities are ~O(50), floored prices are
+    # bounded by the price domain), and the exact sums re-weight by the
+    # pair count: rank(v) = cw - cnt + 1 over the value-ordered running
+    # count, so x = 2*rank + cnt - 1 = 2*cw - cnt + 1 — the identical
+    # integer the row window produced, and every power sum is the same
+    # exact DECIMAL(38,0) total (sum over rows == sum over pairs
+    # weighted by c).  Overflow budget unchanged: per-term c*x*y <=
+    # 4n^3 binds at the same ~2.9e11 rows/group decimal38 ceiling.
+    # The value tables broadcast (domain-bounded, never corpus-sized).
+    # pairs feeds three consumers (qx, py, the weighted join).  The
+    # identical-subtree ReusedExchange variant was MEASURED (r14
+    # win_ntile discipline): the final adaptive plan kept 2 of 3
+    # consumers on one exchange but the third raced its broadcast
+    # stage past the reuse map and re-scanned the corpus (2 FileScans
+    # executed).  The checkpoint pins ONE corpus pass structurally —
+    # the pair table is domain-bounded (|q-dom| x |p-dom| x flags at
+    # most), the corpus is not — at a wash locally (3.23 vs 3.09 s
+    # sf0.1, 5.67 vs 5.22 s sf1, inside run noise).
+    pairs = base.groupBy("flag", "q", "p").agg(
+        F.count(F.lit(1)).alias("c")
+    ).localCheckpoint(eager=False)
+
+    def value_x(col: str, cw_col):
+        w_run = (
+            Window.partitionBy("flag")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        per_val = pairs.groupBy("flag", col).agg(F.sum("c").alias("cnt"))
+        return per_val.select(
+            "flag",
+            col,
+            (2 * F.sum("cnt").over(w_run) - F.col("cnt") + 1).alias(cw_col),
+        )
+
+    qx = value_x("q", "x")
+    py = value_x("p", "y")
+    weighted = pairs.join(F.broadcast(qx), ["flag", "q"]).join(
+        F.broadcast(py), ["flag", "p"]
     )
+
     def dec(c):
         return c.cast("decimal(38,0)")
 
-    g = ranked.groupBy("flag").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(dec(F.col("x"))).alias("sx"),
-        F.sum(dec(F.col("y"))).alias("sy"),
-        F.sum(dec(F.col("x")) * F.col("x")).alias("sxx"),
-        F.sum(dec(F.col("y")) * F.col("y")).alias("syy"),
-        F.sum(dec(F.col("x")) * F.col("y")).alias("sxy"),
+    g = weighted.groupBy("flag").agg(
+        F.sum("c").alias("n"),
+        F.sum(dec(F.col("x")) * F.col("c")).alias("sx"),
+        F.sum(dec(F.col("y")) * F.col("c")).alias("sy"),
+        F.sum(dec(F.col("x")) * F.col("x") * F.col("c")).alias("sxx"),
+        F.sum(dec(F.col("y")) * F.col("y") * F.col("c")).alias("syy"),
+        F.sum(dec(F.col("x")) * F.col("y") * F.col("c")).alias("sxy"),
         F.max("x").alias("mxx"),
         F.min("x").alias("mnx"),
         F.max("y").alias("mxy"),
