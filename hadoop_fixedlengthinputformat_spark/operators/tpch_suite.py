@@ -664,7 +664,17 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    eur_cost = cost.join(eur, cost.l_suppkey == eur.s_suppkey)
+    # eur_cost feeds BOTH the per-part min and the final selection; the
+    # executed plan (round 15) showed the two consumers re-running the
+    # whole subtree — lineitem scanned twice, supplier/nation/region
+    # twice (7 parquet scans, ReusedExchange recovered only the
+    # exchange).  localCheckpoint materializes it once: the table is
+    # the schema's stand-in for TPC-H partsupp — distinct (part, supp)
+    # pairs filtered to one region, bounded by |part| x suppliers/part,
+    # never corpus-sized (guide §5 caching rule).
+    eur_cost = cost.join(eur, cost.l_suppkey == eur.s_suppkey).localCheckpoint(
+        eager=False
+    )
     best = eur_cost.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
         F.min("unit_cost").alias("min_cost")
     )
