@@ -247,9 +247,11 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     subsequent order of the same user (the what-happened-next probe;
     join_asof is the backward twin).  Same one-shuffle formulation,
     mirrored: tag both sides, union on (key, time), then
-    first(ignorenulls) over a (key)-partitioned window running from the
-    current row FORWARD — events sort before orders at equal t so a
-    same-instant order matches (<= semantics, as in the oracle's ASOF
+    last(ignorenulls) over a (key)-partitioned RUNNING window on the
+    time-DESCENDING sort (round 15 — the equivalent forward frame was
+    the quadratic per-row re-scan) — in that order orders sort before
+    their equal-t events, so a same-instant order matches (<=
+    semantics, as in the oracle's ASOF
     ON e.ts <= od.o_orderdate).  Orders pre-deduped to one row per
     (custkey, orderdate) (min orderkey) so ties are deterministic in
     both engines."""
@@ -273,13 +275,21 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("event_id"),
         F.col("o_orderkey").alias("ord_key"),
     )
+    # Round-15: `first ... ROWS BETWEEN CURRENT ROW AND UNBOUNDED
+    # FOLLOWING` re-scans the partition remainder PER ROW (the
+    # ts_interpolate r14 quadratic frame; this sibling shipped the same
+    # shape and crawled minutes at sf1's 1M events).  Re-expressed as
+    # the exactly-equivalent `last ... IGNORE NULLS` over the SAME rows
+    # in the mirrored sort — desc_nulls_last is the exact reverse of
+    # asc_nulls_first, ties among events carry NULL ord_key so the
+    # first/last non-null is identical — with a running O(n) frame.
     w = (
         Window.partitionBy("k")
-        .orderBy("t", "side")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.desc("t"), F.desc("side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = left.unionByName(right).withColumn(
-        "next_orderkey", F.first("ord_key", ignorenulls=True).over(w)
+        "next_orderkey", F.last("ord_key", ignorenulls=True).over(w)
     )
     return merged.filter(F.col("side") == 0).select(
         "event_id", F.col("k").alias("user_id"), "next_orderkey"

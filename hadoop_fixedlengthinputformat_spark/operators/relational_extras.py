@@ -627,9 +627,11 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     sensor-alignment variant of plain backward as-of.  Same union+window
     formulation as ``join_asof`` (no range probe, no join explosion):
     one shuffle on user_id, a backward pass (last ignorenulls, ROWS
-    UNBOUNDED PRECEDING) and a forward pass (first ignorenulls, ROWS
-    UNBOUNDED FOLLOWING, side ordered DESC so an equal-timestamp order
-    is visible forward) share the one partitioning; distance compares
+    UNBOUNDED PRECEDING) and a forward pass (round 15: last ignorenulls
+    over the mirrored time-DESC sort with a running frame — the
+    original UNBOUNDED-FOLLOWING frame re-scanned the partition
+    remainder per row; an equal-timestamp order still sorts into the
+    frame) share the one partitioning; distance compares
     floor-epoch BIGINTs (DuckDB epoch() is fractional — NOTES rule).
     Orders pre-deduped to one row per (custkey, orderdate) so both
     directions pick deterministically on any roll."""
@@ -660,17 +662,24 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("t", "side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Round-15: the forward pass used `first ... CURRENT ROW ->
+    # UNBOUNDED FOLLOWING` — the quadratic per-row re-scan frame (the
+    # ts_interpolate r14 bug; join_asof_forward crawled minutes at
+    # sf1).  Same rows, mirrored sort (desc_nulls_last x side ASC is
+    # the exact reverse of t asc_nulls_first x side DESC), running
+    # O(n) frame; ties among events hold NULL ord_key/ord_t so the
+    # ignorenulls pick is identical.
     w_f = (
         Window.partitionBy("k")
-        .orderBy("t", F.col("side").desc())
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.desc("t"), "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = (
         left.unionByName(right)
         .withColumn("bkey", F.last("ord_key", ignorenulls=True).over(w_b))
         .withColumn("bt", F.last("ord_t", ignorenulls=True).over(w_b))
-        .withColumn("fkey", F.first("ord_key", ignorenulls=True).over(w_f))
-        .withColumn("ft", F.first("ord_t", ignorenulls=True).over(w_f))
+        .withColumn("fkey", F.last("ord_key", ignorenulls=True).over(w_f))
+        .withColumn("ft", F.last("ord_t", ignorenulls=True).over(w_f))
         .filter(F.col("side") == 1)
     )
     ep = lambda c: F.unix_timestamp(F.col(c))  # noqa: E731  floor-epoch

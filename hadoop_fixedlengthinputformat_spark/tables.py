@@ -157,6 +157,18 @@ def get_session(app: str = "flif-spark", cpus: int | None = None) -> SparkSessio
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # Shuffle/spill codec, env-parameterized (round-15 sf1 sweep,
+        # OPTIMIZATION_r15.md §codec): on local[32] lz4-vs-zstd was
+        # mixed and inside the noise band (containment -12%, line_dedup
+        # +12%), because page-cache "network" makes compression pure
+        # CPU here — so the LOCAL default stays Spark's lz4 and the
+        # driver's bench stays comparable round-over-round.  On a real
+        # cluster, where shuffle bytes cross NICs, zstd's ratio usually
+        # wins (guide §2.3): set SPARK_GRAFT_IO_CODEC=zstd there.
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
+        )
         .getOrCreate()
     )
     return configure(spark)

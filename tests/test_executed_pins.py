@@ -91,7 +91,19 @@ def test_executed_scan_ceiling(spark, name):
     )
 
 
-@pytest.mark.parametrize("name", ["ts_interpolate", "ts_gap_fill"])
+@pytest.mark.parametrize(
+    "name",
+    [
+        "ts_interpolate",
+        "ts_gap_fill",
+        # round-15: the asof family shipped the same quadratic frame
+        # (join_asof_forward crawled minutes at sf1's 1M events) —
+        # fixed with the mirrored-sort running frame, pinned here
+        "join_asof",
+        "join_asof_forward",
+        "join_asof_nearest",
+    ],
+)
 def test_no_quadratic_window_frame(spark, name):
     plan = _final_plan(spark, name)
     m = _QUADRATIC_FRAME.search(plan)
