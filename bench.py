@@ -254,10 +254,24 @@ SF1_HEADLINE = [
 ]
 SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "")
 SF1_RUNS = int(os.environ.get("BENCH_SF1_RUNS", "3"))
-# First-measurement sf1 baselines (round 15, BASELINE.md): (seconds,
-# compute-axis factor at measurement).  Populated from the first
-# committed sf1 run; queries without a row grade as "new".
-SF1_BASELINES: dict[str, tuple[float, float]] = {}
+# First-measurement sf1 baselines (round 15, BASELINE.md round-15
+# table): (seconds, compute-axis factor at measurement).  Measured at
+# HEAD of the round-15 optimization wave (py probe 0.483 -> 0.386
+# within the run, median factor 1.192) — i.e. AFTER this round's
+# reworks, so tpch_q2 / ts_interpolate start from their optimized
+# shapes; the PRE-rework sf1 numbers are recorded in
+# OPTIMIZATION_r15.md (e.g. agg_spearman 21.4 s, join_asof_forward
+# 367 s) and plans/r15/_sweep_sf1_before.json.
+SF1_BASELINES: dict[str, tuple[float, float]] = {
+    "llm_minhash_containment": (29.798, 1.192),
+    "dq_referential": (1.992, 1.192),
+    "ts_interpolate": (0.533, 1.192),
+    "agg_count_min": (1.957, 1.192),
+    "llm_minhash_near_dedup": (20.358, 1.192),
+    "tpch_q2_min_cost_supplier": (0.678, 1.192),
+    "pipeline_corpus_release": (7.932, 1.192),
+    "stream_custom_stateful": (4.979, 1.192),
+}
 
 
 def force(df) -> None:

@@ -1024,30 +1024,50 @@ def agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         return per_val.select(
             "flag",
             col,
+            "cnt",
             (2 * F.sum("cnt").over(w_run) - F.col("cnt") + 1).alias(cw_col),
         )
 
     qx = value_x("q", "x")
     py = value_x("p", "y")
-    weighted = pairs.join(F.broadcast(qx), ["flag", "q"]).join(
-        F.broadcast(py), ["flag", "p"]
-    )
 
     def dec(c):
         return c.cast("decimal(38,0)")
 
-    g = weighted.groupBy("flag").agg(
-        F.sum("c").alias("n"),
-        F.sum(dec(F.col("x")) * F.col("c")).alias("sx"),
-        F.sum(dec(F.col("y")) * F.col("c")).alias("sy"),
-        F.sum(dec(F.col("x")) * F.col("x") * F.col("c")).alias("sxx"),
-        F.sum(dec(F.col("y")) * F.col("y") * F.col("c")).alias("syy"),
-        F.sum(dec(F.col("x")) * F.col("y") * F.col("c")).alias("sxy"),
+    # Marginal sums need no pair join at all: sx/sxx/extrema are pure
+    # per-q-value sums, sy/syy/extrema pure per-p-value sums.  Only
+    # the cross term sxy touches pairs, and it regroups exactly as
+    # sxy = Σ_p y_p · (Σ_q c_{q,p}·x_q): join pairs with the tiny q
+    # table (AQE broadcasts it from runtime stats — no forced hint,
+    # the r10 rule), collapse to one zx row per (flag, p) map-side,
+    # then a value-table-sized join against py.  The price-value
+    # table (up to |price-domain| rows) therefore NEVER joins a
+    # corpus-sized side — without this, AQE picked a SortMergeJoin of
+    # the full pair table against py at sf1 (14.8 s vs 5-7 s).
+    gq = qx.groupBy("flag").agg(
+        F.sum("cnt").alias("n"),
+        F.sum(dec(F.col("x")) * F.col("cnt")).alias("sx"),
+        F.sum(dec(F.col("x")) * F.col("x") * F.col("cnt")).alias("sxx"),
         F.max("x").alias("mxx"),
         F.min("x").alias("mnx"),
+    )
+    gp = py.groupBy("flag").agg(
+        F.sum(dec(F.col("y")) * F.col("cnt")).alias("sy"),
+        F.sum(dec(F.col("y")) * F.col("y") * F.col("cnt")).alias("syy"),
         F.max("y").alias("mxy"),
         F.min("y").alias("mny"),
     )
+    zp = (
+        pairs.join(qx.select("flag", "q", "x"), ["flag", "q"])
+        .groupBy("flag", "p")
+        .agg(F.sum(dec(F.col("x")) * F.col("c")).alias("zx"))
+    )
+    gxy = (
+        zp.join(py.select("flag", "p", "y"), ["flag", "p"])
+        .groupBy("flag")
+        .agg(F.sum(F.col("zx") * F.col("y")).alias("sxy"))
+    )
+    g = gq.join(gp, "flag").join(gxy, "flag")
     return g.where(
         (F.col("n") >= 2)
         & (F.col("mxx") > F.col("mnx"))
